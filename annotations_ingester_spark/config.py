@@ -1,0 +1,146 @@
+"""Typed pipeline configuration — same YAML surface as the reference.
+
+Mirrors the reference's config dataclass
+(reference: ingester/annotations_indexer.py:18-49 ``AnnotationIndexerConfig``
+and config/config.yml keys) so a user of the reference can bring their
+config file unchanged. Wiring/validation mirrors ingester/__main__.py:34-45
+(requires ``source``, ``nlp-service``, ``sink``, ``mapping``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+try:  # YAML is optional — dict-based construction always works.
+    import yaml  # type: ignore
+except Exception:  # pragma: no cover
+    yaml = None
+
+REQUIRED_TOP_LEVEL = ("source", "nlp-service", "sink", "mapping")
+
+
+@dataclass
+class ConnectorConfig:
+    """Source/sink connector options (reference: ingester/es_common.py:14-43).
+
+    ``backend`` selects parquet (tests/local) or elasticsearch (production);
+    both implement the same reader/writer interface in ``sources``/``sinks``.
+    """
+
+    backend: str = "parquet"  # "parquet" | "elasticsearch"
+    hosts: list[str] = field(default_factory=list)
+    index_name: str = ""  # ES index or parquet path
+    username: str | None = None
+    password: str | None = None
+    api_key: str | None = None
+    ssl_enabled: bool = False
+    ca_certs: str | None = None
+    client_cert: str | None = None
+    client_key: str | None = None
+    check_certificate: bool = True
+
+
+@dataclass
+class NlpServiceConfig:
+    """NLP REST endpoint options (reference: ingester/nlp_service.py:18-38)."""
+
+    endpoints: list[str] = field(default_factory=list)
+    mode: str = "medcat"  # "" / "medcat" | "gate-nlp" (config.yml:37)
+    username: str | None = None
+    password: str | None = None
+    max_retries_on_failure: int = 1  # config.yml:39
+    application_params: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class PipelineConfig:
+    """The logical plan as configuration — 1:1 with the reference's
+    ``AnnotationIndexerConfig`` fields (ingester/annotations_indexer.py:18-49).
+    """
+
+    source: ConnectorConfig = field(default_factory=ConnectorConfig)
+    sink: ConnectorConfig = field(default_factory=ConnectorConfig)
+    nlp: NlpServiceConfig = field(default_factory=NlpServiceConfig)
+
+    text_field: str = "document"  # config.yml:52
+    docid_field: str = "_id"  # config.yml:53
+    persist_fields: list[str] = field(default_factory=lambda: ["_id"])  # :54-56
+    date_field: str = "dct"  # config.yml:59
+    es_date_format: str = "yyyy-MM-dd"  # config.yml:59
+    python_date_format: str = "%Y-%m-%d"  # config.yml:60
+    batch_interval_days: int = 30  # config.yml:61, annotations_indexer.py:46
+    date_start: str = ""  # config.yml:62
+    date_end: str = ""  # config.yml:63
+    threads: int = 4  # annotations_indexer.py:40 (Spark: a parallelism hint)
+    split_index_by_field: str = ""  # config.yml:66 → W2 partitioned sink
+    skip_processed_doc_check: bool = False  # config.yml:68 → J1 anti-join
+    use_bulk_indexing: bool = True
+    ingest_mode: str = "separate-index"  # W1 | "same-index" (W3) | "nested" (W4)
+    schema_mapping: str = "medcat-separate-index"  # config.yml:51
+
+    @classmethod
+    def from_dict(cls, params: dict[str, Any]) -> "PipelineConfig":
+        """Build from the reference's YAML dict shape (ingester/__main__.py:100-117)."""
+        missing = [k for k in REQUIRED_TOP_LEVEL if k not in params]
+        if missing:
+            raise ValueError(f"config missing required keys: {missing}")
+        mapping = params.get("mapping", {}) or {}
+        src_map = mapping.get("source", {}) or {}
+        batch = src_map.get("batch", {}) or {}
+        nlp = params.get("nlp-service", {}) or {}
+
+        def conn(section: dict[str, Any]) -> ConnectorConfig:
+            sec = section or {}
+            es = sec.get("es", sec)
+            security = es.get("security", {}) or {}
+            return ConnectorConfig(
+                backend=sec.get("backend", "elasticsearch" if "es" in sec else "parquet"),
+                hosts=es.get("hosts", []) or [],
+                index_name=es.get("index-name", es.get("path", "")) or "",
+                username=security.get("elastic-user"),
+                password=security.get("elastic-password"),
+                api_key=security.get("elastic-api-key"),
+                ssl_enabled=bool(security.get("security-enabled", False)),
+                ca_certs=security.get("ca-certs-path"),
+                client_cert=security.get("client-cert-path"),
+                client_key=security.get("client-key-path"),
+                check_certificate=bool(security.get("check-certificate", True)),
+            )
+
+        return cls(
+            source=conn(params.get("source", {})),
+            sink=conn(params.get("sink", {})),
+            nlp=NlpServiceConfig(
+                endpoints=nlp.get("endpoints-url", nlp.get("endpoint-url", [])) or [],
+                mode=(nlp.get("protocol-mode", "") or "medcat"),
+                username=nlp.get("security", {}).get("user") if nlp.get("security") else None,
+                password=nlp.get("security", {}).get("password") if nlp.get("security") else None,
+                max_retries_on_failure=int(nlp.get("max-retries-on-failure", 1)),
+                application_params=nlp.get("application-params", {}) or {},
+            ),
+            text_field=src_map.get("text-field", "document"),
+            docid_field=src_map.get("docid-field", "_id"),
+            persist_fields=src_map.get("persist-fields", ["_id"]) or [],
+            date_field=batch.get("date-field", "dct"),
+            es_date_format=batch.get("es-date-format", "yyyy-MM-dd"),
+            python_date_format=batch.get("python-date-format", "%Y-%m-%d"),
+            batch_interval_days=int(batch.get("interval", 30)),
+            date_start=str(batch.get("date-start", "")),
+            date_end=str(batch.get("date-end", "")),
+            threads=int(batch.get("threads", 4)),
+            split_index_by_field=mapping.get("sink", {}).get("split-index-by-field", "") or "",
+            skip_processed_doc_check=bool(src_map.get("skip-processed-doc-check", False)),
+            use_bulk_indexing=bool(mapping.get("sink", {}).get("use-bulk-indexing", True)),
+            ingest_mode=mapping.get("sink", {}).get("ingest-mode", "separate-index"),
+            schema_mapping=mapping.get("sink", {}).get(
+                "es-nested-object-schema-mapping", "medcat-separate-index"
+            ),
+        )
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "PipelineConfig":
+        if yaml is None:  # pragma: no cover
+            raise RuntimeError("pyyaml not available")
+        with open(path) as fh:
+            return cls.from_dict(yaml.safe_load(fh))

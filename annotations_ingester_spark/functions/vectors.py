@@ -1,0 +1,69 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Pure built-in higher-order functions (``zip_with`` + ``aggregate``) — the
+whole computation stays JVM-side inside whole-stage codegen; no Python
+boundary, no UDF. Inputs are cast to double first so results are
+bit-identical to a double-precision oracle (DuckDB ``list_dot_product`` /
+``list_cosine_similarity`` over ``DOUBLE[]``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _dbl(col: Column | str) -> Column:
+    return _c(col).cast("array<double>")
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    prods = F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity in double precision; 0 for zero-norm inputs."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot_product(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_similarity_sql(a: str, b: str) -> str:
+    """DuckDB twin — same accumulation order (sequential left fold)."""
+    return (
+        f"(CASE WHEN sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+        f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])) > 0 THEN"
+        f" list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+        f" / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+        f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))) ELSE 0.0 END)"
+    )
+
+
+def sign_bucket(a: Column | str, n_bits: int = 8) -> Column:
+    """Random-hyperplane-style LSH bucket id from the signs of the first
+    ``n_bits`` dimensions (axis-aligned hyperplanes — deterministic and
+    portable). Near vectors share buckets with high probability; used by
+    the bucketed ANN scale path to turn O(N·Q) brute force into a
+    per-bucket join."""
+    arr = _dbl(a)
+    bit = lambda i: F.when(F.element_at(arr, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    out = F.lit(0)
+    for i in range(n_bits):
+        out = out * F.lit(2) + bit(i)
+    return out.cast("long")
+
+
+def sign_bucket_sql(a: str, n_bits: int = 8) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN ({a}::DOUBLE[])[{i + 1}] >= 0 THEN 1 ELSE 0 END) * {2 ** (n_bits - 1 - i)}"
+        for i in range(n_bits)
+    )
+    return f"(({terms})::BIGINT)"
