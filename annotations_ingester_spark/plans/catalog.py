@@ -1,0 +1,56 @@
+"""Query catalog registry: named (Spark builder, DuckDB oracle) pairs.
+
+Every operator the engine claims (SURVEY §2 inventory + north-star
+extensions) registers here; ``__spark_entry__.py`` exposes the registry to
+the driver's correctness gate. Parity rules that keep value-hashes equal
+across engines:
+
+- alias every computed column identically on both sides;
+- cast Spark's narrow ints to BIGINT (DuckDB's default int width);
+- never SUM raw doubles — sum DECIMAL(18,2/6) then cast to DOUBLE
+  (deterministic regardless of accumulation order);
+- round derived doubles in-query;
+- make every ORDER BY/LIMIT and row_number total (tie-break on a key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered table views; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events stream table. Its parquet carries nanosecond timestamps
+    (TIMESTAMP(NANOS)), which Spark reads as raw INT64 nanos under
+    ``nanosAsLong``; we expose ``ts_s`` (epoch seconds, BIGINT — DuckDB
+    twin: ``floor(epoch(ts))::BIGINT``) alongside the raw column."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts_s", (F.col("ts") / F.lit(1_000_000_000)).cast("long"))
