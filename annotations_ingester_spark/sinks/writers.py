@@ -1,0 +1,94 @@
+"""Sink writers W1-W4 (SURVEY §2.8) over the parquet backend.
+
+Elasticsearch equivalents (the production backend) are option-mapped in
+``sources.elasticsearch``; these writers implement identical semantics on
+parquet so the whole pipeline is testable hermetically:
+
+- W1 flat append       → plain parquet append (deterministic row_id ⇒
+  idempotent rewrite, reference: annotations_indexer.py:201-227).
+- W2 split-by-field    → ``partitionBy(index_suffix)`` (reference derives a
+  per-entity index suffix, annotations_indexer.py:214-218).
+- W4 nested per-doc    → one row per doc with an annotations array
+  (reference: doc_{id}_annotations, annotations_indexer.py:166-200).
+- W3 same-index merge  → read-modify-write union+dedup of annotation sets
+  (reference: painless scripted upsert, annotations_indexer.py:148-165);
+  here a deterministic merge helper used by batch rewrites and
+  streaming ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_flat(df: DataFrame, path: str, mode: str = "append") -> None:
+    """W1: flat annotation rows. At 100 TB: writers scale with tasks; no
+    shuffle is introduced by the write itself."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str = "index_suffix", mode: str = "append"
+) -> None:
+    """W2: per-type physical partitioning — the parquet twin of the ES
+    dynamic resource pattern ``sink-{type}``. Readers of one type prune
+    all other partitions (partition pruning replaces the reference's
+    ``base-*`` wildcard search, es_common.py:141-142)."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def write_nested(df: DataFrame, path: str, mode: str = "append") -> None:
+    """W4: per-doc combined rows (annotations array column)."""
+    df.write.mode(mode).parquet(path)
+
+
+def merge_annotation_sets(
+    existing: DataFrame, new: DataFrame, dedup_cols: list[str] | None = None
+) -> DataFrame:
+    """W3/U2: old ∪ new with whole-record dedup — the engine-side
+    equivalent of the reference's scripted-upsert merge + canonical-JSON
+    dedup (annotations_indexer.py:148-165; utils.py:16-19).
+
+    Deterministic and idempotent: re-merging the same batch is a no-op.
+    """
+    merged = existing.unionByName(new, allowMissingColumns=True)
+    keys = dedup_cols or [
+        f.name for f in merged.schema.fields if f.dataType.typeName() != "map"
+    ]
+    return merged.dropDuplicates(keys)
+
+
+def upsert_nested_foreach_batch(path: str, doc_key: str = "ann_doc_id"):
+    """Build a ``foreachBatch`` function implementing the W4 upsert on a
+    parquet sink: read current, union-dedup per doc, overwrite. The ES
+    backend instead maps to ``es.write.operation=upsert`` with the doc-keyed
+    id (J2 point semi-join done by the store)."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            current = spark.read.parquet(path)
+        except Exception:
+            current = None
+        if current is not None:
+            exploded_old = current.select(
+                doc_key, F.explode_outer("annotations").alias("entity")
+            )
+            exploded_new = batch.select(doc_key, F.explode_outer("annotations").alias("entity"))
+            merged = (
+                exploded_old.unionByName(exploded_new)
+                # entity structs may contain maps (not comparable) — dedup on
+                # the deterministic (doc, entity id) key instead (B2 invariant)
+                .withColumn("_eid", F.col("entity.id"))
+                .dropDuplicates([doc_key, "_eid"])
+                .drop("_eid")
+                .groupBy(doc_key)
+                .agg(F.collect_list("entity").alias("annotations"))
+            )
+        else:
+            merged = batch
+        merged.write.mode("overwrite").parquet(path + "_tmp")
+        spark.read.parquet(path + "_tmp").write.mode("overwrite").parquet(path)
+
+    return apply
