@@ -72,11 +72,14 @@ def bpe_ish_token_count_sql(expr: str) -> str:
     )
 
 
+def _punct_ratio_raw(c: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of characters that are punctuation (non-word, non-space)."""
-    c = _c(col)
-    n_punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
-    return F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 6)
+    return F.round(_punct_ratio_raw(_c(col)), 6)
 
 
 def punct_ratio_sql(expr: str) -> str:
@@ -86,12 +89,22 @@ def punct_ratio_sql(expr: str) -> str:
     )
 
 
+def _stopword_ratio_raw(c: Column, stopwords: list[str]) -> Column:
+    toks = tokens(c)
+    hits = F.size(F.filter(toks, _isin_filter(stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def _isin_filter(words: list[str]):
+    """Single-arg lambda factory for F.filter (a two-param lambda would be
+    treated as the (element, index) form)."""
+    return lambda x: x.isin(words)
+
+
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
     """Fraction of tokens that are (English, by default) stopwords."""
     sw = stopwords or LANG_STOPWORDS["en"]
-    toks = tokens(col)
-    hits = F.size(F.filter(toks, lambda x: x.isin(sw)))
-    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
+    return F.round(_stopword_ratio_raw(_c(col), sw), 6)
 
 
 def stopword_ratio_sql(expr: str, stopwords: list[str] | None = None) -> str:
@@ -105,20 +118,37 @@ def stopword_ratio_sql(expr: str, stopwords: list[str] | None = None) -> str:
 
 
 def quality_score(col: Column | str) -> Column:
-    """Composite document-quality score in [0,1]: rewards reasonable length
-    and stopword presence, penalizes punctuation density. The exact formula
-    is arbitrary but fixed; what matters is deterministic portability."""
+    """Composite document-quality score: rewards reasonable length and
+    stopword presence, penalizes punctuation density. The exact formula is
+    arbitrary but fixed; what matters is deterministic portability — it is
+    computed from *unrounded* ratios and rounded exactly once (summing
+    pre-rounded terms can land on exact decimal ties where engines'
+    rounding modes diverge)."""
     c = _c(col)
     len_score = F.least(F.length(c) / F.lit(400.0), F.lit(1.0))
-    sw = stopword_ratio(c)
-    pr = punct_ratio(c)
+    sw = _stopword_ratio_raw(c, LANG_STOPWORDS["en"])
+    pr = _punct_ratio_raw(c)
     return F.round(F.lit(0.5) * len_score + F.lit(0.5) * sw - pr, 6)
+
+
+def _stopword_ratio_raw_sql(expr: str, stopwords: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in stopwords)
+    toks = tokens_sql(expr)
+    return f"(len(list_filter({toks}, x -> x IN ({inlist}))) / greatest(len({toks}), 1))"
+
+
+def _punct_ratio_raw_sql(expr: str) -> str:
+    return (
+        f"(length(regexp_replace({expr}, '[\\w\\s]', '', 'g'))"
+        f" / greatest(length({expr}), 1))"
+    )
 
 
 def quality_score_sql(expr: str) -> str:
     return (
         f"round(0.5 * least(length({expr}) / 400.0, 1.0)"
-        f" + 0.5 * {stopword_ratio_sql(expr)} - {punct_ratio_sql(expr)}, 6)"
+        f" + 0.5 * {_stopword_ratio_raw_sql(expr, LANG_STOPWORDS['en'])}"
+        f" - {_punct_ratio_raw_sql(expr)}, 6)"
     )
 
 

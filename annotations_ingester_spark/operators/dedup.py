@@ -1,0 +1,215 @@
+"""Corpus deduplication operators for training-data pipelines.
+
+Five families, all engine-portable (md5-based hashing — see
+functions/hashing.py) and all designed scale-first:
+
+- **exact**: fingerprint = md5(text) → hash groupBy. One shuffle on the
+  fingerprint; at 100 TB this is the cheapest full-corpus dedup.
+- **bag fingerprint**: md5 of the sorted distinct token bag — catches
+  word-reorder near-dups at exact-dedup cost.
+- **MinHash + LSH**: per-row signatures computed entirely inside
+  whole-stage codegen (nested higher-order functions — NO shuffle, NO
+  explode for the signature), then banding + a self-join on band keys.
+  Only candidate pairs (hash-colliding) ever shuffle — the textbook
+  way MinHash survives 100 TB (vs naive all-pairs O(N²)).
+- **SimHash**: 32-bit per-row signature, same codegen-only shape; near-dup
+  candidates = equal (or near-equal) simhash.
+- **n-gram Jaccard**: exact pairwise similarity for a *candidate* set
+  (post-LSH verification step) via a shingle equi-join + group-count.
+
+(Embedding-cosine near-dup lives in operators/similarity.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from annotations_ingester_spark.functions.hashing import HASH_HEX_CHARS
+from annotations_ingester_spark.functions.text import TOKEN_SPLIT_RE, bag_fingerprint
+
+
+def _hash_sql(expr: str) -> str:
+    """Spark-SQL string form of functions.hashing.md5_hash64 (for use
+    inside higher-order-function lambdas, where the PySpark shift/conv
+    wrappers can't reach)."""
+    return f"cast(conv(substring(md5({expr}), 1, {HASH_HEX_CHARS}), 16, 10) as bigint)"
+
+
+def _tokens_sql(col: str) -> str:
+    return f"filter(split(lower({col}), '{TOKEN_SPLIT_RE}', -1), x -> x != '')"
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: md5 fingerprint → (fingerprint, keep_id, n_dups).
+    ``keep_id`` = min id, the canonical survivor."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per exact-text group (the min-id row)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def bag_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc order-insensitive fingerprint + keep flag (first id wins)."""
+    out = df.select(F.col(id_col), bag_fingerprint(text_col).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return out.withColumn("keep", (F.row_number().over(w) == 1))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    wide: bool = False,
+) -> DataFrame:
+    """MinHash signatures: (id, seed, minhash) rows, or with ``wide=True``
+    one row per doc with a ``signature`` array<long>.
+
+    The signature is computed per-row with nested HOFs — the plan has no
+    shuffle and no row amplification until banding; at 100 TB the scan is
+    the only cost. (Docs with < shingle_n tokens are dropped — no shingles.)
+    """
+    toks = _tokens_sql(text_col)
+    parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(shingle_n))
+    sig_expr = f"""
+      transform(sequence(0, {num_hashes - 1}), s ->
+        array_min(transform(_sh, x ->
+          {_hash_sql("concat(cast(s as string), ':', x)")})))
+    """
+    base = (
+        df.withColumn("_tk", F.expr(toks))
+        .filter(F.size("_tk") >= shingle_n)
+        .withColumn(
+            "_sh",
+            F.expr(
+                f"transform(sequence(1, size(_tk) - {shingle_n - 1}),"
+                f" i -> concat_ws(' ', {parts}))"
+            ),
+        )
+        .select(F.col(id_col), F.expr(sig_expr).alias("signature"))
+    )
+    if wide:
+        return base
+    return base.select(
+        id_col, F.posexplode("signature").alias("seed", "minhash")
+    ).withColumn("seed", F.col("seed").cast("long"))
+
+
+def lsh_band_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the (id, seed, minhash) signature rows: one row per (doc, band)
+    with an md5 band key over the band's minhashes in seed order."""
+    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda x: x.getField("minhash").cast("string"),
+                ),
+                ",",
+            )
+        ).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(
+    band_keys: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-join on (band, band_key) → candidate near-dup pairs with the
+    number of colliding bands. Only same-bucket rows join (the LSH point:
+    the join key prunes the O(N²) space)."""
+    a = band_keys.select(
+        F.col(id_col).alias("doc_a"), F.col("band"), F.col("band_key")
+    )
+    b = band_keys.select(
+        F.col(id_col).alias("doc_b"), F.col("band"), F.col("band_key")
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash over the distinct-token set: bit b of the signature
+    is 1 iff sum over tokens of (±1 by token-hash bit b) >= 0. Entirely
+    per-row codegen — no shuffle."""
+    toks = _tokens_sql(text_col)
+    sim_expr = f"""
+      aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> acc +
+        if(aggregate(_th, 0L, (a, h) -> a + ((shiftright(h, b) % 2) * 2 - 1)) >= 0,
+           shiftleft(1L, b), 0L))
+    """
+    return (
+        df.withColumn("_tk", F.expr(f"array_distinct({toks})"))
+        .filter(F.size("_tk") > 0)
+        .withColumn("_th", F.expr(f"transform(_tk, x -> {_hash_sql('x')})"))
+        .select(F.col(id_col), F.expr(sim_expr).alias("simhash"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard for docs sharing ≥1 shingle:
+    explode distinct shingles → equi-join on shingle → |A∩B| group count;
+    |A∪B| = |A|+|B|−|A∩B|. Use on a *candidate* subset (e.g. LSH output)
+    — the shingle join is the verification step, not the discovery step."""
+    toks = _tokens_sql(text_col)
+    parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(shingle_n))
+    sh = (
+        df.withColumn("_tk", F.expr(toks))
+        .filter(F.size("_tk") >= shingle_n)
+        .withColumn(
+            "_sh",
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(_tk) - {shingle_n - 1}),"
+                f" i -> concat_ws(' ', {parts})))"
+            ),
+        )
+        .select(F.col(id_col), F.size("_sh").cast("long").alias("sz"), F.col("_sh"))
+    )
+    ex = sh.select(id_col, "sz", F.explode("_sh").alias("shingle"))
+    a = ex.select(
+        F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"
+    )
+    b = ex.select(
+        F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+    ).alias("jaccard")
+    out = inter.select("doc_a", "doc_b", "n_inter", jac)
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out

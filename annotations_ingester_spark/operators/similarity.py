@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a production ANN stack would be tiered:
+
+- **brute-force top-k** (the exactness baseline): broadcast the query set,
+  score every (query, candidate) pair with codegen'd zip_with/aggregate
+  dot products, take top-k per query via a ranked window. Cost O(N·Q·d)
+  but embarrassingly parallel — no shuffle except the final per-query
+  window (Q partitions). Right answer for small Q at any N.
+- **bucketed ANN** (the scale path): LSH-style sign buckets (axis-aligned
+  hyperplanes over the leading dimensions, functions/vectors.sign_bucket)
+  turn the cross join into an equi-join on bucket id — candidates ~N/2^bits
+  per query. The recall/cost trade scales with ``n_bits``; multi-probe =
+  union of neighbor buckets (future work).
+
+Ranking is made total and engine-portable by ordering on the *rounded*
+cosine (6 dp) with an id tie-break — a double-precision ulp can differ
+between engines' fold orders; 6 dp cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from annotations_ingester_spark.functions.vectors import cosine_similarity, sign_bucket
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact cosine top-k: (q_id, vec_id, cos, rank), rank 1..k."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col) if query_id_col not in queries.columns else F.col(query_id_col),
+        F.col(vec_col).alias("_q_vec"),
+    )
+    pairs = embeddings.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(query_id_col))
+    scored = pairs.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity("_q_vec", vec_col), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Bucketed ANN top-k: candidates share the query's sign bucket.
+    Same output shape as :func:`brute_force_topk` plus ``bucket``."""
+    bucketed = embeddings.withColumn("bucket", sign_bucket(vec_col, n_bits))
+    q = bucketed.join(queries.select(id_col), on=id_col, how="left_semi").select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_q_vec"),
+        F.col("bucket"),
+    )
+    pairs = bucketed.join(F.broadcast(q), on="bucket").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = pairs.select(
+        query_id_col,
+        id_col,
+        "bucket",
+        F.round(cosine_similarity("_q_vec", vec_col), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above ``threshold``, discovered
+    within sign buckets (the scalable all-pairs: per-bucket self-join, not
+    corpus-wide cross join)."""
+    b = embeddings.withColumn("bucket", sign_bucket(vec_col, n_bits))
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
+    )
+    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", "bucket", F.round(cosine_similarity("_va", "_vb"), 6).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,307 @@
+"""North-star queries: large-scale training-data operators (BASELINE.json)
+— dedup (exact / bag / MinHash+LSH / SimHash / n-gram Jaccard), embedding
+similarity search (brute-force + bucketed ANN), and text analysis — each
+with an exact DuckDB oracle built on the portable md5 hash family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from annotations_ingester_spark.functions import text as tx
+from annotations_ingester_spark.functions.vectors import sign_bucket_sql
+from annotations_ingester_spark.operators.dedup import (
+    bag_fingerprints,
+    exact_duplicate_groups,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from annotations_ingester_spark.operators.similarity import brute_force_topk, bucketed_topk
+from annotations_ingester_spark.plans.catalog import register, table
+
+# ---- shared DuckDB fragments ------------------------------------------------
+
+TOKS = tx.tokens_sql("text")
+HASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
+SHINGLES = (
+    "list_transform(range(1, greatest(len(t) - 2, 0) + 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+COS = (
+    "round(CASE WHEN sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)) > 0"
+    " THEN list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"
+    " ELSE 0.0 END, 6)"
+)
+
+SIG_CTE = f"""d AS (
+    SELECT doc_id, {TOKS} AS t FROM documents
+  ), d2 AS (
+    SELECT doc_id, {SHINGLES} AS sh FROM d WHERE len(t) >= 3
+  ), sig AS (
+    SELECT doc_id, s.seed,
+           list_min(list_transform(sh,
+             x -> {HASH.format(e="s.seed::VARCHAR || ':' || x")})) AS minhash
+    FROM d2, (SELECT unnest(range(0, 8)) AS seed) s)"""
+
+
+# ---- dedup ------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+       FROM documents GROUP BY fingerprint""",
+    doc="Exact dedup by content hash: one shuffle on the fingerprint; "
+    "survivor = min id. The 100 TB baseline dedup.",
+)
+def dedup_exact(spark: SparkSession, sf: str):
+    return exact_duplicate_groups(table(spark, sf, "documents"))
+
+
+@register(
+    "dedup_bag_fingerprint",
+    f"""WITH f AS (
+         SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct({TOKS})), ' ')) AS fingerprint
+         FROM documents)
+       SELECT doc_id, fingerprint,
+              row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1 AS keep
+       FROM f""",
+    doc="Bag-of-words fingerprint dedup: order-insensitive content key "
+    "(catches word-reorder near-dups at exact-dedup cost).",
+)
+def dedup_bag(spark: SparkSession, sf: str):
+    return bag_fingerprints(table(spark, sf, "documents"))
+
+
+@register(
+    "minhash_signatures",
+    f"WITH {SIG_CTE} SELECT doc_id, seed, minhash FROM sig",
+    doc="MinHash signatures (8 permutations over word 3-shingles) computed "
+    "per-row inside whole-stage codegen — zero shuffle; the signature "
+    "stage of MinHash-LSH dedup.",
+)
+def q_minhash(spark: SparkSession, sf: str):
+    return minhash_signatures(table(spark, sf, "documents"))
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""WITH {SIG_CTE},
+       band AS (
+         SELECT doc_id, seed // 2 AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed // 2),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, count(*) AS n_bands FROM pairs GROUP BY doc_a, doc_b""",
+    doc="MinHash-LSH banding (4 bands × 2 rows): self-join on band keys — "
+    "only hash-colliding candidates shuffle; the O(N²)→O(candidates) "
+    "trick that makes near-dup detection feasible at 100 TB.",
+)
+def q_lsh(spark: SparkSession, sf: str):
+    sig = minhash_signatures(table(spark, sf, "documents"))
+    return lsh_candidate_pairs(lsh_band_keys(sig))
+
+
+@register(
+    "simhash_fingerprint",
+    f"""WITH d AS (
+         SELECT doc_id, list_distinct({TOKS}) AS t FROM documents),
+       d2 AS (
+         SELECT doc_id, list_transform(t, x -> {HASH.format(e="x")}) AS th
+         FROM d WHERE len(t) > 0)
+       SELECT doc_id,
+              list_sum(list_transform(range(0, 32), b -> CASE WHEN
+                list_sum(list_transform(th, h -> ((h >> b) & 1) * 2 - 1)) >= 0
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+       FROM d2""",
+    doc="SimHash (32-bit) over the distinct-token set — per-row codegen, "
+    "no shuffle; near-dups have small Hamming distance.",
+)
+def q_simhash(spark: SparkSession, sf: str):
+    return simhash_signatures(table(spark, sf, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0),
+       d AS (SELECT doc_id, {TOKS} AS t FROM sub),
+       sh AS (
+         SELECT doc_id, list_distinct({SHINGLES}) AS s
+         FROM d WHERE len(t) >= 3),
+       sized AS (SELECT doc_id, len(s)::BIGINT AS sz, s FROM sh),
+       ex AS (SELECT doc_id, sz, unnest(s) AS shingle FROM sized),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_inter
+         FROM ex a JOIN ex b ON a.shingle = b.shingle
+         WHERE a.doc_id < b.doc_id
+         GROUP BY doc_a, doc_b, sz_a, sz_b)
+       SELECT doc_a, doc_b, n_inter,
+              round(n_inter / (sz_a + sz_b - n_inter), 6) AS jaccard
+       FROM inter""",
+    doc="Exact n-gram Jaccard verification over a candidate subset: shingle "
+    "equi-join + group count (the post-LSH verification stage).",
+)
+def q_jaccard(spark: SparkSession, sf: str):
+    sub = table(spark, sf, "documents").filter(F.col("doc_id") % 29 == 0)
+    return ngram_jaccard_pairs(sub)
+
+
+# ---- similarity search ------------------------------------------------------
+
+
+@register(
+    "embedding_cosine_topk",
+    f"""WITH q AS (
+         SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+         FROM embeddings WHERE vec_id % 101 = 0),
+       p AS (
+         SELECT q.q_id, e.vec_id, {COS.replace('ce', 'e.embedding::DOUBLE[]').replace('qe', 'q.qe')} AS cos
+         FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       r AS (
+         SELECT q_id, vec_id, cos,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         FROM p)
+       SELECT q_id, vec_id, cos, rn::BIGINT AS rank FROM r WHERE rn <= 5""",
+    doc="Brute-force cosine top-k (exactness baseline): broadcast query set, "
+    "codegen'd dot products, ranked window per query. Ordering on rounded "
+    "cosine + id tie-break keeps ranks engine-portable.",
+)
+def q_topk(spark: SparkSession, sf: str):
+    emb = table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 101 == 0)
+    out = brute_force_topk(emb, qs, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "ann_bucketed_topk",
+    f"""WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e,
+                {sign_bucket_sql('embedding', 8)} AS bucket
+         FROM embeddings),
+       q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id % 101 = 0),
+       p AS (
+         SELECT q.q_id, c.vec_id, c.bucket,
+                {COS.replace('ce', 'c.e').replace('qe', 'q.qe')} AS cos
+         FROM b c JOIN q ON c.bucket = q.bucket
+         WHERE c.vec_id <> q.q_id),
+       r AS (
+         SELECT q_id, vec_id, bucket, cos,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         FROM p)
+       SELECT q_id, vec_id, bucket, cos, rn::BIGINT AS rank FROM r WHERE rn <= 3""",
+    doc="Bucketed ANN top-k (scale path): sign-bucket LSH turns the cross "
+    "join into an equi-join on bucket id — candidate set ~N/256 per query.",
+)
+def q_ann(spark: SparkSession, sf: str):
+    emb = table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 101 == 0)
+    out = bucketed_topk(emb, qs, k=3, n_bits=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---- text analysis ----------------------------------------------------------
+
+_LANGS = sorted(tx.LANG_STOPWORDS)
+
+
+def _hits_sql(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS[lang])
+    return f"len(list_filter({TOKS}, x -> x IN ({inlist})))::BIGINT"
+
+
+_PRED_SQL = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(f"h_{a} >= h_{b}" for b in _LANGS if b != a)
+    + f" THEN '{a}'"
+    for a in _LANGS
+) + " END"
+
+
+@register(
+    "text_lang_id",
+    f"""WITH h AS (
+         SELECT doc_id, lang AS labeled_lang,
+                {', '.join(f'{_hits_sql(lang)} AS h_{lang}' for lang in _LANGS)}
+         FROM documents)
+       SELECT doc_id, labeled_lang,
+              {', '.join(f'h_{lang}' for lang in _LANGS)},
+              {_PRED_SQL} AS predicted_lang
+       FROM h""",
+    doc="Language-ID heuristic: per-language stopword hit counts, argmax "
+    "with alphabetical tie-break — a pure scan expression.",
+)
+def q_langid(spark: SparkSession, sf: str):
+    d = table(spark, sf, "documents")
+    toks = tx.tokens("text")
+    hits = {
+        lang: F.size(F.filter(toks, tx._isin_filter(tx.LANG_STOPWORDS[lang]))).cast("long")
+        for lang in _LANGS
+    }
+    pred = F.lit(None).cast("string")
+    # build the same alphabetical-priority CASE chain as the oracle
+    chain = None
+    for a in _LANGS:
+        cond = None
+        for b in _LANGS:
+            if b == a:
+                continue
+            c = hits[a] >= hits[b]
+            cond = c if cond is None else (cond & c)
+        chain = F.when(cond, F.lit(a)) if chain is None else chain.when(cond, F.lit(a))
+    pred = chain
+    cols = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
+    cols += [hits[lang].alias(f"h_{lang}") for lang in _LANGS]
+    cols.append(pred.alias("predicted_lang"))
+    return d.select(*cols)
+
+
+@register(
+    "text_quality_scores",
+    f"""SELECT doc_id,
+              {tx.token_count_sql('text')} AS n_tokens,
+              {tx.punct_ratio_sql('text')} AS punct_ratio,
+              {tx.stopword_ratio_sql('text')} AS stopword_ratio,
+              {tx.quality_score_sql('text')} AS quality
+       FROM documents WHERE text IS NOT NULL""",
+    doc="Document quality scoring: token count, punctuation density, "
+    "stopword ratio, composite score — all codegen scan expressions.",
+)
+def q_quality(spark: SparkSession, sf: str):
+    d = table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.punct_ratio("text").alias("punct_ratio"),
+        tx.stopword_ratio("text").alias("stopword_ratio"),
+        tx.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "text_token_stats",
+    f"""SELECT doc_id,
+              {tx.token_count_sql('text')} AS ws_tokens,
+              {tx.bpe_ish_token_count_sql('text')} AS bpe_tokens,
+              length(text)::BIGINT AS n_chars
+       FROM documents WHERE text IS NOT NULL""",
+    doc="Token counting: whitespace tokens + BPE-ish sub-token estimate "
+    "(ceil(len/4) per alpha run + punctuation) for data budgeting.",
+)
+def q_tokens(spark: SparkSession, sf: str):
+    d = table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("ws_tokens"),
+        tx.bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
