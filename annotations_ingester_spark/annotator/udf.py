@@ -39,6 +39,9 @@ def annotate(
     ``annotator_factory`` is called once per partition on the executor
     (clients — HTTP sessions, pools — are not picklable; factories are).
     """
+    from annotations_ingester_spark.pyfiles import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
     out_schema = annotated_schema(df.schema, mode=mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -7,13 +7,14 @@ functions/hashing.py) and all designed scale-first:
   fingerprint; at 100 TB this is the cheapest full-corpus dedup.
 - **bag fingerprint**: md5 of the sorted distinct token bag — catches
   word-reorder near-dups at exact-dedup cost.
-- **MinHash + LSH**: per-row signatures computed entirely inside
-  whole-stage codegen (nested higher-order functions — NO shuffle, NO
-  explode for the signature), then banding + a self-join on band keys.
-  Only candidate pairs (hash-colliding) ever shuffle — the textbook
-  way MinHash survives 100 TB (vs naive all-pairs O(N²)).
-- **SimHash**: 32-bit per-row signature, same codegen-only shape; near-dup
-  candidates = equal (or near-equal) simhash.
+- **MinHash + LSH**: shingles hashed once each (explode → md5), signatures
+  via map-side partial-min aggregates of per-seed XOR mixes (shuffle =
+  docs × num_hashes values), then banding + a self-join on band keys.
+  Only hash-colliding candidate pairs ever join — the textbook way
+  MinHash survives 100 TB (vs naive all-pairs O(N²)).
+- **SimHash**: 32-bit signature from partial-sum bit aggregates — same
+  hash-once, combine-map-side shape; near-dup candidates = equal (or
+  near-equal) simhash.
 - **n-gram Jaccard**: exact pairwise similarity for a *candidate* set
   (post-LSH verification step) via a shingle equi-join + group-count.
 
@@ -38,6 +39,19 @@ def _hash_sql(expr: str) -> str:
 
 def _tokens_sql(col: str) -> str:
     return f"filter(split(lower({col}), '{TOKEN_SPLIT_RE}', -1), x -> x != '')"
+
+
+def _disable_infer_filters_from_generate(df: DataFrame) -> None:
+    """InferFiltersFromGenerate duplicates the generator's input expression
+    into a scan filter; for our shingle/token generators that expression
+    embeds the tokenizer, so the 'optimization' re-runs the regex split
+    O(tokens) times per row (measured 10-30× slowdowns). The rule only
+    prunes empty arrays — which explode drops anyway — so excluding it is
+    semantics-free."""
+    df.sparkSession.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
 
 
 def exact_duplicate_groups(
@@ -65,44 +79,67 @@ def bag_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return out.withColumn("keep", (F.row_number().over(w) == 1))
 
 
+def seed_constant(seed: int) -> int:
+    """Per-seed XOR mixing constant — md5-derived so any engine can
+    recompute it (DuckDB: ``('0x'||substr(md5(seed::VARCHAR),1,15))::BIGINT``)."""
+    import hashlib
+
+    return int(hashlib.md5(str(seed).encode()).hexdigest()[:HASH_HEX_CHARS], 16)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_n: int = 3,
-    wide: bool = False,
 ) -> DataFrame:
-    """MinHash signatures: (id, seed, minhash) rows, or with ``wide=True``
-    one row per doc with a ``signature`` array<long>.
+    """MinHash signatures as (id, seed, minhash) rows.
 
-    The signature is computed per-row with nested HOFs — the plan has no
-    shuffle and no row amplification until banding; at 100 TB the scan is
-    the only cost. (Docs with < shingle_n tokens are dropped — no shingles.)
+    Plan shape (the one that scales): tokenize+shingle per-row (computed
+    once), explode to shingle rows, md5-hash each shingle ONCE, then take
+    ``num_hashes`` partial ``min`` aggregates of cheap per-seed XOR mixes
+    (xor with a seed constant is a bijection — a valid min-wise hash
+    family). Map-side combine collapses each partition to one row per doc
+    before the shuffle, so the shuffle is docs × num_hashes values no
+    matter how wide the corpus is.
+
+    (A pure HOF formulation with no shuffle exists but Catalyst's
+    CollapseProject inlines the shingle array into every hash branch,
+    recomputing tokenization num_hashes× — measured 30× slower. The
+    explode+partial-agg plan hashes each shingle exactly once.)
+
+    Docs with < shingle_n tokens are dropped (no shingles).
     """
+    _disable_infer_filters_from_generate(df)
     toks = _tokens_sql(text_col)
     parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(shingle_n))
-    sig_expr = f"""
-      transform(sequence(0, {num_hashes - 1}), s ->
-        array_min(transform(_sh, x ->
-          {_hash_sql("concat(cast(s as string), ':', x)")})))
-    """
-    base = (
+    ex = (
         df.withColumn("_tk", F.expr(toks))
         .filter(F.size("_tk") >= shingle_n)
         .withColumn(
             "_sh",
+            # total expression: InferFiltersFromGenerate may evaluate it on
+            # not-yet-filtered rows, where sequence(1, size-2) would count
+            # DOWN (Spark infers step -1) and index out of bounds
             F.expr(
-                f"transform(sequence(1, size(_tk) - {shingle_n - 1}),"
+                f"CASE WHEN size(_tk) >= {shingle_n} THEN"
+                f" transform(sequence(1, size(_tk) - {shingle_n - 1}),"
                 f" i -> concat_ws(' ', {parts}))"
+                f" ELSE cast(array() as array<string>) END"
             ),
         )
-        .select(F.col(id_col), F.expr(sig_expr).alias("signature"))
+        .select(F.col(id_col), F.explode("_sh").alias("_shingle"))
+        .select(F.col(id_col), F.expr(_hash_sql("_shingle")).alias("_h"))
     )
-    if wide:
-        return base
-    return base.select(
-        id_col, F.posexplode("signature").alias("seed", "minhash")
+    aggs = [
+        F.min(F.col("_h").bitwiseXOR(F.lit(seed_constant(s)))).alias(f"_m{s}")
+        for s in range(num_hashes)
+    ]
+    wide = ex.groupBy(id_col).agg(*aggs)
+    sig = F.array(*[F.col(f"_m{s}") for s in range(num_hashes)])
+    return wide.select(
+        id_col, F.posexplode(sig).alias("seed", "minhash")
     ).withColumn("seed", F.col("seed").cast("long"))
 
 
@@ -152,20 +189,29 @@ def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """Per-doc SimHash over the distinct-token set: bit b of the signature
-    is 1 iff sum over tokens of (±1 by token-hash bit b) >= 0. Entirely
-    per-row codegen — no shuffle."""
+    is 1 iff sum over tokens of (±1 by token-hash bit b) >= 0.
+
+    Same scale shape as MinHash: explode distinct tokens, hash each ONCE,
+    then ``bits`` partial-sum aggregates (map-side combine → shuffle is
+    docs × bits, independent of corpus width)."""
+    _disable_infer_filters_from_generate(df)
     toks = _tokens_sql(text_col)
-    sim_expr = f"""
-      aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> acc +
-        if(aggregate(_th, 0L, (a, h) -> a + ((shiftright(h, b) % 2) * 2 - 1)) >= 0,
-           shiftleft(1L, b), 0L))
-    """
-    return (
+    ex = (
         df.withColumn("_tk", F.expr(f"array_distinct({toks})"))
         .filter(F.size("_tk") > 0)
-        .withColumn("_th", F.expr(f"transform(_tk, x -> {_hash_sql('x')})"))
-        .select(F.col(id_col), F.expr(sim_expr).alias("simhash"))
+        .select(F.col(id_col), F.explode("_tk").alias("_tok"))
+        .select(F.col(id_col), F.expr(_hash_sql("_tok")).alias("_h"))
     )
+    aggs = [
+        F.sum((F.shiftright(F.col("_h"), b) % 2) * 2 - 1).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    wide = ex.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return wide.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -179,6 +225,7 @@ def ngram_jaccard_pairs(
     explode distinct shingles → equi-join on shingle → |A∩B| group count;
     |A∪B| = |A|+|B|−|A∩B|. Use on a *candidate* subset (e.g. LSH output)
     — the shingle join is the verification step, not the discovery step."""
+    _disable_infer_filters_from_generate(df)
     toks = _tokens_sql(text_col)
     parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(shingle_n))
     sh = (
@@ -187,8 +234,10 @@ def ngram_jaccard_pairs(
         .withColumn(
             "_sh",
             F.expr(
-                f"array_distinct(transform(sequence(1, size(_tk) - {shingle_n - 1}),"
+                f"CASE WHEN size(_tk) >= {shingle_n} THEN"
+                f" array_distinct(transform(sequence(1, size(_tk) - {shingle_n - 1}),"
                 f" i -> concat_ws(' ', {parts})))"
+                f" ELSE cast(array() as array<string>) END"
             ),
         )
         .select(F.col(id_col), F.size("_sh").cast("long").alias("sz"), F.col("_sh"))

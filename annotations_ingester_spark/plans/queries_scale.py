@@ -41,11 +41,14 @@ SIG_CTE = f"""d AS (
     SELECT doc_id, {TOKS} AS t FROM documents
   ), d2 AS (
     SELECT doc_id, {SHINGLES} AS sh FROM d WHERE len(t) >= 3
+  ), shx AS (
+    SELECT doc_id, {HASH.format(e="u.shingle")} AS h
+    FROM (SELECT doc_id, unnest(sh) AS shingle FROM d2) u
   ), sig AS (
     SELECT doc_id, s.seed,
-           list_min(list_transform(sh,
-             x -> {HASH.format(e="s.seed::VARCHAR || ':' || x")})) AS minhash
-    FROM d2, (SELECT unnest(range(0, 8)) AS seed) s)"""
+           min(xor(h, {HASH.format(e="s.seed::VARCHAR")})) AS minhash
+    FROM shx, (SELECT unnest(range(0, 8)) AS seed) s
+    GROUP BY doc_id, s.seed)"""
 
 
 # ---- dedup ------------------------------------------------------------------
@@ -81,9 +84,9 @@ def dedup_bag(spark: SparkSession, sf: str):
 @register(
     "minhash_signatures",
     f"WITH {SIG_CTE} SELECT doc_id, seed, minhash FROM sig",
-    doc="MinHash signatures (8 permutations over word 3-shingles) computed "
-    "per-row inside whole-stage codegen — zero shuffle; the signature "
-    "stage of MinHash-LSH dedup.",
+    doc="MinHash signatures (8 permutations over word 3-shingles): each "
+    "shingle md5-hashed once, per-seed XOR mixes reduced by map-side "
+    "partial min aggregation — shuffle is docs × 8 values only.",
 )
 def q_minhash(spark: SparkSession, sf: str):
     return minhash_signatures(table(spark, sf, "documents"))
@@ -114,16 +117,19 @@ def q_lsh(spark: SparkSession, sf: str):
     "simhash_fingerprint",
     f"""WITH d AS (
          SELECT doc_id, list_distinct({TOKS}) AS t FROM documents),
-       d2 AS (
-         SELECT doc_id, list_transform(t, x -> {HASH.format(e="x")}) AS th
-         FROM d WHERE len(t) > 0)
-       SELECT doc_id,
-              list_sum(list_transform(range(0, 32), b -> CASE WHEN
-                list_sum(list_transform(th, h -> ((h >> b) & 1) * 2 - 1)) >= 0
-                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
-       FROM d2""",
-    doc="SimHash (32-bit) over the distinct-token set — per-row codegen, "
-    "no shuffle; near-dups have small Hamming distance.",
+       h AS (
+         SELECT doc_id, {HASH.format(e="u.tok")} AS h
+         FROM (SELECT doc_id, unnest(t) AS tok FROM d WHERE len(t) > 0) u),
+       bits AS (
+         SELECT doc_id, b.b,
+                CASE WHEN sum(((h >> b.b) & 1) * 2 - 1) >= 0
+                     THEN (1::BIGINT << b.b) ELSE 0 END AS w
+         FROM h, (SELECT unnest(range(0, 32)) AS b) b
+         GROUP BY doc_id, b.b)
+       SELECT doc_id, sum(w)::BIGINT AS simhash FROM bits GROUP BY doc_id""",
+    doc="SimHash (32-bit) over the distinct-token set: each token hashed "
+    "once, 32 partial-sum bit aggregates — near-dups have small Hamming "
+    "distance; shuffle is docs × 32 values.",
 )
 def q_simhash(spark: SparkSession, sf: str):
     return simhash_signatures(table(spark, sf, "documents"))

@@ -1,0 +1,128 @@
+"""Elasticsearch connector option mapping (SURVEY §2.1 S6/S7/S10).
+
+Maps the engine's ``ConnectorConfig`` (same YAML surface as the reference's
+ES client wiring, ingester/es_common.py:49-85) onto the public
+``org.elasticsearch.spark.sql`` ("es") data source options:
+
+- hosts             → ``es.nodes`` / ``es.port``
+- basic auth        → ``es.net.http.auth.user`` / ``.pass``
+- API key           → ``es.net.http.header.Authorization`` (ApiKey scheme)
+- SSL + CA/client   → ``es.net.ssl*`` options
+- bulk tuning       → ``es.batch.size.entries`` = 10000 (the reference's
+  BULK_CHUNK_SIZE, es_common.py:98), retries, timeout (es_common.py:99)
+- idempotent writes → ``es.mapping.id`` with the deterministic row id
+  (annotations_indexer.py:221) so re-runs upsert instead of duplicating
+- W2 split sink     → dynamic resource pattern ``{index}-{suffix_field}``
+- W3 same-index     → ``es.write.operation=upsert``
+
+The connector jar is not bundled in this environment; ``read_es``/``write_es``
+raise a clear error when the format is unavailable, and everything above
+them (option construction) is plain-Python tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from annotations_ingester_spark.config import ConnectorConfig
+
+ES_FORMAT = "org.elasticsearch.spark.sql"
+BULK_CHUNK_SIZE = 10_000  # reference: es_common.py:98
+BULK_REQUEST_TIMEOUT_S = 30  # reference: es_common.py:99
+
+
+def _host_port(hosts: list[str]) -> tuple[str, str | None]:
+    nodes, port = [], None
+    for h in hosts:
+        h = h.replace("http://", "").replace("https://", "")
+        if ":" in h:
+            h, p = h.rsplit(":", 1)
+            port = p
+        nodes.append(h)
+    return ",".join(nodes), port
+
+
+def es_common_options(conf: ConnectorConfig) -> dict[str, str]:
+    nodes, port = _host_port(conf.hosts)
+    opts: dict[str, str] = {"es.nodes": nodes}
+    if port:
+        opts["es.port"] = port
+    if conf.username and conf.password:
+        opts["es.net.http.auth.user"] = conf.username
+        opts["es.net.http.auth.pass"] = conf.password
+    elif conf.api_key:
+        opts["es.net.http.header.Authorization"] = f"ApiKey {conf.api_key}"
+    if conf.ssl_enabled:
+        opts["es.net.ssl"] = "true"
+        if conf.ca_certs:
+            opts["es.net.ssl.cert.allow.self.signed"] = str(
+                not conf.check_certificate
+            ).lower()
+            opts["es.net.ssl.truststore.location"] = conf.ca_certs
+        if conf.client_cert:
+            opts["es.net.ssl.keystore.location"] = conf.client_cert
+    return opts
+
+
+def es_read_options(conf: ConnectorConfig, query: str | None = None) -> dict[str, str]:
+    """Scan options: scroll-based parallel read, one input partition per ES
+    shard (the scalable twin of the reference's scan API choice,
+    es_common.py:286-289); optional ``es.query`` pushdown (S3 range)."""
+    opts = es_common_options(conf)
+    opts["es.resource"] = conf.index_name
+    opts["es.read.metadata"] = "true"  # merge _id/_index like es_common.py:219-231
+    if query:
+        opts["es.query"] = query
+    return opts
+
+
+def es_write_options(
+    conf: ConnectorConfig,
+    mapping_id: str | None = "row_id",
+    upsert: bool = False,
+    split_suffix_field: str | None = None,
+) -> dict[str, str]:
+    """Bulk sink options with the reference's batch tuning (S7) and
+    idempotency via deterministic doc ids (B2)."""
+    opts = es_common_options(conf)
+    resource = conf.index_name
+    if split_suffix_field:
+        resource = f"{conf.index_name}-{{{split_suffix_field}}}"  # W2 dynamic routing
+    opts["es.resource"] = resource
+    opts["es.batch.size.entries"] = str(BULK_CHUNK_SIZE)
+    opts["es.http.timeout"] = f"{BULK_REQUEST_TIMEOUT_S}s"
+    opts["es.batch.write.retry.count"] = "3"
+    if mapping_id:
+        opts["es.mapping.id"] = mapping_id
+    if upsert:
+        opts["es.write.operation"] = "upsert"
+    return opts
+
+
+def _require_format(spark: SparkSession) -> None:
+    jvm_ok = True
+    try:
+        spark._jvm.java.lang.Class.forName("org.elasticsearch.spark.sql.DefaultSource")
+    except Exception:
+        jvm_ok = False
+    if not jvm_ok:
+        raise RuntimeError(
+            "elasticsearch-spark connector jar not on the classpath; add "
+            "org.elasticsearch:elasticsearch-spark-30_2.13 via spark.jars.packages "
+            "(parquet backend is the hermetic default)"
+        )
+
+
+def read_es(spark: SparkSession, conf: ConnectorConfig, query: str | None = None) -> DataFrame:
+    _require_format(spark)
+    return spark.read.format(ES_FORMAT).options(**es_read_options(conf, query)).load()
+
+
+def write_es(
+    df: DataFrame,
+    conf: ConnectorConfig,
+    mode: str = "append",
+    **kw,
+) -> None:
+    _require_format(df.sparkSession)
+    df.write.format(ES_FORMAT).options(**es_write_options(conf, **kw)).mode(mode).save()

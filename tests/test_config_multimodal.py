@@ -1,0 +1,87 @@
+"""Config parsing (reference YAML surface) + multimodal plumbing + ES
+option mapping."""
+
+from __future__ import annotations
+
+import pytest
+
+from annotations_ingester_spark.config import ConnectorConfig, PipelineConfig
+from annotations_ingester_spark.multimodal.media import (
+    MEDIA_SCHEMA,
+    extract_features,
+    fake_decode,
+)
+from annotations_ingester_spark.sources.elasticsearch import (
+    es_read_options,
+    es_write_options,
+)
+
+REFERENCE_STYLE_CONFIG = {
+    "source": {"es": {"hosts": ["http://localhost:9200"], "index-name": "src_idx",
+                      "security": {"elastic-user": "u", "elastic-password": "p"}}},
+    "sink": {"es": {"hosts": ["https://sink:9201"], "index-name": "sink_idx"}},
+    "nlp-service": {"endpoints-url": ["http://nlp:5000"], "protocol-mode": "gate-nlp",
+                    "max-retries-on-failure": 2},
+    "mapping": {
+        "source": {"text-field": "document", "docid-field": "_id",
+                   "persist-fields": ["_id"], "skip-processed-doc-check": True,
+                   "batch": {"date-field": "dct", "interval": 30,
+                             "date-start": "1999-01-01", "date-end": "2021-02-01",
+                             "threads": 128}},
+        "sink": {"split-index-by-field": "type", "use-bulk-indexing": True,
+                 "es-nested-object-schema-mapping": "gate-nlp-separate-index"},
+    },
+}
+
+
+def test_pipeline_config_from_reference_yaml_shape():
+    cfg = PipelineConfig.from_dict(REFERENCE_STYLE_CONFIG)
+    assert cfg.source.index_name == "src_idx" and cfg.source.username == "u"
+    assert cfg.nlp.mode == "gate-nlp" and cfg.nlp.max_retries_on_failure == 2
+    assert cfg.text_field == "document" and cfg.batch_interval_days == 30
+    assert cfg.split_index_by_field == "type" and cfg.skip_processed_doc_check
+    assert cfg.date_start == "1999-01-01" and cfg.threads == 128
+
+
+def test_pipeline_config_missing_keys():
+    with pytest.raises(ValueError, match="missing required"):
+        PipelineConfig.from_dict({"source": {}})
+
+
+def test_es_option_mapping():
+    conf = ConnectorConfig(
+        backend="elasticsearch", hosts=["http://es1:9200", "es2:9200"],
+        index_name="annotations", username="u", password="p", ssl_enabled=True,
+        ca_certs="/certs/ca.pem",
+    )
+    r = es_read_options(conf, query='{"query":{"range":{"dct":{"gte":"1999-01-01"}}}}')
+    assert r["es.nodes"] == "es1,es2" and r["es.port"] == "9200"
+    assert r["es.net.http.auth.user"] == "u" and r["es.net.ssl"] == "true"
+    assert "range" in r["es.query"]
+    w = es_write_options(conf, mapping_id="row_id", upsert=True, split_suffix_field="index_suffix")
+    assert w["es.resource"] == "annotations-{index_suffix}"  # W2 dynamic routing
+    assert w["es.batch.size.entries"] == "10000"  # es_common.py:98 parity
+    assert w["es.mapping.id"] == "row_id" and w["es.write.operation"] == "upsert"
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (1, b"\x89PNG fake image bytes", ("image", "png", 64, 64, None, None)),
+        (2, b"RIFF fake audio bytes", ("audio", "wav", None, None, 1200, 16000)),
+        (3, None, ("video", "mp4", 320, 240, 5000, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(df).toPandas().set_index("media_id")
+    assert out.loc[1, "n_bytes"] == len(b"\x89PNG fake image bytes")
+    assert len(out.loc[1, "feature"]) == 8
+    assert out.loc[3, "n_bytes"] == 0  # NULL payload handled
+    # deterministic stub: same payload → same feature
+    assert fake_decode(b"abc", "image") == fake_decode(b"abc", "audio")
+
+
+def test_multimodal_metadata_prunes_before_decode(spark):
+    rows = [(i, b"x" * i, ("image" if i % 2 else "audio", None, None, None, None, None)) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    images = df.filter(df.meta.kind == "image")
+    out = extract_features(images).collect()
+    assert len(out) == 3  # metadata filter ran before the decode stage

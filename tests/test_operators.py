@@ -1,0 +1,131 @@
+"""Operator unit tests: windows (B1 reference parity), dedup family,
+similarity search — small hand-checkable cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from annotations_ingester_spark.operators.dedup import (
+    bag_fingerprints,
+    dedup_exact,
+    exact_duplicate_groups,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from annotations_ingester_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    embedding_near_duplicates,
+)
+from annotations_ingester_spark.operators.windows import date_windows, window_segment
+
+
+def test_date_windows_reference_parity():
+    # annotations_indexer.py:847-861: advance by interval, clamp final end
+    segs = date_windows("2020-01-01", "2020-03-15", 30)
+    assert segs == [
+        ("2020-01-01", "2020-01-31"),
+        ("2020-01-31", "2020-03-01"),
+        ("2020-03-01", "2020-03-15"),  # clamped
+    ]
+    # consecutive segments share the boundary date (the reference's overlap)
+    assert segs[0][1] == segs[1][0]
+    assert date_windows("2020-01-01", "2020-01-01", 30) == []
+
+
+def test_window_segment_non_overlapping(spark):
+    df = spark.createDataFrame(
+        [("2020-01-01",), ("2020-01-30",), ("2020-01-31",), ("2020-03-01",)], "d string"
+    )
+    segs = [r["s"] for r in df.select(window_segment("d", "2020-01-01", 30).alias("s")).collect()]
+    assert segs == [0, 0, 1, 2]  # each row in exactly one segment
+
+
+def test_exact_dedup(docs_df):
+    groups = exact_duplicate_groups(docs_df).toPandas()
+    dup = groups[groups["n_dups"] > 1]
+    assert len(dup) == 1 and dup.iloc[0]["keep_id"] == 5  # docs 5,6 identical
+    kept = dedup_exact(docs_df)
+    assert kept.count() == docs_df.count() - 1
+    assert 6 not in {r["doc_id"] for r in kept.select("doc_id").collect()}
+
+
+def test_bag_fingerprint_reorder(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"), (3, "other words here")],
+        "doc_id long, text string",
+    )
+    out = bag_fingerprints(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "fingerprint"] == out.loc[2, "fingerprint"]
+    assert bool(out.loc[1, "keep"]) and not bool(out.loc[2, "keep"])
+
+
+def test_minhash_identical_docs_collide(spark):
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words appear in this document body")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(docs)
+    assert sig.count() == 3 * 8
+    pairs = lsh_candidate_pairs(lsh_band_keys(sig)).toPandas()
+    assert [(r.doc_a, r.doc_b, r.n_bands) for r in pairs.itertuples()] == [(1, 2, 4)]
+
+
+def test_minhash_short_docs_dropped(spark):
+    docs = spark.createDataFrame([(1, "only two"), (2, "a b c d e")], "doc_id long, text string")
+    sig = minhash_signatures(docs)
+    assert set(r["doc_id"] for r in sig.select("doc_id").distinct().collect()) == {2}
+
+
+def test_simhash_similar_docs_close(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat today"), (2, "the cat sat on the mat yesterday"),
+         (3, "quantum flux capacitors amplify resonance")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_ngram_jaccard(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")], "doc_id long, text string"
+    )
+    out = ngram_jaccard_pairs(docs).toPandas()
+    assert len(out) == 1  # only 1-2 share shingles
+    r = out.iloc[0]
+    # doc1 shingles {abc,bcd,cde}, doc2 {abc,bcd,cdx} → 2/4
+    assert (r.doc_a, r.doc_b, r.n_inter, r.jaccard) == (1, 2, 2, 0.5)
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    emb = _emb(spark)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).toPandas()
+    assert list(out.sort_values("rank")["vec_id"]) == [1, 2]  # nearest first, self excluded
+
+
+def test_bucketed_topk_prunes_cross_bucket(spark):
+    emb = _emb(spark)
+    out = bucketed_topk(emb, emb.filter(F.col("vec_id") == 0), k=3, n_bits=1).toPandas()
+    # 1-bit bucket on dim0 sign: candidates {1, 2} share bucket 1; 3 is pruned
+    assert set(out["vec_id"]) == {1, 2}
+
+
+def test_embedding_near_duplicates(spark):
+    out = embedding_near_duplicates(_emb(spark), threshold=0.9, n_bits=1).toPandas()
+    assert [(r.id_a, r.id_b) for r in out.itertuples()] == [(0, 1)]
