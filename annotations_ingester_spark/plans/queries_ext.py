@@ -1,0 +1,173 @@
+"""Extended surface: as-of + range joins (custom operators Spark lacks),
+set ops, pivot, cube, and the Structured Streaming pipeline run —
+each oracle-checked (DuckDB has native ASOF JOIN to certify ours).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from annotations_ingester_spark.annotator.fake import DeterministicFakeAnnotator
+from annotations_ingester_spark.operators.asof import asof_join, bucketized_range_join
+from annotations_ingester_spark.plans.catalog import events_table, register, table
+from annotations_ingester_spark.plans.queries_pipeline import DOCS_CTE, ENTS_CTE, MEDCAT_FLAT_FIELDS
+
+EV_CTE = """ev AS (
+  SELECT event_id, user_id, event_type, floor(epoch(ts))::BIGINT AS ts_s
+  FROM events)"""
+
+
+@register(
+    "asof_join_clicks_purchases",
+    f"""WITH {EV_CTE},
+       clicks AS (SELECT event_id, user_id, ts_s FROM ev WHERE event_type = 'click'),
+       p0 AS (SELECT user_id, ts_s, max(event_id) AS event_id
+              FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_s)
+       SELECT c.event_id, c.user_id, c.ts_s,
+              p.ts_s AS r_ts_s, p.event_id AS r_event_id
+       FROM clicks c ASOF LEFT JOIN p0 p
+         ON c.user_id = p.user_id AND c.ts_s >= p.ts_s""",
+    doc="As-of join (operator Spark lacks): for each click, the most recent "
+    "purchase by the same user at-or-before it — union + ordered-window "
+    "composition, one shuffle, no join amplification. Certified against "
+    "DuckDB's native ASOF JOIN.",
+)
+def q_asof(spark: SparkSession, sf: str):
+    ev = events_table(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_s")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_s")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    return asof_join(clicks, purchases, on="ts_s", by="user_id")
+
+
+@register(
+    "range_join_event_pairs",
+    f"""WITH {EV_CTE}
+       SELECT a.user_id, a.event_id, b.event_id AS r_event_id,
+              b.ts_s - a.ts_s AS gap_s
+       FROM ev a JOIN ev b
+         ON a.user_id = b.user_id AND b.ts_s > a.ts_s
+        AND b.ts_s - a.ts_s <= 1800""",
+    doc="Range/interval join via time-bucketization: equi-join on "
+    "(key, bucket ∈ {b, b+1}) + residual filter — the O(N²)-per-key theta "
+    "join becomes neighbor-bucket candidates only.",
+)
+def q_range_join(spark: SparkSession, sf: str):
+    ev = events_table(spark, sf).select("user_id", "ts_s", "event_id")
+    out = bucketized_range_join(ev, ev, on="ts_s", by="user_id", max_gap=1800)
+    return out.select(
+        "user_id",
+        "event_id",
+        "r_event_id",
+        (F.col("r_ts_s") - F.col("ts_s")).alias("gap_s"),
+    )
+
+
+@register(
+    "setop_intersect",
+    """SELECT lang, source FROM documents WHERE doc_id % 2 = 0
+       INTERSECT
+       SELECT lang, source FROM documents WHERE doc_id % 3 = 0""",
+    doc="INTERSECT (distinct semantics) — native Catalyst set op.",
+)
+def q_intersect(spark: SparkSession, sf: str):
+    d = table(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("lang", "source")
+    b = d.filter(F.col("doc_id") % 3 == 0).select("lang", "source")
+    return a.intersect(b)
+
+
+@register(
+    "setop_except",
+    """SELECT lang, source FROM documents WHERE doc_id % 2 = 0
+       EXCEPT
+       SELECT lang, source FROM documents WHERE doc_id % 3 = 0""",
+    doc="EXCEPT (distinct semantics) — native Catalyst set op.",
+)
+def q_except(spark: SparkSession, sf: str):
+    d = table(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("lang", "source")
+    b = d.filter(F.col("doc_id") % 3 == 0).select("lang", "source")
+    return a.subtract(b)
+
+
+@register(
+    "pivot_order_status",
+    """SELECT o_orderpriority,
+              count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+              count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+              count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+       FROM orders GROUP BY o_orderpriority""",
+    doc="Pivot: status columns per priority (declared pivot values → no "
+    "extra distinct-values job).",
+)
+def q_pivot(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+@register(
+    "cube_lineitem",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+              CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS qty
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    doc="CUBE grouping sets — native Catalyst expansion.",
+)
+def q_cube(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+        )
+    )
+
+
+# Streaming W1 (underscore column naming — stream_annotations uses
+# dotted=False), identical output to the batch pipeline by construction.
+_STREAM_FLAT_SELECT = """SELECT
+  'doc-' || doc_id::VARCHAR || '-ann-' || i::VARCHAR AS row_id,
+  doc_id AS meta_doc_id,
+  i AS nlp_id, cui AS nlp_cui, tuis AS nlp_tuis, types AS nlp_types,
+  'concept ' || cui AS nlp_pretty_name,
+  replace(lower(sv), ' ', '~') AS nlp_detected_name,
+  sv AS nlp_source_value,
+  ann_start AS nlp_start, ann_start + 4 AS nlp_end,
+  acc AS nlp_acc, acc AS nlp_context_similarity,
+  '2026-01-01T00:00:00' AS nlp_timestamp
+FROM ents"""
+
+
+@register(
+    "streaming_w1_pipeline",
+    f"WITH {DOCS_CTE}, {ENTS_CTE} {_STREAM_FLAT_SELECT}",
+    doc="Structured Streaming W1: the same filter→annotate→explode→project "
+    "plan as a file-source stream, driven to completion with an "
+    "availableNow trigger into a memory sink — stream output ≡ batch "
+    "output (B2; SURVEY §7.2.6).",
+)
+def q_streaming(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        stream_annotations,
+    )
+
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    out = stream_annotations(
+        spark,
+        f"{sf}/documents.parquet",
+        schema,
+        lambda: DeterministicFakeAnnotator("medcat"),
+        ann_fields=MEDCAT_FLAT_FIELDS,
+    )
+    return run_stream_to_memory(out, "streaming_w1_out")

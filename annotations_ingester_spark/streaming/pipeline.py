@@ -43,6 +43,12 @@ def stream_annotations(
     reader = spark.readStream.schema(source_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if source_path.endswith(".parquet"):
+        # the file-stream source wants a directory; a single-file corpus
+        # becomes its parent dir + a glob filter
+        base, _, fname = source_path.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        source_path = base
     stream = reader.parquet(source_path)
     return flat_annotations(
         stream,
