@@ -33,15 +33,28 @@ def annotate(
     text_field: str = "text",
     docid_field: str = "doc_id",
     mode: str = "medcat",
+    parallelism: int | str | None = "auto",
 ) -> DataFrame:
     """Append an ``entities`` array<struct> column produced by the annotator.
 
     ``annotator_factory`` is called once per partition on the executor
     (clients — HTTP sessions, pools — are not picklable; factories are).
+
+    ``parallelism``: the annotate stage is the expensive, latency-bound one
+    (the reference gave it 128 threads, annotations_indexer.py:311); its
+    parallelism must not be gated on the source's file-split count (a
+    small parquet corpus reads as ONE partition → one core). "auto"
+    round-robin-repartitions to the cluster's default parallelism — the
+    shuffle is trivially cheap next to per-row Python/HTTP work. Pass an
+    int to pin it, or None to keep the scan partitioning.
     """
     from annotations_ingester_spark.pyfiles import ensure_worker_imports
 
     ensure_worker_imports(df.sparkSession)
+    if parallelism == "auto":
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    elif isinstance(parallelism, int):
+        df = df.repartition(parallelism)
     out_schema = annotated_schema(df.schema, mode=mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
