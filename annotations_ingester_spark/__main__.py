@@ -1,0 +1,95 @@
+"""CLI entry point: ``python -m annotations_ingester_spark --config cfg.yml``.
+
+Mirrors the reference's CLI (reference: ingester/__main__.py:34-45 arg
+parsing + config validation; :128-129 ``index_range`` execution) but wires
+a Spark plan instead of a thread pool:
+
+  config → PipelineConfig → source read → AnnotationPipeline.windowed/flat
+         → sink write (parquet or Elasticsearch backend).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser("annotations_ingester_spark")
+    parser.add_argument("--config", required=True, help="YAML pipeline config")
+    parser.add_argument("--date-start", default=None, help="override batch date-start")
+    parser.add_argument("--date-end", default=None, help="override batch date-end")
+    parser.add_argument("--stream", action="store_true", help="run the Structured Streaming variant")
+    parser.add_argument("--dry-run", action="store_true", help="build + explain the plan, don't execute")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+
+    from annotations_ingester_spark.annotator.service import HttpNlpClient
+    from annotations_ingester_spark.config import PipelineConfig
+    from annotations_ingester_spark.plans.pipeline import AnnotationPipeline
+    from annotations_ingester_spark.session import get_spark
+    from annotations_ingester_spark.utils import check_url_available
+
+    cfg = PipelineConfig.from_yaml(args.config)
+    date_start = args.date_start or cfg.date_start
+    date_end = args.date_end or cfg.date_end
+
+    # S11 pre-flight: refuse to start against a dead NLP service
+    if cfg.nlp.endpoints and not check_url_available(cfg.nlp.endpoints):
+        print("NLP endpoints unavailable", file=sys.stderr)
+        return 2
+
+    spark = get_spark("annotations_ingester_spark")
+    nlp = cfg.nlp
+
+    def annotator():
+        return HttpNlpClient(
+            nlp.endpoints,
+            mode=nlp.mode,
+            auth=(nlp.username, nlp.password) if nlp.username else None,
+            max_retries=nlp.max_retries_on_failure,
+            application_params=nlp.application_params,
+        )
+
+    pipe = AnnotationPipeline(
+        annotator,
+        text_field=cfg.text_field,
+        docid_field=cfg.docid_field,
+        persist_fields=cfg.persist_fields,
+        mode="gate" if cfg.nlp.mode == "gate-nlp" else "medcat",
+        date_field=cfg.date_field,
+    )
+
+    if cfg.source.backend == "elasticsearch":
+        from annotations_ingester_spark.sources.elasticsearch import read_es
+
+        docs = read_es(spark, cfg.source)
+    else:
+        docs = spark.read.parquet(cfg.source.index_name)
+
+    if date_start and date_end:
+        out = pipe.windowed(docs, date_start, date_end, cfg.batch_interval_days)
+    else:
+        out = pipe.flat(docs, split_by_field=cfg.split_index_by_field or None)
+
+    if args.dry_run:
+        out.explain("formatted")
+        return 0
+
+    if cfg.sink.backend == "elasticsearch":
+        from annotations_ingester_spark.sources.elasticsearch import write_es
+
+        write_es(
+            out,
+            cfg.sink,
+            split_suffix_field="index_suffix" if cfg.split_index_by_field else None,
+            upsert=cfg.ingest_mode == "same-index",
+        )
+    else:
+        out.write.mode("append").parquet(cfg.sink.index_name)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
