@@ -171,3 +171,94 @@ def q_streaming(spark: SparkSession, sf: str):
         ann_fields=MEDCAT_FLAT_FIELDS,
     )
     return run_stream_to_memory(out, "streaming_w1_out")
+
+
+@register(
+    "agg_statistics",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+              round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+              round(stddev_samp(l_quantity), 6) AS sd_qty,
+              round(var_samp(l_discount), 6) AS var_disc,
+              round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="Statistical aggregates: exact interpolated percentiles (the "
+    "exactness baseline for approx_percentile), stddev/variance/corr — "
+    "verified numerically identical to DuckDB's implementations.",
+)
+def q_stats(spark: SparkSession, sf: str):
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "window_tumbling_events",
+    """WITH ev AS (
+         SELECT event_type, value, (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket
+         FROM events)
+       SELECT strftime(make_timestamp(bucket * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, count(*) AS n,
+              CAST(sum(value::DECIMAL(14,4)) AS DOUBLE) AS total_value
+       FROM ev GROUP BY window_start, event_type""",
+    doc="Tumbling event-time window aggregation — F.window(), the batch "
+    "twin of the streaming windowed agg (B1 in stream form). Rendered in "
+    "UTC for engine-portable window labels.",
+)
+def q_tumbling(spark: SparkSession, sf: str):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = events_table(spark, sf).withColumn("ts_t", F.timestamp_seconds(F.col("ts_s")))
+    return (
+        ev.groupBy(F.window("ts_t", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "session_window_events",
+    """WITH ev AS (
+         SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+       flagged AS (
+         SELECT user_id, ts_s,
+                CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w >= 1800
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       sessed AS (
+         SELECT user_id, ts_s,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+         FROM flagged)
+       SELECT user_id,
+              strftime(make_timestamp(min(ts_s) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+              count(*) AS n_events
+       FROM sessed GROUP BY user_id, sid""",
+    doc="session_window(ts, gap): native Spark session windows (streaming-"
+    "capable); oracle recomputes via the lag-gap method with Spark's "
+    "half-open [start, last+gap) boundary semantics (gap >= 1800 splits).",
+)
+def q_session_window(spark: SparkSession, sf: str):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = events_table(spark, sf).withColumn("ts_t", F.timestamp_seconds(F.col("ts_s")))
+    return (
+        ev.groupBy(F.session_window("ts_t", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
