@@ -106,3 +106,54 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """IVF-style ANN top-k: assign every vector to its nearest centroid
+    (the coarse quantizer), then search only within the query's cell.
+
+    Scale shape: centroids are broadcast (a cross join against a handful of
+    rows — a scan, not a shuffle); cell assignment is a ranked window per
+    vector; the search joins cells, so candidates ≈ N / n_centroids per
+    query. Assignment + ranking order on rounded cosine with id tie-breaks
+    for engine-portable determinism.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("_c_id"), F.col(vec_col).alias("_c_vec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        vec_col,
+        "_c_id",
+        F.round(cosine_similarity(vec_col, "_c_vec"), 6).alias("_ccos"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("_c_id"))
+    cells = (
+        scored.withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col("_c_id").alias("cell"))
+    )
+    q = cells.join(queries.select(id_col), on=id_col, how="left_semi").select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_q_vec"),
+        F.col("cell"),
+    )
+    pairs = cells.join(F.broadcast(q), on="cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    ranked = pairs.select(
+        query_id_col,
+        id_col,
+        "cell",
+        F.round(cosine_similarity("_q_vec", vec_col), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return ranked.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

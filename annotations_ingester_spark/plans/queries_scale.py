@@ -311,3 +311,46 @@ def q_tokens(spark: SparkSession, sf: str):
         tx.bpe_ish_token_count("text").alias("bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "ann_ivf_topk",
+    f"""WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cent AS (
+         SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 257 = 0),
+       scored AS (
+         SELECT e.vec_id, e.v, c.c_id,
+                {COS.replace('ce', 'c.cv').replace('qe', 'e.v')} AS ccos
+         FROM e, cent c),
+       cells AS (
+         SELECT vec_id, v, c_id AS cell FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY ccos DESC, c_id) AS rn
+           FROM scored) WHERE rn = 1),
+       q AS (
+         SELECT vec_id AS q_id, v AS qv, cell FROM cells WHERE vec_id % 101 = 0),
+       pairs AS (
+         SELECT q.q_id, c.vec_id, c.cell,
+                {COS.replace('ce', 'c.v').replace('qe', 'q.qv')} AS cos
+         FROM cells c JOIN q ON c.cell = q.cell WHERE c.vec_id <> q.q_id),
+       r AS (
+         SELECT q_id, vec_id, cell, cos,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         FROM pairs)
+       SELECT q_id, vec_id, cell, cos, rn::BIGINT AS rank FROM r WHERE rn <= 3""",
+    doc="IVF ANN top-k: nearest-centroid coarse quantization (broadcast "
+    "centroids, ranked-window assignment), then search restricted to the "
+    "query's cell — candidates ≈ N/n_centroids per query.",
+)
+def q_ivf(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf, "embeddings")
+    out = ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 101 == 0),
+        emb.filter(F.col("vec_id") % 257 == 0),
+        k=3,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

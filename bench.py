@@ -30,6 +30,10 @@ HEADLINE = [
     "simhash_fingerprint",
     "embedding_cosine_topk",
     "ann_bucketed_topk",
+    "ann_ivf_topk",
+    "asof_join_clicks_purchases",
+    "range_join_event_pairs",
+    "window_tumbling_events",
     "text_quality_scores",
 ]
 

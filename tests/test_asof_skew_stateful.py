@@ -102,3 +102,29 @@ def test_watermarked_dedup_drops_in_window_dupes(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["doc_id"] for r in spark.table("wm_dedup").collect())
     assert got == [1, 2]
+
+
+def test_annotation_outcome_counts(spark):
+    from annotations_ingester_spark.annotator.fake import DeterministicFakeAnnotator
+    from annotations_ingester_spark.annotator.udf import annotate
+    from annotations_ingester_spark.streaming.metrics import annotation_outcome_counts
+
+    class HalfFailing:
+        mode = "medcat"
+
+        def annotate_batch(self, ids, texts):
+            inner = DeterministicFakeAnnotator("medcat")
+            return [
+                None if i % 2 == 0 else e
+                for i, e in zip(ids, inner.annotate_batch(ids, texts))
+            ]
+
+    docs = spark.createDataFrame(
+        [(i, "a reasonably long document body") for i in range(10)],
+        "doc_id long, text string",
+    )
+    ann = annotate(docs, HalfFailing, parallelism=None)
+    [m] = annotation_outcome_counts(ann).collect()
+    # A4 failure accounting: 5 failed (B3 retry population), 5 annotated
+    assert (m["n_docs"], m["n_annotated"], m["n_failed"]) == (10, 5, 5)
+    assert m["n_entities"] == 5 * (len("a reasonably long document body") % 4)

@@ -1,0 +1,64 @@
+"""Plan-shape regression tests: the scale properties the engine claims
+(pushdown, pruning, broadcast-only dim joins, map-side partial aggregation)
+asserted against the actual executed plans — so a refactor that silently
+turns a broadcast join into a sort-merge join or un-pushes a filter fails
+CI, not a 100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+from annotations_ingester_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_columns(spark):
+    p = plan_of(spark, "s1_scan_doc_ids")
+    assert "ReadSchema: struct<doc_id:bigint>" in p  # P1: ids only
+
+
+def test_range_filter_pushed_to_parquet(spark):
+    p = plan_of(spark, "s3_range_scan_orders")
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual" in p
+
+
+def test_q3_joins_broadcast_not_sortmerge(spark):
+    p = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_q5_all_dims_broadcast(spark):
+    p = plan_of(spark, "q5_nation_revenue")
+    assert p.count("BroadcastHashJoin") == 5 and "SortMergeJoin" not in p
+
+
+def test_anti_join_is_broadcast(spark):
+    p = plan_of(spark, "j1_anti_join_skip_processed")
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_minhash_partial_aggregation(spark):
+    p = plan_of(spark, "minhash_signatures")
+    assert "partial_min" in p  # map-side combine before the shuffle
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "b1_tumbling_date_windows"])
+def test_aggs_have_partial_phase(spark, name):
+    assert "partial_" in plan_of(spark, name)
+
+
+def test_pipeline_filter_upstream_of_python_stage(spark):
+    # SURVEY §4.1: the P3 filter must run before the mapInPandas barrier so
+    # invalid docs never pay the (NLP) enrichment cost
+    p = plan_of(spark, "pipeline_w1_flat_medcat")
+    map_pos = p.index("MapInPandas")
+    scan_pos = p.index("Scan parquet")
+    filter_pos = p.index("length(text")
+    assert map_pos < filter_pos  # executed-plan strings print top-down
+    assert map_pos < scan_pos
