@@ -50,9 +50,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damp machine noise in the recorded number
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
