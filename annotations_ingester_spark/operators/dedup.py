@@ -262,3 +262,58 @@ def ngram_jaccard_pairs(
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every word shingle, slide a ``window``-wide window over the hash
+    sequence, keep the min of each window, emit the distinct mins as the
+    doc's fingerprint set. Guarantees any shared run of ``window +
+    shingle_n - 1`` tokens between two docs shares a fingerprint.
+
+    Plan shape: shingles explode with position, ONE hash each, the window
+    min is a bounded-frame window function per doc (single shuffle on the
+    doc id), then distinct — no quadratic recompute.
+    """
+    toks = _tokens_sql(text_col)
+    parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(shingle_n))
+    _disable_infer_filters_from_generate(df)
+    ex = (
+        df.withColumn("_tk", F.expr(toks))
+        .filter(F.size("_tk") >= shingle_n)
+        .withColumn(
+            "_sh",
+            F.expr(
+                f"CASE WHEN size(_tk) >= {shingle_n} THEN"
+                f" transform(sequence(1, size(_tk) - {shingle_n - 1}),"
+                f" i -> concat_ws(' ', {parts}))"
+                f" ELSE cast(array() as array<string>) END"
+            ),
+        )
+        .select(F.col(id_col), F.posexplode("_sh").alias("_pos", "_shingle"))
+        .select(
+            F.col(id_col),
+            F.col("_pos"),
+            F.expr(_hash_sql("_shingle")).alias("_h"),
+        )
+    )
+    w_min = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    w_cnt = Window.partitionBy(id_col)
+    out = (
+        ex.withColumn("_wmin", F.min("_h").over(w_min))
+        .withColumn("_n", F.count("*").over(w_cnt))
+        .filter(F.col("_pos") <= F.col("_n") - window)
+        .select(F.col(id_col), F.col("_wmin").alias("fingerprint"))
+        .distinct()
+    )
+    return out

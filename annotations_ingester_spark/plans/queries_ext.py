@@ -234,7 +234,7 @@ def q_tumbling(spark: SparkSession, sf: str):
          SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_s FROM events),
        flagged AS (
          SELECT user_id, ts_s,
-                CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w >= 1800
+                CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 1800
                      THEN 1 ELSE 0 END AS new_sess
          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
        sessed AS (
@@ -248,7 +248,8 @@ def q_tumbling(spark: SparkSession, sf: str):
        FROM sessed GROUP BY user_id, sid""",
     doc="session_window(ts, gap): native Spark session windows (streaming-"
     "capable); oracle recomputes via the lag-gap method with Spark's "
-    "half-open [start, last+gap) boundary semantics (gap >= 1800 splits).",
+    "INCLUSIVE boundary (an event at exactly last+gap extends the "
+    "session — verified empirically at sf0.1; gap > 1800 splits).",
 )
 def q_session_window(spark: SparkSession, sf: str):
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -354,3 +354,68 @@ def q_ivf(spark: SparkSession, sf: str):
         k=3,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+       d2 AS (SELECT doc_id, {SHINGLES} AS sh FROM d WHERE len(t) >= 3),
+       pos AS (SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS p FROM d2),
+       h AS (SELECT doc_id, p, {HASH.format(e="sh[p]")} AS h FROM pos),
+       wins AS (
+         SELECT doc_id, p,
+                min(h) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                count(*) OVER (PARTITION BY doc_id) AS n
+         FROM h)
+       SELECT DISTINCT doc_id, wmin AS fingerprint
+       FROM wins WHERE p <= n - 3""",
+    doc="Winnowing (MOSS) rolling-hash fingerprints: shingle hashes → "
+    "4-wide window minima → distinct per doc. Docs sharing a 6-token run "
+    "share a fingerprint; fingerprint equi-join finds plagiarized/near-dup "
+    "spans at corpus scale.",
+)
+def q_winnowing(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(table(spark, sf, "documents"))
+
+
+@register(
+    "corpus_curation_pipeline",
+    f"""WITH scored AS (
+         SELECT doc_id, source,
+                {tx.quality_score_sql('text')} AS q,
+                {tx.token_count_sql('text')} AS n_tokens,
+                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         FROM documents WHERE text IS NOT NULL),
+       kept AS (SELECT * FROM scored WHERE rn = 1 AND q >= 0.2)
+       SELECT source, count(*) AS n_kept,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              round(CAST(sum(CAST(q AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+       FROM kept GROUP BY source""",
+    doc="Composite curation pipeline — the operators composing as a real "
+    "training-data job: quality scoring → exact dedup (survivor per "
+    "content hash) → quality threshold → per-source corpus stats. One "
+    "scan + one window shuffle + one agg shuffle.",
+)
+def q_curation(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    scored = d.select(
+        "doc_id",
+        "source",
+        tx.quality_score("text").alias("q"),
+        tx.token_count("text").alias("n_tokens"),
+        F.row_number().over(w).alias("rn"),
+    )
+    kept = scored.filter((F.col("rn") == 1) & (F.col("q") >= 0.2))
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(12,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_quality"),
+    )

@@ -129,3 +129,21 @@ def test_bucketed_topk_prunes_cross_bucket(spark):
 def test_embedding_near_duplicates(spark):
     out = embedding_near_duplicates(_emb(spark), threshold=0.9, n_bits=1).toPandas()
     assert [(r.id_a, r.id_b) for r in out.itertuples()] == [(0, 1)]
+
+
+def test_winnowing_shared_run_shares_fingerprint(spark):
+    from annotations_ingester_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " tail one"),
+            (2, "different lead in " + shared + " other ending"),
+            (3, "totally unrelated content with many various words inside"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(docs).toPandas()
+    sets = {d: set(g["fingerprint"]) for d, g in fp.groupby("doc_id")}
+    assert sets[1] & sets[2]  # the shared 6-token run guarantees overlap
+    assert not (sets[1] & sets[3] and sets[2] & sets[3])
