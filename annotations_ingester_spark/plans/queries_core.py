@@ -544,3 +544,112 @@ def json_extract(spark: SparkSession, sf: str):
             F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "q4_order_priority_exists",
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate::DATE >= DATE '1996-01-01'
+         AND o.o_orderdate::DATE < DATE '1996-10-01'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate::DATE > o.o_orderdate::DATE + 60)
+       GROUP BY o_orderpriority""",
+    doc="TPC-H Q4-style: EXISTS correlated subquery → left-semi join "
+    "(late-shipping orders per priority).",
+)
+def q4(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = table(spark, sf, "lineitem")
+    joined = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (F.to_date(li.l_shipdate) > F.date_add(F.to_date(o.o_orderdate), 60)),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q6_forecast_revenue",
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+              count(*) AS n
+       FROM lineitem
+       WHERE l_shipdate::DATE >= DATE '1996-01-01'
+         AND l_shipdate::DATE < DATE '1997-01-01'
+         AND l_discount BETWEEN 0.03 AND 0.07
+         AND l_quantity < 24""",
+    doc="TPC-H Q6-style: pure scan-filter-aggregate — the pushdown + "
+    "whole-stage-codegen showcase (no join, no wide shuffle).",
+)
+def q6(spark: SparkSession, sf: str):
+    li = table(spark, sf, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+    return li.agg(
+        F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "q10_returned_items",
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE l.l_returnflag = 'R'
+       GROUP BY c.c_custkey, c.c_name, n.n_name
+       ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+    doc="TPC-H Q10-style: returned-item revenue per customer, top-20 — "
+    "fact-to-fact join + broadcast dims + total-order top-k.",
+)
+def q10(spark: SparkSession, sf: str):
+    c = F.broadcast(table(spark, sf, "customer"))
+    n = F.broadcast(table(spark, sf, "nation"))
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_share",
+    """SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                   ELSE 0 END) AS DOUBLE)
+              / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_share,
+              count(*) AS n
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""",
+    doc="TPC-H Q14-style: conditional aggregate share (CASE inside SUM) "
+    "over a broadcast part join.",
+)
+def q14(spark: SparkSession, sf: str):
+    p = F.broadcast(table(spark, sf, "part"))
+    li = table(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,6)"))
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+        ).alias("promo_share"),
+        F.count("*").alias("n"),
+    )
