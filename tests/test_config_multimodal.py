@@ -85,3 +85,19 @@ def test_multimodal_metadata_prunes_before_decode(spark):
     images = df.filter(df.meta.kind == "image")
     out = extract_features(images).collect()
     assert len(out) == 3  # metadata filter ran before the decode stage
+
+def test_sql_api_views(spark, sf_dir):
+    from annotations_ingester_spark.plans.sql_api import register_engine_views
+
+    register_engine_views(spark, sf_dir)
+    n = spark.sql(
+        """SELECT count(*) AS n FROM annotations_flat a
+           JOIN valid_documents d ON a.meta_doc_id = d.doc_id"""
+    ).first()["n"]
+    assert n > 0
+    fp = spark.sql(
+        "SELECT count(DISTINCT fingerprint) AS k FROM doc_fingerprints"
+    ).first()["k"]
+    assert fp > 0
+    ev = spark.sql("SELECT count(*) AS n FROM events WHERE ts_s IS NOT NULL").first()["n"]
+    assert ev > 0
