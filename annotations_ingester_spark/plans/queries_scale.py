@@ -419,3 +419,74 @@ def q_curation(spark: SparkSession, sf: str):
             F.sum(F.col("q").cast("decimal(12,6)")).cast("double") / F.count("*"), 6
         ).alias("avg_quality"),
     )
+
+
+@register(
+    "chunk_documents",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+       d2 AS (
+         SELECT doc_id, t,
+                CASE WHEN len(t) <= 32 THEN 1
+                     ELSE (floor((len(t) - 32 + 24 - 1) / 24))::BIGINT + 1 END AS nc
+         FROM d WHERE len(t) > 0),
+       ex AS (SELECT doc_id, t, unnest(range(0, nc)) AS chunk_id FROM d2)
+       SELECT doc_id, chunk_id,
+              array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+              len(t[chunk_id * 24 + 1 : chunk_id * 24 + 32])::BIGINT AS n_tokens
+       FROM ex""",
+    doc="Document chunking for LLM training: 32-token windows, stride 24 "
+    "(8-token overlap), final chunk clamped to the last token — integer-"
+    "only arithmetic, scan + one explode.",
+)
+def q_chunk(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(table(spark, sf, "documents"), chunk_tokens=32, stride=24)
+
+
+@register(
+    "sequence_packing",
+    f"""WITH d AS (
+         SELECT doc_id, source, {tx.token_count_sql('text')} AS n_tokens
+         FROM documents WHERE text IS NOT NULL),
+       packed AS (
+         SELECT doc_id, source, n_tokens,
+                floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens) / 512)::BIGINT AS bin
+         FROM d)
+       SELECT source, bin, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS tokens_in_bin
+       FROM packed GROUP BY source, bin""",
+    doc="Sequential sequence-packing: docs fill fixed 512-token training "
+    "bins per source via an exclusive running sum — one window shuffle, "
+    "no driver-side packing loop.",
+)
+def q_packing(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.chunking import sequence_packing
+
+    d = table(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", tx.token_count("text").alias("n_tokens")
+    )
+    packed = sequence_packing(d, "n_tokens", "source", "doc_id", budget=512)
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_in_bin"),
+    )
+
+
+@register(
+    "text_redaction",
+    """SELECT doc_id,
+              regexp_replace(regexp_replace(text,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{4,}', '<NUM>', 'g') AS redacted
+       FROM documents WHERE text IS NOT NULL""",
+    doc="PII-style scrubbing: email + long-digit-run masking as a codegen "
+    "regexp chain (patterns restricted to Java-regex/RE2-identical "
+    "constructs).",
+)
+def q_redact(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.chunking import redact_text
+
+    d = table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return d.select("doc_id", redact_text("text").alias("redacted"))

@@ -147,3 +147,38 @@ def test_winnowing_shared_run_shares_fingerprint(spark):
     sets = {d: set(g["fingerprint"]) for d, g in fp.groupby("doc_id")}
     assert sets[1] & sets[2]  # the shared 6-token run guarantees overlap
     assert not (sets[1] & sets[3] and sets[2] & sets[3])
+
+
+def test_chunk_documents_overlap_and_clamp(spark):
+    from annotations_ingester_spark.operators.chunking import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(50))  # 50 tokens
+    docs = spark.createDataFrame([(1, text), (2, "short doc here")], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=32, stride=24).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    # 50 tokens → chunks at offsets 0 and 24; second chunk has 26 tokens
+    assert list(d1["n_tokens"]) == [32, 26]
+    assert d1.iloc[0]["chunk_text"].split()[24:] == d1.iloc[1]["chunk_text"].split()[:8]
+    assert d1.iloc[1]["chunk_text"].split()[-1] == "w49"  # clamped to last token
+    assert list(out[out.doc_id == 2]["n_tokens"]) == [3]  # short doc: one chunk
+
+
+def test_sequence_packing_respects_order_and_budget(spark):
+    from annotations_ingester_spark.operators.chunking import sequence_packing
+
+    rows = [(i, "g", 100) for i in range(10)]  # 10 docs × 100 tokens, budget 250
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = sequence_packing(df, "n_tokens", "source", "doc_id", budget=250).toPandas()
+    bins = list(out.sort_values("doc_id")["bin"])
+    # exclusive prefix sums 0,100,...,900 → bins 0,0,0,1,1,2,2,2,3,3
+    assert bins == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+
+def test_redact_text(spark):
+    from annotations_ingester_spark.operators.chunking import redact_text
+
+    df = spark.createDataFrame(
+        [(1, "contact bob@example.com or call 5551234 now x12")], "id long, t string"
+    )
+    [r] = df.select(redact_text("t").alias("r")).collect()
+    assert r["r"] == "contact <EMAIL> or call <NUM> now x12"
