@@ -317,3 +317,46 @@ def winnowing_fingerprints(
         .distinct()
     )
     return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Scale shape: the 32-bit signature splits into 4 bytes; by pigeonhole,
+    any pair within Hamming distance 3 agrees on ≥1 whole byte — so
+    candidates come from an equi-join on (byte_index, byte_value), never
+    an all-pairs scan. The exact Hamming filter (bit_count of xor) then
+    prunes false candidates.
+    """
+    sig = simhash_signatures(df, text_col, id_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b ->"
+                " struct(b AS band, (shiftright(simhash, b * 8) % 256) AS byte))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "byte"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "byte"
+    )
+    pairs = (
+        a.join(b, ["band", "byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -157,3 +157,40 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return ranked.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def multiprobe_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Multi-probe bucketed ANN: each query searches its own sign bucket
+    PLUS the ``n_bits`` neighbor buckets at Hamming distance 1 (one sign
+    flipped) — the standard recall fix for LSH bucketing at the cost of
+    (n_bits + 1)× candidate reads, still ≪ brute force."""
+    bucketed = embeddings.withColumn("bucket", sign_bucket(vec_col, n_bits))
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    )
+    q = (
+        bucketed.join(queries.select(id_col), on=id_col, how="left_semi")
+        .select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_q_vec"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    pairs = bucketed.join(F.broadcast(q), on="bucket").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = pairs.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity("_q_vec", vec_col), 6).alias("cos"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -490,3 +490,71 @@ def q_redact(spark: SparkSession, sf: str):
 
     d = table(spark, sf, "documents").filter(F.col("text").isNotNull())
     return d.select("doc_id", redact_text("text").alias("redacted"))
+
+
+@register(
+    "simhash_near_dup_pairs",
+    f"""WITH d AS (
+         SELECT doc_id, list_distinct({TOKS}) AS t FROM documents),
+       h AS (
+         SELECT doc_id, {HASH.format(e="u.tok")} AS h
+         FROM (SELECT doc_id, unnest(t) AS tok FROM d WHERE len(t) > 0) u),
+       bits AS (
+         SELECT doc_id, b.b,
+                CASE WHEN sum(((h >> b.b) & 1) * 2 - 1) >= 0
+                     THEN (1::BIGINT << b.b) ELSE 0 END AS w
+         FROM h, (SELECT unnest(range(0, 32)) AS b) b
+         GROUP BY doc_id, b.b),
+       sig AS (SELECT doc_id, sum(w)::BIGINT AS simhash FROM bits GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, simhash, bb.band, (simhash >> (bb.band * 8)) % 256 AS byte
+         FROM sig, (SELECT unnest(range(0, 4)) AS band) bb(band)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sim_a, b.simhash AS sim_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.byte = b.byte
+         WHERE a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+       FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""",
+    doc="SimHash near-dup pairs: byte-banding (pigeonhole: Hamming ≤ 3 ⇒ "
+    "≥1 shared byte) makes candidates an equi-join, then the exact "
+    "bit_count(xor) Hamming filter — never an all-pairs scan.",
+)
+def q_simhash_pairs(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(table(spark, sf, "documents"))
+
+
+@register(
+    "ann_multiprobe_topk",
+    f"""WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e,
+                {sign_bucket_sql('embedding', 8)} AS bucket
+         FROM embeddings),
+       q0 AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id % 101 = 0),
+       probes AS (
+         SELECT q_id, qe, xor(bucket, p.flip) AS bucket
+         FROM q0, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS flip) p),
+       cand AS (
+         SELECT DISTINCT p.q_id, c.vec_id, p.qe, c.e
+         FROM b c JOIN probes p ON c.bucket = p.bucket
+         WHERE c.vec_id <> p.q_id),
+       scored AS (
+         SELECT q_id, vec_id, {COS.replace('ce', 'e').replace('qe', 'qe')} AS cos
+         FROM cand),
+       r AS (
+         SELECT q_id, vec_id, cos,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         FROM scored)
+       SELECT q_id, vec_id, cos, rn::BIGINT AS rank FROM r WHERE rn <= 3""",
+    doc="Multi-probe bucketed ANN: each query also probes the 8 neighbor "
+    "buckets at Hamming distance 1 — the standard LSH recall fix at "
+    "(bits+1)× candidate cost, still ≪ brute force.",
+)
+def q_multiprobe(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.similarity import multiprobe_bucketed_topk
+
+    emb = table(spark, sf, "embeddings")
+    out = multiprobe_bucketed_topk(emb, emb.filter(F.col("vec_id") % 101 == 0), k=3, n_bits=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -182,3 +182,37 @@ def test_redact_text(spark):
     )
     [r] = df.select(redact_text("t").alias("r")).collect()
     assert r["r"] == "contact <EMAIL> or call <NUM> now x12"
+
+
+def test_simhash_near_dup_pairs_banding(spark):
+    from annotations_ingester_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat today fine"),
+         (2, "the cat sat on the mat today finely"),
+         (3, "orthogonal vocabulary entirely disjoint terms")],
+        "doc_id long, text string",
+    )
+    out = simhash_near_dup_pairs(docs, max_hamming=8).toPandas()
+    pairs = {(r.doc_a, r.doc_b) for r in out.itertuples()}
+    assert (1, 2) in pairs  # near-identical docs survive the hamming filter
+    assert all(p[1] != 3 and p[0] != 3 for p in pairs)
+
+
+def test_multiprobe_recovers_cross_bucket_neighbor(spark):
+    from annotations_ingester_spark.operators.similarity import (
+        bucketed_topk,
+        multiprobe_bucketed_topk,
+    )
+
+    rows = [
+        (0, [0.01, 1.0]),    # bucket 11
+        (1, [-0.01, 1.0]),   # bucket 01 — nearest neighbor, adjacent bucket
+        (2, [1.0, -1.0]),    # bucket 10
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0)
+    single = bucketed_topk(emb, q, k=2, n_bits=2).toPandas()
+    multi = multiprobe_bucketed_topk(emb, q, k=2, n_bits=2).toPandas()
+    assert 1 not in set(single["vec_id"])  # single-probe misses it
+    assert 1 in set(multi["vec_id"])       # multi-probe recovers it
