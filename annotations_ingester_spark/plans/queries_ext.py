@@ -263,3 +263,56 @@ def q_session_window(spark: SparkSession, sf: str):
             "n_events",
         )
     )
+
+
+@register(
+    "udaf_pandas_grouped_agg",
+    """SELECT l_returnflag,
+              count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_heavy
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="UDAF surface (SURVEY §2.9): a PANDAS_UDF GROUPED_AGG (Arrow-"
+    "vectorized per-group aggregate) — integer-exact so it hash-matches "
+    "the SQL oracle.",
+)
+def q_udaf(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.pandas_udfs import n_heavy_qty
+    from annotations_ingester_spark.pyfiles import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(n_heavy_qty("l_quantity").alias("n_heavy"))
+    )
+
+
+@register(
+    "grouped_map_pandas_rank",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+              row_number() OVER (PARTITION BY l_suppkey
+                                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)::BIGINT AS price_rank
+       FROM lineitem WHERE l_suppkey <= 3""",
+    doc="Grouped-map surface (SURVEY §2.9): applyInPandas per-group "
+    "transform (whole group as a pandas frame in/out) computing a total-"
+    "order rank — the template for per-key imperative logic.",
+)
+def q_grouped_map(spark: SparkSession, sf: str):
+    import pandas as pd
+
+    from annotations_ingester_spark.pyfiles import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True],
+        ).reset_index(drop=True)
+        pdf["price_rank"] = range(1, len(pdf) + 1)
+        return pdf[["l_suppkey", "l_orderkey", "l_linenumber", "price_rank"]]
+
+    li = table(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 3)
+    return li.groupBy("l_suppkey").applyInPandas(
+        rank_group,
+        schema="l_suppkey long, l_orderkey long, l_linenumber int, price_rank long",
+    )
