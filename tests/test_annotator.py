@@ -111,3 +111,25 @@ def test_fake_annotator_modes():
     assert {e["cui"] for e in m} and all("type" in e for e in g)
     assert med.annotate_batch([1], [None]) == [None]
     assert gate_envelope(3, text)["text"] == text
+
+
+def test_annotator_registry():
+    from annotations_ingester_spark.annotator.registry import (
+        get_annotator,
+        list_annotators,
+        register_annotator,
+    )
+
+    assert {"fake-medcat", "fake-gate"} <= set(list_annotators())
+    fake = get_annotator("fake-medcat")()
+    [ents] = fake.annotate_batch([1], ["abcdefghij"])
+    assert len(ents) == 2
+
+    register_annotator("custom", urls=["http://nlp:5000"], mode="gate-nlp", retries=3)
+    client = get_annotator("custom")()
+    assert client.mode == "gate" and client.max_retries == 3
+
+    import pytest
+
+    with pytest.raises(KeyError, match="no annotator registered"):
+        get_annotator("missing")
