@@ -653,3 +653,38 @@ def q14(spark: SparkSession, sf: str):
         ).alias("promo_share"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """WITH avg_bal AS (
+         SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+       SELECT c.c_nationkey, count(*) AS n_cust,
+              CAST(sum(c.c_acctbal::DECIMAL(14,2)) AS DOUBLE) AS total_bal
+       FROM customer c, avg_bal
+       WHERE c.c_acctbal > avg_bal.a
+         AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'P')
+       GROUP BY c.c_nationkey""",
+    doc="TPC-H Q22-style: scalar-subquery threshold (broadcast one-row "
+    "aggregate) + NOT EXISTS anti-join — above-average-balance customers "
+    "with no pending orders, per nation.",
+)
+def q22(spark: SparkSession, sf: str):
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "P"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double").alias("total_bal"),
+        )
+    )
