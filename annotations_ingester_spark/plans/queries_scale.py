@@ -558,3 +558,38 @@ def q_multiprobe(spark: SparkSession, sf: str):
     emb = table(spark, sf, "embeddings")
     out = multiprobe_bucketed_topk(emb, emb.filter(F.col("vec_id") % 101 == 0), k=3, n_bits=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "dedup_duplicate_clusters",
+    f"""WITH RECURSIVE {SIG_CTE},
+       band AS (
+         SELECT doc_id, seed // 2 AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed // 2),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+       edges AS (
+         SELECT doc_a AS u, doc_b AS v FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       reach(u, v) AS (
+         SELECT u, v FROM edges
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE r.u <> e.v)
+       SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+       FROM reach GROUP BY u""",
+    doc="Duplicate clustering: connected components over MinHash-LSH "
+    "candidate pairs via iterative min-label propagation (join+agg per "
+    "round, O(cluster diameter) rounds — near-dup clusters are "
+    "near-cliques, so it converges in 2-3). Oracle: recursive-CTE "
+    "transitive closure.",
+)
+def q_clusters(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.cluster import connected_components
+
+    sig = minhash_signatures(table(spark, sf, "documents"))
+    pairs = lsh_candidate_pairs(lsh_band_keys(sig)).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("cluster_id"))

@@ -216,3 +216,22 @@ def test_multiprobe_recovers_cross_bucket_neighbor(spark):
     multi = multiprobe_bucketed_topk(emb, q, k=2, n_bits=2).toPandas()
     assert 1 not in set(single["vec_id"])  # single-probe misses it
     assert 1 in set(multi["vec_id"])       # multi-probe recovers it
+
+
+def test_connected_components_and_survivors(spark):
+    from annotations_ingester_spark.operators.cluster import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    # components: {1,2,3,4} (chain), {7,9}; 5 is a singleton (no edges)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "doc_a long, doc_b long"
+    )
+    cc = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 4, 5, 7, 9]],
+                                 "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, connected_components(edges)).collect())
+    assert kept == [1, 5, 7]  # one survivor per cluster + the singleton
