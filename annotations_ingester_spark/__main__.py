@@ -35,22 +35,32 @@ def main(argv: list[str] | None = None) -> int:
     date_start = args.date_start or cfg.date_start
     date_end = args.date_end or cfg.date_end
 
+    nlp = cfg.nlp
+    fake_mode = bool(nlp.endpoints) and nlp.endpoints[0].startswith("fake://")
+
     # S11 pre-flight: refuse to start against a dead NLP service
-    if cfg.nlp.endpoints and not check_url_available(cfg.nlp.endpoints):
+    if nlp.endpoints and not fake_mode and not check_url_available(nlp.endpoints):
         print("NLP endpoints unavailable", file=sys.stderr)
         return 2
 
     spark = get_spark("annotations_ingester_spark")
-    nlp = cfg.nlp
 
-    def annotator():
-        return HttpNlpClient(
-            nlp.endpoints,
-            mode=nlp.mode,
-            auth=(nlp.username, nlp.password) if nlp.username else None,
-            max_retries=nlp.max_retries_on_failure,
-            application_params=nlp.application_params,
+    if fake_mode:  # hermetic runs: fake:// resolves via the registry
+        from annotations_ingester_spark.annotator.registry import get_annotator
+
+        annotator = get_annotator(
+            "fake-gate" if nlp.mode == "gate-nlp" else "fake-medcat"
         )
+    else:
+
+        def annotator():
+            return HttpNlpClient(
+                nlp.endpoints,
+                mode=nlp.mode,
+                auth=(nlp.username, nlp.password) if nlp.username else None,
+                max_retries=nlp.max_retries_on_failure,
+                application_params=nlp.application_params,
+            )
 
     pipe = AnnotationPipeline(
         annotator,
@@ -86,6 +96,10 @@ def main(argv: list[str] | None = None) -> int:
             split_suffix_field="index_suffix" if cfg.split_index_by_field else None,
             upsert=cfg.ingest_mode == "same-index",
         )
+    elif cfg.split_index_by_field:
+        from annotations_ingester_spark.sinks.writers import write_partitioned
+
+        write_partitioned(out, cfg.sink.index_name)  # W2 physical partitioning
     else:
         out.write.mode("append").parquet(cfg.sink.index_name)
     return 0
