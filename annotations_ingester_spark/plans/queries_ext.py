@@ -316,3 +316,86 @@ def q_grouped_map(spark: SparkSession, sf: str):
         rank_group,
         schema="l_suppkey long, l_orderkey long, l_linenumber int, price_rank long",
     )
+
+
+@register(
+    "streaming_tumbling_agg",
+    """WITH ev AS (
+         SELECT event_type, value, (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket
+         FROM events)
+       SELECT strftime(make_timestamp(bucket * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, count(*) AS n,
+              CAST(sum(value::DECIMAL(14,4)) AS DOUBLE) AS total_value
+       FROM ev GROUP BY window_start, event_type""",
+    doc="Structured Streaming windowed aggregation run for real: readStream "
+    "→ 1-hour tumbling event-time windows → complete-mode memory sink, "
+    "driven to completion with availableNow — stream result ≡ the batch "
+    "window aggregation (same oracle as window_tumbling_events).",
+)
+def q_streaming_agg(spark: SparkSession, sf: str):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    ev = stream.withColumn(
+        "ts_t", F.timestamp_seconds((F.col("ts") / F.lit(1_000_000_000)).cast("long"))
+    )
+    agg = (
+        ev.groupBy(F.window("ts_t", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("streaming_tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_tumbling_out")
+
+
+@register(
+    "q18_large_volume_orders",
+    """WITH big AS (
+         SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         HAVING sum(l_quantity) > 150)
+       SELECT c.c_custkey, o.o_orderkey,
+              strftime(o.o_orderdate::DATE, '%Y-%m-%d') AS odate,
+              CAST(sum(l.l_quantity::DECIMAL(12,2)) AS DOUBLE) AS total_qty
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+       GROUP BY c.c_custkey, o.o_orderkey, odate""",
+    doc="TPC-H Q18-style: HAVING-filtered semi-join (large-volume orders) — "
+    "aggregate subquery as an IN/left-semi join.",
+)
+def q18(spark: SparkSession, sf: str):
+    li = table(spark, sf, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq")).filter(
+        F.col("sq") > 150
+    ).select("l_orderkey")
+    c = F.broadcast(table(spark, sf, "customer"))
+    o = table(spark, sf, "orders").join(big, F.col("o_orderkey") == big.l_orderkey, "left_semi")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_custkey", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"))
+    )
