@@ -78,9 +78,15 @@ def flat_annotations(
         extra_cols=extra,
     )
     if dedup:
-        # maps aren't comparable for dropDuplicates; use all non-map columns
-        keys = [f.name for f in out.schema.fields if f.dataType.typeName() != "map"]
-        out = out.dropDuplicates(keys)
+        # U2: every other column is a deterministic function of the
+        # (doc, entity-id) pair the synthesized row_id encodes
+        # (functions/names.py:46, reference annotations_indexer.py:221), so
+        # row_id-equality ≡ whole-record-equality — and, unlike the full
+        # column list, it also covers map-typed columns (meta_anns) that
+        # dropDuplicates can't compare. Keying the dedup on row_id (+ the
+        # W2 partition column) makes the exchange carry one short string
+        # per row instead of the entire sink payload.
+        out = out.dropDuplicates(["row_id", *extra])
     return out
 
 

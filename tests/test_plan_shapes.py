@@ -53,6 +53,19 @@ def test_aggs_have_partial_phase(spark, name):
     assert "partial_" in plan_of(spark, name)
 
 
+def test_u2_dedup_exchange_keys_on_row_id_only(spark):
+    # U2 keys the hot-path dedup on the deterministic row_id, so the dedup
+    # exchange hashes one short string — not the full sink payload
+    # (VERDICT r1 #2). pipeline_idempotent_rerun is the dedup=True path.
+    import re
+
+    p = plan_of(spark, "pipeline_idempotent_rerun")
+    m = re.search(r"hashpartitioning\(([^)]*)\)", p)
+    assert m, p
+    keys = [k.strip().split("#")[0] for k in m.group(1).split(",")[:-1]]
+    assert keys == ["row_id"], keys
+
+
 def test_pipeline_filter_upstream_of_python_stage(spark):
     # SURVEY §4.1: the P3 filter must run before the mapInPandas barrier so
     # invalid docs never pay the (NLP) enrichment cost
