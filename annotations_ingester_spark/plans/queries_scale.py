@@ -124,12 +124,13 @@ def q_lsh(spark: SparkSession, sf: str):
          SELECT doc_id, b.b,
                 CASE WHEN sum(((h >> b.b) & 1) * 2 - 1) >= 0
                      THEN (1::BIGINT << b.b) ELSE 0 END AS w
-         FROM h, (SELECT unnest(range(0, 32)) AS b) b
+         FROM h, (SELECT unnest(range(0, 60)) AS b) b
          GROUP BY doc_id, b.b)
        SELECT doc_id, sum(w)::BIGINT AS simhash FROM bits GROUP BY doc_id""",
-    doc="SimHash (32-bit) over the distinct-token set: each token hashed "
-    "once, 32 partial-sum bit aggregates — near-dups have small Hamming "
-    "distance; shuffle is docs × 32 values.",
+    doc="SimHash (60-bit — the portable md5-prefix hash's full width) over "
+    "the distinct-token set: each token hashed once, 60 partial-sum bit "
+    "aggregates — near-dups have small Hamming distance; shuffle is "
+    "docs × 60 values.",
 )
 def q_simhash(spark: SparkSession, sf: str):
     return simhash_signatures(table(spark, sf, "documents"))
@@ -503,11 +504,11 @@ def q_redact(spark: SparkSession, sf: str):
          SELECT doc_id, b.b,
                 CASE WHEN sum(((h >> b.b) & 1) * 2 - 1) >= 0
                      THEN (1::BIGINT << b.b) ELSE 0 END AS w
-         FROM h, (SELECT unnest(range(0, 32)) AS b) b
+         FROM h, (SELECT unnest(range(0, 60)) AS b) b
          GROUP BY doc_id, b.b),
        sig AS (SELECT doc_id, sum(w)::BIGINT AS simhash FROM bits GROUP BY doc_id),
        bands AS (
-         SELECT doc_id, simhash, bb.band, (simhash >> (bb.band * 8)) % 256 AS byte
+         SELECT doc_id, simhash, bb.band, (simhash >> (bb.band * 15)) % 32768 AS byte
          FROM sig, (SELECT unnest(range(0, 4)) AS band) bb(band)),
        cand AS (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -516,9 +517,10 @@ def q_redact(spark: SparkSession, sf: str):
          WHERE a.doc_id < b.doc_id)
        SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""",
-    doc="SimHash near-dup pairs: byte-banding (pigeonhole: Hamming ≤ 3 ⇒ "
-    "≥1 shared byte) makes candidates an equi-join, then the exact "
-    "bit_count(xor) Hamming filter — never an all-pairs scan.",
+    doc="SimHash near-dup pairs: 4×15-bit banding of the 60-bit signature "
+    "(pigeonhole: Hamming ≤ 3 ⇒ ≥1 shared band; 131,072 buckets so "
+    "candidate volume stays ~N²/32768) makes candidates an equi-join, then "
+    "the exact bit_count(xor) Hamming filter — never an all-pairs scan.",
 )
 def q_simhash_pairs(spark: SparkSession, sf: str):
     from annotations_ingester_spark.operators.dedup import simhash_near_dup_pairs

@@ -187,13 +187,16 @@ def test_redact_text(spark):
 def test_simhash_near_dup_pairs_banding(spark):
     from annotations_ingester_spark.operators.dedup import simhash_near_dup_pairs
 
+    # SimHash is over the DISTINCT token set, so a reorder+repeat rewrite
+    # is hamming 0 — inside the ≤3 band-recall guarantee; the disjoint doc
+    # sits ~30 bits away and must not pair with either
     docs = spark.createDataFrame(
         [(1, "the cat sat on the mat today fine"),
-         (2, "the cat sat on the mat today finely"),
+         (2, "fine today the mat the cat sat on the mat"),
          (3, "orthogonal vocabulary entirely disjoint terms")],
         "doc_id long, text string",
     )
-    out = simhash_near_dup_pairs(docs, max_hamming=8).toPandas()
+    out = simhash_near_dup_pairs(docs).toPandas()
     pairs = {(r.doc_a, r.doc_b) for r in out.itertuples()}
     assert (1, 2) in pairs  # near-identical docs survive the hamming filter
     assert all(p[1] != 3 and p[0] != 3 for p in pairs)
