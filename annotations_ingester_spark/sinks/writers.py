@@ -59,36 +59,81 @@ def merge_annotation_sets(
     return merged.dropDuplicates(keys)
 
 
-def upsert_nested_foreach_batch(path: str, doc_key: str = "ann_doc_id"):
+NUM_UPSERT_BUCKETS = 64
+
+
+def _is_path_missing(exc: Exception) -> bool:
+    """True only for the 'sink has never been written' AnalysisException.
+    Anything else (corrupt footer, FS hiccup, permission error) must
+    propagate — treating it as first-batch would silently replace the whole
+    sink with the current micro-batch."""
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
+def upsert_nested_foreach_batch(
+    path: str, doc_key: str = "ann_doc_id", num_buckets: int = NUM_UPSERT_BUCKETS
+):
     """Build a ``foreachBatch`` function implementing the W4 upsert on a
-    parquet sink: read current, union-dedup per doc, overwrite. The ES
-    backend instead maps to ``es.write.operation=upsert`` with the doc-keyed
-    id (J2 point semi-join done by the store)."""
+    *bucketed* parquet sink. The ES backend instead maps to
+    ``es.write.operation=upsert`` with the doc-keyed id (J2 point semi-join
+    done by the store; reference scripted upsert
+    annotations_indexer.py:148-200).
+
+    Layout: the sink is physically partitioned by
+    ``bucket = pmod(hash(doc_key), num_buckets)``. Per micro-batch:
+
+    1. the batch's touched buckets are computed (≤ ``num_buckets`` scalars
+       on the driver — bounded, not data-sized);
+    2. ONLY those buckets are read back (partition pruning skips the rest
+       of the sink);
+    3. old ∪ new rows dedup on the deterministic (doc, entity-id) key
+       (entity structs may contain maps, which dropDuplicates can't
+       compare) and regroup per doc;
+    4. dynamic partition overwrite rewrites only the touched bucket
+       directories.
+
+    Per-batch I/O is proportional to touched-buckets/sink, not sink size —
+    the old read-everything / rewrite-everything (+ ``_tmp`` double write,
+    which doubled I/O and could truncate the sink on a crash between the
+    two writes) is gone. A transient read failure now propagates instead
+    of being mistaken for the first batch.
+    """
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
+        b = batch.withColumn("bucket", F.pmod(F.hash(F.col(doc_key)), F.lit(num_buckets)))
+        touched = [r["bucket"] for r in b.select("bucket").distinct().collect()]
         try:
-            current = spark.read.parquet(path)
-        except Exception:
+            current = spark.read.parquet(path).filter(F.col("bucket").isin(touched))
+        except AnalysisException as exc:
+            if not _is_path_missing(exc):
+                raise
             current = None
         if current is not None:
             exploded_old = current.select(
-                doc_key, F.explode_outer("annotations").alias("entity")
+                doc_key, "bucket", F.explode_outer("annotations").alias("entity")
             )
-            exploded_new = batch.select(doc_key, F.explode_outer("annotations").alias("entity"))
+            exploded_new = b.select(
+                doc_key, "bucket", F.explode_outer("annotations").alias("entity")
+            )
             merged = (
                 exploded_old.unionByName(exploded_new)
-                # entity structs may contain maps (not comparable) — dedup on
-                # the deterministic (doc, entity id) key instead (B2 invariant)
                 .withColumn("_eid", F.col("entity.id"))
                 .dropDuplicates([doc_key, "_eid"])
                 .drop("_eid")
-                .groupBy(doc_key)
+                .groupBy(doc_key, "bucket")
                 .agg(F.collect_list("entity").alias("annotations"))
             )
         else:
-            merged = batch
-        merged.write.mode("overwrite").parquet(path + "_tmp")
-        spark.read.parquet(path + "_tmp").write.mode("overwrite").parquet(path)
+            merged = b
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return apply

@@ -90,6 +90,75 @@ def test_stream_foreach_batch_checkpointed(spark, tmp_path):
         flat_annotations(docs, fake, ann_fields=MEDCAT_FIELDS, dedup=False, dotted=False).count()
 
 
+def _nested_df(spark, rows):
+    # rows: list of (ann_doc_id, [entity_id, ...])
+    return spark.createDataFrame(
+        [(d, [(e, f"C{e}") for e in ents]) for d, ents in rows],
+        "ann_doc_id string, annotations array<struct<id:long,cui:string>>",
+    )
+
+
+def test_w4_bucketed_upsert_merges_and_rewrites_only_touched_buckets(spark, tmp_path):
+    import os
+
+    from annotations_ingester_spark.sinks.writers import upsert_nested_foreach_batch
+
+    path = str(tmp_path / "nested_sink")
+    fn = upsert_nested_foreach_batch(path, num_buckets=8)
+    fn(_nested_df(spark, [(f"doc_{i}", [1, 2]) for i in range(10)]), 0)
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("bucket="):
+                out[d] = sorted(os.listdir(os.path.join(path, d)))
+        return out
+
+    before = bucket_files()
+    assert len(before) > 1  # docs spread over multiple buckets
+    # batch 2: one existing doc gains an entity, one new doc appears
+    fn(_nested_df(spark, [("doc_3", [2, 3]), ("doc_new", [9])]), 1)
+    after = bucket_files()
+    back = {r["ann_doc_id"]: sorted(e["id"] for e in r["annotations"])
+            for r in spark.read.parquet(path).collect()}
+    assert back["doc_3"] == [1, 2, 3]  # merged, (doc, entity-id) deduped
+    assert back["doc_new"] == [9]
+    assert back["doc_0"] == [1, 2]
+    # only the buckets containing doc_3 / doc_new were rewritten
+    touched = {d for d in after if after[d] != before.get(d)}
+    assert 1 <= len(touched) <= 2, (touched, before.keys())
+    untouched = set(before) - touched
+    assert untouched and all(after[d] == before[d] for d in untouched)
+
+
+def test_w4_bucketed_upsert_idempotent(spark, tmp_path):
+    from annotations_ingester_spark.sinks.writers import upsert_nested_foreach_batch
+
+    path = str(tmp_path / "nested_sink_idem")
+    fn = upsert_nested_foreach_batch(path, num_buckets=4)
+    batch = _nested_df(spark, [("doc_a", [1]), ("doc_b", [2, 3])])
+    fn(batch, 0)
+    fn(batch, 1)  # B2: re-applying the same batch is a no-op
+    back = {r["ann_doc_id"]: sorted(e["id"] for e in r["annotations"])
+            for r in spark.read.parquet(path).collect()}
+    assert back == {"doc_a": [1], "doc_b": [2, 3]}
+
+
+def test_w4_upsert_read_failure_propagates(spark, tmp_path):
+    import pytest
+
+    from annotations_ingester_spark.sinks.writers import upsert_nested_foreach_batch
+
+    # a sink path that exists but holds a corrupt file must NOT be treated
+    # as 'first batch' (that would truncate the sink to the current batch)
+    path = tmp_path / "corrupt_sink"
+    path.mkdir()
+    (path / "part-00000.parquet").write_bytes(b"not parquet at all")
+    fn = upsert_nested_foreach_batch(str(path), num_buckets=4)
+    with pytest.raises(Exception):
+        fn(_nested_df(spark, [("doc_a", [1])]), 0)
+
+
 def test_nested_mode_writer(docs_df, spark, tmp_path):
     pipe = AnnotationPipeline(fake)
     nested = pipe.nested(docs_df)
