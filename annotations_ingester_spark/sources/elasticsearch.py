@@ -4,7 +4,7 @@ Maps the engine's ``ConnectorConfig`` (same YAML surface as the reference's
 ES client wiring, ingester/es_common.py:49-85) onto the public
 ``org.elasticsearch.spark.sql`` ("es") data source options:
 
-- hosts             → ``es.nodes`` / ``es.port``
+- hosts             → ``es.nodes`` (inline ``host:port`` per node)
 - basic auth        → ``es.net.http.auth.user`` / ``.pass``
 - API key           → ``es.net.http.header.Authorization`` (ApiKey scheme)
 - SSL + CA/client   → ``es.net.ssl*`` options
@@ -31,22 +31,18 @@ BULK_CHUNK_SIZE = 10_000  # reference: es_common.py:98
 BULK_REQUEST_TIMEOUT_S = 30  # reference: es_common.py:99
 
 
-def _host_port(hosts: list[str]) -> tuple[str, str | None]:
-    nodes, port = [], None
-    for h in hosts:
-        h = h.replace("http://", "").replace("https://", "")
-        if ":" in h:
-            h, p = h.rsplit(":", 1)
-            port = p
-        nodes.append(h)
-    return ",".join(nodes), port
+def _nodes(hosts: list[str]) -> str:
+    """``es.nodes`` in the connector's inline ``host:port`` form. A single
+    global ``es.port`` would silently misconfigure clusters whose nodes
+    listen on heterogeneous ports (the connector applies inline ports
+    per-node; portless hosts keep its 9200 default)."""
+    return ",".join(
+        h.replace("http://", "").replace("https://", "") for h in hosts
+    )
 
 
 def es_common_options(conf: ConnectorConfig) -> dict[str, str]:
-    nodes, port = _host_port(conf.hosts)
-    opts: dict[str, str] = {"es.nodes": nodes}
-    if port:
-        opts["es.port"] = port
+    opts: dict[str, str] = {"es.nodes": _nodes(conf.hosts)}
     if conf.username and conf.password:
         opts["es.net.http.auth.user"] = conf.username
         opts["es.net.http.auth.pass"] = conf.password
@@ -61,6 +57,15 @@ def es_common_options(conf: ConnectorConfig) -> dict[str, str]:
             opts["es.net.ssl.truststore.location"] = conf.ca_certs
         if conf.client_cert:
             opts["es.net.ssl.keystore.location"] = conf.client_cert
+        if conf.client_key and conf.client_key != conf.client_cert:
+            # the connector has no separate private-key option: it expects a
+            # keystore combining cert+key. A separately-configured key file
+            # cannot be honored — fail loudly instead of silently dropping it.
+            raise ValueError(
+                "elasticsearch connector takes a combined keystore: bundle the "
+                "client cert and key into one keystore file and set client_cert "
+                "to it (client_key alone cannot be passed through)"
+            )
     return opts
 
 
@@ -126,3 +131,16 @@ def write_es(
 ) -> None:
     _require_format(df.sparkSession)
     df.write.format(ES_FORMAT).options(**es_write_options(conf, **kw)).mode(mode).save()
+
+
+def es_foreach_batch(conf: ConnectorConfig, **kw):
+    """S7 streaming bulk sink: a ``foreachBatch`` function bulk-writing each
+    micro-batch through the same option surface as ``write_es`` (batch size
+    10000 / 30 s timeout parity with the reference's streaming_bulk,
+    es_common.py:98-99,191-210). Deterministic ``es.mapping.id`` makes
+    micro-batch replay after failure an idempotent upsert (B2)."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        write_es(batch, conf, **kw)
+
+    return apply

@@ -55,7 +55,8 @@ def test_es_option_mapping():
         ca_certs="/certs/ca.pem",
     )
     r = es_read_options(conf, query='{"query":{"range":{"dct":{"gte":"1999-01-01"}}}}')
-    assert r["es.nodes"] == "es1,es2" and r["es.port"] == "9200"
+    # inline host:port per node — no global es.port (heterogeneous ports work)
+    assert r["es.nodes"] == "es1:9200,es2:9200" and "es.port" not in r
     assert r["es.net.http.auth.user"] == "u" and r["es.net.ssl"] == "true"
     assert "range" in r["es.query"]
     w = es_write_options(conf, mapping_id="row_id", upsert=True, split_suffix_field="index_suffix")

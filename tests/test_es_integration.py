@@ -1,0 +1,111 @@
+"""Hermetic ES write-path integration: the production contract is the exact
+option set applied to the DataFrameWriter (es.mapping.id, dynamic W2
+resource, W3 upsert op, bulk batch 10000 / 30 s timeout — reference
+es_common.py:98-99, annotations_indexer.py:214-221). The connector jar and a
+live cluster aren't in this environment, so the writer surface itself is
+captured via monkeypatching — everything short of the network is exercised
+end-to-end: config → option mapping → format/options/mode application.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from annotations_ingester_spark.config import ConnectorConfig
+from annotations_ingester_spark.sources import elasticsearch as es
+
+
+class FakeWriter:
+    def __init__(self):
+        self.fmt = None
+        self.opts = {}
+        self.saved = False
+        self.write_mode = None
+
+    def format(self, fmt):
+        self.fmt = fmt
+        return self
+
+    def options(self, **kw):
+        self.opts.update(kw)
+        return self
+
+    def mode(self, m):
+        self.write_mode = m
+        return self
+
+    def save(self):
+        self.saved = True
+
+
+@pytest.fixture
+def captured(monkeypatch):
+    """Route df.write through a recorder and disable the jar probe."""
+    try:  # Spark 4 concrete class (overrides the base property)
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # Spark 3 layout
+        from pyspark.sql import DataFrame
+
+    writer = FakeWriter()
+    monkeypatch.setattr(DataFrame, "write", property(lambda self: writer))
+    monkeypatch.setattr(es, "_require_format", lambda spark: None)
+    return writer
+
+
+CONF = ConnectorConfig(
+    backend="elasticsearch",
+    hosts=["https://es1:9200", "es2:9243"],
+    index_name="annotations",
+    username="u",
+    password="p",
+)
+
+
+def test_w2_split_sink_writer_contract(spark, captured):
+    df = spark.createDataFrame([("r1", "type1")], "row_id string, index_suffix string")
+    es.write_es(df, CONF, split_suffix_field="index_suffix")
+    assert captured.saved and captured.fmt == es.ES_FORMAT
+    assert captured.write_mode == "append"
+    o = captured.opts
+    assert o["es.resource"] == "annotations-{index_suffix}"  # W2 dynamic routing
+    assert o["es.mapping.id"] == "row_id"  # B2 idempotent doc ids
+    assert o["es.batch.size.entries"] == "10000"  # es_common.py:98
+    assert o["es.http.timeout"] == "30s"  # es_common.py:99
+    assert o["es.batch.write.retry.count"] == "3"
+    assert o["es.nodes"] == "es1:9200,es2:9243"  # per-node inline ports
+    assert "es.port" not in o
+    assert o["es.net.http.auth.user"] == "u"
+
+
+def test_w3_upsert_writer_contract(spark, captured):
+    df = spark.createDataFrame([("r1",)], "row_id string")
+    es.write_es(df, CONF, upsert=True)
+    o = captured.opts
+    assert o["es.write.operation"] == "upsert"  # W3 same-index merge
+    assert o["es.resource"] == "annotations"
+    assert o["es.mapping.id"] == "row_id"
+
+
+def test_s7_streaming_foreach_batch_uses_same_contract(spark, captured):
+    df = spark.createDataFrame([("r1",)], "row_id string")
+    fn = es.es_foreach_batch(CONF, upsert=True)
+    fn(df, epoch_id=7)
+    assert captured.saved and captured.opts["es.write.operation"] == "upsert"
+    assert captured.opts["es.batch.size.entries"] == "10000"
+
+
+def test_client_key_without_keystore_fails_loudly():
+    conf = ConnectorConfig(
+        backend="elasticsearch", hosts=["es1"], index_name="x",
+        ssl_enabled=True, client_cert="/c/cert.p12", client_key="/c/key.pem",
+    )
+    with pytest.raises(ValueError, match="keystore"):
+        es.es_common_options(conf)
+
+
+def test_api_key_auth_header():
+    conf = ConnectorConfig(
+        backend="elasticsearch", hosts=["es1"], index_name="x", api_key="abc123"
+    )
+    o = es.es_common_options(conf)
+    assert o["es.net.http.header.Authorization"] == "ApiKey abc123"
