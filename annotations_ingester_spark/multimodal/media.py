@@ -83,19 +83,18 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = row["_payload"]
-                decoded = decode_fn(bytes(payload) if payload is not None else b"", row["_kind"])
-                rows.append(
-                    {
-                        "media_id": row["_id"],
-                        "n_bytes": len(payload) if payload is not None else 0,
-                        "digest": decoded.get("digest"),
-                        "feature": decoded.get("feature"),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "digest", "feature"])
+            # vectorized bookkeeping; only the decode itself is per-blob
+            # (inherently per-row — each payload is one opaque object)
+            payloads = [b"" if p is None else bytes(p) for p in pdf["_payload"]]
+            decoded = [decode_fn(p, k) for p, k in zip(payloads, pdf["_kind"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_id"].to_numpy(),
+                    "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
+                    "digest": [d.get("digest") for d in decoded],
+                    "feature": [d.get("feature") for d in decoded],
+                }
+            )
 
     from pyspark.sql import functions as F
 

@@ -595,3 +595,29 @@ def q_clusters(spark: SparkSession, sf: str):
     pairs = lsh_candidate_pairs(lsh_band_keys(sig)).select("doc_a", "doc_b")
     cc = connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), F.col("cluster_id"))
+
+
+@register(
+    "media_features",
+    """SELECT doc_id AS media_id,
+              CASE WHEN text IS NULL THEN 0
+                   ELSE octet_length(encode(text)) END::BIGINT AS n_bytes,
+              md5(coalesce(text, '')) AS digest
+       FROM documents""",
+    doc="Multimodal feature-extraction plumbing over binary payloads "
+    "(documents.text re-encoded as an opaque blob column): Arrow-batched "
+    "mapInPandas computes per-blob n_bytes + md5 digest (and the decode-fn "
+    "feature vector, certified separately in pytest — the decode itself is "
+    "a documented stub until real codecs are present). Oracle: DuckDB "
+    "octet_length/md5 over the same bytes.",
+)
+def q_media_features(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.multimodal.media import extract_features
+
+    docs = table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(F.lit("text").alias("kind")).alias("meta"),
+    )
+    return extract_features(media).select("media_id", "n_bytes", "digest")
