@@ -37,6 +37,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             und.join(labels, und.v == labels.node)
@@ -64,6 +65,19 @@ def connected_components(
         if changed == 0:
             break
     und.unpersist()
+    if changed != 0:
+        # min-label propagation needs O(component diameter) rounds; a
+        # still-changing label set means some component's diameter exceeds
+        # max_iterations and its labels are SPLIT (silently wrong clusters)
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — some components have split labels; raise "
+            "max_iterations (rounds needed = component diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

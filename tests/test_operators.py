@@ -238,3 +238,18 @@ def test_connected_components_and_survivors(spark):
                                  "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in dedup_survivors(docs, connected_components(edges)).collect())
     assert kept == [1, 5, 7]  # one survivor per cluster + the singleton
+
+
+def test_connected_components_warns_on_non_convergence(spark):
+    import warnings
+
+    from annotations_ingester_spark.operators.cluster import connected_components
+
+    # a path graph 0-1-2-...-6 has diameter 6 > max_iterations=2
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(edges, max_iterations=2).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
