@@ -21,6 +21,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--date-start", default=None, help="override batch date-start")
     parser.add_argument("--date-end", default=None, help="override batch date-end")
     parser.add_argument("--stream", action="store_true", help="run the Structured Streaming variant")
+    parser.add_argument(
+        "--segmented",
+        action="store_true",
+        help="B1: run one date segment at a time (reference driver-loop parity, "
+        "annotations_indexer.py:847-861; the J1 anti-join absorbs the "
+        "boundary-date overlap between consecutive inclusive segments)",
+    )
     parser.add_argument("--dry-run", action="store_true", help="build + explain the plan, don't execute")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -78,6 +85,90 @@ def main(argv: list[str] | None = None) -> int:
     else:
         docs = spark.read.parquet(cfg.source.index_name)
 
+    def write_out(out) -> None:
+        if cfg.sink.backend == "elasticsearch":
+            from annotations_ingester_spark.sources.elasticsearch import write_es
+
+            write_es(
+                out,
+                cfg.sink,
+                split_suffix_field="index_suffix" if cfg.split_index_by_field else None,
+                upsert=cfg.ingest_mode == "same-index",
+            )
+        elif cfg.split_index_by_field:
+            from annotations_ingester_spark.sinks.writers import write_partitioned
+
+            write_partitioned(out, cfg.sink.index_name)  # W2 physical partitioning
+        else:
+            out.write.mode("append").parquet(cfg.sink.index_name)
+
+    if args.stream:
+        # S7: the same flat plan as a checkpointed availableNow stream —
+        # deterministic row ids make micro-batch replay an idempotent upsert
+        from annotations_ingester_spark.streaming.pipeline import (
+            run_stream_foreach_batch,
+            stream_annotations,
+        )
+
+        if cfg.source.backend == "elasticsearch":
+            print("--stream requires a file-based source backend", file=sys.stderr)
+            return 2
+        schema = spark.read.parquet(cfg.source.index_name).schema
+        out = stream_annotations(
+            spark,
+            cfg.source.index_name,
+            schema,
+            annotator,
+            text_field=cfg.text_field,
+            docid_field=cfg.docid_field,
+            mode="gate" if nlp.mode == "gate-nlp" else "medcat",
+        )
+        if args.dry_run:
+            out.explain("formatted")
+            return 0
+        if cfg.sink.backend == "elasticsearch":
+            from annotations_ingester_spark.sources.elasticsearch import es_foreach_batch
+
+            batch_fn = es_foreach_batch(cfg.sink, upsert=cfg.ingest_mode == "same-index")
+        else:
+
+            def batch_fn(batch, epoch_id):
+                batch.write.mode("append").parquet(cfg.sink.index_name)
+
+        run_stream_foreach_batch(
+            out, batch_fn, cfg.sink.index_name.rstrip("/") + "_ckpt"
+        )
+        return 0
+
+    if args.segmented and date_start and date_end:
+        # reference driver-loop parity: one inclusive range scan per
+        # segment; consecutive segments share their boundary date, and the
+        # J1 anti-join against already-written ids absorbs the overlap —
+        # so segmented == whole-span (certified in tests/test_cli.py)
+        from annotations_ingester_spark.operators.filters import range_filter
+        from annotations_ingester_spark.operators.windows import date_windows
+
+        processed = None
+        for seg_start, seg_end in date_windows(
+            date_start, date_end, cfg.batch_interval_days
+        ):
+            scoped = range_filter(docs, cfg.date_field, seg_start, seg_end)
+            seg_out = pipe.flat(
+                scoped,
+                split_by_field=cfg.split_index_by_field or None,
+                processed_ids=processed,
+            )
+            if args.dry_run:
+                seg_out.explain("formatted")
+                return 0
+            write_out(seg_out)
+            # everything up to this segment's end is now in the sink; only
+            # the shared boundary date overlaps the next segment
+            processed = range_filter(docs, cfg.date_field, date_start, seg_end).select(
+                cfg.docid_field
+            )
+        return 0
+
     if date_start and date_end:
         out = pipe.windowed(docs, date_start, date_end, cfg.batch_interval_days)
     else:
@@ -87,21 +178,7 @@ def main(argv: list[str] | None = None) -> int:
         out.explain("formatted")
         return 0
 
-    if cfg.sink.backend == "elasticsearch":
-        from annotations_ingester_spark.sources.elasticsearch import write_es
-
-        write_es(
-            out,
-            cfg.sink,
-            split_suffix_field="index_suffix" if cfg.split_index_by_field else None,
-            upsert=cfg.ingest_mode == "same-index",
-        )
-    elif cfg.split_index_by_field:
-        from annotations_ingester_spark.sinks.writers import write_partitioned
-
-        write_partitioned(out, cfg.sink.index_name)  # W2 physical partitioning
-    else:
-        out.write.mode("append").parquet(cfg.sink.index_name)
+    write_out(out)
     return 0
 
 

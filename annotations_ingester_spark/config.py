@@ -76,6 +76,7 @@ class PipelineConfig:
     split_index_by_field: str = ""  # config.yml:66 → W2 partitioned sink
     skip_processed_doc_check: bool = False  # config.yml:68 → J1 anti-join
     use_bulk_indexing: bool = True
+    use_nested_objects: bool = False  # README.md:66 → same-index nested|flattened
     ingest_mode: str = "separate-index"  # W1 | "same-index" (W3) | "nested" (W4)
     schema_mapping: str = "medcat-separate-index"  # config.yml:51
 
@@ -132,6 +133,7 @@ class PipelineConfig:
             split_index_by_field=mapping.get("sink", {}).get("split-index-by-field", "") or "",
             skip_processed_doc_check=bool(src_map.get("skip-processed-doc-check", False)),
             use_bulk_indexing=bool(mapping.get("sink", {}).get("use-bulk-indexing", True)),
+            use_nested_objects=bool(mapping.get("sink", {}).get("use-nested-objects", False)),
             ingest_mode=mapping.get("sink", {}).get("ingest-mode", "separate-index"),
             schema_mapping=mapping.get("sink", {}).get(
                 "es-nested-object-schema-mapping", "medcat-separate-index"

@@ -71,6 +71,19 @@ def separate_index_mapping(
     return {"properties": props}
 
 
+def same_index_patch_mapping(use_nested_objects: bool = True) -> dict[str, Any]:
+    """W3 same-index lazy-add: when the target index has no ``annotations``
+    field yet, it is patched in as a bare ``nested`` **or ``flattened``**
+    type — no sub-properties on this path (annotations_indexer.py:347-357;
+    the ``use-nested-objects`` knob, README.md:66 — flattened trades
+    per-field search for mapping-explosion safety on wide entities)."""
+    return {
+        "properties": {
+            "annotations": {"type": "nested" if use_nested_objects else "flattened"}
+        }
+    }
+
+
 def mapping_for(schema_mapping: str, persist_fields: list[str] | None = None) -> dict[str, Any]:
     """Dispatch on the reference's config value (config.yml:51; dispatch
     annotations_indexer.py:359,442,588,690)."""

@@ -1,0 +1,87 @@
+"""CLI end-to-end on the parquet backend with the hermetic fake:// NLP
+registry: whole-span vs --segmented (B1 driver-loop parity,
+annotations_indexer.py:847-861) and the --stream variant — all three must
+produce the identical row_id set (B2 idempotency absorbs the segmented
+mode's boundary-date overlap via the J1 anti-join)."""
+
+from __future__ import annotations
+
+import yaml
+
+from annotations_ingester_spark.__main__ import main
+
+DOCS = [
+    # (doc_id, text, dct) — boundary dates 2020-01-31 / 2020-03-01 appear
+    # in TWO consecutive inclusive segments (the reference's overlap)
+    (1, "cli corpus document number one body", "2020-01-05"),
+    (2, "cli corpus document number two body", "2020-01-31"),
+    (3, "cli corpus document number three body", "2020-01-31"),
+    (4, "cli corpus document number four body", "2020-02-10"),
+    (5, "cli corpus document number five body", "2020-03-01"),
+    (6, "cli corpus document number six body", "2020-03-10"),
+    (7, "x", "2020-02-01"),  # P3-filtered (too short) in every mode
+]
+
+
+def _corpus(spark, tmp_path):
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(DOCS, "doc_id long, text string, dct string").write.parquet(src)
+    return src
+
+
+def _cfg(tmp_path, src, sink, dated=True):
+    batch = {"date-field": "dct", "interval": 30}
+    if dated:
+        batch |= {"date-start": "2020-01-01", "date-end": "2020-03-15"}
+    cfg = {
+        "source": {"backend": "parquet", "path": src},
+        "sink": {"backend": "parquet", "path": sink},
+        "nlp-service": {"endpoints-url": ["fake://medcat"], "protocol-mode": "medcat"},
+        "mapping": {
+            "source": {
+                "text-field": "text",
+                "docid-field": "doc_id",
+                "persist-fields": ["doc_id"],
+                "batch": batch,
+            },
+            "sink": {},
+        },
+    }
+    p = tmp_path / f"cfg_{len(sink)}.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p)
+
+
+def _row_ids(spark, path):
+    return sorted(r["row_id"] for r in spark.read.parquet(path).select("row_id").collect())
+
+
+def test_segmented_equals_whole_span(spark, tmp_path):
+    src = _corpus(spark, tmp_path)
+    whole, seg = str(tmp_path / "whole"), str(tmp_path / "seg")
+    assert main(["--config", _cfg(tmp_path, src, whole)]) == 0
+    assert main(["--config", _cfg(tmp_path, src, seg), "--segmented"]) == 0
+    whole_ids, seg_ids = _row_ids(spark, whole), _row_ids(spark, seg)
+    assert whole_ids == seg_ids  # overlap absorbed, nothing lost
+    assert len(seg_ids) == len(set(seg_ids))  # boundary docs not written twice
+    assert not any(r.startswith("doc-7-") for r in seg_ids)  # P3 filtered
+
+
+def test_stream_cli_matches_batch(spark, tmp_path):
+    src = _corpus(spark, tmp_path)
+    batch_sink, stream_sink = str(tmp_path / "b"), str(tmp_path / "s")
+    assert main(["--config", _cfg(tmp_path, src, batch_sink, dated=False)]) == 0
+    assert main(["--config", _cfg(tmp_path, src, stream_sink, dated=False), "--stream"]) == 0
+    assert _row_ids(spark, batch_sink) == _row_ids(spark, stream_sink)
+
+
+def test_dry_run_segmented(spark, tmp_path, capsys):
+    src = _corpus(spark, tmp_path)
+    sink = str(tmp_path / "dry")
+    rc = main(["--config", _cfg(tmp_path, src, sink), "--segmented", "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    import os
+
+    assert not os.path.exists(sink)  # nothing written
