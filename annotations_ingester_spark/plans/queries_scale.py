@@ -621,3 +621,34 @@ def q_media_features(spark: SparkSession, sf: str):
         F.struct(F.lit("text").alias("kind")).alias("meta"),
     )
     return extract_features(media).select("media_id", "n_bytes", "digest")
+
+
+@register(
+    "explode_skew_salted",
+    """WITH e AS (
+         SELECT doc_id,
+                unnest(range(1, (CASE WHEN doc_id % 97 = 0
+                                      THEN 10000 ELSE 10 END) + 1)) AS i
+         FROM documents)
+       SELECT doc_id, count(*)::BIGINT AS n_entities, sum(i)::BIGINT AS sum_i
+       FROM e GROUP BY doc_id""",
+    doc="Explode-skew torture: ~1 doc in 97 fans out to 10,000 entities "
+    "(the one-document-with-a-million-annotations pathology). The salted "
+    "two-phase aggregate spreads each hot key over 16 salt partitions "
+    "before combining per-doc partials, so no single reducer sees a whole "
+    "hot key — partition sizes stay bounded at any skew "
+    "(operators/skew.py; AQE skew handling covers the join case).",
+)
+def q_explode_skew(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.skew import salted_agg
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    ents = docs.withColumn(
+        "n", F.when(F.col("doc_id") % 97 == 0, 10000).otherwise(10)
+    ).select("doc_id", F.explode(F.expr("sequence(1, n)")).alias("i"))
+    return salted_agg(
+        ents,
+        ["doc_id"],
+        [F.count("*").alias("_c"), F.sum("i").alias("_s")],
+        lambda: [F.sum("_c").alias("n_entities"), F.sum("_s").alias("sum_i")],
+    )

@@ -3,6 +3,13 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Each query is forced end-to-end with a noop-format write (full compute, no
 sink I/O). Timings include plan+execution, not session startup.
+
+Scaling guard: the same queries also run at $SPARK_GRAFT_BASE_SF_DIR
+(default sf0.01) and the wall-time ratio is compared against the data
+ratio — a query whose time grows much faster than its input is
+superlinear and would not survive a 100× scale-up (this is the check that
+catches band-saturation / accidental O(N²) regressions automatically).
+Set SPARK_GRAFT_BASE_SF_DIR="" to skip the second pass.
 """
 
 from __future__ import annotations
@@ -28,6 +35,8 @@ HEADLINE = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_fingerprint",
+    "simhash_near_dup_pairs",
+    "explode_skew_salted",
     "embedding_cosine_topk",
     "ann_bucketed_topk",
     "ann_ivf_topk",
@@ -47,28 +56,59 @@ def main() -> None:
     # JVM/codegen warm-up so the first timed query isn't paying startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = REGISTRY[name]
-        best = float("inf")
-        for _ in range(2):  # best-of-2: damp machine noise in the recorded number
-            t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    def run_suite(at_dir: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            spec = REGISTRY[name]
+            best = float("inf")
+            for _ in range(2):  # best-of-2: damp machine noise
+                t0 = time.perf_counter()
+                spec.spark(spark, at_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
 
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    timings = run_suite(sf_dir)
+
+    def sf_of(d: str) -> float | None:
+        tail = d.rstrip("/").split("sf")[-1]
+        try:
+            return float(tail)
+        except ValueError:
+            return None
+
+    sf = sf_of(sf_dir)
+    result = {
+        "metric": "headline_query_wall_time_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    base_dir = os.environ.get("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.01")
+    base_sf = sf_of(base_dir) if base_dir else None
+    if base_dir and base_dir != sf_dir and os.path.isdir(base_dir) and sf and base_sf:
+        base = run_suite(base_dir)
+        data_ratio = round(sf / base_sf, 2)
+        ratios = {
+            q: round(timings[q] / base[q], 2) if base[q] > 0 else None for q in HEADLINE
+        }
+        # flag superlinear growth; sub-second timings are planner overhead
+        # noise, not scaling signal
+        flagged = [
+            q
+            for q, r in ratios.items()
+            if r is not None and timings[q] >= 0.5 and r > 1.5 * data_ratio
+        ]
+        result["scaling"] = {
+            "base_sf": base_sf,
+            "data_ratio": data_ratio,
+            "time_ratios": ratios,
+            "flagged_superlinear": flagged,
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

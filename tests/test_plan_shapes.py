@@ -66,6 +66,20 @@ def test_u2_dedup_exchange_keys_on_row_id_only(spark):
     assert keys == ["row_id"], keys
 
 
+def test_explode_skew_salted_two_phase(spark):
+    # phase 1 shuffles on (doc_id, _salt) — the hot key is spread over the
+    # salt space before any reducer sees it; phase 2 combines per doc_id
+    import re
+
+    p = plan_of(spark, "explode_skew_salted")
+    parts = [
+        [k.strip().split("#")[0] for k in m.group(1).split(",")[:-1]]
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", p)
+    ]
+    assert ["doc_id", "_salt"] in parts, parts
+    assert "partial_" in p  # map-side combine in both phases
+
+
 def test_pipeline_filter_upstream_of_python_stage(spark):
     # SURVEY §4.1: the P3 filter must run before the mapInPandas barrier so
     # invalid docs never pay the (NLP) enrichment cost
