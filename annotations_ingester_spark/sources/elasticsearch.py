@@ -81,14 +81,28 @@ def es_read_options(conf: ConnectorConfig, query: str | None = None) -> dict[str
     return opts
 
 
+# W3 same-index merge: replace the doc's annotations array with the merged
+# set the engine computed (the reference's painless scripted update,
+# annotations_indexer.py:155-163 — dedup happens engine-side there too,
+# :151-153, so the script only assigns)
+PAINLESS_SET_ANNOTATIONS = (
+    "ctx._source.annotations = new ArrayList(); "
+    "ctx._source.annotations = params.annotations"
+)
+
+
 def es_write_options(
     conf: ConnectorConfig,
     mapping_id: str | None = "row_id",
     upsert: bool = False,
     split_suffix_field: str | None = None,
+    scripted_upsert: bool = False,
+    annotations_field: str = "annotations",
 ) -> dict[str, str]:
     """Bulk sink options with the reference's batch tuning (S7) and
-    idempotency via deterministic doc ids (B2)."""
+    idempotency via deterministic doc ids (B2). ``scripted_upsert`` maps the
+    reference's painless scripted update (W3) onto the connector's
+    ``es.update.script.*`` options."""
     opts = es_common_options(conf)
     resource = conf.index_name
     if split_suffix_field:
@@ -99,8 +113,13 @@ def es_write_options(
     opts["es.batch.write.retry.count"] = "3"
     if mapping_id:
         opts["es.mapping.id"] = mapping_id
-    if upsert:
+    if upsert or scripted_upsert:
         opts["es.write.operation"] = "upsert"
+    if scripted_upsert:
+        opts["es.update.script.inline"] = PAINLESS_SET_ANNOTATIONS
+        opts["es.update.script.lang"] = "painless"
+        # connector param syntax: script-param:dataframe-column
+        opts["es.update.script.params"] = f"annotations:{annotations_field}"
     return opts
 
 

@@ -94,6 +94,16 @@ def test_s7_streaming_foreach_batch_uses_same_contract(spark, captured):
     assert captured.opts["es.batch.size.entries"] == "10000"
 
 
+def test_w3_scripted_upsert_writer_contract(spark, captured):
+    df = spark.createDataFrame([("doc_1",)], "ann_doc_id string")
+    es.write_es(df, CONF, mapping_id="ann_doc_id", scripted_upsert=True)
+    o = captured.opts
+    assert o["es.write.operation"] == "upsert"
+    assert o["es.update.script.lang"] == "painless"
+    assert "params.annotations" in o["es.update.script.inline"]
+    assert o["es.update.script.params"] == "annotations:annotations"
+
+
 def test_client_key_without_keystore_fails_loudly():
     conf = ConnectorConfig(
         backend="elasticsearch", hosts=["es1"], index_name="x",
