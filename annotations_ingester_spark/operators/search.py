@@ -1,0 +1,115 @@
+"""Full-text relevance scoring: BM25 ranking and TF-IDF term extraction.
+
+The reference's store IS a search engine — its S2 "limited search scan"
+returns hits in Lucene BM25 order (es_common.py:141-160 search API). This
+module re-expresses that scoring declaratively so ranked retrieval works on
+the parquet backend too:
+
+- ``bm25_rank``: the Lucene/ES BM25 formula
+  (idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+  tf_norm = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), k1=1.2, b=0.75)
+  over a literal query-term set.
+- ``tfidf_top_terms``: per-document top-N characteristic terms
+  (tf · ln(N/df)) — the corpus-exploration twin.
+
+Scale shape: tokens explode once; the query-term ``isin`` filter prunes
+before any shuffle (at 100 TB the W2 split-by-term partitioned layout is
+the inverted index — the filter then prunes partitions); corpus stats
+(N, avgdl) are a broadcast 1-row aggregate; document frequencies are a
+broadcast dim for literal query sets. All arithmetic happens on exact
+integer counts JVM-side; one rounding point keeps ranks engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from annotations_ingester_spark.functions import text as tx
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), tx.tokens(text_col).alias("_tk")).filter(
+        F.size("_tk") > 0
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for ``query_terms`` →
+    (doc_id, score, rank). Deterministic total order: rounded score desc,
+    id asc. The final rank is a global window over ≤ (docs matching any
+    term) rows — bounded output, so the single-partition sort is fine; the
+    heavy work (tf/df/dl aggregation) is fully distributed."""
+    base = _doc_terms(df, text_col, id_col)
+    dl = base.select(F.col(id_col), F.size("_tk").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        base.select(F.col(id_col), F.explode("_tk").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    j = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    tfn = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    )
+    scored = (
+        j.groupBy(id_col)
+        .agg(F.round(F.sum(idf * tfn), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``top_n`` terms by tf·idf (idf = ln(N/df)) →
+    (doc_id, term, tfidf, term_rank). df is a per-term aggregate joined
+    back on term (equi-join shuffle — at corpus scale the vocabulary is
+    zipfian, and AQE's skew handling covers the hot stopword keys)."""
+    base = _doc_terms(df, text_col, id_col)
+    n_docs = base.agg(F.count("*").cast("double").alias("n_docs"))
+    tf = (
+        base.select(F.col(id_col), F.explode("_tk").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= top_n)
+        .select(id_col, "term", "tfidf", "term_rank")
+    )
