@@ -328,6 +328,57 @@ def winnowing_fingerprints(
     return out
 
 
+def cross_split_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "source",
+    eval_split: str = "src0",
+    shingle_n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Train/eval decontamination: training docs sharing ≥ ``min_shared``
+    distinct ``shingle_n``-gram fingerprints with any eval-split document →
+    (train_doc_id, eval_doc_id, n_shared).
+
+    Scale shape: each distinct shingle is hashed ONCE to a 60-bit int
+    (explode → md5), so the join key is an 8-byte integer, never the n-gram
+    string; the eval side (benchmarks/test sets are small next to the
+    training corpus) broadcasts, making discovery a broadcast equi-join —
+    the standard way benchmark decontamination runs over 100 TB corpora.
+    """
+    _disable_infer_filters_from_generate(df)
+    toks = _tokens_sql(text_col)
+    parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(shingle_n))
+    ex = (
+        df.withColumn("_tk", F.expr(toks))
+        .filter(F.size("_tk") >= shingle_n)
+        .withColumn(
+            "_sh",
+            F.expr(
+                f"CASE WHEN size(_tk) >= {shingle_n} THEN"
+                f" array_distinct(transform(sequence(1, size(_tk) - {shingle_n - 1}),"
+                f" i -> concat_ws(' ', {parts})))"
+                f" ELSE cast(array() as array<string>) END"
+            ),
+        )
+        .select(F.col(id_col), F.col(split_col), F.explode("_sh").alias("_shingle"))
+        .select(F.col(id_col), F.col(split_col), F.expr(_hash_sql("_shingle")).alias("_h"))
+    )
+    train = ex.filter(F.col(split_col) != eval_split).select(
+        F.col(id_col).alias("train_doc_id"), "_h"
+    )
+    holdout = ex.filter(F.col(split_col) == eval_split).select(
+        F.col(id_col).alias("eval_doc_id"), "_h"
+    )
+    return (
+        train.join(F.broadcast(holdout), "_h")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -194,3 +194,68 @@ def multiprobe_bucketed_topk(
     ).dropDuplicates([query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by exact decimal L2² →
+    (vec_id, centroid_id). The distance accumulates per-dimension squared
+    differences as DECIMAL(28,12) (exact, engine-portable — no float fold
+    order), so the argmin is deterministic; ties break on centroid id.
+
+    Scale shape: centroids broadcast (k ≪ N always); the per-vector argmin
+    is a window over k rows. This is the assignment step IVF indexing and
+    Lloyd's iterations share."""
+    vd = embeddings.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cd = centroids.select(
+        F.col(centroid_id_col), F.posexplode(vec_col).alias("dim", "cv")
+    ).withColumn("cv", F.col("cv").cast("double"))
+    d2 = (
+        vd.join(F.broadcast(cd), "dim")
+        .withColumn(
+            "_sq", ((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).cast("decimal(28,12)")
+        )
+        .groupBy(id_col, centroid_id_col)
+        .agg(F.sum("_sq").alias("d2"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col(centroid_id_col).asc())
+    return (
+        d2.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, centroid_id_col)
+    )
+
+
+def kmeans_lloyd_step(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """One Lloyd iteration: assign + recompute per-dimension means →
+    (centroid_id, dim, mean, n_members). Means sum exact decimals and
+    divide once (rounded 6 dp) so iterations are reproducible across
+    engines. The full k-means loop is this step under the driver-side
+    convergence loop (same template as operators/cluster.py — the scalar
+    shift, not the data, reaches the driver)."""
+    assign = kmeans_assign(embeddings, centroids, id_col, vec_col, centroid_id_col)
+    vd = embeddings.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double").cast("decimal(28,12)"))
+    return (
+        vd.join(assign, id_col)
+        .groupBy(centroid_id_col, "dim")
+        .agg(
+            F.round(F.sum("v").cast("double") / F.count("*"), 6).alias("mean"),
+            F.count("*").alias("n_members"),
+        )
+        .withColumn("dim", F.col("dim").cast("long"))
+    )

@@ -25,5 +25,9 @@ try:
     import annotations_ingester_spark.plans.queries_tpch2  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    import annotations_ingester_spark.plans.queries_llm  # noqa: F401,E402
+except ImportError:
+    pass
 
 __all__ = ["REGISTRY", "QuerySpec"]

@@ -1,0 +1,181 @@
+"""LLM-training-pipeline queries, round 2: benchmark decontamination,
+Gopher-style quality gating, sliding event windows, and the k-means (Lloyd)
+assignment/update step — each with an exact DuckDB oracle (integer or
+decimal arithmetic at every comparison point)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from annotations_ingester_spark.functions import text as tx
+from annotations_ingester_spark.plans.catalog import events_table, register, table
+
+TOKS = tx.tokens_sql("text")
+HASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
+SHINGLES = (
+    "list_transform(range(1, greatest(len(t) - 2, 0) + 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+
+
+@register(
+    "decontamination_ngram_overlap",
+    f"""WITH d AS (SELECT doc_id, source, {TOKS} AS t FROM documents),
+       sh AS (
+         SELECT doc_id, source, list_distinct({SHINGLES}) AS s
+         FROM d WHERE len(t) >= 3),
+       ex AS (
+         SELECT doc_id, source, {HASH.format(e="u.shingle")} AS h
+         FROM (SELECT doc_id, source, unnest(s) AS shingle FROM sh) u),
+       tr AS (SELECT doc_id AS train_doc_id, h FROM ex WHERE source <> 'src0'),
+       ev AS (SELECT doc_id AS eval_doc_id, h FROM ex WHERE source = 'src0')
+       SELECT train_doc_id, eval_doc_id, count(*) AS n_shared
+       FROM tr JOIN ev USING (h)
+       GROUP BY train_doc_id, eval_doc_id
+       HAVING count(*) >= 2""",
+    doc="Benchmark decontamination: training docs sharing ≥2 distinct "
+    "3-gram fingerprints with the held-out split (source=src0). Shingles "
+    "hash once to 60-bit ints; the small eval side broadcasts — a "
+    "broadcast equi-join on 8-byte keys, the shape that scans 100 TB of "
+    "training text against a benchmark suite.",
+)
+def q_decontamination(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import cross_split_contamination
+
+    return cross_split_contamination(table(spark, sf, "documents"))
+
+
+@register(
+    "text_gopher_quality_flags",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+       u AS (SELECT doc_id, unnest(t) AS tok FROM d WHERE len(t) > 0),
+       tf AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
+       st AS (
+         SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                sum(c * length(tok))::BIGINT AS sum_len,
+                max(c)::BIGINT AS top_c
+         FROM tf GROUP BY doc_id)
+       SELECT doc_id, n_tokens,
+              round(sum_len / n_tokens, 6) AS mean_word_len,
+              round(top_c / n_tokens, 6) AS top_token_frac,
+              ((n_tokens BETWEEN 20 AND 100000)
+               AND (sum_len / n_tokens BETWEEN 2 AND 12)
+               AND (top_c / n_tokens <= 0.2)) AS passes
+       FROM st""",
+    doc="Gopher-style quality gate: token count bounds, mean word length "
+    "bounds, max-token-repetition bound — all from one token explode + "
+    "two integer aggregates (pure map-side-combinable counts; the flags "
+    "are exact integer-ratio comparisons, no float drift).",
+)
+def q_gopher(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    ex = (
+        docs.select("doc_id", tx.tokens("text").alias("_tk"))
+        .filter(F.size("_tk") > 0)
+        .select("doc_id", F.explode("_tk").alias("_tok"))
+    )
+    tf = ex.groupBy("doc_id", "_tok").agg(F.count("*").alias("c"))
+    st = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.length("_tok")).alias("sum_len"),
+        F.max("c").alias("top_c"),
+    )
+    ratio_len = F.col("sum_len") / F.col("n_tokens")
+    ratio_top = F.col("top_c") / F.col("n_tokens")
+    return st.select(
+        "doc_id",
+        "n_tokens",
+        F.round(ratio_len, 6).alias("mean_word_len"),
+        F.round(ratio_top, 6).alias("top_token_frac"),
+        (
+            F.col("n_tokens").between(20, 100000)
+            & ratio_len.between(2, 12)
+            & (ratio_top <= 0.2)
+        ).alias("passes"),
+    )
+
+
+@register(
+    "window_sliding_events",
+    """WITH ev AS (
+         SELECT event_type, value, floor(epoch(ts))::BIGINT AS t FROM events),
+       w AS (
+         SELECT event_type, value,
+                unnest([(t // 1800) * 1800, ((t // 1800) - 1) * 1800]) AS ws
+         FROM ev)
+       SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, count(*) AS n,
+              CAST(sum(value::DECIMAL(14,4)) AS DOUBLE) AS total_value
+       FROM w GROUP BY window_start, event_type""",
+    doc="Sliding event-time windows (1 h length, 30 min slide — each event "
+    "lands in exactly 2 windows): F.window with a slide, the batch twin of "
+    "the streaming sliding agg; UTC-rendered labels keep the output "
+    "engine-portable.",
+)
+def q_sliding(spark: SparkSession, sf: str):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = events_table(spark, sf).withColumn("ts_t", F.timestamp_seconds(F.col("ts_s")))
+    return (
+        ev.groupBy(F.window("ts_t", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "kmeans_lloyd_step",
+    """WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       c AS (SELECT vec_id AS centroid_id, e AS ce FROM b WHERE vec_id % 173 = 0),
+       vd AS (
+         SELECT vec_id, s.i AS dim, s.v AS v
+         FROM (SELECT vec_id,
+                      unnest(list_transform(range(len(e)),
+                                            i -> {'i': i, 'v': e[i + 1]})) AS s
+               FROM b)),
+       cd AS (
+         SELECT centroid_id, s.i AS dim, s.v AS cv
+         FROM (SELECT centroid_id,
+                      unnest(list_transform(range(len(ce)),
+                                            i -> {'i': i, 'v': ce[i + 1]})) AS s
+               FROM c)),
+       d2 AS (
+         SELECT vd.vec_id, cd.centroid_id,
+                sum(((vd.v - cd.cv) * (vd.v - cd.cv))::DECIMAL(28,12)) AS d2
+         FROM vd JOIN cd USING (dim)
+         GROUP BY vd.vec_id, cd.centroid_id),
+       assign AS (
+         SELECT vec_id, centroid_id
+         FROM (SELECT vec_id, centroid_id,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, centroid_id) AS rn
+               FROM d2)
+         WHERE rn = 1)
+       SELECT a.centroid_id, vd.dim::BIGINT AS dim,
+              round(CAST(sum(vd.v::DECIMAL(28,12)) AS DOUBLE) / count(*), 6) AS mean,
+              count(*) AS n_members
+       FROM assign a JOIN vd ON a.vec_id = vd.vec_id
+       GROUP BY a.centroid_id, vd.dim""",
+    doc="One k-means Lloyd iteration (fixed seed centroids vec_id%173=0): "
+    "broadcast-centroid assignment by exact-decimal L2² (deterministic "
+    "argmin, id tie-break) + per-dimension decimal-exact mean update. The "
+    "full loop is this step under a driver-side scalar convergence check — "
+    "the iterative-ML template (same shape as connected components).",
+)
+def q_kmeans(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.similarity import kmeans_lloyd_step
+
+    emb = table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 173 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return kmeans_lloyd_step(emb, cents)
