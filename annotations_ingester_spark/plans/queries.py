@@ -1,33 +1,31 @@
-"""The full query catalog: importing the group modules populates REGISTRY."""
+"""The full query catalog: importing the group modules populates REGISTRY.
+
+Imports are deliberately loud: a broken group module must fail the whole
+catalog import rather than silently shrinking the registry (a silent drop
+combined with a stale driver snapshot is exactly how a certification hole
+stays invisible). ``EXPECTED_MIN_QUERIES`` is asserted by both
+``tools/parity.py`` and ``tests/test_registry_complete.py``.
+"""
 
 from annotations_ingester_spark.plans.catalog import REGISTRY, QuerySpec  # noqa: F401
 
-# Group modules register on import.
+# Group modules register on import. NO try/except — failures must propagate.
 import annotations_ingester_spark.plans.queries_core  # noqa: F401,E402
+import annotations_ingester_spark.plans.queries_pipeline  # noqa: F401,E402
+import annotations_ingester_spark.plans.queries_scale  # noqa: F401,E402
+import annotations_ingester_spark.plans.queries_ext  # noqa: F401,E402
+import annotations_ingester_spark.plans.queries_search  # noqa: F401,E402
+import annotations_ingester_spark.plans.queries_tpch2  # noqa: F401,E402
+import annotations_ingester_spark.plans.queries_llm  # noqa: F401,E402
 
-try:  # populated as build rounds progress
-    import annotations_ingester_spark.plans.queries_pipeline  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    import annotations_ingester_spark.plans.queries_scale  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    import annotations_ingester_spark.plans.queries_ext  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    import annotations_ingester_spark.plans.queries_search  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    import annotations_ingester_spark.plans.queries_tpch2  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    import annotations_ingester_spark.plans.queries_llm  # noqa: F401,E402
-except ImportError:
-    pass
+# Floor, not exact count: adding queries must not break this, losing a whole
+# group module must. Keep >= the registry size at the last certified round.
+EXPECTED_MIN_QUERIES = 92
 
-__all__ = ["REGISTRY", "QuerySpec"]
+if len(REGISTRY) < EXPECTED_MIN_QUERIES:  # pragma: no cover - guard
+    raise RuntimeError(
+        f"Query registry holds {len(REGISTRY)} queries; expected at least "
+        f"{EXPECTED_MIN_QUERIES}. A group module failed to register."
+    )
+
+__all__ = ["REGISTRY", "QuerySpec", "EXPECTED_MIN_QUERIES"]

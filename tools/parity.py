@@ -53,8 +53,12 @@ def run(sf_dir: str, names: list[str] | None = None) -> int:
     import duckdb
 
     sys.path.insert(0, ".")
-    from annotations_ingester_spark.plans.queries import REGISTRY
+    from annotations_ingester_spark.plans.queries import EXPECTED_MIN_QUERIES, REGISTRY
     from annotations_ingester_spark.session import get_spark
+
+    assert len(REGISTRY) >= EXPECTED_MIN_QUERIES, (
+        f"registry shrank: {len(REGISTRY)} < {EXPECTED_MIN_QUERIES}"
+    )
 
     spark = get_spark("parity")
     con = duckdb.connect()
