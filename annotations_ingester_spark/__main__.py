@@ -170,7 +170,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if date_start and date_end:
-        out = pipe.windowed(docs, date_start, date_end, cfg.batch_interval_days)
+        # same column surface as the --segmented loop: a dated whole-span run
+        # with split-index-by-field configured must also carry index_suffix,
+        # or write_out crashes on the missing partition column
+        out = pipe.windowed(
+            docs,
+            date_start,
+            date_end,
+            cfg.batch_interval_days,
+            split_by_field=cfg.split_index_by_field or None,
+        )
     else:
         out = pipe.flat(docs, split_by_field=cfg.split_index_by_field or None)
 

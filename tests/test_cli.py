@@ -29,7 +29,7 @@ def _corpus(spark, tmp_path):
     return src
 
 
-def _cfg(tmp_path, src, sink, dated=True):
+def _cfg(tmp_path, src, sink, dated=True, split=None):
     batch = {"date-field": "dct", "interval": 30}
     if dated:
         batch |= {"date-start": "2020-01-01", "date-end": "2020-03-15"}
@@ -44,7 +44,7 @@ def _cfg(tmp_path, src, sink, dated=True):
                 "persist-fields": ["doc_id"],
                 "batch": batch,
             },
-            "sink": {},
+            "sink": {"split-index-by-field": split} if split else {},
         },
     }
     p = tmp_path / f"cfg_{len(sink)}.yml"
@@ -65,6 +65,21 @@ def test_segmented_equals_whole_span(spark, tmp_path):
     assert whole_ids == seg_ids  # overlap absorbed, nothing lost
     assert len(seg_ids) == len(set(seg_ids))  # boundary docs not written twice
     assert not any(r.startswith("doc-7-") for r in seg_ids)  # P3 filtered
+
+
+def test_split_by_field_dated_whole_span(spark, tmp_path):
+    """split-index-by-field + a date range must not crash in write_out and
+    must match --segmented with the same split config (the dated whole-span
+    path previously dropped the index_suffix column)."""
+    src = _corpus(spark, tmp_path)
+    whole, seg = str(tmp_path / "w2whole"), str(tmp_path / "w2seg")
+    assert main(["--config", _cfg(tmp_path, src, whole, split="types")]) == 0
+    assert main(["--config", _cfg(tmp_path, src, seg, split="types"), "--segmented"]) == 0
+    assert _row_ids(spark, whole) == _row_ids(spark, seg)
+    # the W2 physical layout actually partitioned on the suffix
+    import os
+
+    assert any(d.startswith("index_suffix=") for d in os.listdir(whole))
 
 
 def test_stream_cli_matches_batch(spark, tmp_path):
