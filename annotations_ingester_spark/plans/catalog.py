@@ -44,6 +44,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def utc_label(col, fmt: str = "yyyy-MM-dd HH:mm:ss"):
+    """Render a timestamp instant as a UTC wall-clock string regardless of
+    ``spark.sql.session.timeZone``: convert to TIMESTAMP_NTZ in UTC first
+    (``convert_timezone``), then format — NTZ rendering ignores the session
+    zone. Lets window queries be timezone-independent instead of mutating
+    session state as a plan-construction side effect."""
+    from pyspark.sql import functions as F
+
+    return F.date_format(F.convert_timezone(None, F.lit("UTC"), F.col(col)), fmt)
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events stream table. Its parquet carries nanosecond timestamps
     (TIMESTAMP(NANOS)), which Spark reads as raw INT64 nanos under

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from annotations_ingester_spark.annotator.fake import DeterministicFakeAnnotator
 from annotations_ingester_spark.operators.asof import asof_join, bucketized_range_join
-from annotations_ingester_spark.plans.catalog import events_table, register, table
+from annotations_ingester_spark.plans.catalog import events_table, register, table, utc_label
 from annotations_ingester_spark.plans.queries_pipeline import DOCS_CTE, ENTS_CTE, MEDCAT_FLAT_FIELDS
 
 EV_CTE = """ev AS (
@@ -211,7 +211,6 @@ def q_stats(spark: SparkSession, sf: str):
     "UTC for engine-portable window labels.",
 )
 def q_tumbling(spark: SparkSession, sf: str):
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = events_table(spark, sf).withColumn("ts_t", F.timestamp_seconds(F.col("ts_s")))
     return (
         ev.groupBy(F.window("ts_t", "1 hour"), "event_type")
@@ -220,7 +219,7 @@ def q_tumbling(spark: SparkSession, sf: str):
             F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
         )
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            utc_label("window.start").alias("window_start"),
             "event_type",
             "n",
             "total_value",
@@ -252,14 +251,13 @@ def q_tumbling(spark: SparkSession, sf: str):
     "session — verified empirically at sf0.1; gap > 1800 splits).",
 )
 def q_session_window(spark: SparkSession, sf: str):
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = events_table(spark, sf).withColumn("ts_t", F.timestamp_seconds(F.col("ts_s")))
     return (
         ev.groupBy(F.session_window("ts_t", "30 minutes"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            utc_label("session_window.start").alias("session_start"),
             "n_events",
         )
     )
@@ -333,7 +331,6 @@ def q_grouped_map(spark: SparkSession, sf: str):
     "window aggregation (same oracle as window_tumbling_events).",
 )
 def q_streaming_agg(spark: SparkSession, sf: str):
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
     stream = (
@@ -351,7 +348,7 @@ def q_streaming_agg(spark: SparkSession, sf: str):
             F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
         )
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            utc_label("window.start").alias("window_start"),
             "event_type",
             "n",
             "total_value",

@@ -9,7 +9,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from annotations_ingester_spark.functions import text as tx
-from annotations_ingester_spark.plans.catalog import events_table, register, table
+from annotations_ingester_spark.plans.catalog import events_table, register, table, utc_label
 
 TOKS = tx.tokens_sql("text")
 HASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
@@ -114,7 +114,6 @@ def q_gopher(spark: SparkSession, sf: str):
     "engine-portable.",
 )
 def q_sliding(spark: SparkSession, sf: str):
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = events_table(spark, sf).withColumn("ts_t", F.timestamp_seconds(F.col("ts_s")))
     return (
         ev.groupBy(F.window("ts_t", "1 hour", "30 minutes"), "event_type")
@@ -123,7 +122,7 @@ def q_sliding(spark: SparkSession, sf: str):
             F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
         )
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            utc_label("window.start").alias("window_start"),
             "event_type",
             "n",
             "total_value",

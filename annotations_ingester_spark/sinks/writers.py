@@ -87,9 +87,12 @@ def upsert_nested_foreach_batch(
        on the driver — bounded, not data-sized);
     2. ONLY those buckets are read back (partition pruning skips the rest
        of the sink);
-    3. old ∪ new rows dedup on the deterministic (doc, entity-id) key
-       (entity structs may contain maps, which dropDuplicates can't
-       compare) and regroup per doc;
+    3. old ∪ new rows merge on the deterministic (doc, entity-id) key with
+       explicit new-wins priority (``max_by(entity, priority)``), so a
+       changed payload under an existing id is replaced, never dropped —
+       the parquet twin of the reference's whole-record canonical-JSON
+       dedup (utils.py:16-19) which likewise never discards a changed
+       record; then regroup per doc;
     4. dynamic partition overwrite rewrites only the touched bucket
        directories.
 
@@ -107,22 +110,34 @@ def upsert_nested_foreach_batch(
         b = batch.withColumn("bucket", F.pmod(F.hash(F.col(doc_key)), F.lit(num_buckets)))
         touched = [r["bucket"] for r in b.select("bucket").distinct().collect()]
         try:
-            current = spark.read.parquet(path).filter(F.col("bucket").isin(touched))
+            existing = spark.read.parquet(path)
         except AnalysisException as exc:
             if not _is_path_missing(exc):
                 raise
-            current = None
-        if current is not None:
+            existing = None
+        if existing is not None and "bucket" not in existing.columns:
+            raise ValueError(
+                f"sink at {path!r} uses the legacy unbucketed layout (no 'bucket' "
+                "partition column); migrate once before streaming into it: read "
+                "the old sink, add bucket = pmod(hash(doc_key), num_buckets), and "
+                "rewrite with partitionBy('bucket') — see upsert_nested_foreach_batch"
+            )
+        if existing is not None:
+            current = existing.filter(F.col("bucket").isin(touched))
             exploded_old = current.select(
                 doc_key, "bucket", F.explode_outer("annotations").alias("entity")
-            )
+            ).withColumn("_prio", F.lit(0))
             exploded_new = b.select(
                 doc_key, "bucket", F.explode_outer("annotations").alias("entity")
-            )
+            ).withColumn("_prio", F.lit(1))
+            # new-wins merge: if an entity's payload changed under the same id
+            # (annotator/model update), the incoming record must replace the
+            # stored one — dropDuplicates would keep an arbitrary winner
             merged = (
                 exploded_old.unionByName(exploded_new)
                 .withColumn("_eid", F.col("entity.id"))
-                .dropDuplicates([doc_key, "_eid"])
+                .groupBy(doc_key, "bucket", "_eid")
+                .agg(F.max_by("entity", "_prio").alias("entity"))
                 .drop("_eid")
                 .groupBy(doc_key, "bucket")
                 .agg(F.collect_list("entity").alias("annotations"))

@@ -89,3 +89,22 @@ def test_pipeline_filter_upstream_of_python_stage(spark):
     filter_pos = p.index("length(text")
     assert map_pos < filter_pos  # executed-plan strings print top-down
     assert map_pos < scan_pos
+
+
+def test_window_queries_timezone_independent(spark):
+    """Window-label queries must render identical UTC labels under any
+    session timezone and must NOT mutate session state as a side effect of
+    building/running the plan (advice r2: q_sliding leaked UTC into the
+    session, silently changing later timestamp-dependent queries)."""
+    from annotations_ingester_spark.plans.catalog import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    utc_rows = sorted(map(tuple, REGISTRY["window_tumbling_events"].spark(spark, sf).collect()))
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_rows = sorted(map(tuple, REGISTRY["window_tumbling_events"].spark(spark, sf).collect()))
+        assert ny_rows == utc_rows
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"  # not clobbered
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

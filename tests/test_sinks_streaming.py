@@ -144,6 +144,37 @@ def test_w4_bucketed_upsert_idempotent(spark, tmp_path):
     assert back == {"doc_a": [1], "doc_b": [2, 3]}
 
 
+def test_w4_upsert_new_wins_on_changed_payload(spark, tmp_path):
+    """An entity re-sent under the same id with a changed payload (annotator
+    or model update) must replace the stored record — not lose to an
+    arbitrary dedup winner."""
+    from annotations_ingester_spark.sinks.writers import upsert_nested_foreach_batch
+
+    path = str(tmp_path / "nested_sink_newwins")
+    fn = upsert_nested_foreach_batch(path, num_buckets=4)
+    fn(spark.createDataFrame(
+        [("doc_a", [(1, "C_old"), (2, "C2")])],
+        "ann_doc_id string, annotations array<struct<id:long,cui:string>>"), 0)
+    fn(spark.createDataFrame(
+        [("doc_a", [(1, "C_new")])],
+        "ann_doc_id string, annotations array<struct<id:long,cui:string>>"), 1)
+    [row] = spark.read.parquet(path).collect()
+    got = {e["id"]: e["cui"] for e in row["annotations"]}
+    assert got == {1: "C_new", 2: "C2"}
+
+
+def test_w4_upsert_legacy_unbucketed_sink_raises_migration_error(spark, tmp_path):
+    import pytest
+
+    from annotations_ingester_spark.sinks.writers import upsert_nested_foreach_batch
+
+    path = str(tmp_path / "legacy_sink")
+    _nested_df(spark, [("doc_a", [1])]).write.parquet(path)  # no bucket column
+    fn = upsert_nested_foreach_batch(path, num_buckets=4)
+    with pytest.raises(ValueError, match="legacy unbucketed layout"):
+        fn(_nested_df(spark, [("doc_b", [2])]), 0)
+
+
 def test_w4_upsert_read_failure_propagates(spark, tmp_path):
     import pytest
 
