@@ -7,15 +7,20 @@ decode work; decode/feature-extraction runs per-partition in ``mapInPandas``
 with bounded batch sizes (``spark.sql.execution.arrow.maxRecordsPerBatch``)
 so a partition of large blobs can't OOM an executor.
 
-The decode step itself is STUBBED: ``fake_decode`` is a deterministic
-stand-in (real codecs aren't in this container). ``extract_features``
-accepts any ``decode_fn(payload: bytes, kind: str) -> dict`` with the same
-contract — swap in PIL/ffmpeg-backed decoders in production.
+Decoders: ``decode_media`` is REAL for container formats stdlib can parse
+— PNG (IHDR width/height via ``struct``), JPEG (SOF marker scan), WAV
+(``wave`` module: sample rate / frame count → duration). Pixel/sample
+*content* decode (resize, frame-sample, spectrogram) still needs
+PIL/ffmpeg/librosa and stays behind the same ``decode_fn(payload, kind)``
+contract; ``fake_decode`` remains the hermetic stand-in for tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -68,6 +73,103 @@ def fake_decode(payload: bytes, kind: str) -> dict[str, Any]:
     digest = hashlib.md5(payload or b"").hexdigest()
     feature = [int(digest[i * 2 : i * 2 + 2], 16) / 255.0 for i in range(8)]
     return {"digest": digest, "feature": feature}
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+DECODED_FIELDS = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("digest", T.StringType(), True),
+    ]
+)
+
+
+def decode_media(payload: bytes, kind: str) -> dict[str, Any]:
+    """REAL header decode for PNG / JPEG / WAV using only the stdlib,
+    plus the digest/feature baseline. Unrecognized payloads degrade to the
+    digest-only result (format=None) instead of raising — at 100 TB a
+    corrupt blob must cost one null row, not a task retry storm."""
+    out = fake_decode(payload, kind)
+    p = payload or b""
+    if p.startswith(PNG_SIG) and len(p) >= 24 and p[12:16] == b"IHDR":
+        width, height = struct.unpack(">II", p[16:24])
+        out.update({"format": "png", "width": width, "height": height})
+    elif p[:2] == b"\xff\xd8":  # JPEG SOI; scan for a frame (SOFn) marker
+        i = 2
+        while i + 9 < len(p) and p[i] == 0xFF:
+            marker, seglen = p[i + 1], int.from_bytes(p[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                height, width = struct.unpack(">HH", p[i + 5 : i + 9])
+                out.update({"format": "jpeg", "width": width, "height": height})
+                break
+            i += 2 + seglen
+    elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        try:
+            with wave.open(io.BytesIO(p)) as wf:
+                rate, frames = wf.getframerate(), wf.getnframes()
+                out.update(
+                    {
+                        "format": "wav",
+                        "sample_rate": rate,
+                        "duration_ms": frames * 1000 // rate if rate else None,
+                    }
+                )
+        except (wave.Error, EOFError):
+            pass
+    return out
+
+
+def decode_metadata(
+    df: DataFrame,
+    decode_fn: Callable[[bytes, str], dict[str, Any]] = decode_media,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    kind_col: str = "meta.kind",
+) -> DataFrame:
+    """Arrow-batched header decode → typed media metadata
+    (format/width/height/duration_ms/sample_rate) + n_bytes/digest.
+    The write-side twin of filtering on ``meta``: run once at ingest, store
+    the struct, and every later filter prunes without touching payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [b"" if p is None else bytes(p) for p in pdf["_payload"]]
+            decoded = [decode_fn(p, k) for p, k in zip(payloads, pdf["_kind"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_id"].to_numpy(),
+                    "format": [d.get("format") for d in decoded],
+                    "width": pd.array([d.get("width") for d in decoded], dtype="Int32"),
+                    "height": pd.array([d.get("height") for d in decoded], dtype="Int32"),
+                    "duration_ms": pd.array(
+                        [d.get("duration_ms") for d in decoded], dtype="Int64"
+                    ),
+                    "sample_rate": pd.array(
+                        [d.get("sample_rate") for d in decoded], dtype="Int32"
+                    ),
+                    "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
+                    "digest": [d.get("digest") for d in decoded],
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.pyfiles import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    slim = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(payload_col).alias("_payload"),
+        F.col(kind_col).alias("_kind"),
+    )
+    return slim.mapInPandas(run, schema=DECODED_FIELDS)
 
 
 def extract_features(

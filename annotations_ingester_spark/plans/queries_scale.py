@@ -607,9 +607,9 @@ def q_clusters(spark: SparkSession, sf: str):
     doc="Multimodal feature-extraction plumbing over binary payloads "
     "(documents.text re-encoded as an opaque blob column): Arrow-batched "
     "mapInPandas computes per-blob n_bytes + md5 digest (and the decode-fn "
-    "feature vector, certified separately in pytest — the decode itself is "
-    "a documented stub until real codecs are present). Oracle: DuckDB "
-    "octet_length/md5 over the same bytes.",
+    "feature vector, certified separately in pytest; REAL header decode is "
+    "certified by media_decode_dims). Oracle: DuckDB octet_length/md5 over "
+    "the same bytes.",
 )
 def q_media_features(spark: SparkSession, sf: str):
     from annotations_ingester_spark.multimodal.media import extract_features
@@ -621,6 +621,76 @@ def q_media_features(spark: SparkSession, sf: str):
         F.struct(F.lit("text").alias("kind")).alias("meta"),
     )
     return extract_features(media).select("media_id", "n_bytes", "digest")
+
+
+@register(
+    "media_decode_dims",
+    """SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+              (CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 1024 END)::INT AS width,
+              (CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id * 7) % 1024 END)::INT AS height,
+              (CASE WHEN doc_id % 2 = 1
+                    THEN ((100 + doc_id % 400) * 1000) // (8000 + (doc_id % 8) * 1000)
+               END)::BIGINT AS duration_ms,
+              (CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 1000 END)::INT AS sample_rate
+       FROM documents""",
+    doc="REAL media decode round-trip: even docs become byte-exact PNG "
+    "headers (signature + IHDR built with unhex/big-endian hex math), odd "
+    "docs byte-exact RIFF/WAVE headers (little-endian fmt chunk) — then "
+    "decode_metadata parses the dims back with the stdlib decoders "
+    "(struct IHDR unpack, wave module). The oracle predicts the same "
+    "numbers arithmetically from doc_id, so a hash match certifies the "
+    "decoder recovered exactly what was encoded.",
+)
+def q_media_decode(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.multimodal.media import decode_metadata
+
+    def le(col, n_bytes):  # little-endian hex of an int column
+        h = F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0")
+        return F.concat(
+            *[F.substring(h, (n_bytes - 1 - i) * 2 + 1, 2) for i in range(n_bytes)]
+        )
+
+    def be32(col):
+        return F.lpad(F.hex(col.cast("bigint")), 8, "0")
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    width = F.lit(16) + F.col("doc_id") % 1024
+    height = F.lit(16) + (F.col("doc_id") * 7) % 1024
+    rate = F.lit(8000) + (F.col("doc_id") % 8) * 1000
+    frames = F.lit(100) + F.col("doc_id") % 400
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),  # PNG signature
+        F.lit("0000000D49484452"),  # IHDR length + type
+        be32(width),
+        be32(height),
+        F.lit("0806000000"),  # bit depth 8, RGBA, deflate/adam7 defaults
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"),  # RIFF
+        le(F.lit(36) + frames * 2, 4),  # riff size
+        F.lit("57415645666D7420"),  # WAVE + 'fmt '
+        F.lit("10000000"),  # fmt chunk length 16
+        F.lit("01000100"),  # PCM, mono
+        le(rate, 4),
+        le(rate * 2, 4),  # byte rate
+        F.lit("02001000"),  # block align 2, 16-bit
+        F.lit("64617461"),  # data
+        le(frames * 2, 4),  # data size (frames × 2 bytes; wave reads
+        # nframes from this header field, payload body not required)
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.when(F.col("doc_id") % 2 == 0, png_hex).otherwise(wav_hex)).alias(
+            "payload"
+        ),
+        F.struct(
+            F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind")
+        ).alias("meta"),
+    )
+    return decode_metadata(media).select(
+        "media_id", "format", "width", "height", "duration_ms", "sample_rate"
+    )
 
 
 @register(

@@ -87,6 +87,55 @@ def test_multimodal_metadata_prunes_before_decode(spark):
     out = extract_features(images).collect()
     assert len(out) == 3  # metadata filter ran before the decode stage
 
+def test_decode_media_real_parsers():
+    """Golden-bytes check of the REAL stdlib decoders: a WAV written by the
+    wave module itself, a hand-built PNG IHDR, a minimal JPEG SOF0, and
+    garbage degrading to digest-only."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    from annotations_ingester_spark.multimodal.media import decode_media
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(22050)
+        wf.writeframes(b"\x00\x00" * 44100)  # 2 seconds
+    wav = decode_media(buf.getvalue(), "audio")
+    assert (wav["format"], wav["sample_rate"], wav["duration_ms"]) == ("wav", 22050, 2000)
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00")
+    img = decode_media(png, "image")
+    assert (img["format"], img["width"], img["height"]) == ("png", 640, 480)
+
+    jpeg = (b"\xff\xd8"                       # SOI
+            + b"\xff\xe0\x00\x10" + b"JFIF\x00" + b"\x00" * 9   # APP0
+            + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 240, 320) + b"\x03" + b"\x00" * 9)
+    j = decode_media(jpeg, "image")
+    assert (j["format"], j["width"], j["height"]) == ("jpeg", 320, 240)
+
+    junk = decode_media(b"not a media file", "image")
+    assert "format" not in junk and len(junk["feature"]) == 8  # graceful degrade
+
+
+def test_decode_metadata_dataframe(spark):
+    import struct
+
+    from annotations_ingester_spark.multimodal.media import decode_metadata
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + struct.pack(">II", 32, 48) + b"\x08\x06\x00\x00\x00")
+    rows = [(1, png, ("image", None, None, None, None, None)),
+            (2, b"junk", ("image", None, None, None, None, None))]
+    out = {r["media_id"]: r for r in decode_metadata(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("png", 32, 48)
+    assert out[2]["format"] is None and out[2]["n_bytes"] == 4
+
+
 def test_sql_api_views(spark, sf_dir):
     from annotations_ingester_spark.plans.sql_api import register_engine_views
 
