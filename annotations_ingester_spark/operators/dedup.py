@@ -202,7 +202,16 @@ def simhash_signatures(
     md5-prefix hash (functions/hashing.py uses 15 hex chars so the value
     round-trips a signed BIGINT in every engine; 16 chars would overflow).
     A wider signature would need a second hash per token, breaking the
-    hash-once invariant for a negligible accuracy gain."""
+    hash-once invariant for a negligible accuracy gain.
+
+    Aggregate packing: one sum buffer per bit (60 columns) doubled agg
+    cost vs the 32-bit original (r2 bench regression). Instead each sum
+    packs THREE 20-bit ones-counters per long (bit b of the token hash is
+    added at shift 0/20/40), so the agg carries 20 packed sums + one
+    count — a 3× narrower buffer and shuffle row, same map-side combine.
+    Sign rule: ones−zeros ≥ 0 ⇔ 2·ones ≥ n_tokens. A 20-bit counter
+    saturates at 1,048,575 distinct tokens per doc — far beyond anything
+    array_distinct could materialize in executor memory anyway."""
     _disable_infer_filters_from_generate(df)
     toks = _tokens_sql(text_col)
     ex = (
@@ -211,16 +220,30 @@ def simhash_signatures(
         .select(F.col(id_col), F.explode("_tk").alias("_tok"))
         .select(F.col(id_col), F.expr(_hash_sql("_tok")).alias("_h"))
     )
-    aggs = [
-        F.sum((F.shiftright(F.col("_h"), b) % 2) * 2 - 1).alias(f"_b{b}")
-        for b in range(bits)
-    ]
+    # Built as SQL expression STRINGS, not nested Column objects: the
+    # Column route costs one py4j JVM round-trip per operator (~700 for a
+    # 60-bit tree ≈ >1 s of driver latency per plan build — measured r3);
+    # a string is one parse call. Execution cost is identical.
+    PACK, CW = 3, 20  # counters per long, counter width
+    groups = (bits + PACK - 1) // PACK
+    mask = (1 << CW) - 1
+    aggs = [F.expr("count(1) AS _n")]
+    for g in range(groups):
+        terms = [
+            f"(shiftleft(shiftright(_h, {g * PACK + i}) & 1, {i * CW}))"
+            for i in range(min(PACK, bits - g * PACK))
+        ]
+        aggs.append(F.expr(f"sum({' + '.join(terms)}) AS _g{g}"))
     wide = ex.groupBy(id_col).agg(*aggs)
-    sim = None
-    for b in range(bits):
-        term = F.when(F.col(f"_b{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return wide.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    bit_terms = [
+        f"(CASE WHEN (shiftright(_g{g}, {i * CW}) & {mask}) * 2 >= _n"
+        f" THEN {1 << (g * PACK + i)}L ELSE 0L END)"
+        for g in range(groups)
+        for i in range(min(PACK, bits - g * PACK))
+    ]
+    return wide.selectExpr(
+        id_col, f"CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash"
+    )
 
 
 def ngram_jaccard_pairs(
