@@ -240,16 +240,33 @@ def test_connected_components_and_survivors(spark):
     assert kept == [1, 5, 7]  # one survivor per cluster + the singleton
 
 
-def test_connected_components_warns_on_non_convergence(spark):
-    import warnings
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """Star contraction beats min-label propagation on high-diameter graphs:
+    a 64-link chain (diameter 64, which label propagation would need ~64
+    rounds for) reaches the fixpoint in O(log n) rounds."""
+    from annotations_ingester_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components(edges, return_rounds=True)
+    cc = {r["node"]: r["cluster_id"] for r in labels.collect()}
+    assert cc == {i: 0 for i in range(65)}
+    assert rounds <= 10, rounds  # 64-diameter chain in logarithmic rounds
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
 
     from annotations_ingester_spark.operators.cluster import connected_components
 
-    # a path graph 0-1-2-...-6 has diameter 6 > max_iterations=2
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
     )
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        connected_components(edges, max_iterations=2).collect()
-    assert any("did not converge" in str(w.message) for w in caught)
+    with pytest.raises(RuntimeError, match="did not reach a fixpoint"):
+        connected_components(edges, max_iterations=1)
+    # but converging EXACTLY on the final permitted round is NOT an error
+    # (the r2 implementation warned spuriously in that case)
+    _, rounds = connected_components(edges, return_rounds=True)
+    labels = connected_components(edges, max_iterations=rounds)
+    assert labels.count() == 31
