@@ -116,9 +116,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN top-k: assign every vector to its nearest centroid
     (the coarse quantizer), then search only within the query's cell.
+
+    ``nprobe`` is the standard IVF recall/cost dial: each query searches
+    its ``nprobe`` nearest cells (base vectors stay single-assigned), so
+    candidates ≈ nprobe · N / n_centroids per query.
 
     Scale shape: centroids are broadcast (a cross join against a handful of
     rows — a scan, not a shuffle); cell assignment is a ranked window per
@@ -136,15 +141,16 @@ def ivf_topk(
         F.round(cosine_similarity(vec_col, "_c_vec"), 6).alias("_ccos"),
     )
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("_c_id"))
-    cells = (
-        scored.withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col("_c_id").alias("cell"))
+    assigned = scored.withColumn("_rn", F.row_number().over(w_assign))
+    cells = assigned.filter(F.col("_rn") == 1).select(
+        id_col, vec_col, F.col("_c_id").alias("cell")
     )
-    q = cells.join(queries.select(id_col), on=id_col, how="left_semi").select(
+    q = assigned.filter(F.col("_rn") <= nprobe).join(
+        queries.select(id_col), on=id_col, how="left_semi"
+    ).select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_q_vec"),
-        F.col("cell"),
+        F.col("_c_id").alias("cell"),
     )
     pairs = cells.join(F.broadcast(q), on="cell").filter(
         F.col(id_col) != F.col(query_id_col)
@@ -155,6 +161,8 @@ def ivf_topk(
         "cell",
         F.round(cosine_similarity("_q_vec", vec_col), 6).alias("cos"),
     )
+    # no dedup needed at any nprobe: base vectors are single-assigned, so
+    # cells are disjoint and each (query, candidate) pair joins once
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return ranked.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
