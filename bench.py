@@ -44,6 +44,18 @@ HEADLINE = [
     "range_join_event_pairs",
     "window_tumbling_events",
     "text_quality_scores",
+    # r3: heaviest representatives of the post-r1 families, so regressions
+    # in BM25/TF-IDF, decontamination, k-means, clustering, streaming,
+    # Gopher flags, and media decode are visible round-over-round
+    "tfidf_top_terms",
+    "bm25_match_ranking",
+    "decontamination_ngram_overlap",
+    "kmeans_lloyd_step",
+    "dedup_duplicate_clusters",
+    "streaming_tumbling_agg",
+    "text_gopher_quality_flags",
+    "media_decode_dims",
+    "window_sliding_events",
 ]
 
 
