@@ -17,10 +17,11 @@ import annotations_ingester_spark.plans.queries_ext  # noqa: F401,E402
 import annotations_ingester_spark.plans.queries_search  # noqa: F401,E402
 import annotations_ingester_spark.plans.queries_tpch2  # noqa: F401,E402
 import annotations_ingester_spark.plans.queries_llm  # noqa: F401,E402
+import annotations_ingester_spark.plans.queries_curation  # noqa: F401,E402
 
 # Floor, not exact count: adding queries must not break this, losing a whole
 # group module must. Keep >= the registry size at the last certified round.
-EXPECTED_MIN_QUERIES = 93
+EXPECTED_MIN_QUERIES = 98
 
 if len(REGISTRY) < EXPECTED_MIN_QUERIES:  # pragma: no cover - guard
     raise RuntimeError(

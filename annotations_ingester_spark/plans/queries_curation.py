@@ -1,0 +1,174 @@
+"""Corpus curation surface: deterministic splits & sampling, vocabulary
+building, PII detection, and embedding near-dup discovery — the remaining
+primitives a training-data pipeline needs around the dedup/quality stack.
+Every query has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from annotations_ingester_spark.functions.hashing import md5_hash64_sql
+from annotations_ingester_spark.functions.text import tokens, tokens_sql
+from annotations_ingester_spark.functions.vectors import (
+    cosine_similarity_sql,
+    sign_bucket_sql,
+)
+from annotations_ingester_spark.plans.catalog import register, table
+
+_SPLIT_HASH = md5_hash64_sql("'split:' || doc_id::VARCHAR")
+_SAMPLE_HASH = md5_hash64_sql("'sample:' || doc_id::VARCHAR")
+
+
+@register(
+    "split_hash_assign",
+    f"""SELECT doc_id,
+               ({_SPLIT_HASH} % 100)::BIGINT AS split_bucket,
+               CASE WHEN {_SPLIT_HASH} % 100 < 80 THEN 'train'
+                    WHEN {_SPLIT_HASH} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents""",
+    doc="Stable train/val/test split: bucket = portable_hash('split:'||id) "
+    "mod 100 — the same row lands in the same split on every run and "
+    "engine, and growing the corpus never reshuffles existing assignments "
+    "(rand()/TABLESAMPLE can't promise either). A pure projection: no "
+    "shuffle, stays fused with the scan at any scale.",
+)
+def q_hash_split(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.sampling import hash_split
+
+    return hash_split(table(spark, sf, "documents")).select(
+        "doc_id", "split_bucket", "split"
+    )
+
+
+@register(
+    "split_stratified_sample",
+    f"""SELECT doc_id, lang, source, sample_rank FROM (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY lang, source
+                                    ORDER BY {_SAMPLE_HASH}, doc_id)::BIGINT AS sample_rank
+          FROM documents)
+        WHERE sample_rank <= 5""",
+    doc="Deterministic stratified sampling: exactly 5 docs per "
+    "(lang, source) stratum chosen by portable-hash order — an engine-"
+    "reproducible 'random' sample. One shuffle on the strata key; the "
+    "per-stratum top-n is a ranked window, so no stratum ever reaches "
+    "the driver.",
+)
+def q_stratified_sample(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        table(spark, sf, "documents"), ["lang", "source"], n_per_stratum=5
+    )
+    return out.select(
+        "doc_id", "lang", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+@register(
+    "vocab_top_terms",
+    f"""WITH t AS (
+          SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents)
+        SELECT token, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM t GROUP BY token HAVING count(*) >= 10
+        ORDER BY tf DESC, token LIMIT 50""",
+    doc="Corpus vocabulary building: term + document frequency per token "
+    "with a min-count floor and a bounded top-k — the tokenizer-vocab/BPE "
+    "seed step. Map-side combinable count aggregates; the only full sort "
+    "is over the already-tiny filtered vocab.",
+)
+def q_vocab(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("tf") >= 10)
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(50)
+    )
+
+
+# deterministic synthetic PII so the detectors have real positives to find:
+# every 7th doc gains an email, every 11th an https URL (word-soup test
+# corpora contain none naturally)
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_NUM_RE = r"\d{4,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+@register(
+    "pii_detection_stats",
+    f"""WITH d AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                              THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                              ELSE '' END
+                      || CASE WHEN doc_id % 11 = 0
+                              THEN ' see https://example.org/d/' || doc_id::VARCHAR
+                              ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_email,
+               len(regexp_extract_all(text, '{_NUM_RE}'))::BIGINT AS n_longnum,
+               len(regexp_extract_all(text, '{_URL_RE}'))::BIGINT AS n_url,
+               (CASE WHEN len(regexp_extract_all(text, '{_EMAIL_RE}')) +
+                          len(regexp_extract_all(text, '{_URL_RE}')) > 0
+                     THEN 1 ELSE 0 END)::BIGINT AS has_pii
+        FROM d""",
+    doc="PII detection: per-doc counts of email / long-number / URL "
+    "patterns via JVM-side regexp_count (no Python), the precursor to "
+    "redaction (text_redaction) and filtering. Deterministic synthetic "
+    "PII is injected so the detectors are certified against real "
+    "positives, not an all-zero corpus.",
+)
+def q_pii(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" see https://example.org/d/"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", text.alias("_t"))
+    n_email = F.regexp_count("_t", F.lit(_EMAIL_RE))
+    n_num = F.regexp_count("_t", F.lit(_NUM_RE))
+    n_url = F.regexp_count("_t", F.lit(_URL_RE))
+    return d.select(
+        "doc_id",
+        n_email.cast("long").alias("n_email"),
+        n_num.cast("long").alias("n_longnum"),
+        n_url.cast("long").alias("n_url"),
+        ((n_email + n_url) > 0).cast("long").alias("has_pii"),
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {sign_bucket_sql('embedding', 8)} AS bucket
+          FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+               round({cosine_similarity_sql('a.v', 'b.v')}, 6) AS cos
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round({cosine_similarity_sql('a.v', 'b.v')}, 6) >= 0.3""",
+    doc="Embedding-cosine near-dup pairs above a threshold, discovered "
+    "within sign buckets (per-bucket self-join — the scalable all-pairs; "
+    "operators/similarity.embedding_near_duplicates). Completes the "
+    "near-dup family: exact (hash), MinHash-LSH, SimHash, n-gram "
+    "Jaccard, embedding-cosine.",
+)
+def q_embedding_near_dups(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.similarity import embedding_near_duplicates
+
+    emb = table(spark, sf, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.3, n_bits=8)

@@ -270,3 +270,37 @@ def test_connected_components_raises_on_non_convergence(spark):
     _, rounds = connected_components(edges, return_rounds=True)
     labels = connected_components(edges, max_iterations=rounds)
     assert labels.count() == 31
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """The property rand()-based splits lack: adding rows never changes an
+    existing row's split, and proportions are within tolerance."""
+    from annotations_ingester_spark.operators.sampling import hash_split
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    large = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s = {r["doc_id"]: r["split"] for r in hash_split(small).collect()}
+    l = {r["doc_id"]: r["split"] for r in hash_split(large).collect()}
+    assert all(l[k] == v for k, v in s.items())  # history never reshuffles
+    from collections import Counter
+
+    frac = Counter(l.values())
+    assert 0.74 <= frac["train"] / 1000 <= 0.86
+    assert 0.06 <= frac["val"] / 1000 <= 0.14
+
+
+def test_stratified_sample_exact_n_and_deterministic(spark):
+    from annotations_ingester_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], ["web", "book"][i // 2 % 2]) for i in range(80)],
+        "doc_id long, lang string, source string",
+    )
+    out = stratified_sample(df, ["lang", "source"], 3)
+    counts = {(r["lang"], r["source"]): r["n"] for r in
+              out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 3 for v in counts.values()) and len(counts) == 4
+    # deterministic: identical ids on a rerun
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(df, ["lang", "source"], 3).collect())
+    assert ids1 == ids2
