@@ -172,3 +172,109 @@ def q_embedding_near_dups(spark: SparkSession, sf: str):
 
     emb = table(spark, sf, "embeddings")
     return embedding_near_duplicates(emb, threshold=0.3, n_bits=8)
+
+
+_TOKS = tokens_sql("text")
+
+
+@register(
+    "text_repetition_stats",
+    f"""WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                       i -> t[i] || ' ' || t[i+1])) AS bg,
+                 NULL AS tg
+          FROM d WHERE len(t) >= 2
+          UNION ALL
+          SELECT doc_id, NULL,
+                 unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          FROM d WHERE len(t) >= 3),
+        bge AS (SELECT doc_id, bg, count(*) AS c FROM g WHERE bg IS NOT NULL
+                GROUP BY doc_id, bg),
+        tge AS (SELECT doc_id, tg, count(*) AS c FROM g WHERE tg IS NOT NULL
+                GROUP BY doc_id, tg),
+        bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bg, max(c)::BIGINT AS top_bg,
+                      count(*)::BIGINT AS d_bg FROM bge GROUP BY doc_id),
+        ts AS (SELECT doc_id, sum(c)::BIGINT AS n_tg, count(*)::BIGINT AS d_tg
+               FROM tge GROUP BY doc_id)
+        SELECT bs.doc_id,
+               round(top_bg / n_bg, 6) AS top_bigram_frac,
+               round((n_tg - d_tg) / n_tg, 6) AS dup_trigram_frac,
+               ((top_bg / n_bg <= 0.18) AND ((n_tg - d_tg) / n_tg <= 0.3)) AS passes
+        FROM bs JOIN ts ON bs.doc_id = ts.doc_id""",
+    doc="Gopher repetition suite, n-gram half: per-doc top-bigram fraction "
+    "and duplicate-trigram fraction (1 − distinct/total) with the paper's "
+    "pass thresholds — one shingle explode per n, integer count aggs, all "
+    "map-side combinable. Complements text_gopher_quality_flags (token "
+    "half).",
+)
+def q_repetition(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents").select("doc_id", tokens("text").alias("_t"))
+
+    def grams(n: int):
+        parts = " || ' ' || ".join(f"element_at(_t, i + {j})" for j in range(n))
+        return (
+            docs.filter(F.size("_t") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(f"transform(sequence(1, size(_t) - {n - 1}), i -> {parts})")
+                ).alias("g"),
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    bs = grams(2).groupBy("doc_id").agg(
+        F.sum("c").alias("n_bg"), F.max("c").alias("top_bg")
+    )
+    ts = grams(3).groupBy("doc_id").agg(
+        F.sum("c").alias("n_tg"), F.count("*").alias("d_tg")
+    )
+    top_frac = F.col("top_bg") / F.col("n_bg")
+    dup_frac = (F.col("n_tg") - F.col("d_tg")) / F.col("n_tg")
+    return bs.join(ts, "doc_id").select(
+        "doc_id",
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_frac, 6).alias("dup_trigram_frac"),
+        ((top_frac <= 0.18) & (dup_frac <= 0.3)).alias("passes"),
+    )
+
+
+_DS_HASH = md5_hash64_sql("'downsample:' || doc_id::VARCHAR")
+
+
+@register(
+    "weighted_downsample",
+    f"""SELECT doc_id, lang,
+               ({_DS_HASH} % 10000)::BIGINT AS keep_bucket
+        FROM documents
+        WHERE {_DS_HASH} % 10000 <
+              CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                        WHEN 'fr' THEN 5000 ELSE 2500 END""",
+    doc="Deterministic weighted downsampling: per-language keep rates "
+    "(en 100%, de/fr 50%, other 25%) decided by portable-hash threshold — "
+    "the language-rebalancing step of corpus mixing, reproducible across "
+    "runs/engines and stable under corpus growth (same guarantees as "
+    "split_hash_assign). Pure filter+projection: no shuffle, fuses with "
+    "the scan.",
+)
+def q_weighted_downsample(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    docs = table(spark, sf, "documents")
+    bucket = F.pmod(
+        md5_hash64(F.concat_ws(":", F.lit("downsample"), F.col("doc_id").cast("string"))),
+        F.lit(10000),
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 10000)
+        .when(F.col("lang").isin("de", "fr"), 5000)
+        .otherwise(2500)
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("keep_bucket"))
+        .filter(F.col("keep_bucket") < rate)
+    )
