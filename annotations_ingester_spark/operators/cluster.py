@@ -92,17 +92,22 @@ def connected_components(
         .distinct()
     )
     e = _canonical(raw).localCheckpoint(eager=True)
+    n_prev = e.count()
     rounds = 0
     converged = False
     for _ in range(max_iterations):
         rounds += 1
         e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # true fixpoint check: identical edge sets (both canonical+distinct)
-        if e_new.count() == e.count() and e_new.subtract(e).isEmpty():
+        # true fixpoint check: identical edge sets (both canonical+distinct).
+        # The count is tracked driver-side round-over-round, so the exact
+        # subtract (the expensive part) only runs on count-stable rounds —
+        # in practice just the final one.
+        n_new = e_new.count()
+        if n_new == n_prev and e_new.subtract(e).isEmpty():
             converged = True
             e = e_new
             break
-        e = e_new
+        e, n_prev = e_new, n_new
     if not converged:
         raise RuntimeError(
             f"connected_components did not reach a fixpoint in {max_iterations} "
