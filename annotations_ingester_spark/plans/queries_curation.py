@@ -278,3 +278,43 @@ def q_weighted_downsample(spark: SparkSession, sf: str):
         docs.select("doc_id", "lang", bucket.alias("keep_bucket"))
         .filter(F.col("keep_bucket") < rate)
     )
+
+
+@register(
+    "streaming_watermarked_dedup",
+    """SELECT DISTINCT event_id FROM events""",
+    doc="Streaming dedup with BOUNDED state run for real: the events file "
+    "is read as two unioned streams (every event arrives twice), pushed "
+    "through withWatermark + dropDuplicatesWithinWatermark (state for ids "
+    "older than the watermark is evicted - O(window) memory at 100 TB, "
+    "where an unbounded dropDuplicates would grow state forever), driven "
+    "to completion with availableNow. Oracle: exact DISTINCT event_id "
+    "set - every duplicate dropped, every event kept.",
+)
+def q_streaming_dedup(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.streaming.stateful import watermarked_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+
+    def one_stream():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        return raw.withColumn(
+            "ts_t", F.timestamp_seconds((F.col("ts") / F.lit(1_000_000_000)).cast("long"))
+        ).select("event_id", "ts_t")
+
+    doubled = one_stream().unionByName(one_stream())
+    deduped = watermarked_dedup(doubled, ["event_id"], "ts_t").select("event_id")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("streaming_dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_dedup_out")
