@@ -318,3 +318,39 @@ def q_streaming_dedup(spark: SparkSession, sf: str):
     )
     q.awaitTermination()
     return spark.table("streaming_dedup_out")
+
+
+@register(
+    "streaming_stateful_totals",
+    """SELECT user_id, count(*)::BIGINT AS total_events
+       FROM events GROUP BY user_id""",
+    doc="Custom stateful streaming operator run for real: per-user running "
+    "event totals via applyInPandasWithState (state = one counter per "
+    "key, O(keys) memory), driven to completion with availableNow and "
+    "certified against the exact per-user counts. The multi-batch "
+    "accumulation path is pinned separately in pytest "
+    "(test_running_user_totals_accumulates_across_batches).",
+)
+def q_streaming_totals(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.pyfiles import ensure_worker_imports
+    from annotations_ingester_spark.streaming.stateful import running_user_totals
+
+    ensure_worker_imports(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .select("user_id")
+    )
+    totals = running_user_totals(stream).select("user_id", "total_events")
+    q = (
+        totals.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("streaming_totals_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_totals_out")
