@@ -108,3 +108,20 @@ def test_window_queries_timezone_independent(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"  # not clobbered
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_hash_split_and_downsample_are_scan_fused(spark):
+    """Split assignment and weighted downsampling must stay pure
+    projections/filters — zero Exchange operators, so at 100 TB they fuse
+    with the scan instead of adding a shuffle."""
+    for name in ("split_hash_assign", "weighted_downsample"):
+        p = plan_of(spark, name)
+        assert "Exchange" not in p, f"{name} plan has a shuffle:\n{p}"
+
+
+def test_stratified_sample_single_shuffle(spark):
+    """Stratified sampling is one hash exchange on the strata key feeding
+    the ranked window — no second shuffle, no global sort."""
+    p = plan_of(spark, "split_stratified_sample")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "rangepartitioning" not in p.lower(), p
