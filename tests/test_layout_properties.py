@@ -132,3 +132,46 @@ def test_gate_normalize_sequential_ids(by_type):
     for e in ents:
         lo, hi = e["indices"]
         assert e["source_value"] == text[lo:hi]
+
+
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                 min_size=1, max_size=30),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_simhash_packed_counters_match_reference(spark, token_lists):
+    """The 3×20-bit packed-counter SimHash must equal a bit-at-a-time
+    pure-Python reference on arbitrary token multisets (guards the r3
+    packing/shift arithmetic)."""
+    import hashlib
+
+    from annotations_ingester_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_signatures,
+    )
+
+    def py_simhash(tokens):
+        distinct = sorted(set(tokens))
+        if not distinct:
+            return None
+        sums = [0] * SIMHASH_BITS
+        for t in distinct:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(SIMHASH_BITS):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(SIMHASH_BITS) if sums[b] >= 0)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    for i, toks in enumerate(token_lists):
+        expect = py_simhash(toks)
+        if expect is None:
+            assert i not in got
+        else:
+            assert got[i] == expect, (i, toks)
