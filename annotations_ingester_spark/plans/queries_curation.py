@@ -10,7 +10,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from annotations_ingester_spark.functions.hashing import md5_hash64_sql
-from annotations_ingester_spark.functions.text import tokens, tokens_sql
+from annotations_ingester_spark.functions.text import quality_score_sql, tokens, tokens_sql
 from annotations_ingester_spark.functions.vectors import (
     cosine_similarity_sql,
     sign_bucket_sql,
@@ -354,3 +354,32 @@ def q_streaming_totals(spark: SparkSession, sf: str):
     )
     q.awaitTermination()
     return spark.table("streaming_totals_out")
+
+
+@register(
+    "quality_percentile_filter",
+    f"""WITH s AS (
+          SELECT doc_id, {quality_score_sql('text')} AS q
+          FROM documents),
+        t AS (SELECT quantile_cont(q, 0.25) AS thr FROM s)
+        SELECT doc_id, round(q, 6) AS quality
+        FROM s, t WHERE q >= thr""",
+    doc="Percentile-threshold quality gate: drop the worst quartile by "
+    "corpus quality score — the relative-threshold companion to the "
+    "absolute Gopher gates. The exact-percentile threshold is a 1-row "
+    "aggregate broadcast back over the corpus (scalar-subquery shape: "
+    "one pass for the stats, one scan-fused filter pass; no shuffle of "
+    "the data itself).",
+)
+def q_quality_percentile(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.text import quality_score
+
+    s = table(spark, sf, "documents").select(
+        "doc_id", quality_score("text").alias("q")
+    )
+    thr = s.agg(F.expr("percentile(q, 0.25)").alias("thr"))
+    return (
+        s.crossJoin(F.broadcast(thr))
+        .filter(F.col("q") >= F.col("thr"))
+        .select("doc_id", F.round("q", 6).alias("quality"))
+    )
