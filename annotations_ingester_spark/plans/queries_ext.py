@@ -396,3 +396,112 @@ def q18(spark: SparkSession, sf: str):
         )
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"))
     )
+
+
+@register(
+    "window_analytics_suite",
+    """SELECT o_custkey, o_orderkey,
+              lag(o_totalprice) OVER w AS prev_price,
+              lead(o_totalprice) OVER w AS next_price,
+              first_value(o_orderkey) OVER w AS first_order,
+              ntile(4) OVER w::BIGINT AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume
+       FROM orders WHERE o_custkey <= 200
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    doc="Analytic window breadth: lag/lead/first_value/ntile/percent_rank/"
+    "cume_dist over one per-customer ordered frame — a single hash "
+    "exchange on the partition key serves every function (no per-function "
+    "re-shuffle).",
+)
+def q_window_suite(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = table(spark, sf, "orders").filter(F.col("o_custkey") <= 200)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              grouping(o_orderstatus)::BIGINT + 2 * grouping(o_orderpriority)::BIGINT AS gid,
+              count(*)::BIGINT AS n,
+              CAST(sum(o_totalprice::DECIMAL(14,2)) AS DOUBLE) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                               (o_orderstatus, o_orderpriority))""",
+    doc="Explicit GROUPING SETS (beyond rollup/cube) with grouping() "
+    "disambiguation of NULL-vs-ALL — one expand + one shuffle, not one "
+    "aggregation pass per set.",
+)
+def q_grouping_sets(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders")
+    gid = (
+        F.grouping("o_orderstatus").cast("long")
+        + F.lit(2) * F.grouping("o_orderpriority").cast("long")
+    )
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "f_array_suite",
+    """WITH d AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> '') AS t
+                  FROM documents)
+       SELECT doc_id,
+              len(t)::BIGINT AS n_tokens,
+              list_sort(list_distinct(t))[1] AS first_token,
+              len(list_filter(t, x -> length(x) >= 5))::BIGINT AS n_long,
+              list_sum(list_transform(t, x -> length(x)))::BIGINT AS sum_len,
+              array_to_string(list_sort(list_distinct(t))[1:3], '|') AS top3
+       FROM d WHERE len(t) > 0""",
+    doc="Array / higher-order-function suite: sort, distinct, filter-"
+    "lambda, transform+aggregate (fold), slice, join-to-string — all "
+    "JVM-side codegen'd array expressions (zero Python), the idioms the "
+    "dedup/vector operators build on.",
+)
+def q_array_suite(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.text import tokens
+
+    d = table(spark, sf, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    ).filter(F.size("t") > 0)
+    srt = F.array_sort(F.array_distinct("t"))
+    return d.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.element_at(srt, 1).alias("first_token"),
+        F.size(F.filter("t", lambda x: F.length(x) >= 5)).cast("long").alias("n_long"),
+        F.aggregate("t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias("sum_len"),
+        F.array_join(F.slice(srt, 1, 3), "|").alias("top3"),
+    )
