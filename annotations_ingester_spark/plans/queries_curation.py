@@ -383,3 +383,31 @@ def q_quality_percentile(spark: SparkSession, sf: str):
         .filter(F.col("q") >= F.col("thr"))
         .select("doc_id", F.round("q", 6).alias("quality"))
     )
+
+
+@register(
+    "corpus_mixture_report",
+    f"""WITH s AS (
+          SELECT doc_id, lang,
+                 len({tokens_sql('text')})::BIGINT AS n_tokens,
+                 CASE WHEN {_SPLIT_HASH} % 100 < 80 THEN 'train'
+                      WHEN {_SPLIT_HASH} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, lang, count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS total_tokens
+        FROM s GROUP BY split, lang""",
+    doc="Corpus mixture report: docs + token budget per (split, language) "
+    "— the planning artifact a training run starts from, composing the "
+    "stable hash split with token counting. One map-side-combinable "
+    "aggregate over a scan-fused projection.",
+)
+def q_mixture(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.sampling import hash_split
+
+    docs = hash_split(table(spark, sf, "documents")).select(
+        "split", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return docs.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )

@@ -505,3 +505,29 @@ def q_array_suite(spark: SparkSession, sf: str):
         F.aggregate("t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias("sum_len"),
         F.array_join(F.slice(srt, 1, 3), "|").alias("top3"),
     )
+
+
+@register(
+    "correlated_above_customer_avg",
+    """SELECT o_custkey, o_orderkey,
+              CAST(o_totalprice AS DOUBLE) AS price
+       FROM orders o
+       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+                             WHERE i.o_custkey = o.o_custkey)""",
+    doc="Correlated scalar subquery (each order vs its own customer's "
+    "average): decorrelated into a per-key window average — one shuffle "
+    "on the correlation key instead of a per-row subquery execution, the "
+    "rewrite every engine needs at scale.",
+)
+def q_correlated(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey")
+    o = table(spark, sf, "orders")
+    return (
+        o.withColumn("_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .select(
+            "o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+        )
+    )
