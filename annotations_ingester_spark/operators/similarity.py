@@ -267,3 +267,64 @@ def kmeans_lloyd_step(
         )
         .withColumn("dim", F.col("dim").cast("long"))
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    initial_centroids: DataFrame,
+    max_iterations: int = 20,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> tuple[DataFrame, int]:
+    """Full k-means: Lloyd steps under a driver-side convergence loop.
+    Returns (final (vec_id, centroid_id) assignment, iterations run).
+
+    Per iteration only one SCALAR (the max per-dimension centroid shift)
+    reaches the driver; centroids themselves stay small (k·d rows) and are
+    rebuilt as a DataFrame from the step output via localCheckpoint — the
+    same iterative template as operators/cluster.connected_components.
+    Stops when every centroid coordinate moved < ``tol`` or a cluster
+    emptied into a stable fixpoint."""
+    spark = embeddings.sparkSession
+    cent = initial_centroids.select(
+        F.col(centroid_id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).localCheckpoint(eager=True)
+    iterations = 0
+    for _ in range(max_iterations):
+        iterations += 1
+        step = kmeans_lloyd_step(
+            embeddings, cent, id_col, vec_col, centroid_id_col
+        )
+        new_cent = (
+            step.groupBy(centroid_id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("mean")))
+                ).alias("_dm")
+            )
+            .select(
+                centroid_id_col,
+                F.transform("_dm", lambda s: s["mean"]).alias(vec_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+        shift = (
+            cent.alias("o")
+            .join(new_cent.alias("n"), centroid_id_col)
+            .select(
+                F.aggregate(
+                    F.zip_with(f"o.{vec_col}", f"n.{vec_col}", lambda a, b: F.abs(a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, x),
+                ).alias("s")
+            )
+            .agg(F.max("s"))
+            .first()[0]
+        )
+        cent = new_cent
+        if shift is not None and shift < tol:
+            break
+    assign = kmeans_assign(embeddings, cent, id_col, vec_col, centroid_id_col)
+    return assign, iterations

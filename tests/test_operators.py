@@ -304,3 +304,30 @@ def test_stratified_sample_exact_n_and_deterministic(spark):
     ids1 = sorted(r["doc_id"] for r in out.collect())
     ids2 = sorted(r["doc_id"] for r in stratified_sample(df, ["lang", "source"], 3).collect())
     assert ids1 == ids2
+
+
+def test_kmeans_fit_converges_on_planted_clusters(spark):
+    import numpy as np
+
+    from annotations_ingester_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(3, 8)) * 5
+    rows = []
+    for c in range(3):
+        for _ in range(10):
+            v = centers[c] + rng.normal(scale=0.1, size=8)
+            rows.append((len(rows), [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # deliberately poor init: three points from the SAME planted cluster
+    # region would be degenerate; pick one from each third of ids
+    init = emb.filter(F.col("vec_id").isin(0, 10, 20)).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign, iters = kmeans_fit(emb, init, max_iterations=15, tol=1e-6)
+    got = {r["vec_id"]: r["centroid_id"] for r in assign.collect()}
+    for c in range(3):  # every planted cluster maps to exactly one centroid
+        labels = {got[i] for i in range(c * 10, (c + 1) * 10)}
+        assert len(labels) == 1
+    assert len({got[0], got[10], got[20]}) == 3  # clusters not merged
+    assert iters < 15  # converged by tolerance, not exhaustion
