@@ -492,3 +492,73 @@ def q21(spark: SparkSession, sf: str):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "q20_potential_promotion",
+    """WITH ps AS (
+         SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                ((l_partkey * 13 + l_suppkey * 37) % 500)::BIGINT AS ps_availqty
+         FROM lineitem),
+       shipped AS (
+         SELECT l_partkey, l_suppkey,
+                sum(l_quantity)::BIGINT AS qty
+         FROM lineitem
+         WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+         GROUP BY l_partkey, l_suppkey),
+       cand AS (
+         SELECT DISTINCT ps.ps_suppkey
+         FROM ps
+         JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'small%'
+         JOIN shipped s ON s.l_partkey = ps.ps_partkey AND s.l_suppkey = ps.ps_suppkey
+         WHERE ps.ps_availqty > 0.5 * s.qty)
+       SELECT sp.s_name, n.n_name
+       FROM supplier sp
+       JOIN nation n ON sp.s_nationkey = n.n_nationkey
+       WHERE sp.s_suppkey IN (SELECT ps_suppkey FROM cand)
+         AND n.n_name IN ('NATION_0', 'NATION_1')""",
+    doc="TPC-H Q20 pattern (potential part promotion), adapted: the test "
+    "schema has no partsupp table, so availqty is synthesized "
+    "deterministically from (partkey, suppkey) over the distinct lineitem "
+    "pairs — identical arithmetic on both engines. Shape: semi-join chain "
+    "(parts-by-name -> half-of-shipped-qty threshold -> supplier "
+    "left-semi), broadcast dims. Completes all 22 TPC-H query patterns.",
+)
+def q20(spark: SparkSession, sf: str):
+    li = table(spark, sf, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct().withColumn(
+        "ps_availqty",
+        ((F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 37) % 500).cast("long"),
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    part_small = F.broadcast(
+        table(spark, sf, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    )
+    cand = (
+        ps.join(part_small, ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    n = F.broadcast(
+        table(spark, sf, "nation").filter(F.col("n_name").isin("NATION_0", "NATION_1"))
+    )
+    sp = table(spark, sf, "supplier")
+    return (
+        sp.join(cand, sp.s_suppkey == cand.ps_suppkey, "left_semi")
+        .join(n, sp.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
