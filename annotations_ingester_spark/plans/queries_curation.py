@@ -411,3 +411,40 @@ def q_mixture(spark: SparkSession, sf: str):
     return docs.groupBy("split", "lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
     )
+
+
+@register(
+    "corpus_shuffle_order",
+    f"""SELECT doc_id,
+               row_number() OVER (ORDER BY {_SAMPLE_HASH}, doc_id)::BIGINT AS shuffle_pos
+        FROM documents""",
+    doc="Deterministic corpus shuffling: every doc gets a stable "
+    "pseudo-random position — the reproducible epoch-shuffle training "
+    "runs need. Computed as DISTRIBUTED total-order ranking (zipWithIndex "
+    "done right in the DataFrame API): bucket on the top bits of the "
+    "60-bit hash (buckets are contiguous hash ranges, so bucket order == "
+    "global order), rank within each bucket in parallel windows, then add "
+    "per-bucket offsets from a 256-row running-total broadcast back. No "
+    "single-partition global window anywhere.",
+)
+def q_shuffle_order(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    rk = md5_hash64(
+        F.concat_ws(":", F.lit("sample"), F.col("doc_id").cast("string"))
+    )
+    d = table(spark, sf, "documents").select(
+        "doc_id", rk.alias("_rk")
+    ).withColumn("_bucket", F.shiftright("_rk", 52))  # 256 ordered hash ranges
+    w_in = Window.partitionBy("_bucket").orderBy(F.asc("_rk"), F.asc("doc_id"))
+    ranked = d.withColumn("_rn", F.row_number().over(w_in))
+    counts = d.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_bucket", "_off")
+    return ranked.join(F.broadcast(offsets), "_bucket").select(
+        "doc_id", (F.col("_off") + F.col("_rn")).cast("long").alias("shuffle_pos")
+    )
