@@ -45,7 +45,11 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """(v, m(u)) for every neighbor v > u, where m(u) = min(Γ(u) ∪ {u})."""
+    """(v, m(u)) for every neighbor v > u, where m(u) = min(Γ(u) ∪ {u}).
+
+    Output is already larger→smaller oriented (v > u ≥ m) but NOT
+    deduplicated — the downstream small-star min-aggregate tolerates
+    duplicates, so skipping the distinct here saves a shuffle per round."""
     adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         adj.groupBy("u")
@@ -56,15 +60,14 @@ def _large_star(e: DataFrame) -> DataFrame:
         adj.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(s: DataFrame) -> DataFrame:
     """Re-link each node's smaller neighbors (and itself) to their minimum.
-    Input/output are canonical larger→smaller sets."""
-    s = _canonical(e)
+    Input must be larger→smaller oriented (duplicates fine — the min-agg
+    absorbs them); output is canonical distinct, the round's only dedup
+    shuffle."""
     mins = s.groupBy("u").agg(F.min("v").alias("m"))  # all v < u ⇒ m < u
     relink = (
         s.join(mins, "u")
