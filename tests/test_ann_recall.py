@@ -97,3 +97,77 @@ def test_uniform_random_lift_at_sf01(spark):
     frac = n_cand / (nq * (n - 1))
     print(f"uniform sf0.1: recall@{K}={rec:.3f} candidate_frac={frac:.3f} lift={rec / frac:.1f}x")
     assert rec >= 2 * frac, (rec, frac)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """Realistic near-dups at the operators' design point: 200-token docs
+    whose duplicate replaces one contiguous 8-token block (a small edit in
+    a long document). Shingle-Jaccard stays ≈0.9 (a contiguous edit kills
+    only ~10 of ~198 trigram shingles) and the SimHash bit sums barely
+    move (4% token change over 200-token sums). Scattered edits in SHORT
+    docs are a different regime — they shred most shingles and flip many
+    near-zero bit sums, and no sketch method retrieves them well."""
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(5000)]
+    rows, pairs = [], []
+    did = 0
+    for b in range(100):
+        base = list(rng.choice(vocab, size=200, replace=False))
+        rows.append((did, " ".join(base)))
+        base_id = did
+        did += 1
+        if b % 2 == 0:
+            dup = base.copy()
+            start = int(rng.integers(0, 192))
+            repl = list(rng.choice(vocab, size=8, replace=False))
+            dup[start : start + 8] = repl
+            rows.append((did, " ".join(dup)))
+            pairs.append((base_id, did))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string"), set(pairs)
+
+
+def test_minhash_lsh_recall_on_planted_near_dups(planted_docs):
+    """LSH banding must recover planted shingle-Jaccard≈0.9 near-dups:
+    with 8 hashes in 4 bands of 2, P(any band) = 1-(1-J^2)^4 ≈ 0.999."""
+    from annotations_ingester_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs, truth = planted_docs
+    cand = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(docs)))
+    got = {(r["doc_a"], r["doc_b"]) for r in cand.select("doc_a", "doc_b").collect()}
+    recall = len(got & truth) / len(truth)
+    print(f"minhash-lsh planted recall: {recall:.3f} ({len(got)} candidates)")
+    assert recall >= 0.9, recall
+
+
+def test_simhash_banding_recall_on_planted_near_dups(planted_docs):
+    """SimHash banding's contract, certified at both strengths: pairs
+    within the pigeonhole guarantee (Hamming ≤ 3 over 4×15-bit bands MUST
+    share a clean band) are recovered at recall 1.0; beyond it the band
+    collision is probabilistic and decays (planted 4%-edit pairs land at
+    Hamming 0-10, measured ≥ 0.6 overall). Higher-Hamming near-dups are
+    the MinHash-LSH tier's job — the test above shows it at 1.0 on the
+    same corpus."""
+    from annotations_ingester_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    docs, truth = planted_docs
+    out = simhash_near_dup_pairs(docs, max_hamming=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in out.select("doc_a", "doc_b").collect()}
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    within_guarantee = {
+        (a, b) for a, b in truth if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert within_guarantee  # the regime is actually exercised
+    assert within_guarantee <= got  # pigeonhole: recall 1.0 where promised
+    recall = len(got & truth) / len(truth)
+    print(f"simhash-band planted recall: {recall:.3f} "
+          f"({len(within_guarantee)} pairs within the Hamming<=3 guarantee)")
+    assert recall >= 0.6, recall
