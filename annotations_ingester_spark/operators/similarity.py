@@ -218,21 +218,28 @@ def kmeans_assign(
 
     Scale shape: centroids broadcast (k ≪ N always); the per-vector argmin
     is a window over k rows. This is the assignment step IVF indexing and
-    Lloyd's iterations share."""
-    vd = embeddings.select(
-        F.col(id_col), F.posexplode(vec_col).alias("dim", "v")
-    ).withColumn("v", F.col("v").cast("double"))
-    cd = centroids.select(
-        F.col(centroid_id_col), F.posexplode(vec_col).alias("dim", "cv")
-    ).withColumn("cv", F.col("cv").cast("double"))
-    d2 = (
-        vd.join(F.broadcast(cd), "dim")
-        .withColumn(
-            "_sq", ((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).cast("decimal(28,12)")
-        )
-        .groupBy(id_col, centroid_id_col)
-        .agg(F.sum("_sq").alias("d2"))
+    Lloyd's iterations share.
+
+    The distance is a per-row HOF fold over the zipped arrays — N·k rows
+    total, no per-dimension explode (the posexplode formulation shuffled
+    N·k·d rows through a groupBy; decimal addition is exact and
+    associative, so the sequential fold equals the grouped sum
+    bit-for-bit and the oracle is unchanged)."""
+    d2_sql = (
+        "aggregate("
+        " zip_with(_v, _cv, (a, b) ->"
+        "   CAST((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        "        * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) AS DECIMAL(28,12))),"
+        " CAST(0 AS DECIMAL(28,12)),"
+        " (acc, x) -> CAST(acc + x AS DECIMAL(28,12)))"
     )
+    cent = centroids.select(
+        F.col(centroid_id_col), F.col(vec_col).alias("_cv")
+    )
+    pairs = embeddings.select(F.col(id_col), F.col(vec_col).alias("_v")).crossJoin(
+        F.broadcast(cent)
+    )
+    d2 = pairs.select(id_col, centroid_id_col, F.expr(d2_sql).alias("d2"))
     w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col(centroid_id_col).asc())
     return (
         d2.withColumn("_rn", F.row_number().over(w))
