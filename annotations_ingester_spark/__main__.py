@@ -140,6 +140,30 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    if cfg.ingest_mode == "nested":
+        # W4: one row per document with an annotations array (reference
+        # doc_{id}_annotations docs, annotations_indexer.py:166-200)
+        from annotations_ingester_spark.operators.filters import range_filter
+
+        scoped = (
+            range_filter(docs, cfg.date_field, date_start, date_end)
+            if date_start and date_end
+            else docs
+        )
+        out = pipe.nested(scoped)
+        if args.dry_run:
+            out.explain("formatted")
+            return 0
+        if cfg.sink.backend == "elasticsearch":
+            from annotations_ingester_spark.sources.elasticsearch import write_es
+
+            write_es(out, cfg.sink, mapping_id="ann_doc_id", scripted_upsert=True)
+        else:
+            from annotations_ingester_spark.sinks.writers import write_nested
+
+            write_nested(out, cfg.sink.index_name)
+        return 0
+
     if args.segmented and date_start and date_end:
         # reference driver-loop parity: one inclusive range scan per
         # segment; consecutive segments share their boundary date, and the

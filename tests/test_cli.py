@@ -90,6 +90,33 @@ def test_stream_cli_matches_batch(spark, tmp_path):
     assert _row_ids(spark, batch_sink) == _row_ids(spark, stream_sink)
 
 
+def test_nested_ingest_mode(spark, tmp_path):
+    """ingest-mode: nested (W4) must produce one row per doc with an
+    annotations array — previously the CLI parsed the mode but wrote flat."""
+    import yaml as _yaml
+
+    src = _corpus(spark, tmp_path)
+    sink = str(tmp_path / "nested_out")
+    cfg_path = _cfg(tmp_path, src, sink)
+    cfg = _yaml.safe_load(open(cfg_path))
+    cfg["mapping"]["sink"]["ingest-mode"] = "nested"
+    p = tmp_path / "cfg_nested.yml"
+    p.write_text(_yaml.safe_dump(cfg))
+    assert main(["--config", str(p)]) == 0
+    back = spark.read.parquet(sink)
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert set(back.columns) >= {"doc_id", "annotations", "ann_doc_id"}
+    assert 7 not in rows  # P3 filtered
+    assert all(len(r["annotations"]) > 0 for r in rows.values())
+    assert rows[1]["ann_doc_id"] == "doc_1_annotations"
+    # one row per doc that passes P3 AND yields >=1 entity from the
+    # deterministic fake (zero-entity docs drop in every ingest mode)
+    from annotations_ingester_spark.annotator.fake import entity_count
+
+    expected = {d for d, text, _ in DOCS if len(text) >= 5 and entity_count(text) > 0}
+    assert set(rows) == expected and back.count() == len(expected)
+
+
 def test_dry_run_segmented(spark, tmp_path, capsys):
     src = _corpus(spark, tmp_path)
     sink = str(tmp_path / "dry")
