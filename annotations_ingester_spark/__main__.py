@@ -67,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
                 auth=(nlp.username, nlp.password) if nlp.username else None,
                 max_retries=nlp.max_retries_on_failure,
                 application_params=nlp.application_params,
+                threads=cfg.threads,  # reference threads-count, per partition
             )
 
     pipe = AnnotationPipeline(
@@ -84,6 +85,32 @@ def main(argv: list[str] | None = None) -> int:
         docs = read_es(spark, cfg.source)
     else:
         docs = spark.read.parquet(cfg.source.index_name)
+
+    def sink_processed_ids():
+        """J1 resume (reference skip-processed-doc-check, config.yml:68 /
+        annotations_indexer.py:309-324): distinct already-written doc ids
+        read back from the sink; None on first run. The anti-join
+        broadcasts when small, shuffles both sides keyed on the id
+        otherwise — never a driver-side id list."""
+        if not cfg.skip_processed_doc_check:
+            return None
+        from pyspark.sql import functions as Fn
+
+        done_col = f"meta.{cfg.docid_field}"
+        try:
+            if cfg.sink.backend == "elasticsearch":
+                from annotations_ingester_spark.sources.elasticsearch import read_es as _r
+
+                written = _r(spark, cfg.sink)
+            else:
+                written = spark.read.parquet(cfg.sink.index_name)
+        except Exception:
+            return None  # first run: nothing written yet
+        if done_col not in written.columns:
+            return None
+        return written.select(
+            Fn.col(f"`{done_col}`").alias(cfg.docid_field)
+        ).distinct()
 
     def write_out(out) -> None:
         if cfg.sink.backend == "elasticsearch":
@@ -172,7 +199,7 @@ def main(argv: list[str] | None = None) -> int:
         from annotations_ingester_spark.operators.filters import range_filter
         from annotations_ingester_spark.operators.windows import date_windows
 
-        processed = None
+        processed = sink_processed_ids()
         for seg_start, seg_end in date_windows(
             date_start, date_end, cfg.batch_interval_days
         ):
@@ -203,9 +230,14 @@ def main(argv: list[str] | None = None) -> int:
             date_end,
             cfg.batch_interval_days,
             split_by_field=cfg.split_index_by_field or None,
+            processed_ids=sink_processed_ids(),
         )
     else:
-        out = pipe.flat(docs, split_by_field=cfg.split_index_by_field or None)
+        out = pipe.flat(
+            docs,
+            split_by_field=cfg.split_index_by_field or None,
+            processed_ids=sink_processed_ids(),
+        )
 
     if args.dry_run:
         out.explain("formatted")

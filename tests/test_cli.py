@@ -117,6 +117,34 @@ def test_nested_ingest_mode(spark, tmp_path):
     assert set(rows) == expected and back.count() == len(expected)
 
 
+def test_skip_processed_resume(spark, tmp_path):
+    """skip-processed-doc-check (J1 resume): a second run over a grown
+    corpus must only write the NEW docs — previously the flag was parsed
+    but never wired, so reruns duplicated every row."""
+    import yaml as _yaml
+
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame(DOCS[:3], "doc_id long, text string, dct string").write.parquet(src1)
+    sink = str(tmp_path / "resume_sink")
+
+    def cfg_for(src):
+        cfg = _yaml.safe_load(open(_cfg(tmp_path, src, sink, dated=False)))
+        cfg["mapping"]["source"]["skip-processed-doc-check"] = True
+        p = tmp_path / f"cfg_resume_{len(src)}.yml"
+        p.write_text(_yaml.safe_dump(cfg))
+        return str(p)
+
+    assert main(["--config", cfg_for(src1)]) == 0
+    first = _row_ids(spark, sink)
+    # corpus grows: same three docs plus three new ones
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(DOCS[:6], "doc_id long, text string, dct string").write.parquet(src2)
+    assert main(["--config", cfg_for(src2)]) == 0
+    second = _row_ids(spark, sink)
+    assert len(second) == len(set(second))  # old docs NOT rewritten
+    assert set(second) > set(first)  # new docs landed
+
+
 def test_dry_run_segmented(spark, tmp_path, capsys):
     src = _corpus(spark, tmp_path)
     sink = str(tmp_path / "dry")
