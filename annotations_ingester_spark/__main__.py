@@ -39,6 +39,15 @@ def main(argv: list[str] | None = None) -> int:
     from annotations_ingester_spark.utils import check_url_available
 
     cfg = PipelineConfig.from_yaml(args.config)
+    if cfg.es_date_format != "yyyy-MM-dd" or cfg.python_date_format != "%Y-%m-%d":
+        # range_filter/date_windows operate on ISO date strings; a custom
+        # format would silently mis-scope every range scan — refuse loudly
+        print(
+            "only ISO date formats (yyyy-MM-dd / %Y-%m-%d) are supported; "
+            f"got {cfg.es_date_format!r} / {cfg.python_date_format!r}",
+            file=sys.stderr,
+        )
+        return 2
     date_start = args.date_start or cfg.date_start
     date_end = args.date_end or cfg.date_end
 

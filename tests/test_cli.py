@@ -155,3 +155,14 @@ def test_dry_run_segmented(spark, tmp_path, capsys):
     import os
 
     assert not os.path.exists(sink)  # nothing written
+
+
+def test_non_iso_date_format_refused(spark, tmp_path):
+    import yaml as _yaml
+
+    src = _corpus(spark, tmp_path)
+    cfg = _yaml.safe_load(open(_cfg(tmp_path, src, str(tmp_path / "x"))))
+    cfg["mapping"]["source"]["batch"]["es-date-format"] = "dd/MM/yyyy"
+    p = tmp_path / "cfg_badfmt.yml"
+    p.write_text(_yaml.safe_dump(cfg))
+    assert main(["--config", str(p)]) == 2  # loud refusal, not silent mis-scoping
