@@ -92,31 +92,60 @@ class PipelineConfig:
         nlp = params.get("nlp-service", {}) or {}
 
         def conn(section: dict[str, Any]) -> ConnectorConfig:
+            """Accepts BOTH the reference's canonical config.yml shape
+            (``es.credentials`` / ``es.extra-params`` — config/config.yml:1-33)
+            and this engine's flattened ``security`` block, so a reference
+            config file loads unchanged."""
             sec = section or {}
             es = sec.get("es", sec)
             security = es.get("security", {}) or {}
+            creds = es.get("credentials", {}) or {}
+            extra = es.get("extra-params", {}) or {}
+            api_key = creds.get("api-key") or security.get("elastic-api-key")
+            if not creds.get("use-api-key", True):
+                api_key = None  # reference flag: basic auth wins
             return ConnectorConfig(
                 backend=sec.get("backend", "elasticsearch" if "es" in sec else "parquet"),
                 hosts=es.get("hosts", []) or [],
                 index_name=es.get("index-name", es.get("path", "")) or "",
-                username=security.get("elastic-user"),
-                password=security.get("elastic-password"),
-                api_key=security.get("elastic-api-key"),
-                ssl_enabled=bool(security.get("security-enabled", False)),
+                username=creds.get("username") or security.get("elastic-user"),
+                password=creds.get("password") or security.get("elastic-password"),
+                api_key=api_key,
+                ssl_enabled=bool(
+                    extra.get("use-ssl", security.get("security-enabled", False))
+                ),
                 ca_certs=security.get("ca-certs-path"),
                 client_cert=security.get("client-cert-path"),
                 client_key=security.get("client-key-path"),
-                check_certificate=bool(security.get("check-certificate", True)),
+                check_certificate=bool(
+                    extra.get("verify-certs", security.get("check-certificate", True))
+                ),
             )
 
+        nlp_creds = nlp.get("credentials", nlp.get("security", {})) or {}
+        # reference canonical: mapping.index-ingest-mode.{same-index,
+        # use-nested-objects, es-nested-object-schema-mapping}
+        # (config/config.yml:48-51); engine shorthand: mapping.sink.*
+        ingest = mapping.get("index-ingest-mode", {}) or {}
+        sink_map = mapping.get("sink", {}) or {}
+        nlp_map = mapping.get("nlp", {}) or {}
+        if "ingest-mode" in sink_map:
+            ingest_mode = sink_map["ingest-mode"]
+        elif ingest.get("same-index", False):
+            ingest_mode = "same-index"
+        else:
+            ingest_mode = "separate-index"
         return cls(
             source=conn(params.get("source", {})),
             sink=conn(params.get("sink", {})),
             nlp=NlpServiceConfig(
                 endpoints=nlp.get("endpoints-url", nlp.get("endpoint-url", [])) or [],
-                mode=(nlp.get("protocol-mode", "") or "medcat"),
-                username=nlp.get("security", {}).get("user") if nlp.get("security") else None,
-                password=nlp.get("security", {}).get("password") if nlp.get("security") else None,
+                mode=(
+                    nlp.get("protocol-mode", nlp.get("endpoint-request-mode", ""))
+                    or "medcat"
+                ),
+                username=nlp_creds.get("username", nlp_creds.get("user")) or None,
+                password=nlp_creds.get("password") or None,
                 max_retries_on_failure=int(nlp.get("max-retries-on-failure", 1)),
                 application_params=nlp.get("application-params", {}) or {},
             ),
@@ -124,19 +153,33 @@ class PipelineConfig:
             docid_field=src_map.get("docid-field", "_id"),
             persist_fields=src_map.get("persist-fields", ["_id"]) or [],
             date_field=batch.get("date-field", "dct"),
-            es_date_format=batch.get("es-date-format", "yyyy-MM-dd"),
+            es_date_format=batch.get(
+                "date-format", batch.get("es-date-format", "yyyy-MM-dd")
+            ),
             python_date_format=batch.get("python-date-format", "%Y-%m-%d"),
             batch_interval_days=int(batch.get("interval", 30)),
             date_start=str(batch.get("date-start", "")),
             date_end=str(batch.get("date-end", "")),
             threads=int(batch.get("threads", 4)),
-            split_index_by_field=mapping.get("sink", {}).get("split-index-by-field", "") or "",
-            skip_processed_doc_check=bool(src_map.get("skip-processed-doc-check", False)),
-            use_bulk_indexing=bool(mapping.get("sink", {}).get("use-bulk-indexing", True)),
-            use_nested_objects=bool(mapping.get("sink", {}).get("use-nested-objects", False)),
-            ingest_mode=mapping.get("sink", {}).get("ingest-mode", "separate-index"),
-            schema_mapping=mapping.get("sink", {}).get(
-                "es-nested-object-schema-mapping", "medcat-separate-index"
+            split_index_by_field=sink_map.get("split-index-by-field", "") or "",
+            skip_processed_doc_check=bool(
+                nlp_map.get(
+                    "skip-processed-doc-check",
+                    src_map.get("skip-processed-doc-check", False),
+                )
+            ),
+            use_bulk_indexing=bool(
+                nlp.get("use-bulk-indexing", sink_map.get("use-bulk-indexing", True))
+            ),
+            use_nested_objects=bool(
+                ingest.get(
+                    "use-nested-objects", sink_map.get("use-nested-objects", False)
+                )
+            ),
+            ingest_mode=ingest_mode,
+            schema_mapping=ingest.get(
+                "es-nested-object-schema-mapping",
+                sink_map.get("es-nested-object-schema-mapping", "medcat-separate-index"),
             ),
         )
 

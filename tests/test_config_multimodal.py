@@ -151,3 +151,126 @@ def test_sql_api_views(spark, sf_dir):
     assert fp > 0
     ev = spark.sql("SELECT count(*) AS n FROM events WHERE ts_s IS NOT NULL").first()["n"]
     assert ev > 0
+
+
+REFERENCE_CONFIG_YML = """
+source:
+  es:
+    hosts: ["http://127.0.0.1:9200"]
+    credentials:
+      username : "admin"
+      password : "admin"
+      use-api-key : False
+    index-name: "medical_reports_text"
+    extra-params:
+      use-ssl: False
+      verify-certs: False
+    security:
+      ca-file-path : "/app/config/cert.pem"
+      ca-certs-path: "/app/config/root-ca.pem"
+      client-cert-path: "/app/config/client.pem"
+      client-key-path: "/app/config/client.key"
+
+sink:
+  es:
+    hosts: ["http://127.0.0.1:9200"]
+    credentials:
+      username : "admin"
+      password : "admin"
+      use-api-key : False
+    index-name: "medical_reports_text_annotations"
+    extra-params:
+      use-ssl: False
+      verify-certs: False
+    security:
+      ca-certs-path: "/app/config/root-ca.pem"
+      client-cert-path: "/app/config/client.pem"
+      client-key-path: "/app/config/client.key"
+
+nlp-service:
+  endpoint-url: ["http://localhost:5000/api/process"]
+  endpoint-request-mode : ""
+  use-bulk-indexing : True
+  max-retries-on-failure: 1
+  annotation-response:
+    dict-key : "annotations"
+    result-key : "result"
+  credentials :
+    username : ""
+    password : ""
+
+mapping:
+  index-ingest-mode:
+    same-index: False
+    use-nested-objects: False
+    es-nested-object-schema-mapping : "medcat-separate-index"
+  source:
+    text-field: 'document'
+    docid-field: '_id'
+    persist-fields:
+     - '_id'
+    batch:
+      date-field: 'dct'
+      date-format: 'yyyy-MM-dd'
+      python-date-format: '%Y-%m-%d'
+      interval: 30
+      date-start: '1999-01-01'
+      date-end: '2021-02-01'
+      threads: 128
+  sink:
+    split-index-by-field: ""
+  nlp:
+    skip-processed-doc-check: False
+    annotation-id-field: 'id'
+
+logging-level: "20"
+"""
+
+
+def test_reference_config_yml_loads_unchanged():
+    """The reference's SHIPPED config/config.yml (verbatim structure,
+    reference config/config.yml:1-74) must parse into the right engine
+    config — the 'bring your config file unchanged' promise."""
+    import yaml as _yaml
+
+    from annotations_ingester_spark.config import PipelineConfig
+
+    cfg = PipelineConfig.from_dict(_yaml.safe_load(REFERENCE_CONFIG_YML))
+    assert cfg.source.backend == "elasticsearch"
+    assert cfg.source.hosts == ["http://127.0.0.1:9200"]
+    assert cfg.source.index_name == "medical_reports_text"
+    assert cfg.source.username == "admin" and cfg.source.password == "admin"
+    assert cfg.source.api_key is None  # use-api-key: False
+    assert cfg.source.ssl_enabled is False and cfg.source.check_certificate is False
+    assert cfg.source.ca_certs == "/app/config/root-ca.pem"
+    assert cfg.sink.index_name == "medical_reports_text_annotations"
+    assert cfg.nlp.endpoints == ["http://localhost:5000/api/process"]
+    assert cfg.nlp.mode == "medcat"  # empty endpoint-request-mode
+    assert cfg.nlp.max_retries_on_failure == 1
+    assert cfg.text_field == "document" and cfg.docid_field == "_id"
+    assert cfg.date_field == "dct" and cfg.batch_interval_days == 30
+    assert cfg.es_date_format == "yyyy-MM-dd"
+    assert cfg.date_start == "1999-01-01" and cfg.date_end == "2021-02-01"
+    assert cfg.threads == 128
+    assert cfg.ingest_mode == "separate-index"  # same-index: False
+    assert cfg.use_nested_objects is False
+    assert cfg.schema_mapping == "medcat-separate-index"
+    assert cfg.skip_processed_doc_check is False
+    assert cfg.split_index_by_field == ""
+
+
+def test_reference_config_same_index_and_skip_variants():
+    import yaml as _yaml
+
+    from annotations_ingester_spark.config import PipelineConfig
+
+    d = _yaml.safe_load(REFERENCE_CONFIG_YML)
+    d["mapping"]["index-ingest-mode"]["same-index"] = True
+    d["mapping"]["index-ingest-mode"]["use-nested-objects"] = True
+    d["mapping"]["nlp"]["skip-processed-doc-check"] = True
+    d["nlp-service"]["endpoint-request-mode"] = "gate-nlp"
+    cfg = PipelineConfig.from_dict(d)
+    assert cfg.ingest_mode == "same-index"
+    assert cfg.use_nested_objects is True
+    assert cfg.skip_processed_doc_check is True
+    assert cfg.nlp.mode == "gate-nlp"
