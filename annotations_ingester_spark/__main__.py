@@ -30,7 +30,6 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--dry-run", action="store_true", help="build + explain the plan, don't execute")
     args = parser.parse_args(argv)
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
 
     from annotations_ingester_spark.annotator.service import HttpNlpClient
     from annotations_ingester_spark.config import PipelineConfig
@@ -39,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
     from annotations_ingester_spark.utils import check_url_available
 
     cfg = PipelineConfig.from_yaml(args.config)
+    logging.basicConfig(
+        level=cfg.logging_level,  # reference logging-level, config.yml:73
+        format="%(asctime)s %(levelname)s %(message)s",
+    )
     if cfg.es_date_format != "yyyy-MM-dd" or cfg.python_date_format != "%Y-%m-%d":
         # range_filter/date_windows operate on ISO date strings; a custom
         # format would silently mis-scope every range scan — refuse loudly
@@ -86,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
         persist_fields=cfg.persist_fields,
         mode="gate" if cfg.nlp.mode == "gate-nlp" else "medcat",
         date_field=cfg.date_field,
+        ann_id_field=cfg.annotation_id_field,
     )
 
     if cfg.source.backend == "elasticsearch":

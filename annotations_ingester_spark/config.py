@@ -79,6 +79,8 @@ class PipelineConfig:
     use_nested_objects: bool = False  # README.md:66 → same-index nested|flattened
     ingest_mode: str = "separate-index"  # W1 | "same-index" (W3) | "nested" (W4)
     schema_mapping: str = "medcat-separate-index"  # config.yml:51
+    annotation_id_field: str = "id"  # config.yml:69 mapping.nlp.annotation-id-field
+    logging_level: int = 20  # config.yml:73 (INFO)
 
     @classmethod
     def from_dict(cls, params: dict[str, Any]) -> "PipelineConfig":
@@ -181,6 +183,8 @@ class PipelineConfig:
                 "es-nested-object-schema-mapping",
                 sink_map.get("es-nested-object-schema-mapping", "medcat-separate-index"),
             ),
+            annotation_id_field=nlp_map.get("annotation-id-field", "id") or "id",
+            logging_level=int(params.get("logging-level", 20) or 20),
         )
 
     @classmethod

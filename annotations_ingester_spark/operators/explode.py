@@ -39,6 +39,7 @@ def prefix_project(
     dotted: bool = True,
     with_row_id: bool = True,
     extra_cols: list[str] | None = None,
+    ann_id_field: str = "id",
 ) -> DataFrame:
     """Flat sink row: ``meta.*`` persisted source fields + ``nlp.*`` entity
     fields + deterministic ``row_id`` (reference: annotations_indexer.py:
@@ -53,7 +54,9 @@ def prefix_project(
     fields = ann_fields or [f.name for f in df.schema[entity_alias].dataType.fields]
     cols: list[Column] = []
     if with_row_id:
-        cols.append(synth_row_id(F.col(docid_field), ent.getField("id")).alias("row_id"))
+        cols.append(
+            synth_row_id(F.col(docid_field), ent.getField(ann_id_field)).alias("row_id")
+        )
     for p in persist_fields:
         cols.append(F.col(p).alias(f"{FIELD_META_PREFIX}{sep}{p}"))
     for f in fields:

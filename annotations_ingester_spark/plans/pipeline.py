@@ -51,6 +51,7 @@ def flat_annotations(
     dedup: bool = True,
     dotted: bool = True,
     min_text_len: int = MIN_TEXT_LEN,
+    ann_id_field: str = "id",
 ) -> DataFrame:
     """W1 separate-index flat path: one row per (doc × entity) with
     ``meta.*``/``nlp.*`` columns and deterministic ``row_id``.
@@ -76,6 +77,7 @@ def flat_annotations(
         ann_fields=ann_fields,
         dotted=dotted,
         extra_cols=extra,
+        ann_id_field=ann_id_field,
     )
     if dedup:
         # U2: every other column is a deterministic function of the
@@ -102,6 +104,7 @@ class AnnotationPipeline:
         persist_fields: list[str] | None = None,
         mode: str = "medcat",
         date_field: str | None = None,
+        ann_id_field: str = "id",
     ) -> None:
         self.annotator_factory = annotator_factory
         self.text_field = text_field
@@ -109,6 +112,7 @@ class AnnotationPipeline:
         self.persist_fields = persist_fields or [docid_field]
         self.mode = mode
         self.date_field = date_field
+        self.ann_id_field = ann_id_field
 
     def annotated(self, docs: DataFrame, processed_ids: DataFrame | None = None) -> DataFrame:
         """Filtered + annotated + guarded doc-level DataFrame (entities array)."""
@@ -125,6 +129,7 @@ class AnnotationPipeline:
             docid_field=self.docid_field,
             persist_fields=self.persist_fields,
             mode=self.mode,
+            ann_id_field=self.ann_id_field,
             **kw,
         )
 
