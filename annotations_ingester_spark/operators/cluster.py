@@ -95,22 +95,30 @@ def connected_components(
         .distinct()
     )
     e = _canonical(raw).localCheckpoint(eager=True)
-    n_prev = e.count()
     rounds = 0
     converged = False
     for _ in range(max_iterations):
         rounds += 1
         e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # true fixpoint check: identical edge sets (both canonical+distinct).
-        # The count is tracked driver-side round-over-round, so the exact
-        # subtract (the expensive part) only runs on count-stable rounds —
-        # in practice just the final one.
-        n_new = e_new.count()
-        if n_new == n_prev and e_new.subtract(e).isEmpty():
-            converged = True
-            e = e_new
-            break
-        e, n_prev = e_new, n_new
+        # termination: the algorithm converges exactly to star forests
+        # (Kiveris et al., Thm 3) — detect the star directly (every source
+        # has one target and no target is itself a source) instead of
+        # paying a full extra contraction round to observe e_{n+1} == e_n.
+        # Two cheap jobs on the (already materialized) checkpoint.
+        has_chain = not (
+            e_new.alias("a")
+            .join(e_new.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+            .isEmpty()
+        )
+        if not has_chain:
+            multi_target = (
+                e_new.groupBy("u").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+            )
+            if multi_target.isEmpty():
+                converged = True
+                e = e_new
+                break
+        e = e_new
     if not converged:
         raise RuntimeError(
             f"connected_components did not reach a fixpoint in {max_iterations} "
