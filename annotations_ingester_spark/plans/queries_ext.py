@@ -531,3 +531,59 @@ def q_correlated(spark: SparkSession, sf: str):
             "o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
         )
     )
+
+
+@register(
+    "table_profile",
+    """SELECT 'o_orderkey' AS col, count(*)::BIGINT AS n_rows,
+              sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+              count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+              min(o_orderkey)::VARCHAR AS min_val, max(o_orderkey)::VARCHAR AS max_val
+       FROM orders
+       UNION ALL
+       SELECT 'o_custkey', count(*)::BIGINT,
+              sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+              count(DISTINCT o_custkey)::BIGINT,
+              min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderstatus', count(*)::BIGINT,
+              sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+              count(DISTINCT o_orderstatus)::BIGINT,
+              min(o_orderstatus), max(o_orderstatus)
+       FROM orders
+       UNION ALL
+       SELECT 'o_totalprice', count(*)::BIGINT,
+              sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+              count(DISTINCT o_totalprice)::BIGINT,
+              round(min(o_totalprice), 2)::VARCHAR, round(max(o_totalprice), 2)::VARCHAR
+       FROM orders""",
+    doc="Table profiling / data-quality report: per-column row count, null "
+    "count, exact distinct count, min/max — the expectations-style audit "
+    "every pipeline runs before training. One aggregation pass per "
+    "column batch (map-side combinable; stringified min/max make the "
+    "report schema-uniform).",
+)
+def q_table_profile(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders")
+
+    def prof(col, fmt=None):
+        c = F.col(col)
+        mn, mx = F.min(c), F.max(c)
+        if fmt == "num2":
+            mn, mx = F.round(mn, 2), F.round(mx, 2)
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            mn.cast("string").alias("min_val"),
+            mx.cast("string").alias("max_val"),
+        )
+
+    return (
+        prof("o_orderkey")
+        .unionByName(prof("o_custkey"))
+        .unionByName(prof("o_orderstatus"))
+        .unionByName(prof("o_totalprice", fmt="num2"))
+    )
