@@ -109,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
             return None
         from pyspark.sql import functions as Fn
 
+        from annotations_ingester_spark.sinks.writers import _is_path_missing
+
         done_col = f"meta.{cfg.docid_field}"
         try:
             if cfg.sink.backend == "elasticsearch":
@@ -117,8 +119,14 @@ def main(argv: list[str] | None = None) -> int:
                 written = _r(spark, cfg.sink)
             else:
                 written = spark.read.parquet(cfg.sink.index_name)
-        except Exception:
-            return None  # first run: nothing written yet
+        except Exception as exc:
+            # ONLY sink-never-written counts as first run; a corrupt or
+            # unreadable sink must propagate — treating it as first-run
+            # would silently reprocess (and, on parquet append, duplicate)
+            # the whole corpus
+            if _is_path_missing(exc) or "index_not_found" in str(exc):
+                return None
+            raise
         if done_col not in written.columns:
             return None
         return written.select(

@@ -166,3 +166,24 @@ def test_non_iso_date_format_refused(spark, tmp_path):
     p = tmp_path / "cfg_badfmt.yml"
     p.write_text(_yaml.safe_dump(cfg))
     assert main(["--config", str(p)]) == 2  # loud refusal, not silent mis-scoping
+
+
+def test_skip_processed_corrupt_sink_propagates(spark, tmp_path):
+    """A corrupt (unreadable) sink must fail the resume read loudly — not
+    be mistaken for 'first run', which would reprocess and duplicate the
+    whole corpus on a parquet append sink."""
+    import pathlib
+
+    import pytest
+    import yaml as _yaml
+
+    src = _corpus(spark, tmp_path)
+    sink = tmp_path / "corrupt_resume_sink"
+    sink.mkdir()
+    (sink / "part-00000.parquet").write_bytes(b"definitely not parquet")
+    cfg = _yaml.safe_load(open(_cfg(tmp_path, src, str(sink), dated=False)))
+    cfg["mapping"]["nlp"] = {"skip-processed-doc-check": True}
+    p = tmp_path / "cfg_corrupt.yml"
+    p.write_text(_yaml.safe_dump(cfg))
+    with pytest.raises(Exception):
+        main(["--config", str(p)])
