@@ -104,7 +104,13 @@ def decode_media(payload: bytes, kind: str) -> dict[str, Any]:
     elif p[:2] == b"\xff\xd8":  # JPEG SOI; scan for a frame (SOFn) marker
         i = 2
         while i + 9 < len(p) and p[i] == 0xFF:
-            marker, seglen = p[i + 1], int.from_bytes(p[i + 2 : i + 4], "big")
+            marker = p[i + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                i += 1
+                continue
+            if marker in (0xDA, 0xD9):  # SOS/EOI: entropy data or end —
+                break  # no SOF seen, stop scanning
+            seglen = int.from_bytes(p[i + 2 : i + 4], "big")
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 height, width = struct.unpack(">HH", p[i + 5 : i + 9])
                 out.update({"format": "jpeg", "width": width, "height": height})

@@ -274,3 +274,23 @@ def test_reference_config_same_index_and_skip_variants():
     assert cfg.use_nested_objects is True
     assert cfg.skip_processed_doc_check is True
     assert cfg.nlp.mode == "gate-nlp"
+
+
+def test_decode_media_jpeg_fill_bytes_and_sos():
+    """JPEG marker scan must skip 0xFF fill padding and stop at SOS/EOI
+    instead of misreading entropy data as a segment length."""
+    import struct
+
+    from annotations_ingester_spark.multimodal.media import decode_media
+
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xff\xff"  # fill bytes before the next marker
+            + b"\xff\xe0\x00\x10" + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 100, 200) + b"\x03" + b"\x00" * 9)
+    j = decode_media(jpeg, "image")
+    assert (j["format"], j["width"], j["height"]) == ("jpeg", 200, 100)
+
+    # SOS before any SOF: degrade to digest-only, never parse scan data
+    trunc = b"\xff\xd8" + b"\xff\xda\x00\x02" + b"\x12\x34\x56\x78" * 4
+    out = decode_media(trunc, "image")
+    assert "format" not in out
