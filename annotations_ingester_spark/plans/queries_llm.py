@@ -178,3 +178,77 @@ def q_kmeans(spark: SparkSession, sf: str):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return kmeans_lloyd_step(emb, cents)
+
+
+@register(
+    "kmeans_two_round_assign",
+    """WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       c AS (SELECT vec_id AS centroid_id, e AS ce FROM b WHERE vec_id % 173 = 0),
+       vd AS (
+         SELECT vec_id, s.i AS dim, s.v AS v
+         FROM (SELECT vec_id,
+                      unnest(list_transform(range(len(e)),
+                                            i -> {'i': i, 'v': e[i + 1]})) AS s
+               FROM b)),
+       cd AS (
+         SELECT centroid_id, s.i AS dim, s.v AS cv
+         FROM (SELECT centroid_id,
+                      unnest(list_transform(range(len(ce)),
+                                            i -> {'i': i, 'v': ce[i + 1]})) AS s
+               FROM c)),
+       d2 AS (
+         SELECT vd.vec_id, cd.centroid_id,
+                sum(((vd.v - cd.cv) * (vd.v - cd.cv))::DECIMAL(28,12)) AS d2
+         FROM vd JOIN cd USING (dim)
+         GROUP BY vd.vec_id, cd.centroid_id),
+       assign1 AS (
+         SELECT vec_id, centroid_id
+         FROM (SELECT vec_id, centroid_id,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, centroid_id) AS rn
+               FROM d2)
+         WHERE rn = 1),
+       means AS (
+         SELECT a.centroid_id, vd.dim,
+                round(CAST(sum(vd.v::DECIMAL(28,12)) AS DOUBLE) / count(*), 6) AS cv
+         FROM assign1 a JOIN vd ON a.vec_id = vd.vec_id
+         GROUP BY a.centroid_id, vd.dim),
+       d2b AS (
+         SELECT vd.vec_id, m.centroid_id,
+                sum(((vd.v - m.cv) * (vd.v - m.cv))::DECIMAL(28,12)) AS d2
+         FROM vd JOIN means m USING (dim)
+         GROUP BY vd.vec_id, m.centroid_id)
+       SELECT vec_id, centroid_id
+       FROM (SELECT vec_id, centroid_id,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, centroid_id) AS rn
+             FROM d2b)
+       WHERE rn = 1""",
+    doc="TWO chained Lloyd rounds certified end-to-end (assignment after "
+    "one decimal-exact mean update) — certifies the iterative k-means "
+    "LOOP through the oracle gate, not just a single step. Same template "
+    "as kmeans_fit's driver loop: centroids rebuilt from the step output, "
+    "every arithmetic comparison decimal-exact with id tie-breaks so the "
+    "trajectory is engine-portable.",
+)
+def q_kmeans_two_rounds(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_lloyd_step,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 173 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    step = kmeans_lloyd_step(emb, cents)
+    new_cents = (
+        step.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("_dm"))
+        .select(
+            "centroid_id",
+            F.transform("_dm", lambda s: s["mean"]).alias("embedding"),
+        )
+    )
+    return kmeans_assign(emb, new_cents)
