@@ -48,9 +48,11 @@ def bm25_rank(
 ) -> DataFrame:
     """Top-``k`` documents by BM25 score for ``query_terms`` →
     (doc_id, score, rank). Deterministic total order: rounded score desc,
-    id asc. The final rank is a global window over ≤ (docs matching any
-    term) rows — bounded output, so the single-partition sort is fine; the
-    heavy work (tf/df/dl aggregation) is fully distributed."""
+    id asc. The top-k itself is ``orderBy(...).limit(k)`` which Spark
+    compiles to ``TakeOrderedAndProject`` — a per-partition partial top-k
+    plus a tiny k-row merge, so no partition ever holds more than k rows
+    no matter how many documents match a term. ``rank`` is then derived by
+    a window over only the ≤k surviving rows."""
     base = _doc_terms(df, text_col, id_col)
     dl = base.select(F.col(id_col), F.size("_tk").cast("double").alias("dl"))
     stats = dl.agg(
@@ -77,11 +79,12 @@ def bm25_rank(
         j.groupBy(id_col)
         .agg(F.round(F.sum(idf * tfn), 6).alias("score"))
     )
+    # Distributed partial top-k (TakeOrderedAndProject), NOT a global
+    # window: a window with no partitionBy would move every matching doc
+    # into one task. Rank is computed after the limit, over ≤k rows.
+    topk = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def tfidf_top_terms(

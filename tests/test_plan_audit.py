@@ -70,6 +70,35 @@ def test_no_unintended_cartesian_products(plans):
     assert not offenders, offenders
 
 
+# queries allowed to carry an unpartitioned (global-sort) WindowExec:
+# the window input is provably tiny, not the data stream
+UNPARTITIONED_WINDOW_ALLOWED = {
+    # rank derived AFTER TakeOrderedAndProject limit(k) — window sees ≤k rows
+    "bm25_match_ranking",
+    # running-total over the 256-row bucket-count aggregate (offsets table),
+    # never over document rows (queries_curation.py)
+    "corpus_shuffle_order",
+}
+
+
+def test_no_unpartitioned_window_over_data(plans):
+    """A window with no partitionBy forces every input row into one task —
+    a single-partition sort that kills the stage at scale. Only windows
+    whose input is already bounded (post-limit rank derivation, tiny
+    aggregate outputs) may use the shape. In ``windowspecdefinition(...)``
+    the partition columns print bare; order columns carry ASC/DESC — so a
+    spec whose first argument has a sort direction has no partition keys."""
+    import re
+
+    pat = re.compile(r"windowspecdefinition\([^,)]*#\d+L? (ASC|DESC)")
+    offenders = [
+        n
+        for n, p in plans.items()
+        if n not in UNPARTITIONED_WINDOW_ALLOWED and pat.search(p)
+    ]
+    assert not offenders, offenders
+
+
 def test_every_aggregate_has_partial_phase(plans):
     """Aggregates with functions must show a partial (map-side combine)
     phase — a final-only aggregate ships raw rows across the shuffle.
