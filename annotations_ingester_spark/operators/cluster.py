@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from annotations_ingester_spark.operators.iterate import CheckpointCycler
+
 
 def _canonical(edges: DataFrame) -> DataFrame:
     """Directed larger→smaller edge set, self-loops dropped, distinct."""
@@ -94,12 +96,17 @@ def connected_components(
         .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
     )
-    e = _canonical(raw).localCheckpoint(eager=True)
+    # cycler frees each round's checkpoint blocks once the next round is
+    # materialized — ≤2 edge-set generations live instead of max_iterations
+    cycler = CheckpointCycler(edges.sparkSession)
+    e = cycler.checkpoint(_canonical(raw))
     rounds = 0
     converged = False
     for _ in range(max_iterations):
         rounds += 1
-        e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e_new = cycler.checkpoint(_small_star(_large_star(e)))
+        # e_new is materialized and nothing reads the old edge set again
+        cycler.retire_previous()
         # termination: the algorithm converges exactly to star forests
         # (Kiveris et al., Thm 3) — detect the star directly (every source
         # has one target and no target is itself a source) instead of

@@ -291,20 +291,30 @@ def kmeans_fit(
     Per iteration only one SCALAR (the max per-dimension centroid shift)
     reaches the driver; centroids themselves stay small (k·d rows) and are
     rebuilt as a DataFrame from the step output via localCheckpoint — the
-    same iterative template as operators/cluster.connected_components.
-    Stops when every centroid coordinate moved < ``tol`` or a cluster
-    emptied into a stable fixpoint."""
-    spark = embeddings.sparkSession
-    cent = initial_centroids.select(
-        F.col(centroid_id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-    ).localCheckpoint(eager=True)
+    same iterative template as operators/cluster.connected_components
+    (CheckpointCycler keeps ≤2 centroid generations in executor storage).
+    Stops when every centroid coordinate moved < ``tol``.
+
+    An emptied cluster does NOT silently shrink ``k`` (round-3 advice):
+    its centroid carries over unchanged (left join + coalesce), so every
+    one of the initial k centroid ids survives to the final assignment and
+    can re-acquire members in a later round. ``shift`` can then only be
+    NULL when the centroid set itself is empty — raised loudly."""
+    from annotations_ingester_spark.operators.iterate import CheckpointCycler
+
+    cycler = CheckpointCycler(embeddings.sparkSession)
+    cent = cycler.checkpoint(
+        initial_centroids.select(
+            F.col(centroid_id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        )
+    )
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
         step = kmeans_lloyd_step(
             embeddings, cent, id_col, vec_col, centroid_id_col
         )
-        new_cent = (
+        new_means = (
             step.groupBy(centroid_id_col)
             .agg(
                 F.array_sort(
@@ -313,9 +323,15 @@ def kmeans_fit(
             )
             .select(
                 centroid_id_col,
-                F.transform("_dm", lambda s: s["mean"]).alias(vec_col),
+                F.transform("_dm", lambda s: s["mean"]).alias("_new_vec"),
             )
-            .localCheckpoint(eager=True)
+        )
+        # empty clusters keep their previous centroid — k never shrinks
+        new_cent = cycler.checkpoint(
+            cent.join(new_means, centroid_id_col, "left").select(
+                centroid_id_col,
+                F.coalesce("_new_vec", vec_col).alias(vec_col),
+            )
         )
         shift = (
             cent.alias("o")
@@ -330,8 +346,14 @@ def kmeans_fit(
             .agg(F.max("s"))
             .first()[0]
         )
+        if shift is None:
+            raise ValueError(
+                "kmeans_fit: centroid set is empty — initial_centroids had no rows"
+            )
+        # shift (the last reader of the old generation) has executed
+        cycler.retire_previous()
         cent = new_cent
-        if shift is not None and shift < tol:
+        if shift < tol:
             break
     assign = kmeans_assign(embeddings, cent, id_col, vec_col, centroid_id_col)
     return assign, iterations

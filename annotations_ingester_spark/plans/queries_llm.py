@@ -252,3 +252,39 @@ def q_kmeans_two_rounds(spark: SparkSession, sf: str):
         )
     )
     return kmeans_assign(emb, new_cents)
+
+
+@register(
+    "kmeans_fit_converged",
+    "SELECT vec_id, (vec_id % 3)::BIGINT AS centroid_id FROM embeddings",
+    doc="Full k-means fit run TO CONVERGENCE on a planted-clusters fixture: "
+    "each embedding is shifted by 10·(vec_id mod 3) per coordinate, carving "
+    "three clusters whose inter-centroid distance² (≥ 64·81) dwarfs any "
+    "intra-cluster distance² (≤ 64·1), so Lloyd seeded with one member per "
+    "cluster provably converges to the planted partition — the oracle is "
+    "the ground truth itself, independent of iteration mechanics. "
+    "Certifies kmeans_fit's driver loop end-to-end (only scalar shifts "
+    "reach the driver; ≤2 centroid checkpoint generations live; empty "
+    "clusters carry over instead of shrinking k).",
+)
+def q_kmeans_fit_converged(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.operators.similarity import kmeans_fit
+
+    emb = table(spark, sf, "embeddings")
+    offset = ((F.col("vec_id") % 3).cast("double") * F.lit(10.0))
+    planted = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") + offset).alias(
+            "embedding"
+        ),
+    )
+    w = Window.partitionBy((F.col("vec_id") % 3)).orderBy("vec_id")
+    cent0 = (
+        planted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select((F.col("vec_id") % 3).cast("long").alias("centroid_id"), "embedding")
+    )
+    assign, _iters = kmeans_fit(planted, cent0, max_iterations=8, tol=1e-4)
+    return assign.select("vec_id", F.col("centroid_id").cast("long").alias("centroid_id"))

@@ -331,3 +331,85 @@ def test_kmeans_fit_converges_on_planted_clusters(spark):
         assert len(labels) == 1
     assert len({got[0], got[10], got[20]}) == 3  # clusters not merged
     assert iters < 15  # converged by tolerance, not exhaustion
+
+
+def test_kmeans_fit_keeps_empty_clusters_and_rejects_empty_init(spark):
+    """An emptied cluster must not shrink k (its centroid carries over);
+    an empty initial centroid set must raise, not spin to max_iterations."""
+    import pytest as _pytest
+
+    from annotations_ingester_spark.operators.similarity import kmeans_fit
+
+    # two tight points at the origin + one far-away centroid that captures
+    # nothing after the first update: id 99 starts nearest to NOTHING once
+    # centroid 0 moves to the data mean
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.1, 0.0])], "vec_id long, embedding array<float>"
+    )
+    init = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (99, [100.0, 100.0])],
+        "centroid_id long, embedding array<float>",
+    )
+    assign, iters = kmeans_fit(emb, init, max_iterations=5)
+    assert {r["centroid_id"] for r in assign.collect()} == {0}
+    # the empty cluster survived the loop without poisoning convergence
+    assert iters < 5
+
+    with _pytest.raises(ValueError, match="centroid set is empty"):
+        kmeans_fit(emb, init.filter(F.col("centroid_id") < 0), max_iterations=3)
+
+
+def test_iterative_loops_bound_checkpoint_storage(spark):
+    """CheckpointCycler must keep ≤2 generations of localCheckpoint blocks
+    live — not one per round (round-3 advice: cluster.py accumulation)."""
+    from annotations_ingester_spark.operators.cluster import connected_components
+
+    def live_persistent_rdds():
+        return len(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = live_persistent_rdds()
+    # 64-node chain: ~6 star-contraction rounds, each one a checkpoint
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components(edges, return_rounds=True)
+    assert labels.count() == 64
+    assert rounds >= 3  # the loop really iterated (several checkpoints made)
+    after = live_persistent_rdds()
+    # only the final generation may remain live (+1 slack for the initial
+    # canonical checkpoint of a concurrent session user)
+    assert after - before <= 2, f"checkpoint generations leaked: {after - before}"
+
+
+def test_kmeans_fit_never_bulk_collects(spark, monkeypatch):
+    """The fit loop may move only scalars to the driver (the 1-row shift
+    aggregate via first()) — never the data or the assignment."""
+    from pyspark.sql import DataFrame
+
+    from annotations_ingester_spark.operators.similarity import kmeans_fit
+
+    def _forbidden(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("bulk driver-side collection inside kmeans_fit")
+
+    orig_collect = DataFrame.collect
+
+    def _scalar_only(self):
+        rows = orig_collect(self)
+        # first()/head(1) funnel through collect via limit(1) — a scalar
+        # fetch is exactly a ≤1-row result; anything larger is bulk
+        assert len(rows) <= 1, f"kmeans_fit collected {len(rows)} rows"
+        return rows
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3) * 10, 0.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    init = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    monkeypatch.setattr(DataFrame, "collect", _scalar_only)
+    monkeypatch.setattr(DataFrame, "toPandas", _forbidden)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", _forbidden)
+    assign, iters = kmeans_fit(emb, init, max_iterations=8)
+    monkeypatch.undo()
+    assert assign.count() == 30 and iters <= 8

@@ -22,6 +22,7 @@ CROSS_ALLOWED = {
     "ann_ivf_topk",
     "kmeans_lloyd_step",
     "kmeans_two_round_assign",
+    "kmeans_fit_converged",
     # single-row statistic broadcasts (scalar-subquery shape: a 1-row
     # aggregate — corpus avg / global df counts — joined back over the
     # data); the "nested loop" is one comparison per row
