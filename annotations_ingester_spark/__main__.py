@@ -111,7 +111,6 @@ def main(argv: list[str] | None = None) -> int:
 
         from annotations_ingester_spark.sinks.writers import _is_path_missing
 
-        done_col = f"meta.{cfg.docid_field}"
         try:
             if cfg.sink.backend == "elasticsearch":
                 from annotations_ingester_spark.sources.elasticsearch import read_es as _r
@@ -127,11 +126,14 @@ def main(argv: list[str] | None = None) -> int:
             if _is_path_missing(exc) or "index_not_found" in str(exc):
                 return None
             raise
-        if done_col not in written.columns:
-            return None
-        return written.select(
-            Fn.col(f"`{done_col}`").alias(cfg.docid_field)
-        ).distinct()
+        # flat sinks carry the doc id as meta.<docid>; the W4 nested sink
+        # keeps the bare docid groupBy key
+        for done_col in (f"meta.{cfg.docid_field}", cfg.docid_field):
+            if done_col in written.columns:
+                return written.select(
+                    Fn.col(f"`{done_col}`").alias(cfg.docid_field)
+                ).distinct()
+        return None
 
     def write_out(out) -> None:
         if cfg.sink.backend == "elasticsearch":
@@ -193,12 +195,24 @@ def main(argv: list[str] | None = None) -> int:
         # doc_{id}_annotations docs, annotations_indexer.py:166-200)
         from annotations_ingester_spark.operators.filters import range_filter
 
+        if args.segmented:
+            # the segment loop writes flat columns and tracks flat overlap
+            # semantics; silently running nested un-segmented would betray
+            # the flag — refuse loudly (same philosophy as the date-format
+            # refusal above)
+            print(
+                "--segmented is not supported with ingest-mode=nested; "
+                "run the whole span (the J1 skip-processed anti-join "
+                "makes reruns idempotent)",
+                file=sys.stderr,
+            )
+            return 2
         scoped = (
             range_filter(docs, cfg.date_field, date_start, date_end)
             if date_start and date_end
             else docs
         )
-        out = pipe.nested(scoped)
+        out = pipe.nested(scoped, processed_ids=sink_processed_ids())
         if args.dry_run:
             out.explain("formatted")
             return 0

@@ -189,7 +189,11 @@ SIMHASH_BITS = 60  # full width of the portable 15-hex-char md5 hash
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    _counter_bits: int = 20,
 ) -> DataFrame:
     """Per-doc SimHash over the distinct-token set: bit b of the signature
     is 1 iff sum over tokens of (±1 by token-hash bit b) >= 0.
@@ -211,7 +215,9 @@ def simhash_signatures(
     count — a 3× narrower buffer and shuffle row, same map-side combine.
     Sign rule: ones−zeros ≥ 0 ⇔ 2·ones ≥ n_tokens. A 20-bit counter
     saturates at 1,048,575 distinct tokens per doc — far beyond anything
-    array_distinct could materialize in executor memory anyway."""
+    array_distinct could materialize in executor memory anyway — and the
+    limit is ENFORCED, not just documented: a doc at or past it raises at
+    execution (wrong-but-plausible signatures must not ship silently)."""
     _disable_infer_filters_from_generate(df)
     toks = _tokens_sql(text_col)
     ex = (
@@ -224,7 +230,7 @@ def simhash_signatures(
     # Column route costs one py4j JVM round-trip per operator (~700 for a
     # 60-bit tree ≈ >1 s of driver latency per plan build — measured r3);
     # a string is one parse call. Execution cost is identical.
-    PACK, CW = 3, 20  # counters per long, counter width
+    PACK, CW = 3, _counter_bits  # counters per long, counter width
     groups = (bits + PACK - 1) // PACK
     mask = (1 << CW) - 1
     aggs = [F.expr("count(1) AS _n")]
@@ -241,8 +247,15 @@ def simhash_signatures(
         for g in range(groups)
         for i in range(min(PACK, bits - g * PACK))
     ]
+    # saturation guard: a doc with >= 2^CW distinct tokens would carry into
+    # the adjacent packed counter and silently corrupt neighboring bits
     return wide.selectExpr(
-        id_col, f"CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash"
+        id_col,
+        f"CASE WHEN _n >= {1 << CW} THEN CAST(raise_error("
+        f"concat('simhash_signatures: doc ', CAST({id_col} AS STRING), ' has ', "
+        f"CAST(_n AS STRING), ' distinct tokens — the {CW}-bit packed counter "
+        f"would saturate; widen CW or pre-truncate')) AS BIGINT) "
+        f"ELSE CAST({' + '.join(bit_terms)} AS BIGINT) END AS simhash",
     )
 
 

@@ -154,11 +154,15 @@ class AnnotationPipeline:
         scoped = range_filter(docs, self.date_field, date_start, date_end)
         return self.flat(scoped, **kw)
 
-    def nested(self, docs: DataFrame) -> DataFrame:
+    def nested(
+        self, docs: DataFrame, processed_ids: DataFrame | None = None
+    ) -> DataFrame:
         """W4: one row per document, annotations collected into an array
         (reference: doc_{id}_annotations sink docs,
-        annotations_indexer.py:166-200)."""
-        ann = self.annotated(docs)
+        annotations_indexer.py:166-200). ``processed_ids`` threads the J1
+        skip-processed anti-join through, same as the flat path — without
+        it a resumed run over an append sink duplicated every doc row."""
+        ann = self.annotated(docs, processed_ids=processed_ids)
         exploded = explode_entities(ann)
         keys = [self.docid_field] + [
             p for p in self.persist_fields if p != self.docid_field

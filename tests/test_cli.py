@@ -145,6 +145,51 @@ def test_skip_processed_resume(spark, tmp_path):
     assert set(second) > set(first)  # new docs landed
 
 
+def test_nested_skip_processed_resume(spark, tmp_path):
+    """nested ingest + skip-processed-doc-check: a rerun over a grown
+    corpus must only append the NEW docs' rows — previously the nested
+    branch ignored the resume flag and duplicated every doc (r3 advice)."""
+    import yaml as _yaml
+
+    src1 = str(tmp_path / "nsrc1")
+    spark.createDataFrame(DOCS[:3], "doc_id long, text string, dct string").write.parquet(src1)
+    sink = str(tmp_path / "nested_resume_sink")
+
+    def cfg_for(src, tag):
+        cfg = _yaml.safe_load(open(_cfg(tmp_path, src, sink, dated=False)))
+        cfg["mapping"]["source"]["skip-processed-doc-check"] = True
+        cfg["mapping"]["sink"]["ingest-mode"] = "nested"
+        p = tmp_path / f"cfg_nested_resume_{tag}.yml"
+        p.write_text(_yaml.safe_dump(cfg))
+        return str(p)
+
+    assert main(["--config", cfg_for(src1, "a")]) == 0
+    first = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    src2 = str(tmp_path / "nsrc2")
+    spark.createDataFrame(DOCS[:6], "doc_id long, text string, dct string").write.parquet(src2)
+    assert main(["--config", cfg_for(src2, "b")]) == 0
+    second = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert len(second) == len(set(second))  # old docs NOT rewritten
+    assert set(second) > set(first)  # new docs landed
+
+
+def test_nested_segmented_refused(spark, tmp_path):
+    """--segmented with ingest-mode=nested must refuse loudly (exit 2),
+    not silently run un-segmented or write flat columns."""
+    import os
+
+    import yaml as _yaml
+
+    src = _corpus(spark, tmp_path)
+    sink = str(tmp_path / "nested_seg_sink")
+    cfg = _yaml.safe_load(open(_cfg(tmp_path, src, sink)))
+    cfg["mapping"]["sink"]["ingest-mode"] = "nested"
+    p = tmp_path / "cfg_nested_seg.yml"
+    p.write_text(_yaml.safe_dump(cfg))
+    assert main(["--config", str(p), "--segmented"]) == 2
+    assert not os.path.exists(sink)  # refused before writing anything
+
+
 def test_dry_run_segmented(spark, tmp_path, capsys):
     src = _corpus(spark, tmp_path)
     sink = str(tmp_path / "dry")

@@ -92,6 +92,22 @@ def test_simhash_similar_docs_close(spark):
     assert ham(out[1], out[2]) < ham(out[1], out[3])
 
 
+def test_simhash_counter_saturation_raises(spark):
+    """A doc whose distinct-token count reaches the packed-counter capacity
+    must fail loudly, not corrupt neighboring signature bits (r3 advice).
+    Narrow 4-bit counters (capacity 15) make the guard cheap to trip."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    ok = " ".join(f"t{i}" for i in range(15))
+    bad = " ".join(f"t{i}" for i in range(16))
+    docs = spark.createDataFrame([(1, ok)], "doc_id long, text string")
+    assert simhash_signatures(docs, _counter_bits=4).count() == 1
+    docs = spark.createDataFrame([(2, bad)], "doc_id long, text string")
+    with _pytest.raises(SparkRuntimeException, match="distinct tokens"):
+        simhash_signatures(docs, _counter_bits=4).collect()
+
+
 def test_ngram_jaccard(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")], "doc_id long, text string"
