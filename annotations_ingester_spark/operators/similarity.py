@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 from annotations_ingester_spark.functions.vectors import cosine_similarity, sign_bucket
 
+# round count of the most recent kmeans_fit call in this process —
+# observability for bench/driver logs (proves convergence-by-tolerance)
+LAST_FIT_ITERATIONS: int | None = None
+
 
 def brute_force_topk(
     embeddings: DataFrame,
@@ -356,4 +360,6 @@ def kmeans_fit(
         if shift < tol:
             break
     assign = kmeans_assign(embeddings, cent, id_col, vec_col, centroid_id_col)
+    global LAST_FIT_ITERATIONS
+    LAST_FIT_ITERATIONS = iterations  # observability for bench/driver logs
     return assign, iterations

@@ -56,6 +56,12 @@ HEADLINE = [
     "text_gopher_quality_flags",
     "media_decode_dims",
     "window_sliding_events",
+    # r4: the curation family (newest, previously invisible to the bench)
+    # and the full k-means convergence loop
+    "corpus_curation_pipeline",
+    "corpus_shuffle_order",
+    "weighted_downsample",
+    "kmeans_fit_converged",
 ]
 
 
@@ -69,15 +75,23 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     def run_suite(at_dir: str) -> dict[str, float]:
+        # Isolation discipline (r3: a ~1.2x uniform drift from shared-JVM
+        # pressure masked real regressions): per query, one UNTIMED warm-up
+        # execution (fills codegen/broadcast/file-listing caches), then
+        # median-of-3 timed runs with the SQL cache cleared and a GC hint
+        # between queries so one query's garbage doesn't tax the next.
         out: dict[str, float] = {}
         for name in HEADLINE:
             spec = REGISTRY[name]
-            best = float("inf")
-            for _ in range(2):  # best-of-2: damp machine noise
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            spec.spark(spark, at_dir).write.format("noop").mode("overwrite").save()
+            runs = []
+            for _ in range(3):
                 t0 = time.perf_counter()
                 spec.spark(spark, at_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(sorted(runs)[1], 3)  # median-of-3
         return out
 
     timings = run_suite(sf_dir)
@@ -97,6 +111,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    from annotations_ingester_spark.operators import similarity as _sim
+
+    # the convergence loop's round count (set by the kmeans_fit_converged
+    # runs above) — certifies the fit stopped on tolerance, not exhaustion
+    result["kmeans_fit_iterations"] = getattr(_sim, "LAST_FIT_ITERATIONS", None)
 
     base_dir = os.environ.get("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.01")
     base_sf = sf_of(base_dir) if base_dir else None

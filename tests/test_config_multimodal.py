@@ -294,3 +294,67 @@ def test_decode_media_jpeg_fill_bytes_and_sos():
     trunc = b"\xff\xd8" + b"\xff\xda\x00\x02" + b"\x12\x34\x56\x78" * 4
     out = decode_media(trunc, "image")
     assert "format" not in out
+
+
+def test_decode_content_pil_gate(spark):
+    """decode_content (pixel-level decode + perceptual hash): with Pillow
+    absent it must fail fast naming the dependency; header-level
+    decode_metadata keeps working either way."""
+    import pytest
+
+    from annotations_ingester_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        decode_content,
+        pil_available,
+    )
+
+    if pil_available():
+        pytest.skip("PIL present — covered by test_decode_content_with_pil")
+    df = spark.createDataFrame([], MEDIA_SCHEMA)
+    with pytest.raises(ImportError, match="Pillow"):
+        decode_content(df)
+
+
+def test_decode_content_with_pil(spark):
+    """With Pillow installed: width/height/mode verified from pixel data;
+    perceptual hash is deterministic and separates distinct images."""
+    import pytest
+
+    from annotations_ingester_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        decode_content,
+        pil_available,
+    )
+
+    if not pil_available():
+        pytest.skip("Pillow not installed in this image")
+    import io as _io
+
+    from PIL import Image
+
+    def png_bytes(color):
+        img = Image.new("RGB", (32, 16), color)
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    # a flat image and one with structure (phash of a flat image is
+    # degenerate; the gradient gives the average-hash real variance)
+    grad = Image.new("L", (32, 16))
+    grad.putdata([x % 256 for x in range(32 * 16)])
+    gbuf = _io.BytesIO()
+    grad.save(gbuf, format="PNG")
+
+    rows = [
+        (1, bytearray(png_bytes((255, 0, 0))), {"kind": "image"}),
+        (2, bytearray(gbuf.getvalue()), {"kind": "image"}),
+        (3, bytearray(b"corrupt"), {"kind": "image"}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_content(df).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"], out[1]["mode"]) == (
+        "png", 32, 16, "RGB",
+    )
+    assert out[2]["mode"] == "L" and out[2]["phash"] is not None
+    assert out[1]["phash"] != out[2]["phash"]
+    assert out[3]["format"] is None and out[3]["digest"]  # degrade, not raise

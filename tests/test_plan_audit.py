@@ -54,6 +54,19 @@ def plans(spark):
     return out
 
 
+def test_aqe_skew_posture(spark):
+    """Zipfian shuffle keys (tfidf_top_terms' per-term join docstring claim,
+    operators/search.py) lean on AQE's runtime skew-split rather than manual
+    salting. That claim only holds if the session factory actually enables
+    AQE + skew joins — pin it here so a config drift can't silently turn the
+    documented posture into a single-straggler stage. Fallback if this ever
+    fails at real scale: the explicit two-stage salt in operators/skew.py
+    (explode_skew_salted) applies to any hot-key aggregate/join."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+
+
 def test_no_row_at_a_time_python_udfs(plans):
     """Python execution must be Arrow-batched (MapInPandas / ArrowEvalPython)
     — BatchEvalPython is the 10-100x-slower row-at-a-time path."""
