@@ -74,6 +74,23 @@ def main() -> None:
     # JVM/codegen warm-up so the first timed query isn't paying startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Machine-speed calibration: a FIXED query-shaped job (codegen'd agg
+    # over a generated range — no I/O, no query-plan changes round over
+    # round). Round-4 experiment showed the r3 "session drift" was
+    # environment variance, not GC pressure (a fresh session timed the
+    # same canaries SLOWER than the warm 34-query session); dividing a
+    # round-over-round delta by the calibration ratio separates machine
+    # noise from genuine plan regressions.
+    def calibrate() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(50_000_000).selectExpr(
+                "sum(id * 2)", "avg(id)", "count(distinct id % 1000)"
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 3)
+
     def run_suite(at_dir: str) -> dict[str, float]:
         # Isolation discipline (r3: a ~1.2x uniform drift from shared-JVM
         # pressure masked real regressions): per query, one UNTIMED warm-up
@@ -116,6 +133,7 @@ def main() -> None:
     # the convergence loop's round count (set by the kmeans_fit_converged
     # runs above) — certifies the fit stopped on tolerance, not exhaustion
     result["kmeans_fit_iterations"] = getattr(_sim, "LAST_FIT_ITERATIONS", None)
+    result["calibration_sec"] = calibrate()
 
     base_dir = os.environ.get("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.01")
     base_sf = sf_of(base_dir) if base_dir else None
