@@ -462,3 +462,58 @@ def simhash_near_dup_pairs(
     return pairs.select(
         "doc_a", "doc_b", ham.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span detection at token-n-gram granularity →
+    (doc_id, pos, gram_hash, n_occurrences): every 0-based token position
+    opening an n-gram that occurs ``min_count``+ times corpus-wide. This is
+    the substring-level complement to the document-level dedup family (the
+    published recipe builds a corpus suffix array; that structure doesn't
+    shard, so distributed implementations use the equivalent n-gram
+    multiset — same spans flagged for n-token windows). Downstream use:
+    cut or mask the flagged spans before training.
+
+    Scale shape: shingles are built per-row and hashed to 8-byte ints
+    BEFORE any shuffle (strings never cross the wire); one groupBy on the
+    hash with map-side partial counts yields the duplicated-gram dim;
+    flagging is an equi-join back on the hash — AQE's skew split covers the
+    hot keys (boilerplate/license headers repeat millions of times at
+    corpus scale). No all-pairs shape anywhere.
+    """
+    _disable_infer_filters_from_generate(df)
+    toks = _tokens_sql(text_col)
+    parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(n))
+    grams = (
+        df.withColumn("_tk", F.expr(toks))
+        .filter(F.size("_tk") >= n)
+        .withColumn(
+            "_sh",
+            F.expr(
+                f"CASE WHEN size(_tk) >= {n} THEN"
+                f" transform(sequence(1, size(_tk) - {n - 1}),"
+                f" i -> concat_ws(' ', {parts}))"
+                f" ELSE cast(array() as array<string>) END"
+            ),
+        )
+        .select(F.col(id_col), F.posexplode("_sh").alias("pos", "_gram"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(_hash_sql("_gram")).alias("gram_hash"),
+        )
+    )
+    dupes = (
+        grams.groupBy("gram_hash")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    return grams.join(dupes, "gram_hash").select(
+        id_col, "pos", "gram_hash", "n_occurrences"
+    )

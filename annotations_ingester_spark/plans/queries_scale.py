@@ -722,3 +722,78 @@ def q_explode_skew(spark: SparkSession, sf: str):
         [F.count("*").alias("_c"), F.sum("i").alias("_s")],
         lambda: [F.sum("_c").alias("n_entities"), F.sum("_s").alias("sum_i")],
     )
+
+
+_NGRAM5 = (
+    "list_transform(range(1, greatest(len(t) - 4, 0) + 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])"
+)
+
+
+@register(
+    "dedup_duplicate_ngram_spans",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents WHERE text IS NOT NULL),
+       sh AS (SELECT doc_id, {_NGRAM5} AS s FROM d WHERE len(t) >= 5),
+       g AS (
+         SELECT doc_id, u.x.p::BIGINT AS pos,
+                {HASH.format(e="u.x.g")} AS gram_hash
+         FROM (SELECT doc_id,
+                      unnest(list_transform(range(len(s)),
+                                            i -> {{'p': i, 'g': s[i + 1]}})) AS x
+               FROM sh) u),
+       c AS (SELECT gram_hash, count(*)::BIGINT AS n_occurrences
+             FROM g GROUP BY gram_hash HAVING count(*) >= 2)
+       SELECT g.doc_id, g.pos, g.gram_hash, c.n_occurrences
+       FROM g JOIN c USING (gram_hash)""",
+    doc="Substring-level dedup (token-5-gram granularity): every position "
+    "opening an n-gram that repeats corpus-wide — the span-cutting "
+    "complement to document-level dedup (the suffix-array recipe's "
+    "shardable equivalent). Grams hash to 8-byte ints pre-shuffle; "
+    "duplicated-gram dim via map-side-combined count; equi-join flagging.",
+)
+def q_duplicate_ngram_spans(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(table(spark, sf, "documents"), n=5, min_count=2)
+
+
+@register(
+    "dedup_corpus_survivors",
+    f"""WITH RECURSIVE {SIG_CTE},
+       band AS (
+         SELECT doc_id, seed // 2 AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed // 2),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+       edges AS (
+         SELECT doc_a AS u, doc_b AS v FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       reach(u, v) AS (
+         SELECT u, v FROM edges
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE r.u <> e.v),
+       labels AS (
+         SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+         FROM reach GROUP BY u)
+       SELECT d.doc_id FROM documents d LEFT JOIN labels l USING (doc_id)
+       WHERE l.cluster_id IS NULL OR d.doc_id = l.cluster_id""",
+    doc="END-TO-END corpus dedup: MinHash -> LSH banding -> connected "
+    "components -> one survivor per near-dup cluster (the cluster-minimum "
+    "doc) plus all unclustered docs. The full production flow as ONE "
+    "declarative plan; every stage bucketed (band equi-join, O(log n) "
+    "star-contraction CC, survivor anti-filter is a left join on id).",
+)
+def q_corpus_survivors(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.cluster import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    docs = table(spark, sf, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(lsh_band_keys(sig)).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    return dedup_survivors(docs, cc).select("doc_id")
