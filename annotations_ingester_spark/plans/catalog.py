@@ -55,13 +55,25 @@ def utc_label(col, fmt: str = "yyyy-MM-dd HH:mm:ss"):
     return F.date_format(F.convert_timezone(None, F.lit("UTC"), F.col(col)), fmt)
 
 
-def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events stream table. Its parquet carries nanosecond timestamps
-    (TIMESTAMP(NANOS)), which Spark reads as raw INT64 nanos under
-    ``nanosAsLong``; we expose ``ts_s`` (epoch seconds, BIGINT — DuckDB
-    twin: ``floor(epoch(ts))::BIGINT``) alongside the raw column."""
+def events_ts_seconds(ts_dtype: str):
+    """Epoch-seconds (BIGINT) expression for the events ``ts`` column,
+    adaptive to how the parquet encodes it. The generated testdata has
+    shipped two encodings: TIMESTAMP(NANOS) (read as raw INT64 nanos under
+    ``nanosAsLong``) and plain TIMESTAMP/TIMESTAMP_NTZ(MICROS). DuckDB twin
+    for both: ``floor(epoch(ts))::BIGINT`` — for the NTZ encoding
+    ``unix_timestamp`` treats the naive wall clock as UTC, exactly like
+    DuckDB's ``epoch``, independent of ``spark.sql.session.timeZone``."""
     from pyspark.sql import functions as F
 
+    if ts_dtype == "bigint":
+        return (F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    return F.unix_timestamp(F.col("ts"))
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events stream table; exposes ``ts_s`` (epoch seconds, BIGINT —
+    DuckDB twin: ``floor(epoch(ts))::BIGINT``) alongside the raw column,
+    adapting to either historical ``ts`` parquet encoding."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts_s", (F.col("ts") / F.lit(1_000_000_000)).cast("long"))
+    return df.withColumn("ts_s", events_ts_seconds(dict(df.dtypes)["ts"]))

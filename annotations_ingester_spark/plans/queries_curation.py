@@ -15,7 +15,7 @@ from annotations_ingester_spark.functions.vectors import (
     cosine_similarity_sql,
     sign_bucket_sql,
 )
-from annotations_ingester_spark.plans.catalog import register, table
+from annotations_ingester_spark.plans.catalog import events_ts_seconds, register, table
 
 _SPLIT_HASH = md5_hash64_sql("'split:' || doc_id::VARCHAR")
 _SAMPLE_HASH = md5_hash64_sql("'sample:' || doc_id::VARCHAR")
@@ -304,7 +304,7 @@ def q_streaming_dedup(spark: SparkSession, sf: str):
             .parquet(sf)
         )
         return raw.withColumn(
-            "ts_t", F.timestamp_seconds((F.col("ts") / F.lit(1_000_000_000)).cast("long"))
+            "ts_t", F.timestamp_seconds(events_ts_seconds(dict(raw.dtypes)["ts"]))
         ).select("event_id", "ts_t")
 
     doubled = one_stream().unionByName(one_stream())

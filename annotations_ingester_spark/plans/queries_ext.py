@@ -10,7 +10,13 @@ from pyspark.sql import functions as F
 
 from annotations_ingester_spark.annotator.fake import DeterministicFakeAnnotator
 from annotations_ingester_spark.operators.asof import asof_join, bucketized_range_join
-from annotations_ingester_spark.plans.catalog import events_table, register, table, utc_label
+from annotations_ingester_spark.plans.catalog import (
+    events_table,
+    events_ts_seconds,
+    register,
+    table,
+    utc_label,
+)
 from annotations_ingester_spark.plans.queries_pipeline import DOCS_CTE, ENTS_CTE, MEDCAT_FLAT_FIELDS
 
 EV_CTE = """ev AS (
@@ -339,7 +345,7 @@ def q_streaming_agg(spark: SparkSession, sf: str):
         .parquet(sf)
     )
     ev = stream.withColumn(
-        "ts_t", F.timestamp_seconds((F.col("ts") / F.lit(1_000_000_000)).cast("long"))
+        "ts_t", F.timestamp_seconds(events_ts_seconds(dict(stream.dtypes)["ts"]))
     )
     agg = (
         ev.groupBy(F.window("ts_t", "1 hour"), "event_type")
