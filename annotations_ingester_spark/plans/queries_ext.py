@@ -372,6 +372,71 @@ def q_streaming_agg(spark: SparkSession, sf: str):
 
 
 @register(
+    "streaming_stream_join",
+    """WITH ev AS (
+         SELECT event_id, user_id, event_type, floor(epoch(ts))::BIGINT AS ts_s
+         FROM events)
+       SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+              c.user_id AS user_id, (p.ts_s - c.ts_s)::BIGINT AS lag_s
+       FROM ev c JOIN ev p ON c.user_id = p.user_id
+       WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts_s >= c.ts_s AND p.ts_s <= c.ts_s + 3600""",
+    doc="Stream-stream inner join run for real: two watermarked event "
+    "streams (clicks, purchases) joined on user_id with a 1-hour "
+    "event-time range condition — Spark keeps only the watermark-bounded "
+    "window of each side in state, so join state is O(rate × window), "
+    "not O(stream). Driven to completion with availableNow; inner-join "
+    "emission is watermark-independent, so the result equals the batch "
+    "self-join oracle exactly.",
+)
+def q_streaming_join(spark: SparkSession, sf: str):
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+
+    def side(event_type: str, alias: str):
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        return (
+            raw.withColumn(
+                "ts_t", F.timestamp_seconds(events_ts_seconds(dict(raw.dtypes)["ts"]))
+            )
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts_t").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("click_id"),
+        F.col("purchase_id").alias("purchase_id"),
+        F.col("click_user").alias("user_id"),
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("lag_s"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("streaming_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_join_out")
+
+
+@register(
     "q18_large_volume_orders",
     """WITH big AS (
          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey

@@ -40,6 +40,7 @@ STREAMING = {
     "streaming_tumbling_agg",
     "streaming_watermarked_dedup",
     "streaming_stateful_totals",
+    "streaming_stream_join",
 }
 
 
