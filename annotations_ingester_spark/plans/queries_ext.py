@@ -437,6 +437,49 @@ def q_streaming_join(spark: SparkSession, sf: str):
 
 
 @register(
+    "streaming_static_join",
+    """SELECT c.c_mktsegment AS segment, count(*) AS n,
+              CAST(sum(e.value::DECIMAL(14,4)) AS DOUBLE) AS total_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY segment""",
+    doc="Stream-static enrichment join run for real: a streaming event "
+    "source joined to a static broadcast dimension (customer) — the "
+    "canonical streaming-ETL shape. The static side is re-read per "
+    "micro-batch, never shuffled into stream state; the downstream "
+    "aggregation is the only stateful operator. Complete-mode memory "
+    "sink, availableNow, exact group-sum oracle.",
+)
+def q_streaming_static_join(spark: SparkSession, sf: str):
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .select("user_id", "value")
+    )
+    dim = F.broadcast(
+        table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        stream.join(dim, stream["user_id"] == dim["c_custkey"], "inner")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("streaming_static_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_static_join_out")
+
+
+@register(
     "q18_large_volume_orders",
     """WITH big AS (
          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey

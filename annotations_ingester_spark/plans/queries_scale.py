@@ -797,3 +797,39 @@ def q_corpus_survivors(spark: SparkSession, sf: str):
     pairs = lsh_candidate_pairs(lsh_band_keys(sig)).select("doc_a", "doc_b")
     cc = connected_components(pairs)
     return dedup_survivors(docs, cc).select("doc_id")
+
+
+@register(
+    "approx_sketch_certified",
+    """SELECT event_type, TRUE AS hll_ok, TRUE AS pctl_ok
+       FROM events GROUP BY event_type""",
+    doc="Certifies the approximate-aggregate contract, not a point value: "
+    "per group, HLL distinct-count (approx_count_distinct) must land "
+    "within 10% of the exact distinct, and the KLL-style approx median "
+    "(percentile_approx) must land between the exact p40 and p60. At "
+    "100 TB these sketches replace exact-distinct shuffles with "
+    "fixed-size mergeable state; the query certifies the accuracy bound "
+    "that substitution relies on, in an engine-portable way (the oracle "
+    "is the contract: every group passes).",
+)
+def q_approx_sketch_certified(spark: SparkSession, sf: str):
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("hll"),
+            F.countDistinct("user_id").alias("exact_d"),
+            F.percentile_approx("value", 0.5, 10000).alias("amed"),
+            F.expr("percentile(value, 0.40)").alias("p40"),
+            F.expr("percentile(value, 0.60)").alias("p60"),
+        )
+        .select(
+            "event_type",
+            (F.abs(F.col("hll") - F.col("exact_d")) <= 0.10 * F.col("exact_d")).alias(
+                "hll_ok"
+            ),
+            ((F.col("amed") >= F.col("p40")) & (F.col("amed") <= F.col("p60"))).alias(
+                "pctl_ok"
+            ),
+        )
+    )

@@ -41,6 +41,7 @@ STREAMING = {
     "streaming_watermarked_dedup",
     "streaming_stateful_totals",
     "streaming_stream_join",
+    "streaming_static_join",
 }
 
 
