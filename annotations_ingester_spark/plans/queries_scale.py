@@ -833,3 +833,43 @@ def q_approx_sketch_certified(spark: SparkSession, sf: str):
             ),
         )
     )
+
+
+@register(
+    "layout_zorder_cells",
+    """WITH s0 AS (
+         SELECT (l_partkey & 65535) AS xa, (l_suppkey & 65535) AS xb FROM lineitem),
+       s1 AS (SELECT ((xa | (xa << 8)) & 16711935) AS xa,
+                     ((xb | (xb << 8)) & 16711935) AS xb FROM s0),
+       s2 AS (SELECT ((xa | (xa << 4)) & 252645135) AS xa,
+                     ((xb | (xb << 4)) & 252645135) AS xb FROM s1),
+       s3 AS (SELECT ((xa | (xa << 2)) & 858993459) AS xa,
+                     ((xb | (xb << 2)) & 858993459) AS xb FROM s2),
+       s4 AS (SELECT ((xa | (xa << 1)) & 1431655765) AS xa,
+                     ((xb | (xb << 1)) & 1431655765) AS xb FROM s3),
+       zc AS (SELECT (xa | (xb << 1)) AS z FROM s4)
+       SELECT (z >> 16)::BIGINT AS cell, count(*) AS n,
+              min(z)::BIGINT AS z_min, max(z)::BIGINT AS z_max
+       FROM zc GROUP BY cell""",
+    doc="Z-order (Morton) cell statistics over (l_partkey, l_suppkey): the "
+    "interleave arithmetic behind write_zordered (sinks/layout.py), "
+    "certified bit-for-bit against a DuckDB twin. Clustering a 100 TB "
+    "table on the z-curve of two independent query keys lets parquet "
+    "min-max stats prune on either key; this query pins the curve "
+    "computation itself (pure JVM integer ops, one shuffle on the "
+    "bounded 2^16-cell aggregate).",
+)
+def q_layout_zorder_cells(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.sinks.layout import morton2
+
+    li = table(spark, sf, "lineitem")
+    z = morton2(F.col("l_partkey"), F.col("l_suppkey"))
+    return (
+        li.select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 16).alias("cell"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+    )

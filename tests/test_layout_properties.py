@@ -175,3 +175,49 @@ def test_simhash_packed_counters_match_reference(spark, token_lists):
             assert i not in got
         else:
             assert got[i] == expect, (i, toks)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    from annotations_ingester_spark.sinks.layout import write_zordered
+
+    # 64x64 grid, shuffled row order — the worst case for naive writes
+    df = (
+        spark.range(0, 4096)
+        .select(
+            (F.col("id") % 64).alias("a"),
+            (F.col("id") / 64).cast("long").alias("b"),
+            F.rand(42).alias("r"),
+        )
+        .orderBy("r")
+        .drop("r")
+    )
+    zpath, npath = str(tmp_path / "zord"), str(tmp_path / "naive")
+    write_zordered(df, zpath, "a", "b", num_files=8)
+    df.repartition(8).write.parquet(npath)
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def files_overlapping(path, col, lo, hi):
+        """Count files whose min-max range for ``col`` intersects [lo, hi] —
+        exactly the pruning decision a parquet reader makes."""
+        hit, total = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            total += 1
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col)
+            fmin = min(md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups))
+            fmax = max(md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit, total
+
+    # a narrow predicate on EITHER dimension must touch a strict subset of
+    # z-ordered files, while the shuffled naive layout touches all of them
+    for col in ("a", "b"):
+        zhit, ztot = files_overlapping(zpath, col, 10, 13)
+        nhit, ntot = files_overlapping(npath, col, 10, 13)
+        assert nhit == ntot == 8, "naive shuffled layout should prune nothing"
+        assert zhit <= ztot // 2, f"z-order should prune most files on {col}: {zhit}/{ztot}"
