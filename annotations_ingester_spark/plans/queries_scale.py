@@ -873,3 +873,60 @@ def q_layout_zorder_cells(spark: SparkSession, sf: str):
             F.max("z").alias("z_max"),
         )
     )
+
+
+@register(
+    "integrity_table_checksum",
+    f"""WITH rows_c AS (
+         SELECT l_returnflag,
+                {{H}} AS h
+         FROM lineitem),
+       agg AS (
+         SELECT l_returnflag, count(*) AS n,
+                bit_xor(h) AS xor_checksum,
+                sum(h)::DECIMAL(38,0)::VARCHAR AS sum_checksum
+         FROM rows_c GROUP BY l_returnflag)
+       SELECT * FROM agg""".replace(
+        "{H}",
+        "(('0x' || substr(md5("
+        "l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|' || "
+        "l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR || '|' || "
+        "round(l_quantity * 100)::BIGINT::VARCHAR || '|' || "
+        "round(l_extendedprice * 100)::BIGINT::VARCHAR || '|' || "
+        "l_returnflag || '|' || l_linestatus || '|' || "
+        "strftime(l_shipdate, '%Y-%m-%d')"
+        "), 1, 15))::BIGINT)",
+    ),
+    doc="Order-insensitive table checksum (count + XOR + sum of per-row "
+    "portable hashes, grouped by returnflag): the migration/replication "
+    "validation primitive — certify a 100 TB copy equals its source with "
+    "one map-side-combinable pass per side and a few scalars over the "
+    "wire, no row-level diff. Floats enter the hash as integer cents; "
+    "dates as ISO strings — renders identically in any engine.",
+)
+def q_integrity_table_checksum(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    li = table(spark, sf, "lineitem")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.round(F.col("l_quantity") * 100).cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    h = md5_hash64(row_repr)
+    return (
+        li.select("l_returnflag", h.alias("h"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(h)").alias("xor_checksum"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("sum_checksum"),
+        )
+    )
