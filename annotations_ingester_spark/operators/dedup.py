@@ -185,6 +185,26 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_lsh_matches(
+    new_bands: DataFrame, corpus_bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental dedup: band keys of an ARRIVING batch joined against the
+    band keys of the EXISTING corpus — the continuous-ingest shape. Work is
+    O(new × corpus-collisions), never corpus × corpus: at 100 TB the corpus
+    bands live as a persisted table bucketed on (band, band_key), so each
+    new batch's join touches only colliding buckets and the standing corpus
+    is never re-shuffled (same posture as the reference's skip-processed
+    resume, ingester/annotations_indexer.py — applied to near-dup identity
+    instead of processed ids)."""
+    n = new_bands.select(F.col(id_col).alias("new_id"), "band", "band_key")
+    c = corpus_bands.select(F.col(id_col).alias("corpus_id"), "band", "band_key")
+    return (
+        n.join(c, ["band", "band_key"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
 SIMHASH_BITS = 60  # full width of the portable 15-hex-char md5 hash
 
 

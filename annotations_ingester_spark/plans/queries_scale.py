@@ -930,3 +930,33 @@ def q_integrity_table_checksum(spark: SparkSession, sf: str):
             F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("sum_checksum"),
         )
     )
+
+
+@register(
+    "dedup_incremental_new_vs_corpus",
+    f"""WITH {SIG_CTE},
+       band AS (
+         SELECT doc_id, seed // 2 AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed // 2),
+       matches AS (
+         SELECT n.doc_id AS new_id, c.doc_id AS corpus_id
+         FROM band n JOIN band c ON n.band = c.band AND n.band_key = c.band_key
+         WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
+       SELECT new_id, corpus_id, count(*) AS n_bands
+       FROM matches GROUP BY new_id, corpus_id""",
+    doc="Incremental dedup, the continuous-ingest production shape: an "
+    "arriving batch (doc_id % 10 = 0 stands in for the new partition) is "
+    "LSH-banded and joined against the standing corpus's band index — "
+    "new × colliding-buckets only, the corpus is never self-joined or "
+    "re-shuffled. Batch twin of the J1 skip-processed resume applied to "
+    "near-duplicate identity.",
+)
+def q_dedup_incremental(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import incremental_lsh_matches
+
+    docs = table(spark, sf, "documents")
+    bands = lsh_band_keys(minhash_signatures(docs))
+    new_b = bands.filter(F.col("doc_id") % 10 == 0)
+    corpus_b = bands.filter(F.col("doc_id") % 10 != 0)
+    return incremental_lsh_matches(new_b, corpus_b)

@@ -62,6 +62,11 @@ HEADLINE = [
     "corpus_shuffle_order",
     "weighted_downsample",
     "kmeans_fit_converged",
+    # r4 additions: streaming joins, layout/integrity/sketch certification
+    "streaming_stream_join",
+    "layout_zorder_cells",
+    "integrity_table_checksum",
+    "approx_sketch_certified",
 ]
 
 
