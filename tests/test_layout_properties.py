@@ -221,3 +221,25 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         nhit, ntot = files_overlapping(npath, col, 10, 13)
         assert nhit == ntot == 8, "naive shuffled layout should prune nothing"
         assert zhit <= ztot // 2, f"z-order should prune most files on {col}: {zhit}/{ztot}"
+
+
+def test_morton2_matches_python_reference(spark):
+    from annotations_ingester_spark.sinks.layout import morton2
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16)) for _ in range(500)]
+    rows += [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)]
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select("a", "b", morton2(F.col("a"), F.col("b")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == ref(r["a"], r["b"]), (r["a"], r["b"])
