@@ -125,3 +125,39 @@ def test_stratified_sample_single_shuffle(spark):
     p = plan_of(spark, "split_stratified_sample")
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "rangepartitioning" not in p.lower(), p
+
+
+def test_runtime_bloom_filter_available_for_selective_joins(spark):
+    """AQE runtime row-level filtering: a selective dim-side predicate must
+    be able to inject a bloom filter into the fact-side scan (the 100 TB
+    scan-reduction lever when partition pruning can't apply). Production
+    defaults gate injection on a >=10 GB probe side, so the test lowers the
+    local scan-size threshold to exercise the mechanism; the assertion that
+    matters is that the session leaves the feature ON and this Spark build
+    injects might_contain under it."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    prev_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        c = spark.read.parquet(f"{SF}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        j = o.join(c, o["o_custkey"] == c["c_custkey"])
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_scan,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
