@@ -288,3 +288,68 @@ def q_kmeans_fit_converged(spark: SparkSession, sf: str):
     )
     assign, _iters = kmeans_fit(planted, cent0, max_iterations=8, tol=1e-4)
     return assign.select("vec_id", F.col("centroid_id").cast("long").alias("centroid_id"))
+
+
+@register(
+    "funnel_conversion_steps",
+    """WITH ev AS (
+         SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+       v AS (
+         SELECT user_id, min(ts_s) AS t_view FROM ev
+         WHERE event_type = 'view' GROUP BY user_id),
+       c AS (
+         SELECT e.user_id, min(e.ts_s) AS t_click
+         FROM ev e JOIN v ON e.user_id = v.user_id
+         WHERE e.event_type = 'click' AND e.ts_s >= v.t_view
+         GROUP BY e.user_id),
+       p AS (
+         SELECT e.user_id, min(e.ts_s) AS t_purchase
+         FROM ev e JOIN c ON e.user_id = c.user_id
+         WHERE e.event_type = 'purchase' AND e.ts_s >= c.t_click
+         GROUP BY e.user_id)
+       SELECT 1::BIGINT AS step, 'view' AS name, count(*)::BIGINT AS users FROM v
+       UNION ALL
+       SELECT 2::BIGINT, 'click_after_view', count(*)::BIGINT FROM c
+       UNION ALL
+       SELECT 3::BIGINT, 'purchase_after_click', count(*)::BIGINT FROM p""",
+    doc="Ordered-step funnel analysis: users who viewed, then clicked at or "
+    "after their first view, then purchased at or after that first "
+    "qualifying click. Three partial-aggregated groupBys and two "
+    "equi-joins, ALL keyed on user_id — at scale one hash partitioning "
+    "serves every stage (AQE reuses the exchange), so the funnel costs "
+    "one logical shuffle of the events table however many steps deep.",
+)
+def q_funnel_conversion(spark: SparkSession, sf: str):
+    ev = events_table(spark, sf).select("user_id", "event_type", "ts_s")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_s") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_s") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_purchase"))
+    )
+
+    def step(df, n, name):
+        return df.agg(
+            F.lit(n).cast("long").alias("step"),
+            F.lit(name).alias("name"),
+            F.count("*").cast("long").alias("users"),
+        )
+
+    return (
+        step(v, 1, "view")
+        .unionAll(step(c, 2, "click_after_view"))
+        .unionAll(step(p, 3, "purchase_after_click"))
+    )

@@ -234,3 +234,23 @@ def test_stream_checkpoint_restart_is_exactly_once(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 15  # 10 + 5: first batch not reprocessed
     assert got.select("doc_id").distinct().count() == 15  # and no duplicates
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A long-lived corpus accretes columns; readers must see the union
+    schema with nulls for files written before a column existed, and
+    filters on late-added columns must not error on old files."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "gamma", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}
+    # predicate on the late-added column: old files contribute nothing, no error
+    assert merged.filter(F.col("lang") == "en").count() == 1
