@@ -315,9 +315,10 @@ def q_kmeans_fit_converged(spark: SparkSession, sf: str):
     doc="Ordered-step funnel analysis: users who viewed, then clicked at or "
     "after their first view, then purchased at or after that first "
     "qualifying click. Three partial-aggregated groupBys and two "
-    "equi-joins, ALL keyed on user_id — at scale one hash partitioning "
-    "serves every stage (AQE reuses the exchange), so the funnel costs "
-    "one logical shuffle of the events table however many steps deep.",
+    "equi-joins, ALL keyed on user_id — every exchange hashes the same "
+    "key and each step shrinks to the surviving cohort, so the funnel "
+    "costs one events-table shuffle plus per-step shuffles of "
+    "already-reduced per-user rows, however many steps deep.",
 )
 def q_funnel_conversion(spark: SparkSession, sf: str):
     ev = events_table(spark, sf).select("user_id", "event_type", "ts_s")
