@@ -98,3 +98,51 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    roughly ``target_file_mb`` each, returning the new file count.
+
+    Streaming ingest and fine-grained upserts accrete thousands of small
+    files; at 100 TB that turns every scan's file-listing and task-setup
+    into the bottleneck (one task per tiny file). Sizing from the actual
+    on-disk byte count (not a row guess) keeps the result stable across
+    schema width. The rewrite is a plain coalesce — no shuffle — unless
+    ``sort_col`` is given, in which case a range partition restores
+    clustering while it compacts.
+
+    File sizing and the swap use the local filesystem; on HDFS/S3 the
+    same steps go through the Hadoop FileSystem API (size from
+    listStatus, swap via rename/commit protocol) — the Spark plan is
+    identical."""
+    import math
+    import os
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+    else:
+        out = df.coalesce(n_files)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: readers of `path` never see a half-written directory
+    bak = path.rstrip("/") + "._compact_old"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(bak)
+    return n_files

@@ -243,3 +243,24 @@ def test_morton2_matches_python_reference(spark):
     got = df.select("a", "b", morton2(F.col("a"), F.col("b")).alias("z")).collect()
     for r in got:
         assert r["z"] == ref(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from annotations_ingester_spark.sinks.layout import compact_parquet
+
+    import glob
+
+    path = str(tmp_path / "fragmented")
+    # 20 single-row writes -> 20+ tiny files, the streaming-ingest pathology
+    for i in range(20):
+        spark.createDataFrame([(i, f"doc {i}")], "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 20
+    n = compact_parquet(spark, path, target_file_mb=128)
+    after = glob.glob(f"{path}/*.parquet")
+    assert len(after) == n == 1  # tiny corpus fits one target-size file
+    got = spark.read.parquet(path)
+    assert got.count() == 20
+    assert got.select("doc_id").distinct().count() == 20

@@ -254,3 +254,33 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert rows == {1: None, 2: None, 3: "en"}
     # predicate on the late-added column: old files contribute nothing, no error
     assert merged.filter(F.col("lang") == "en").count() == 1
+
+
+def test_available_now_respects_max_files_per_trigger(spark, tmp_path):
+    """Backpressure contract: availableNow with maxFilesPerTrigger drains
+    the full backlog but in bounded micro-batches — the knob that keeps a
+    catch-up run from loading an unbounded file list into one batch."""
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    for i in range(6):
+        spark.createDataFrame([(i, f"doc {i}")], "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    assert spark.read.parquet(sink).count() == 6  # backlog fully drained
+    batches = [p["numInputRows"] for p in progress if p["numInputRows"] > 0]
+    assert len(batches) >= 3  # bounded micro-batches, not one giant batch
+    assert max(batches) <= 2
