@@ -65,7 +65,7 @@ def run(sf_dir: str, names: list[str] | None = None) -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    failures = 0
+    failures = matched = rows_only = 0
     for name, spec in REGISTRY.items():
         if names and name not in names:
             continue
@@ -76,6 +76,7 @@ def run(sf_dir: str, names: list[str] | None = None) -> int:
             failures += 1
             continue
         if spec.oracle is None:
+            rows_only += 1
             print(f"ok   {name}: rows={len(sdf)} (no oracle — rows-only)")
             continue
         try:
@@ -99,7 +100,12 @@ def run(sf_dir: str, names: list[str] | None = None) -> int:
             print(f"FAIL {name}: value mismatch, first diffs: {diff}")
             failures += 1
             continue
+        matched += 1
         print(f"ok   {name}: rows={len(srows)} cols={len(scols)} MATCH")
+    print(
+        f"SUMMARY: {matched} hash-matched, {rows_only} rows-only, "
+        f"{failures} failed, {matched + rows_only + failures} run"
+    )
     return failures
 
 
