@@ -411,6 +411,14 @@ def q_streaming_join(spark: SparkSession, sf: str):
             .withWatermark(f"{alias}_ts", "2 hours")
         )
 
+    # State partition count is a per-stream sizing decision (it is fixed at
+    # first run and carried in the checkpoint): each state partition pays a
+    # per-micro-batch store commit, so it should track the watermark-window
+    # row volume of the FILTERED sides (tiny here), not the session-wide
+    # shuffle width. 8 partitions halves the per-batch fixed cost vs 32
+    # (measured 5.6 s → 2.3 s at sf0.1); a production-rate stream sizes up.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     clicks = side("click", "click")
     purchases = side("purchase", "purchase")
     joined = clicks.join(
@@ -425,14 +433,17 @@ def q_streaming_join(spark: SparkSession, sf: str):
         F.col("click_user").alias("user_id"),
         (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("lag_s"),
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("streaming_join_out")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("streaming_join_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table("streaming_join_out")
 
 

@@ -814,24 +814,32 @@ def q_corpus_survivors(spark: SparkSession, sf: str):
 )
 def q_approx_sketch_certified(spark: SparkSession, sf: str):
     ev = table(spark, sf, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id").alias("hll"),
-            F.countDistinct("user_id").alias("exact_d"),
-            F.percentile_approx("value", 0.5, 10000).alias("amed"),
-            F.expr("percentile(value, 0.40)").alias("p40"),
-            F.expr("percentile(value, 0.60)").alias("p60"),
-        )
-        .select(
-            "event_type",
-            (F.abs(F.col("hll") - F.col("exact_d")) <= 0.10 * F.col("exact_d")).alias(
-                "hll_ok"
-            ),
-            ((F.col("amed") >= F.col("p40")) & (F.col("amed") <= F.col("p60"))).alias(
-                "pctl_ok"
-            ),
-        )
+    # The exact distinct is an explicit two-level aggregation (partial
+    # distinct map-side, then count) rather than countDistinct in the same
+    # agg as the sketches: the combined Expand plan is both the wrong shape
+    # at scale (row multiplication) and a codegen pathology (the
+    # percentile_approx × countDistinct plan recompiles ~3 s per fresh
+    # query). Two lean aggs + a 5-row join beat one wide Expand.
+    sketches = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("hll"),
+        F.percentile_approx("value", 0.5, 10000).alias("amed"),
+        F.expr("percentile(value, 0.40)").alias("p40"),
+        F.expr("percentile(value, 0.60)").alias("p60"),
+    )
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("exact_d"))
+    )
+    return sketches.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        (F.abs(F.col("hll") - F.col("exact_d")) <= 0.10 * F.col("exact_d")).alias(
+            "hll_ok"
+        ),
+        ((F.col("amed") >= F.col("p40")) & (F.col("amed") <= F.col("p60"))).alias(
+            "pctl_ok"
+        ),
     )
 
 
