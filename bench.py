@@ -62,11 +62,14 @@ HEADLINE = [
     "corpus_shuffle_order",
     "weighted_downsample",
     "kmeans_fit_converged",
-    # r4 additions: streaming joins, layout/integrity/sketch certification
+    # r4 additions: streaming joins, layout/integrity/sketch certification,
+    # incremental dedup and funnel analytics
     "streaming_stream_join",
     "layout_zorder_cells",
     "integrity_table_checksum",
     "approx_sketch_certified",
+    "dedup_incremental_new_vs_corpus",
+    "funnel_conversion_steps",
 ]
 
 
