@@ -129,22 +129,27 @@ def main() -> None:
             return None
 
     sf = sf_of(sf_dir)
+    from annotations_ingester_spark.operators import similarity as _sim
+
+    # Truncation-proofing (BENCH_r03/r04 were captured with the tail cut
+    # off, "parsed": null): every headline scalar — total, sf, calibration,
+    # the superlinear flag list — is emitted FIRST in the object, before
+    # the large per-query dict and scaling detail, so even a truncated
+    # capture's first ~200 bytes carry the numbers that matter.
     result = {
         "metric": "headline_query_wall_time_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        # the convergence loop's round count (set by the kmeans_fit_converged
+        # runs above) — certifies the fit stopped on tolerance, not exhaustion
+        "kmeans_fit_iterations": getattr(_sim, "LAST_FIT_ITERATIONS", None),
+        "calibration_sec": calibrate(),
     }
-    from annotations_ingester_spark.operators import similarity as _sim
-
-    # the convergence loop's round count (set by the kmeans_fit_converged
-    # runs above) — certifies the fit stopped on tolerance, not exhaustion
-    result["kmeans_fit_iterations"] = getattr(_sim, "LAST_FIT_ITERATIONS", None)
-    result["calibration_sec"] = calibrate()
 
     base_dir = os.environ.get("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.01")
     base_sf = sf_of(base_dir) if base_dir else None
+    scaling = None
     if base_dir and base_dir != sf_dir and os.path.isdir(base_dir) and sf and base_sf:
         base = run_suite(base_dir)
         data_ratio = round(sf / base_sf, 2)
@@ -158,12 +163,16 @@ def main() -> None:
             for q, r in ratios.items()
             if r is not None and timings[q] >= 0.5 and r > 1.5 * data_ratio
         ]
-        result["scaling"] = {
+        result["flagged_superlinear"] = flagged
+        scaling = {
             "base_sf": base_sf,
             "data_ratio": data_ratio,
             "time_ratios": ratios,
-            "flagged_superlinear": flagged,
         }
+
+    result["queries"] = timings
+    if scaling is not None:
+        result["scaling"] = scaling
 
     print(json.dumps(result))
 
