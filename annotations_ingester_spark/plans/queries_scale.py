@@ -804,13 +804,19 @@ def q_corpus_survivors(spark: SparkSession, sf: str):
     """SELECT event_type, TRUE AS hll_ok, TRUE AS pctl_ok
        FROM events GROUP BY event_type""",
     doc="Certifies the approximate-aggregate contract, not a point value: "
-    "per group, HLL distinct-count (approx_count_distinct) must land "
-    "within 10% of the exact distinct, and the KLL-style approx median "
-    "(percentile_approx) must land between the exact p40 and p60. At "
-    "100 TB these sketches replace exact-distinct shuffles with "
-    "fixed-size mergeable state; the query certifies the accuracy bound "
-    "that substitution relies on, in an engine-portable way (the oracle "
-    "is the contract: every group passes).",
+    "per group, HLL distinct-count (approx_count_distinct at rsd=0.025) "
+    "must land within 4*rsd = 10% of the exact distinct (a ~4-sigma "
+    "bound, so a pass is distribution-robust, not testdata luck), and "
+    "the KLL-style approx median (percentile_approx, accuracy 10000) "
+    "must land between the exact p35 and p65 — a band wide enough for "
+    "small groups where rank-error granularity is coarse. The checks "
+    "are still statistical (the oracle hardcodes TRUE): regenerated "
+    "data could in principle flake at ~1e-5/group, which is the "
+    "documented trade for certifying sketches at all. At 100 TB these "
+    "sketches replace exact-distinct shuffles with fixed-size mergeable "
+    "state; the query certifies the accuracy bound that substitution "
+    "relies on, in an engine-portable way (the oracle is the contract: "
+    "every group passes).",
 )
 def q_approx_sketch_certified(spark: SparkSession, sf: str):
     ev = table(spark, sf, "events")
@@ -820,11 +826,12 @@ def q_approx_sketch_certified(spark: SparkSession, sf: str):
     # at scale (row multiplication) and a codegen pathology (the
     # percentile_approx × countDistinct plan recompiles ~3 s per fresh
     # query). Two lean aggs + a 5-row join beat one wide Expand.
+    hll_rsd = 0.025  # bound below = 4*rsd (~4 sigma)
     sketches = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("hll"),
+        F.approx_count_distinct("user_id", rsd=hll_rsd).alias("hll"),
         F.percentile_approx("value", 0.5, 10000).alias("amed"),
-        F.expr("percentile(value, 0.40)").alias("p40"),
-        F.expr("percentile(value, 0.60)").alias("p60"),
+        F.expr("percentile(value, 0.35)").alias("p_lo"),
+        F.expr("percentile(value, 0.65)").alias("p_hi"),
     )
     exact = (
         ev.select("event_type", "user_id")
@@ -834,10 +841,10 @@ def q_approx_sketch_certified(spark: SparkSession, sf: str):
     )
     return sketches.join(F.broadcast(exact), "event_type").select(
         "event_type",
-        (F.abs(F.col("hll") - F.col("exact_d")) <= 0.10 * F.col("exact_d")).alias(
+        (F.abs(F.col("hll") - F.col("exact_d")) <= 4 * hll_rsd * F.col("exact_d")).alias(
             "hll_ok"
         ),
-        ((F.col("amed") >= F.col("p40")) & (F.col("amed") <= F.col("p60"))).alias(
+        ((F.col("amed") >= F.col("p_lo")) & (F.col("amed") <= F.col("p_hi"))).alias(
             "pctl_ok"
         ),
     )
