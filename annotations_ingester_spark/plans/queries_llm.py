@@ -354,3 +354,82 @@ def q_funnel_conversion(spark: SparkSession, sf: str):
         .unionAll(step(c, 2, "click_after_view"))
         .unionAll(step(p, 3, "purchase_after_click"))
     )
+
+
+@register(
+    "streaming_funnel_conversion",
+    """WITH ev AS (
+         SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+       m AS (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN ts_s END) AS t_view,
+                min(CASE WHEN event_type = 'click' THEN ts_s END) AS t_click,
+                min(CASE WHEN event_type = 'purchase' THEN ts_s END) AS t_purchase
+         FROM ev GROUP BY user_id)
+       SELECT 1::BIGINT AS step, 'view' AS name,
+              count(*) FILTER (WHERE t_view IS NOT NULL)::BIGINT AS users FROM m
+       UNION ALL
+       SELECT 2::BIGINT, 'click_after_first_view',
+              count(*) FILTER (WHERE t_click >= t_view)::BIGINT FROM m
+       UNION ALL
+       SELECT 3::BIGINT, 'purchase_after_first_click',
+              count(*) FILTER (WHERE t_click >= t_view AND t_purchase >= t_click)::BIGINT
+       FROM m""",
+    doc="Streaming twin of funnel_conversion_steps, run for real: per-user "
+    "FIRST-event times (min per event type) maintained as a streaming "
+    "aggregation — min is order-insensitive and monotone, so the state "
+    "(three numbers per user, O(users) total) is exact under ANY arrival "
+    "order and micro-batch split, with no replay. That is deliberately "
+    "the first-EVENT funnel, the streaming-incremental semantics; the "
+    "batch query's first-QUALIFYING-click funnel depends on cross-event "
+    "ordering and needs replay to stream exactly. The 3-row report is a "
+    "batch finishing pass over the materialized state table (production: "
+    "the dashboard query over the continuously-maintained state).",
+)
+def q_streaming_funnel(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import events_ts_seconds
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    ev = raw.withColumn(
+        "ts_s", events_ts_seconds(dict(raw.dtypes)["ts"])
+    ).select("user_id", "event_type", "ts_s")
+
+    def tmin(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts_s"))).alias(f"t_{t}")
+
+    mins = ev.groupBy("user_id").agg(tmin("view"), tmin("click"), tmin("purchase"))
+    q = (
+        mins.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("streaming_funnel_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    m = spark.table("streaming_funnel_state")
+
+    def step(n: int, name: str, cond):
+        return m.filter(cond).agg(
+            F.lit(n).cast("long").alias("step"),
+            F.lit(name).alias("name"),
+            F.count("*").cast("long").alias("users"),
+        )
+
+    return (
+        step(1, "view", F.col("t_view").isNotNull())
+        .unionAll(step(2, "click_after_first_view", F.col("t_click") >= F.col("t_view")))
+        .unionAll(
+            step(
+                3,
+                "purchase_after_first_click",
+                (F.col("t_click") >= F.col("t_view"))
+                & (F.col("t_purchase") >= F.col("t_click")),
+            )
+        )
+    )

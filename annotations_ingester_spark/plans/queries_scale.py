@@ -948,6 +948,86 @@ def q_integrity_table_checksum(spark: SparkSession, sf: str):
 
 
 @register(
+    "layout_compaction_checksum",
+    """WITH rows_c AS (
+         SELECT ('0x' || substr(md5(
+           doc_id::VARCHAR || '|' || md5(text) || '|' || lang || '|' ||
+           source || '|' || n_chars::VARCHAR), 1, 15))::BIGINT AS h
+         FROM documents)
+       SELECT TRUE AS checksum_equal, TRUE AS files_reduced,
+              count(*) AS n, bit_xor(h) AS xor_checksum,
+              sum(h)::DECIMAL(38,0)::VARCHAR AS sum_checksum
+       FROM rows_c""",
+    doc="Compaction certified by checksum, run for real: the documents "
+    "table is written as a deliberately fragmented copy (24 tiny files — "
+    "the streaming-ingest pathology), order-insensitively checksummed "
+    "(count + XOR + decimal sum of portable row hashes), compacted via "
+    "sinks/layout.compact_parquet, and checksummed again. The returned "
+    "row proves pre/post row-set equality AND a real file-count "
+    "reduction, and carries the checksums themselves so the oracle "
+    "hash-match pins them to DuckDB's independent computation over the "
+    "source table. This is the maintenance-job invariant at 100 TB: "
+    "compaction may only change layout, never data.",
+)
+def q_layout_compaction_checksum(spark: SparkSession, sf: str):
+    import glob
+    import shutil
+    import tempfile
+
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+    from annotations_ingester_spark.sinks.layout import compact_parquet
+
+    row_repr = F.concat_ws(
+        "|",
+        F.col("doc_id"),
+        F.md5(F.col("text")),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+    )
+
+    def checksum(df):
+        return (
+            df.select(md5_hash64(row_repr).alias("h"))
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(h)").alias("xor_checksum"),
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                .cast("string")
+                .alias("sum_checksum"),
+            )
+            .collect()[0]  # 1-row aggregate — a scalar fetch, not a bulk collect
+        )
+
+    frag = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    try:
+        table(spark, sf, "documents").repartition(24).write.mode("overwrite").parquet(
+            frag
+        )
+        files_before = len(glob.glob(f"{frag}/*.parquet"))
+        before = checksum(spark.read.parquet(frag))
+        compact_parquet(spark, frag, target_file_mb=128)
+        files_after = len(glob.glob(f"{frag}/*.parquet"))
+        after = checksum(spark.read.parquet(frag))
+    finally:
+        shutil.rmtree(frag, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [
+            (
+                before == after,
+                files_after < files_before,
+                after["n"],
+                after["xor_checksum"],
+                after["sum_checksum"],
+            )
+        ],
+        "checksum_equal boolean, files_reduced boolean, n long, "
+        "xor_checksum long, sum_checksum string",
+    )
+
+
+@register(
     "dedup_incremental_new_vs_corpus",
     f"""WITH {SIG_CTE},
        band AS (
@@ -975,3 +1055,62 @@ def q_dedup_incremental(spark: SparkSession, sf: str):
     new_b = bands.filter(F.col("doc_id") % 10 == 0)
     corpus_b = bands.filter(F.col("doc_id") % 10 != 0)
     return incremental_lsh_matches(new_b, corpus_b)
+
+
+@register(
+    "streaming_incremental_dedup",
+    f"""WITH {SIG_CTE},
+       band AS (
+         SELECT doc_id, seed // 2 AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed // 2),
+       matches AS (
+         SELECT n.doc_id AS new_id, c.doc_id AS corpus_id
+         FROM band n JOIN band c ON n.band = c.band AND n.band_key = c.band_key
+         WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
+       SELECT new_id, corpus_id, count(*) AS n_bands
+       FROM matches GROUP BY new_id, corpus_id""",
+    doc="Streaming twin of dedup_incremental_new_vs_corpus, run for real: "
+    "arriving documents stream in (availableNow), and foreachBatch bands "
+    "each micro-batch and probes the STANDING corpus band index — the "
+    "continuous-ingest production loop. Exact under any micro-batch "
+    "split: a document is one row, so its bands are always computed "
+    "whole within its batch, and the static corpus side never moves. "
+    "Match rows append to a result store per batch. At 100 TB the corpus "
+    "index is a persisted table bucketed on (band, band_key), so each "
+    "batch's probe join touches only colliding buckets; per-batch work "
+    "is O(batch x collisions), independent of corpus size.",
+)
+def q_streaming_incremental_dedup(spark: SparkSession, sf: str):
+    import tempfile
+
+    from annotations_ingester_spark.operators.dedup import incremental_lsh_matches
+
+    docs_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    corpus_bands = lsh_band_keys(
+        minhash_signatures(
+            table(spark, sf, "documents").filter(F.col("doc_id") % 10 != 0)
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_stream_incr_dedup_")
+    # pre-seed the store with the output schema so a zero-match run still
+    # yields a readable (empty) result
+    spark.createDataFrame([], "new_id long, corpus_id long, n_bands long").write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+
+    def probe(batch_df, _batch_id):
+        new_bands = lsh_band_keys(minhash_signatures(batch_df))
+        incremental_lsh_matches(new_bands, corpus_bands).write.mode("append").parquet(
+            out_dir
+        )
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    q = stream.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -70,6 +70,11 @@ HEADLINE = [
     "approx_sketch_certified",
     "dedup_incremental_new_vs_corpus",
     "funnel_conversion_steps",
+    # r5 additions: the streaming twins of funnel + incremental dedup and
+    # the checksum-certified compaction job
+    "streaming_funnel_conversion",
+    "streaming_incremental_dedup",
+    "layout_compaction_checksum",
 ]
 
 

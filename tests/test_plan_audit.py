@@ -33,8 +33,10 @@ CROSS_ALLOWED = {
     "tfidf_top_terms",
 }
 
-# streaming queries execute on build (availableNow to a memory sink) and
-# return the sink table — their plan is audited via their batch twins
+# queries that execute on build (streaming: availableNow to a memory sink,
+# returning the sink table; compaction: runs the maintenance job and
+# returns its certification row) — their plans are audited via their batch
+# twins / the operators' own plan tests
 STREAMING = {
     "streaming_w1_pipeline",
     "streaming_tumbling_agg",
@@ -42,6 +44,9 @@ STREAMING = {
     "streaming_stateful_totals",
     "streaming_stream_join",
     "streaming_static_join",
+    "streaming_funnel_conversion",
+    "streaming_incremental_dedup",
+    "layout_compaction_checksum",
 }
 
 
