@@ -9,10 +9,12 @@ so a partition of large blobs can't OOM an executor.
 
 Decoders: ``decode_media`` is REAL for container formats stdlib can parse
 — PNG (IHDR width/height via ``struct``), JPEG (SOF marker scan), WAV
-(``wave`` module: sample rate / frame count → duration). Pixel/sample
-*content* decode (resize, frame-sample, spectrogram) still needs
-PIL/ffmpeg/librosa and stays behind the same ``decode_fn(payload, kind)``
-contract; ``fake_decode`` remains the hermetic stand-in for tests.
+(``wave`` module: sample rate / frame count → duration). Pixel *content*
+decode is REAL for PNG via a vendored pure-stdlib inflate+unfilter path
+(``png_decode_gray`` — hermetic, PIL-independent); JPEG/video/audio
+content (resize, frame-sample, spectrogram) still needs
+PIL/ffmpeg/librosa behind the same ``decode_fn(payload, kind)`` contract;
+``fake_decode`` remains the deterministic stand-in for tests.
 """
 
 from __future__ import annotations
@@ -134,25 +136,165 @@ def decode_media(payload: bytes, kind: str) -> dict[str, Any]:
 
 def pil_available() -> bool:
     """True when Pillow is importable — gates the content-level decode
-    path (sandbox images lack PIL; production clusters install it)."""
+    path for non-PNG formats (JPEG); PNG pixel decode is vendored below
+    and needs nothing beyond the stdlib."""
     import importlib.util
 
     return importlib.util.find_spec("PIL") is not None
 
 
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_decode_gray(p: bytes) -> tuple[int, int, str, list[bytes]]:
+    """Pure-stdlib PNG pixel decode: chunk walk → zlib inflate → per-
+    scanline unfilter (None/Sub/Up/Average/Paeth per the PNG spec §9) →
+    8-bit grayscale rows via integer ITU-R 601 luma ((299R+587G+114B)//1000).
+    Returns (width, height, mode, gray_rows). Supports the formats the
+    engine itself writes and the overwhelming bulk of real corpora: bit
+    depth 8, color types gray / RGB / palette / gray+alpha / RGBA,
+    non-interlaced (alpha ignored for luma — phash is about content, not
+    transparency). Raises ValueError on anything else; callers degrade to
+    the digest-only row. Exists so the pixel path is hermetic — identical
+    output with or without Pillow installed."""
+    import zlib
+
+    if not p.startswith(PNG_SIG):
+        raise ValueError("not a PNG")
+    i, idat, plte = 8, b"", b""
+    w = h = depth = ctype = interlace = None
+    while i + 8 <= len(p):
+        (ln,) = struct.unpack(">I", p[i : i + 4])
+        typ = p[i + 4 : i + 8]
+        data = p[i + 8 : i + 8 + ln]
+        i += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None or depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError("unsupported PNG variant")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    if ctype == 3:
+        pal_gray = [
+            (299 * plte[j] + 587 * plte[j + 1] + 114 * plte[j + 2]) // 1000
+            for j in range(0, len(plte), 3)
+        ]
+    rows: list[bytes] = []
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(h):
+        ft = raw[pos]
+        cur = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                cur[x] = (cur[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        prev = cur
+        if ctype == 0:
+            rows.append(bytes(cur))
+        elif ctype == 3:
+            rows.append(bytes(pal_gray[v] for v in cur))
+        elif ctype == 4:
+            rows.append(bytes(cur[x] for x in range(0, stride, 2)))
+        else:  # RGB / RGBA
+            rows.append(
+                bytes(
+                    (299 * cur[x] + 587 * cur[x + 1] + 114 * cur[x + 2]) // 1000
+                    for x in range(0, stride, ch)
+                )
+            )
+    return w, h, _PNG_MODES[ctype], rows
+
+
+def average_hash_gray(gray_rows: list[bytes], w: int, h: int) -> int:
+    """64-bit average perceptual hash over grayscale rows: integer box-mean
+    8×8 downsample (each cell averages its pixel block; images smaller than
+    8 px repeat the nearest row/column), bit i set iff cell i ≥ the 64-cell
+    mean. All-integer arithmetic (``v*64 >= total``) so the value is
+    reproducible bit-for-bit on any platform; returned signed-BIGINT-
+    portable like the engine's md5 hashes."""
+    cells = []
+    for j in range(8):
+        y0, y1 = j * h // 8, max(j * h // 8 + 1, (j + 1) * h // 8)
+        for i in range(8):
+            x0, x1 = i * w // 8, max(i * w // 8 + 1, (i + 1) * w // 8)
+            s = sum(gray_rows[y][x] for y in range(y0, y1) for x in range(x0, x1))
+            cells.append(s // ((y1 - y0) * (x1 - x0)))
+    total = sum(cells)
+    bits = 0
+    for i, v in enumerate(cells):
+        if v * 64 >= total:
+            bits |= 1 << i
+    return bits - (1 << 63) if bits >= (1 << 63) else bits
+
+
 def decode_pixels(payload: bytes, kind: str) -> dict[str, Any]:
-    """CONTENT-level image decode via Pillow: width/height/mode verified
-    from the actual pixel data (not just container headers) plus a 64-bit
-    average-hash perceptual fingerprint (8×8 grayscale thumbnail, bit i set
-    iff pixel i ≥ mean — Hamming distance ≈ visual difference, the standard
-    near-dup key for images). Corrupt payloads degrade to the digest-only
-    row, same rule as decode_media. Raises ImportError without PIL —
-    callers gate on :func:`pil_available`."""
+    """CONTENT-level image decode: width/height/mode verified from the
+    actual pixel data (not just container headers) plus a 64-bit
+    average-hash perceptual fingerprint (8×8 grayscale box-mean, bit i set
+    iff cell i ≥ mean — Hamming distance ≈ visual difference, the standard
+    near-dup key for images). PNG decodes through the vendored pure-stdlib
+    path (:func:`png_decode_gray`) — hermetic, identical with or without
+    Pillow; other formats (JPEG) decode via Pillow when present and
+    degrade to the header/digest row when not (callers can gate on
+    :func:`pil_available`). Corrupt payloads degrade to the digest-only
+    row, same rule as decode_media."""
+    out = fake_decode(payload, kind)
+    p = payload or b""
+    if p.startswith(PNG_SIG):
+        try:
+            w, h, mode, gray = png_decode_gray(p)
+        except Exception:
+            return out
+        out.update(
+            {
+                "format": "png",
+                "width": w,
+                "height": h,
+                "mode": mode,
+                "phash": average_hash_gray(gray, w, h),
+            }
+        )
+        return out
+    if not pil_available():
+        return out
     from PIL import Image
 
-    out = fake_decode(payload, kind)
     try:
-        img = Image.open(io.BytesIO(payload or b""))
+        img = Image.open(io.BytesIO(p))
         img.load()
     except Exception:
         return out
@@ -164,15 +306,12 @@ def decode_pixels(payload: bytes, kind: str) -> dict[str, Any]:
             "mode": img.mode,
         }
     )
-    gray = img.convert("L").resize((8, 8))
-    px = list(gray.getdata())
-    avg = sum(px) / 64.0
-    bits = 0
-    for i, v in enumerate(px):
-        if v >= avg:
-            bits |= 1 << i
-    # keep the value signed-BIGINT-portable (same rule as the md5 hashes)
-    out["phash"] = bits - (1 << 63) if bits >= (1 << 63) else bits
+    gray_img = img.convert("L")
+    gray_rows = [
+        bytes(gray_img.getdata())[y * img.width : (y + 1) * img.width]
+        for y in range(img.height)
+    ]
+    out["phash"] = average_hash_gray(gray_rows, img.width, img.height)
     return out
 
 
@@ -194,14 +333,10 @@ def decode_content(
     """Arrow-batched PIXEL decode → PIXEL_FIELDS (header fields + mode +
     perceptual hash). Same 100 TB shape as decode_metadata — metadata
     pruning happens before this stage, blobs never leave their partition,
-    Arrow batch size bounds memory. Fails fast with a clear dependency
-    error when Pillow is missing rather than shipping a silent stub."""
-    if not pil_available():
-        raise ImportError(
-            "decode_content requires Pillow (PIL) on driver and executors: "
-            "pip install Pillow. Header-level decode (decode_metadata) "
-            "works without it."
-        )
+    Arrow batch size bounds memory. PNG rows decode hermetically (vendored
+    stdlib path); non-PNG rows need Pillow on driver and executors and
+    degrade to the header/digest row without it — gate on
+    :func:`pil_available` when JPEG content is required."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

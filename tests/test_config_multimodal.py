@@ -296,58 +296,134 @@ def test_decode_media_jpeg_fill_bytes_and_sos():
     assert "format" not in out
 
 
-def test_decode_content_pil_gate(spark):
-    """decode_content (pixel-level decode + perceptual hash): with Pillow
-    absent it must fail fast naming the dependency; header-level
-    decode_metadata keeps working either way."""
+def _png_encode(rows, ctype, filters=None, palette=None):
+    """Minimal pure-stdlib PNG encoder for hermetic decoder tests: 8-bit,
+    non-interlaced, one explicit filter type per scanline (so every
+    unfilter branch gets exercised). ``rows`` = list of per-row channel
+    byte sequences."""
+    import struct as _struct
+    import zlib as _zlib
+    from binascii import crc32
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    h = len(rows)
+    w = len(rows[0]) // channels
+    filters = filters or [0] * h
+
+    def flt(ft, cur, prev):
+        ch = channels
+        out = bytearray()
+        for x, v in enumerate(cur):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                out.append(v)
+            elif ft == 1:
+                out.append((v - a) & 0xFF)
+            elif ft == 2:
+                out.append((v - b) & 0xFF)
+            elif ft == 3:
+                out.append((v - ((a + b) >> 1)) & 0xFF)
+            else:  # Paeth
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((v - pr) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    prev = bytes(len(rows[0]))
+    for ft, r in zip(filters, rows):
+        raw += bytes([ft]) + flt(ft, bytes(r), prev)
+        prev = bytes(r)
+
+    def chunk(typ, data):
+        return (
+            _struct.pack(">I", len(data))
+            + typ
+            + data
+            + _struct.pack(">I", crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_gray_all_filters_and_color_types():
+    """The vendored PNG decoder reconstructs exact pixels through every
+    filter type (None/Sub/Up/Average/Paeth) and every supported color
+    type — round-trip against the test encoder, which computes filtered
+    scanlines independently from the spec."""
+    from annotations_ingester_spark.multimodal.media import png_decode_gray
+
+    # grayscale 6x6 gradient, one scanline per filter type (0..4, then 2)
+    rows = [bytes((x * 37 + y * 11) & 0xFF for x in range(6)) for y in range(6)]
+    p = _png_encode(rows, ctype=0, filters=[0, 1, 2, 3, 4, 2])
+    w, h, mode, gray = png_decode_gray(p)
+    assert (w, h, mode) == (6, 6, "L")
+    assert gray == rows  # exact pixel reconstruction
+
+    # RGB: gray = integer ITU-R 601 luma
+    rgb_rows = [
+        bytes(v for x in range(4) for v in (x * 40, y * 50, 200))
+        for y in range(3)
+    ]
+    p = _png_encode(rgb_rows, ctype=2, filters=[4, 3, 1])
+    w, h, mode, gray = png_decode_gray(p)
+    assert (w, h, mode) == (4, 3, "RGB")
+    expect = [
+        bytes((299 * (x * 40) + 587 * (y * 50) + 114 * 200) // 1000 for x in range(4))
+        for y in range(3)
+    ]
+    assert gray == expect
+
+    # palette: gray from PLTE entries
+    p = _png_encode(
+        [bytes([0, 1, 1, 0])], ctype=3, palette=[255, 0, 0, 0, 255, 0]
+    )
+    w, h, mode, gray = png_decode_gray(p)
+    assert (w, h, mode) == (4, 1, "P")
+    assert gray == [bytes([76, 149, 149, 76])]  # 299*255//1000, 587*255//1000
+
+    # unsupported variants raise (callers degrade to digest-only)
     import pytest
 
+    with pytest.raises(ValueError):
+        png_decode_gray(b"not a png")
+    bad = _png_encode(rows, ctype=0)
+    with pytest.raises(ValueError):
+        png_decode_gray(bad[:40])  # truncated IDAT
+
+
+def test_decode_content_png_hermetic(spark):
+    """Pixel-level decode_content over PNG payloads runs with NO Pillow:
+    width/height/mode verified from actual pixel data via the vendored
+    decoder, perceptual hash deterministic and separating distinct
+    images, corrupt rows degrading instead of raising. This is the
+    formerly PIL-skipped coverage made unconditional."""
     from annotations_ingester_spark.multimodal.media import (
         MEDIA_SCHEMA,
         decode_content,
-        pil_available,
     )
 
-    if pil_available():
-        pytest.skip("PIL present — covered by test_decode_content_with_pil")
-    df = spark.createDataFrame([], MEDIA_SCHEMA)
-    with pytest.raises(ImportError, match="Pillow"):
-        decode_content(df)
-
-
-def test_decode_content_with_pil(spark):
-    """With Pillow installed: width/height/mode verified from pixel data;
-    perceptual hash is deterministic and separates distinct images."""
-    import pytest
-
-    from annotations_ingester_spark.multimodal.media import (
-        MEDIA_SCHEMA,
-        decode_content,
-        pil_available,
+    flat = _png_encode(
+        [bytes(v for _x in range(32) for v in (255, 0, 0)) for _y in range(16)],
+        ctype=2,
+        filters=[1] * 16,
     )
-
-    if not pil_available():
-        pytest.skip("Pillow not installed in this image")
-    import io as _io
-
-    from PIL import Image
-
-    def png_bytes(color):
-        img = Image.new("RGB", (32, 16), color)
-        buf = _io.BytesIO()
-        img.save(buf, format="PNG")
-        return buf.getvalue()
-
-    # a flat image and one with structure (phash of a flat image is
-    # degenerate; the gradient gives the average-hash real variance)
-    grad = Image.new("L", (32, 16))
-    grad.putdata([x % 256 for x in range(32 * 16)])
-    gbuf = _io.BytesIO()
-    grad.save(gbuf, format="PNG")
-
+    grad = _png_encode(
+        [bytes((y * 32 + x) % 256 for x in range(32)) for y in range(16)],
+        ctype=0,
+        filters=[(y % 5) for y in range(16)],
+    )
     rows = [
-        (1, bytearray(png_bytes((255, 0, 0))), {"kind": "image"}),
-        (2, bytearray(gbuf.getvalue()), {"kind": "image"}),
+        (1, bytearray(flat), {"kind": "image"}),
+        (2, bytearray(grad), {"kind": "image"}),
         (3, bytearray(b"corrupt"), {"kind": "image"}),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -357,4 +433,29 @@ def test_decode_content_with_pil(spark):
     )
     assert out[2]["mode"] == "L" and out[2]["phash"] is not None
     assert out[1]["phash"] != out[2]["phash"]
+    # flat image: every cell equals the mean -> all 64 bits set (signed)
+    assert out[1]["phash"] == (2**64 - 1) - (1 << 63)
     assert out[3]["format"] is None and out[3]["digest"]  # degrade, not raise
+
+
+def test_decode_pixels_jpeg_respects_pil_gate():
+    """Non-PNG content decode stays PIL-gated: without Pillow a JPEG
+    payload degrades to the header/digest row; with Pillow it decodes.
+    Runs (and passes) in both environments - no skip."""
+    import struct as _struct
+
+    from annotations_ingester_spark.multimodal.media import (
+        decode_pixels,
+        pil_available,
+    )
+
+    sof = b"\xff\xc0" + _struct.pack(">HBHHB", 11, 8, 16, 32, 1) + b"\x01\x11\x00"
+    jpeg_headerish = b"\xff\xd8" + sof + b"\xff\xd9"
+    out = decode_pixels(jpeg_headerish, "image")
+    if pil_available():
+        # PIL parses real scans; this minimal header-only payload may still
+        # fail pixel load - either full decode or digest-only degrade
+        assert out["digest"]
+    else:
+        assert "phash" not in out and "mode" not in out
+        assert out["digest"]  # baseline row survives
