@@ -96,6 +96,17 @@ def main(argv: list[str] | None = None) -> int:
         from annotations_ingester_spark.sources.elasticsearch import read_es
 
         docs = read_es(spark, cfg.source)
+    elif cfg.source.backend == "elasticsearch-rest":
+        # jar-free fallback: sliced-scroll parallel read; schema from a
+        # bounded sample (ES dynamic-mapping parity)
+        from annotations_ingester_spark.sources.es_rest import (
+            infer_es_rest_schema,
+            read_es_rest,
+        )
+
+        docs = read_es_rest(
+            spark, cfg.source, infer_es_rest_schema(spark, cfg.source)
+        )
     else:
         docs = spark.read.parquet(cfg.source.index_name)
 
@@ -116,6 +127,38 @@ def main(argv: list[str] | None = None) -> int:
                 from annotations_ingester_spark.sources.elasticsearch import read_es as _r
 
                 written = _r(spark, cfg.sink)
+            elif cfg.sink.backend == "elasticsearch-rest":
+                from pyspark.sql import types as T
+
+                from annotations_ingester_spark.sources.es_rest import (
+                    EsRestClient,
+                    read_es_rest,
+                )
+
+                # resume needs ONLY the id column: a 1-doc sample picks the
+                # column name and type, then a narrow sliced-scroll read
+                # fetches just that field (no full-schema inference — the
+                # annotation rows carry map-typed fields that don't need to
+                # round-trip here)
+                sample = EsRestClient(cfg.sink).search_page(size=1)
+                if not sample:
+                    return None  # absent or empty sink index — first run
+                for done_col in (f"meta.{cfg.docid_field}", cfg.docid_field):
+                    if done_col in sample[0]:
+                        typ = (
+                            T.LongType()
+                            if isinstance(sample[0][done_col], int)
+                            else T.StringType()
+                        )
+                        written = read_es_rest(
+                            spark,
+                            cfg.sink,
+                            T.StructType([T.StructField(done_col, typ)]),
+                        )
+                        return written.select(
+                            Fn.col(f"`{done_col}`").alias(cfg.docid_field)
+                        ).distinct()
+                return None
             else:
                 written = spark.read.parquet(cfg.sink.index_name)
         except Exception as exc:
@@ -123,7 +166,12 @@ def main(argv: list[str] | None = None) -> int:
             # unreadable sink must propagate — treating it as first-run
             # would silently reprocess (and, on parquet append, duplicate)
             # the whole corpus
-            if _is_path_missing(exc) or "index_not_found" in str(exc):
+            # an absent or empty REST sink index is equally a first run
+            if (
+                _is_path_missing(exc)
+                or "index_not_found" in str(exc)
+                or "returned no documents" in str(exc)
+            ):
                 return None
             raise
         # flat sinks carry the doc id as meta.<docid>; the W4 nested sink
@@ -140,6 +188,15 @@ def main(argv: list[str] | None = None) -> int:
             from annotations_ingester_spark.sources.elasticsearch import write_es
 
             write_es(
+                out,
+                cfg.sink,
+                split_suffix_field="index_suffix" if cfg.split_index_by_field else None,
+                upsert=cfg.ingest_mode == "same-index",
+            )
+        elif cfg.sink.backend == "elasticsearch-rest":
+            from annotations_ingester_spark.sources.es_rest import write_es_rest
+
+            write_es_rest(
                 out,
                 cfg.sink,
                 split_suffix_field="index_suffix" if cfg.split_index_by_field else None,
@@ -180,6 +237,12 @@ def main(argv: list[str] | None = None) -> int:
             from annotations_ingester_spark.sources.elasticsearch import es_foreach_batch
 
             batch_fn = es_foreach_batch(cfg.sink, upsert=cfg.ingest_mode == "same-index")
+        elif cfg.sink.backend == "elasticsearch-rest":
+            from annotations_ingester_spark.sources.es_rest import write_es_rest
+
+            def batch_fn(batch, epoch_id):
+                # deterministic row ids make micro-batch replay idempotent
+                write_es_rest(batch, cfg.sink, upsert=cfg.ingest_mode == "same-index")
         else:
 
             def batch_fn(batch, epoch_id):
@@ -220,6 +283,12 @@ def main(argv: list[str] | None = None) -> int:
             from annotations_ingester_spark.sources.elasticsearch import write_es
 
             write_es(out, cfg.sink, mapping_id="ann_doc_id", scripted_upsert=True)
+        elif cfg.sink.backend == "elasticsearch-rest":
+            from annotations_ingester_spark.sources.es_rest import write_es_rest
+
+            # doc_as_upsert update replaces the annotations array like the
+            # scripted upsert (merge already happened engine-side, W4)
+            write_es_rest(out, cfg.sink, mapping_id="ann_doc_id", upsert=True)
         else:
             from annotations_ingester_spark.sinks.writers import write_nested
 

@@ -28,7 +28,9 @@ class ConnectorConfig:
     both implement the same reader/writer interface in ``sources``/``sinks``.
     """
 
-    backend: str = "parquet"  # "parquet" | "elasticsearch"
+    # "parquet" | "elasticsearch" (connector jar) | "elasticsearch-rest"
+    # (jar-free stdlib REST fallback, sources/es_rest.py)
+    backend: str = "parquet"
     hosts: list[str] = field(default_factory=list)
     index_name: str = ""  # ES index or parquet path
     username: str | None = None

@@ -134,7 +134,8 @@ def q_sliding(spark: SparkSession, sf: str):
     "kmeans_lloyd_step",
     """WITH b AS (
          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       c AS (SELECT vec_id AS centroid_id, e AS ce FROM b WHERE vec_id % 173 = 0),
+       c AS (SELECT vec_id AS centroid_id, e AS ce FROM b
+            WHERE vec_id % 173 = 0 AND vec_id < 2000),
        vd AS (
          SELECT vec_id, s.i AS dim, s.v AS v
          FROM (SELECT vec_id,
@@ -164,7 +165,9 @@ def q_sliding(spark: SparkSession, sf: str):
               count(*) AS n_members
        FROM assign a JOIN vd ON a.vec_id = vd.vec_id
        GROUP BY a.centroid_id, vd.dim""",
-    doc="One k-means Lloyd iteration (fixed seed centroids vec_id%173=0): "
+    doc="One k-means Lloyd iteration (fixed seed centroids vec_id%173=0, "
+    "capped below 2000 — k is a job parameter, never a corpus fraction, "
+    "or the N*k assignment goes quadratic at scale): "
     "broadcast-centroid assignment by exact-decimal L2² (deterministic "
     "argmin, id tie-break) + per-dimension decimal-exact mean update. The "
     "full loop is this step under a driver-side scalar convergence check — "
@@ -174,7 +177,9 @@ def q_kmeans(spark: SparkSession, sf: str):
     from annotations_ingester_spark.operators.similarity import kmeans_lloyd_step
 
     emb = table(spark, sf, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 173 == 0).select(
+    cents = emb.filter(
+        (F.col("vec_id") % 173 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return kmeans_lloyd_step(emb, cents)
@@ -184,7 +189,8 @@ def q_kmeans(spark: SparkSession, sf: str):
     "kmeans_two_round_assign",
     """WITH b AS (
          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       c AS (SELECT vec_id AS centroid_id, e AS ce FROM b WHERE vec_id % 173 = 0),
+       c AS (SELECT vec_id AS centroid_id, e AS ce FROM b
+            WHERE vec_id % 173 = 0 AND vec_id < 2000),
        vd AS (
          SELECT vec_id, s.i AS dim, s.v AS v
          FROM (SELECT vec_id,
@@ -239,7 +245,9 @@ def q_kmeans_two_rounds(spark: SparkSession, sf: str):
     )
 
     emb = table(spark, sf, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 173 == 0).select(
+    cents = emb.filter(
+        (F.col("vec_id") % 173 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     step = kmeans_lloyd_step(emb, cents)

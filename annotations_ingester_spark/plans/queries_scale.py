@@ -169,7 +169,7 @@ def q_jaccard(spark: SparkSession, sf: str):
     "embedding_cosine_topk",
     f"""WITH q AS (
          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
-         FROM embeddings WHERE vec_id % 101 = 0),
+         FROM embeddings WHERE vec_id % 101 = 0 AND vec_id < 2000),
        p AS (
          SELECT q.q_id, e.vec_id, {COS.replace('ce', 'e.embedding::DOUBLE[]').replace('qe', 'q.qe')} AS cos
          FROM embeddings e, q WHERE e.vec_id <> q.q_id),
@@ -180,11 +180,16 @@ def q_jaccard(spark: SparkSession, sf: str):
        SELECT q_id, vec_id, cos, rn::BIGINT AS rank FROM r WHERE rn <= 5""",
     doc="Brute-force cosine top-k (exactness baseline): broadcast query set, "
     "codegen'd dot products, ranked window per query. Ordering on rounded "
-    "cosine + id tie-break keeps ranks engine-portable.",
+    "cosine + id tie-break keeps ranks engine-portable. The query batch "
+    "is an ABSOLUTE-size set (vec_id%101, capped below 2000 — a job "
+    "parameter, not a corpus fraction): sf1 rehearsal showed a "
+    "corpus-proportional batch turns this O(N*Q) baseline quadratic "
+    "(ratio 89 at 10x data); with the fixed batch it scales linearly in "
+    "the corpus, which is the honest cost of the exactness baseline.",
 )
 def q_topk(spark: SparkSession, sf: str):
     emb = table(spark, sf, "embeddings")
-    qs = emb.filter(F.col("vec_id") % 101 == 0)
+    qs = emb.filter((F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000))
     out = brute_force_topk(emb, qs, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -195,7 +200,8 @@ def q_topk(spark: SparkSession, sf: str):
          SELECT vec_id, embedding::DOUBLE[] AS e,
                 {sign_bucket_sql('embedding', 8)} AS bucket
          FROM embeddings),
-       q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id % 101 = 0),
+       q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b
+             WHERE vec_id % 101 = 0 AND vec_id < 2000),
        p AS (
          SELECT q.q_id, c.vec_id, c.bucket,
                 {COS.replace('ce', 'c.e').replace('qe', 'q.qe')} AS cos
@@ -211,7 +217,7 @@ def q_topk(spark: SparkSession, sf: str):
 )
 def q_ann(spark: SparkSession, sf: str):
     emb = table(spark, sf, "embeddings")
-    qs = emb.filter(F.col("vec_id") % 101 == 0)
+    qs = emb.filter((F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000))
     out = bucketed_topk(emb, qs, k=3, n_bits=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -319,7 +325,8 @@ def q_tokens(spark: SparkSession, sf: str):
     f"""WITH e AS (
          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        cent AS (
-         SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 257 = 0),
+         SELECT vec_id AS c_id, v AS cv FROM e
+         WHERE vec_id % 257 = 0 AND vec_id < 2000),
        scored AS (
          SELECT e.vec_id, e.v, c.c_id,
                 {COS.replace('ce', 'c.cv').replace('qe', 'e.v')} AS ccos
@@ -330,7 +337,8 @@ def q_tokens(spark: SparkSession, sf: str):
                                         ORDER BY ccos DESC, c_id) AS rn
            FROM scored) WHERE rn = 1),
        q AS (
-         SELECT vec_id AS q_id, v AS qv, cell FROM cells WHERE vec_id % 101 = 0),
+         SELECT vec_id AS q_id, v AS qv, cell FROM cells
+         WHERE vec_id % 101 = 0 AND vec_id < 2000),
        pairs AS (
          SELECT q.q_id, c.vec_id, c.cell,
                 {COS.replace('ce', 'c.v').replace('qe', 'q.qv')} AS cos
@@ -342,7 +350,10 @@ def q_tokens(spark: SparkSession, sf: str):
        SELECT q_id, vec_id, cell, cos, rn::BIGINT AS rank FROM r WHERE rn <= 3""",
     doc="IVF ANN top-k: nearest-centroid coarse quantization (broadcast "
     "centroids, ranked-window assignment), then search restricted to the "
-    "query's cell — candidates ≈ N/n_centroids per query.",
+    "query's cell — candidates ≈ N/n_centroids per query. Centroid count "
+    "and query batch are absolute-size job parameters (capped below "
+    "vec_id 2000), not corpus fractions — growing k with N made the "
+    "assignment O(N*k) superlinear in the sf1 rehearsal (ratio 33).",
 )
 def q_ivf(spark: SparkSession, sf: str):
     from annotations_ingester_spark.operators.similarity import ivf_topk
@@ -350,8 +361,8 @@ def q_ivf(spark: SparkSession, sf: str):
     emb = table(spark, sf, "embeddings")
     out = ivf_topk(
         emb,
-        emb.filter(F.col("vec_id") % 101 == 0),
-        emb.filter(F.col("vec_id") % 257 == 0),
+        emb.filter((F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)),
+        emb.filter((F.col("vec_id") % 257 == 0) & (F.col("vec_id") < 2000)),
         k=3,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -534,7 +545,8 @@ def q_simhash_pairs(spark: SparkSession, sf: str):
          SELECT vec_id, embedding::DOUBLE[] AS e,
                 {sign_bucket_sql('embedding', 8)} AS bucket
          FROM embeddings),
-       q0 AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id % 101 = 0),
+       q0 AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b
+              WHERE vec_id % 101 = 0 AND vec_id < 2000),
        probes AS (
          SELECT q_id, qe, xor(bucket, p.flip) AS bucket
          FROM q0, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS flip) p),
@@ -558,7 +570,12 @@ def q_multiprobe(spark: SparkSession, sf: str):
     from annotations_ingester_spark.operators.similarity import multiprobe_bucketed_topk
 
     emb = table(spark, sf, "embeddings")
-    out = multiprobe_bucketed_topk(emb, emb.filter(F.col("vec_id") % 101 == 0), k=3, n_bits=8)
+    out = multiprobe_bucketed_topk(
+        emb,
+        emb.filter((F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)),
+        k=3,
+        n_bits=8,
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

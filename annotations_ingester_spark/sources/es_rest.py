@@ -185,6 +185,32 @@ class EsRestClient:
             )
         return out
 
+    def search_page(
+        self,
+        query: dict[str, Any] | None = None,
+        size: int = 100,
+        index: str | None = None,
+    ) -> list[dict[str, Any]]:
+        """One plain (non-scroll) search page of at most ``size`` docs —
+        for bounded driver-side samples. NOT a full scan: the reference's
+        first-page-only ``get_doc_ids`` bug (es_common.py:246-252) came
+        from using exactly this where a scroll was needed; scans go
+        through :meth:`scroll_slice`."""
+        body = {"size": size, "query": query or {"match_all": {}}}
+        r = _request(
+            f"{self.url}/{index or self.index}/_search",
+            self.headers,
+            json.dumps(body).encode(),
+            "POST",
+        )
+        out = []
+        for h in r.get("hits", {}).get("hits", []):
+            doc = dict(h.get("_source") or {})
+            doc["_id"] = h.get("_id")
+            doc["_index"] = h.get("_index")
+            out.append(doc)
+        return out
+
     def scan_doc_ids(
         self, query: dict[str, Any] | None = None, index: str | None = None
     ) -> list[str]:
@@ -283,6 +309,22 @@ def write_es_rest(
             client.bulk(actions, chunk_size=chunk_size)
 
     df.foreachPartition(write_partition)
+
+
+def infer_es_rest_schema(
+    spark: SparkSession, conf: ConnectorConfig, sample_size: int = 100
+) -> T.StructType:
+    """Schema inference for the schemaless source (ES dynamic-mapping
+    parity): one bounded driver-side sample page (``sample_size`` docs, a
+    scalar-sized fetch — never the corpus) run through Spark's own
+    inference. Callers who know the schema should pass it to
+    :func:`read_es_rest` directly and skip the sample round trip."""
+    docs = EsRestClient(conf).search_page(size=sample_size)
+    if not docs:
+        raise ValueError(
+            f"cannot infer schema: index {conf.index_name!r} returned no documents"
+        )
+    return spark.createDataFrame(docs).schema
 
 
 def read_es_rest(

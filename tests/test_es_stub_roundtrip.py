@@ -135,3 +135,66 @@ def test_auth_headers_on_the_wire(es_stub):
     before = len(state.requests)
     keyed.count()
     assert state.requests[before]["auth"] == "ApiKey abc123"
+
+
+def test_cli_pipeline_end_to_end_rest_sink(spark, es_stub, tmp_path):
+    """Full CLI run against the jar-free REST backend: parquet docs ->
+    fake:// annotator -> flat W1 sink in the ES stub, then a re-run that
+    must resume via the J1 skip-processed anti-join READ BACK from the
+    REST sink (schema inferred from a bounded sample) without duplicating
+    a single row."""
+    import yaml
+
+    from annotations_ingester_spark.__main__ import main
+
+    state, url = es_stub
+    src = str(tmp_path / "cli_src")
+    spark.createDataFrame(
+        [
+            (1, "rest backend document number one body", "2020-01-05"),
+            (2, "rest backend document number two body", "2020-02-10"),
+            (3, "rest backend document number three body", "2020-03-01"),
+            (4, "x", "2020-02-01"),  # P3-filtered (too short)
+        ],
+        "doc_id long, text string, dct string",
+    ).write.parquet(src)
+    cfg = {
+        "source": {"backend": "parquet", "path": src},
+        "sink": {
+            "backend": "elasticsearch-rest",
+            "hosts": [url],
+            "index-name": "cli-sink",
+        },
+        "nlp-service": {
+            "endpoints-url": ["fake://medcat"],
+            "protocol-mode": "medcat",
+        },
+        "mapping": {
+            "source": {
+                "text-field": "text",
+                "docid-field": "doc_id",
+                "persist-fields": ["doc_id"],
+                "skip-processed-doc-check": True,
+                "batch": {
+                    "date-field": "dct",
+                    "interval": 30,
+                    "date-start": "2020-01-01",
+                    "date-end": "2020-03-15",
+                },
+            },
+        },
+    }
+    cfg_path = tmp_path / "cfg_rest.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    assert main(["--config", str(cfg_path)]) == 0
+    client = EsRestClient(_conf(url, "cli-sink"))
+    n1 = client.count()
+    assert n1 > 0  # annotations arrived (doc 4 filtered by P3)
+    ids = client.scan_doc_ids()
+    assert all(i.startswith("doc-") and "-ann-" in i for i in ids)  # F2 ids
+    assert not any(i.startswith("doc-4-") for i in ids)
+
+    # re-run: J1 anti-join reads processed ids back from the REST sink
+    assert main(["--config", str(cfg_path)]) == 0
+    assert client.count() == n1  # idempotent — nothing re-annotated
