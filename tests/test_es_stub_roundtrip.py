@@ -198,3 +198,18 @@ def test_cli_pipeline_end_to_end_rest_sink(spark, es_stub, tmp_path):
     # re-run: J1 anti-join reads processed ids back from the REST sink
     assert main(["--config", str(cfg_path)]) == 0
     assert client.count() == n1  # idempotent — nothing re-annotated
+
+
+def test_read_handles_empty_slices_and_empty_index(spark, es_stub):
+    """Sliced-scroll read with more slices than docs (most tasks fetch
+    nothing) and over a fully empty index — empty Arrow batches must
+    convert cleanly, not crash the task."""
+    state, url = es_stub
+    conf = _conf(url, "tiny")
+    EsRestClient(conf).bulk([{"_id": f"d{i}", "n": i} for i in range(3)])
+    out = read_es_rest(spark, conf, "n long, _id string", slices=16).collect()
+    assert sorted((r["_id"], r["n"]) for r in out) == [("d0", 0), ("d1", 1), ("d2", 2)]
+
+    empty = _conf(url, "empty")
+    EsRestClient(empty).create_index()
+    assert read_es_rest(spark, empty, "n long", slices=4).count() == 0
