@@ -70,11 +70,12 @@ HEADLINE = [
     "approx_sketch_certified",
     "dedup_incremental_new_vs_corpus",
     "funnel_conversion_steps",
-    # r5 additions: the streaming twins of funnel + incremental dedup and
-    # the checksum-certified compaction job
+    # r5 additions: the streaming twins of funnel + incremental dedup,
+    # the checksum-certified compaction job, and int8 quantization cert
     "streaming_funnel_conversion",
     "streaming_incremental_dedup",
     "layout_compaction_checksum",
+    "embedding_quantized_cosine_cert",
 ]
 
 

@@ -19,6 +19,7 @@ SF = "/root/testdata/sf0.001"
 # threshold), never data×data
 CROSS_ALLOWED = {
     "embedding_cosine_topk",
+    "embedding_quantized_cosine_cert",
     "ann_ivf_topk",
     "kmeans_lloyd_step",
     "kmeans_two_round_assign",
