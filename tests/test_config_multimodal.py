@@ -459,3 +459,56 @@ def test_decode_pixels_jpeg_respects_pil_gate():
     else:
         assert "phash" not in out and "mode" not in out
         assert out["digest"]  # baseline row survives
+
+
+def test_png_roundtrip_property_based():
+    """Property test (hypothesis): ANY 8-bit gray/RGB/RGBA image encoded
+    with ANY per-scanline filter sequence decodes back to the exact
+    original pixels, and the luma conversion matches the integer ITU-R
+    601 spec computed independently here."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from annotations_ingester_spark.multimodal.media import (
+        average_hash_gray,
+        png_decode_gray,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 11),
+        h=st.integers(1, 11),
+        ctype=st.sampled_from([0, 2, 6]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, ctype, seed):
+        ch = {0: 1, 2: 3, 6: 4}[ctype]
+        # deterministic pseudo-random pixels/filters from the drawn seed
+        vals = []
+        x = seed or 1
+        for _ in range(h * w * ch + h):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals.append(x & 0xFF)
+        rows = [
+            bytes(vals[y * w * ch : (y + 1) * w * ch]) for y in range(h)
+        ]
+        filters = [vals[h * w * ch + y] % 5 for y in range(h)]
+        p = _png_encode(rows, ctype=ctype, filters=filters)
+        got_w, got_h, mode, gray = png_decode_gray(p)
+        assert (got_w, got_h) == (w, h)
+        if ctype == 0:
+            expect = rows
+            assert mode == "L"
+        else:
+            expect = [
+                bytes(
+                    (299 * r[i] + 587 * r[i + 1] + 114 * r[i + 2]) // 1000
+                    for i in range(0, len(r), ch)
+                )
+                for r in rows
+            ]
+        assert gray == expect
+        ph = average_hash_gray(gray, w, h)
+        assert -(2**63) <= ph < 2**63  # signed-BIGINT portable
+
+    check()
