@@ -448,3 +448,62 @@ def q_shuffle_order(spark: SparkSession, sf: str):
     return ranked.join(F.broadcast(offsets), "_bucket").select(
         "doc_id", (F.col("_off") + F.col("_rn")).cast("long").alias("shuffle_pos")
     )
+
+
+@register(
+    "corpus_token_drift",
+    f"""WITH d AS (
+          SELECT doc_id % 10 = 0 AS is_new, {tokens_sql('text')} AS t
+          FROM documents),
+        u AS (SELECT is_new, unnest(t) AS tok FROM d),
+        c AS (
+          SELECT tok,
+                 count(*) FILTER (WHERE is_new)::BIGINT AS c_new,
+                 count(*) FILTER (WHERE NOT is_new)::BIGINT AS c_corpus
+          FROM u GROUP BY tok),
+        tot AS (
+          SELECT sum(c_new)::BIGINT AS t_new, sum(c_corpus)::BIGINT AS t_corpus
+          FROM c),
+        top AS (
+          SELECT tok, c_new, c_corpus FROM c
+          ORDER BY c_new + c_corpus DESC, tok LIMIT 50)
+        SELECT tok, c_new, c_corpus,
+               round(abs(c_new / t_new - c_corpus / t_corpus), 6) AS freq_drift
+        FROM top, tot""",
+    doc="Ingest drift monitor: token-frequency distribution of the arriving "
+    "batch (doc_id%10=0, the same stand-in as incremental dedup) compared "
+    "against the standing corpus — per top-50 token, absolute relative-"
+    "frequency drift. The production data-quality gate next to the "
+    "incremental dedup probe: a spiking drift means the new crawl slice "
+    "changed character. Scale shape: one map-side-combinable token count, "
+    "a TakeOrdered top-50 (never a full sort), and a 1-row totals "
+    "broadcast — two shuffles regardless of corpus size.",
+)
+def q_corpus_token_drift(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    u = docs.select(
+        (F.col("doc_id") % 10 == 0).alias("is_new"),
+        F.explode(tokens("text")).alias("tok"),
+    )
+    c = u.groupBy("tok").agg(
+        F.count(F.when(F.col("is_new"), 1)).alias("c_new"),
+        F.count(F.when(~F.col("is_new"), 1)).alias("c_corpus"),
+    )
+    tot = c.agg(
+        F.sum("c_new").alias("t_new"), F.sum("c_corpus").alias("t_corpus")
+    )
+    top = c.orderBy(
+        (F.col("c_new") + F.col("c_corpus")).desc(), F.col("tok")
+    ).limit(50)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "c_new",
+        "c_corpus",
+        F.round(
+            F.abs(
+                F.col("c_new") / F.col("t_new")
+                - F.col("c_corpus") / F.col("t_corpus")
+            ),
+            6,
+        ).alias("freq_drift"),
+    )

@@ -28,6 +28,7 @@ CROSS_ALLOWED = {
     # aggregate — corpus avg / global df counts — joined back over the
     # data); the "nested loop" is one comparison per row
     "quality_percentile_filter",
+    "corpus_token_drift",
     "q11_important_value",
     "q22_global_sales_opportunity",
     "bm25_match_ranking",
