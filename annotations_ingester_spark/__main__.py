@@ -248,9 +248,22 @@ def main(argv: list[str] | None = None) -> int:
             def batch_fn(batch, epoch_id):
                 batch.write.mode("append").parquet(cfg.sink.index_name)
 
-        run_stream_foreach_batch(
-            out, batch_fn, cfg.sink.index_name.rstrip("/") + "_ckpt"
-        )
+        # checkpoint placement: path-backed sinks keep it beside the sink;
+        # ES sinks have no filesystem path, so anchor it beside the SOURCE
+        # path (always file-based in stream mode), tagged with the
+        # normalized index name so two streams into different indices
+        # never share offsets
+        if cfg.sink.backend.startswith("elasticsearch"):
+            from annotations_ingester_spark.functions.names import format_index_name
+
+            ckpt = (
+                cfg.source.index_name.rstrip("/")
+                + "_ckpt_"
+                + format_index_name(cfg.sink.index_name)
+            )
+        else:
+            ckpt = cfg.sink.index_name.rstrip("/") + "_ckpt"
+        run_stream_foreach_batch(out, batch_fn, ckpt)
         return 0
 
     if cfg.ingest_mode == "nested":

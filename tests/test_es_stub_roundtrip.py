@@ -213,3 +213,53 @@ def test_read_handles_empty_slices_and_empty_index(spark, es_stub):
     empty = _conf(url, "empty")
     EsRestClient(empty).create_index()
     assert read_es_rest(spark, empty, "n long", slices=4).count() == 0
+
+
+def test_cli_stream_mode_rest_sink(spark, es_stub, tmp_path):
+    """--stream with the REST sink: the availableNow foreachBatch path
+    bulk-posts each micro-batch through write_es_rest; result matches the
+    batch run's row count (deterministic ids → replay-idempotent)."""
+    import yaml
+
+    from annotations_ingester_spark.__main__ import main
+
+    state, url = es_stub
+    src = str(tmp_path / "stream_src")
+    # text lengths chosen % 4 != 0: the fake annotator emits len(text)%4
+    # entities per doc
+    spark.createDataFrame(
+        [
+            (1, "stream rest document number one body!", "2020-01-05"),
+            (2, "stream rest document number two body!!", "2020-02-10"),
+            (3, "x", "2020-02-01"),  # P3-filtered
+        ],
+        "doc_id long, text string, dct string",
+    ).write.parquet(src)
+    cfg = {
+        "source": {"backend": "parquet", "path": src},
+        "sink": {
+            "backend": "elasticsearch-rest",
+            "hosts": [url],
+            "index-name": "stream-sink",
+        },
+        "nlp-service": {
+            "endpoints-url": ["fake://medcat"],
+            "protocol-mode": "medcat",
+        },
+        "mapping": {
+            "source": {
+                "text-field": "text",
+                "docid-field": "doc_id",
+                "persist-fields": ["doc_id"],
+                "batch": {"date-field": "dct", "interval": 30},
+            },
+        },
+    }
+    cfg_path = tmp_path / "cfg_stream_rest.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    assert main(["--config", str(cfg_path), "--stream"]) == 0
+    client = EsRestClient(_conf(url, "stream-sink"))
+    n = client.count()
+    assert n > 0
+    ids = client.scan_doc_ids()
+    assert not any(i.startswith("doc-3-") for i in ids)  # P3 filtered

