@@ -98,14 +98,28 @@ def main(argv: list[str] | None = None) -> int:
         docs = read_es(spark, cfg.source)
     elif cfg.source.backend == "elasticsearch-rest":
         # jar-free fallback: sliced-scroll parallel read; schema from a
-        # bounded sample (ES dynamic-mapping parity)
+        # bounded sample (ES dynamic-mapping parity). A configured date
+        # span pushes down into the scroll query (S3 parity,
+        # es_common.py:303-330) — out-of-range docs never leave the
+        # cluster; segmented runs re-filter Spark-side within the span
         from annotations_ingester_spark.sources.es_rest import (
             infer_es_rest_schema,
             read_es_rest,
         )
 
+        rng = None
+        if date_start and date_end:
+            rng = {
+                "range": {
+                    cfg.date_field: {
+                        "gte": date_start,
+                        "lte": date_end,
+                        "format": "yyyy-MM-dd",
+                    }
+                }
+            }
         docs = read_es_rest(
-            spark, cfg.source, infer_es_rest_schema(spark, cfg.source)
+            spark, cfg.source, infer_es_rest_schema(spark, cfg.source), query=rng
         )
     else:
         docs = spark.read.parquet(cfg.source.index_name)

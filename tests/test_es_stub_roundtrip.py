@@ -263,3 +263,57 @@ def test_cli_stream_mode_rest_sink(spark, es_stub, tmp_path):
     assert n > 0
     ids = client.scan_doc_ids()
     assert not any(i.startswith("doc-3-") for i in ids)  # P3 filtered
+
+
+def test_cli_rest_source_with_range_pushdown(spark, es_stub, tmp_path):
+    """CLI with the REST backend as SOURCE: schema inferred from a bounded
+    sample, sliced-scroll parallel read, and the configured date span
+    pushed down into the scroll query (S3 parity) — the out-of-range doc
+    never reaches the pipeline. Sink is parquet so the output is directly
+    inspectable."""
+    import yaml
+
+    from annotations_ingester_spark.__main__ import main
+
+    state, url = es_stub
+    client = EsRestClient(_conf(url, "cli-source"))
+    # text lengths % 4 != 0 so the fake annotator emits entities
+    client.bulk(
+        [
+            {"_id": "1", "doc_id": 1, "text": "rest source document one body!", "dct": "2020-01-10"},
+            {"_id": "2", "doc_id": 2, "text": "rest source document two body!", "dct": "2020-02-10"},
+            {"_id": "3", "doc_id": 3, "text": "rest source out of range body!", "dct": "2021-06-01"},
+        ]
+    )
+    sink = str(tmp_path / "rest_src_sink")
+    cfg = {
+        "source": {
+            "backend": "elasticsearch-rest",
+            "hosts": [url],
+            "index-name": "cli-source",
+        },
+        "sink": {"backend": "parquet", "path": sink},
+        "nlp-service": {
+            "endpoints-url": ["fake://medcat"],
+            "protocol-mode": "medcat",
+        },
+        "mapping": {
+            "source": {
+                "text-field": "text",
+                "docid-field": "doc_id",
+                "persist-fields": ["doc_id"],
+                "batch": {
+                    "date-field": "dct",
+                    "interval": 30,
+                    "date-start": "2020-01-01",
+                    "date-end": "2020-03-15",
+                },
+            },
+        },
+    }
+    cfg_path = tmp_path / "cfg_rest_src.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    assert main(["--config", str(cfg_path)]) == 0
+    out = spark.read.parquet(sink)
+    doc_ids = sorted({r[0] for r in out.selectExpr("`meta.doc_id`").collect()})
+    assert doc_ids == [1, 2]  # doc 3 pruned by the pushed-down range
