@@ -74,6 +74,61 @@ def q_range_join(spark: SparkSession, sf: str):
 
 
 @register(
+    "full_outer_reconciliation",
+    """WITH o AS (
+         SELECT o_custkey, count(*) AS n_orders,
+                CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total_spend
+         FROM orders WHERE o_custkey % 3 <> 0 GROUP BY o_custkey)
+       SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+              c.c_mktsegment AS segment,
+              coalesce(o.n_orders, 0) AS n_orders,
+              coalesce(o.total_spend, 0.0) AS total_spend,
+              (c.c_custkey IS NULL) AS orphan_orders,
+              (o.o_custkey IS NULL) AS no_orders
+       FROM (SELECT c_custkey, c_mktsegment FROM customer
+             WHERE c_custkey % 5 <> 0) c
+       FULL OUTER JOIN o ON c.c_custkey = o.o_custkey""",
+    doc="FULL OUTER reconciliation — the remaining §2.3 join type not yet "
+    "in the catalog: per-customer order aggregates joined full-outer to "
+    "the customer dimension, surfacing BOTH sides' unmatched rows "
+    "(customers with no orders, order groups with no customer row — each "
+    "side deliberately punctured with a different modulus so both "
+    "null-extension paths carry real rows). Scale shape: map-side "
+    "partial agg shrinks the fact side to one row per customer BEFORE "
+    "the join; both inputs then hash-partition on the same key — one "
+    "co-partitioned sort-merge join, outer semantics preserved by the "
+    "engine (a broadcast would be wrong here: full-outer cannot "
+    "broadcast either side).",
+)
+def q_full_outer_reconciliation(spark: SparkSession, sf: str):
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_custkey") % 3 != 0)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+    c = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 5 != 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce(c["c_custkey"], o["o_custkey"]).alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+        c["c_custkey"].isNull().alias("orphan_orders"),
+        o["o_custkey"].isNull().alias("no_orders"),
+    )
+
+
+@register(
     "setop_intersect",
     """SELECT lang, source FROM documents WHERE doc_id % 2 = 0
        INTERSECT
