@@ -1,0 +1,169 @@
+"""Graph analytics over derived edge tables (similarity graphs, interaction
+graphs).
+
+The corpus-scale graphs this engine produces — near-duplicate candidate
+graphs from LSH, user/entity interaction graphs from event streams — need
+two classic measurements: local clustering (triangles / transitivity, the
+health metric for a dedup candidate graph: duplicate clusters are cliques,
+spurious LSH collisions are isolated wedges) and node importance
+(PageRank, the canonical importance measure for interaction graphs).
+
+Scale shapes:
+
+- **Triangles**: node-id orientation (every undirected edge stored once as
+  ``src < dst``) makes each triangle counted exactly once; the count is a
+  wedge build (self-join on the lower endpoint — shuffle keyed on node id)
+  hash-joined against the edge set (shuffle on the closing edge's key
+  pair). Cost is Σ_v deg⁺(v)², the standard oriented-join bound — never
+  an all-pairs product. Skewed hubs are bounded by orientation (deg⁺ ≤
+  deg, and high-degree nodes get mostly *incoming* orientation).
+- **PageRank**: the iterative-template shape (same as connected components
+  in operators/cluster.py): per iteration one shuffle keyed on dst to sum
+  contributions plus one broadcast-free equi-join back to out-degrees.
+  Ranks are carried as rounded-decimal contributions so sums are EXACT and
+  engine-portable regardless of partition/accumulation order — a scalar
+  tolerance check is all that ever reaches the driver in a full fit loop.
+
+Reference parity: the reference engine has no graph operators
+(ingester/*.py is an ES→NLP→ES pipeline); these extend the north-star
+training-data surface (duplicate-cluster diagnostics over LSH output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_canonical(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Canonicalize an edge list to distinct undirected edges with
+    ``src < dst`` (drops self-loops). One shuffle (distinct on the pair)."""
+    lo = F.least(F.col(src), F.col(dst))
+    hi = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.select(lo.alias("src"), hi.alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph given as canonical
+    ``(src, dst)`` edges (``src < dst``, distinct — see
+    :func:`undirected_canonical`).
+
+    Returns ONE row: ``n_nodes, n_edges, n_wedges, n_triangles,
+    transitivity`` where ``transitivity = 3·triangles / wedges`` (global
+    clustering coefficient, 0 when the graph has no wedges).
+
+    Plan: oriented wedge enumeration — for each lower endpoint ``u``,
+    pairs of oriented neighbors ``v < w`` (self-join of the oriented edge
+    list on ``u``), then an equi-join probing whether the closing edge
+    ``(v, w)`` exists. Wedge COUNTS for transitivity come from the full
+    undirected degree sequence (Σ deg·(deg−1)/2), one extra map-side-
+    combinable aggregate.
+    """
+    e = edges.select("src", "dst")
+
+    # undirected degrees: each edge contributes to both endpoints
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # per-node wedge count deg·(deg−1)/2 is an exact integer — divide (via
+    # shift; the product is always even) BEFORE the sum so the whole census
+    # stays in integer arithmetic (no double round-trip to break at 2^53)
+    base = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(
+            F.shiftright(F.col("deg") * (F.col("deg") - F.lit(1)), 1)
+        ).alias("n_wedges"),
+    )
+
+    # oriented wedges at the lower endpoint u: (u,v),(u,w) with v < w;
+    # the closing edge (v,w) is already canonical, so one equi-join probes it
+    e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        e.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
+    ).agg(F.count("*").alias("n_triangles"))
+
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    out = base.crossJoin(n_edges).crossJoin(tri)  # three 1-row sides
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("transitivity"),
+    )
+
+
+def pagerank_iterations(
+    edges: DataFrame,
+    n_iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank, ``n_iters`` synchronous iterations from uniform
+    rank 1.0 per node (the unnormalized formulation:
+    ``r' = (1-d) + d · Σ_in r·w/out_w``). Returns ``(node, rank)``.
+
+    Engine-portable determinism: per-edge contributions are computed in
+    double precision (deterministic given identical operands), rounded to
+    10 dp and cast to DECIMAL(28,10) **before** the sum — decimal sums are
+    exact under any accumulation order, so a DuckDB oracle running the
+    same unrolled iterations hash-matches bit-for-bit. Nodes without
+    out-edges keep receiving but do not redistribute (standard dangling
+    simplification; the graphs we feed it — bipartite interaction graphs
+    with both directions materialized — have none).
+
+    Scale: per iteration one shuffle keyed on ``dst`` (contribution sum)
+    and one equi-join of ranks back onto the edge list keyed on ``src``;
+    rank state is one row per node. A convergence-loop wrapper would add
+    only the CheckpointCycler pattern from operators/iterate.py.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = e.join(out_w, "src")
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+
+    base = float(1.0 - damping)
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") * F.col("w") / F.col("out_w"), 10)
+                .cast("decimal(28,10)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)), 10
+            ).alias("rank"),
+        )
+    return ranks

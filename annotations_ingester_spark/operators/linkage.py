@@ -1,0 +1,152 @@
+"""Record linkage / entity resolution: blocked fuzzy matching and exact
+set-similarity joins with prefix filtering.
+
+Both follow the one rule that makes fuzzy matching feasible at 100 TB:
+**never compare all pairs** — generate a small, provably sufficient
+candidate set with an equi-join on a cheap key, then verify candidates
+exactly.
+
+- **Blocked edit-distance matching**: candidates share a blocking key
+  (deterministic projection of the record — here nation + name prefix);
+  the expensive ``levenshtein`` runs only inside blocks. Recall is
+  governed by block design, cost by block size (the join is an equi-join
+  on the block key, so skew = one oversized block — visible in
+  profile_key_skew, fixable by refining the key).
+- **Set-similarity join (AllPairs/PPJoin prefix filter)**: for Jaccard ≥
+  τ, two token SETS must share at least one token among each set's first
+  ``|s| − ⌈τ·|s|⌉ + 1`` tokens under a GLOBAL canonical token order
+  (rarest-first) — a theorem, not a heuristic, so the candidate equi-join
+  on prefix tokens loses NO true pair (verified by property test against
+  the naive join). Ordering rarest-first makes prefix tokens the least
+  frequent, which is what keeps candidate lists short.
+
+Reference parity: the reference has no fuzzy-match surface; this extends
+the dedup family (operators/dedup.py) with the edit-distance and
+exact-Jaccard tiers of a production entity-resolution stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from annotations_ingester_spark.functions import text as tx
+
+
+def blocked_levenshtein_pairs(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Within-block record pairs (``id_a < id_b``) whose names are within
+    ``max_distance`` edits. ``block_cols`` are column *expressions* (the
+    blocking key); the join is an equi-join on them."""
+    blocked = records.select(
+        F.col(id_col), F.col(name_col), *[c.alias(f"_bk{i}") for i, c in enumerate(block_cols)]
+    )
+    keys = [f"_bk{i}" for i in range(len(block_cols))]
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("_na"), *keys
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("_nb"), *keys
+    )
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_na", "_nb").cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= max_distance)
+    )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Exact set-Jaccard join: all pairs with ``J(a,b) ≥ threshold``,
+    discovered via AllPairs prefix filtering (candidates = pairs sharing a
+    prefix element under the global rarest-first order), then verified with
+    the exact intersection. Returns ``(doc_a, doc_b, inter, jac)`` with
+    ``jac`` rounded to 6 dp. ``ngram > 1`` compares word-shingle sets
+    instead of unigram token sets — the discriminative choice for document
+    dedup (unigram vocabularies overlap heavily across any same-domain
+    corpus; shingle sets only overlap under real near-duplication).
+
+    Plan: token-df table → global token rank (a window sort over the
+    VOCABULARY — bounded by vocab size, not corpus size) → per-doc sorted
+    token array → prefix explode → candidate equi-join on token →
+    pair-distinct → verify via ``array_intersect`` on the two full sorted
+    arrays (each doc's set rides along the join — no second lookup pass).
+    """
+    elems = (
+        tx.word_shingles(text_col, n=ngram) if ngram > 1 else tx.tokens(text_col)
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(elems).alias("_tset"),
+    ).filter(F.size("_tset") > 0)
+
+    tok = toks.select("doc_id", F.explode("_tset").alias("tok"))
+    df_tab = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    # global canonical order over the vocabulary (rarest first, token
+    # tie-break). Unpartitioned window — but over the vocab table only.
+    rank = df_tab.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.col("df").asc(), F.col("tok").asc()))
+        .alias("trank"),
+    )
+
+    ranked = (
+        tok.join(rank, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("trank", "tok"))),
+                lambda s: s.tok,
+            ).alias("stoks")
+        )
+        .withColumn("m", F.size("stoks"))
+        # prefix length for Jaccard τ: m - ceil(τ*m) + 1
+        .withColumn(
+            "plen", F.col("m") - F.ceil(F.lit(float(threshold)) * F.col("m")) + 1
+        )
+    )
+
+    pref = ranked.select(
+        "doc_id", "stoks", "m", F.explode(F.slice("stoks", 1, F.col("plen"))).alias("tok")
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("stoks").alias("_sa"), F.col("m").alias("_ma"), "tok"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("stoks").alias("_sb"), F.col("m").alias("_mb"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sa", "_sb", "_ma", "_mb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = inter / (F.col("_ma") + F.col("_mb") - inter)
+    return (
+        cand.withColumn("inter", inter.cast("long"))
+        .withColumn("jac", F.round(jac, 6))
+        .filter(
+            F.col("inter")
+            * F.lit(1.0)
+            / (F.col("_ma") + F.col("_mb") - F.col("inter"))
+            >= F.lit(float(threshold))
+        )
+        .select("doc_a", "doc_b", "inter", "jac")
+    )

@@ -116,3 +116,46 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= top_n)
         .select(id_col, "term", "tfidf", "term_rank")
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 25,
+) -> DataFrame:
+    """Inverted-index construction: one row per term with its document
+    frequency and a canonical postings string ``"doc:first_pos,..."``
+    (first occurrence position per document, 0-based, sorted by doc id) —
+    the batch-built index a search tier (BM25 above) serves from.
+
+    Restricting to ``df ≥ min_df`` keeps the output the head of the
+    vocabulary; the long tail would be emitted unchanged (no plan change),
+    this is an output-volume knob only.
+
+    Scale shape: posexplode → two hash aggregations (term+doc, then term).
+    The per-term ``collect_list`` holds one (doc, pos) pair per MATCHING
+    document — bounded by df, the same bound any posting list has; a
+    production sink would range-partition terms so hot stopword terms land
+    in their own partitions (or be dropped by a stopword gate upstream).
+    Sorting happens inside ``array_sort`` per term (no global sort), and
+    the string rendering is pure codegen (`transform` + `array_join`).
+    """
+    pos = df.select(
+        F.col(id_col), F.posexplode(tx.tokens(text_col)).alias("p", "term")
+    )
+    first = pos.groupBy("term", id_col).agg(F.min("p").alias("fp"))
+    return (
+        first.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("fp")))),
+                    lambda s: F.concat_ws(":", s[id_col].cast("string"), s["fp"].cast("string")),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -363,3 +363,43 @@ def kmeans_fit(
     global LAST_FIT_ITERATIONS
     LAST_FIT_ITERATIONS = iterations  # observability for bench/driver logs
     return assign, iterations
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: assign every vector to
+    its nearest centroid (broadcast k-means cells, exact-decimal argmin —
+    :func:`kmeans_assign`), then compare pairs ONLY within a cell and keep
+    cosine ≥ ``threshold``. Returns ``(centroid_id, id_a, id_b, cos)``.
+
+    This is the embedding-space analogue of LSH banding: the cluster
+    assignment is the bucket, so discovery is a per-cell self-join —
+    candidates ∝ Σ cell², never N². Pairs straddling a cell boundary are
+    missed BY DESIGN (the SemDeDup trade: dedup within semantic clusters);
+    the sign-bucket path (:func:`embedding_near_duplicates`) is the
+    recall-oriented alternative.
+    """
+    assign = kmeans_assign(embeddings, centroids, id_col, vec_col)
+    cell = embeddings.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    a = cell.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "centroid_id"
+    )
+    b = cell.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "centroid_id"
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "centroid_id",
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("_va", "_vb"), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

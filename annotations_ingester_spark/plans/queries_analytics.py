@@ -1,0 +1,529 @@
+"""Round-5 analytics families: entity resolution, exact set-similarity
+joins, semantic dedup, time-series prep, graph census/importance, inverted
+index, data-profiling diagnostics, and the streaming sessionization twin.
+
+Every entry is a (Spark builder, DuckDB oracle) pair obeying the catalog
+parity rules (plans/catalog.py docstring): identical aliases, decimal-exact
+sums, rounded doubles, total orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from annotations_ingester_spark.functions import text as tx
+from annotations_ingester_spark.plans.catalog import (
+    events_table,
+    register,
+    table,
+    utc_label,
+)
+
+TOKS = tx.tokens_sql("text")
+
+# ---- entity resolution ------------------------------------------------------
+
+
+@register(
+    "er_blocked_name_matches",
+    """WITH b AS (
+         SELECT c_custkey, c_name, c_nationkey, substr(c_name, 1, 15) AS pref
+         FROM customer)
+       SELECT a.c_custkey AS id_a, b2.c_custkey AS id_b,
+              levenshtein(a.c_name, b2.c_name)::BIGINT AS lev
+       FROM b a JOIN b b2
+         ON a.c_nationkey = b2.c_nationkey AND a.pref = b2.pref
+       WHERE a.c_custkey < b2.c_custkey
+         AND levenshtein(a.c_name, b2.c_name) <= 2""",
+    doc="Blocked entity resolution: candidate pairs share a blocking key "
+    "(nation + 15-char name prefix — an equi-join, never all-pairs), then "
+    "edit-distance verification (levenshtein ≤ 2) runs only inside "
+    "blocks. Cost ∝ Σ block², governed by block design; skewed blocks "
+    "surface in profile_key_skew and are fixed by refining the key.",
+)
+def q_er_blocked(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.linkage import blocked_levenshtein_pairs
+
+    cust = table(spark, sf, "customer")
+    return blocked_levenshtein_pairs(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=[F.col("c_nationkey"), F.substring("c_name", 1, 15)],
+        max_distance=2,
+    )
+
+
+_SH3 = (
+    "list_transform(range(1, greatest(len(t) - 2, 0) + 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+
+
+@register(
+    "ssjoin_jaccard_prefix",
+    f"""WITH d0 AS (SELECT doc_id, {TOKS} AS t FROM documents),
+       d AS (SELECT doc_id, list_distinct({_SH3}) AS t FROM d0),
+       d2 AS (SELECT doc_id, t FROM d WHERE len(t) > 0)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              len(list_intersect(a.t, b.t))::BIGINT AS inter,
+              round(len(list_intersect(a.t, b.t))
+                    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) AS jac
+       FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.t, b.t)) * 1.0
+             / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.6""",
+    doc="Exact set-similarity join (3-gram shingle sets, Jaccard ≥ 0.6) "
+    "via AllPairs prefix filtering: candidates = pairs sharing an element "
+    "in their rarest-first prefixes (length m − ⌈τm⌉ + 1 — a THEOREM, "
+    "zero false negatives; property-tested against the naive join), "
+    "verified by exact intersection. Shingle sets, not unigram sets: "
+    "same-domain vocabularies overlap heavily (unigram J ≥ 0.6 matched "
+    "28% of ALL pairs on this corpus); shingle sets only overlap under "
+    "real near-duplication. The oracle is the naive O(N²) join — correct "
+    "at gate scale, and exactly what the prefix filter must reproduce.",
+)
+def q_ssjoin(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.linkage import jaccard_prefix_join
+
+    return jaccard_prefix_join(table(spark, sf, "documents"), threshold=0.6, ngram=3)
+
+
+# ---- semantic dedup ---------------------------------------------------------
+
+# Nearest-centroid assignment CTE — identical semantics to kmeans_assign
+# (exact-decimal L2², argmin with centroid-id tie-break); centroids are the
+# fixed seed set vec_id % 59 = 0 (< 2000) — denser than the kmeans family's
+# % 173 seeds so cells stay small (9 cells here; Σ cell² is the join cost).
+_ASSIGN_CTE = """b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       c AS (SELECT vec_id AS centroid_id, e AS ce FROM b
+            WHERE vec_id % 59 = 0 AND vec_id < 2000),
+       vd AS (
+         SELECT vec_id, s.i AS dim, s.v AS v
+         FROM (SELECT vec_id,
+                      unnest(list_transform(range(len(e)),
+                                            i -> {'i': i, 'v': e[i + 1]})) AS s
+               FROM b)),
+       cd AS (
+         SELECT centroid_id, s.i AS dim, s.v AS cv
+         FROM (SELECT centroid_id,
+                      unnest(list_transform(range(len(ce)),
+                                            i -> {'i': i, 'v': ce[i + 1]})) AS s
+               FROM c)),
+       d2t AS (
+         SELECT vd.vec_id, cd.centroid_id,
+                sum(((vd.v - cd.cv) * (vd.v - cd.cv))::DECIMAL(28,12)) AS d2
+         FROM vd JOIN cd USING (dim)
+         GROUP BY vd.vec_id, cd.centroid_id),
+       assign AS (
+         SELECT vec_id, centroid_id
+         FROM (SELECT vec_id, centroid_id,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, centroid_id) AS rn
+               FROM d2t)
+         WHERE rn = 1)"""
+
+_COS_XY = (
+    "round(CASE WHEN sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)) > 0"
+    " THEN list_dot_product(x.e, y.e)"
+    " / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))"
+    " ELSE 0.0 END, 6)"
+)
+
+
+@register(
+    "semantic_dedup_pairs",
+    f"""WITH {_ASSIGN_CTE}
+       SELECT a1.centroid_id, a1.vec_id AS id_a, a2.vec_id AS id_b,
+              {_COS_XY} AS cos
+       FROM assign a1
+       JOIN assign a2 ON a1.centroid_id = a2.centroid_id
+                     AND a1.vec_id < a2.vec_id
+       JOIN b x ON x.vec_id = a1.vec_id
+       JOIN b y ON y.vec_id = a2.vec_id
+       WHERE {_COS_XY} >= 0.35""",
+    doc="SemDeDup-style semantic near-dup pairs: broadcast k-means cell "
+    "assignment is the bucket; pairwise cosine runs ONLY within a cell "
+    "(candidates ∝ Σ cell², never N²). Boundary-straddling pairs are "
+    "missed by design — the sign-bucket path (embedding_near_dup_pairs) "
+    "is the recall-oriented alternative.",
+)
+def q_semantic_dedup(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = table(spark, sf, "embeddings")
+    cents = emb.filter((F.col("vec_id") % 59 == 0) & (F.col("vec_id") < 2000)).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return semantic_dedup_pairs(emb, cents, threshold=0.35)
+
+
+# ---- time series ------------------------------------------------------------
+
+
+@register(
+    "timeseries_gapfill_locf",
+    """WITH ev AS (
+         SELECT user_id, (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket, value
+         FROM events WHERE user_id < 50),
+       obs AS (
+         SELECT user_id, bucket,
+                round(CAST(sum(value::DECIMAL(18,6)) AS DOUBLE) / count(*), 6) AS v
+         FROM ev GROUP BY user_id, bucket),
+       span AS (SELECT user_id, min(bucket) AS b_min, max(bucket) AS b_max
+                FROM ev GROUP BY user_id),
+       grid AS (SELECT user_id, unnest(generate_series(b_min, b_max, 3600)) AS bucket
+                FROM span)
+       SELECT g.user_id, g.bucket AS bucket_s,
+              last_value(o.v IGNORE NULLS) OVER (
+                PARTITION BY g.user_id ORDER BY g.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+              (o.v IS NULL) AS is_gap
+       FROM grid g LEFT JOIN obs o
+         ON g.user_id = o.user_id AND g.bucket = o.bucket""",
+    doc="Per-key hourly grid + last-observation-carried-forward: "
+    "sequence/explode generates each key's OWN span (rows ∝ key span, "
+    "never a global calendar cross join), observations land via a left "
+    "equi-join, and the carry-forward is a one-pass last(ignorenulls) "
+    "running window. user_id < 50 is the job's key subset — an absolute "
+    "parameter, so output size is fixed across scale factors.",
+)
+def q_gapfill(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.timeseries import gapfill_locf
+
+    ev = events_table(spark, sf).filter(F.col("user_id") < 50)
+    return gapfill_locf(ev, key_col="user_id", ts_col="ts_s", value_col="value").select(
+        F.col("key").alias("user_id"), "bucket_s", "value_filled", "is_gap"
+    )
+
+
+@register(
+    "timeseries_zscore_anomalies",
+    """WITH ev AS (
+         SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_s,
+                round(value, 6)::DECIMAL(18,6) AS v6
+         FROM events),
+       st AS (
+         SELECT user_id, ts_s, event_id, v6,
+                count(v6) OVER w AS n,
+                CAST(sum(v6) OVER w AS DOUBLE) AS s1,
+                CAST(sum((v6 * v6)::DECIMAL(38,12)) OVER w AS DOUBLE) AS s2
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+       SELECT user_id, ts_s, event_id,
+              CAST(v6 AS DOUBLE) AS value6,
+              round(s1 / n, 6) AS mean_prev,
+              round((CAST(v6 AS DOUBLE) - s1 / n)
+                    / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS z
+       FROM st
+       WHERE n >= 10 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+         AND abs((CAST(v6 AS DOUBLE) - s1 / n)
+                 / sqrt((s2 - s1 * s1 / n) / (n - 1))) >= 3.0""",
+    doc="Rolling z-score anomaly flags: mean/variance of the PREVIOUS 20 "
+    "rows per key (bounded ROW frame excluding the current row) from "
+    "decimal-exact Σv and Σv² — never stddev over raw doubles, whose "
+    "accumulation order differs across engines — so the |z| ≥ 3 decision "
+    "is bit-identical anywhere. One shuffle on the key; state per key is "
+    "the 20-row frame.",
+)
+def q_zscore(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.timeseries import rolling_zscore_anomalies
+
+    ev = events_table(spark, sf)
+    return rolling_zscore_anomalies(
+        ev, key_col="user_id", order_cols=("ts_s", "event_id"), value_col="value"
+    ).select(
+        F.col("key").alias("user_id"), "ts_s", "event_id", "value6", "mean_prev", "z"
+    )
+
+
+# ---- graph analytics --------------------------------------------------------
+
+
+def _lsh_edges(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    pairs = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(table(spark, sf, "documents"))))
+    return pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+
+
+# the minhash band CTE — same construction as minhash_lsh_pairs' oracle
+def _lsh_edges_sql() -> str:
+    from annotations_ingester_spark.plans.queries_scale import SIG_CTE
+
+    return f"""{SIG_CTE},
+       band AS (
+         SELECT doc_id, seed // 2 AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed // 2),
+       e AS (
+         SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id)"""
+
+
+@register(
+    "graph_triangle_count",
+    None,  # filled in below (needs the SIG_CTE import at module load)
+    doc="Triangle census of the MinHash-LSH candidate graph — the health "
+    "metric for dedup output (duplicate clusters are cliques → high "
+    "transitivity; spurious collisions are isolated wedges). Oriented "
+    "wedge join (src < dst) counts each triangle once at its lowest "
+    "node: cost Σ deg⁺², never all-pairs; wedge totals stay in integer "
+    "arithmetic end-to-end.",
+)
+def q_triangles(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_lsh_edges(spark, sf))
+
+
+@register(
+    "graph_pagerank_2iter",
+    """WITH e0 AS (
+         SELECT user_id, event_type, count(*) AS w FROM events GROUP BY user_id, event_type),
+       e AS (
+         SELECT 'u:' || user_id::VARCHAR AS src, 't:' || event_type AS dst, w::DOUBLE AS w FROM e0
+         UNION ALL
+         SELECT 't:' || event_type, 'u:' || user_id::VARCHAR, w::DOUBLE FROM e0),
+       ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src),
+       nodes AS (SELECT DISTINCT node FROM (
+         SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),
+       c1 AS (
+         SELECT e.dst AS node,
+                CAST(sum(round(r.rank * e.w / ow.out_w, 10)::DECIMAL(28,10)) AS DOUBLE) AS s
+         FROM e JOIN ow USING (src) JOIN r0 r ON r.node = e.src
+         GROUP BY e.dst),
+       r1 AS (SELECT n.node, round(0.15 + 0.85 * coalesce(c1.s, 0.0), 10) AS rank
+              FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+       c2 AS (
+         SELECT e.dst AS node,
+                CAST(sum(round(r.rank * e.w / ow.out_w, 10)::DECIMAL(28,10)) AS DOUBLE) AS s
+         FROM e JOIN ow USING (src) JOIN r1 r ON r.node = e.src
+         GROUP BY e.dst),
+       r2 AS (SELECT n.node, round(0.15 + 0.85 * coalesce(c2.s, 0.0), 10) AS rank
+              FROM nodes n LEFT JOIN c2 ON n.node = c2.node)
+       SELECT node, round(rank, 6) AS rank FROM r2""",
+    doc="Weighted PageRank (2 synchronous iterations, d=0.85) over the "
+    "bipartite user↔event-type interaction graph. Per iteration: one "
+    "shuffle keyed on dst (contribution sum) + one equi-join of ranks "
+    "onto edges keyed on src. Contributions round to 10 dp and sum as "
+    "DECIMAL — exact under any accumulation order, so the unrolled SQL "
+    "twin hash-matches bit-for-bit.",
+)
+def q_pagerank(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.graph import pagerank_iterations
+
+    ev = events_table(spark, sf)
+    e0 = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("w"))
+    u = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    t = F.concat(F.lit("t:"), F.col("event_type"))
+    edges = e0.select(u.alias("src"), t.alias("dst"), "w").unionAll(
+        e0.select(t.alias("src"), u.alias("dst"), "w")
+    )
+    ranks = pagerank_iterations(edges, n_iters=2, damping=0.85, weight="w")
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ---- inverted index ---------------------------------------------------------
+
+
+@register(
+    "inverted_index_postings",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+       p AS (
+         SELECT doc_id, s.i AS p, s.tok
+         FROM (SELECT doc_id,
+                      unnest(list_transform(range(len(t)),
+                                            i -> {{'i': i, 'tok': t[i + 1]}})) AS s
+               FROM d)),
+       f AS (SELECT tok AS term, doc_id, min(p) AS fp FROM p GROUP BY tok, doc_id)
+       SELECT term, count(*) AS df,
+              string_agg(doc_id::VARCHAR || ':' || fp::VARCHAR, ',' ORDER BY doc_id) AS postings
+       FROM f GROUP BY term HAVING count(*) >= 25""",
+    doc="Inverted-index build: term → document frequency + canonical "
+    "postings string (doc:first_pos, sorted by doc id). posexplode + two "
+    "hash aggregations; per-term lists bounded by df (the bound any "
+    "posting list has); sorting is per-term array_sort, no global sort. "
+    "df ≥ 25 is an output-volume knob, not a plan change.",
+)
+def q_inverted_index(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.search import inverted_index
+
+    return inverted_index(table(spark, sf, "documents"), min_df=25)
+
+
+# ---- profiling diagnostics --------------------------------------------------
+
+
+@register(
+    "profile_histogram_totalprice",
+    """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+       b AS (
+         SELECT least(floor((o_totalprice - mn) / ((mx - mn) / 20.0))::BIGINT, 19) AS bucket,
+                o_totalprice, mn, mx
+         FROM orders, s)
+       SELECT bucket, count(*) AS n,
+              round(mn + bucket * ((mx - mn) / 20.0), 2) AS bucket_lo,
+              CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total
+       FROM b GROUP BY bucket, mn, mx""",
+    doc="Equi-width 20-bucket histogram: global min/max (one 1-row "
+    "aggregate, broadcast) then a map-side-combinable bucket count — two "
+    "scans, zero wide shuffles. Identical double arithmetic both engines "
+    "(same operand order), so bucket edges match exactly.",
+)
+def q_histogram(spark: SparkSession, sf: str):
+    orders = table(spark, sf, "orders")
+    s = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(20.0)
+    b = orders.crossJoin(F.broadcast(s)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("long"),
+            F.lit(19).cast("long"),
+        ).alias("bucket"),
+        "o_totalprice",
+        "mn",
+        "mx",
+    )
+    return b.groupBy("bucket", "mn", "mx").agg(
+        F.count("*").alias("n"),
+        F.round(F.col("mn") + F.col("bucket") * width, 2).alias("bucket_lo"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    ).select("bucket", "n", "bucket_lo", "total")
+
+
+@register(
+    "profile_key_skew",
+    """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+       SELECT count(*) AS n_keys,
+              CAST(sum(c) AS BIGINT) AS total,
+              CAST(max(c) AS BIGINT) AS max_c,
+              round(quantile_cont(c, 0.5), 4) AS p50,
+              round(quantile_cont(c, 0.9), 4) AS p90,
+              round(quantile_cont(c, 0.99), 4) AS p99,
+              round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_share,
+              round(CAST(sum(c * c) AS DOUBLE)
+                    / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 8) AS hhi
+       FROM c""",
+    doc="Shuffle-key skew diagnostics: per-key count distribution "
+    "(exact interpolated percentiles), heaviest-key share, and the "
+    "Herfindahl index from integer-exact Σc and Σc² — the numbers that "
+    "decide whether a key needs salting (operators/skew.py) before a "
+    "100 TB groupBy/join. Two aggregations, the second over one row per "
+    "key.",
+)
+def q_key_skew(spark: SparkSession, sf: str):
+    ev = events_table(spark, sf)
+    c = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    return c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.max("c").alias("max_c"),
+        F.round(F.expr("percentile(c, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c, 0.9D)"), 4).alias("p90"),
+        F.round(F.expr("percentile(c, 0.99D)"), 4).alias("p99"),
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "top_share"
+        ),
+        F.round(
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c").cast("double") * F.sum("c").cast("double")),
+            8,
+        ).alias("hhi"),
+    )
+
+
+# ---- streaming sessionization ----------------------------------------------
+
+
+@register(
+    "streaming_sessionization",
+    """WITH ev AS (
+         SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+       flagged AS (
+         SELECT user_id, ts_s,
+                CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       sessed AS (
+         SELECT user_id, ts_s,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+         FROM flagged)
+       SELECT user_id,
+              strftime(make_timestamp(min(ts_s) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+              count(*) AS n_events
+       FROM sessed GROUP BY user_id, sid""",
+    doc="Structured Streaming session windows run for real: readStream → "
+    "session_window(ts, 30 min) per user → complete-mode memory sink, "
+    "driven with availableNow. Session state is per (user, open session) "
+    "and merges on arrival — the stateful shape for clickstream "
+    "sessionization at production rates. Stream result ≡ the batch "
+    "session_window_events oracle.",
+)
+def q_streaming_sessions(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import events_ts_seconds
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    ev = stream.withColumn(
+        "ts_t", F.timestamp_seconds(events_ts_seconds(dict(stream.dtypes)["ts"]))
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts_t", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            utc_label("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("streaming_sessionization_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_sessionization_out")
+
+
+# triangle-count oracle needs SIG_CTE from queries_scale (imported lazily to
+# dodge a circular import at module-definition time)
+from annotations_ingester_spark.plans.catalog import REGISTRY as _REG  # noqa: E402
+
+_REG["graph_triangle_count"].oracle = f"""WITH {_lsh_edges_sql()},
+       deg AS (
+         SELECT node, count(*) AS deg
+         FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+         GROUP BY node),
+       base AS (
+         SELECT count(*) AS n_nodes,
+                CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+         FROM deg),
+       ne AS (SELECT count(*) AS n_edges FROM e),
+       tri AS (
+         SELECT count(*) AS n_triangles
+         FROM e e1
+         JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+       SELECT n_nodes, n_edges, n_wedges, n_triangles,
+              CASE WHEN n_wedges > 0
+                   THEN round(3.0 * n_triangles / n_wedges, 6)
+                   ELSE 0.0 END AS transitivity
+       FROM base, ne, tri"""

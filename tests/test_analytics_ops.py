@@ -1,0 +1,217 @@
+"""Unit + property tests for the round-5 analytics operators: prefix-filter
+set-similarity join (completeness vs the naive join), graph census /
+PageRank (hand-computable graphs), time-series gap-fill + anomaly flags,
+blocked entity resolution, inverted index, and semantic dedup invariants.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---- ssjoin: prefix filter completeness -------------------------------------
+
+
+def _naive_jaccard_pairs(sets: dict[int, set], tau: float):
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= tau:
+                out.add((a, b))
+    return out
+
+
+@pytest.mark.parametrize("tau", [0.5, 0.8])
+def test_prefix_filter_join_equals_naive(spark, tau):
+    """The AllPairs prefix filter is exact: zero false negatives (and the
+    verify step removes all false positives), so the operator must return
+    EXACTLY the naive all-pairs result on random token sets."""
+    from annotations_ingester_spark.operators.linkage import jaccard_prefix_join
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for doc_id in range(60):
+        base = rng.sample(vocab, rng.randint(3, 12))
+        rows.append((doc_id, " ".join(base)))
+        if rng.random() < 0.4:  # planted near-duplicate: mutate one token
+            mut = list(base)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((1000 + doc_id, " ".join(mut)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_prefix_join(df, threshold=tau).collect()
+    }
+    sets = {doc_id: set(text.split()) for doc_id, text in rows}
+    assert got == _naive_jaccard_pairs(sets, tau)
+
+
+def test_prefix_filter_jac_values(spark):
+    from annotations_ingester_spark.operators.linkage import jaccard_prefix_join
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    rows = jaccard_prefix_join(df, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.inter) == (1, 2, 3)
+    assert r.jac == 0.6  # |∩|=3, |∪|=5
+
+
+# ---- graph census -----------------------------------------------------------
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 plus a pendant edge: 4 triangles; wedges = Σ deg(deg−1)/2 with
+    degrees (3,3,3,4,1) = 3+3+3+6+0 = 15; transitivity = 12/15 = 0.8."""
+    from annotations_ingester_spark.operators.graph import triangle_stats
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(k4, "src long, dst long")
+    row = triangle_stats(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (5, 7, 15, 4)
+    assert row.transitivity == 0.8
+
+
+def test_undirected_canonical(spark):
+    from annotations_ingester_spark.operators.graph import undirected_canonical
+
+    raw = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 3), (4, 5)], "src long, dst long"
+    )
+    got = {(r.src, r.dst) for r in undirected_canonical(raw).collect()}
+    assert got == {(1, 2), (4, 5)}  # dedup both orientations, drop self-loop
+
+
+def test_pagerank_matches_python_reference(spark):
+    """2 unrolled iterations on a weighted digraph vs the same arithmetic
+    (round-to-10dp contributions) computed in plain Python."""
+    from annotations_ingester_spark.operators.graph import pagerank_iterations
+
+    edges = [(1, 2, 2.0), (1, 3, 1.0), (2, 3, 1.0), (3, 1, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r.node: r.rank
+        for r in pagerank_iterations(df, n_iters=2, damping=0.85, weight="w").collect()
+    }
+
+    out_w = {1: 3.0, 2: 1.0, 3: 1.0}
+    ranks = {1: 1.0, 2: 1.0, 3: 1.0}
+    for _ in range(2):
+        contrib: dict[int, float] = {}
+        for s, d, w in edges:
+            contrib[d] = contrib.get(d, 0.0) + round(ranks[s] * w / out_w[s], 10)
+        ranks = {
+            n: round(0.15 + 0.85 * contrib.get(n, 0.0), 10) for n in ranks
+        }
+    assert got == pytest.approx(ranks, abs=1e-9)
+
+
+# ---- time series ------------------------------------------------------------
+
+
+def test_gapfill_locf_carries_and_flags(spark):
+    from annotations_ingester_spark.operators.timeseries import gapfill_locf
+
+    # key 1: observations in buckets 0 and 7200 (gap at 3600)
+    rows = [(1, 100, 10.0), (1, 150, 20.0), (1, 7250, 99.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts_s long, value double")
+    out = {
+        r.bucket_s: (r.value_filled, r.is_gap)
+        for r in gapfill_locf(df, key_col="user_id").collect()
+    }
+    assert out[0] == (15.0, False)  # mean of the two bucket-0 obs
+    assert out[3600] == (15.0, True)  # carried forward across the gap
+    assert out[7200] == (99.0, False)
+    assert len(out) == 3  # grid spans [min,max] buckets only
+
+
+def test_rolling_zscore_flags_spike_not_constant(spark):
+    from annotations_ingester_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    base = [(1, t, t, 10.0 + (t % 3) * 0.1) for t in range(30)]
+    spike = [(1, 30, 30, 500.0)]
+    const = [(2, t, t, 5.0) for t in range(30)] + [(2, 30, 30, 5.0)]
+    df = spark.createDataFrame(
+        base + spike + const, "user_id long, ts_s long, event_id long, value double"
+    )
+    flagged = rolling_zscore_anomalies(
+        df, key_col="user_id", order_cols=("ts_s", "event_id"), value_col="value"
+    ).collect()
+    assert [(r.key, r.event_id) for r in flagged] == [(1, 30)]
+    assert abs(flagged[0].z) >= 3
+
+
+# ---- entity resolution ------------------------------------------------------
+
+
+def test_blocked_levenshtein_respects_blocks_and_bound(spark):
+    from annotations_ingester_spark.operators.linkage import blocked_levenshtein_pairs
+
+    rows = [
+        (1, "smith john", "A"),
+        (2, "smith jon", "A"),  # lev 1, same block → match
+        (3, "smith john", "B"),  # identical name, different block → no pair
+        (4, "totally different", "A"),  # lev > 2 → no pair
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    got = blocked_levenshtein_pairs(
+        df, id_col="id", name_col="name", block_cols=[F.col("blk")], max_distance=2
+    ).collect()
+    assert [(r.id_a, r.id_b, r.lev) for r in got] == [(1, 2, 1)]
+
+
+# ---- inverted index ---------------------------------------------------------
+
+
+def test_inverted_index_first_positions_sorted(spark):
+    from annotations_ingester_spark.operators.search import inverted_index
+
+    df = spark.createDataFrame(
+        [(2, "b a b a"), (1, "a x a b")], "doc_id long, text string"
+    )
+    got = {r.term: (r.df, r.postings) for r in inverted_index(df, min_df=2).collect()}
+    # 'a': doc 1 first at pos 0, doc 2 first at pos 1; postings sorted by doc
+    assert got["a"] == (2, "1:0,2:1")
+    assert got["b"] == (2, "1:3,2:0")
+    assert "x" not in got  # df 1 < min_df
+
+
+# ---- semantic dedup ---------------------------------------------------------
+
+
+def test_semantic_dedup_within_cell_only(spark):
+    from annotations_ingester_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.99, 0.01]),  # near-dup of 1, same cell
+            (3, [0.0, 1.0]),  # other cell
+            (4, [0.01, 0.99]),  # near-dup of 3, other cell
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.centroid_id, r.cos)
+        for r in semantic_dedup_pairs(emb, cents, threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2), (3, 4)}
+    assert got[(1, 2)][0] == 100 and got[(3, 4)][0] == 200
+    assert all(cos >= 0.9 for _, cos in got.values())

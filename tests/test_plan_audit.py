@@ -33,6 +33,13 @@ CROSS_ALLOWED = {
     "q22_global_sales_opportunity",
     "bm25_match_ranking",
     "tfidf_top_terms",
+    # broadcast k-means cell assignment (centroids ≪ N, same shape as the
+    # kmeans family) feeding the within-cell pair join
+    "semantic_dedup_pairs",
+    # final assembly of three 1-row aggregate outputs (census scalars)
+    "graph_triangle_count",
+    # 1-row global min/max stats broadcast back over the data for bucketing
+    "profile_histogram_totalprice",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
@@ -48,6 +55,7 @@ STREAMING = {
     "streaming_static_join",
     "streaming_funnel_conversion",
     "streaming_incremental_dedup",
+    "streaming_sessionization",
     "layout_compaction_checksum",
 }
 
@@ -101,6 +109,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # running-total over the 256-row bucket-count aggregate (offsets table),
     # never over document rows (queries_curation.py)
     "corpus_shuffle_order",
+    # global token rank over the VOCABULARY table (distinct shingles), not
+    # the corpus — bounded by vocab size (operators/linkage.py prefix order)
+    "ssjoin_jaccard_prefix",
 }
 
 
