@@ -87,6 +87,13 @@ def jaccard_prefix_join(
     pair-distinct → verify via ``array_intersect`` on the two full sorted
     arrays (each doc's set rides along the join — no second lookup pass).
     """
+    from annotations_ingester_spark.operators.dedup import (
+        _disable_infer_filters_from_generate,
+    )
+
+    # the explodes below would otherwise get an inferred pre-Generate filter
+    # that replays the tokenizer/shingler per row (see dedup.py:44)
+    _disable_infer_filters_from_generate(docs)
     elems = (
         tx.word_shingles(text_col, n=ngram) if ngram > 1 else tx.tokens(text_col)
     )
@@ -131,9 +138,16 @@ def jaccard_prefix_join(
     b = pref.select(
         F.col("doc_id").alias("doc_b"), F.col("stoks").alias("_sb"), F.col("m").alias("_mb"), "tok"
     )
+    # PPJoin length filter: J(a,b) ≥ τ forces max(m) ≤ min(m)/τ — prune
+    # length-incompatible candidates before the pair-dedup shuffle. Safe:
+    # fl(τ) ≤ τ only loosens the bound (never drops a true pair).
+    tau = F.lit(float(threshold))
     cand = (
         a.join(b, "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("_mb") <= F.col("_ma") / tau) & (F.col("_ma") <= F.col("_mb") / tau)
+        )
         .select("doc_a", "doc_b", "_sa", "_sb", "_ma", "_mb")
         .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -93,12 +93,14 @@ def q_ssjoin(spark: SparkSession, sf: str):
 
 # Nearest-centroid assignment CTE — identical semantics to kmeans_assign
 # (exact-decimal L2², argmin with centroid-id tie-break); centroids are the
-# fixed seed set vec_id % 59 = 0 (< 2000) — denser than the kmeans family's
-# % 173 seeds so cells stay small (9 cells here; Σ cell² is the join cost).
+# fixed seed RATE vec_id % 59 = 0 — unlike the kmeans family's capped seed
+# set, k here scales WITH the corpus so expected cell size stays ~59 at any
+# scale factor: within-cell pair cost stays linear in N (Σ cell² ≈ N·59).
+# That is the SemDeDup posture — cell size is the job parameter, not k.
 _ASSIGN_CTE = """b AS (
          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        c AS (SELECT vec_id AS centroid_id, e AS ce FROM b
-            WHERE vec_id % 59 = 0 AND vec_id < 2000),
+            WHERE vec_id % 59 = 0),
        vd AS (
          SELECT vec_id, s.i AS dim, s.v AS v
          FROM (SELECT vec_id,
@@ -145,7 +147,11 @@ _COS_XY = (
        WHERE {_COS_XY} >= 0.35""",
     doc="SemDeDup-style semantic near-dup pairs: broadcast k-means cell "
     "assignment is the bucket; pairwise cosine runs ONLY within a cell "
-    "(candidates ∝ Σ cell², never N²). Boundary-straddling pairs are "
+    "(candidates ∝ Σ cell², never N²). Cell SIZE is the job parameter "
+    "(seed rate 1/59), so k grows with the corpus and the pair join "
+    "stays linear in N; the exact broadcast N·k assignment is the "
+    "embarrassingly-parallel SemDeDup fit cost (billion-scale deployments "
+    "swap in the IVF coarse assignment). Boundary-straddling pairs are "
     "missed by design — the sign-bucket path (embedding_near_dup_pairs) "
     "is the recall-oriented alternative.",
 )
@@ -153,7 +159,7 @@ def q_semantic_dedup(spark: SparkSession, sf: str):
     from annotations_ingester_spark.operators.similarity import semantic_dedup_pairs
 
     emb = table(spark, sf, "embeddings")
-    cents = emb.filter((F.col("vec_id") % 59 == 0) & (F.col("vec_id") < 2000)).select(
+    cents = emb.filter(F.col("vec_id") % 59 == 0).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return semantic_dedup_pairs(emb, cents, threshold=0.35)
@@ -527,3 +533,116 @@ _REG["graph_triangle_count"].oracle = f"""WITH {_lsh_edges_sql()},
                    THEN round(3.0 * n_triangles / n_wedges, 6)
                    ELSE 0.0 END AS transitivity
        FROM base, ne, tri"""
+
+
+# ---- ER entity clustering (match pairs → canonical entity ids) --------------
+
+
+@register(
+    "er_entity_clusters",
+    """WITH RECURSIVE b AS (
+         SELECT c_custkey, c_name, c_nationkey, substr(c_name, 1, 15) AS pref
+         FROM customer),
+       pairs AS (
+         SELECT a.c_custkey AS doc_a, b2.c_custkey AS doc_b
+         FROM b a JOIN b b2
+           ON a.c_nationkey = b2.c_nationkey AND a.pref = b2.pref
+         WHERE a.c_custkey < b2.c_custkey
+           AND levenshtein(a.c_name, b2.c_name) <= 1),
+       edges AS (
+         SELECT doc_a AS u, doc_b AS v FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       reach(u, v) AS (
+         SELECT u, v FROM edges
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE r.u <> e.v),
+       cc AS (
+         SELECT u AS c_custkey, least(u, min(v))::BIGINT AS entity_id
+         FROM reach GROUP BY u)
+       SELECT entity_id, count(*) AS n_members,
+              min(c_custkey)::BIGINT AS min_member, max(c_custkey)::BIGINT AS max_member
+       FROM cc GROUP BY entity_id""",
+    doc="Entity resolution end-to-end: blocked levenshtein ≤ 1 match pairs "
+    "→ connected components (large-star/small-star, O(log n) rounds, "
+    "checkpoint-cycled) → canonical entity id (min member) with member "
+    "stats. The composition a master-data pipeline runs: match, then "
+    "transitively close, then pick survivors. Oracle: recursive-CTE "
+    "closure over the same pair set.",
+)
+def q_er_clusters(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.cluster import connected_components
+    from annotations_ingester_spark.operators.linkage import blocked_levenshtein_pairs
+
+    cust = table(spark, sf, "customer")
+    pairs = blocked_levenshtein_pairs(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=[F.col("c_nationkey"), F.substring("c_name", 1, 15)],
+        max_distance=1,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    cc = connected_components(pairs)
+    return cc.groupBy(F.col("cluster_id").alias("entity_id")).agg(
+        F.count("*").alias("n_members"),
+        F.min("node").alias("min_member"),
+        F.max("node").alias("max_member"),
+    )
+
+
+# ---- bounded-lookback EWMA --------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_STEPS = 20
+# identical double literals on both sides: weights α(1−α)^j rendered via repr
+_EWMA_W = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(_EWMA_STEPS)]
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"(CASE WHEN lag(v, {j}) OVER w IS NOT NULL THEN {w!r} * lag(v, {j}) OVER w ELSE 0.0 END)"
+        for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(v, {j}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""WITH ev AS (
+         SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_s,
+                CAST(round(value, 6) AS DOUBLE) AS v
+         FROM events)
+       SELECT user_id, ts_s, event_id,
+              round(({num}) / ({den}), 6) AS ewma
+       FROM ev
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)"""
+
+
+@register(
+    "timeseries_ewma",
+    _ewma_sql(),
+    doc="Bounded-lookback EWMA (α=0.3, 20 steps): the infinite-memory "
+    "recurrence is truncated to a 20-lag linear combination — one window "
+    "pass per key, fixed per-row state, and (unlike the recurrence) "
+    "expressible as pure codegen'd column arithmetic. Weight literals and "
+    "left-to-right summation order are identical in both engines, so the "
+    "doubles match bit-for-bit. Early rows renormalize over the lags that "
+    "exist (partial-window normalization).",
+)
+def q_ewma(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf).select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.round(F.col("value"), 6).cast("double").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j, wt in enumerate(_EWMA_W):
+        lj = F.lag("v", j).over(w)
+        num = num + F.when(lj.isNotNull(), F.lit(wt) * lj).otherwise(F.lit(0.0))
+        den = den + F.when(lj.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return ev.select(
+        "user_id", "ts_s", "event_id", F.round(num / den, 6).alias("ewma")
+    )

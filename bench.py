@@ -76,6 +76,18 @@ HEADLINE = [
     "streaming_incremental_dedup",
     "layout_compaction_checksum",
     "embedding_quantized_cosine_cert",
+    # r5 additions: the analytics families' heaviest representatives —
+    # prefix-filtered ssjoin (shingle explode + candidate join), semantic
+    # dedup (N·k assignment + within-cell pairs), graph census/PageRank,
+    # and the two time-series window pipelines
+    "ssjoin_jaccard_prefix",
+    "semantic_dedup_pairs",
+    "graph_triangle_count",
+    "graph_pagerank_2iter",
+    "timeseries_gapfill_locf",
+    "timeseries_zscore_anomalies",
+    "er_entity_clusters",
+    "timeseries_ewma",
 ]
 
 
