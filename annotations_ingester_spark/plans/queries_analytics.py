@@ -646,3 +646,133 @@ def q_ewma(spark: SparkSession, sf: str):
     return ev.select(
         "user_id", "ts_s", "event_id", F.round(num / den, 6).alias("ewma")
     )
+
+
+# ---- SQL-dialect surface: native recursive CTE ------------------------------
+
+
+def _blast_sql(edges_cte: str) -> str:
+    """Hop-bounded recursive reachability text shared VERBATIM by both
+    engines (Spark 4 WITH RECURSIVE requires UNION ALL in the recursive
+    member; the hop bound guarantees termination on the cyclic graph and
+    the final min(hop) collapses duplicate paths)."""
+    return f"""WITH RECURSIVE {edges_cte},
+       seeds AS (
+         SELECT doc_id FROM documents WHERE source = 'src0'),
+       reach(doc_id, hop) AS (
+         SELECT doc_id, 0 FROM seeds
+         UNION ALL
+         SELECT e.v, r.hop + 1
+         FROM reach r JOIN edges e ON e.u = r.doc_id
+         WHERE r.hop < 3)
+       SELECT doc_id, CAST(min(hop) AS BIGINT) AS min_hops
+       FROM reach GROUP BY doc_id HAVING min(hop) > 0"""
+
+
+@register(
+    "recursive_cte_blast_radius",
+    None,  # oracle filled in below (needs the minhash band CTE)
+    doc="Native SQL recursion (Spark 4 WITH RECURSIVE): transitive "
+    "contamination blast radius — documents within ≤3 hops of the "
+    "held-out split (source=src0) in the MinHash-LSH candidate graph; a "
+    "doc near-duplicating a doc that near-duplicates an eval doc is "
+    "still tainted. The recursive member is UNION ALL (Spark's "
+    "requirement) with a strict hop bound, so it terminates on the "
+    "cyclic graph; min(hop) collapses duplicate paths. Duplicate "
+    "clusters are tiny by construction, so path multiplicity stays "
+    "bounded — the SQL-dialect surface; operators/cluster.py remains "
+    "the 100 TB closure path.",
+)
+def q_recursive_blast(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    pairs = lsh_candidate_pairs(
+        lsh_band_keys(minhash_signatures(table(spark, sf, "documents")))
+    ).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("_recursive_blast_edges_v")
+    # registered under the bare table name on purpose: the recursive SQL
+    # text is shared VERBATIM with the DuckDB oracle, which reads its
+    # pre-registered `documents` view; re-registered per invocation so the
+    # view always tracks this call's sf_dir
+    table(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _blast_sql(
+            """edges AS (
+         SELECT doc_a AS u, doc_b AS v FROM _recursive_blast_edges_v
+         UNION ALL SELECT doc_b, doc_a FROM _recursive_blast_edges_v)"""
+        )
+    )
+
+
+def _blast_oracle() -> str:
+    from annotations_ingester_spark.plans.queries_scale import SIG_CTE
+
+    return _blast_sql(
+        f"""{SIG_CTE},
+       band AS (
+         SELECT doc_id, seed // 2 AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed // 2),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+       edges AS (
+         SELECT doc_a AS u, doc_b AS v FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs)"""
+    )
+
+
+_REG["recursive_cte_blast_radius"].oracle = _blast_oracle()
+
+
+# ---- UDF surface: Python UDTF (arrow-optimized table function) --------------
+
+
+@register(
+    "udtf_sentence_split",
+    r"""WITH s AS (
+         SELECT doc_id, u.s.i AS i, u.s.raw AS raw
+         FROM (SELECT doc_id,
+                      unnest(list_transform(range(len(p)),
+                                            i -> {'i': i, 'raw': p[i + 1]})) AS s
+               FROM (SELECT doc_id, string_split(text, '.') AS p FROM documents)) u),
+       f AS (
+         SELECT doc_id, i, trim(raw, ' ') AS sentence
+         FROM s WHERE trim(raw, ' ') <> '')
+       SELECT doc_id,
+              row_number() OVER (PARTITION BY doc_id ORDER BY i) AS sent_idx,
+              sentence, length(sentence)::BIGINT AS n_chars
+       FROM f""",
+    doc="Python UDTF surface (SURVEY §2.9, Spark 4 arrow-optimized "
+    "user-defined TABLE function): one input row fans out to N output "
+    "rows (sentence segmentation) through a LATERAL join — the API for "
+    "Python logic whose output cardinality varies per row (parsers, "
+    "chunkers, span extractors). Arrow-batched, never row-at-a-time "
+    "pickling.",
+)
+def q_udtf(spark: SparkSession, sf: str):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx bigint, sentence string, n_chars bigint", useArrow=True)
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for raw in text.split("."):
+                sent = raw.strip(" ")
+                if sent:
+                    idx += 1
+                    yield idx, sent, len(sent)
+
+    spark.udtf.register("_sentence_split_udtf", SentenceSplit)
+    table(spark, sf, "documents").createOrReplaceTempView("_udtf_docs_v")
+    return spark.sql(
+        """SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+           FROM _udtf_docs_v d, LATERAL _sentence_split_udtf(d.text) s"""
+    )
