@@ -214,6 +214,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    dims: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by exact decimal L2² →
     (vec_id, centroid_id). The distance accumulates per-dimension squared
@@ -256,7 +257,8 @@ def kmeans_assign(
         " CAST(0 AS DECIMAL(28,12)),"
         " (acc, x) -> CAST(acc + x AS DECIMAL(28,12)))"
     )
-    dims = len(embeddings.select(vec_col).first()[0])
+    if dims is None:
+        dims = len(embeddings.select(vec_col).first()[0])
     d2d_terms = []
     for i in range(1, dims + 1):
         diff = F.element_at(F.col("_v"), i).cast("double") - F.element_at(
@@ -296,6 +298,7 @@ def kmeans_lloyd_step(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    dims: int | None = None,
 ) -> DataFrame:
     """One Lloyd iteration: assign + recompute per-dimension means →
     (centroid_id, dim, mean, n_members). Means sum exact decimals and
@@ -303,7 +306,9 @@ def kmeans_lloyd_step(
     engines. The full k-means loop is this step under the driver-side
     convergence loop (same template as operators/cluster.py — the scalar
     shift, not the data, reaches the driver)."""
-    assign = kmeans_assign(embeddings, centroids, id_col, vec_col, centroid_id_col)
+    assign = kmeans_assign(
+        embeddings, centroids, id_col, vec_col, centroid_id_col, dims=dims
+    )
     vd = embeddings.select(
         F.col(id_col), F.posexplode(vec_col).alias("dim", "v")
     ).withColumn("v", F.col("v").cast("double").cast("decimal(28,12)"))
@@ -344,6 +349,9 @@ def kmeans_fit(
     NULL when the centroid set itself is empty — raised loudly."""
     from annotations_ingester_spark.operators.iterate import CheckpointCycler
 
+    # dimensionality peeked ONCE for the whole fit (kmeans_assign would
+    # otherwise run a one-row first() job per iteration)
+    dims = len(embeddings.select(vec_col).first()[0])
     cycler = CheckpointCycler(embeddings.sparkSession)
     cent = cycler.checkpoint(
         initial_centroids.select(
@@ -397,7 +405,7 @@ def kmeans_fit(
         cent = new_cent
         if shift < tol:
             break
-    assign = kmeans_assign(embeddings, cent, id_col, vec_col, centroid_id_col)
+    assign = kmeans_assign(embeddings, cent, id_col, vec_col, centroid_id_col, dims=dims)
     global LAST_FIT_ITERATIONS
     LAST_FIT_ITERATIONS = iterations  # observability for bench/driver logs
     return assign, iterations

@@ -88,6 +88,9 @@ HEADLINE = [
     "timeseries_zscore_anomalies",
     "er_entity_clusters",
     "timeseries_ewma",
+    # r5 surface additions: native recursive CTE + arrow Python UDTF
+    "recursive_cte_blast_radius",
+    "udtf_sentence_split",
 ]
 
 
