@@ -776,3 +776,93 @@ def q_udtf(spark: SparkSession, sf: str):
         """SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
            FROM _udtf_docs_v d, LATERAL _sentence_split_udtf(d.text) s"""
     )
+
+
+# ---- multi-format source/sink fidelity --------------------------------------
+
+
+@register(
+    "format_roundtrip_checksum",
+    """WITH rows_c AS (
+         SELECT ('0x' || substr(md5(
+           doc_id::VARCHAR || '|' || md5(text) || '|' || lang || '|' ||
+           source || '|' || n_chars::VARCHAR), 1, 15))::BIGINT AS h
+         FROM documents),
+       c AS (SELECT count(*) AS n, bit_xor(h) AS xor_checksum,
+                    sum(h)::DECIMAL(38,0)::VARCHAR AS sum_checksum
+             FROM rows_c)
+       SELECT f.fmt, TRUE AS checksum_equal, c.n, c.xor_checksum, c.sum_checksum
+       FROM (VALUES ('csv'), ('json'), ('orc')) f(fmt), c""",
+    doc="Multi-format source/sink fidelity, run for real: the documents "
+    "table is written out as CSV, JSON-lines, and ORC, read back through "
+    "each format's reader (explicit schema — no inference scan), and "
+    "order-insensitively checksummed (count + XOR + decimal sum of "
+    "portable row hashes) against the parquet original. One row per "
+    "format proves byte-faithful round-trips — the format surface a "
+    "migration in or out of the lake crosses; the oracle pins the "
+    "checksums to DuckDB's independent computation. CSV gets explicit "
+    "quote/escape/multiLine options so embedded delimiters or newlines "
+    "cannot silently corrupt a future corpus.",
+)
+def q_format_roundtrip(spark: SparkSession, sf: str):
+    import shutil
+    import tempfile
+
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    row_repr = F.concat_ws(
+        "|",
+        F.col("doc_id"),
+        F.md5(F.col("text")),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+    )
+
+    def checksum(df):
+        return (
+            df.select(md5_hash64(row_repr).alias("h"))
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(h)").alias("xor_checksum"),
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                .cast("string")
+                .alias("sum_checksum"),
+            )
+            .collect()[0]  # 1-row aggregate — a scalar fetch, not a bulk collect
+        )
+
+    src = table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    base = checksum(src)
+    work = tempfile.mkdtemp(prefix="spark_graft_fmt_")
+    csv_opts = {"header": "true", "quote": '"', "escape": '"', "multiLine": "true"}
+    out_rows = []
+    try:
+        for fmt in ("csv", "json", "orc"):
+            path = f"{work}/{fmt}"
+            w = src.write.mode("overwrite")
+            r = spark.read
+            if fmt == "csv":
+                for k, v in csv_opts.items():
+                    w = w.option(k, v)
+                    r = r.option(k, v)
+            w.format(fmt).save(path)
+            back = checksum(r.schema(schema).format(fmt).load(path))
+            out_rows.append(
+                (
+                    fmt,
+                    tuple(back) == tuple(base),
+                    int(back["n"]),
+                    int(back["xor_checksum"]),
+                    str(back["sum_checksum"]),
+                )
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows,
+        "fmt string, checksum_equal boolean, n long, xor_checksum long, sum_checksum string",
+    )

@@ -88,9 +88,11 @@ HEADLINE = [
     "timeseries_zscore_anomalies",
     "er_entity_clusters",
     "timeseries_ewma",
-    # r5 surface additions: native recursive CTE + arrow Python UDTF
+    # r5 surface additions: native recursive CTE + arrow Python UDTF +
+    # multi-format round-trip certification
     "recursive_cte_blast_radius",
     "udtf_sentence_split",
+    "format_roundtrip_checksum",
 ]
 
 

@@ -57,6 +57,7 @@ STREAMING = {
     "streaming_incremental_dedup",
     "streaming_sessionization",
     "layout_compaction_checksum",
+    "format_roundtrip_checksum",
 }
 
 
