@@ -838,7 +838,16 @@ def q_format_roundtrip(spark: SparkSession, sf: str):
     )
     base = checksum(src)
     work = tempfile.mkdtemp(prefix="spark_graft_fmt_")
-    csv_opts = {"header": "true", "quote": '"', "escape": '"', "multiLine": "true"}
+    # nullValue sentinel keeps NULL and empty-string distinct through the
+    # round-trip (the CSV default reads an empty field back as NULL) —
+    # pinned with adversarial content in test_analytics_ops.py
+    csv_opts = {
+        "header": "true",
+        "quote": '"',
+        "escape": '"',
+        "multiLine": "true",
+        "nullValue": "\\N",
+    }
     out_rows = []
     try:
         for fmt in ("csv", "json", "orc"):

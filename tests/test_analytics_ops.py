@@ -215,3 +215,38 @@ def test_semantic_dedup_within_cell_only(spark):
     assert set(got) == {(1, 2), (3, 4)}
     assert got[(1, 2)][0] == 100 and got[(3, 4)][0] == 200
     assert all(cos >= 0.9 for _, cos in got.values())
+
+
+# ---- format round-trip: adversarial content ---------------------------------
+
+
+def test_csv_roundtrip_survives_embedded_delimiters(spark, tmp_path):
+    """The catalog's format_roundtrip_checksum runs on clean corpus text;
+    this pins the CSV option set (quote/escape/multiLine) against the
+    adversarial content that silently corrupts naive CSV pipelines:
+    embedded commas, double quotes, newlines, empty strings, and NULLs
+    (the CSV default reads an empty field back as NULL — the nullValue
+    sentinel keeps the two distinct)."""
+    rows = [
+        (1, 'a,b,"c"\nnewline', "en", "s,rc", 10),
+        (2, "", "xx", 'quote"inside', 0),
+        (3, "plain", None, "src0", 5),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "csv")
+    opts = {
+        "header": "true",
+        "quote": '"',
+        "escape": '"',
+        "multiLine": "true",
+        "nullValue": "\\N",
+    }
+    w = df.write.mode("overwrite")
+    r = spark.read
+    for k, v in opts.items():
+        w = w.option(k, v)
+        r = r.option(k, v)
+    w.format("csv").save(path)
+    back = r.schema(schema).format("csv").load(path)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
