@@ -420,6 +420,84 @@ def decode_metadata(
     return slim.mapInPandas(run, schema=DECODED_FIELDS)
 
 
+FRAME_FIELDS = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("frame_digest", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_len: int,
+    stride: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame sampling over opaque video/audio payloads: slice each blob
+    into fixed-length frames and emit every ``stride``-th one as
+    ``(media_id, frame_idx, byte_offset, n_frames, frame_digest)``.
+
+    This is the Spark-side plumbing of an ffmpeg-style frame sampler: the
+    REAL work here is the byte slicing, offset math and fan-out (1 blob →
+    n_frames/stride rows); a codec decode would replace the ``md5(frame)``
+    digest with pixel features at the same seam (the container libs are
+    not in this sandbox — the fixed-length-frame model keeps the oracle
+    byte-exact).
+
+    Scale shape: mapInPandas over the blob's own partition — frames never
+    shuffle; the fan-out multiplies rows but each output row is ~100
+    bytes, not a frame payload. Arrow batch size bounds memory exactly as
+    in decode_metadata. Trailing partial frames are not emitted (a frame
+    is only valid at full length).
+    """
+    if frame_len <= 0 or stride <= 0:
+        raise ValueError("frame_len and stride must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            totals: list[int] = []
+            digests: list[str] = []
+            for mid, p in zip(pdf["_id"], pdf["_payload"]):
+                blob = b"" if p is None else bytes(p)
+                n_frames = len(blob) // frame_len
+                for fi in range(0, n_frames, stride):
+                    off = fi * frame_len
+                    ids.append(int(mid))
+                    idxs.append(fi)
+                    offs.append(off)
+                    totals.append(n_frames)
+                    digests.append(
+                        hashlib.md5(blob[off : off + frame_len]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "byte_offset": pd.Series(offs, dtype="int64"),
+                    "n_frames": pd.Series(totals, dtype="int64"),
+                    "frame_digest": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.pyfiles import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    slim = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return slim.mapInPandas(run, schema=FRAME_FIELDS)
+
+
 def extract_features(
     df: DataFrame,
     decode_fn: Callable[[bytes, str], dict[str, Any]] = fake_decode,

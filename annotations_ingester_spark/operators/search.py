@@ -118,6 +118,44 @@ def tfidf_top_terms(
     )
 
 
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists →
+    ``(doc_id, rank_1..rank_N, rrf, fused_rank)``.
+
+    RRF (Cormack/Clarke/Büttcher, SIGIR'09): score(d) = Σ 1/(k + rank_i(d))
+    over the lists that contain d — the standard hybrid-retrieval combiner
+    (e.g. BM25 keyword list ⊕ embedding-cosine list) because it needs no
+    score calibration between heterogeneous scorers, only ranks.
+
+    Scale shape: each input is already a bounded top-k list (≤ a few
+    hundred rows), so the fusion is a join of tiny frames — the heavy
+    lifting happened in the per-list retrieval. Output order is total:
+    rounded rrf desc, id asc.
+    """
+    fused = None
+    rank_names = []
+    for i, lst in enumerate(ranked_lists, start=1):
+        name = f"rank_{i}"
+        rank_names.append(name)
+        side = lst.select(F.col(id_col), F.col(rank_col).cast("long").alias(name))
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    contributions = [
+        F.coalesce(1.0 / (F.lit(float(k)) + F.col(n)), F.lit(0.0)) for n in rank_names
+    ]
+    scored = fused.withColumn(
+        "rrf", F.round(sum(contributions[1:], contributions[0]), 6)
+    )
+    top = scored.orderBy(F.col("rrf").desc(), F.col(id_col)).limit(top_n)
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col))
+    return top.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+
+
 def inverted_index(
     df: DataFrame,
     text_col: str = "text",

@@ -15,10 +15,9 @@ TOKS = tx.tokens_sql("text")
 QUERY_TERMS = ["spark", "join", "window"]
 _TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
-
-@register(
-    "bm25_match_ranking",
-    f"""WITH base AS (
+# Shared BM25 ranked-list CTE chain (the hybrid RRF query fuses the same
+# keyword list with a vector list, so both oracles must score identically).
+_BM25_CTE = f"""base AS (
          SELECT doc_id, {TOKS} AS t FROM documents),
        b2 AS (SELECT doc_id, t FROM base WHERE len(t) > 0),
        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM b2),
@@ -43,7 +42,12 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
        ranked AS (
          SELECT doc_id, score,
                 row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
-         FROM scored)
+         FROM scored)"""
+
+
+@register(
+    "bm25_match_ranking",
+    f"""WITH {_BM25_CTE}
        SELECT doc_id, score, rank FROM ranked WHERE rank <= 20""",
     doc="BM25 top-20 for a literal term set (Lucene/ES scoring parity, "
     "k1=1.2 b=0.75): tf/df/dl as distributed integer aggregates, corpus "
@@ -80,3 +84,59 @@ def q_bm25(spark: SparkSession, sf: str):
 )
 def q_tfidf(spark: SparkSession, sf: str):
     return tfidf_top_terms(table(spark, sf, "documents"), top_n=3)
+
+
+_COS = (
+    "round(CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0"
+    " THEN list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+    " ELSE 0.0 END, 6)"
+)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    f"""WITH {_BM25_CTE},
+       bm AS (SELECT doc_id, rank FROM ranked WHERE rank <= 50),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       sv AS (
+         SELECT e.vec_id AS doc_id,
+                {_COS.replace('cv', 'e.v')} AS cos
+         FROM e, q WHERE e.vec_id <> 0),
+       vr AS (
+         SELECT doc_id,
+                row_number() OVER (ORDER BY cos DESC, doc_id)::BIGINT AS rank
+         FROM sv),
+       vv AS (SELECT doc_id, rank FROM vr WHERE rank <= 50),
+       fused AS (
+         SELECT coalesce(bm.doc_id, vv.doc_id) AS doc_id,
+                bm.rank AS rank_1, vv.rank AS rank_2,
+                round(coalesce(1.0 / (60 + bm.rank), 0)
+                      + coalesce(1.0 / (60 + vv.rank), 0), 6) AS rrf
+         FROM bm FULL OUTER JOIN vv ON bm.doc_id = vv.doc_id),
+       top AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+       SELECT doc_id, rank_1, rank_2, rrf,
+              row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS fused_rank
+       FROM top""",
+    doc="Hybrid retrieval via reciprocal-rank fusion (SIGIR'09, k=60): the "
+    "BM25 keyword top-50 fused with the embedding-cosine top-50 for a "
+    "fixed query vector (vec_id 0; doc_id↔vec_id is the corpus link). RRF "
+    "needs no score calibration between the heterogeneous scorers — only "
+    "ranks — which is why production hybrid search uses it. The expensive "
+    "parts are the per-list retrievals (each already distributed + "
+    "bounded top-k); the fusion itself joins two ≤50-row lists.",
+)
+def q_hybrid_rrf(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.operators.search import rrf_fuse
+    from annotations_ingester_spark.operators.similarity import brute_force_topk
+
+    docs = table(spark, sf, "documents")
+    bm = bm25_rank(docs, QUERY_TERMS, k=50).select("doc_id", "rank")
+    emb = table(spark, sf, "embeddings")
+    vec = (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=50)
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([bm, vec], id_col="doc_id", k=60, top_n=20)

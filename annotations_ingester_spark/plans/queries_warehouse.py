@@ -1,0 +1,246 @@
+"""Round-5 warehouse/change-data families: SCD type-2 history build,
+changelog apply (MERGE INTO semantics), snapshot diffing, market-basket
+association mining, and multimodal frame sampling.
+
+These are the batch twins of the reference's live-store upsert surface
+(W3 same-index merge, es_common.py:273-292): a lakehouse ingest needs the
+same keyed semantics over immutable snapshots. Every entry obeys the
+catalog parity rules (plans/catalog.py docstring) — prices are carried as
+exact integer cents (``round(price*100)::BIGINT``) so update arithmetic
+(``div(cents*11, 10)``) is integral and engine-portable, never a rounded
+double product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from annotations_ingester_spark.plans.catalog import events_table, register, table
+
+_CENTS = "round(o_totalprice * 100)::BIGINT"
+
+
+@register(
+    "scd2_dimension_build",
+    """WITH e AS (
+         SELECT user_id, event_type AS state,
+                floor(epoch(ts))::BIGINT AS ts_s, event_id
+         FROM events),
+       lagd AS (
+         SELECT *, lag(state) OVER (PARTITION BY user_id
+                                    ORDER BY ts_s, event_id) AS prev
+         FROM e),
+       runs AS (
+         SELECT *, sum(CASE WHEN prev IS NULL OR state <> prev
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                         ROWS UNBOUNDED PRECEDING) AS version
+         FROM lagd),
+       g AS (
+         SELECT user_id, version::BIGINT AS version, min(state) AS state,
+                min(ts_s) AS valid_from, count(*)::BIGINT AS n_events
+         FROM runs GROUP BY user_id, version)
+       SELECT user_id, version, state, valid_from,
+              lead(valid_from) OVER (PARTITION BY user_id
+                                     ORDER BY version) AS valid_to,
+              n_events
+       FROM g""",
+    doc="SCD type-2 dimension build: collapse each user's event-type feed "
+    "into contiguous-run intervals (valid_from/valid_to, NULL-open current "
+    "row, per-key version counter). One shuffle on user_id serves the lag, "
+    "run-id sum, run aggregate and lead — the keyed-history primitive "
+    "behind every dimension table a warehouse ingests.",
+)
+def q_scd2(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.changefeed import scd2_intervals
+
+    ev = events_table(spark, sf).select(
+        "user_id", F.col("event_type").alias("state"), "ts_s", "event_id"
+    )
+    return scd2_intervals(
+        ev, key_col="user_id", state_col="state", ts_col="ts_s", tiebreak_col="event_id"
+    )
+
+
+@register(
+    "cdc_apply_changelog",
+    f"""WITH base AS (
+         SELECT o_orderkey, {_CENTS} AS total_cents,
+                0::BIGINT AS seq, 'I' AS op
+         FROM orders),
+       u1 AS (
+         SELECT o_orderkey, (total_cents * 11) // 10 AS total_cents,
+                1::BIGINT AS seq, 'U' AS op
+         FROM base WHERE o_orderkey % 7 = 0),
+       u2 AS (
+         SELECT o_orderkey, (total_cents * 13) // 10 AS total_cents,
+                2::BIGINT AS seq, 'U' AS op
+         FROM base WHERE o_orderkey % 21 = 0),
+       d AS (
+         SELECT o_orderkey, total_cents, 3::BIGINT AS seq, 'D' AS op
+         FROM base WHERE o_orderkey % 13 = 0),
+       cl AS (
+         SELECT * FROM base UNION ALL SELECT * FROM u1
+         UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM d),
+       latest AS (
+         SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                      ORDER BY seq DESC) AS rn
+         FROM cl)
+       SELECT o_orderkey, total_cents, seq AS last_seq, op
+       FROM latest WHERE rn = 1 AND op <> 'D'""",
+    doc="MERGE INTO semantics over immutable snapshots: replay a keyed "
+    "changelog (two update generations at seq 1/2, deletes at seq 3 — "
+    "synthesized deterministically from order keys) onto the base table; "
+    "latest sequence wins, deletes drop the key. One shuffle on the key; "
+    "prices travel as exact integer cents so the 10%%/30%% bump arithmetic "
+    "(div(cents*11,10)) is integral on both engines.",
+)
+def q_cdc_apply(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.changefeed import apply_changelog
+
+    base = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    bump = lambda mult: F.expr(f"div(total_cents * {mult}, 10)")  # noqa: E731
+    u1 = (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", bump(11).alias("total_cents"))
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("U"))
+    )
+    u2 = (
+        base.filter(F.col("o_orderkey") % 21 == 0)
+        .select("o_orderkey", bump(13).alias("total_cents"))
+        .withColumn("seq", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("U"))
+    )
+    d = (
+        base.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("seq", F.lit(3).cast("long"))
+        .withColumn("op", F.lit("D"))
+    )
+    changes = u1.unionByName(u2).unionByName(d)
+    applied = apply_changelog(
+        base, changes, key_cols=["o_orderkey"], seq_col="seq", op_col="op"
+    )
+    return applied.select(
+        "o_orderkey", "total_cents", F.col("seq").alias("last_seq"), "op"
+    )
+
+
+@register(
+    "snapshot_table_diff",
+    f"""WITH base AS (
+         SELECT o_orderkey, o_orderstatus, {_CENTS} AS cents FROM orders),
+       old AS (SELECT * FROM base WHERE o_orderkey % 97 <> 0),
+       new AS (
+         SELECT o_orderkey, o_orderstatus,
+                cents + CASE WHEN o_orderkey % 101 = 0 THEN 100 ELSE 0 END AS cents
+         FROM base WHERE o_orderkey % 89 <> 0),
+       j AS (
+         SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+                CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                     WHEN n.o_orderkey IS NULL THEN 'removed'
+                     WHEN o.cents <> n.cents
+                          OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+                     ELSE 'unchanged' END AS change_type
+         FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+       SELECT change_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS key_checksum
+       FROM j GROUP BY change_type""",
+    doc="Snapshot reconciliation: full-outer diff of two table snapshots "
+    "(synthesized by deterministic key filters + a price bump) into "
+    "added/removed/changed/unchanged classes; key_checksum (exact integer "
+    "key sum per class) certifies class MEMBERSHIP, not just counts — the "
+    "migration-validation companion to integrity_table_checksum. One "
+    "key-shuffle full-outer join + a 4-group aggregate.",
+)
+def q_snapshot_diff(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.changefeed import snapshot_diff
+
+    base = table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    old = base.filter(F.col("o_orderkey") % 97 != 0)
+    new = base.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("o_orderkey") % 101 == 0, F.lit(100)).otherwise(F.lit(0)),
+    )
+    return snapshot_diff(
+        old, new, key_cols=["o_orderkey"], compare_cols=["o_orderstatus", "cents"]
+    )
+
+
+@register(
+    "market_basket_pairs",
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+       nb AS (SELECT count(DISTINCT b)::DOUBLE AS n_baskets FROM items),
+       ic AS (SELECT i, count(*)::DOUBLE AS n_item FROM items GROUP BY i),
+       pairs AS (
+         SELECT a.i AS item_a, b2.i AS item_b, count(*)::BIGINT AS n_pair
+         FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+         GROUP BY a.i, b2.i),
+       scored AS (
+         SELECT item_a, item_b, n_pair,
+                round(n_pair / nb.n_baskets, 8) AS support,
+                round(n_pair / ca.n_item, 6) AS confidence_ab,
+                round(n_pair * nb.n_baskets / (ca.n_item * cb.n_item), 6) AS lift
+         FROM pairs
+         JOIN ic ca ON ca.i = pairs.item_a
+         JOIN ic cb ON cb.i = pairs.item_b
+         CROSS JOIN nb)
+       SELECT item_a, item_b, n_pair, support, confidence_ab, lift
+       FROM scored ORDER BY n_pair DESC, item_a, item_b LIMIT 20""",
+    doc="Market-basket association mining over (order, part) facts: top-20 "
+    "co-occurring part pairs with support/confidence/lift. The pair "
+    "expansion is a self-equi-join on the basket key — cost Σ basket² "
+    "(TPC-H baskets ≤ 7 items), never cross-basket; item counts broadcast "
+    "onto the pair aggregate; top-k is TakeOrderedAndProject.",
+)
+def q_market_basket(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.association import market_basket_pairs
+
+    return market_basket_pairs(
+        table(spark, sf, "lineitem"), basket_col="l_orderkey", item_col="l_partkey"
+    )
+
+
+@register(
+    "media_frame_sample",
+    """WITH m AS (
+         SELECT doc_id AS media_id, text AS t FROM documents
+         WHERE text IS NOT NULL
+           AND octet_length(encode(text)) = length(text)),
+       f AS (SELECT media_id, t, (length(t) // 32)::BIGINT AS n_frames FROM m),
+       ix AS (
+         SELECT media_id, t, n_frames, unnest(range(0, n_frames, 4)) AS fi
+         FROM f WHERE n_frames > 0)
+       SELECT media_id, fi::BIGINT AS frame_idx, (fi * 32)::BIGINT AS byte_offset,
+              n_frames, md5(substr(t, (fi * 32 + 1)::BIGINT, 32)) AS frame_digest
+       FROM ix""",
+    doc="Multimodal frame sampling: each payload (documents.text re-encoded "
+    "as an opaque blob — the corpus is ASCII, asserted by the octet/char "
+    "length guard on BOTH engines, so byte slicing equals char slicing and "
+    "the oracle stays exact) splits into 32-byte frames; every 4th frame is "
+    "emitted with its offset and content digest via Arrow-batched "
+    "mapInPandas. The ffmpeg-style sampler seam: a codec decode would "
+    "replace md5 with pixel features at the same boundary. Frames never "
+    "shuffle — the fan-out happens inside the blob's own partition.",
+)
+def q_frame_sample(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.multimodal.media import sample_frames
+
+    docs = table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.octet_length(F.encode(F.col("text"), "utf-8")) == F.length("text"))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return sample_frames(media, frame_len=32, stride=4)

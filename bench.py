@@ -93,6 +93,13 @@ HEADLINE = [
     "recursive_cte_blast_radius",
     "udtf_sentence_split",
     "format_roundtrip_checksum",
+    # r5 warehouse/change-data family + hybrid retrieval + frame sampling
+    "scd2_dimension_build",
+    "cdc_apply_changelog",
+    "snapshot_table_diff",
+    "market_basket_pairs",
+    "hybrid_rrf_retrieval",
+    "media_frame_sample",
 ]
 
 

@@ -33,6 +33,12 @@ CROSS_ALLOWED = {
     "q22_global_sales_opportunity",
     "bm25_match_ranking",
     "tfidf_top_terms",
+    # brute-force cosine list feeding the RRF fusion (broadcast 1-vector
+    # query side — the documented exactness baseline) + the BM25 corpus
+    # stats broadcast
+    "hybrid_rrf_retrieval",
+    # 1-row n_baskets aggregate broadcast onto the pair aggregate
+    "market_basket_pairs",
     # broadcast k-means cell assignment (centroids ≪ N, same shape as the
     # kmeans family) feeding the within-cell pair join
     "semantic_dedup_pairs",
@@ -113,6 +119,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # global token rank over the VOCABULARY table (distinct shingles), not
     # the corpus — bounded by vocab size (operators/linkage.py prefix order)
     "ssjoin_jaccard_prefix",
+    # both ranked lists are bounded top-50s (TakeOrderedAndProject /
+    # per-query window) and the fused_rank window sees ≤20 post-limit rows
+    "hybrid_rrf_retrieval",
 }
 
 
