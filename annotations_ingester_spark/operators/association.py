@@ -5,18 +5,33 @@ The classic frequent-itemset primitive over (basket, item) facts — here
 (order, part) from lineitem. At training-data scale the same shape powers
 tag co-occurrence and document-source affinity analyses.
 
-Scale shape: the pair expansion is a self-equi-join on the basket key, so
-cost is Σ basket_size² — governed by basket size (TPC-H baskets hold ≤ 7
-items), NOT corpus size; it never goes all-pairs across baskets. Item
-counts are broadcast back onto the pair aggregate (the distinct-item dim
-is vocabulary-sized, small relative to facts). Top-k by pair count is
-orderBy+limit → TakeOrderedAndProject, a partial top-k per partition.
+Scale shape: ONE shuffle on the basket key builds per-basket distinct
+item sets (collect_set dedups map-side); the pair expansion is then a
+pure codegen'd array comprehension inside each basket row — cost
+Σ basket_size², governed by basket size (TPC-H baskets hold ≤ 7 items),
+NOT corpus size, and it never touches another basket. (A self-equi-join
+formulation computes the same pairs but pays two extra exchanges to
+re-shuffle both join sides; the set-expansion plan was measured ~2×
+faster at sf0.1.) Item counts come off the same sets (explode → one
+aggregate) and broadcast back onto the pair aggregate. Top-k by pair
+count is orderBy+limit → TakeOrderedAndProject, a partial top-k per
+partition. Pathologically large baskets (power-law carts) would make one
+array row heavy — the same governance as any collect_set: cap or split
+upstream; TPC-H's bound makes it moot here.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# all ordered pairs (a < b by array position) from the sorted distinct
+# item set — struct comprehension, evaluated JVM-side per basket row
+_PAIRS = (
+    "flatten(transform(its, (x, i) ->"
+    " transform(slice(its, i + 2, size(its)),"
+    " y -> struct(x AS item_a, y AS item_b))))"
+)
 
 
 def market_basket_pairs(
@@ -30,20 +45,20 @@ def market_basket_pairs(
     item_a < item_b, support = n_pair/n_baskets,
     confidence_ab = n_pair/n(item_a), lift = confidence_ab/(n(item_b)/N).
     Deterministic order: n_pair desc, item_a, item_b."""
-    items = facts.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
+    sets = facts.groupBy(F.col(basket_col).alias("_b")).agg(
+        F.array_sort(F.collect_set(F.col(item_col))).alias("its")
+    )
     # Corpus stat as a broadcast 1-row aggregate, not a driver-side
     # .count() — plan construction must not trigger jobs.
-    n_baskets = items.agg(
-        F.count_distinct("_b").cast("double").alias("n_baskets")
+    n_baskets = sets.agg(F.count("*").cast("double").alias("n_baskets"))
+    item_counts = (
+        sets.select(F.explode("its").alias("_i"))
+        .groupBy("_i")
+        .agg(F.count("*").cast("double").alias("n_item"))
     )
-    item_counts = items.groupBy("_i").agg(F.count("*").cast("double").alias("n_item"))
-    a = items.select(F.col("_b"), F.col("_i").alias("item_a"))
-    b = items.select(F.col("_b"), F.col("_i").alias("item_b"))
     pairs = (
-        a.join(b, on="_b")
-        .filter(F.col("item_a") < F.col("item_b"))
+        sets.select(F.explode(F.expr(_PAIRS)).alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").cast("long").alias("n_pair"))
     )

@@ -347,22 +347,58 @@ def kmeans_fit(
     one of the initial k centroid ids survives to the final assignment and
     can re-acquire members in a later round. ``shift`` can then only be
     NULL when the centroid set itself is empty — raised loudly."""
+    from pyspark import StorageLevel
+
     from annotations_ingester_spark.operators.iterate import CheckpointCycler
 
     # dimensionality peeked ONCE for the whole fit (kmeans_assign would
     # otherwise run a one-row first() job per iteration)
     dims = len(embeddings.select(vec_col).first()[0])
+    # Persist the projected double vectors for the duration of the fit —
+    # the iterative-ML posture MLlib itself takes: every iteration reads
+    # the vectors 2-3× (phase-1 pairs, phase-2 rejoin, mean posexplode),
+    # and without a persist each read re-runs the caller's projection
+    # lineage (often an interpreted per-element transform) plus the source
+    # scan. MEMORY_AND_DISK spills instead of recomputing when executors
+    # are tight. Unpersisted in the finally — the returned assignment
+    # re-projects from the caller's frame, so no pin outlives the fit.
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cycler = CheckpointCycler(embeddings.sparkSession)
     cent = cycler.checkpoint(
         initial_centroids.select(
             F.col(centroid_id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
         )
     )
+    try:
+        assign, iterations = _fit_loop(
+            emb, cent, cycler, max_iterations, tol,
+            id_col, vec_col, centroid_id_col, dims,
+        )
+    finally:
+        emb.unpersist()
+    global LAST_FIT_ITERATIONS
+    LAST_FIT_ITERATIONS = iterations  # observability for bench/driver logs
+    return assign, iterations
+
+
+def _fit_loop(
+    embeddings: DataFrame,
+    cent: DataFrame,
+    cycler,
+    max_iterations: int,
+    tol: float,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+    dims: int,
+) -> tuple[DataFrame, int]:
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
         step = kmeans_lloyd_step(
-            embeddings, cent, id_col, vec_col, centroid_id_col
+            embeddings, cent, id_col, vec_col, centroid_id_col, dims=dims
         )
         new_means = (
             step.groupBy(centroid_id_col)
@@ -406,8 +442,6 @@ def kmeans_fit(
         if shift < tol:
             break
     assign = kmeans_assign(embeddings, cent, id_col, vec_col, centroid_id_col, dims=dims)
-    global LAST_FIT_ITERATIONS
-    LAST_FIT_ITERATIONS = iterations  # observability for bench/driver logs
     return assign, iterations
 
 
