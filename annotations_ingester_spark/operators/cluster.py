@@ -89,13 +89,10 @@ def connected_components(
 ) -> DataFrame | tuple[DataFrame, int]:
     """(node, cluster_id) for every node in ``edges``; cluster_id = min node
     id in the component. Undirected; only nodes appearing in edges emerge
-    (singletons need no clustering)."""
+    (singletons need no clustering; a degenerate self-loop ``u—u`` carries
+    no clustering information and is likewise ignored — every caller here
+    generates ``src < dst`` pairs, so none exist)."""
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    nodes = (
-        raw.select(F.col("u").alias("node"))
-        .unionByName(raw.select(F.col("v").alias("node")))
-        .distinct()
-    )
     # cycler frees each round's checkpoint blocks once the next round is
     # materialized — ≤2 edge-set generations live instead of max_iterations
     cycler = CheckpointCycler(edges.sparkSession)
@@ -132,12 +129,21 @@ def connected_components(
             "rounds — star contraction needs O(log n); this graph is "
             "pathological or max_iterations is set far too low"
         )
-    # at fixpoint every non-root points straight at its component minimum
-    labels = nodes.join(
-        e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id")),
-        "node",
-        "left",
-    ).select("node", F.coalesce("cluster_id", "node").alias("cluster_id"))
+    # At fixpoint every non-root points straight at its component minimum,
+    # and the star forest mentions EVERY node of the canonical graph: each
+    # component has ≥2 nodes, non-roots appear as u, roots as the shared v.
+    # Labels therefore come straight off the final (checkpointed) edge set
+    # — no join against a separately-derived node frame. (An earlier
+    # version joined against nodes built from the RAW edge lineage, which
+    # re-ran the caller's whole candidate-pair generation — LSH banding,
+    # blocked levenshtein, the expensive part of the job — a second time
+    # at collect.)
+    labels = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")).distinct()
+        )
+    )
     return (labels, rounds) if return_rounds else labels
 
 
