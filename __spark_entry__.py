@@ -42,11 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the union of names with a green row in CORRECTNESS_r01..r03 (frozen
 # 50-query snapshot) and CORRECTNESS_r04 (the complementary 50). Emitting
 # the not-yet-covered names first lets round 5 certify the remaining 22
-# r4 names PLUS the 28 queries added this round (50 uncovered total —
-# exactly filling the 50-row gate, so after r5 every one of the 150
-# registry queries has an official green row). tools/parity.py (all
-# queries, asserted in pytest via test_oracle_parity.py) remains the
-# registry-wide compensating control.
+# r4 names PLUS the first 28 queries added this round (these 50 fill the
+# gate exactly; registry order keeps them ahead of the 4 stats-family
+# queries added late in r5, which certify next round). tools/parity.py
+# (all queries, asserted in pytest via test_oracle_parity.py) remains the
+# registry-wide compensating control — 154/154 hash-matched at sf0.01,
+# the stats family additionally at sf0.001 and sf0.1.
 _OFFICIALLY_COVERED = {
     "a1_doc_count", "a2_filtered_count_exists", "a3_collect_list_per_group",
     "agg_grouping_sets", "agg_rollup", "agg_statistics", "ann_bucketed_topk",

@@ -100,6 +100,12 @@ HEADLINE = [
     "market_basket_pairs",
     "hybrid_rrf_retrieval",
     "media_frame_sample",
+    # r6 queue: LM-perplexity quality signal, DSIR importance weights,
+    # chi-square independence, mergeable-HLL sketch rollup
+    "lm_perplexity_scores",
+    "dsir_importance_weights",
+    "stats_chi_square_independence",
+    "sketch_mergeable_rollup",
 ]
 
 

@@ -39,6 +39,13 @@ CROSS_ALLOWED = {
     "hybrid_rrf_retrieval",
     # 1-row n_baskets aggregate broadcast onto the pair aggregate
     "market_basket_pairs",
+    # 1-row stat broadcasts: vocabulary size V (perplexity), bucket-table
+    # totals (DSIR), grand total + dimension counts (chi-square), global
+    # exact-distinct for the union certification row (sketch rollup)
+    "lm_perplexity_scores",
+    "dsir_importance_weights",
+    "stats_chi_square_independence",
+    "sketch_mergeable_rollup",
     # broadcast k-means cell assignment (centroids ≪ N, same shape as the
     # kmeans family) feeding the within-cell pair join
     "semantic_dedup_pairs",

@@ -1,0 +1,99 @@
+"""Hand-computed references for the round-6 quality-statistics queries
+(the catalog oracles certify them against DuckDB at three SFs; these pin
+the arithmetic itself on tiny inputs a reviewer can verify by hand)."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_chi_square_known_table(spark, tmp_path):
+    """2×2 table [[10, 20], [30, 40]] → chi2 = N(ad-bc)²/(r1 r2 c1 c2)."""
+    import pandas as pd
+
+    rows = (
+        [("en", "a")] * 10 + [("en", "b")] * 20 + [("fr", "a")] * 30 + [("fr", "b")] * 40
+    )
+    pd.DataFrame(
+        {"doc_id": range(len(rows)),
+         "lang": [r[0] for r in rows],
+         "source": [r[1] for r in rows],
+         "text": ["x"] * len(rows),
+         "n_chars": [1] * len(rows)}
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_chi_square_independence"].spark(spark, str(tmp_path)).collect()[0]
+    n, a, b, c, d = 100, 10, 20, 30, 40
+    expected = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert r.dof == 1 and r.n_cells == 4
+    assert abs(r.chi2 - expected) < 1e-4
+
+
+def test_lm_perplexity_uniform_corpus(spark, tmp_path):
+    """Two identical docs 'a b a b': bigrams {ab:2(x2 docs? no — per doc
+    'a b','b a','a b'}. Verify one doc's cross-entropy against the direct
+    formula."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "lang": ["en", "en"], "source": ["s", "s"],
+         "text": ["a b a b", "a b c"], "n_chars": [7, 5]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["lm_perplexity_scores"].spark(spark, str(tmp_path)).collect()
+    }
+    # corpus: doc1 tokens a,b,a,b ; doc2 a,b,c → V=3
+    # unigram counts: a=3, b=3, c=1
+    # bigram counts: 'a b'=3 (2 in doc1, 1 in doc2), 'b a'=1, 'b c'=1
+    V = 3.0
+    nll = lambda c2, c1: round(math.log2(c1 + V) - math.log2(c2 + 1), 9)
+    d1 = (nll(3, 3) + nll(1, 3) + nll(3, 3)) / 3  # a b, b a, a b
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].cross_entropy - round(d1, 6)) < 1e-6
+    d2 = (nll(3, 3) + nll(1, 3)) / 2  # a b, b c
+    assert out[2].n_bigrams == 2
+    assert abs(out[2].cross_entropy - round(d2, 6)) < 1e-6
+
+
+def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
+    """Docs sharing the target language's bigrams must score higher than
+    disjoint ones (sign test, not exact arithmetic — that's the oracle's
+    job)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "en", "s", "alpha beta gamma delta"))
+    rows.append((100, "fr", "s", "alpha beta gamma delta"))  # target-like
+    rows.append((101, "fr", "s", "zig zag zip zap"))  # disjoint
+    pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "lang": [r[1] for r in rows],
+         "source": [r[2] for r in rows], "text": [r[3] for r in rows],
+         "n_chars": [len(r[3]) for r in rows]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.doc_id: r.avg_log_weight
+        for r in REGISTRY["dsir_importance_weights"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[100] > out[101]
+
+
+def test_sketch_rollup_certified_and_exact(spark):
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["sketch_mergeable_rollup"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r.certified for r in rows)
+    per = [r for r in rows if r.scope != "ALL"]
+    allr = [r for r in rows if r.scope == "ALL"]
+    assert len(allr) == 1 and len(per) >= 2
+    # union distinct ≤ sum of group distincts (overlap), ≥ max group
+    assert allr[0].exact_distinct <= sum(r.exact_distinct for r in per)
+    assert allr[0].exact_distinct >= max(r.exact_distinct for r in per)
