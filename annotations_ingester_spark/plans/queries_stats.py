@@ -264,3 +264,207 @@ def q_sketch_rollup(spark: SparkSession, sf: str):
         )
     )
     return per.unionByName(union_row)
+
+
+@register(
+    "cohort_retention_matrix",
+    """WITH e AS (
+         SELECT user_id, floor(epoch(ts))::BIGINT // 604800 AS wk FROM events),
+       c AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+       a AS (
+         SELECT DISTINCT e.user_id, c.cw, e.wk - c.cw AS off
+         FROM e JOIN c USING (user_id))
+       SELECT cw AS cohort_week, off AS week_offset, count(*)::BIGINT AS n_users
+       FROM a GROUP BY cw, off""",
+    doc="Cohort retention matrix: users grouped by first-activity epoch-week "
+    "(ts_s // 604800 — integer weeks, timezone-free by construction), "
+    "counted as active per week offset. Both aggregates and the "
+    "distinct-activity dedup shuffle on user_id — one partitioning serves "
+    "the whole matrix; the output is cohorts × offsets, tiny at any scale.",
+)
+def q_cohort_retention(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import events_table
+
+    e = events_table(spark, sf).select(
+        "user_id", F.expr("div(ts_s, 604800)").alias("wk")
+    )
+    c = e.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    a = (
+        e.join(c, "user_id")
+        .select("user_id", "cw", (F.col("wk") - F.col("cw")).alias("off"))
+        .distinct()
+    )
+    return a.groupBy(
+        F.col("cw").alias("cohort_week"), F.col("off").alias("week_offset")
+    ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+@register(
+    "events_anomaly_mad",
+    """WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+       med AS (
+         SELECT event_type,
+                percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+         FROM v GROUP BY event_type),
+       dev AS (
+         SELECT v.event_type, abs(v.value - m.med) AS ad, m.med
+         FROM v JOIN med m USING (event_type)),
+       madt AS (
+         SELECT event_type,
+                percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+         FROM dev GROUP BY event_type)
+       SELECT d.event_type, round(min(d.med), 6) AS med, round(min(t.mad), 6) AS mad,
+              sum(CASE WHEN d.ad > 3 * 1.4826 * t.mad THEN 1 ELSE 0 END)::BIGINT
+                AS n_outliers,
+              count(*)::BIGINT AS n
+       FROM dev d JOIN madt t USING (event_type)
+       GROUP BY d.event_type""",
+    doc="Robust (median/MAD) outlier detection per event type: "
+    "|v − median| > 3·1.4826·MAD — the robust z-score that a mean/stddev "
+    "rule gets wrong under heavy tails. Exact interpolated percentiles "
+    "(order-independent, so the comparison doubles are bit-identical on "
+    "both engines); two grouped percentile passes + one flag aggregate, "
+    "all shuffling on event_type.",
+)
+def q_mad_outliers(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import events_table
+
+    v = events_table(spark, sf).select("event_type", "value").filter(
+        F.col("value").isNotNull()
+    )
+    med = v.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("ad"), "med"
+    )
+    madt = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    flagged = dev.join(F.broadcast(madt), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.round(F.min("med"), 6).alias("med"),
+        F.round(F.min("mad"), 6).alias("mad"),
+        F.sum(
+            F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@register(
+    "vocab_zipf_slope",
+    f"""WITH tokc AS (
+         SELECT u.tok, count(*)::BIGINT AS cnt
+         FROM (SELECT unnest({TOKS}) AS tok FROM documents) u
+         GROUP BY u.tok),
+       top AS (
+         SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+         FROM tokc),
+       sel AS (
+         SELECT ln(r::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM top WHERE r <= 1000),
+       terms AS (
+         SELECT round(x, 9)::DECIMAL(20,9) AS xr, round(y, 9)::DECIMAL(20,9) AS yr,
+                round(x * y, 9)::DECIMAL(20,9) AS xy,
+                round(x * x, 9)::DECIMAL(20,9) AS x2
+         FROM sel),
+       s AS (
+         SELECT count(*)::DOUBLE AS n, CAST(sum(xr) AS DOUBLE) AS sx,
+                CAST(sum(yr) AS DOUBLE) AS sy, CAST(sum(xy) AS DOUBLE) AS sxy,
+                CAST(sum(x2) AS DOUBLE) AS sx2
+         FROM terms)
+       SELECT round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+              round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n, 6)
+                AS intercept,
+              n::BIGINT AS n_terms
+       FROM s""",
+    doc="Zipf slope of the vocabulary: least-squares fit of ln(freq) vs "
+    "ln(rank) over the top-1000 terms (slope ≈ −1 for natural language — "
+    "a corpus-health diagnostic that catches boilerplate/spam corpora "
+    "whose head flattens). The rank-1000 cut is TakeOrderedAndProject; "
+    "the regression sums are per-term products rounded to 9 dp and "
+    "decimal-summed, so the fit is accumulation-order-independent — "
+    "regr_slope's double accumulator would not hash-match across engines.",
+)
+def q_zipf_slope(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    tokc = (
+        docs.select(F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    top = tokc.orderBy(F.col("cnt").desc(), F.col("tok")).limit(1000)
+    r = F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("tok")))
+    sel = top.withColumn("r", r).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    terms = sel.select(
+        F.round("x", 9).cast("decimal(20,9)").alias("xr"),
+        F.round("y", 9).cast("decimal(20,9)").alias("yr"),
+        F.round(F.col("x") * F.col("y"), 9).cast("decimal(20,9)").alias("xy"),
+        F.round(F.col("x") * F.col("x"), 9).cast("decimal(20,9)").alias("x2"),
+    )
+    s = terms.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("xr").cast("double").alias("sx"),
+        F.sum("yr").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("x2").cast("double").alias("sx2"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.col("n").cast("long").alias("n_terms"),
+    )
+
+
+@register(
+    "bpe_pair_merges",
+    f"""WITH w AS (SELECT unnest({TOKS}) AS w FROM documents),
+       wf AS (SELECT w, count(*)::BIGINT AS f FROM w GROUP BY w),
+       p0 AS (
+         SELECT f, list_transform(range(1, length(w)), i -> substring(w, i, 2)) AS ps
+         FROM wf WHERE length(w) >= 2),
+       pr AS (SELECT unnest(ps) AS pair, f FROM p0),
+       agg AS (SELECT pair, sum(f)::BIGINT AS merges FROM pr GROUP BY pair),
+       top AS (
+         SELECT pair, merges FROM agg ORDER BY merges DESC, pair LIMIT 20)
+       SELECT pair, merges,
+              row_number() OVER (ORDER BY merges DESC, pair)::BIGINT AS rank
+       FROM top""",
+    doc="First BPE merge step over the corpus: adjacent character-pair "
+    "frequencies weighted by word frequency (the statistic each BPE "
+    "iteration maximizes when learning a tokenizer). Pair generation runs "
+    "over the DISTINCT-word table — vocabulary-sized, not corpus-sized — "
+    "with corpus weights carried as counts; top-20 is "
+    "TakeOrderedAndProject with rank derived post-limit.",
+)
+def q_bpe_pairs(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    wf = (
+        docs.select(F.explode(tx.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .filter(F.length("w") >= 2)
+    )
+    pr = wf.select(
+        "f",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pr.groupBy("pair").agg(F.sum("f").cast("long").alias("merges"))
+    top = agg.orderBy(F.col("merges").desc(), F.col("pair")).limit(20)
+    w = Window.orderBy(F.col("merges").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -106,6 +106,10 @@ HEADLINE = [
     "dsir_importance_weights",
     "stats_chi_square_independence",
     "sketch_mergeable_rollup",
+    "cohort_retention_matrix",
+    "events_anomaly_mad",
+    "vocab_zipf_slope",
+    "bpe_pair_merges",
 ]
 
 

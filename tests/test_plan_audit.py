@@ -129,6 +129,10 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # both ranked lists are bounded top-50s (TakeOrderedAndProject /
     # per-query window) and the fused_rank window sees ≤20 post-limit rows
     "hybrid_rrf_retrieval",
+    # rank windows derived AFTER TakeOrderedAndProject limits: ≤1000 terms
+    # (Zipf fit) / ≤20 pairs (BPE top merges)
+    "vocab_zipf_slope",
+    "bpe_pair_merges",
 }
 
 
