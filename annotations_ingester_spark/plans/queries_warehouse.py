@@ -244,3 +244,104 @@ def q_frame_sample(spark: SparkSession, sf: str):
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
     return sample_frames(media, frame_len=32, stride=4)
+
+
+@register(
+    "streaming_cdc_apply",
+    f"""WITH base AS (
+         SELECT o_orderkey, {_CENTS} AS total_cents,
+                0::BIGINT AS seq, 'I' AS op
+         FROM orders),
+       u1 AS (
+         SELECT o_orderkey, (total_cents * 11) // 10 AS total_cents,
+                1::BIGINT AS seq, 'U' AS op
+         FROM base WHERE o_orderkey % 7 = 0),
+       u2 AS (
+         SELECT o_orderkey, (total_cents * 13) // 10 AS total_cents,
+                2::BIGINT AS seq, 'U' AS op
+         FROM base WHERE o_orderkey % 21 = 0),
+       d AS (
+         SELECT o_orderkey, total_cents, 3::BIGINT AS seq, 'D' AS op
+         FROM base WHERE o_orderkey % 13 = 0),
+       cl AS (
+         SELECT * FROM base UNION ALL SELECT * FROM u1
+         UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM d),
+       latest AS (
+         SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                      ORDER BY seq DESC) AS rn
+         FROM cl)
+       SELECT o_orderkey, total_cents, seq AS last_seq, op
+       FROM latest WHERE rn = 1 AND op <> 'D'""",
+    doc="Streaming twin of cdc_apply_changelog, run for real: the same "
+    "changelog streams in (availableNow, multiple micro-batches), and "
+    "foreachBatch MERGES each batch into a keyed parquet store — "
+    "latest-seq-wins with DELETE TOMBSTONES RETAINED, which is what makes "
+    "the merge commutative across arbitrary micro-batch splits and "
+    "arrival orders (dropping a deleted key early would let a "
+    "later-arriving earlier-seq update resurrect it). Retried batches "
+    "re-merge idempotently. The final read filters tombstones. At 100 TB "
+    "the store is bucketed on the key so each merge shuffles only the "
+    "batch side; the oracle is the batch MERGE INTO semantics verbatim.",
+)
+def q_streaming_cdc_apply(spark: SparkSession, sf: str):
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    base = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    bump = lambda mult: F.expr(f"div(total_cents * {mult}, 10)")  # noqa: E731
+    u1 = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", bump(11).alias("total_cents"),
+        F.lit(1).cast("long").alias("seq"), F.lit("U").alias("op"),
+    )
+    u2 = base.filter(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey", bump(13).alias("total_cents"),
+        F.lit(2).cast("long").alias("seq"), F.lit("U").alias("op"),
+    )
+    d = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "total_cents",
+        F.lit(3).cast("long").alias("seq"), F.lit("D").alias("op"),
+    )
+    changelog = base.unionByName(u1).unionByName(u2).unionByName(d)
+
+    tag = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    feed_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_cdc_feed_{tag}")
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_cdc_store_{tag}")
+    # several feed files → several micro-batches under maxFilesPerTrigger
+    changelog.repartition(8).write.mode("overwrite").parquet(feed_dir)
+    spark.createDataFrame(
+        [], "o_orderkey long, total_cents long, seq long, op string"
+    ).write.mode("overwrite").parquet(store)
+
+    def merge(batch_df, _batch_id):
+        cur = batch_df.sparkSession.read.parquet(store)
+        w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+        merged = (
+            cur.unionByName(batch_df)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # break lineage off the store path before overwriting it
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(store)
+
+    feed_schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(feed_dir)
+    )
+    q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return (
+        spark.read.parquet(store)
+        .filter(F.col("op") != "D")
+        .select("o_orderkey", "total_cents", F.col("seq").alias("last_seq"), "op")
+    )

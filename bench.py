@@ -110,6 +110,7 @@ HEADLINE = [
     "events_anomaly_mad",
     "vocab_zipf_slope",
     "bpe_pair_merges",
+    "streaming_cdc_apply",
 ]
 
 

@@ -68,6 +68,7 @@ STREAMING = {
     "streaming_static_join",
     "streaming_funnel_conversion",
     "streaming_incremental_dedup",
+    "streaming_cdc_apply",
     "streaming_sessionization",
     "layout_compaction_checksum",
     "format_roundtrip_checksum",
