@@ -55,31 +55,43 @@ _DSIR_BUCKETS = 1024
     "to 9 dp and decimal-summed so the per-doc mean is order-insensitive.",
 )
 def q_lm_perplexity(spark: SparkSession, sf: str):
+    # Per-(doc, bigram) multiplicities g are reduced from the shingle
+    # stream ONCE; the corpus bigram table derives from g (sum of k) and
+    # the per-doc score weights each bigram's rounded -log2 p by k —
+    # exactly equal to the oracle's per-occurrence formulation (identical
+    # term, integer multiplier) at half the shingle passes and a smaller
+    # probability join.
     docs = table(spark, sf, "documents")
-    big = docs.select(
-        F.col("doc_id"), F.explode(tx.word_shingles("text", n=2)).alias("bg")
+    g = (
+        docs.select(
+            F.col("doc_id"), F.explode(tx.word_shingles("text", n=2)).alias("bg")
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").cast("long").alias("k"))
     )
     uni = docs.select(F.explode(tx.tokens("text")).alias("w"))
     c1 = uni.groupBy("w").agg(F.count("*").cast("double").alias("c1"))
     v = uni.agg(F.count_distinct("w").cast("double").alias("v"))
-    c2 = big.groupBy("bg").agg(F.count("*").cast("double").alias("c2"))
+    c2 = g.groupBy("bg").agg(F.sum("k").cast("double").alias("c2"))
     scored = (
-        big.withColumn("w1", F.substring_index("bg", " ", 1))
+        g.withColumn("w1", F.substring_index("bg", " ", 1))
         .join(c2, "bg")
         .join(c1, F.col("w1") == F.col("w"))
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
-            F.round(
-                F.log2(F.col("c1") + F.col("v")) - F.log2(F.col("c2") + 1), 9
-            )
-            .cast("decimal(20,9)")
-            .alias("nll"),
+            F.col("k"),
+            (
+                F.col("k").cast("decimal(20,9)")
+                * F.round(
+                    F.log2(F.col("c1") + F.col("v")) - F.log2(F.col("c2") + 1), 9
+                ).cast("decimal(20,9)")
+            ).alias("nll"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_bigrams"),
-        F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("cross_entropy"),
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.round(F.sum("nll").cast("double") / F.sum("k"), 6).alias("cross_entropy"),
     )
 
 
@@ -118,6 +130,14 @@ def q_lm_perplexity(spark: SparkSession, sf: str):
     "per-doc aggregate. Per-feature log terms rounded + decimal-summed.",
 )
 def q_dsir_weights(spark: SparkSession, sf: str):
+    # The expensive stream (shingle + portable md5 per bigram) is reduced
+    # ONCE into per-(doc, bucket) multiplicities g; the corpus bucket
+    # table and its totals derive from g (sums over a ≤ docs×1024 frame),
+    # and the per-doc score weights each bucket's rounded log term by its
+    # multiplicity — exactly equal to summing the identically-rounded
+    # per-feature terms, at half the feature-stream passes and a far
+    # smaller score join. The oracle keeps the per-feature formulation;
+    # values are equal by construction.
     docs = table(spark, sf, "documents")
     f = docs.select(
         F.col("doc_id"),
@@ -126,31 +146,34 @@ def q_dsir_weights(spark: SparkSession, sf: str):
     ).select(
         "doc_id", "lang", (md5_hash64("bg") % F.lit(_DSIR_BUCKETS)).alias("b")
     )
-    bucket = f.groupBy("b").agg(
-        F.count("*").cast("double").alias("cr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    g = f.groupBy("doc_id", "lang", "b").agg(F.count("*").cast("long").alias("k"))
+    bucket = g.groupBy("b").agg(
+        F.sum("k").cast("double").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("k")).otherwise(0))
         .cast("double")
         .alias("ct"),
     )
     totals = bucket.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     B = float(_DSIR_BUCKETS)
     scored = (
-        f.join(F.broadcast(bucket), "b")
+        g.join(F.broadcast(bucket), "b")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
-            F.round(
-                F.log((F.col("ct") + 1) / (F.col("nt") + B))
-                - F.log((F.col("cr") + 1) / (F.col("nr") + B)),
-                9,
-            )
-            .cast("decimal(20,9)")
-            .alias("lw"),
+            F.col("k"),
+            (
+                F.col("k").cast("decimal(20,9)")
+                * F.round(
+                    F.log((F.col("ct") + 1) / (F.col("nt") + B))
+                    - F.log((F.col("cr") + 1) / (F.col("nr") + B)),
+                    9,
+                ).cast("decimal(20,9)")
+            ).alias("lw"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_features"),
-        F.round(F.sum("lw").cast("double") / F.count("*"), 6).alias("avg_log_weight"),
+        F.sum("k").cast("long").alias("n_features"),
+        F.round(F.sum("lw").cast("double") / F.sum("k"), 6).alias("avg_log_weight"),
     )
 
 
