@@ -43,11 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50-query snapshot) and CORRECTNESS_r04 (the complementary 50). Emitting
 # the not-yet-covered names first lets round 5 certify the remaining 22
 # r4 names PLUS the first 28 queries added this round (these 50 fill the
-# gate exactly; registry order keeps them ahead of the 4 stats-family
+# gate exactly; registry order keeps them ahead of the 9 stats/streaming
 # queries added late in r5, which certify next round). tools/parity.py
 # (all queries, asserted in pytest via test_oracle_parity.py) remains the
-# registry-wide compensating control — 154/154 hash-matched at sf0.01,
-# the stats family additionally at sf0.001 and sf0.1.
+# registry-wide compensating control — 159/159 hash-matched at sf0.01,
+# the late batch additionally at sf0.001 and sf0.1.
 _OFFICIALLY_COVERED = {
     "a1_doc_count", "a2_filtered_count_exists", "a3_collect_list_per_group",
     "agg_grouping_sets", "agg_rollup", "agg_statistics", "ann_bucketed_topk",
