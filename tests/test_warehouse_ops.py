@@ -202,3 +202,38 @@ def test_sample_frames_rejects_bad_params(spark):
         sample_frames(df, frame_len=0, stride=1)
     with pytest.raises(ValueError):
         sample_frames(df, frame_len=4, stride=-1)
+
+
+# ---- streaming CDC apply ----------------------------------------------------
+
+
+def test_streaming_cdc_apply_invariant_to_batch_split(spark, monkeypatch):
+    """The tombstone-retaining merge must produce the batch MERGE INTO
+    result under a DIFFERENT micro-batch split than the registered query
+    uses (maxFilesPerTrigger=1 → 8 single-file batches instead of 3-file
+    batches) — the commutativity claim, tested rather than asserted."""
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.o_orderkey, r.total_cents, r.last_seq, r.op)
+        for r in REGISTRY["cdc_apply_changelog"].spark(spark, sf).collect()
+    }
+
+    import annotations_ingester_spark.plans.queries_warehouse as qw
+
+    orig_read_stream = type(spark.readStream)
+    # force 1-file batches by patching the option the query sets
+    real_option = orig_read_stream.option
+
+    def one_file_option(self, key, value):
+        if key == "maxFilesPerTrigger":
+            value = "1"
+        return real_option(self, key, value)
+
+    monkeypatch.setattr(orig_read_stream, "option", one_file_option)
+    streamed = {
+        (r.o_orderkey, r.total_cents, r.last_seq, r.op)
+        for r in REGISTRY["streaming_cdc_apply"].spark(spark, sf).collect()
+    }
+    assert streamed == batch
