@@ -21,6 +21,7 @@ import annotations_ingester_spark.plans.queries_curation  # noqa: F401,E402
 import annotations_ingester_spark.plans.queries_analytics  # noqa: F401,E402
 import annotations_ingester_spark.plans.queries_warehouse  # noqa: F401,E402
 import annotations_ingester_spark.plans.queries_stats  # noqa: F401,E402
+import annotations_ingester_spark.plans.queries_eval  # noqa: F401,E402  (last: composes earlier oracles)
 
 # Floor, not exact count: adding queries must not break this, losing a whole
 # group module must. Keep >= the registry size at the last certified round.

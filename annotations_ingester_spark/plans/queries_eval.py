@@ -1,0 +1,246 @@
+"""Round-6 evaluation-metrics family: the engine measures the quality of
+its OWN tiers as queries — language-ID confusion/precision/recall against
+the labeled corpus, LSH candidate precision/recall against the exact
+set-similarity join, and NDCG@10 of bucketed ANN against the brute-force
+cosine ground truth.
+
+These are the queries a training-data team runs to tune thresholds
+(bands, bits, τ) before a 100 TB pass: each one joins a cheap approximate
+tier to its exact counterpart and reduces to a handful of metric rows.
+Oracles compose the already-certified queries' SQL as subqueries, so both
+engines score identical inputs; metric arithmetic follows the catalog
+rounding discipline (exact counts → one rounding point per output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from annotations_ingester_spark.functions.vectors import sign_bucket_sql
+from annotations_ingester_spark.plans.catalog import REGISTRY, register, table
+
+# fixed IDCG@10 for binary-graded gains rel(i) = 11 - i, i = 1..10 —
+# Σ (11-i)/log2(i+1); one shared literal on both engines
+IDCG_10 = 29.966109248940597
+
+# the SAME bucket function the certified ann_bucketed_topk oracle uses
+_SB = sign_bucket_sql("e", 8)
+
+
+def _oracle(name: str) -> str:
+    return REGISTRY[name].oracle
+
+
+@register(
+    "eval_langid_confusion",
+    f"""WITH pred AS (SELECT * FROM ({_oracle('text_lang_id')}) t),
+       cm AS (
+         SELECT labeled_lang, predicted_lang, count(*)::DOUBLE AS n
+         FROM pred GROUP BY labeled_lang, predicted_lang),
+       lbl AS (SELECT labeled_lang AS lang, sum(n) AS n_label FROM cm
+               GROUP BY labeled_lang),
+       prd AS (SELECT predicted_lang AS lang, sum(n) AS n_pred FROM cm
+               GROUP BY predicted_lang),
+       tp AS (SELECT labeled_lang AS lang, n AS tp FROM cm
+              WHERE labeled_lang = predicted_lang)
+       SELECT l.lang, l.n_label::BIGINT AS support,
+              coalesce(t.tp, 0)::BIGINT AS tp,
+              round(CASE WHEN coalesce(p.n_pred, 0) = 0 THEN 0
+                         ELSE coalesce(t.tp, 0) / p.n_pred END, 6) AS precision,
+              round(coalesce(t.tp, 0) / l.n_label, 6) AS recall,
+              round(CASE WHEN coalesce(t.tp, 0) = 0 THEN 0
+                         ELSE 2 * (coalesce(t.tp, 0) / p.n_pred)
+                              * (coalesce(t.tp, 0) / l.n_label)
+                              / ((coalesce(t.tp, 0) / p.n_pred)
+                                 + (coalesce(t.tp, 0) / l.n_label)) END, 6) AS f1
+       FROM lbl l
+       LEFT JOIN prd p ON p.lang = l.lang
+       LEFT JOIN tp t ON t.lang = l.lang""",
+    doc="Per-class precision/recall/F1 of the stopword language-ID "
+    "heuristic against the labeled corpus — the evaluation query that "
+    "gates a heuristic before it filters 100 TB. The confusion matrix is "
+    "categories², so everything after the one data scan (the certified "
+    "text_lang_id projection) is aggregates of a tiny frame. F1 uses the "
+    "unrounded exact-count ratios identically on both engines.",
+)
+def q_langid_confusion(spark: SparkSession, sf: str):
+    pred = REGISTRY["text_lang_id"].spark(spark, sf)
+    cm = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    lbl = cm.groupBy(F.col("labeled_lang").alias("lang")).agg(
+        F.sum("n").alias("n_label")
+    )
+    prd = cm.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tp = cm.filter(F.col("labeled_lang") == F.col("predicted_lang")).select(
+        F.col("labeled_lang").alias("lang"), F.col("n").alias("tp")
+    )
+    j = (
+        lbl.join(F.broadcast(prd), "lang", "left")
+        .join(F.broadcast(tp), "lang", "left")
+    )
+    tpc = F.coalesce(F.col("tp"), F.lit(0.0))
+    p = tpc / F.col("n_pred")
+    r = tpc / F.col("n_label")
+    return j.select(
+        "lang",
+        F.col("n_label").cast("long").alias("support"),
+        tpc.cast("long").alias("tp"),
+        F.round(
+            F.when(F.coalesce(F.col("n_pred"), F.lit(0.0)) == 0, F.lit(0.0)).otherwise(p),
+            6,
+        ).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(
+            F.when(tpc == 0, F.lit(0.0)).otherwise(2 * p * r / (p + r)), 6
+        ).alias("f1"),
+    )
+
+
+@register(
+    "eval_lsh_precision_recall",
+    f"""WITH truth AS (
+         SELECT doc_a, doc_b FROM ({_oracle('ssjoin_jaccard_prefix')}) t),
+       pred AS (
+         SELECT doc_a, doc_b FROM ({_oracle('minhash_lsh_pairs')}) p),
+       tp AS (
+         SELECT count(*)::DOUBLE AS n_tp
+         FROM truth JOIN pred USING (doc_a, doc_b)),
+       nt AS (SELECT count(*)::DOUBLE AS n_truth FROM truth),
+       np AS (SELECT count(*)::DOUBLE AS n_pred FROM pred)
+       SELECT n_truth::BIGINT AS n_truth, n_pred::BIGINT AS n_pred,
+              n_tp::BIGINT AS n_tp,
+              round(CASE WHEN n_pred = 0 THEN 0 ELSE n_tp / n_pred END, 6)
+                AS precision,
+              round(CASE WHEN n_truth = 0 THEN 0 ELSE n_tp / n_truth END, 6)
+                AS recall,
+              round(CASE WHEN n_tp = 0 THEN 0
+                         ELSE 2 * (n_tp / n_pred) * (n_tp / n_truth)
+                              / ((n_tp / n_pred) + (n_tp / n_truth)) END, 6) AS f1
+       FROM tp CROSS JOIN nt CROSS JOIN np""",
+    doc="Precision/recall of the MinHash-LSH candidate tier against the "
+    "EXACT Jaccard ≥ 0.6 join (the certified AllPairs prefix-filter "
+    "query) — the band/row tuning query: recall tells you whether 4 "
+    "bands × 2 rows is enough at the target threshold, precision prices "
+    "the verify stage. Both sides are certified queries; the metric is "
+    "three counts off an equi-join of their pair sets.",
+)
+def q_lsh_pr(spark: SparkSession, sf: str):
+    truth = REGISTRY["ssjoin_jaccard_prefix"].spark(spark, sf).select("doc_a", "doc_b")
+    pred = REGISTRY["minhash_lsh_pairs"].spark(spark, sf).select("doc_a", "doc_b")
+    tp = truth.join(pred, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("double").alias("n_tp")
+    )
+    nt = truth.agg(F.count("*").cast("double").alias("n_truth"))
+    np_ = pred.agg(F.count("*").cast("double").alias("n_pred"))
+    j = tp.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(np_))
+    p = F.col("n_tp") / F.col("n_pred")
+    r = F.col("n_tp") / F.col("n_truth")
+    return j.select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("n_tp").cast("long").alias("n_tp"),
+        F.round(F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(p), 6).alias(
+            "precision"
+        ),
+        F.round(F.when(F.col("n_truth") == 0, F.lit(0.0)).otherwise(r), 6).alias(
+            "recall"
+        ),
+        F.round(
+            F.when(F.col("n_tp") == 0, F.lit(0.0)).otherwise(2 * p * r / (p + r)), 6
+        ).alias("f1"),
+    )
+
+
+@register(
+    "eval_ann_ndcg",
+    f"""WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       q0 AS (SELECT vec_id AS q_id, e AS qe FROM b
+              WHERE vec_id % 101 = 0 AND vec_id < 2000),
+       scored AS (
+         SELECT q.q_id, c.vec_id,
+                round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                           * sqrt(list_dot_product(c.e, c.e)) > 0
+                      THEN list_dot_product(q.qe, c.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(c.e, c.e)))
+                      ELSE 0.0 END, 6) AS cos
+         FROM b c, q0 q WHERE c.vec_id <> q.q_id),
+       truth AS (
+         SELECT q_id, vec_id, rn AS rank_t FROM (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+           FROM scored) WHERE rn <= 10),
+       bkt AS (
+         SELECT vec_id, e, {_SB} AS bucket FROM b),
+       qb AS (SELECT k.vec_id AS q_id, k.e AS qe, k.bucket
+              FROM bkt k WHERE k.vec_id % 101 = 0 AND k.vec_id < 2000),
+       cand AS (
+         SELECT q.q_id, c.vec_id,
+                round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                           * sqrt(list_dot_product(c.e, c.e)) > 0
+                      THEN list_dot_product(q.qe, c.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(c.e, c.e)))
+                      ELSE 0.0 END, 6) AS cos
+         FROM bkt c JOIN qb q ON c.bucket = q.bucket
+         WHERE c.vec_id <> q.q_id),
+       pred AS (
+         SELECT q_id, vec_id, rn AS rank_p FROM (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+           FROM cand) WHERE rn <= 10),
+       terms AS (
+         SELECT p.q_id,
+                CASE WHEN t.rank_t IS NOT NULL THEN 1 ELSE 0 END AS hit,
+                round(coalesce(11 - t.rank_t, 0) / log2(p.rank_p + 1),
+                      9)::DECIMAL(20,9) AS term
+         FROM pred p LEFT JOIN truth t USING (q_id, vec_id))
+       SELECT q_id, count(*)::BIGINT AS n_retrieved,
+              sum(hit)::BIGINT AS n_hits,
+              round(CAST(sum(term) AS DOUBLE) / {IDCG_10!r}, 6) AS ndcg
+       FROM terms GROUP BY q_id""",
+    doc="NDCG@10 of the sign-bucket ANN tier against the brute-force "
+    "cosine ground truth (graded gains 11 − true_rank, fixed IDCG@10 "
+    "literal shared by both engines) — the rank-quality companion to the "
+    "recall floors in test_ann_recall.py: recall says the neighbor was "
+    "found, NDCG says it was found EARLY. Per-term gains rounded + "
+    "decimal-summed; both retrieval lists reuse the certified ANN "
+    "shapes (broadcast query side / bucket equi-join).",
+)
+def q_ann_ndcg(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.similarity import (
+        brute_force_topk,
+        bucketed_topk,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    qs = emb.filter((F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000))
+    truth = brute_force_topk(emb, qs, k=10).select(
+        "q_id", "vec_id", F.col("rank").alias("rank_t")
+    )
+    pred = bucketed_topk(emb, qs, k=10, n_bits=8).select(
+        "q_id", "vec_id", F.col("rank").alias("rank_p")
+    )
+    terms = pred.join(truth, ["q_id", "vec_id"], "left").select(
+        "q_id",
+        F.when(F.col("rank_t").isNotNull(), 1).otherwise(0).alias("hit"),
+        F.round(
+            F.coalesce(F.lit(11) - F.col("rank_t"), F.lit(0))
+            / F.log2(F.col("rank_p") + 1),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("term"),
+    )
+    return terms.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_retrieved"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.round(F.sum("term").cast("double") / F.lit(IDCG_10), 6).alias("ndcg"),
+    )

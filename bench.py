@@ -111,6 +111,10 @@ HEADLINE = [
     "vocab_zipf_slope",
     "bpe_pair_merges",
     "streaming_cdc_apply",
+    # r6 queue: evaluation-metrics family
+    "eval_langid_confusion",
+    "eval_lsh_precision_recall",
+    "eval_ann_ndcg",
 ]
 
 

@@ -49,6 +49,10 @@ CROSS_ALLOWED = {
     # broadcast k-means cell assignment (centroids ≪ N, same shape as the
     # kmeans family) feeding the within-cell pair join
     "semantic_dedup_pairs",
+    # evaluation family: brute-force ground-truth list (broadcast query
+    # side) + 1-row metric-count broadcasts
+    "eval_ann_ndcg",
+    "eval_lsh_precision_recall",
     # final assembly of three 1-row aggregate outputs (census scalars)
     "graph_triangle_count",
     # 1-row global min/max stats broadcast back over the data for bucketing
@@ -134,6 +138,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # (Zipf fit) / ≤20 pairs (BPE top merges)
     "vocab_zipf_slope",
     "bpe_pair_merges",
+    # inherits ssjoin_jaccard_prefix's vocab-bounded global token rank
+    # (its exact-truth side composes that certified query)
+    "eval_lsh_precision_recall",
 }
 
 
