@@ -111,9 +111,12 @@ HEADLINE = [
     "vocab_zipf_slope",
     "bpe_pair_merges",
     "streaming_cdc_apply",
-    # r6 queue: evaluation-metrics family
+    # r6 queue: evaluation-metrics family (eval_lsh_precision_recall is
+    # deliberately NOT a headline row: it composes ssjoin_jaccard_prefix +
+    # minhash_lsh_pairs, both already benchmarked — a regression in it is
+    # visible through its components without double-paying the heavy
+    # exact-join twice per bench pass)
     "eval_langid_confusion",
-    "eval_lsh_precision_recall",
     "eval_ann_ndcg",
 ]
 
