@@ -36,6 +36,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(denom > 0, dot_product(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_from_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """Cosine with PRE-FOLDED norms: identical value to
+    :func:`cosine_similarity` when ``na``/``nb`` hold ``l2_norm(a/b)``
+    (the denominator is the same product of the same sequential
+    sqrt-of-fold), but the per-pair cost drops from three array folds to
+    one cross dot product. Use in pair-join shapes where each vector
+    meets many partners — fold the norm once per vector before the join."""
+    denom = _c(na) * _c(nb)
+    return F.when(denom > 0, dot_product(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def cosine_similarity_sql(a: str, b: str) -> str:
     """DuckDB twin — same accumulation order (sequential left fold)."""
     return (

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from annotations_ingester_spark.functions.vectors import cosine_similarity, sign_bucket
+from annotations_ingester_spark.functions.vectors import (
+    cosine_from_norms,
+    l2_norm,
+    sign_bucket,
+)
 
 # round count of the most recent kmeans_fit call in this process —
 # observability for bench/driver logs (proves convergence-by-tolerance)
@@ -38,16 +42,22 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
 ) -> DataFrame:
-    """Exact cosine top-k: (q_id, vec_id, cos, rank), rank 1..k."""
+    """Exact cosine top-k: (q_id, vec_id, cos, rank), rank 1..k.
+    Norms are pre-folded on both sides (functions/vectors.cosine_from_norms)
+    so each of the N·Q pairs costs one cross dot, not three folds."""
     q = queries.select(
         F.col(id_col).alias(query_id_col) if query_id_col not in queries.columns else F.col(query_id_col),
         F.col(vec_col).alias("_q_vec"),
+        l2_norm(vec_col).alias("_qn"),
     )
-    pairs = embeddings.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(query_id_col))
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_cn")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
         query_id_col,
         id_col,
-        F.round(cosine_similarity("_q_vec", vec_col), 6).alias("cos"),
+        F.round(cosine_from_norms("_q_vec", vec_col, "_qn", "_cn"), 6).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (
@@ -66,11 +76,15 @@ def bucketed_topk(
     query_id_col: str = "q_id",
 ) -> DataFrame:
     """Bucketed ANN top-k: candidates share the query's sign bucket.
-    Same output shape as :func:`brute_force_topk` plus ``bucket``."""
-    bucketed = embeddings.withColumn("bucket", sign_bucket(vec_col, n_bits))
+    Same output shape as :func:`brute_force_topk` plus ``bucket``.
+    Norms pre-folded on both sides — one cross dot per candidate pair."""
+    bucketed = embeddings.withColumn(
+        "bucket", sign_bucket(vec_col, n_bits)
+    ).withColumn("_nrm", l2_norm(vec_col))
     q = bucketed.join(queries.select(id_col), on=id_col, how="left_semi").select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_q_vec"),
+        F.col("_nrm").alias("_qn"),
         F.col("bucket"),
     )
     pairs = bucketed.join(F.broadcast(q), on="bucket").filter(
@@ -80,7 +94,7 @@ def bucketed_topk(
         query_id_col,
         id_col,
         "bucket",
-        F.round(cosine_similarity("_q_vec", vec_col), 6).alias("cos"),
+        F.round(cosine_from_norms("_q_vec", vec_col, "_qn", "_nrm"), 6).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -95,18 +109,29 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above ``threshold``, discovered
     within sign buckets (the scalable all-pairs: per-bucket self-join, not
-    corpus-wide cross join)."""
-    b = embeddings.withColumn("bucket", sign_bucket(vec_col, n_bits))
+    corpus-wide cross join). Norms pre-folded before the self-join."""
+    b = embeddings.withColumn(
+        "bucket", sign_bucket(vec_col, n_bits)
+    ).withColumn("_nrm", l2_norm(vec_col))
     a = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+        "bucket",
     )
     c = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        "bucket",
     )
     pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
-            "id_a", "id_b", "bucket", F.round(cosine_similarity("_va", "_vb"), 6).alias("cos")
+            "id_a",
+            "id_b",
+            "bucket",
+            F.round(cosine_from_norms("_va", "_vb", "_na", "_nb"), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -136,24 +161,33 @@ def ivf_topk(
     for engine-portable determinism.
     """
     cent = centroids.select(
-        F.col(id_col).alias("_c_id"), F.col(vec_col).alias("_c_vec")
+        F.col(id_col).alias("_c_id"),
+        F.col(vec_col).alias("_c_vec"),
+        l2_norm(vec_col).alias("_c_nrm"),
     )
-    scored = embeddings.crossJoin(F.broadcast(cent)).select(
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_nrm")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
         id_col,
         vec_col,
+        "_nrm",
         "_c_id",
-        F.round(cosine_similarity(vec_col, "_c_vec"), 6).alias("_ccos"),
+        F.round(cosine_from_norms(vec_col, "_c_vec", "_nrm", "_c_nrm"), 6).alias(
+            "_ccos"
+        ),
     )
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("_c_id"))
     assigned = scored.withColumn("_rn", F.row_number().over(w_assign))
     cells = assigned.filter(F.col("_rn") == 1).select(
-        id_col, vec_col, F.col("_c_id").alias("cell")
+        id_col, vec_col, "_nrm", F.col("_c_id").alias("cell")
     )
     q = assigned.filter(F.col("_rn") <= nprobe).join(
         queries.select(id_col), on=id_col, how="left_semi"
     ).select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_q_vec"),
+        F.col("_nrm").alias("_qn"),
         F.col("_c_id").alias("cell"),
     )
     pairs = cells.join(F.broadcast(q), on="cell").filter(
@@ -163,7 +197,7 @@ def ivf_topk(
         query_id_col,
         id_col,
         "cell",
-        F.round(cosine_similarity("_q_vec", vec_col), 6).alias("cos"),
+        F.round(cosine_from_norms("_q_vec", vec_col, "_qn", "_nrm"), 6).alias("cos"),
     )
     # no dedup needed at any nprobe: base vectors are single-assigned, so
     # cells are disjoint and each (query, candidate) pair joins once
@@ -184,7 +218,9 @@ def multiprobe_bucketed_topk(
     PLUS the ``n_bits`` neighbor buckets at Hamming distance 1 (one sign
     flipped) — the standard recall fix for LSH bucketing at the cost of
     (n_bits + 1)× candidate reads, still ≪ brute force."""
-    bucketed = embeddings.withColumn("bucket", sign_bucket(vec_col, n_bits))
+    bucketed = embeddings.withColumn(
+        "bucket", sign_bucket(vec_col, n_bits)
+    ).withColumn("_nrm", l2_norm(vec_col))
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
     )
@@ -193,6 +229,7 @@ def multiprobe_bucketed_topk(
         .select(
             F.col(id_col).alias(query_id_col),
             F.col(vec_col).alias("_q_vec"),
+            F.col("_nrm").alias("_qn"),
             F.explode(probes).alias("bucket"),
         )
     )
@@ -202,7 +239,7 @@ def multiprobe_bucketed_topk(
     scored = pairs.select(
         query_id_col,
         id_col,
-        F.round(cosine_similarity("_q_vec", vec_col), 6).alias("cos"),
+        F.round(cosine_from_norms("_q_vec", vec_col, "_qn", "_nrm"), 6).alias("cos"),
     ).dropDuplicates([query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
