@@ -543,3 +543,46 @@ def duplicate_ngram_spans(
     return grams.join(dupes, "gram_hash").select(
         id_col, "pos", "gram_hash", "n_occurrences"
     )
+
+
+def duplicate_span_islands(
+    spans: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Merge per-document duplicated n-gram hits into MAXIMAL contiguous
+    islands → (doc_id, island_id, start_pos, end_pos, span_len, n_grams).
+
+    ``spans`` is :func:`duplicate_ngram_spans` output: each ``pos`` opens
+    an n-token window [pos, pos+n-1]. Two hits belong to one island when
+    their windows overlap or touch — for fixed-length windows sorted by
+    position that is exactly ``pos ≤ prev_pos + n``, so the classic
+    gaps-and-islands pattern needs only a lag (no running max): flag a new
+    island when the gap exceeds n, prefix-sum the flags into island ids,
+    aggregate. This turns raw hit positions into the actionable artifact —
+    the byte ranges a span-cutting pass actually removes/masks.
+
+    Scale shape: one shuffle on doc_id serves the lag window, the island
+    prefix-sum and the final aggregate; islands per doc are bounded by
+    hits per doc. No joins, no second pass over text.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.col(pos_col).asc())
+    flagged = spans.select(id_col, pos_col).withColumn(
+        "_new",
+        F.when(
+            F.lag(pos_col).over(w).isNull()
+            | (F.col(pos_col) > F.lag(pos_col).over(w) + n),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return islands.groupBy(id_col, "island_id").agg(
+        F.min(pos_col).cast("long").alias("start_pos"),
+        (F.max(pos_col) + (n - 1)).cast("long").alias("end_pos"),
+        (F.max(pos_col) + (n - 1) - F.min(pos_col) + 1).cast("long").alias("span_len"),
+        F.count("*").cast("long").alias("n_grams"),
+    )

@@ -861,6 +861,50 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf: str):
 
 
 @register(
+    "dedup_span_islands",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents WHERE text IS NOT NULL),
+       sh AS (SELECT doc_id, {_NGRAM5} AS s FROM d WHERE len(t) >= 5),
+       g AS (
+         SELECT doc_id, u.x.p::BIGINT AS pos,
+                {HASH.format(e="u.x.g")} AS gram_hash
+         FROM (SELECT doc_id,
+                      unnest(list_transform(range(len(s)),
+                                            i -> {{'p': i, 'g': s[i + 1]}})) AS x
+               FROM sh) u),
+       c AS (SELECT gram_hash FROM g GROUP BY gram_hash HAVING count(*) >= 2),
+       hits AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram_hash)),
+       lagd AS (
+         SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS new_i
+         FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       isl AS (
+         SELECT doc_id, pos,
+                sum(new_i) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS island_id
+         FROM lagd)
+       SELECT doc_id, island_id, min(pos)::BIGINT AS start_pos,
+              (max(pos) + 4)::BIGINT AS end_pos,
+              (max(pos) + 4 - min(pos) + 1)::BIGINT AS span_len,
+              count(*)::BIGINT AS n_grams
+       FROM isl GROUP BY doc_id, island_id""",
+    doc="Maximal duplicated regions: the duplicated-5-gram hits merged "
+    "into contiguous islands per document (gaps-and-islands — a lag "
+    "suffices for fixed-length windows) — the actionable artifact a "
+    "span-cutting pass removes/masks before training. One doc_id shuffle "
+    "serves the lag, the island prefix-sum and the aggregate.",
+)
+def q_span_islands(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import (
+        duplicate_ngram_spans,
+        duplicate_span_islands,
+    )
+
+    spans = duplicate_ngram_spans(table(spark, sf, "documents"), n=5, min_count=2)
+    return duplicate_span_islands(spans, n=5)
+
+
+@register(
     "dedup_corpus_survivors",
     f"""WITH RECURSIVE {SIG_CTE},
        band AS (

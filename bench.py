@@ -118,6 +118,7 @@ HEADLINE = [
     # exact-join twice per bench pass)
     "eval_langid_confusion",
     "eval_ann_ndcg",
+    "dedup_span_islands",
 ]
 
 

@@ -512,3 +512,26 @@ def test_quantize_int8_property_based(spark):
         .collect()[0]
     )
     assert [int(v) for v in row["q"]] == quantize(vec)
+
+
+def test_duplicate_span_islands_merges_touching_windows(spark):
+    """Hand-built positions: 5-token windows at {0,3,8} merge into one
+    island [0,12] (3 touches 0's window, 8 touches 3's); 20 starts a new
+    island [20,24]; separate docs never merge."""
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.operators.dedup import duplicate_span_islands
+
+    spans = spark.createDataFrame(
+        [(1, 0), (1, 3), (1, 8), (1, 20), (2, 5)],
+        "doc_id long, pos long",
+    ).withColumn("gram_hash", F.lit(0)).withColumn("n_occurrences", F.lit(2))
+    rows = {
+        (r.doc_id, r.island_id): (r.start_pos, r.end_pos, r.span_len, r.n_grams)
+        for r in duplicate_span_islands(spans, n=5).collect()
+    }
+    assert rows == {
+        (1, 1): (0, 12, 13, 3),
+        (1, 2): (20, 24, 5, 1),
+        (2, 1): (5, 9, 5, 1),
+    }
