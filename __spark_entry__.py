@@ -90,11 +90,63 @@ _OFFICIALLY_COVERED = {
 }
 
 
+def _covered_from_disk() -> set[str]:
+    """Union of fully-green rows across every CORRECTNESS_r*.json the
+    driver has written into the repo — so the uncovered-first rotation
+    updates ITSELF each round instead of needing a hand-maintained list.
+    The static `_OFFICIALLY_COVERED` set stays as the r01–r04 floor (the
+    r01–r03 files are a frozen 50-query snapshot; the union grows from
+    there). A malformed/missing file contributes nothing."""
+    import json
+    from pathlib import Path
+
+    covered: set[str] = set(_OFFICIALLY_COVERED)
+    for f in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if (
+                isinstance(r, dict)
+                and r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match")
+            ):
+                covered.add(name)
+    return covered
+
+
+# Late-round-5 additions deliberately queued BEHIND this round's planned
+# 50-entry gate window (they certify next round; registry insertion order
+# alone would let mid-module additions displace planned entries). Once a
+# name gains a green CORRECTNESS row it leaves the uncovered set and this
+# ordering hint becomes a no-op for it.
+_QUEUED_LATE = {
+    "dedup_span_islands", "streaming_cdc_apply",
+    "lm_perplexity_scores", "dsir_importance_weights",
+    "stats_chi_square_independence", "sketch_mergeable_rollup",
+    "cohort_retention_matrix", "events_anomaly_mad",
+    "vocab_zipf_slope", "bpe_pair_merges",
+    "eval_langid_confusion", "eval_lsh_precision_recall", "eval_ann_ndcg",
+}
+
+
 def _ordered():
     reg = _registry()
-    uncovered = {n: s for n, s in reg.items() if n not in _OFFICIALLY_COVERED}
-    covered = {n: s for n, s in reg.items() if n in _OFFICIALLY_COVERED}
-    return {**uncovered, **covered}
+    covered_names = _covered_from_disk()
+    front = {
+        n: s
+        for n, s in reg.items()
+        if n not in covered_names and n not in _QUEUED_LATE
+    }
+    queued = {
+        n: s for n, s in reg.items() if n not in covered_names and n in _QUEUED_LATE
+    }
+    covered = {n: s for n, s in reg.items() if n in covered_names}
+    return {**front, **queued, **covered}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
