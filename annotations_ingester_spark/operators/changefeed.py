@@ -49,9 +49,13 @@ def scd2_intervals(
     """
     order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
     w = Window.partitionBy(key_col).orderBy(*order)
+    # row_number()==1 marks the first observation (lag(state).isNull() can't:
+    # it conflates "no previous row" with "previous state was NULL"), and
+    # eqNullSafe keeps a run of NULL states as ONE run instead of silently
+    # merging distinct runs through NULL comparisons.
     changed = (
-        F.lag(state_col).over(w).isNull()
-        | (F.col(state_col) != F.lag(state_col).over(w))
+        (F.row_number().over(w) == 1)
+        | ~F.col(state_col).eqNullSafe(F.lag(state_col).over(w))
     ).cast("long")
     runs = feed.withColumn(
         "version", F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -91,7 +95,18 @@ def apply_changelog(
         op_col, F.lit("I")
     )
     all_rows = base_cl.unionByName(changes)
-    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    # Deterministic winner even under pathological inputs (a changelog row
+    # with seq<=0 tying the synthesized base row, or duplicate seqs per
+    # key): after seq desc, break ties on op then every value column, so
+    # the same winner emerges across runs, partitionings, and engines.
+    value_cols = [
+        c for c in all_rows.columns if c not in (*key_cols, seq_col, op_col)
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(),
+        F.col(op_col).desc(),
+        *[F.col(c).desc_nulls_last() for c in value_cols],
+    )
     latest = (
         all_rows.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -245,6 +245,15 @@ def multiprobe_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# Below this many (vector, centroid) pairs the two-phase argmin's extra
+# plan depth (window min + array rejoin) costs more than it saves — the
+# plain one-pass decimal fold wins. Both regimes compute the IDENTICAL
+# exact decimal argmin, so the switch is perf-only (r5 verdict: the
+# two-phase fixed overhead regressed kmeans_fit_converged 2.4× at sf0.1
+# where N·k is only 6e3; at sf1's 6.8e6 pairs two-phase is 25× faster).
+CHEAP_ARGMIN_MAX_PAIRS = 1_000_000
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -252,6 +261,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     dims: int | None = None,
+    n_pairs_hint: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by exact decimal L2² →
     (vec_id, centroid_id). The distance accumulates per-dimension squared
@@ -285,7 +295,13 @@ def kmeans_assign(
     relative margin — the true decimal argmin always survives phase 1,
     and every candidate the margin admits is re-judged exactly in
     phase 2. (The one-row ``first()`` peek reads the dimensionality at
-    plan-build time.)"""
+    plan-build time.)
+
+    Cheap regime: when the caller knows N·k (``n_pairs_hint``, e.g. from
+    a fit-scoped count) and it is under ``CHEAP_ARGMIN_MAX_PAIRS``, the
+    two-phase machinery is skipped for a single-pass exact decimal fold
+    over all pairs — same argmin bit-for-bit, a fraction of the plan
+    depth. Without a hint the two-phase (scale-safe) path runs."""
     d2_sql = (
         "aggregate("
         " zip_with(_v, _cv, (a, b) ->"
@@ -294,6 +310,17 @@ def kmeans_assign(
         " CAST(0 AS DECIMAL(28,12)),"
         " (acc, x) -> CAST(acc + x AS DECIMAL(28,12)))"
     )
+    cent_small = centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("_cv"))
+    if n_pairs_hint is not None and n_pairs_hint < CHEAP_ARGMIN_MAX_PAIRS:
+        pairs = embeddings.select(
+            F.col(id_col), F.col(vec_col).alias("_v")
+        ).crossJoin(F.broadcast(cent_small))
+        d2 = pairs.select(id_col, centroid_id_col, F.expr(d2_sql).alias("d2"))
+        return d2.groupBy(id_col).agg(
+            F.min_by(
+                F.col(centroid_id_col), F.struct(F.col("d2"), F.col(centroid_id_col))
+            ).alias(centroid_id_col)
+        )
     if dims is None:
         dims = len(embeddings.select(vec_col).first()[0])
     d2d_terms = []
@@ -305,9 +332,7 @@ def kmeans_assign(
     d2d = d2d_terms[0]
     for t in d2d_terms[1:]:
         d2d = d2d + t
-    cent = centroids.select(
-        F.col(centroid_id_col), F.col(vec_col).alias("_cv")
-    )
+    cent = cent_small
     pairs = embeddings.select(F.col(id_col), F.col(vec_col).alias("_v")).crossJoin(
         F.broadcast(cent)
     )
@@ -336,6 +361,7 @@ def kmeans_lloyd_step(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     dims: int | None = None,
+    n_pairs_hint: int | None = None,
 ) -> DataFrame:
     """One Lloyd iteration: assign + recompute per-dimension means →
     (centroid_id, dim, mean, n_members). Means sum exact decimals and
@@ -344,7 +370,8 @@ def kmeans_lloyd_step(
     convergence loop (same template as operators/cluster.py — the scalar
     shift, not the data, reaches the driver)."""
     assign = kmeans_assign(
-        embeddings, centroids, id_col, vec_col, centroid_id_col, dims=dims
+        embeddings, centroids, id_col, vec_col, centroid_id_col,
+        dims=dims, n_pairs_hint=n_pairs_hint,
     )
     vd = embeddings.select(
         F.col(id_col), F.posexplode(vec_col).alias("dim", "v")
@@ -372,10 +399,13 @@ def kmeans_fit(
     """Full k-means: Lloyd steps under a driver-side convergence loop.
     Returns (final (vec_id, centroid_id) assignment, iterations run).
 
-    Per iteration only one SCALAR (the max per-dimension centroid shift)
-    reaches the driver; centroids themselves stay small (k·d rows) and are
-    rebuilt as a DataFrame from the step output via localCheckpoint — the
-    same iterative template as operators/cluster.connected_components
+    Two loop regimes, branch on N·k (both yield bit-identical results):
+    under ``CHEAP_ARGMIN_MAX_PAIRS`` the k·d centroid means round-trip
+    through the driver each iteration (MLlib's own posture — driver
+    payload bounded by k·d, one Spark action per iteration); above it,
+    only one SCALAR (the max per-dimension centroid shift) reaches the
+    driver and centroids are rebuilt executor-side via localCheckpoint —
+    the same iterative template as operators/cluster.connected_components
     (CheckpointCycler keeps ≤2 centroid generations in executor storage).
     Stops when every centroid coordinate moved < ``tol``.
 
@@ -388,9 +418,6 @@ def kmeans_fit(
 
     from annotations_ingester_spark.operators.iterate import CheckpointCycler
 
-    # dimensionality peeked ONCE for the whole fit (kmeans_assign would
-    # otherwise run a one-row first() job per iteration)
-    dims = len(embeddings.select(vec_col).first()[0])
     # Persist the projected double vectors for the duration of the fit —
     # the iterative-ML posture MLlib itself takes: every iteration reads
     # the vectors 2-3× (phase-1 pairs, phase-2 rejoin, mean posexplode),
@@ -409,14 +436,97 @@ def kmeans_fit(
         )
     )
     try:
-        assign, iterations = _fit_loop(
-            emb, cent, cycler, max_iterations, tol,
-            id_col, vec_col, centroid_id_col, dims,
-        )
+        # one fused job on the persisted frame: materializes the persist
+        # and reads N plus the dimensionality (constant across rows, so
+        # max(size) IS the peek — no separate one-row first() job)
+        n, dims = emb.agg(F.count("*"), F.max(F.size(vec_col))).first()
+        n_pairs = n * cent.count()
+        if n_pairs < CHEAP_ARGMIN_MAX_PAIRS:
+            # MLlib's own posture for ordinary k: the k·d centroid means
+            # (driver payload bounded by k·d, never by N) come back to the
+            # driver each iteration, the next centroid frame is a literal
+            # createDataFrame, and the shift is exact double arithmetic in
+            # Python — identical values, about half the Spark actions of
+            # the checkpoint loop (no eager centroid checkpoint, no
+            # shift-join job). The checkpoint loop below stays for huge-k
+            # fits where k·d itself is a payload.
+            assign, iterations = _fit_loop_driver(
+                emb, cent, max_iterations, tol,
+                id_col, vec_col, centroid_id_col, dims, n_pairs,
+            )
+        else:
+            assign, iterations = _fit_loop(
+                emb, cent, cycler, max_iterations, tol,
+                id_col, vec_col, centroid_id_col, dims, n_pairs,
+            )
     finally:
         emb.unpersist()
     global LAST_FIT_ITERATIONS
     LAST_FIT_ITERATIONS = iterations  # observability for bench/driver logs
+    return assign, iterations
+
+
+def _fit_loop_driver(
+    embeddings: DataFrame,
+    cent: DataFrame,
+    max_iterations: int,
+    tol: float,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+    dims: int,
+    n_pairs: int,
+) -> tuple[DataFrame, int]:
+    """Cheap-regime fit loop: one Spark action per iteration (the Lloyd
+    step collect); centroids round-trip through the driver as k·d rounded
+    means. Produces bit-identical centroids/assignments to ``_fit_loop``:
+    the per-dimension means are already rounded to 6 dp doubles by
+    ``kmeans_lloyd_step`` on both paths, empty clusters carry their old
+    vector over, and the max-|Δ| shift over IEEE doubles is the same
+    number whether folded in Spark or in Python."""
+    spark = embeddings.sparkSession
+    cent_local = {
+        r[0]: list(r[1])
+        for r in cent.select(centroid_id_col, vec_col).collect()
+    }
+    if not cent_local:
+        raise ValueError(
+            "kmeans_fit: centroid set is empty — initial_centroids had no rows"
+        )
+    schema = f"{centroid_id_col} long, {vec_col} array<double>"
+    iterations = 0
+    cent_df = cent
+    for _ in range(max_iterations):
+        iterations += 1
+        step = kmeans_lloyd_step(
+            embeddings, cent_df, id_col, vec_col, centroid_id_col,
+            dims=dims, n_pairs_hint=n_pairs,
+        )
+        by_cid: dict = {}
+        for r in step.collect():  # k·d rows, bounded by the centroid table
+            by_cid.setdefault(r[0], {})[r[1]] = r[2]
+        shift = 0.0
+        new_local = {}
+        for cid, old_vec in cent_local.items():
+            dim_means = by_cid.get(cid)
+            if dim_means is None:  # empty cluster keeps its previous centroid
+                new_local[cid] = old_vec
+                continue
+            new_vec = [dim_means[i] for i in range(len(old_vec))]
+            shift = max(
+                shift, max(abs(a - b) for a, b in zip(old_vec, new_vec))
+            )
+            new_local[cid] = new_vec
+        cent_local = new_local
+        cent_df = spark.createDataFrame(
+            sorted(cent_local.items()), schema=schema
+        )
+        if shift < tol:
+            break
+    assign = kmeans_assign(
+        embeddings, cent_df, id_col, vec_col, centroid_id_col,
+        dims=dims, n_pairs_hint=n_pairs,
+    )
     return assign, iterations
 
 
@@ -430,12 +540,14 @@ def _fit_loop(
     vec_col: str,
     centroid_id_col: str,
     dims: int,
+    n_pairs: int,
 ) -> tuple[DataFrame, int]:
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
         step = kmeans_lloyd_step(
-            embeddings, cent, id_col, vec_col, centroid_id_col, dims=dims
+            embeddings, cent, id_col, vec_col, centroid_id_col,
+            dims=dims, n_pairs_hint=n_pairs,
         )
         new_means = (
             step.groupBy(centroid_id_col)
@@ -478,7 +590,10 @@ def _fit_loop(
         cent = new_cent
         if shift < tol:
             break
-    assign = kmeans_assign(embeddings, cent, id_col, vec_col, centroid_id_col, dims=dims)
+    assign = kmeans_assign(
+        embeddings, cent, id_col, vec_col, centroid_id_col,
+        dims=dims, n_pairs_hint=n_pairs,
+    )
     return assign, iterations
 
 

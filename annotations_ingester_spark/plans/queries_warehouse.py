@@ -284,8 +284,8 @@ def q_frame_sample(spark: SparkSession, sf: str):
     "batch side; the oracle is the batch MERGE INTO semantics verbatim.",
 )
 def q_streaming_cdc_apply(spark: SparkSession, sf: str):
-    import hashlib
     import os
+    import shutil
     import tempfile
 
     from pyspark.sql import Window
@@ -311,9 +311,13 @@ def q_streaming_cdc_apply(spark: SparkSession, sf: str):
     )
     changelog = base.unionByName(u1).unionByName(u2).unionByName(d)
 
-    tag = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
-    feed_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_cdc_feed_{tag}")
-    store = os.path.join(tempfile.gettempdir(), f"spark_graft_cdc_store_{tag}")
+    # mkdtemp (not a path derived from the sf dir): run-unique, so two
+    # concurrent runs on the same sf (bench + parity, or two sessions)
+    # can't clobber each other's store mid-stream, and the path isn't
+    # squattable on multi-user hosts. Cleaned up after the final read.
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    feed_dir = os.path.join(run_dir, "feed")
+    store = os.path.join(run_dir, "store")
     # several feed files → several micro-batches under maxFilesPerTrigger
     changelog.repartition(8).write.mode("overwrite").parquet(feed_dir)
     spark.createDataFrame(
@@ -340,8 +344,14 @@ def q_streaming_cdc_apply(spark: SparkSession, sf: str):
     )
     q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
     q.awaitTermination()
-    return (
+    # Materialize off the temp store (localCheckpoint breaks the lineage
+    # back to the parquet path) so the run dir can be removed before the
+    # caller collects.
+    result = (
         spark.read.parquet(store)
         .filter(F.col("op") != "D")
         .select("o_orderkey", "total_cents", F.col("seq").alias("last_seq"), "op")
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return result
