@@ -162,6 +162,94 @@ def test_no_unpartitioned_window_over_data(plans):
     assert not offenders, offenders
 
 
+# --- Scan-multiplicity audit (r5 verdict item 6) --------------------------
+#
+# Both r5 perf bugs found by hand were the same class: expensive lineage
+# consumed twice without a persist (connected_components re-ran pair
+# generation; kmeans_fit re-ran the caller's projection per iteration).
+# The visible symptom is the SOURCE TABLE appearing in more FileScan nodes
+# than the query's shape requires. This audit counts FileScan nodes per
+# source table in every compiled plan and pins each query to its declared
+# multiplicity — an unreviewed increase (someone fanning a heavy lineage
+# into one more consumer) fails with the query and table named.
+
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _scan_counts(plan: str) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for line in plan.splitlines():
+        if "FileScan" in line:
+            for t in _TABLES:
+                if f"{t}.parquet" in line:
+                    counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+# Declared maximum FileScan multiplicity for queries that legitimately
+# scan a table more than twice (multi-branch shapes: union/self-join
+# candidate generation, stat broadcasts, iterative steps unrolled into
+# one plan). Values are the measured multiplicities at the time each
+# query's scale shape was certified — raising one requires a review, not
+# an accident. Everything not listed is capped at 2 (one scan + one
+# re-derivation: anti-join probe, stat broadcast, or union branch).
+SCAN_MULTIPLICITY_ALLOW = {
+    "ann_bucketed_topk": 3,        # corpus + bucketed query side + norms
+    "ann_multiprobe_topk": 3,
+    "ann_ivf_topk": 5,             # coarse quantizer + assignment + probes
+    "table_profile": 4,            # one branch per profiled statistic class
+    "bm25_match_ranking": 4,       # postings + df stats + doclen + corpus avg
+    "tfidf_top_terms": 3,
+    "hybrid_rrf_retrieval": 4,     # composes bm25's branches
+    "q21_waiting_suppliers": 3,    # TPC-H exists + not-exists l2/l3 branches
+    "kmeans_lloyd_step": 5,        # assign pair/rejoin branches + mean explode
+    "kmeans_two_round_assign": 12, # two unrolled lloyd steps in one plan
+    "funnel_conversion_steps": 6,  # one branch per funnel step boundary
+    "ssjoin_jaccard_prefix": 4,    # vocab rank + prefix explode + both sides
+    "semantic_dedup_pairs": 10,    # cell assignment + within-cell pair sides
+    "graph_triangle_count": 12,    # oriented wedge sides + census scalars
+    "graph_pagerank_2iter": 32,    # two unrolled iterations over edge lists
+    "cdc_apply_changelog": 4,      # base + synthesized I/U/D branches
+    "market_basket_pairs": 4,
+    "lm_perplexity_scores": 4,     # unigram model + vocab stat + scoring side
+    "dsir_importance_weights": 3,
+    "stats_chi_square_independence": 6,  # observed + two marginals + total
+    "sketch_mergeable_rollup": 3,
+    "events_anomaly_mad": 4,       # median-of-median branches
+    "eval_langid_confusion": 3,
+    "eval_lsh_precision_recall": 12,  # composes ssjoin + lsh certified twins
+    "eval_ann_ndcg": 5,
+}
+
+
+def test_scan_multiplicity_within_declared(plans):
+    offenders = []
+    for n, p in plans.items():
+        cap = SCAN_MULTIPLICITY_ALLOW.get(n, 2)
+        for t, c in _scan_counts(p).items():
+            if c > cap:
+                offenders.append(f"{n}: {t} scanned {c}x (declared max {cap})")
+    assert not offenders, offenders
+
+
+def test_scan_multiplicity_canary(spark):
+    """Seeded double-consumption: a heavy lineage fanned into two consumers
+    without a persist must show up as multiplicity 2 — proves the counter
+    actually sees the regression class this audit exists for."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    heavy = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+    ).groupBy("doc_id").agg(F.count("*").alias("n"))
+    doubled = heavy.filter("n > 10").union(heavy.filter("n <= 10"))
+    plan = doubled._jdf.queryExecution().executedPlan().toString()
+    assert _scan_counts(plan).get("documents") == 2
+
+
 def test_every_aggregate_has_partial_phase(plans):
     """Aggregates with functions must show a partial (map-side combine)
     phase — a final-only aggregate ships raw rows across the shuffle.

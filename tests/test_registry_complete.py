@@ -29,7 +29,7 @@ def test_every_group_module_contributed():
     assert not missing, f"group module registrations missing: {missing}"
 
 
-def test_entry_point_exposes_full_registry():
+def _entry_module():
     import importlib.util
     from pathlib import Path
 
@@ -38,8 +38,59 @@ def test_entry_point_exposes_full_registry():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_point_exposes_full_registry():
+    mod = _entry_module()
     qs = mod.queries()
     assert set(qs) == set(REGISTRY)
     oracles = mod.oracle_sql()
     # every oracle key must be a registered query
     assert set(oracles) <= set(qs)
+
+
+# --- Gate-window contract (r5 lesson made executable, not tribal) ---------
+#
+# The driver certifies only the FIRST 50 entries of queries() per round.
+# These tests pin the rotation mechanics: every queued name must actually
+# exist (a typo in _QUEUED_LATE would silently strand a query forever),
+# and the front of the window must be exactly the not-yet-covered names —
+# oldest debt first — so no registration-order accident can displace a
+# planned certification.
+
+GATE_WINDOW = 50
+
+
+def test_queued_late_names_exist_in_registry():
+    mod = _entry_module()
+    stranded = mod._QUEUED_LATE - set(REGISTRY)
+    assert not stranded, f"_QUEUED_LATE names not in registry: {sorted(stranded)}"
+
+
+def test_gate_window_fronts_uncovered_debt_then_fresh():
+    mod = _entry_module()
+    covered = mod._covered_from_disk()
+    ordered = list(mod.queries())
+    uncovered = [n for n in REGISTRY if n not in covered]
+    debt = [n for n in uncovered if n in mod._QUEUED_LATE]
+    fresh = [n for n in uncovered if n not in mod._QUEUED_LATE]
+    # debt first, then fresh additions, then covered — as sets per segment
+    n_unc = len(uncovered)
+    assert set(ordered[: len(debt)]) == set(debt)
+    assert set(ordered[:n_unc]) == set(uncovered)
+    assert set(ordered[n_unc:]) <= covered
+    # every uncovered name must fit inside the certification window;
+    # overflow means adding to _QUEUED_LATE (or waiting a round)
+    assert n_unc <= GATE_WINDOW, (
+        f"{n_unc} uncovered queries exceed the {GATE_WINDOW}-entry gate "
+        f"window; queue the newest additions via _QUEUED_LATE"
+    )
+
+
+def test_covered_from_disk_floor():
+    # The union of green CORRECTNESS rows can only grow; 150 names were
+    # certified through r05. A parsing regression in _covered_from_disk
+    # would resurface certified names into the window and displace debt.
+    mod = _entry_module()
+    assert len(mod._covered_from_disk()) >= 150
