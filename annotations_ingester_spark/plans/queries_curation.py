@@ -507,3 +507,52 @@ def q_corpus_token_drift(spark: SparkSession, sf: str):
             6,
         ).alias("freq_drift"),
     )
+
+
+_SHARD_ROW_HASH = md5_hash64_sql("doc_id::VARCHAR || '|' || md5(text)")
+
+
+@register(
+    "corpus_shard_manifest",
+    f"""WITH d AS (
+          SELECT doc_id, {_SAMPLE_HASH} AS rk,
+                 length(text)::BIGINT AS n_bytes,
+                 {_SHARD_ROW_HASH} AS h
+          FROM documents),
+        o AS (
+          SELECT doc_id, n_bytes, h,
+                 sum(n_bytes) OVER (ORDER BY rk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_bytes AS byte_start
+          FROM d)
+        SELECT (byte_start // 16384)::BIGINT AS shard_id,
+               count(*)::BIGINT AS n_docs,
+               sum(n_bytes)::BIGINT AS total_bytes,
+               min(byte_start)::BIGINT AS first_byte,
+               bit_xor(h) AS xor_checksum,
+               sum(h)::DECIMAL(38,0)::VARCHAR AS sum_checksum
+        FROM o GROUP BY 1""",
+    doc="Packed-shard export manifest — the training-data last mile "
+    "(sink-side analogue of W2 split-by-field routing, reference "
+    "annotations_indexer.py:214-218, at corpus scale): docs laid out in "
+    "the deterministic hash shuffle order, byte offsets prefix-summed, "
+    "each doc routed to the 16 KiB-budget shard its payload starts in, "
+    "then per shard (n_docs, total_bytes, first_byte) plus the "
+    "order-insensitive count/XOR/decimal-sum checksum triple over "
+    "content-addressed row hashes — a trainer (or a resumed export) "
+    "verifies every shard without re-reading the corpus. Scale shape: "
+    "the global byte offset is the 256-bucket distributed prefix sum "
+    "(parallel in-bucket windows + a 256-row offset broadcast — no "
+    "single-partition window over data), the manifest one map-side-"
+    "combinable aggregate; the actual writer (sinks/sharding.py "
+    "export_shards, byte-identical-rerun pytest) is partitionBy(shard_id) "
+    "dynamic parquet, no driver loop.",
+)
+def q_corpus_shard_manifest(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.sinks.sharding import (
+        shard_assignments,
+        shard_manifest,
+    )
+
+    asg = shard_assignments(table(spark, sf, "documents"), shard_bytes=16_384)
+    return shard_manifest(asg)

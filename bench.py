@@ -119,6 +119,8 @@ HEADLINE = [
     "eval_langid_confusion",
     "eval_ann_ndcg",
     "dedup_span_islands",
+    # r6: packed-shard export manifest (training-data last mile)
+    "corpus_shard_manifest",
 ]
 
 

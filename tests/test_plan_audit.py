@@ -126,8 +126,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # rank derived AFTER TakeOrderedAndProject limit(k) — window sees ≤k rows
     "bm25_match_ranking",
     # running-total over the 256-row bucket-count aggregate (offsets table),
-    # never over document rows (queries_curation.py)
+    # never over document rows (queries_curation.py / sinks/sharding.py)
     "corpus_shuffle_order",
+    "corpus_shard_manifest",
     # global token rank over the VOCABULARY table (distinct shingles), not
     # the corpus — bounded by vocab size (operators/linkage.py prefix order)
     "ssjoin_jaccard_prefix",
