@@ -69,14 +69,17 @@ def _request(
     body: bytes | None = None,
     method: str = "GET",
     content_type: str | None = None,
-) -> dict[str, Any]:
+    with_headers: bool = False,
+) -> dict[str, Any] | tuple[dict[str, Any], dict[str, str]]:
     hdrs = dict(headers)
     if content_type:
         hdrs["Content-Type"] = content_type
     req = urllib.request.Request(url, data=body, headers=hdrs, method=method)
     with urllib.request.urlopen(req, timeout=BULK_REQUEST_TIMEOUT_S) as resp:
         payload = resp.read()
-    return json.loads(payload) if payload else {}
+        resp_headers = {k.lower(): v for k, v in resp.headers.items()}
+    parsed = json.loads(payload) if payload else {}
+    return (parsed, resp_headers) if with_headers else parsed
 
 
 class EsRestClient:
@@ -88,6 +91,35 @@ class EsRestClient:
         self.url = _base_url(conf)
         self.headers = _headers(conf)
         self.index = format_index_name(conf.index_name) if conf.index_name else ""
+
+    # -- compat handshake -------------------------------------------------
+    def info(self) -> dict[str, Any]:
+        """GET / — cluster name + version (the public root endpoint)."""
+        return _request(f"{self.url}/", self.headers)
+
+    def verify_compat(self) -> int:
+        """The version handshake official 8.x clients perform: read the
+        server major from GET /; an 8.x+ server MUST also send the
+        ``X-Elastic-Product: Elasticsearch`` response header (added in
+        8.0 precisely so clients can tell a real ES from a lookalike).
+        Returns the major version; raises on a missing/invalid product
+        header from an 8.x server or an unsupported major (<7). The
+        REST subset this backend speaks (typeless mappings, untyped
+        ``_doc`` endpoints, ndjson bulk) is valid wire traffic on both
+        7.x and 8.x, so no request shape changes with the version."""
+        body, resp_headers = _request(
+            f"{self.url}/", self.headers, with_headers=True
+        )
+        number = str(body.get("version", {}).get("number", ""))
+        major = int(number.split(".")[0]) if number.split(".")[0].isdigit() else 0
+        if major >= 8 and resp_headers.get("x-elastic-product") != "Elasticsearch":
+            raise RuntimeError(
+                f"server reports {number} but is missing the X-Elastic-Product "
+                "header — not a genuine Elasticsearch 8.x endpoint"
+            )
+        if major < 7:
+            raise RuntimeError(f"unsupported Elasticsearch version: {number!r}")
+        return major
 
     # -- admin -----------------------------------------------------------
     def create_index(self, index: str | None = None) -> None:

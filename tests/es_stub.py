@@ -41,7 +41,18 @@ def _matches(doc: dict[str, Any], query: dict[str, Any] | None) -> bool:
 
 
 class EsStubState:
-    def __init__(self) -> None:
+    """``mode`` selects the wire dialect: "7" mirrors a 7.x server (bulk
+    items carry ``_type: _doc``, no product header, ``include_type_name``
+    accepted-but-deprecated); "8" mirrors 8.x (``X-Elastic-Product:
+    Elasticsearch`` on every response — the 8.x client handshake —
+    typeless everywhere, ``include_type_name`` rejected, bulk items carry
+    ``result``). The reference pins client ~=7.13 (requirements.txt:3); a
+    2026 deployment hits 8.x first, so both dialects are test targets."""
+
+    def __init__(self, mode: str = "8") -> None:
+        assert mode in ("7", "8")
+        self.mode = mode
+        self.version = "8.11.0" if mode == "8" else "7.13.4"
         self.lock = threading.Lock()
         self.indices: dict[str, dict[str, dict[str, Any]]] = {}
         self.mappings: dict[str, dict[str, Any]] = {}
@@ -62,6 +73,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if self.state.mode == "8":
+            self.send_header("X-Elastic-Product", "Elasticsearch")
         self.end_headers()
         self.wfile.write(body)
 
@@ -84,9 +97,22 @@ class _Handler(BaseHTTPRequestHandler):
     def do_PUT(self) -> None:
         self._record()
         body = self._body()
-        m = re.fullmatch(r"/([^/]+)/_mapping", self.path)
+        m = re.fullmatch(r"/([^/]+)/_mapping(\?.*)?", self.path)
         with self.state.lock:
             if m:
+                params = (m.group(2) or "").lstrip("?")
+                if "include_type_name" in params and self.state.mode == "8":
+                    # removed in 8.0 — a 7.x-style typed mapping call fails
+                    return self._reply(
+                        {
+                            "error": {
+                                "type": "illegal_argument_exception",
+                                "reason": "request [PUT /_mapping] contains "
+                                "unrecognized parameter: [include_type_name]",
+                            }
+                        },
+                        400,
+                    )
                 self.state.mappings[m.group(1)] = json.loads(body or b"{}")
                 return self._reply({"acknowledged": True})
             index = self.path.strip("/")
@@ -108,6 +134,14 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self) -> None:
         self._record()
+        if self.path in ("/", ""):
+            return self._reply(
+                {
+                    "name": "es-stub",
+                    "version": {"number": self.state.version},
+                    "tagline": "You Know, for Search",
+                }
+            )
         m = re.fullmatch(r"/([^/]+)/_doc/([^/]+)", self.path)
         if not m:
             return self._reply({"error": "unsupported"}, 400)
@@ -116,7 +150,10 @@ class _Handler(BaseHTTPRequestHandler):
             doc = self.state.indices.get(index, {}).get(doc_id)
         if doc is None:
             return self._reply({"found": False}, 404)
-        self._reply({"_index": index, "_id": doc_id, "found": True, "_source": doc})
+        resp = {"_index": index, "_id": doc_id, "found": True, "_source": doc}
+        if self.state.mode == "7":
+            resp["_type"] = "_doc"
+        self._reply(resp)
 
     def do_POST(self) -> None:
         body = self._body()
@@ -151,7 +188,9 @@ class _Handler(BaseHTTPRequestHandler):
                 index = meta.get("_index", "")
                 doc_id = str(meta.get("_id") or uuid.uuid4())
                 store = self.state.indices.setdefault(index, {})
+                result = "updated"
                 if op in ("index", "create"):
+                    result = "updated" if doc_id in store else "created"
                     store[doc_id] = json.loads(lines[i])
                     i += 1
                 elif op == "update":
@@ -169,10 +208,16 @@ class _Handler(BaseHTTPRequestHandler):
                         continue
                 elif op == "delete":
                     store.pop(doc_id, None)
+                    result = "deleted"
                 else:
                     items.append({op: {"status": 400, "error": "bad op"}})
                     continue
-                items.append({op: {"_index": index, "_id": doc_id, "status": 200}})
+                item = {"_index": index, "_id": doc_id, "status": 200}
+                if self.state.mode == "7":
+                    item["_type"] = "_doc"  # types linger in 7.x responses
+                else:
+                    item["result"] = result  # the 8.x bulk item shape
+                items.append({op: item})
         self._record(n_actions=n_actions)
         self._reply({"errors": any(
             next(iter(x.values()))["status"] >= 300 for x in items
@@ -218,10 +263,11 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply({"_scroll_id": sid, "hits": {"hits": page}})
 
 
-def start_es_stub() -> tuple[ThreadingHTTPServer, EsStubState, str]:
+def start_es_stub(mode: str = "8") -> tuple[ThreadingHTTPServer, EsStubState, str]:
     """Start the stub on an ephemeral localhost port; returns
-    (server, state, base_url). Call ``server.shutdown()`` when done."""
-    state = EsStubState()
+    (server, state, base_url). Call ``server.shutdown()`` when done.
+    ``mode`` picks the 7.x or 8.x wire dialect (see EsStubState)."""
+    state = EsStubState(mode=mode)
     handler = type("Handler", (_Handler,), {"state": state})
     server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
