@@ -115,6 +115,47 @@ def apply_changelog(
     return latest.filter(F.col(op_col) != delete_op)
 
 
+def maintain_agg(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    sign_col: str,
+    measure_cols: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental view maintenance for a count/sum materialized aggregate
+    under a retractable changelog (the Flink-style retract stream): each
+    ``delta`` row carries ``sign_col`` ∈ {+1, -1} (insert / retract) and
+    the measure columns of the underlying row. The maintained view is
+
+        base_agg ⊎ Σ_delta(sign, sign·measure)   filtered to count > 0
+
+    — exactly equal to recomputing the aggregate over the updated table,
+    at a cost proportional to the DELTA: one group-key shuffle of the
+    changelog, then a merge with the (already materialized) aggregate.
+    At 100 TB this is the difference between touching a day's changes
+    and re-scanning the corpus. ``base_agg`` must carry ``count_col``
+    plus one summed column per measure (same names as ``measure_cols``).
+    Counts cannot go negative if retractions only retract existing rows
+    (caller contract — the same contract MERGE INTO deletes have)."""
+    delta_agg = delta.groupBy(*key_cols).agg(
+        F.sum(sign_col).cast("long").alias(count_col),
+        *[
+            F.sum(F.col(sign_col) * F.col(c)).cast("long").alias(c)
+            for c in measure_cols
+        ],
+    )
+    merged = base_agg.unionByName(delta_agg)
+    return (
+        merged.groupBy(*key_cols)
+        .agg(
+            F.sum(count_col).cast("long").alias(count_col),
+            *[F.sum(c).cast("long").alias(c) for c in measure_cols],
+        )
+        .filter(F.col(count_col) > 0)
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

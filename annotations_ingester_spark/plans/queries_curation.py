@@ -556,3 +556,130 @@ def q_corpus_shard_manifest(spark: SparkSession, sf: str):
 
     asg = shard_assignments(table(spark, sf, "documents"), shard_bytes=16_384)
     return shard_manifest(asg)
+
+
+@register(
+    "streaming_shard_manifest",
+    f"""WITH d AS (
+          SELECT doc_id, ({_SAMPLE_HASH} % 16)::BIGINT AS shard_id,
+                 length(text)::BIGINT AS n_bytes,
+                 {_SHARD_ROW_HASH} AS h
+          FROM documents)
+        SELECT shard_id, count(*)::BIGINT AS n_docs,
+               sum(n_bytes)::BIGINT AS total_bytes,
+               bit_xor(h) AS xor_checksum,
+               sum(h)::DECIMAL(38,0)::VARCHAR AS sum_checksum
+        FROM d GROUP BY 1""",
+    doc="Streaming twin of the shard export's verification artifact, run "
+    "for real: documents stream in (availableNow, several micro-batches) "
+    "and foreachBatch merges each batch's per-shard partial manifest into "
+    "a manifest store. Shard routing is the stable hash (doc_id -> one of "
+    "16 shards) rather than the batch exporter's byte-packing (a global "
+    "prefix sum cannot be maintained incrementally; hash routing is the "
+    "streaming-shape choice), and every manifest column is a COMMUTATIVE "
+    "MONOID (count, byte sum, XOR, decimal sum) — so arbitrary micro-batch "
+    "splits and arrival orders produce the identical manifest, merged in "
+    "O(shards) per batch. The oracle is the one-shot batch manifest: "
+    "stream-merge == batch-aggregate is exactly the mergeability claim.",
+)
+def q_streaming_shard_manifest(spark: SparkSession, sf: str):
+    import os
+    import shutil
+    import tempfile
+
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    docs = table(spark, sf, "documents").select(
+        "doc_id",
+        (
+            md5_hash64(F.concat_ws(":", F.lit("sample"), F.col("doc_id").cast("string")))
+            % 16
+        ).alias("shard_id"),
+        F.length("text").cast("long").alias("n_bytes"),
+        md5_hash64(
+            F.concat_ws("|", F.col("doc_id").cast("string"), F.md5(F.col("text")))
+        ).alias("h"),
+    )
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_shardman_")
+    feed_dir = os.path.join(run_dir, "feed")
+    store = os.path.join(run_dir, "store")
+    docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
+    spark.createDataFrame(
+        [],
+        "shard_id long, n_docs long, total_bytes long, "
+        "xor_checksum long, sum_checksum decimal(38,0)",
+    ).write.mode("overwrite").parquet(store)
+
+    def merge(batch_df, _batch_id):
+        part = batch_df.groupBy("shard_id").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.expr("bit_xor(h)").alias("xor_checksum"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("sum_checksum"),
+        )
+        cur = batch_df.sparkSession.read.parquet(store)
+        merged = (
+            cur.unionByName(part)
+            .groupBy("shard_id")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_bytes").cast("long").alias("total_bytes"),
+                F.expr("bit_xor(xor_checksum)").alias("xor_checksum"),
+                F.sum("sum_checksum").cast("decimal(38,0)").alias("sum_checksum"),
+            )
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(store)
+
+    feed_schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(feed_dir)
+    )
+    q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination()
+    result = (
+        spark.read.parquet(store)
+        .select(
+            "shard_id", "n_docs", "total_bytes", "xor_checksum",
+            F.col("sum_checksum").cast("string").alias("sum_checksum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return result
+
+
+@register(
+    "privacy_k_anonymity",
+    """SELECT lang, source,
+              (n_chars // 100)::BIGINT AS chars_bucket,
+              count(*)::BIGINT AS class_size,
+              count(*) < 5 AS below_k
+       FROM documents
+       GROUP BY 1, 2, 3""",
+    doc="k-anonymity audit over the release quasi-identifiers (lang, "
+    "source, coarse length bucket): every equivalence class with its "
+    "size and a below-k flag (k=5) — the privacy gate a dataset release "
+    "runs next to the PII regex scan (a document alone in its "
+    "quasi-identifier class is re-identifiable even with direct "
+    "identifiers redacted; the fix is suppressing or coarsening those "
+    "classes). One map-side-combinable aggregate fused with the scan — "
+    "flat cost at any corpus size, and the class list (bounded by the "
+    "QI-domain product, not the corpus) is what the suppression step "
+    "consumes.",
+)
+def q_privacy_k_anonymity(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "documents")
+        .groupBy(
+            "lang",
+            "source",
+            F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("chars_bucket"),
+        )
+        .agg(F.count("*").cast("long").alias("class_size"))
+        .select(
+            "lang", "source", "chars_bucket", "class_size",
+            (F.col("class_size") < 5).alias("below_k"),
+        )
+    )

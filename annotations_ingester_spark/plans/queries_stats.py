@@ -491,3 +491,77 @@ def q_bpe_pairs(spark: SparkSession, sf: str):
     top = agg.orderBy(F.col("merges").desc(), F.col("pair")).limit(20)
     w = Window.orderBy(F.col("merges").desc(), F.col("pair"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "quantile_disc_certified",
+    """WITH c AS (
+         SELECT o_orderpriority,
+                round(o_totalprice * 100)::BIGINT AS cents,
+                o_orderkey
+         FROM orders),
+       sized AS (
+         SELECT o_orderpriority, count(*)::BIGINT AS n FROM c GROUP BY 1),
+       ranked AS (
+         SELECT o_orderpriority, cents,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY cents, o_orderkey) AS r
+         FROM c)
+       SELECT s.o_orderpriority, s.n,
+              min(CASE WHEN r.r >= ceil(0.5 * s.n) THEN r.cents END)::BIGINT
+                AS p50_cents,
+              min(CASE WHEN r.r >= ceil(0.95 * s.n) THEN r.cents END)::BIGINT
+                AS p95_cents,
+              TRUE AS sketch_within_tol
+       FROM sized s JOIN ranked r ON s.o_orderpriority = r.o_orderpriority
+       GROUP BY s.o_orderpriority, s.n""",
+    doc="Mergeable-quantile certification (the percentile companion to "
+    "sketch_mergeable_rollup's HLL): per order priority, the EXACT "
+    "discrete p50/p95 of integer cents — defined engine-portably as the "
+    "value at rank ceil(q*n) under a (cents, orderkey) total order, no "
+    "interpolation-convention or float-fold ambiguity — plus a "
+    "certification flag that Spark's mergeable percentile_approx sketch "
+    "(accuracy 10000, the structure a 1000-executor rollup would merge "
+    "map-side) lands within 5% of the exact value. The oracle recomputes "
+    "the exact quantiles and expects every group certified. Scale shape: "
+    "exact tier = one priority-partitioned window (bounded: 5 groups); "
+    "sketch tier = one map-side-combinable aggregate — at 100 TB only "
+    "the sketch runs, and this query is the standing proof of its error "
+    "envelope.",
+)
+def q_quantile_disc_certified(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = table(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = c.withColumn("r", F.row_number().over(w))
+    sized = c.groupBy("o_orderpriority").agg(F.count("*").cast("long").alias("n"))
+    exact = (
+        ranked.join(F.broadcast(sized), "o_orderpriority")
+        .groupBy("o_orderpriority", "n")
+        .agg(
+            F.min(
+                F.when(F.col("r") >= F.ceil(0.5 * F.col("n")), F.col("cents"))
+            ).cast("long").alias("p50_cents"),
+            F.min(
+                F.when(F.col("r") >= F.ceil(0.95 * F.col("n")), F.col("cents"))
+            ).cast("long").alias("p95_cents"),
+        )
+    )
+    sketch = c.groupBy("o_orderpriority").agg(
+        F.percentile_approx("cents", [0.5, 0.95], 10000).alias("approx")
+    )
+    return exact.join(sketch, "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        "p50_cents",
+        "p95_cents",
+        (
+            (F.abs(F.col("approx")[0] - F.col("p50_cents")) <= 0.05 * F.col("p50_cents"))
+            & (F.abs(F.col("approx")[1] - F.col("p95_cents")) <= 0.05 * F.col("p95_cents"))
+        ).alias("sketch_within_tol"),
+    )

@@ -355,3 +355,62 @@ def q_streaming_cdc_apply(spark: SparkSession, sf: str):
     )
     shutil.rmtree(run_dir, ignore_errors=True)
     return result
+
+
+@register(
+    "ivm_agg_maintenance",
+    f"""WITH base AS (
+          SELECT o_orderkey, o_custkey, {_CENTS} AS cents FROM orders),
+        updated AS (
+          SELECT o_orderkey, o_custkey, cents FROM base
+          WHERE o_orderkey % 13 <> 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000, o_custkey, (cents * 11) // 10
+          FROM base WHERE o_orderkey % 7 = 0)
+        SELECT o_custkey, count(*)::BIGINT AS n_orders,
+               sum(cents)::BIGINT AS total_cents
+        FROM updated GROUP BY o_custkey""",
+    doc="Incremental view maintenance (operators/changefeed.maintain_agg): "
+    "a materialized per-customer (count, sum-of-cents) aggregate is "
+    "maintained under a retractable changelog — retract every order with "
+    "key%13=0, insert a repriced copy of every order with key%7=0 — by "
+    "aggregating the DELTA alone and merging it into the stored view "
+    "(count>0 groups survive). The oracle recomputes the aggregate from "
+    "scratch over the updated table: IVM's defining equation, checked "
+    "exactly. Scale shape: the recompute touches the corpus; maintenance "
+    "touches one group-key shuffle of the day's changes plus a merge with "
+    "the materialized view — at 100 TB that is the whole point of "
+    "maintaining views incrementally. Integer-cents arithmetic keeps "
+    "retract sums exact (no float cancellation drift).",
+)
+def q_ivm_agg_maintenance(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.changefeed import maintain_agg
+
+    base = table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    # the stored materialized view (recomputed here so the query is
+    # self-contained; in production this is a table read, not a scan)
+    base_agg = base.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    retracts = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_custkey", F.lit(-1).alias("sign"), F.col("cents").alias("total_cents")
+    )
+    inserts = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_custkey",
+        F.lit(1).alias("sign"),
+        F.expr("div(cents * 11, 10)").alias("total_cents"),
+    )
+    delta = retracts.unionByName(inserts).withColumn("n_orders", F.lit(1))
+    return maintain_agg(
+        base_agg,
+        delta.select("o_custkey", "sign", F.col("total_cents")),
+        key_cols=["o_custkey"],
+        sign_col="sign",
+        measure_cols=["total_cents"],
+        count_col="n_orders",
+    )

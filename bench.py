@@ -119,8 +119,11 @@ HEADLINE = [
     "eval_langid_confusion",
     "eval_ann_ndcg",
     "dedup_span_islands",
-    # r6: packed-shard export manifest (training-data last mile)
+    # r6: packed-shard export manifest (training-data last mile), its
+    # mergeable streaming twin, and incremental view maintenance
     "corpus_shard_manifest",
+    "streaming_shard_manifest",
+    "ivm_agg_maintenance",
 ]
 
 

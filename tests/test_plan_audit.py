@@ -73,6 +73,7 @@ STREAMING = {
     "streaming_funnel_conversion",
     "streaming_incremental_dedup",
     "streaming_cdc_apply",
+    "streaming_shard_manifest",
     "streaming_sessionization",
     "layout_compaction_checksum",
     "format_roundtrip_checksum",
@@ -214,6 +215,8 @@ SCAN_MULTIPLICITY_ALLOW = {
     "graph_triangle_count": 12,    # oriented wedge sides + census scalars
     "graph_pagerank_2iter": 32,    # two unrolled iterations over edge lists
     "cdc_apply_changelog": 4,      # base + synthesized I/U/D branches
+    "ivm_agg_maintenance": 3,      # materialized base + retract/insert delta
+    "quantile_disc_certified": 3,  # ranked + sized + sketch tiers
     "market_basket_pairs": 4,
     "lm_perplexity_scores": 4,     # unigram model + vocab stat + scoring side
     "dsir_importance_weights": 3,
