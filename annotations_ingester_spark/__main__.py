@@ -62,6 +62,21 @@ def main(argv: list[str] | None = None) -> int:
         print("NLP endpoints unavailable", file=sys.stderr)
         return 2
 
+    # S11 pre-flight for the jar-free ES REST backend: the version
+    # handshake (GET / + the 8.x X-Elastic-Product header check) fails
+    # fast on an unreachable, pre-7.x, or lookalike server before any
+    # Spark job is planned — the reference's check_url_available posture
+    # (utils.py:7-14) upgraded to the official client handshake.
+    for end in (cfg.source, cfg.sink):
+        if end.backend == "elasticsearch-rest":
+            from annotations_ingester_spark.sources.es_rest import EsRestClient
+
+            try:
+                EsRestClient(end).verify_compat()
+            except Exception as exc:
+                print(f"Elasticsearch endpoint check failed: {exc}", file=sys.stderr)
+                return 2
+
     spark = get_spark("annotations_ingester_spark")
 
     if fake_mode:  # hermetic runs: fake:// resolves via the registry

@@ -683,3 +683,93 @@ def q_privacy_k_anonymity(spark: SparkSession, sf: str):
             (F.col("class_size") < 5).alias("below_k"),
         )
     )
+
+
+@register(
+    "shard_manifest_delta",
+    f"""WITH v1 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+        v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                      ELSE text END AS text
+          FROM documents),
+        m1 AS (
+          SELECT ({_SAMPLE_HASH} % 16)::BIGINT AS shard_id,
+                 count(*)::BIGINT AS n_docs,
+                 sum({_SHARD_ROW_HASH})::DECIMAL(38,0)::VARCHAR AS sum_checksum
+          FROM v1 GROUP BY 1),
+        m2 AS (
+          SELECT ({_SAMPLE_HASH} % 16)::BIGINT AS shard_id,
+                 count(*)::BIGINT AS n_docs,
+                 sum({_SHARD_ROW_HASH})::DECIMAL(38,0)::VARCHAR AS sum_checksum
+          FROM v2 GROUP BY 1)
+        SELECT coalesce(m1.shard_id, m2.shard_id) AS shard_id,
+               coalesce(m1.n_docs, 0)::BIGINT AS n_docs_old,
+               coalesce(m2.n_docs, 0)::BIGINT AS n_docs_new,
+               (m1.sum_checksum IS DISTINCT FROM m2.sum_checksum)
+                 AS needs_reexport
+        FROM m1 FULL OUTER JOIN m2 ON m1.shard_id = m2.shard_id""",
+    doc="Incremental re-export planner: manifests of two corpus versions "
+    "(v1 drops doc_id%17=0, v2 revises doc_id%10=0 — the deterministic "
+    "stand-ins the drift/incremental queries use) compared per hash shard "
+    "via their content checksums — only shards whose checksum moved need "
+    "re-uploading to the trainer. This is the resume story for the shard "
+    "export: at 100 TB a daily refresh touches a bounded set of shards, "
+    "and the delta is computed from two manifest-sized frames (16 rows "
+    "here, O(corpus/shard_budget) in production — never the corpus). "
+    "Scale shape: two scan-fused manifest aggregates + one tiny "
+    "full-outer join.",
+)
+def q_shard_manifest_delta(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    def manifest(docs):
+        return (
+            docs.select(
+                (
+                    md5_hash64(
+                        F.concat_ws(
+                            ":", F.lit("sample"), F.col("doc_id").cast("string")
+                        )
+                    )
+                    % 16
+                ).alias("shard_id"),
+                md5_hash64(
+                    F.concat_ws(
+                        "|", F.col("doc_id").cast("string"), F.md5(F.col("text"))
+                    )
+                ).alias("h"),
+            )
+            .groupBy("shard_id")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                .cast("string")
+                .alias("sum_checksum"),
+            )
+        )
+
+    docs = table(spark, sf, "documents")
+    m1 = manifest(docs.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text"))
+    m2 = manifest(
+        docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    j = m1.alias("m1").join(
+        m2.alias("m2"), F.col("m1.shard_id") == F.col("m2.shard_id"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("m1.shard_id"), F.col("m2.shard_id")).alias("shard_id"),
+        F.coalesce(F.col("m1.n_docs"), F.lit(0)).cast("long").alias("n_docs_old"),
+        F.coalesce(F.col("m2.n_docs"), F.lit(0)).cast("long").alias("n_docs_new"),
+        (
+            ~F.col("m1.sum_checksum").eqNullSafe(F.col("m2.sum_checksum"))
+        ).alias("needs_reexport"),
+    )

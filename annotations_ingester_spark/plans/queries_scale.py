@@ -1269,3 +1269,71 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf: str):
     q = stream.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "layout_bucketed_join_cert",
+    """SELECT TRUE AS bucketed_no_shuffle,
+              count(*)::BIGINT AS n_rows,
+              sum(round(o_totalprice * 100)::BIGINT
+                  * round(l_quantity)::BIGINT)::BIGINT AS join_checksum
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+    doc="Bucketed co-located join, run for real and certified from the "
+    "physical plan: orders and lineitem are written as bucketed tables "
+    "(bucketBy(8, key) + sortBy — Spark's native layout for "
+    "shuffle-free sort-merge joins), re-read, and joined; the "
+    "certification flag asserts the executed join plan contains NO "
+    "Exchange node (both sides' bucketing satisfies the join's "
+    "distribution requirement, so the petabyte-scale shuffle a plain "
+    "fact-fact join pays simply disappears), and the checksum proves "
+    "the shuffle-free join returns exactly the rows the oracle's plain "
+    "join returns. This is THE layout decision for a 100 TB fact-fact "
+    "workload: pay one bucketed write, then every subsequent key join "
+    "is map-side. Run-unique table names + DROP TABLE afterwards keep "
+    "concurrent runs isolated (r5 advice pattern).",
+)
+def q_layout_bucketed_join_cert(spark: SparkSession, sf: str):
+    import uuid
+
+    tag = uuid.uuid4().hex[:10]
+    t_orders, t_li = f"bjc_orders_{tag}", f"bjc_lineitem_{tag}"
+    orders = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", F.round("l_quantity").cast("long").alias("qty")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable(t_orders)
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable(t_li)
+    )
+    try:
+        o = spark.table(t_orders).hint("merge")  # force SMJ (no broadcast)
+        l = spark.table(t_li)
+        joined = o.join(l, o.o_orderkey == l.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        no_shuffle = "Exchange" not in plan
+        result = (
+            joined.groupBy()
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.col("cents") * F.col("qty")).cast("long").alias(
+                    "join_checksum"
+                ),
+            )
+            .select(
+                F.lit(no_shuffle).alias("bucketed_no_shuffle"),
+                "n_rows",
+                "join_checksum",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+    return result

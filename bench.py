@@ -124,6 +124,8 @@ HEADLINE = [
     "corpus_shard_manifest",
     "streaming_shard_manifest",
     "ivm_agg_maintenance",
+    "shard_manifest_delta",
+    "layout_bucketed_join_cert",
 ]
 
 

@@ -76,6 +76,7 @@ STREAMING = {
     "streaming_shard_manifest",
     "streaming_sessionization",
     "layout_compaction_checksum",
+    "layout_bucketed_join_cert",
     "format_roundtrip_checksum",
 }
 
