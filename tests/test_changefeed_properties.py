@@ -113,3 +113,66 @@ def test_apply_changelog_matches_replay_on_random_logs(spark):
         ch = [r for r in all_changes if r[0] == c]
         expected |= _replay_reference(b, ch)
     assert got == expected
+
+
+# --- maintain_agg (IVM) ---------------------------------------------------
+
+
+def _random_ivm_case(rng: random.Random, case_id: int):
+    """A random base table plus a retract/insert delta where every retract
+    targets an existing, not-yet-retracted base row (the MERGE-delete
+    contract maintain_agg documents)."""
+    base = []
+    for i in range(rng.randint(1, 15)):
+        base.append((case_id, rng.randint(0, 3), rng.randint(-50, 50), i))
+    delta = []
+    retractable = list(range(len(base)))
+    rng.shuffle(retractable)
+    for i in retractable[: rng.randint(0, len(base))]:
+        _, k, v, _ = base[i]
+        delta.append((case_id, k, -1, v))
+        base[i] = (*base[i][:3], -1)  # mark retracted for the reference
+    for _ in range(rng.randint(0, 10)):
+        delta.append((case_id, rng.randint(0, 3), 1, rng.randint(-50, 50)))
+    return base, delta
+
+
+def test_maintain_agg_equals_full_recompute_on_random_deltas(spark):
+    """IVM's defining equation, property-tested: base_agg merged with a
+    random retract/insert delta must equal the aggregate recomputed from
+    scratch over the updated table — for every random case at once."""
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.operators.changefeed import maintain_agg
+
+    rng = random.Random(20260814)
+    all_base, all_delta = [], []
+    for c in range(N_CASES):
+        b, d = _random_ivm_case(rng, c)
+        all_base.extend(b)
+        all_delta.extend(d)
+
+    base = spark.createDataFrame(all_base, "case_id long, k long, v long, tag long")
+    base_agg = base.groupBy("case_id", "k").agg(
+        F.count("*").cast("long").alias("n"), F.sum("v").cast("long").alias("v")
+    )
+    delta = spark.createDataFrame(all_delta, "case_id long, k long, sign long, v long")
+    got = {
+        (r.case_id, r.k): (r.n, r.v)
+        for r in maintain_agg(
+            base_agg, delta, ["case_id", "k"], "sign", ["v"], count_col="n"
+        ).collect()
+    }
+
+    # pure-Python recompute over the updated multiset
+    updated: dict[tuple, list] = {}
+    for case_id, k, v, tag in all_base:
+        if tag >= 0:  # not retracted
+            updated.setdefault((case_id, k), []).append(v)
+    for case_id, k, sign, v in all_delta:
+        if sign == 1:
+            updated.setdefault((case_id, k), []).append(v)
+    expected = {
+        key: (len(vs), sum(vs)) for key, vs in updated.items() if vs
+    }
+    assert got == expected
