@@ -62,8 +62,17 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     ``(v, w)`` exists. Wedge COUNTS for transitivity come from the full
     undirected degree sequence (Σ deg·(deg−1)/2), one extra map-side-
     combinable aggregate.
+
+    The edge list is consumed SIX times (two degree branches, both wedge
+    sides, the closing-edge probe, the edge count) — and the graphs this
+    engine feeds it are DERIVED (LSH candidate generation), so consuming
+    the raw lineage 6× would re-run candidate generation 6× (the exact
+    double-execution class the r5 connected-components fix addressed,
+    now caught mechanically by the scan-multiplicity audit). The edge
+    list is materialized ONCE via localCheckpoint; the census is then
+    pure join work over materialized edges.
     """
-    e = edges.select("src", "dst")
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
 
     # undirected degrees: each edge contributes to both endpoints
     deg = (
@@ -138,12 +147,19 @@ def pagerank_iterations(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    e = e.join(out_w, "src")
+    # Materialize the weighted edge list and node set ONCE: every
+    # iteration joins ranks onto e and re-anchors on nodes, and the
+    # unrolled-lineage alternative re-derives the (often expensive) edge
+    # computation per consumption — the executed plan scanned the source
+    # 32× before this checkpoint (scan-multiplicity audit). Same posture
+    # as kmeans_fit's fit-scoped persist / CheckpointCycler.
+    e = e.join(out_w, "src").localCheckpoint(eager=True)
 
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
 

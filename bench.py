@@ -126,6 +126,7 @@ HEADLINE = [
     "ivm_agg_maintenance",
     "shard_manifest_delta",
     "layout_bucketed_join_cert",
+    "embedding_pq_codes",
 ]
 
 

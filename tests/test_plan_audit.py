@@ -213,8 +213,9 @@ SCAN_MULTIPLICITY_ALLOW = {
     "funnel_conversion_steps": 6,  # one branch per funnel step boundary
     "ssjoin_jaccard_prefix": 4,    # vocab rank + prefix explode + both sides
     "semantic_dedup_pairs": 10,    # cell assignment + within-cell pair sides
-    "graph_triangle_count": 12,    # oriented wedge sides + census scalars
-    "graph_pagerank_2iter": 32,    # two unrolled iterations over edge lists
+    # graph_triangle_count / graph_pagerank_2iter: edge lists now
+    # localCheckpoint'ed once (r6) — executed plans read ExistingRDD, so
+    # they fall under the default cap; the r5 values were 12 and 32
     "cdc_apply_changelog": 4,      # base + synthesized I/U/D branches
     "ivm_agg_maintenance": 3,      # materialized base + retract/insert delta
     "quantile_disc_certified": 3,  # ranked + sized + sketch tiers
