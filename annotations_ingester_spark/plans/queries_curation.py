@@ -572,15 +572,20 @@ def q_corpus_shard_manifest(spark: SparkSession, sf: str):
         FROM d GROUP BY 1""",
     doc="Streaming twin of the shard export's verification artifact, run "
     "for real: documents stream in (availableNow, several micro-batches) "
-    "and foreachBatch merges each batch's per-shard partial manifest into "
-    "a manifest store. Shard routing is the stable hash (doc_id -> one of "
-    "16 shards) rather than the batch exporter's byte-packing (a global "
-    "prefix sum cannot be maintained incrementally; hash routing is the "
+    "and foreachBatch lands each batch's per-shard partial manifest at a "
+    "BATCH-ID-KEYED path (overwrite) — the canonical idempotent "
+    "foreachBatch discipline: an at-least-once retry rewrites the same "
+    "path instead of double-counting into a running total (a "
+    "read-modify-write merge would corrupt additive counts on retry). "
+    "Shard routing is the stable hash (doc_id -> one of 16 shards) "
+    "rather than the batch exporter's byte-packing (a global prefix sum "
+    "cannot be maintained incrementally; hash routing is the "
     "streaming-shape choice), and every manifest column is a COMMUTATIVE "
-    "MONOID (count, byte sum, XOR, decimal sum) — so arbitrary micro-batch "
-    "splits and arrival orders produce the identical manifest, merged in "
-    "O(shards) per batch. The oracle is the one-shot batch manifest: "
-    "stream-merge == batch-aggregate is exactly the mergeability claim.",
+    "MONOID (count, byte sum, XOR, decimal sum) — so arbitrary "
+    "micro-batch splits and arrival orders fold to the identical "
+    "manifest. The final fold is O(batches x shards) rows. The oracle is "
+    "the one-shot batch manifest: partial-fold == batch-aggregate is "
+    "exactly the mergeability claim.",
 )
 def q_streaming_shard_manifest(spark: SparkSession, sf: str):
     import os
@@ -604,31 +609,11 @@ def q_streaming_shard_manifest(spark: SparkSession, sf: str):
     feed_dir = os.path.join(run_dir, "feed")
     store = os.path.join(run_dir, "store")
     docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
-    spark.createDataFrame(
-        [],
-        "shard_id long, n_docs long, total_bytes long, "
-        "xor_checksum long, sum_checksum decimal(38,0)",
-    ).write.mode("overwrite").parquet(store)
 
-    def merge(batch_df, _batch_id):
-        part = batch_df.groupBy("shard_id").agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_bytes").cast("long").alias("total_bytes"),
-            F.expr("bit_xor(h)").alias("xor_checksum"),
-            F.sum(F.col("h").cast("decimal(38,0)")).alias("sum_checksum"),
-        )
-        cur = batch_df.sparkSession.read.parquet(store)
-        merged = (
-            cur.unionByName(part)
-            .groupBy("shard_id")
-            .agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("total_bytes").cast("long").alias("total_bytes"),
-                F.expr("bit_xor(xor_checksum)").alias("xor_checksum"),
-                F.sum("sum_checksum").cast("decimal(38,0)").alias("sum_checksum"),
-            )
-        )
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(store)
+    from annotations_ingester_spark.sinks.sharding import write_shard_manifest_partial
+
+    def land_partial(batch_df, batch_id):
+        write_shard_manifest_partial(batch_df, store, batch_id)
 
     feed_schema = spark.read.parquet(feed_dir).schema
     stream = (
@@ -636,16 +621,12 @@ def q_streaming_shard_manifest(spark: SparkSession, sf: str):
         .option("maxFilesPerTrigger", "3")
         .parquet(feed_dir)
     )
-    q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q = stream.writeStream.foreachBatch(land_partial).trigger(availableNow=True).start()
     q.awaitTermination()
-    result = (
-        spark.read.parquet(store)
-        .select(
-            "shard_id", "n_docs", "total_bytes", "xor_checksum",
-            F.col("sum_checksum").cast("string").alias("sum_checksum"),
-        )
-        .localCheckpoint(eager=True)
-    )
+
+    from annotations_ingester_spark.sinks.sharding import fold_shard_manifest_partials
+
+    result = fold_shard_manifest_partials(spark, store).localCheckpoint(eager=True)
     shutil.rmtree(run_dir, ignore_errors=True)
     return result
 

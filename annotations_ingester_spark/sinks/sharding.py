@@ -107,6 +107,41 @@ def shard_manifest(assignments: DataFrame) -> DataFrame:
     )
 
 
+def write_shard_manifest_partial(
+    batch_df: DataFrame, store: str, batch_id: int
+) -> None:
+    """Land one micro-batch's per-shard partial manifest at a
+    batch-id-keyed path (``{store}/batch={id}``, mode=overwrite) — the
+    canonical idempotent ``foreachBatch`` discipline: Structured
+    Streaming's at-least-once retry re-delivers the SAME batch_id with
+    the SAME rows, so the rewrite is a no-op instead of a double-count
+    (a read-modify-write running total would corrupt additive counts on
+    retry). ``batch_df`` must carry (shard_id, n_bytes, h)."""
+    part = batch_df.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.expr("bit_xor(h)").alias("xor_checksum"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("sum_checksum"),
+    )
+    part.write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
+
+
+def fold_shard_manifest_partials(spark, store: str) -> DataFrame:
+    """Fold the per-batch partial manifests into the final manifest.
+    Every column is a commutative monoid (count, byte sum, XOR, decimal
+    sum), so the fold is order-free and the result equals the one-shot
+    batch aggregate regardless of how the stream was micro-batched."""
+    partials = spark.read.parquet(store)
+    return partials.groupBy("shard_id").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_bytes").cast("long").alias("total_bytes"),
+        F.expr("bit_xor(xor_checksum)").alias("xor_checksum"),
+        F.sum("sum_checksum").cast("decimal(38,0)").cast("string").alias(
+            "sum_checksum"
+        ),
+    )
+
+
 def export_shards(
     docs: DataFrame,
     out_dir: str,

@@ -84,3 +84,62 @@ def test_manifest_checksum_detects_payload_swap(spark):
     m_bad = {r.shard_id: r.sum_checksum for r in shard_manifest(
         shard_assignments(swapped, SHARD_BYTES)).collect()}
     assert m_ok != m_bad
+
+
+def test_streaming_manifest_partials_idempotent_under_retry(spark, tmp_path):
+    """The at-least-once contract: re-delivering the SAME micro-batch
+    (same batch_id, same rows) must leave the folded manifest unchanged —
+    the batch-id-keyed overwrite makes the retry a no-op, where a
+    read-modify-write running total would double-count."""
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+    from annotations_ingester_spark.sinks.sharding import (
+        fold_shard_manifest_partials,
+        write_shard_manifest_partial,
+    )
+
+    docs = _docs(spark).select(
+        "doc_id",
+        (
+            md5_hash64(
+                F.concat_ws(":", F.lit("sample"), F.col("doc_id").cast("string"))
+            )
+            % 16
+        ).alias("shard_id"),
+        F.length("text").cast("long").alias("n_bytes"),
+        md5_hash64(
+            F.concat_ws("|", F.col("doc_id").cast("string"), F.md5(F.col("text")))
+        ).alias("h"),
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    store = str(tmp_path / "store")
+    write_shard_manifest_partial(b0, store, 0)
+    write_shard_manifest_partial(b1, store, 1)
+    once = sorted(
+        fold_shard_manifest_partials(spark, store).collect(),
+        key=lambda r: r.shard_id,
+    )
+    # retry batch 1 (same id, same rows) — must be a no-op
+    write_shard_manifest_partial(b1, store, 1)
+    retried = sorted(
+        fold_shard_manifest_partials(spark, store).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert retried == once
+    # and the fold equals the one-shot aggregate over all docs
+    oneshot = sorted(
+        docs.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.expr("bit_xor(h)").alias("xor_checksum"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias(
+                "sum_checksum"
+            ),
+        )
+        .collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert [tuple(r) for r in once] == [tuple(r) for r in oneshot]
