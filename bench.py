@@ -127,6 +127,8 @@ HEADLINE = [
     "shard_manifest_delta",
     "layout_bucketed_join_cert",
     "embedding_pq_codes",
+    "quantile_disc_certified",
+    "privacy_k_anonymity",
 ]
 
 
