@@ -690,9 +690,18 @@ def q_recursive_blast(spark: SparkSession, sf: str):
         minhash_signatures,
     )
 
-    pairs = lsh_candidate_pairs(
-        lsh_band_keys(minhash_signatures(table(spark, sf, "documents")))
-    ).select("doc_a", "doc_b")
+    # Materialize the candidate edges ONCE: the recursive member re-reads
+    # the edge view every hop, and an unmaterialized view would re-run
+    # the whole MinHash/banding pipeline per iteration (the same
+    # consumed-N-times class the graph/CC operators fixed — here hidden
+    # behind SQL recursion instead of an unrolled loop).
+    pairs = (
+        lsh_candidate_pairs(
+            lsh_band_keys(minhash_signatures(table(spark, sf, "documents")))
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     pairs.createOrReplaceTempView("_recursive_blast_edges_v")
     # registered under the bare table name on purpose: the recursive SQL
     # text is shared VERBATIM with the DuckDB oracle, which reads its

@@ -129,8 +129,22 @@ def q_langid_confusion(spark: SparkSession, sf: str):
     "three counts off an equi-join of their pair sets.",
 )
 def q_lsh_pr(spark: SparkSession, sf: str):
-    truth = REGISTRY["ssjoin_jaccard_prefix"].spark(spark, sf).select("doc_a", "doc_b")
-    pred = REGISTRY["minhash_lsh_pairs"].spark(spark, sf).select("doc_a", "doc_b")
+    # Materialize both pair sets ONCE: each is consumed twice below (the
+    # TP join and its own count), and each re-derivation would re-run
+    # the catalog's most expensive pipelines (exact ssjoin / LSH banding)
+    # — the consumed-twice class the scan-multiplicity audit flags. The
+    # materialized frames are pair-id lists, tiny relative to their
+    # lineage.
+    truth = (
+        REGISTRY["ssjoin_jaccard_prefix"].spark(spark, sf)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    pred = (
+        REGISTRY["minhash_lsh_pairs"].spark(spark, sf)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     tp = truth.join(pred, ["doc_a", "doc_b"]).agg(
         F.count("*").cast("double").alias("n_tp")
     )

@@ -226,7 +226,8 @@ SCAN_MULTIPLICITY_ALLOW = {
     "sketch_mergeable_rollup": 3,
     "events_anomaly_mad": 4,       # median-of-median branches
     "eval_langid_confusion": 3,
-    "eval_lsh_precision_recall": 12,  # composes ssjoin + lsh certified twins
+    # eval_lsh_precision_recall: composed ssjoin/LSH pair sets now
+    # localCheckpoint'ed once (r6) — was 12; falls under the default cap
     "eval_ann_ndcg": 5,
 }
 
