@@ -628,7 +628,14 @@ def semantic_dedup_pairs(
     """
     from annotations_ingester_spark.functions.vectors import dot_product, l2_norm
 
-    assign = kmeans_assign(embeddings, centroids, id_col, vec_col)
+    # Materialize the NARROW (id, centroid) assignment once: the cell
+    # frame below feeds both sides of the self-join, and re-deriving the
+    # assignment per side re-runs the N·k argmin twice. The wide vector
+    # columns are deliberately NOT checkpointed — re-reading the pruned
+    # column scan is cheap; the argmin is not.
+    assign = kmeans_assign(embeddings, centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     cell = embeddings.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),

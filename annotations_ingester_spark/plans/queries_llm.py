@@ -251,6 +251,10 @@ def q_kmeans_two_rounds(spark: SparkSession, sf: str):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     step = kmeans_lloyd_step(emb, cents)
+    # Materialize the round-1 centroids (k x d, tiny) before the round-2
+    # assignment consumes them twice (two-phase argmin probes the
+    # centroid table in both phases) — without this the full Lloyd-step
+    # lineage re-executes per consumption (consumed-twice audit class).
     new_cents = (
         step.groupBy("centroid_id")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("_dm"))
@@ -258,6 +262,7 @@ def q_kmeans_two_rounds(spark: SparkSession, sf: str):
             "centroid_id",
             F.transform("_dm", lambda s: s["mean"]).alias("embedding"),
         )
+        .localCheckpoint(eager=True)
     )
     return kmeans_assign(emb, new_cents)
 

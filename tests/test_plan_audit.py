@@ -209,10 +209,12 @@ SCAN_MULTIPLICITY_ALLOW = {
     "hybrid_rrf_retrieval": 4,     # composes bm25's branches
     "q21_waiting_suppliers": 3,    # TPC-H exists + not-exists l2/l3 branches
     "kmeans_lloyd_step": 5,        # assign pair/rejoin branches + mean explode
-    "kmeans_two_round_assign": 12, # two unrolled lloyd steps in one plan
+    # kmeans_two_round_assign: round-1 centroids localCheckpoint'ed (r6)
+    # — was 12; now under the default cap
     "funnel_conversion_steps": 6,  # one branch per funnel step boundary
     "ssjoin_jaccard_prefix": 4,    # vocab rank + prefix explode + both sides
-    "semantic_dedup_pairs": 10,    # cell assignment + within-cell pair sides
+    # semantic_dedup_pairs: narrow assignment localCheckpoint'ed (r6) —
+    # was 10; the two pair sides re-read only the pruned vector scan
     # graph_triangle_count / graph_pagerank_2iter: edge lists now
     # localCheckpoint'ed once (r6) — executed plans read ExistingRDD, so
     # they fall under the default cap; the r5 values were 12 and 32
