@@ -1337,3 +1337,51 @@ def q_layout_bucketed_join_cert(spark: SparkSession, sf: str):
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
     return result
+
+
+@register(
+    "dedup_duplicate_lines",
+    """WITH s AS (
+         SELECT doc_id, trim(u.raw, ' ') AS line
+         FROM (SELECT doc_id, unnest(string_split(text, '.')) AS raw
+               FROM documents) u),
+       f AS (SELECT doc_id, line FROM s WHERE length(line) >= 15),
+       g AS (
+         SELECT line,
+                count(*)::BIGINT AS n_occurrences,
+                count(DISTINCT doc_id)::BIGINT AS n_docs
+         FROM f GROUP BY line)
+       SELECT line, n_occurrences, n_docs
+       FROM g WHERE n_docs >= 2""",
+    doc="Corpus-wide duplicated-line detection — the RefinedWeb/CCNet "
+    "line-dedup primitive, distinct from doc-level dedup (whole-document "
+    "fingerprints) and from dedup_span_islands (within-doc n-gram "
+    "repeats): boilerplate sentences repeated ACROSS documents "
+    "(headers, navigation chrome, license blurbs) are what line-level "
+    "filtering strips before training. Sentences >= 15 chars split on "
+    "'.', exact-matched corpus-wide; output is every line appearing in "
+    ">= 2 distinct docs with its occurrence and document counts — the "
+    "strip-list the cleaning pass consumes. Scale shape: one explode "
+    "(rows ∝ corpus sentences) into one map-side-combinable aggregate "
+    "keyed on the line; at 100 TB the line key would be its md5 (same "
+    "shuffle shape, 16-byte keys) with the text kept via min() — the "
+    "exact-text form here keeps the strip-list directly usable.",
+)
+def q_dedup_duplicate_lines(spark: SparkSession, sf: str):
+    s = (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split("text", r"\.")).alias("raw"),
+        )
+        .select("doc_id", F.expr("trim(BOTH ' ' FROM raw)").alias("line"))
+        .filter(F.length("line") >= 15)
+    )
+    return (
+        s.groupBy("line")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -129,6 +129,7 @@ HEADLINE = [
     "embedding_pq_codes",
     "quantile_disc_certified",
     "privacy_k_anonymity",
+    "dedup_duplicate_lines",
 ]
 
 
