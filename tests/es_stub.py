@@ -189,6 +189,23 @@ class _Handler(BaseHTTPRequestHandler):
                 doc_id = str(meta.get("_id") or uuid.uuid4())
                 store = self.state.indices.setdefault(index, {})
                 result = "updated"
+                if op == "create" and doc_id in store:
+                    # ES semantics: create on an existing id is a per-item
+                    # 409 conflict (the payload line is still consumed)
+                    i += 1
+                    items.append(
+                        {
+                            op: {
+                                "_index": index,
+                                "_id": doc_id,
+                                "status": 409,
+                                "error": {
+                                    "type": "version_conflict_engine_exception"
+                                },
+                            }
+                        }
+                    )
+                    continue
                 if op in ("index", "create"):
                     result = "updated" if doc_id in store else "created"
                     store[doc_id] = json.loads(lines[i])

@@ -361,3 +361,26 @@ def test_cli_rest_source_with_range_pushdown(spark, es_stub, tmp_path):
     out = spark.read.parquet(sink)
     doc_ids = sorted({r[0] for r in out.selectExpr("`meta.doc_id`").collect()})
     assert doc_ids == [1, 2]  # doc 3 pruned by the pushed-down range
+
+
+def test_bulk_failure_counting_and_raise(es_stub):
+    """The per-item failure path on the wire (reference streaming_bulk
+    semantics, es_common.py:193-210): failed items are counted-and-logged
+    by default, raised only on request — and the counter reads the
+    failure shape of both dialects."""
+    state, url = es_stub
+    client = EsRestClient(_conf(url, "failures"))
+    client.bulk([{"_op_type": "create", "_id": "dup", "v": 0}])
+    mixed = [
+        {"_id": "ok-1", "v": 1},
+        {"_op_type": "create", "_id": "dup", "v": 2},  # 409 conflict
+        {"_id": "ok-2", "v": 3},
+    ]
+    ok, failed = client.bulk(mixed)
+    assert (ok, failed) == (2, 1)
+    assert client.count() == 3  # the two good rows landed beside the original
+    assert client.get_doc("dup")["v"] == 0  # conflict did not overwrite
+    with pytest.raises(RuntimeError, match="1 bulk items failed"):
+        client.bulk(
+            [{"_op_type": "create", "_id": "dup", "v": 9}], raise_on_error=True
+        )
