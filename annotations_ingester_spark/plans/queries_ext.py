@@ -773,3 +773,45 @@ def q_table_profile(spark: SparkSession, sf: str):
         .unionByName(prof("o_orderstatus"))
         .unionByName(prof("o_totalprice", fmt="num2"))
     )
+
+
+@register(
+    "unpivot_priority_metrics",
+    """WITH w AS (
+         SELECT o_orderpriority,
+                count(*)::BIGINT AS n_orders,
+                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
+                max(round(o_totalprice * 100)::BIGINT)::BIGINT AS max_cents
+         FROM orders GROUP BY o_orderpriority)
+       SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+       UNION ALL
+       SELECT o_orderpriority, 'total_cents', total_cents FROM w
+       UNION ALL
+       SELECT o_orderpriority, 'max_cents', max_cents FROM w""",
+    doc="Wide-to-long reshape via the native unpivot/melt API (the inverse "
+    "of pivot_order_status, completing the reshape pair): a per-priority "
+    "metrics table melts into (key, metric, value) rows — the shape "
+    "metric stores, plotting layers, and generic quality dashboards "
+    "consume. Spark's unpivot is a zero-shuffle projection (each input "
+    "row fans out map-side); the oracle spells the same reshape as "
+    "UNION ALL, the ANSI-portable formulation. All measures are cast to "
+    "one BIGINT type first — unpivot requires (and the engine enforces) "
+    "a common value type.",
+)
+def q_unpivot_priority_metrics(spark: SparkSession, sf: str):
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    w = (
+        table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("total_cents"),
+            F.max(cents).cast("long").alias("max_cents"),
+        )
+    )
+    return w.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_cents", "max_cents"],
+        "metric",
+        "value",
+    )
