@@ -161,3 +161,43 @@ def test_runtime_bloom_filter_available_for_selective_joins(spark):
             prev_scan,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+
+
+def test_shard_manifest_scan_prunes_to_id_and_text(spark):
+    """The shard manifest needs only (doc_id, text); lang/source/n_chars
+    must be pruned out of the parquet ReadSchema — at 100 TB reading two
+    unused string columns is real I/O."""
+    p = plan_of(spark, "corpus_shard_manifest")
+    import re
+
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m, p
+    assert "doc_id" in m.group(1) and "text" in m.group(1)
+    assert "lang" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_line_dedup_single_scan_partial_agg(spark):
+    """Line dedup is one explode into one combinable aggregate: exactly
+    one documents scan, a partial_ phase, and no join anywhere."""
+    p = plan_of(spark, "dedup_duplicate_lines")
+    assert p.count("FileScan") == 1
+    assert "partial_" in p
+    assert "Join" not in p
+
+
+def test_ivm_delta_agg_has_partial_phase(spark):
+    """The IVM maintenance path must combine the delta map-side before
+    its group-key shuffle — a final-only aggregate would ship raw
+    changelog rows."""
+    p = plan_of(spark, "ivm_agg_maintenance")
+    assert "partial_" in p
+
+
+def test_unpivot_is_zero_shuffle_fanout(spark):
+    """unpivot/melt is a projection (Expand), not a shuffle: the only
+    Exchange in the plan belongs to the upstream aggregate, and the
+    Expand node sits above it."""
+    p = plan_of(spark, "unpivot_priority_metrics")
+    assert "Expand" in p
+    # one exchange for the groupBy; none introduced by the reshape
+    assert p.count("Exchange") <= 2  # agg shuffle (+ AQE read wrapper)
