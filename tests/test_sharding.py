@@ -143,3 +143,19 @@ def test_streaming_manifest_partials_idempotent_under_retry(spark, tmp_path):
         key=lambda r: r.shard_id,
     )
     assert [tuple(r) for r in once] == [tuple(r) for r in oneshot]
+
+
+def test_assignment_invariant_to_input_partitioning(spark):
+    """The determinism contract's strongest form: shard assignment must
+    not depend on how the input happens to be partitioned (a cluster
+    re-reading the corpus with different splits gets identical shards)."""
+    docs = _docs(spark)
+    a1 = {
+        r.doc_id: (r.shard_id, r.byte_start)
+        for r in shard_assignments(docs.repartition(1), SHARD_BYTES).collect()
+    }
+    a17 = {
+        r.doc_id: (r.shard_id, r.byte_start)
+        for r in shard_assignments(docs.repartition(17, "text"), SHARD_BYTES).collect()
+    }
+    assert a1 == a17
