@@ -1293,10 +1293,17 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf: str):
     "concurrent runs isolated (r5 advice pattern).",
 )
 def q_layout_bucketed_join_cert(spark: SparkSession, sf: str):
+    import shutil
+    import tempfile
     import uuid
 
     tag = uuid.uuid4().hex[:10]
     t_orders, t_li = f"bjc_orders_{tag}", f"bjc_lineitem_{tag}"
+    # EXTERNAL tables at a run-unique temp path: bucketing metadata needs
+    # the session catalog, but the bytes must not depend on a writable
+    # CWD/warehouse dir (the gate may run from anywhere), and concurrent
+    # runs stay fully isolated.
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_bjc_")
     orders = table(spark, sf, "orders").select(
         "o_orderkey",
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
@@ -1306,10 +1313,12 @@ def q_layout_bucketed_join_cert(spark: SparkSession, sf: str):
     )
     (
         orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{run_dir}/orders")
         .mode("overwrite").format("parquet").saveAsTable(t_orders)
     )
     (
         li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{run_dir}/lineitem")
         .mode("overwrite").format("parquet").saveAsTable(t_li)
     )
     try:
@@ -1336,6 +1345,7 @@ def q_layout_bucketed_join_cert(spark: SparkSession, sf: str):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        shutil.rmtree(run_dir, ignore_errors=True)
     return result
 
 
