@@ -754,3 +754,44 @@ def q_shard_manifest_delta(spark: SparkSession, sf: str):
             ~F.col("m1.sum_checksum").eqNullSafe(F.col("m2.sum_checksum"))
         ).alias("needs_reexport"),
     )
+
+
+_BALANCE_HASH = md5_hash64_sql("'balance:' || vec_id::VARCHAR")
+
+
+@register(
+    "label_balanced_sample",
+    f"""WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        m AS (SELECT min(n)::BIGINT AS m FROM c),
+        r AS (
+          SELECT vec_id, label,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY {_BALANCE_HASH}, vec_id) AS rn
+          FROM embeddings)
+        SELECT vec_id, label::BIGINT AS label
+        FROM r, m WHERE rn <= m.m""",
+    doc="Label-balanced downsampling: every class kept at exactly the "
+    "minority-class count, members chosen by the stable per-row hash "
+    "order — the classification-dataset balancing step, deterministic "
+    "across runs/engines and stable under corpus growth for the rows "
+    "that remain (same philosophy as split_hash_assign). Scale shape: "
+    "one tiny class-count aggregate broadcast back, one label-partitioned "
+    "rank window; no sampling randomness to reconcile between engines.",
+)
+def q_label_balanced_sample(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    emb = table(spark, sf, "embeddings")
+    m = emb.groupBy("label").agg(F.count("*").alias("n")).agg(
+        F.min("n").cast("long").alias("m")
+    )
+    hk = md5_hash64(F.concat_ws(":", F.lit("balance"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("label").orderBy(hk.asc(), F.col("vec_id").asc())
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("vec_id", F.col("label").cast("long").alias("label"))
+    )

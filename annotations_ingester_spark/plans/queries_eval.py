@@ -258,3 +258,88 @@ def q_ann_ndcg(spark: SparkSession, sf: str):
         F.sum("hit").cast("long").alias("n_hits"),
         F.round(F.sum("term").cast("double") / F.lit(IDCG_10), 6).alias("ndcg"),
     )
+
+
+@register(
+    "eval_knn_label_accuracy",
+    """WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+       q0 AS (SELECT vec_id AS q_id, e AS qe, label AS true_label FROM b
+              WHERE vec_id % 101 = 0 AND vec_id < 2000),
+       scored AS (
+         SELECT q.q_id, q.true_label, c.label AS c_label, c.vec_id,
+                round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                           * sqrt(list_dot_product(c.e, c.e)) > 0
+                      THEN list_dot_product(q.qe, c.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(c.e, c.e)))
+                      ELSE 0.0 END, 6) AS cos
+         FROM b c, q0 q WHERE c.vec_id <> q.q_id),
+       knn AS (
+         SELECT q_id, true_label, c_label FROM (
+           SELECT q_id, true_label, c_label,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+           FROM scored) WHERE rn <= 5),
+       votes AS (
+         SELECT q_id, true_label, c_label, count(*) AS v
+         FROM knn GROUP BY 1, 2, 3),
+       pred AS (
+         SELECT q_id, true_label, c_label AS pred_label FROM (
+           SELECT q_id, true_label, c_label,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY v DESC, c_label) AS pr
+           FROM votes) WHERE pr = 1)
+       SELECT true_label::BIGINT AS label,
+              count(*)::BIGINT AS n_queries,
+              sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::BIGINT
+                AS n_correct,
+              round(sum(CASE WHEN pred_label = true_label
+                             THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                AS accuracy
+       FROM pred GROUP BY 1""",
+    doc="Embedding-quality metric through the LABELED corpus: 5-NN "
+    "majority-vote classification of the fixed query batch (exact "
+    "brute-force cosine neighbors — the certified ground-truth tier), "
+    "per-class accuracy and support. This is the standard probe for "
+    "whether an embedding space separates its classes — the number a "
+    "team watches when swapping embedding models or quantization levels "
+    "(compose with embedding_quantized_cosine_cert / embedding_pq_codes "
+    "to measure quality loss per compression step). Deterministic "
+    "throughout: rank ties break on vec_id, vote ties on the smaller "
+    "label. Scale shape: broadcast query batch, one N·Q scored pass, "
+    "bounded top-5 windows, tiny vote/metric aggregates.",
+)
+def q_eval_knn_label_accuracy(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.operators.similarity import brute_force_topk
+
+    emb = table(spark, sf, "embeddings")
+    qs = emb.filter((F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000))
+    knn = brute_force_topk(emb, qs, k=5).select("q_id", "vec_id")
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("c_label"))
+    q_labels = qs.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    votes = (
+        knn.join(labels, "vec_id")
+        .join(F.broadcast(q_labels), "q_id")
+        .groupBy("q_id", "true_label", "c_label")
+        .agg(F.count("*").alias("v"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("v"), F.asc("c_label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select("q_id", "true_label", F.col("c_label").alias("pred_label"))
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        correct.cast("long").alias("n_correct"),
+        F.round(correct.cast("double") / F.count("*"), 6).alias("accuracy"),
+    )

@@ -530,3 +530,71 @@ def q_embedding_pq_codes(spark: SparkSession, sf: str):
         F.col("_best.code").alias("code"),
         F.round(F.col("_best.d2").cast("double") / 8, 6).alias("recon_mse"),
     )
+
+
+@register(
+    "ann_hard_negatives",
+    """WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+       q0 AS (SELECT vec_id AS q_id, e AS qe, label AS q_label FROM b
+              WHERE vec_id % 101 = 0 AND vec_id < 2000),
+       scored AS (
+         SELECT q.q_id, c.vec_id, c.label AS neg_label,
+                round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                           * sqrt(list_dot_product(c.e, c.e)) > 0
+                      THEN list_dot_product(q.qe, c.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(c.e, c.e)))
+                      ELSE 0.0 END, 6) AS cos
+         FROM b c, q0 q
+         WHERE c.vec_id <> q.q_id AND c.label <> q.q_label)
+       SELECT q_id, vec_id, neg_label::BIGINT AS neg_label, cos,
+              rank::BIGINT AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cos DESC, vec_id) AS rank
+             FROM scored)
+       WHERE rank <= 5""",
+    doc="Hard-negative mining for contrastive training (the DPR/Contriever "
+    "recipe): for each anchor in the fixed query batch, the 5 most-similar "
+    "vectors carrying a DIFFERENT label — maximally confusable negatives, "
+    "the examples that actually move a contrastive loss. Exact brute-force "
+    "tier over the labeled corpus (the certified exactness baseline; the "
+    "bucketed/IVF variants are the scale path, label filter unchanged). "
+    "Scale shape: broadcast anchor batch, the label filter prunes "
+    "map-side before scoring, bounded top-5 windows per anchor.",
+)
+def q_ann_hard_negatives(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter((F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("_q_vec"),
+        F.col("label").alias("_q_lbl"),
+        l2_norm("embedding").alias("_qn"),
+    )
+    c = emb.select(
+        "vec_id", "embedding", F.col("label").cast("long").alias("neg_label"),
+        l2_norm("embedding").alias("_cn"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        (F.col("vec_id") != F.col("q_id")) & (F.col("neg_label") != F.col("_q_lbl"))
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        "neg_label",
+        F.round(cosine_from_norms("_q_vec", "embedding", "_qn", "_cn"), 6).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

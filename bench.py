@@ -130,6 +130,9 @@ HEADLINE = [
     "quantile_disc_certified",
     "privacy_k_anonymity",
     "dedup_duplicate_lines",
+    # r6 label-aware family: hard-negative mining + kNN label probe
+    "ann_hard_negatives",
+    "eval_knn_label_accuracy",
 ]
 
 

@@ -53,6 +53,11 @@ CROSS_ALLOWED = {
     # side) + 1-row metric-count broadcasts
     "eval_ann_ndcg",
     "eval_lsh_precision_recall",
+    # r6 label-aware family: broadcast anchor/query batch (exactness
+    # baseline) and a 1-row min-class-count broadcast
+    "ann_hard_negatives",
+    "eval_knn_label_accuracy",
+    "label_balanced_sample",
     # final assembly of three 1-row aggregate outputs (census scalars)
     "graph_triangle_count",
     # 1-row global min/max stats broadcast back over the data for bucketing
@@ -228,6 +233,8 @@ SCAN_MULTIPLICITY_ALLOW = {
     "sketch_mergeable_rollup": 3,
     "events_anomaly_mad": 4,       # median-of-median branches
     "eval_langid_confusion": 3,
+    "eval_knn_label_accuracy": 4,  # kNN pair sides + label/query-label
+                                   # projections — all cheap pruned scans
     # eval_lsh_precision_recall: composed ssjoin/LSH pair sets now
     # localCheckpoint'ed once (r6) — was 12; falls under the default cap
     "eval_ann_ndcg": 5,
