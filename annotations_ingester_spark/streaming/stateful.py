@@ -8,6 +8,16 @@
   (``dropDuplicatesWithinWatermark``) — the B2/B3 upgrade. An unbounded
   ``dropDuplicates`` would grow state forever at 100 TB; the watermark
   gives the state store a TTL (SURVEY §7.4.4).
+
+Spark 4's newer ``transformWithStateInPandas`` API (the successor with
+typed value/list/map state, timers, and TTL) was evaluated in round 6 and
+is NOT usable in this container: its state-server protocol requires
+``google.protobuf`` (``descriptor`` import), absent/broken here — the
+streaming Python runner crashes at init
+(STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). On a normally
+provisioned cluster ``running_user_totals`` ports mechanically: ValueState
+"n BIGINT" + one emit per key per batch from ``handleInputRows``. Until
+then ``applyInPandasWithState`` is the certified custom-state surface.
 """
 
 from __future__ import annotations
