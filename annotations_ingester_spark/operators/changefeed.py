@@ -97,10 +97,16 @@ def apply_changelog(
     all_rows = base_cl.unionByName(changes)
     # Deterministic winner even under pathological inputs (a changelog row
     # with seq<=0 tying the synthesized base row, or duplicate seqs per
-    # key): after seq desc, break ties on op then every value column, so
-    # the same winner emerges across runs, partitionings, and engines.
+    # key): after seq desc, break ties on op then every ORDERABLE value
+    # column, so the same winner emerges across runs, partitionings, and
+    # engines (map-typed columns are not orderable and are skipped — rows
+    # identical on all orderable columns are treated as interchangeable).
+    unorderable = ("map",)
     value_cols = [
-        c for c in all_rows.columns if c not in (*key_cols, seq_col, op_col)
+        c
+        for c, t in all_rows.dtypes
+        if c not in (*key_cols, seq_col, op_col)
+        and not t.startswith(unorderable)
     ]
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(seq_col).desc(),
@@ -137,7 +143,13 @@ def maintain_agg(
     and re-scanning the corpus. ``base_agg`` must carry ``count_col``
     plus one summed column per measure (same names as ``measure_cols``).
     Counts cannot go negative if retractions only retract existing rows
-    (caller contract — the same contract MERGE INTO deletes have)."""
+    (caller contract — the same contract MERGE INTO deletes have).
+
+    Measures must be EXACT INTEGERS (the catalog's integer-cents
+    discipline): sums are carried as BIGINT, which is what makes
+    retract arithmetic drift-free — a float measure would both truncate
+    here and violate the exact-cancellation property IVM relies on
+    (+x then -x must restore the previous sum bit-for-bit)."""
     delta_agg = delta.groupBy(*key_cols).agg(
         F.sum(sign_col).cast("long").alias(count_col),
         *[

@@ -429,18 +429,15 @@ def kmeans_fit(
     emb = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cycler = CheckpointCycler(embeddings.sparkSession)
-    cent = cycler.checkpoint(
-        initial_centroids.select(
-            F.col(centroid_id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-        )
+    cent0 = initial_centroids.select(
+        F.col(centroid_id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     try:
         # one fused job on the persisted frame: materializes the persist
         # and reads N plus the dimensionality (constant across rows, so
         # max(size) IS the peek — no separate one-row first() job)
         n, dims = emb.agg(F.count("*"), F.max(F.size(vec_col))).first()
-        n_pairs = n * cent.count()
+        n_pairs = n * cent0.count()
         if n_pairs < CHEAP_ARGMIN_MAX_PAIRS:
             # MLlib's own posture for ordinary k: the k·d centroid means
             # (driver payload bounded by k·d, never by N) come back to the
@@ -448,15 +445,16 @@ def kmeans_fit(
             # createDataFrame, and the shift is exact double arithmetic in
             # Python — identical values, about half the Spark actions of
             # the checkpoint loop (no eager centroid checkpoint, no
-            # shift-join job). The checkpoint loop below stays for huge-k
-            # fits where k·d itself is a payload.
+            # shift-join job — the driver loop collects straight off the
+            # projected initial centroids; no cycler generation to leak).
             assign, iterations = _fit_loop_driver(
-                emb, cent, max_iterations, tol,
+                emb, cent0, max_iterations, tol,
                 id_col, vec_col, centroid_id_col, dims, n_pairs,
             )
         else:
+            cycler = CheckpointCycler(embeddings.sparkSession)
             assign, iterations = _fit_loop(
-                emb, cent, cycler, max_iterations, tol,
+                emb, cycler.checkpoint(cent0), cycler, max_iterations, tol,
                 id_col, vec_col, centroid_id_col, dims, n_pairs,
             )
     finally:

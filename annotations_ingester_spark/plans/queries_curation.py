@@ -592,30 +592,21 @@ def q_streaming_shard_manifest(spark: SparkSession, sf: str):
     import shutil
     import tempfile
 
-    from annotations_ingester_spark.functions.hashing import md5_hash64
-
-    docs = table(spark, sf, "documents").select(
-        "doc_id",
-        (
-            md5_hash64(F.concat_ws(":", F.lit("sample"), F.col("doc_id").cast("string")))
-            % 16
-        ).alias("shard_id"),
-        F.length("text").cast("long").alias("n_bytes"),
-        md5_hash64(
-            F.concat_ws("|", F.col("doc_id").cast("string"), F.md5(F.col("text")))
-        ).alias("h"),
+    from annotations_ingester_spark.sinks.sharding import (
+        shard_hash_projection,
+        write_shard_manifest_partial,
     )
+
+    docs = shard_hash_projection(table(spark, sf, "documents"))
     run_dir = tempfile.mkdtemp(prefix="spark_graft_shardman_")
     feed_dir = os.path.join(run_dir, "feed")
     store = os.path.join(run_dir, "store")
     docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
 
-    from annotations_ingester_spark.sinks.sharding import write_shard_manifest_partial
-
     def land_partial(batch_df, batch_id):
         write_shard_manifest_partial(batch_df, store, batch_id)
 
-    feed_schema = spark.read.parquet(feed_dir).schema
+    feed_schema = docs.schema  # just wrote it — no re-listing job needed
     stream = (
         spark.readStream.schema(feed_schema)
         .option("maxFilesPerTrigger", "3")
@@ -703,25 +694,11 @@ def q_privacy_k_anonymity(spark: SparkSession, sf: str):
     "full-outer join.",
 )
 def q_shard_manifest_delta(spark: SparkSession, sf: str):
-    from annotations_ingester_spark.functions.hashing import md5_hash64
+    from annotations_ingester_spark.sinks.sharding import shard_hash_projection
 
     def manifest(docs):
         return (
-            docs.select(
-                (
-                    md5_hash64(
-                        F.concat_ws(
-                            ":", F.lit("sample"), F.col("doc_id").cast("string")
-                        )
-                    )
-                    % 16
-                ).alias("shard_id"),
-                md5_hash64(
-                    F.concat_ws(
-                        "|", F.col("doc_id").cast("string"), F.md5(F.col("text"))
-                    )
-                ).alias("h"),
-            )
+            shard_hash_projection(docs)
             .groupBy("shard_id")
             .agg(
                 F.count("*").cast("long").alias("n_docs"),

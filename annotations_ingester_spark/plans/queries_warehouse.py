@@ -29,10 +29,12 @@ _CENTS = "round(o_totalprice * 100)::BIGINT"
          FROM events),
        lagd AS (
          SELECT *, lag(state) OVER (PARTITION BY user_id
-                                    ORDER BY ts_s, event_id) AS prev
+                                    ORDER BY ts_s, event_id) AS prev,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_s, event_id) AS rn
          FROM e),
        runs AS (
-         SELECT *, sum(CASE WHEN prev IS NULL OR state <> prev
+         SELECT *, sum(CASE WHEN rn = 1 OR state IS DISTINCT FROM prev
                             THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
                          ROWS UNBOUNDED PRECEDING) AS version
@@ -85,7 +87,8 @@ def q_scd2(spark: SparkSession, sf: str):
          UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM d),
        latest AS (
          SELECT *, row_number() OVER (PARTITION BY o_orderkey
-                                      ORDER BY seq DESC) AS rn
+                                      ORDER BY seq DESC, op DESC,
+                                               total_cents DESC NULLS LAST) AS rn
          FROM cl)
        SELECT o_orderkey, total_cents, seq AS last_seq, op
        FROM latest WHERE rn = 1 AND op <> 'D'""",
@@ -336,7 +339,7 @@ def q_streaming_cdc_apply(spark: SparkSession, sf: str):
         # break lineage off the store path before overwriting it
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(store)
 
-    feed_schema = spark.read.parquet(feed_dir).schema
+    feed_schema = changelog.schema  # just wrote it — no re-listing job
     stream = (
         spark.readStream.schema(feed_schema)
         .option("maxFilesPerTrigger", "3")
@@ -405,7 +408,7 @@ def q_ivm_agg_maintenance(spark: SparkSession, sf: str):
         F.lit(1).alias("sign"),
         F.expr("div(cents * 11, 10)").alias("total_cents"),
     )
-    delta = retracts.unionByName(inserts).withColumn("n_orders", F.lit(1))
+    delta = retracts.unionByName(inserts)
     return maintain_agg(
         base_agg,
         delta.select("o_custkey", "sign", F.col("total_cents")),

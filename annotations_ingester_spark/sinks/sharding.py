@@ -107,6 +107,40 @@ def shard_manifest(assignments: DataFrame) -> DataFrame:
     )
 
 
+#: Shard count for the HASH-routed (streaming/delta) manifest family —
+#: distinct from the batch exporter's byte-budget packing.
+HASH_SHARD_COUNT = 16
+
+
+def shard_hash_projection(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = HASH_SHARD_COUNT,
+    salt: str = "sample",
+) -> DataFrame:
+    """The one hash-routed manifest projection — ``(id, shard_id,
+    n_bytes, h)`` with ``shard_id = hash(salt:id) % n_shards`` and the
+    content-addressed row hash. The streaming manifest, the manifest
+    delta, and their tests all consume THIS helper so the salt,
+    separator, and shard count can never drift apart from the DuckDB
+    oracles that pin them (``({_SAMPLE_HASH} % 16)`` /
+    ``md5(id || '|' || md5(text))``)."""
+    return docs.select(
+        F.col(id_col),
+        (
+            md5_hash64(
+                F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+            )
+            % n_shards
+        ).alias("shard_id"),
+        F.length(text_col).cast("long").alias("n_bytes"),
+        md5_hash64(
+            F.concat_ws("|", F.col(id_col).cast("string"), F.md5(F.col(text_col)))
+        ).alias("h"),
+    )
+
+
 def write_shard_manifest_partial(
     batch_df: DataFrame, store: str, batch_id: int
 ) -> None:

@@ -12,14 +12,16 @@ N_CASES = 40
 
 
 def _random_feed(rng: random.Random, case_id: int):
-    """A random per-user observation feed with duplicate timestamps and
-    runs of repeated states."""
+    """A random per-user observation feed with duplicate timestamps, runs
+    of repeated states, and NULL states (a NULL run must stay ONE run —
+    the eqNullSafe fix; lag-based change detection would silently merge
+    runs through NULLs)."""
     rows = []
     eid = 0
     for user in range(rng.randint(1, 4)):
         t = rng.randint(0, 5)
         for _ in range(rng.randint(1, 12)):
-            rows.append((case_id, user, rng.choice("abc"), t, eid))
+            rows.append((case_id, user, rng.choice(["a", "b", "c", None]), t, eid))
             eid += 1
             t += rng.randint(0, 3)  # 0 → same-ts ties, broken by event id
     return rows

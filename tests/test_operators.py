@@ -535,3 +535,32 @@ def test_duplicate_span_islands_merges_touching_windows(spark):
         (1, 2): (20, 24, 5, 1),
         (2, 1): (5, 9, 5, 1),
     }
+
+
+def test_kmeans_fit_large_regime_matches_driver_regime(spark, monkeypatch):
+    """The two fit loops (driver-collect cheap regime vs executor-side
+    checkpoint loop) must be bit-identical. Force the large regime by
+    zeroing the pair threshold and compare against the default path on
+    the same planted data."""
+    import numpy as np
+
+    from annotations_ingester_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(3, 8)) * 5
+    rows = []
+    for c in range(3):
+        for _ in range(8):
+            v = centers[c] + rng.normal(scale=0.1, size=8)
+            rows.append((len(rows), [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    init = emb.filter(F.col("vec_id").isin(0, 8, 16)).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    a_cheap, it_cheap = sim.kmeans_fit(emb, init, max_iterations=10, tol=1e-6)
+    cheap = sorted((r["vec_id"], r["centroid_id"]) for r in a_cheap.collect())
+    monkeypatch.setattr(sim, "CHEAP_ARGMIN_MAX_PAIRS", 0)
+    a_large, it_large = sim.kmeans_fit(emb, init, max_iterations=10, tol=1e-6)
+    large = sorted((r["vec_id"], r["centroid_id"]) for r in a_large.collect())
+    assert cheap == large
+    assert it_cheap == it_large

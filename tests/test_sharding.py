@@ -93,25 +93,13 @@ def test_streaming_manifest_partials_idempotent_under_retry(spark, tmp_path):
     read-modify-write running total would double-count."""
     from pyspark.sql import functions as F
 
-    from annotations_ingester_spark.functions.hashing import md5_hash64
     from annotations_ingester_spark.sinks.sharding import (
         fold_shard_manifest_partials,
+        shard_hash_projection,
         write_shard_manifest_partial,
     )
 
-    docs = _docs(spark).select(
-        "doc_id",
-        (
-            md5_hash64(
-                F.concat_ws(":", F.lit("sample"), F.col("doc_id").cast("string"))
-            )
-            % 16
-        ).alias("shard_id"),
-        F.length("text").cast("long").alias("n_bytes"),
-        md5_hash64(
-            F.concat_ws("|", F.col("doc_id").cast("string"), F.md5(F.col("text")))
-        ).alias("h"),
-    )
+    docs = shard_hash_projection(_docs(spark))
     b0 = docs.filter(F.col("doc_id") % 2 == 0)
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
     store = str(tmp_path / "store")
