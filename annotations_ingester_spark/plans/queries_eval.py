@@ -343,3 +343,147 @@ def q_eval_knn_label_accuracy(spark: SparkSession, sf: str):
         correct.cast("long").alias("n_correct"),
         F.round(correct.cast("double") / F.count("*"), 6).alias("accuracy"),
     )
+
+
+def _knn_pred_sql(vec_expr: str, tag: str) -> str:
+    """One 5-NN majority-vote prediction chain over ``vec_expr`` (a
+    DuckDB expression in terms of the base CTE ``b``'s column ``e``).
+    Emitted twice — exact and quantized — by eval_knn_quantized_delta."""
+    return f"""bv_{tag} AS (
+         SELECT vec_id, {vec_expr} AS v, label FROM b),
+       q_{tag} AS (SELECT vec_id AS q_id, v AS qv, label AS true_label
+                   FROM bv_{tag} WHERE vec_id % 101 = 0 AND vec_id < 2000),
+       sc_{tag} AS (
+         SELECT q.q_id, q.true_label, c.label AS c_label, c.vec_id,
+                round(CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(c.v, c.v)) > 0
+                      THEN list_dot_product(q.qv, c.v)
+                           / (sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(c.v, c.v)))
+                      ELSE 0.0 END, 6) AS cos
+         FROM bv_{tag} c, q_{tag} q WHERE c.vec_id <> q.q_id),
+       knn_{tag} AS (
+         SELECT q_id, true_label, c_label FROM (
+           SELECT q_id, true_label, c_label,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+           FROM sc_{tag}) WHERE rn <= 5),
+       votes_{tag} AS (
+         SELECT q_id, true_label, c_label, count(*) AS v
+         FROM knn_{tag} GROUP BY 1, 2, 3),
+       pred_{tag} AS (
+         SELECT q_id, true_label, c_label AS pred_label FROM (
+           SELECT q_id, true_label, c_label,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY v DESC, c_label) AS pr
+           FROM votes_{tag}) WHERE pr = 1)"""
+
+
+@register(
+    "eval_knn_quantized_delta",
+    None,  # assembled below (needs the quantize SQL helper)
+    doc="The compression bill, measured end-to-end: per-class 5-NN "
+    "majority-vote accuracy computed twice — on exact float cosine and "
+    "on int8-quantized cosine (the certified 4x-storage path) — with "
+    "the per-class delta. Composes three certified components (kNN "
+    "probe, int8 quantization, brute-force exactness tier) into the "
+    "number a team actually decides with: what does quantization cost "
+    "in downstream retrieval quality, per class? Deterministic "
+    "throughout (rank ties on vec_id, vote ties on smaller label, "
+    "round-half-up quantization). Scale shape: two broadcast-batch "
+    "scoring passes (fixed Q -> linear in N), tiny vote/metric frames.",
+)
+def q_eval_knn_quantized_delta(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+        quantize_int8,
+    )
+
+    emb = table(spark, sf, "embeddings")
+
+    def pred_for(vec_col):
+        base = emb.select(
+            "vec_id", vec_col.alias("_v"),
+            F.col("label").cast("long").alias("label"),
+        ).withColumn("_n", l2_norm("_v"))
+        qs = base.filter(
+            (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
+        ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("_v").alias("_qv"),
+            F.col("_n").alias("_qn"),
+            F.col("label").alias("true_label"),
+        )
+        pairs = base.crossJoin(F.broadcast(qs)).filter(
+            F.col("vec_id") != F.col("q_id")
+        )
+        scored = pairs.select(
+            "q_id", "true_label", F.col("label").alias("c_label"), "vec_id",
+            F.round(cosine_from_norms("_qv", "_v", "_qn", "_n"), 6).alias("cos"),
+        )
+        wr = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        knn = scored.withColumn("rn", F.row_number().over(wr)).filter(
+            F.col("rn") <= 5
+        )
+        votes = knn.groupBy("q_id", "true_label", "c_label").agg(
+            F.count("*").alias("v")
+        )
+        wp = Window.partitionBy("q_id").orderBy(F.desc("v"), F.asc("c_label"))
+        return (
+            votes.withColumn("pr", F.row_number().over(wp))
+            .filter(F.col("pr") == 1)
+            .select("q_id", "true_label", F.col("c_label").alias("pred_label"))
+        )
+
+    exact = pred_for(F.col("embedding").cast("array<double>"))
+    quant = pred_for(quantize_int8("embedding")).select(
+        "q_id", F.col("pred_label").alias("pred_label_q")
+    )
+    j = exact.join(quant, "q_id")
+    hit = lambda c: F.sum(  # noqa: E731
+        F.when(F.col(c) == F.col("true_label"), 1).otherwise(0)
+    )
+    return j.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(hit("pred_label").cast("double") / F.count("*"), 6).alias(
+            "acc_exact"
+        ),
+        F.round(hit("pred_label_q").cast("double") / F.count("*"), 6).alias(
+            "acc_quantized"
+        ),
+        F.round(
+            (hit("pred_label_q") - hit("pred_label")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("acc_delta"),
+    )
+
+
+def _knn_quantized_delta_oracle() -> str:
+    from annotations_ingester_spark.functions.vectors import quantize_int8_sql
+
+    return f"""WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+       {_knn_pred_sql('e', 'x')},
+       {_knn_pred_sql(quantize_int8_sql('e'), 'q')}
+       SELECT x.true_label::BIGINT AS label,
+              count(*)::BIGINT AS n_queries,
+              round(sum(CASE WHEN x.pred_label = x.true_label
+                             THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                AS acc_exact,
+              round(sum(CASE WHEN q.pred_label = x.true_label
+                             THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                AS acc_quantized,
+              round((sum(CASE WHEN q.pred_label = x.true_label
+                              THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN x.pred_label = x.true_label
+                               THEN 1 ELSE 0 END))::DOUBLE / count(*), 6)
+                AS acc_delta
+       FROM pred_x x JOIN pred_q q USING (q_id)
+       GROUP BY 1"""
+
+
+REGISTRY["eval_knn_quantized_delta"].oracle = _knn_quantized_delta_oracle()

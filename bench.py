@@ -130,9 +130,11 @@ HEADLINE = [
     "quantile_disc_certified",
     "privacy_k_anonymity",
     "dedup_duplicate_lines",
-    # r6 label-aware family: hard-negative mining + kNN label probe
+    # r6 label-aware family: hard-negative mining + kNN label probe +
+    # the quantization-cost probe (compression priced in accuracy)
     "ann_hard_negatives",
     "eval_knn_label_accuracy",
+    "eval_knn_quantized_delta",
 ]
 
 

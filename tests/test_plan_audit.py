@@ -57,6 +57,7 @@ CROSS_ALLOWED = {
     # baseline) and a 1-row min-class-count broadcast
     "ann_hard_negatives",
     "eval_knn_label_accuracy",
+    "eval_knn_quantized_delta",
     "label_balanced_sample",
     # final assembly of three 1-row aggregate outputs (census scalars)
     "graph_triangle_count",
@@ -235,6 +236,8 @@ SCAN_MULTIPLICITY_ALLOW = {
     "eval_langid_confusion": 3,
     "eval_knn_label_accuracy": 4,  # kNN pair sides + label/query-label
                                    # projections — all cheap pruned scans
+    "eval_knn_quantized_delta": 4, # exact + quantized kNN chains, two
+                                   # cheap pruned scans each
     # eval_lsh_precision_recall: composed ssjoin/LSH pair sets now
     # localCheckpoint'ed once (r6) — was 12; falls under the default cap
     "eval_ann_ndcg": 5,
