@@ -285,17 +285,13 @@ def simhash_signatures(
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_n: int = 3,
-    min_jaccard: float = 0.0,
+def _shingle_intersections(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
-    """Exact pairwise n-gram Jaccard for docs sharing ≥1 shingle:
-    explode distinct shingles → equi-join on shingle → |A∩B| group count;
-    |A∪B| = |A|+|B|−|A∩B|. Use on a *candidate* subset (e.g. LSH output)
-    — the shingle join is the verification step, not the discovery step."""
+    """Shared verification-tier machinery: distinct n-gram shingles per
+    doc → shingle equi-join → per-pair intersection counts with both set
+    sizes — ``(doc_a, doc_b, sz_a, sz_b, n_inter)``. Jaccard and overlap
+    coefficient are one arithmetic step on top."""
     _disable_infer_filters_from_generate(df)
     toks = _tokens_sql(text_col)
     parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(shingle_n))
@@ -320,18 +316,56 @@ def ngram_jaccard_pairs(
     b = ex.select(
         F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"), "shingle"
     )
-    inter = (
+    return (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("n_inter"))
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard for docs sharing ≥1 shingle:
+    explode distinct shingles → equi-join on shingle → |A∩B| group count;
+    |A∪B| = |A|+|B|−|A∩B|. Use on a *candidate* subset (e.g. LSH output)
+    — the shingle join is the verification step, not the discovery step."""
+    inter = _shingle_intersections(df, text_col, id_col, shingle_n)
     jac = F.round(
         F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
     ).alias("jaccard")
     out = inter.select("doc_a", "doc_b", "n_inter", jac)
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def ngram_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_overlap: float = 0.0,
+) -> DataFrame:
+    """Overlap coefficient (|A∩B| / min(|A|,|B|)) over the same shingle
+    machinery as :func:`ngram_jaccard_pairs` — the ASYMMETRIC-length
+    near-dup measure: a short document quoted verbatim inside a long one
+    scores near 1.0 here while its Jaccard stays low (union dominated by
+    the long side). The measure used for quote/containment detection next
+    to Jaccard's same-length near-dup detection. Same scale shape: one
+    shingle equi-join + group count, verification-tier usage."""
+    inter = _shingle_intersections(df, text_col, id_col, shingle_n)
+    ov = F.round(
+        F.col("n_inter") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+    ).alias("overlap")
+    out = inter.select("doc_a", "doc_b", "sz_a", "sz_b", "n_inter", ov)
+    if min_overlap > 0:
+        out = out.filter(F.col("overlap") >= min_overlap)
     return out
 
 

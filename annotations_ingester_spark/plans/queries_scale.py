@@ -1395,3 +1395,36 @@ def q_dedup_duplicate_lines(spark: SparkSession, sf: str):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "ngram_overlap_pairs",
+    f"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0),
+       d AS (SELECT doc_id, {{TOKS}} AS t FROM sub),
+       sh AS (
+         SELECT doc_id, list_distinct({{SHINGLES}}) AS s
+         FROM d WHERE len(t) >= 3),
+       sized AS (SELECT doc_id, len(s)::BIGINT AS sz, s FROM sh),
+       ex AS (SELECT doc_id, sz, unnest(s) AS shingle FROM sized),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_inter
+         FROM ex a JOIN ex b ON a.shingle = b.shingle
+         WHERE a.doc_id < b.doc_id
+         GROUP BY doc_a, doc_b, sz_a, sz_b)
+       SELECT doc_a, doc_b, sz_a, sz_b, n_inter,
+              round(n_inter / least(sz_a, sz_b), 6) AS overlap
+       FROM inter""".format(TOKS=TOKS, SHINGLES=SHINGLES),
+    doc="Overlap coefficient (|A ∩ B| / min(|A|,|B|)) over the same "
+    "candidate subset and shingle machinery as ngram_jaccard_pairs — "
+    "the ASYMMETRIC near-dup measure: a short document quoted verbatim "
+    "inside a long one scores ~1.0 here while its Jaccard stays low "
+    "(union dominated by the long side). Quote/containment detection "
+    "runs this next to Jaccard in the verification tier; same scale "
+    "shape (shingle equi-join + group count).",
+)
+def q_ngram_overlap(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import ngram_overlap_pairs
+
+    sub = table(spark, sf, "documents").filter(F.col("doc_id") % 29 == 0)
+    return ngram_overlap_pairs(sub)

@@ -565,3 +565,86 @@ def q_quantile_disc_certified(spark: SparkSession, sf: str):
             & (F.abs(F.col("approx")[1] - F.col("p95_cents")) <= 0.05 * F.col("p95_cents"))
         ).alias("sketch_within_tol"),
     )
+
+
+@register(
+    "events_winsorized_stats",
+    """WITH e AS (
+         SELECT event_type, round(value * 10000)::BIGINT AS v, event_id
+         FROM events),
+       sized AS (SELECT event_type, count(*)::BIGINT AS n FROM e GROUP BY 1),
+       ranked AS (
+         SELECT event_type, v,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY v, event_id) AS r
+         FROM e),
+       bounds AS (
+         SELECT s.event_type, s.n,
+                min(CASE WHEN r.r >= ceil(0.05 * s.n) THEN r.v END)::BIGINT AS lo,
+                min(CASE WHEN r.r >= ceil(0.95 * s.n) THEN r.v END)::BIGINT AS hi
+         FROM sized s JOIN ranked r ON s.event_type = r.event_type
+         GROUP BY s.event_type, s.n)
+       SELECT b.event_type, b.n, b.lo, b.hi,
+              sum(CASE WHEN e.v < b.lo THEN 1 ELSE 0 END)::BIGINT
+                AS n_clipped_low,
+              sum(CASE WHEN e.v > b.hi THEN 1 ELSE 0 END)::BIGINT
+                AS n_clipped_high,
+              round(CAST(sum(greatest(least(e.v, b.hi), b.lo)::DECIMAL(28,0))
+                         AS DOUBLE) / b.n / 10000, 6) AS winsorized_mean
+       FROM e JOIN bounds b ON e.event_type = b.event_type
+       GROUP BY b.event_type, b.n, b.lo, b.hi""",
+    doc="Percentile winsorization — the TRANSFORM companion to the "
+    "MAD/z-score anomaly FLAGS: per event type, clip values to the exact "
+    "rank-selected [p05, p95] (the engine-portable ceil(q*n) convention "
+    "from quantile_disc_certified; values as 4-dp fixed-point integers) "
+    "and report clip counts plus the winsorized mean (decimal-exact sum, "
+    "one rounding point). The standard robust-metric prep before "
+    "training-signal aggregation — a single fat-finger event no longer "
+    "moves the mean. Scale shape: one event_type-partitioned rank "
+    "window + a broadcast bounds join back over the data.",
+)
+def q_events_winsorized_stats(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.plans.catalog import events_table
+
+    e = events_table(spark, sf).select(
+        "event_type",
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    ranked = e.withColumn("r", F.row_number().over(w))
+    sized = e.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    bounds = (
+        ranked.join(F.broadcast(sized), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.min(
+                F.when(F.col("r") >= F.ceil(0.05 * F.col("n")), F.col("v"))
+            ).cast("long").alias("lo"),
+            F.min(
+                F.when(F.col("r") >= F.ceil(0.95 * F.col("n")), F.col("v"))
+            ).cast("long").alias("hi"),
+        )
+    )
+    clipped = F.greatest(F.least(F.col("v"), F.col("hi")), F.col("lo"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+            .cast("long").alias("n_clipped_low"),
+            F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+            .cast("long").alias("n_clipped_high"),
+            F.round(
+                F.sum(clipped.cast("decimal(28,0)")).cast("double")
+                / F.col("n") / 10000,
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type", "n", "lo", "hi",
+            "n_clipped_low", "n_clipped_high", "winsorized_mean",
+        )
+    )

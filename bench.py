@@ -135,6 +135,9 @@ HEADLINE = [
     "ann_hard_negatives",
     "eval_knn_label_accuracy",
     "eval_knn_quantized_delta",
+    # r6: asymmetric containment near-dups + robust-metric winsorization
+    "ngram_overlap_pairs",
+    "events_winsorized_stats",
 ]
 
 

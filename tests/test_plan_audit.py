@@ -233,6 +233,7 @@ SCAN_MULTIPLICITY_ALLOW = {
     "stats_chi_square_independence": 6,  # observed + two marginals + total
     "sketch_mergeable_rollup": 3,
     "events_anomaly_mad": 4,       # median-of-median branches
+    "events_winsorized_stats": 3,  # ranked + sized + clip-pass branches
     "eval_langid_confusion": 3,
     "eval_knn_label_accuracy": 4,  # kNN pair sides + label/query-label
                                    # projections — all cheap pruned scans
