@@ -44,9 +44,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # After r05 the union holds 150 names, leaving the 13 _QUEUED_LATE
 # queries (stats ×8, streaming_cdc_apply, dedup_span_islands, eval ×3)
 # as the only uncovered set — they fill the front of the r6 window, with
-# up to 37 slots left for round-6 additions. tools/parity.py (all
-# queries, asserted in pytest via test_oracle_parity.py) remains the
-# registry-wide compensating control — 163/163 hash-matched at sf0.01.
+# slots left for later additions. tools/parity.py (all queries, asserted
+# in pytest via test_oracle_parity.py) remains the registry-wide
+# compensating control — every registry query hash-matched at sf0.01 on
+# its certifying round's full sweep. (Counts are deliberately not
+# hard-coded here: two rounds running, a hand-typed total drifted from
+# the live registry — test_registry_complete.py now rejects stale
+# numerals in this file and COVERAGE.md.)
 _OFFICIALLY_COVERED = {
     "a1_doc_count", "a2_filtered_count_exists", "a3_collect_list_per_group",
     "agg_grouping_sets", "agg_rollup", "agg_statistics", "ann_bucketed_topk",

@@ -97,21 +97,28 @@ def apply_changelog(
     all_rows = base_cl.unionByName(changes)
     # Deterministic winner even under pathological inputs (a changelog row
     # with seq<=0 tying the synthesized base row, or duplicate seqs per
-    # key): after seq desc, break ties on op then every ORDERABLE value
-    # column, so the same winner emerges across runs, partitionings, and
-    # engines (map-typed columns are not orderable and are skipped — rows
-    # identical on all orderable columns are treated as interchangeable).
-    unorderable = ("map",)
+    # key): after seq desc then op desc, break remaining ties with ONE
+    # synthesized comparison — md5 over every value column cast to string
+    # (field separator + NULL sentinel keep the pre-image unambiguous).
+    # One hash comparison replaces the former O(columns) ORDER BY, and a
+    # string-cast handles ANY column type — including maps and nested
+    # maps, which Spark rejects as window ORDER BY keys. The identical
+    # expression is mirrored into the DuckDB oracle (parity-symmetry
+    # rule), so for value columns whose string casts agree across engines
+    # (all primitive types) the same winner emerges across runs,
+    # partitionings, and engines. Rows identical on every value column
+    # hash identically and are interchangeable.
     value_cols = [
-        c
-        for c, t in all_rows.dtypes
-        if c not in (*key_cols, seq_col, op_col)
-        and not t.startswith(unorderable)
+        c for c in all_rows.columns if c not in (*key_cols, seq_col, op_col)
     ]
+    tiebreak = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in value_cols],
+        )
+    )
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(seq_col).desc(),
-        F.col(op_col).desc(),
-        *[F.col(c).desc_nulls_last() for c in value_cols],
+        F.col(seq_col).desc(), F.col(op_col).desc(), tiebreak.asc()
     )
     latest = (
         all_rows.withColumn("_rn", F.row_number().over(w))

@@ -491,7 +491,17 @@ def _fit_loop_driver(
         raise ValueError(
             "kmeans_fit: centroid set is empty — initial_centroids had no rows"
         )
-    schema = f"{centroid_id_col} long, {vec_col} array<double>"
+    # Rebuild centroid frames with the caller's ACTUAL id type (string
+    # centroid ids are as valid here as in the checkpoint regime — the
+    # cheap path must not narrow the API to long ids).
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(centroid_id_col, cent.schema[centroid_id_col].dataType),
+            StructField(vec_col, ArrayType(DoubleType())),
+        ]
+    )
     iterations = 0
     cent_df = cent
     for _ in range(max_iterations):

@@ -24,8 +24,9 @@ import annotations_ingester_spark.plans.queries_stats  # noqa: F401,E402
 import annotations_ingester_spark.plans.queries_eval  # noqa: F401,E402  (last: composes earlier oracles)
 
 # Floor, not exact count: adding queries must not break this, losing a whole
-# group module must. Keep >= the registry size at the last certified round.
-EXPECTED_MIN_QUERIES = 163
+# group module must. Keep >= the registry size at the last certified round
+# (r06 certified all 179 then-registered queries).
+EXPECTED_MIN_QUERIES = 179
 
 if len(REGISTRY) < EXPECTED_MIN_QUERIES:  # pragma: no cover - guard
     raise RuntimeError(

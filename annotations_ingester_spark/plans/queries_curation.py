@@ -516,7 +516,7 @@ _SHARD_ROW_HASH = md5_hash64_sql("doc_id::VARCHAR || '|' || md5(text)")
     "corpus_shard_manifest",
     f"""WITH d AS (
           SELECT doc_id, {_SAMPLE_HASH} AS rk,
-                 length(text)::BIGINT AS n_bytes,
+                 octet_length(encode(text))::BIGINT AS n_bytes,
                  {_SHARD_ROW_HASH} AS h
           FROM documents),
         o AS (
@@ -562,7 +562,7 @@ def q_corpus_shard_manifest(spark: SparkSession, sf: str):
     "streaming_shard_manifest",
     f"""WITH d AS (
           SELECT doc_id, ({_SAMPLE_HASH} % 16)::BIGINT AS shard_id,
-                 length(text)::BIGINT AS n_bytes,
+                 octet_length(encode(text))::BIGINT AS n_bytes,
                  {_SHARD_ROW_HASH} AS h
           FROM documents)
         SELECT shard_id, count(*)::BIGINT AS n_docs,

@@ -523,7 +523,15 @@ def q_bpe_pairs(spark: SparkSession, sf: str):
     "certification flag that Spark's mergeable percentile_approx sketch "
     "(accuracy 10000, the structure a 1000-executor rollup would merge "
     "map-side) lands within 5% of the exact value. The oracle recomputes "
-    "the exact quantiles and expects every group certified. Scale shape: "
+    "the exact quantiles and expects every group certified. DELIBERATE "
+    "one-sided certification: the oracle hardcodes sketch_within_tol = "
+    "TRUE, so parity rests on percentile_approx(accuracy=10000) actually "
+    "landing within 5% at the tested scale factors — a data-distribution "
+    "property, not a pinned equality. That is the point of the query (a "
+    "parity failure here IS the sketch's error envelope being violated "
+    "and should fail loudly); at accuracy 10000 the rank error bound is "
+    "n/10000, orders of magnitude inside 5% of these distributions at "
+    "every shipped sf. Scale shape: "
     "exact tier = one priority-partitioned window (bounded: 5 groups); "
     "sketch tier = one map-side-combinable aggregate — at 100 TB only "
     "the sketch runs, and this query is the standing proof of its error "

@@ -86,9 +86,10 @@ def q_scd2(spark: SparkSession, sf: str):
          SELECT * FROM base UNION ALL SELECT * FROM u1
          UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM d),
        latest AS (
-         SELECT *, row_number() OVER (PARTITION BY o_orderkey
-                                      ORDER BY seq DESC, op DESC,
-                                               total_cents DESC NULLS LAST) AS rn
+         SELECT *, row_number() OVER (
+                     PARTITION BY o_orderkey
+                     ORDER BY seq DESC, op DESC,
+                              md5(coalesce(total_cents::VARCHAR, chr(0))) ASC) AS rn
          FROM cl)
        SELECT o_orderkey, total_cents, seq AS last_seq, op
        FROM latest WHERE rn = 1 AND op <> 'D'""",

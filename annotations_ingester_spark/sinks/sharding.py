@@ -62,7 +62,11 @@ def shard_assignments(
     d = docs.select(
         F.col(id_col),
         rk.alias("_rk"),
-        F.length(text_col).cast("long").alias("n_bytes"),
+        # octet_length, not length: shard budgets are BYTE budgets
+        # (shard_bytes packs UTF-8 payloads); char counting would let
+        # non-ASCII corpora overflow a shard by up to 4x. The DuckDB
+        # oracles mirror this as octet_length(encode(text)).
+        F.octet_length(text_col).cast("long").alias("n_bytes"),
         md5_hash64(
             F.concat_ws("|", F.col(id_col).cast("string"), F.md5(F.col(text_col)))
         ).alias("h"),
@@ -134,7 +138,8 @@ def shard_hash_projection(
             )
             % n_shards
         ).alias("shard_id"),
-        F.length(text_col).cast("long").alias("n_bytes"),
+        # byte sizing, mirrored in the oracles as octet_length(encode(..))
+        F.octet_length(text_col).cast("long").alias("n_bytes"),
         md5_hash64(
             F.concat_ws("|", F.col(id_col).cast("string"), F.md5(F.col(text_col)))
         ).alias("h"),
@@ -190,7 +195,14 @@ def export_shards(
     ``{out_dir}/manifest/`` (one row per shard). Returns the manifest
     DataFrame re-read from disk. Re-running on the same corpus rewrites
     identical shard contents and an identical manifest."""
-    asg = shard_assignments(docs, shard_bytes, id_col=id_col, text_col=text_col)
+    # The assignment lineage (a corpus scan + the prefix-sum window) feeds
+    # BOTH the shard write (join below) and the manifest — materialize the
+    # narrow (id, _rk, n_bytes, h, byte_start, shard_id) frame once so the
+    # export costs one assignment pass, not two (the consumed-twice class
+    # the scan-multiplicity audit pins for registered queries).
+    asg = shard_assignments(
+        docs, shard_bytes, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
     rows = docs.join(asg.select(id_col, "_rk", "shard_id"), id_col)
     (
         rows.repartition("shard_id")

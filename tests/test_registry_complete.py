@@ -94,3 +94,26 @@ def test_covered_from_disk_floor():
     # would resurface certified names into the window and displace debt.
     mod = _entry_module()
     assert len(mod._covered_from_disk()) >= 150
+
+
+def test_no_stale_registry_counts_in_docs():
+    # Hand-typed registry totals drifted from the live registry twice
+    # (r5: 159-vs-163; r6: COVERAGE.md 177-vs-179, gate note 163-vs-179).
+    # The numerals were removed; this test keeps them out: any "N/N
+    # hash-matched" or "N queries hash-match" claim reappearing in the
+    # two docs must equal the live registry size.
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    pat = re.compile(
+        r"(\d{2,4})\s*/\s*\1\s+hash-match|(\d{2,4})\s+queries\s+hash-match"
+    )
+    for doc in ("COVERAGE.md", "__spark_entry__.py"):
+        text = (root / doc).read_text()
+        for m in pat.finditer(text):
+            claimed = int(m.group(1) or m.group(2))
+            assert claimed == len(REGISTRY), (
+                f"{doc} claims {claimed} certified queries but the registry "
+                f"holds {len(REGISTRY)} — derive the number or drop it"
+            )

@@ -102,6 +102,53 @@ def test_apply_changelog_matches_naive_replay(spark):
     assert got == set(state.items())
 
 
+def test_apply_changelog_handles_nested_map_columns(spark):
+    # Regression (r6 ADVICE): the deterministic tiebreak used to put every
+    # "orderable" value column in the window ORDER BY, detecting maps by a
+    # dtype-string prefix — so NESTED maps (array<map<..>>) slipped through
+    # and Spark raised AnalysisException. The hash tiebreak casts columns
+    # to string, which handles any type.
+    from annotations_ingester_spark.operators.changefeed import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, [{"a": 1}]), (2, [{"b": 2}])],
+        "k long, tags array<map<string,int>>",
+    )
+    changes = spark.createDataFrame(
+        [(2, [{"b": 9}], 1, "U"), (1, None, 1, "D")],
+        "k long, tags array<map<string,int>>, seq long, op string",
+    )
+    rows = {
+        r.k: r.tags
+        for r in apply_changelog(base, changes, ["k"], "seq").collect()
+    }
+    assert set(rows) == {2} and rows[2] == [{"b": 9}]
+
+
+def test_kmeans_fit_cheap_regime_string_centroid_ids(spark):
+    # Regression (r6 ADVICE): the cheap-regime driver loop hardcoded the
+    # rebuilt-centroid schema as `<id> long`, so string centroid ids
+    # worked in the checkpoint regime but failed in the cheap one — a
+    # regime-dependent API narrowing. Schema is now taken from the input.
+    from annotations_ingester_spark.operators.similarity import kmeans_fit
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5)]) for i in range(30)],
+        "vec_id long, emb array<double>",
+    )
+    cents = spark.createDataFrame(
+        [("ca", [0.0, 0.0]), ("cb", [2.0, 4.0])],
+        "centroid_id string, emb array<double>",
+    )
+    assign, iters = kmeans_fit(
+        emb, cents, id_col="vec_id", vec_col="emb",
+        centroid_id_col="centroid_id", max_iterations=3,
+    )
+    got = assign.collect()
+    assert len(got) == 30 and iters >= 1
+    assert {r.centroid_id for r in got} <= {"ca", "cb"}
+
+
 # ---- snapshot diff ----------------------------------------------------------
 
 
