@@ -258,7 +258,10 @@ def average_hash_gray(gray_rows: list[bytes], w: int, h: int) -> int:
     for i, v in enumerate(cells):
         if v * 64 >= total:
             bits |= 1 << i
-    return bits - (1 << 63) if bits >= (1 << 63) else bits
+    # two's-complement fold to a signed BIGINT (subtract 2^64, NOT 2^63 —
+    # the latter silently cleared bit 63, caught by the gray8_png
+    # round-trip test when patterns with the top bit set first appeared)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
 def decode_pixels(payload: bytes, kind: str) -> dict[str, Any]:
@@ -313,6 +316,81 @@ def decode_pixels(payload: bytes, kind: str) -> dict[str, Any]:
     ]
     out["phash"] = average_hash_gray(gray_rows, img.width, img.height)
     return out
+
+
+def gray8_png(pattern: int) -> bytes:
+    """Build a REAL 8×8 8-bit grayscale PNG (valid chunks + CRCs, zlib
+    IDAT) whose pixel at (y, x) is 255 iff bit ``y*8 + x`` of ``pattern``
+    is set, else 0. Because :func:`average_hash_gray` box-means an 8×8
+    image cell-per-pixel and sets bit i iff cell ≥ mean, the decoded
+    phash equals ``pattern`` exactly whenever popcount(pattern) ≥ 1 —
+    which is what lets an oracle PREDICT the phash of a synthesized
+    image arithmetically and certify the whole decode→phash→band
+    pipeline end to end."""
+    import zlib
+
+    u = pattern & 0xFFFFFFFFFFFFFFFF
+    raw = b"".join(
+        b"\x00" + bytes(255 if (u >> (y * 8 + x)) & 1 else 0 for x in range(8))
+        for y in range(8)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)  # 8×8, depth 8, gray
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_pattern_images(
+    df: DataFrame, id_col: str = "media_id", pattern_col: str = "pattern"
+) -> DataFrame:
+    """Arrow-batched image synthesizer: (id, 64-bit pattern) → real PNG
+    payload rows ``(media_id, payload, meta)``. The ingest-side stand-in
+    for a crawler's image fetch — payload bytes are produced inside the
+    row's own partition (no shuffle, no driver loop), so the downstream
+    decode path is exercised on genuine PNG bytes at any scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_id"].to_numpy(),
+                    "payload": [gray8_png(int(p)) for p in pdf["_pattern"]],
+                    "kind": "image",
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.pyfiles import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    slim = df.select(
+        F.col(id_col).alias("_id"), F.col(pattern_col).alias("_pattern")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("kind", T.StringType(), False),
+        ]
+    )
+    return slim.mapInPandas(run, schema=out_schema).select(
+        "media_id",
+        "payload",
+        F.struct(F.col("kind")).alias("meta"),
+    )
 
 
 PIXEL_FIELDS = T.StructType(

@@ -524,6 +524,66 @@ def simhash_near_dup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def hash64_near_dup_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bands: int = 5,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Hamming-banded near-dup pairs over ANY 64-bit fingerprint column
+    (perceptual image hash, SimHash-64, …): split the fingerprint into
+    ``n_bands`` contiguous bit bands, equi-join on (band_index,
+    band_bits), verify candidates by exact ``bit_count(xor)`` ≤
+    ``max_hamming``. Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Recall is EXACT, not approximate: ``max_hamming`` differing bits can
+    touch at most ``max_hamming`` bands, so any qualifying pair shares at
+    least one untouched band whenever ``max_hamming < n_bands``
+    (pigeonhole) — enforced by assertion. Never an all-pairs scan.
+
+    Scale shape / band-width trade: bucket space is
+    ``n_bands × 2^ceil(64/n_bands)``. The default 5×13-bit bands give
+    ~41 k buckets (certifying Hamming ≤ 4); billion-image corpora tune
+    toward fewer, wider bands (4×16 bits → 262 k buckets, threshold ≤ 3)
+    or band-pair multi-probe — the simhash lesson (15-bit bands beat
+    8-bit byte bands 128× on candidate volume) applies unchanged.
+    """
+    if not 1 <= max_hamming < n_bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    width = -(-64 // n_bands)  # ceil: last band simply holds the leftover bits
+    mask = (1 << width) - 1
+    bands = sig.select(
+        F.col(id_col),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band,"
+                f" (shiftright({hash_col}, b * {width}) & {mask}) AS bits))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "_h", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("_h").alias("h_a"), "band", "bits"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("_h").alias("h_b"), "band", "bits"
+    )
+    pairs = (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -1428,3 +1428,82 @@ def q_ngram_overlap(spark: SparkSession, sf: str):
 
     sub = table(spark, sf, "documents").filter(F.col("doc_id") % 29 == 0)
     return ngram_overlap_pairs(sub)
+
+
+_PHASH_BASE = "(" + HASH.format(e="'phash:' || g::VARCHAR") + " | 1)"
+
+
+@register(
+    "media_phash_near_dup_pairs",
+    f"""WITH img AS (
+         SELECT doc_id, (doc_id // 4)::BIGINT AS g, (doc_id % 4)::BIGINT AS m
+         FROM documents),
+       pat AS (
+         SELECT doc_id,
+                xor(xor({_PHASH_BASE},
+                        CASE WHEN m IN (1, 3)
+                             THEN (1::BIGINT << (g % 59 + 1)::INT)
+                             ELSE 0::BIGINT END),
+                    CASE WHEN m IN (2, 3)
+                         THEN (1::BIGINT << ((g * 7 + 3) % 59 + 1)::INT)
+                         ELSE 0::BIGINT END) AS phash
+         FROM img)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+       FROM pat a JOIN pat b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.phash, b.phash)) <= 4""",
+    doc="Image near-duplicate pairs via Hamming-banded LSH over the 64-bit "
+    "perceptual hash — run END TO END on real bytes: every doc_id becomes "
+    "a genuine 8x8 grayscale PNG (valid chunks/CRCs/zlib IDAT, built "
+    "in-partition by mapInPandas) whose pixel pattern is an arithmetic "
+    "function of doc_id (groups of 4 share an md5-derived base pattern; "
+    "members flip 0-2 known bits, so intra-group Hamming <= 2 by "
+    "construction); the vendored pure-stdlib PNG decoder recovers pixels, "
+    "average-hash folds them to the 64-bit phash (provably equal to the "
+    "planted pattern), and hash64_near_dup_pairs bands the phash 5x13 "
+    "bits, equi-joins on (band, bits), and verifies candidates by exact "
+    "bit_count(xor) <= 4 — never all-pairs, recall EXACT by pigeonhole "
+    "(4 flipped bits cannot touch all 5 bands). The oracle predicts every "
+    "phash arithmetically and computes the literal Hamming-threshold "
+    "cross join (ground-truth tier, fine at parity scale factors; the "
+    "banded side is the one that runs on a corpus). A hash match "
+    "certifies synth -> decode -> phash -> band -> verify end to end. "
+    "Scale: bucket space n_bands * 2^13 ~= 41k; billion-image corpora "
+    "widen bands (4x16 -> threshold 3) or multi-probe, same machinery.",
+)
+def q_media_phash_near_dup(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.multimodal.media import (
+        decode_content,
+        synth_pattern_images,
+    )
+    from annotations_ingester_spark.operators.dedup import hash64_near_dup_pairs
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    base = F.expr(
+        "CAST(conv(substring(md5(concat('phash:', CAST(g AS STRING))), 1, 15),"
+        " 16, 10) AS BIGINT) | CAST(1 AS BIGINT)"
+    )
+    imgs = (
+        docs.withColumn("g", F.expr("CAST(doc_id DIV 4 AS BIGINT)"))
+        .withColumn("m", F.expr("CAST(doc_id % 4 AS BIGINT)"))
+        .withColumn("base", base)
+        .withColumn(
+            "pattern",
+            F.expr(
+                "base"
+                " ^ (CASE WHEN m IN (1, 3)"
+                "     THEN shiftleft(CAST(1 AS BIGINT), CAST(g % 59 + 1 AS INT))"
+                "     ELSE CAST(0 AS BIGINT) END)"
+                " ^ (CASE WHEN m IN (2, 3)"
+                "     THEN shiftleft(CAST(1 AS BIGINT),"
+                "                    CAST((g * 7 + 3) % 59 + 1 AS INT))"
+                "     ELSE CAST(0 AS BIGINT) END)"
+            ),
+        )
+        .select(F.col("doc_id").alias("media_id"), "pattern")
+    )
+    media = synth_pattern_images(imgs)
+    decoded = decode_content(media).select("media_id", "phash")
+    return hash64_near_dup_pairs(
+        decoded, id_col="media_id", hash_col="phash", n_bands=5, max_hamming=4
+    )

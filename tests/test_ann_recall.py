@@ -171,3 +171,68 @@ def test_simhash_banding_recall_on_planted_near_dups(planted_docs):
     print(f"simhash-band planted recall: {recall:.3f} "
           f"({len(within_guarantee)} pairs within the Hamming<=3 guarantee)")
     assert recall >= 0.6, recall
+
+
+def test_hash64_banding_exact_recall_vs_brute_force(spark):
+    """hash64_near_dup_pairs' pigeonhole claim, checked against brute
+    force: on random-ish 64-bit fingerprints with planted <=4-bit
+    perturbations, the banded join returns EXACTLY the set of pairs at
+    Hamming <= 4 — recall 1.0 AND no extras (the verify filter prunes
+    band-collision false candidates)."""
+    import hashlib
+
+    from annotations_ingester_spark.operators.dedup import hash64_near_dup_pairs
+
+    def h64(s: str) -> int:
+        v = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) | 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = []
+    for g in range(40):
+        base = h64(f"g{g}")
+        for m in range(4):
+            flips = 0
+            if m in (1, 3):
+                flips ^= 1 << (1 + g % 59)
+            if m in (2, 3):
+                flips ^= (1 << (2 + g % 57)) | (1 << (3 + g % 53))
+            rows.append((g * 4 + m, base ^ flips))
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hash64_near_dup_pairs(
+            df, id_col="doc_id", hash_col="h", n_bands=5, max_hamming=4
+        ).collect()
+    }
+    exact = set()
+    for i, (ida, ha) in enumerate(rows):
+        for idb, hb in rows[i + 1 :]:
+            d = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= 4:
+                exact.add((min(ida, idb), max(ida, idb), d))
+    assert got == exact and len(exact) >= 40 * 4  # regime exercised
+
+
+def test_hash64_banding_rejects_unguaranteed_threshold():
+    import pytest
+
+    from annotations_ingester_spark.operators.dedup import hash64_near_dup_pairs
+
+    with pytest.raises(ValueError):
+        hash64_near_dup_pairs(None, "i", "h", n_bands=4, max_hamming=4)
+
+
+def test_gray8_png_roundtrip_phash_equals_pattern():
+    """gray8_png builds a REAL PNG; the vendored decoder + average hash
+    must recover the planted 64-bit pattern bit-for-bit (the identity the
+    media_phash_near_dup_pairs oracle relies on)."""
+    from annotations_ingester_spark.multimodal.media import (
+        average_hash_gray,
+        gray8_png,
+        png_decode_gray,
+    )
+
+    for pattern in (1, -1, 0x0123456789ABCDEF | 1, (-1 << 40) | 0xF0F1):
+        w, h, mode, rows = png_decode_gray(gray8_png(pattern))
+        assert (w, h, mode) == (8, 8, "L")
+        assert average_hash_gray(rows, w, h) == pattern

@@ -434,7 +434,7 @@ def test_decode_content_png_hermetic(spark):
     assert out[2]["mode"] == "L" and out[2]["phash"] is not None
     assert out[1]["phash"] != out[2]["phash"]
     # flat image: every cell equals the mean -> all 64 bits set (signed)
-    assert out[1]["phash"] == (2**64 - 1) - (1 << 63)
+    assert out[1]["phash"] == -1  # all 64 bits set, as a signed BIGINT
     assert out[3]["format"] is None and out[3]["digest"]  # degrade, not raise
 
 
