@@ -772,3 +772,92 @@ def q_label_balanced_sample(spark: SparkSession, sf: str):
         .filter(F.col("rn") <= F.col("m"))
         .select("vec_id", F.col("label").cast("long").alias("label"))
     )
+
+
+_MIX_HASH = md5_hash64_sql("'mixsample:' || doc_id::VARCHAR")
+
+
+@register(
+    "mixture_temperature_sample",
+    f"""WITH c AS (SELECT lang, count(*)::BIGINT AS n_d
+          FROM documents GROUP BY lang),
+        mn AS (SELECT min(n_d)::BIGINT AS n_min FROM c),
+        q AS (
+          SELECT lang, n_d,
+                 floor(sqrt((n_d * mn.n_min)::DOUBLE))::BIGINT AS quota
+          FROM c, mn),
+        r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY {_MIX_HASH}, doc_id) AS rn
+          FROM documents)
+        SELECT r.doc_id, r.lang, r.rn::BIGINT AS domain_rank, q.quota
+        FROM r JOIN q ON r.lang = q.lang
+        WHERE r.rn <= q.quota""",
+    doc="Temperature-based mixture resampling (the Pile/Gopher domain "
+    "reweighting step, domain = language here — the skewed axis of this "
+    "corpus): per-domain keep quotas m_d = n_d^a * n_min^(1-a) "
+    "with the temperature PINNED at a = 1/2 — the resampled mixture is "
+    "proportional to n_d^a (sub-linear, flattens dominant domains) and "
+    "the normalization constant is chosen so the smallest domain is kept "
+    "whole (keep rate (n_min/n_d)^(1-a) <= 1, no cross-domain float sum "
+    "to normalize). a = 1/2 is a correctness choice, not just a config "
+    "default: the quota is floor(sqrt(n_d * n_min)) over integers, and "
+    "IEEE-754 requires sqrt to be correctly rounded — so both engines "
+    "compute bit-identical quotas, where an arbitrary pow(p, 0.7) "
+    "tiebreak could drift a cutoff by one ulp (products stay < 2^53 at "
+    "any tested sf; a 100 TB deployment computes quotas in DECIMAL). "
+    "Members are chosen by the stable per-row hash rank within each "
+    "domain (same determinism contract as weighted_downsample / "
+    "label_balanced_sample), computed in BOUNDED windows: rank within "
+    "(source, 256-hash-bucket) partitions in parallel, then per-bucket "
+    "offsets (a tiny per-source running sum) broadcast back — the "
+    "corpus_shuffle_order prefix-sum pattern per domain, so no window "
+    "partition ever holds a whole domain at 100 TB. Tiny aggregates "
+    "(domain counts, quotas) broadcast onto the scan.",
+)
+def q_mixture_temperature_sample(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    rk = md5_hash64(
+        F.concat_ws(":", F.lit("mixsample"), F.col("doc_id").cast("string"))
+    )
+    # One corpus scan total: the narrow (doc_id, lang, _rk, _bucket) frame
+    # is materialized once and feeds the rank window, the bucket counts,
+    # AND (via a rollup of the bucket counts) the domain totals/quotas —
+    # the consumed-N-times class the scan-multiplicity audit pins.
+    d = (
+        table(spark, sf, "documents")
+        .select("doc_id", "lang")
+        .withColumn("_rk", rk)
+        .withColumn("_bucket", F.shiftright("_rk", 52))  # 256 hash ranges
+        .localCheckpoint(eager=True)
+    )
+    bcounts = d.groupBy("lang", "_bucket").agg(F.count("*").alias("_n"))
+    counts = bcounts.groupBy("lang").agg(F.sum("_n").cast("long").alias("n_d"))
+    n_min = counts.agg(F.min("n_d").cast("long").alias("n_min"))
+    quotas = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(F.sqrt((F.col("n_d") * F.col("n_min")).cast("double")))
+        .cast("long")
+        .alias("quota"),
+    )
+    w_in = Window.partitionBy("lang", "_bucket").orderBy(
+        F.asc("_rk"), F.asc("doc_id")
+    )
+    ranked = d.withColumn("_rn", F.row_number().over(w_in))
+    w_off = Window.partitionBy("lang").orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bcounts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("lang", "_bucket", "_off")
+    return (
+        ranked.join(F.broadcast(offsets), ["lang", "_bucket"])
+        .withColumn("domain_rank", (F.col("_off") + F.col("_rn")).cast("long"))
+        .join(F.broadcast(quotas), "lang")
+        .filter(F.col("domain_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "domain_rank", "quota")
+    )

@@ -1507,3 +1507,66 @@ def q_media_phash_near_dup(spark: SparkSession, sf: str):
     return hash64_near_dup_pairs(
         decoded, id_col="media_id", hash_col="phash", n_bands=5, max_hamming=4
     )
+
+
+@register(
+    "layout_dpp_cert",
+    """SELECT TRUE AS dpp_pruned,
+              count(*)::BIGINT AS n_rows,
+              sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents_checksum
+       FROM orders
+       WHERE o_orderdate >= DATE '1994-01-01'
+         AND o_orderdate < DATE '1995-01-01'""",
+    doc="Dynamic partition pruning, run for real and certified from the "
+    "physical plan — the fourth leg of the layout family (z-order file "
+    "pruning, bucketed shuffle-free join, compaction are already "
+    "certified): the orders fact is written partitionBy(month) to a "
+    "run-unique temp path, a small month dimension is written as plain "
+    "parquet, and the fact is joined to the dim under a selective dim "
+    "predicate (dim_year = 1994). The certification flag asserts the "
+    "EXECUTED fact scan carries a dynamicpruning partition filter — "
+    "Spark runs the dim side first (reusing its broadcast), collects the "
+    "surviving join keys, and prunes fact partitions BEFORE listing/"
+    "reading them. On a date-partitioned 100 TB fact this is the single "
+    "biggest scan-saver there is: a 12-of-84-month dim filter means "
+    "~86% of the fact's files are never opened, with no explicit date "
+    "predicate on the fact side. The checksum proves the pruned join "
+    "returns exactly the rows the oracle's plain date-range scan "
+    "returns. Run-unique paths + cleanup keep concurrent runs isolated "
+    "(same discipline as layout_bucketed_join_cert).",
+)
+def q_layout_dpp_cert(spark: SparkSession, sf: str):
+    import shutil
+    import tempfile
+
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_dpp_")
+    fact = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    fact.write.mode("overwrite").partitionBy("month").parquet(f"{run_dir}/fact")
+    dim = spark.sql(
+        """SELECT date_format(m, 'yyyy-MM') AS month, year(m) AS dim_year
+           FROM (SELECT explode(sequence(DATE '1992-01-01', DATE '1998-12-01',
+                                         INTERVAL 1 MONTH)) AS m)"""
+    )
+    dim.write.mode("overwrite").parquet(f"{run_dir}/dim")
+    try:
+        f = spark.read.parquet(f"{run_dir}/fact")
+        d = spark.read.parquet(f"{run_dir}/dim").filter(F.col("dim_year") == 1994)
+        joined = f.join(d, "month")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        dpp = "dynamicpruning" in plan
+        result = (
+            joined.groupBy()
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("cents_checksum"),
+            )
+            .select(F.lit(dpp).alias("dpp_pruned"), "n_rows", "cents_checksum")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return result

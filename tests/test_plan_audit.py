@@ -63,6 +63,9 @@ CROSS_ALLOWED = {
     "graph_triangle_count",
     # 1-row global min/max stats broadcast back over the data for bucketing
     "profile_histogram_totalprice",
+    # 1-row n_min (smallest-domain count) broadcast onto the per-domain
+    # quota table — the temperature-sampling normalization scalar
+    "mixture_temperature_sample",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
@@ -150,6 +153,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # inherits ssjoin_jaccard_prefix's vocab-bounded global token rank
     # (its exact-truth side composes that certified query)
     "eval_lsh_precision_recall",
+    # rank window derived AFTER TakeOrderedAndProject limit(30) — the
+    # top-30 token rows, never the exploded token stream
+    "bpe_token_histogram",
 }
 
 
