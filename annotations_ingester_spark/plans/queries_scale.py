@@ -1545,7 +1545,12 @@ def q_layout_dpp_cert(spark: SparkSession, sf: str):
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
     )
-    fact.write.mode("overwrite").partitionBy("month").parquet(f"{run_dir}/fact")
+    # repartition on the partition column first: one file per partition
+    # instead of tasks × partitions tiny files (the small-files trap every
+    # dynamic-partition write at scale must dodge)
+    fact.repartition("month").write.mode("overwrite").partitionBy("month").parquet(
+        f"{run_dir}/fact"
+    )
     dim = spark.sql(
         """SELECT date_format(m, 'yyyy-MM') AS month, year(m) AS dim_year
            FROM (SELECT explode(sequence(DATE '1992-01-01', DATE '1998-12-01',

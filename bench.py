@@ -138,6 +138,16 @@ HEADLINE = [
     # r6: asymmetric containment near-dups + robust-metric winsorization
     "ngram_overlap_pairs",
     "events_winsorized_stats",
+    # r7: image phash near-dup banding (synth+decode+band end to end),
+    # dynamic-partition-pruning cert, BPE encode + real-token packing
+    # (the histogram is NOT a headline row: it re-runs the same encode
+    # fold as bpe_encode_tokens plus a cheap top-30 — visible through its
+    # component), and temperature mixture resampling
+    "media_phash_near_dup_pairs",
+    "layout_dpp_cert",
+    "bpe_encode_tokens",
+    "bpe_sequence_packing",
+    "mixture_temperature_sample",
 ]
 
 
