@@ -487,3 +487,76 @@ def _knn_quantized_delta_oracle() -> str:
 
 
 REGISTRY["eval_knn_quantized_delta"].oracle = _knn_quantized_delta_oracle()
+
+
+_CONF_HASH = "('0x' || substr(md5('conf:' || vec_id::VARCHAR), 1, 15))::BIGINT"
+_OUT_HASH = "('0x' || substr(md5('outcome:' || vec_id::VARCHAR), 1, 15))::BIGINT"
+
+
+@register(
+    "eval_calibration_bins",
+    f"""WITH p AS (
+         SELECT vec_id,
+                ({_CONF_HASH} % 10000)::BIGINT AS conf_bp,
+                CASE WHEN ({_OUT_HASH} % 10000) <
+                          (({_CONF_HASH} % 10000) * 9) // 10 + 500
+                     THEN 1 ELSE 0 END::BIGINT AS correct
+         FROM embeddings),
+       b AS (
+         SELECT conf_bp // 1000 AS bin,
+                count(*)::BIGINT AS n,
+                sum(conf_bp)::BIGINT AS sum_conf_bp,
+                sum(correct)::BIGINT AS n_correct
+         FROM p GROUP BY 1)
+       SELECT bin::BIGINT AS bin, n,
+              round(sum_conf_bp * 1.0 / n, 2) AS avg_conf_bp,
+              round(n_correct * 10000.0 / n, 2) AS acc_bp,
+              round(abs(sum_conf_bp * 1.0 / n - n_correct * 10000.0 / n), 2)
+                AS gap_bp
+       FROM b""",
+    doc="Calibration audit (the per-bin decomposition of Expected "
+    "Calibration Error): a scored prediction stream — confidences and "
+    "outcomes synthesized deterministically from vec_id via the portable "
+    "hash, with outcome probability pinned at 0.9*conf + 0.05 so the "
+    "model is measurably over/under-confident at the extremes — is "
+    "bucketed into 10 equal-width confidence bins; each bin reports "
+    "count, mean confidence, accuracy, and |accuracy - confidence| (the "
+    "ECE summand), all in integer basis points until the single rounded "
+    "division per output. This is the reliability-diagram query every "
+    "model-eval pipeline runs next to accuracy. Scale shape: one "
+    "scan-fused map-side-combinable 10-group aggregate — flat at any "
+    "prediction-set size.",
+)
+def q_eval_calibration_bins(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    conf = md5_hash64(
+        F.concat(F.lit("conf:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    out = md5_hash64(
+        F.concat(F.lit("outcome:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    p = table(spark, sf, "embeddings").select(
+        conf.cast("long").alias("conf_bp"),
+        (out < F.floor(conf * 9 / 10) + 500).cast("long").alias("correct"),
+    )
+    b = p.groupBy(
+        F.floor(F.col("conf_bp") / 1000).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conf_bp").cast("long").alias("sum_conf_bp"),
+        F.sum("correct").cast("long").alias("n_correct"),
+    )
+    return b.select(
+        "bin",
+        "n",
+        F.round(F.col("sum_conf_bp") * 1.0 / F.col("n"), 2).alias("avg_conf_bp"),
+        F.round(F.col("n_correct") * 10000.0 / F.col("n"), 2).alias("acc_bp"),
+        F.round(
+            F.abs(
+                F.col("sum_conf_bp") * 1.0 / F.col("n")
+                - F.col("n_correct") * 10000.0 / F.col("n")
+            ),
+            2,
+        ).alias("gap_bp"),
+    )

@@ -706,3 +706,171 @@ def q_bpe_sequence_packing(spark: SparkSession, sf: str):
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("tokens_in_bin"),
     )
+
+
+# ---- fasttext-style quality classifier inference ---------------------------
+
+_QC_BUCKET = "(" + HASH.format(e="'qw:' || u.w") + " % 512)"
+_QC_W = "((" + HASH.format(e="'qweight:' || b::VARCHAR") + " % 2001) - 1000)"
+
+
+@register(
+    "quality_classifier_scores",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+       tok AS (SELECT doc_id, unnest(t) AS w FROM d),
+       b AS (SELECT doc_id, abs({_QC_BUCKET})::BIGINT AS b
+             FROM tok u),
+       w AS (SELECT DISTINCT b, {_QC_W}::BIGINT AS w_milli FROM b),
+       s AS (
+         SELECT b.doc_id, count(*)::BIGINT AS n_tokens,
+                sum(w.w_milli)::BIGINT AS logit_milli
+         FROM b JOIN w ON b.b = w.b GROUP BY b.doc_id)
+       SELECT doc_id, n_tokens, logit_milli, logit_milli > 0 AS keep
+       FROM s""",
+    doc="Hashed linear quality-classifier INFERENCE at corpus scale — the "
+    "fastText-style keep/drop scorer every CCNet/DCLM-style curation "
+    "pipeline runs over 100 TB: tokens hash into 512 feature buckets "
+    "(hashing trick — vocabulary-free, fixed-width model), each bucket "
+    "carries a pinned integer milli-weight (stand-in for the trained "
+    "coefficients; same hash family the whole catalog uses), and a "
+    "document's logit is the exact BIGINT sum of its token weights — "
+    "integer arithmetic end to end, so scores are order-free and "
+    "engine-exact (a float dot product would drift with partial-agg "
+    "order). keep = logit > 0 is the decision boundary; the monotone "
+    "sigmoid is deliberately not applied (same decision, no exp() "
+    "portability hazard). Scale shape: explode -> map-side bucket hash "
+    "-> broadcast 512-row weight table -> one doc-keyed "
+    "map-side-combinable sum; the model rides along as a broadcast, "
+    "never a shuffle.",
+)
+def q_quality_classifier_scores(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    d = table(spark, sf, "documents").select(
+        "doc_id", F.explode(tx.tokens("text")).alias("w")
+    )
+    bucketed = d.select(
+        "doc_id",
+        F.abs(
+            md5_hash64(F.concat(F.lit("qw:"), F.col("w"))) % 512
+        ).cast("long").alias("b"),
+    )
+    weights = spark.range(0, 512).select(
+        F.col("id").cast("long").alias("b"),
+        (
+            md5_hash64(F.concat(F.lit("qweight:"), F.col("id").cast("string")))
+            % 2001
+            - 1000
+        ).cast("long").alias("w_milli"),
+    )
+    s = (
+        bucketed.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w_milli").cast("long").alias("logit_milli"),
+        )
+    )
+    return s.select(
+        "doc_id", "n_tokens", "logit_milli", (F.col("logit_milli") > 0).alias("keep")
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    f"""WITH d AS (
+         SELECT lang,
+                len({TOKS})::BIGINT AS n_words,
+                {_BPE_N} AS n_bpe,
+                length(replace({_bpe.normalize_sql('text')}, ' ', ''))::BIGINT
+                  AS n_chars
+         FROM documents WHERE text IS NOT NULL)
+       SELECT lang, count(*)::BIGINT AS n_docs,
+              sum(n_words)::BIGINT AS total_words,
+              sum(n_bpe)::BIGINT AS total_bpe_tokens,
+              round(sum(n_bpe) / greatest(sum(n_words), 1), 4) AS fertility,
+              round(sum(n_chars) / greatest(sum(n_bpe), 1), 4)
+                AS chars_per_token
+       FROM d GROUP BY lang""",
+    doc="Tokenizer fertility audit by language: BPE tokens per word and "
+    "characters per token for each language — THE number a multilingual "
+    "tokenizer rollout is judged on (a high-fertility language pays more "
+    "sequence budget per sentence; the Gopher/XLM-R papers track exactly "
+    "this). Composes the pinned-merge-table encoder with the whitespace "
+    "word counts; all sums are exact BIGINTs with one rounding point per "
+    "ratio. Scale shape: scan-fused per-doc integer counts into one "
+    "map-side-combinable per-language aggregate — flat cost at any "
+    "corpus size.",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf: str):
+    d = table(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "lang",
+        F.size(tx.tokens("text")).cast("long").alias("n_words"),
+        _bpe.bpe_token_count("text").alias("n_bpe"),
+        F.length(F.replace(_bpe.normalize("text"), F.lit(" "))).cast("long").alias(
+            "n_chars"
+        ),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe") / F.greatest(F.sum("n_words"), F.lit(1)), 4
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars") / F.greatest(F.sum("n_bpe"), F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
+    "packing_efficiency_report",
+    f"""WITH d AS (
+         SELECT doc_id, source, {_BPE_N} AS n_tokens
+         FROM documents WHERE text IS NOT NULL),
+       packed AS (
+         SELECT doc_id, source, n_tokens,
+                floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens) / 512)::BIGINT AS bin
+         FROM d),
+       bins AS (
+         SELECT source, bin, sum(n_tokens)::BIGINT AS tokens_in_bin
+         FROM packed GROUP BY source, bin)
+       SELECT source, count(*)::BIGINT AS n_bins,
+              sum(tokens_in_bin)::BIGINT AS total_tokens,
+              sum(CASE WHEN tokens_in_bin > 512 THEN 1 ELSE 0 END)::BIGINT
+                AS overflow_bins,
+              round(sum(tokens_in_bin) * 10000.0 / (count(*) * 512), 2)
+                AS fill_bp
+       FROM bins GROUP BY source""",
+    doc="Packing-efficiency report over the BPE-count sequence packing: "
+    "per source, bin count, token total, bins whose resident docs exceed "
+    "the 512-token budget (they span a boundary — the padding-vs-"
+    "truncation decision every packer makes), and the average fill rate "
+    "in basis points — the utilization number that decides whether a "
+    "packing strategy wastes accelerator hours on padding. Integer "
+    "arithmetic until the single rounded ratio. Scale shape: the "
+    "packing's one per-source window shuffle, then two "
+    "map-side-combinable aggregates.",
+)
+def q_packing_efficiency(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.chunking import sequence_packing
+
+    d = table(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", _bpe.bpe_token_count("text").alias("n_tokens")
+    )
+    packed = sequence_packing(d, "n_tokens", "source", "doc_id", budget=512)
+    bins = packed.groupBy("source", "bin").agg(
+        F.sum("n_tokens").cast("long").alias("tokens_in_bin")
+    )
+    return bins.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("tokens_in_bin").cast("long").alias("total_tokens"),
+        F.sum((F.col("tokens_in_bin") > 512).cast("long")).cast("long").alias(
+            "overflow_bins"
+        ),
+        F.round(
+            F.sum("tokens_in_bin") * 10000.0 / (F.count("*") * 512), 2
+        ).alias("fill_bp"),
+    )

@@ -656,3 +656,84 @@ def q_events_winsorized_stats(spark: SparkSession, sf: str):
             "n_clipped_low", "n_clipped_high", "winsorized_mean",
         )
     )
+
+
+@register(
+    "lm_kneser_ney_bigram",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+       bg AS (
+         SELECT split_part(u.b, ' ', 1) AS w1, split_part(u.b, ' ', 2) AS w2
+         FROM (SELECT unnest({_BIGRAMS}) AS b FROM d WHERE len(t) >= 2) u),
+       c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2),
+       c1 AS (SELECT w1, sum(c2)::BIGINT AS c1,
+                     count(*)::BIGINT AS nf
+              FROM c2 GROUP BY w1),
+       cb AS (SELECT w2, count(*)::BIGINT AS nb FROM c2 GROUP BY w2),
+       tt AS (SELECT count(*)::BIGINT AS t_types FROM c2)
+       SELECT c2.w1, c2.w2, c2.c2,
+              round((greatest(c2.c2 - 0.75, 0.0)
+                     + ((0.75 * c1.nf) * cb.nb) / tt.t_types) / c1.c1, 8)
+                AS p_kn
+       FROM c2
+       JOIN c1 ON c1.w1 = c2.w1
+       JOIN cb ON cb.w2 = c2.w2
+       CROSS JOIN tt
+       WHERE c2.c2 >= 3""",
+    doc="Kneser-Ney smoothed bigram language model — the strongest "
+    "classical n-gram smoother (and the scorer behind CCNet-style "
+    "perplexity filters when add-k is not good enough): "
+    "P(w2|w1) = (max(c(w1w2)-D, 0) + D * N1+(w1,.) * N1+(.,w2)/T) / "
+    "c(w1) with discount D = 0.75 pinned; the continuation probability "
+    "N1+(.,w2)/T (how many distinct contexts a word FOLLOWS, not how "
+    "often it occurs) is what lets rare-but-versatile words outscore "
+    "frequent-but-bound ones. Emitted for bigrams seen >= 3 times. "
+    "Float discipline: every operand is an exact integer-valued double "
+    "(counts and 0.75 * integer are exactly representable), the "
+    "expression tree is identical on both engines, and each of the "
+    "three inexact ops (two divisions, one addition) is IEEE "
+    "correctly-rounded — so the 8-dp rounding is cosmetic, not "
+    "load-bearing. Scale shape: one corpus explode into three "
+    "vocabulary-sized map-side-combinable aggregates; the model tables "
+    "join back on the bigram's own keys (the type-count scalar "
+    "broadcasts). All state is vocabulary-sized, never corpus-sized.",
+)
+def q_lm_kneser_ney(spark: SparkSession, sf: str):
+    d = table(spark, sf, "documents").select(tx.tokens("text").alias("t"))
+    bg = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    "             element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    # The bigram count table feeds FOUR consumers (c1, cb, the type-count
+    # scalar, and the final scored join) — materialize the vocabulary-
+    # sized frame once so the corpus explode runs once, not four times
+    # (the consumed-N-times class the scan-multiplicity audit pins).
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"), F.count("*").cast("long").alias("nf")
+    )
+    cb = c2.groupBy("w2").agg(F.count("*").cast("long").alias("nb"))
+    tt = c2.agg(F.count("*").cast("long").alias("t_types"))
+    p = (
+        F.greatest(F.col("c2") - 0.75, F.lit(0.0))
+        + ((0.75 * F.col("nf")) * F.col("nb")) / F.col("t_types")
+    ) / F.col("c1")
+    return (
+        c2.filter(F.col("c2") >= 3)
+        .join(c1, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("w1", "w2", "c2", F.round(p, 8).alias("p_kn"))
+    )

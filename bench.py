@@ -148,6 +148,14 @@ HEADLINE = [
     "bpe_encode_tokens",
     "bpe_sequence_packing",
     "mixture_temperature_sample",
+    # r7: classifier inference, KN bigram LM, calibration audit,
+    # tokenizer fertility (packing_efficiency is NOT a headline row: it
+    # re-runs bpe_sequence_packing's window plus two cheap aggregates —
+    # visible through its component)
+    "quality_classifier_scores",
+    "lm_kneser_ney_bigram",
+    "eval_calibration_bins",
+    "tokenizer_fertility_by_lang",
 ]
 
 

@@ -66,6 +66,9 @@ CROSS_ALLOWED = {
     # 1-row n_min (smallest-domain count) broadcast onto the per-domain
     # quota table — the temperature-sampling normalization scalar
     "mixture_temperature_sample",
+    # 1-row bigram-type-count broadcast (the Kneser-Ney continuation
+    # normalizer T) onto the bigram model table
+    "lm_kneser_ney_bigram",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
