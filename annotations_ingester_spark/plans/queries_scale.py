@@ -1575,3 +1575,154 @@ def q_layout_dpp_cert(spark: SparkSession, sf: str):
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
     return result
+
+
+@register(
+    "dedup_quality_survivors",
+    f"""WITH RECURSIVE {SIG_CTE},
+       band AS (
+         SELECT doc_id, seed // 2 AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed // 2),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+       edges AS (
+         SELECT doc_a AS u, doc_b AS v FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       reach(u, v) AS (
+         SELECT u, v FROM edges
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE r.u <> e.v),
+       labels AS (
+         SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+         FROM reach GROUP BY u),
+       m AS (
+         SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                d.n_chars::BIGINT AS n_chars
+         FROM documents d LEFT JOIN labels l USING (doc_id)),
+       r AS (
+         SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+         FROM m)
+       SELECT doc_id, cluster_id, n_chars FROM r WHERE rn = 1""",
+    doc="Quality-aware dedup survivor selection: the near-dup clusters "
+    "(MinHash -> LSH bands -> connected components, the certified "
+    "machinery of dedup_corpus_survivors) each keep their LONGEST member "
+    "(n_chars DESC, id tiebreak) instead of the minimum id — the rule "
+    "production pipelines actually use (the longest duplicate usually "
+    "carries the least-truncated content; RefinedWeb/SlimPajama keep "
+    "best-by-heuristic, not first-by-id). Integer quality key keeps the "
+    "choice engine-exact; unclustered docs survive as their own "
+    "1-cluster. Scale shape: unchanged from the certified CC stack "
+    "(band equi-join, star-contraction CC, labels ∝ clustered docs) "
+    "plus one cluster-partitioned rank window over the labeled subset.",
+)
+def q_dedup_quality_survivors(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.operators.cluster import connected_components
+
+    docs = table(spark, sf, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(lsh_band_keys(sig)).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    m = (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "n_chars")
+    )
+
+
+@register(
+    "layout_sort_compression_cert",
+    """SELECT TRUE AS sorted_smaller, count(*)::BIGINT AS n_rows,
+              sum(l_orderkey)::BIGINT AS key_checksum
+       FROM lineitem""",
+    doc="Sort-for-compression layout certification, run for real: the "
+    "same lineitem projection is written twice — once in deterministic "
+    "hash-shuffled order (the worst case: every column's values "
+    "interleaved), once sorted by (l_returnflag, l_linestatus, "
+    "l_shipdate, l_partkey) — and the certification flag asserts the "
+    "SORTED file set is strictly smaller on disk: sorting co-locates "
+    "equal and near-equal values, so parquet's RLE/dictionary/delta "
+    "encodings actually bite. At 100 TB this is a first-order storage "
+    "and scan-cost lever (the reason z-ordering and sort-on-write "
+    "exist): same bytes of information, a fraction of the footprint, "
+    "and min/max row-group pruning becomes usable on the sort keys. "
+    "The checksum certifies both layouts hold exactly the same rows. "
+    "Run-unique temp paths, cleaned up in finally.",
+)
+def q_layout_sort_compression(spark: SparkSession, sf: str):
+    import shutil
+    import tempfile
+
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_sortc_")
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    try:
+        # both layouts get IDENTICAL file counts (8) so the comparison
+        # isolates row ORDER — file-count overhead asymmetry at small sf
+        # would otherwise drown the encoding effect
+        shuffled = (
+            li.withColumn(
+                "_rk",
+                md5_hash64(
+                    F.concat_ws(
+                        ":",
+                        F.lit("sortc"),
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_partkey").cast("string"),
+                    )
+                ),
+            )
+            .repartition(8, "_rk")
+            .sortWithinPartitions("_rk")
+            .drop("_rk")
+        )
+        shuffled.write.mode("overwrite").parquet(f"{run_dir}/unsorted")
+        li.repartition(8).sortWithinPartitions(
+            "l_returnflag", "l_linestatus", "l_shipdate", "l_partkey"
+        ).write.mode("overwrite").parquet(f"{run_dir}/sorted")
+
+        def dir_bytes(p: str) -> int:
+            import os
+
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(p)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        smaller = dir_bytes(f"{run_dir}/sorted") < dir_bytes(f"{run_dir}/unsorted")
+        result = (
+            spark.read.parquet(f"{run_dir}/sorted")
+            .groupBy()
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("l_orderkey").cast("long").alias("key_checksum"),
+            )
+            .select(F.lit(smaller).alias("sorted_smaller"), "n_rows", "key_checksum")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return result

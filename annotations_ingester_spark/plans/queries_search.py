@@ -140,3 +140,56 @@ def q_hybrid_rrf(spark: SparkSession, sf: str):
         .select(F.col("vec_id").alias("doc_id"), "rank")
     )
     return rrf_fuse([bm, vec], id_col="doc_id", k=60, top_n=20)
+
+
+@register(
+    "search_phrase_positions",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+       p AS (
+         SELECT doc_id, unnest(t) AS term,
+                unnest(range(1, len(t) + 1)) AS pos
+         FROM d),
+       p1 AS (SELECT doc_id, pos FROM p WHERE term = 'table'),
+       p2 AS (SELECT doc_id, pos FROM p WHERE term = 'hash')
+       SELECT p1.doc_id, count(*)::BIGINT AS n_matches,
+              min(p1.pos)::BIGINT AS first_pos
+       FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+       GROUP BY p1.doc_id""",
+    doc="Phrase query over the POSITIONAL index — the operation that "
+    "separates an inverted index from a bag of words: the phrase "
+    "'table hash' matches where the two terms' postings intersect on "
+    "(doc, adjacent positions), evaluated as an equi-join of the two "
+    "term posting streams on (doc_id, pos+1) — never a text re-scan "
+    "(inverted_index_postings builds the index artifact; this is its "
+    "query side). Emits per-doc match count and first occurrence. "
+    "Scale shape: the term predicate prunes the exploded token stream "
+    "map-side to two slim posting lists (rare-term postings ≪ corpus), "
+    "then one doc+position equi-join; at 100 TB this is the classic "
+    "rarest-term-first intersection every search engine runs.",
+)
+def q_search_phrase(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf, "documents").select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos0", "term")
+    )
+    p = d.select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    p1 = p.filter(F.col("term") == "table").select("doc_id", "pos")
+    # explicit renames: both posting streams share the exploded lineage,
+    # so a bare doc_id == doc_id would resolve trivially-true
+    p2 = p.filter(F.col("term") == "hash").select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
+    return (
+        p1.join(
+            p2,
+            (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("pos2") == F.col("pos") + 1),
+        )
+        .select("doc_id", "pos")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )

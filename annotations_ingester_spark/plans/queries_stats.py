@@ -737,3 +737,144 @@ def q_lm_kneser_ney(spark: SparkSession, sf: str):
         .crossJoin(F.broadcast(tt))
         .select("w1", "w2", "c2", F.round(p, 8).alias("p_kn"))
     )
+
+
+_BT_HASH = "('0x' || substr(md5('bt:' || o_orderkey::VARCHAR), 1, 15))::BIGINT"
+
+
+@register(
+    "stats_bradley_terry",
+    f"""WITH cmp AS (
+         SELECT (o_orderkey % 11)::BIGINT AS a,
+                (1 + (o_orderkey // 11) % 10)::BIGINT AS b0,
+                {_BT_HASH} % 100 AS r
+         FROM orders),
+       c2 AS (
+         SELECT a, CASE WHEN b0 = a THEN 0 ELSE b0 END AS b,
+                CASE WHEN r < 50 + 4 * (a - CASE WHEN b0 = a THEN 0 ELSE b0 END)
+                     THEN 1 ELSE 0 END AS a_wins
+         FROM cmp WHERE a <> CASE WHEN b0 = a THEN 0 ELSE b0 END),
+       pairs AS (
+         SELECT least(a, b) AS i, greatest(a, b) AS j,
+                count(*)::BIGINT AS n_ij,
+                sum(CASE WHEN (a < b AND a_wins = 1)
+                          OR (a > b AND a_wins = 0) THEN 1 ELSE 0 END)::BIGINT
+                  AS wins_i
+         FROM c2 GROUP BY 1, 2),
+       items AS (
+         SELECT i AS item, sum(n_ij)::BIGINT AS n_i, sum(wins_i)::BIGINT AS w_i
+         FROM pairs GROUP BY i
+         UNION ALL
+         SELECT j, sum(n_ij), sum(n_ij - wins_i) FROM pairs GROUP BY j),
+       it AS (
+         SELECT item, sum(n_i)::BIGINT AS n_i, sum(w_i)::BIGINT AS w_i
+         FROM items GROUP BY item),
+       s1 AS (SELECT item, n_i, w_i, (2.0 * w_i) / n_i AS s FROM it),
+       terms AS (
+         SELECT p.i AS item,
+                round(p.n_ij / (si.s + sj.s), 12)::DECIMAL(28,12) AS term
+         FROM pairs p JOIN s1 si ON si.item = p.i JOIN s1 sj ON sj.item = p.j
+         UNION ALL
+         SELECT p.j,
+                round(p.n_ij / (si.s + sj.s), 12)::DECIMAL(28,12)
+         FROM pairs p JOIN s1 si ON si.item = p.i JOIN s1 sj ON sj.item = p.j),
+       denom AS (
+         SELECT item, sum(term) AS den FROM terms GROUP BY item)
+       SELECT s1.item, s1.n_i AS n_comparisons, s1.w_i AS wins,
+              round(s1.s, 6) AS strength_mm1,
+              round(s1.w_i / CAST(d.den AS DOUBLE), 6) AS strength_mm2
+       FROM s1 JOIN denom d ON d.item = s1.item""",
+    doc="Bradley-Terry pairwise-strength fit — the model behind every "
+    "arena-style preference leaderboard (and the first step of an RLHF "
+    "reward-data audit): 11 items, ~15k deterministic synthetic "
+    "comparisons whose win probability increases with the strength gap "
+    "(so the fit must recover the planted ordering), two unrolled "
+    "Zermelo/Hunter MM iterations s_i <- W_i / sum_j n_ij/(s_i + s_j) "
+    "from the uniform start. Float discipline: iteration-1 strengths "
+    "are single correctly-rounded divisions of exact integers "
+    "(cross-engine identical); iteration-2 denominators round each "
+    "pair term to 12 dp and sum as DECIMAL so the per-item sum is "
+    "order-free; one 6-dp rounding per output. Scale shape: comparisons "
+    "reduce to one pairs-table aggregate (items x items, tiny); both MM "
+    "steps are joins over that model-sized table — at 100 TB only the "
+    "first aggregate touches the comparison log.",
+)
+def q_stats_bradley_terry(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders").select(
+        (F.col("o_orderkey") % 11).cast("long").alias("a"),
+        (1 + (F.col("o_orderkey") / 11).cast("long") % 10).cast("long").alias("b0"),
+        (
+            md5_hash64(
+                F.concat(F.lit("bt:"), F.col("o_orderkey").cast("string"))
+            )
+            % 100
+        ).alias("r"),
+    )
+    c2 = (
+        o.withColumn(
+            "b", F.when(F.col("b0") == F.col("a"), F.lit(0)).otherwise(F.col("b0"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .withColumn(
+            "a_wins",
+            (F.col("r") < 50 + 4 * (F.col("a") - F.col("b"))).cast("int"),
+        )
+    )
+    pairs = (
+        c2.select(
+            F.least("a", "b").alias("i"),
+            F.greatest("a", "b").alias("j"),
+            F.when(
+                ((F.col("a") < F.col("b")) & (F.col("a_wins") == 1))
+                | ((F.col("a") > F.col("b")) & (F.col("a_wins") == 0)),
+                1,
+            )
+            .otherwise(0)
+            .alias("win_i"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.count("*").cast("long").alias("n_ij"),
+            F.sum("win_i").cast("long").alias("wins_i"),
+        )
+        .localCheckpoint(eager=True)  # model-sized; feeds 4 consumers
+    )
+    side_i = pairs.select(
+        F.col("i").alias("item"), "n_ij", F.col("wins_i").alias("w")
+    )
+    side_j = pairs.select(
+        F.col("j").alias("item"), "n_ij", (F.col("n_ij") - F.col("wins_i")).alias("w")
+    )
+    it = (
+        side_i.unionByName(side_j)
+        .groupBy("item")
+        .agg(
+            F.sum("n_ij").cast("long").alias("n_i"),
+            F.sum("w").cast("long").alias("w_i"),
+        )
+    )
+    s1 = it.select(
+        "item", "n_i", "w_i", (2.0 * F.col("w_i") / F.col("n_i")).alias("s")
+    )
+    si = s1.select(F.col("item").alias("i"), F.col("s").alias("s_i"))
+    sj = s1.select(F.col("item").alias("j"), F.col("s").alias("s_j"))
+    term = F.round(F.col("n_ij") / (F.col("s_i") + F.col("s_j")), 12).cast(
+        "decimal(28,12)"
+    )
+    joined = pairs.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+    terms = joined.select(F.col("i").alias("item"), term.alias("term")).unionByName(
+        joined.select(F.col("j").alias("item"), term.alias("term"))
+    )
+    denom = terms.groupBy("item").agg(F.sum("term").alias("den"))
+    return (
+        s1.join(denom, "item")
+        .select(
+            "item",
+            F.col("n_i").alias("n_comparisons"),
+            F.col("w_i").alias("wins"),
+            F.round(F.col("s"), 6).alias("strength_mm1"),
+            F.round(F.col("w_i") / F.col("den").cast("double"), 6).alias(
+                "strength_mm2"
+            ),
+        )
+    )

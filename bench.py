@@ -156,6 +156,12 @@ HEADLINE = [
     "lm_kneser_ney_bigram",
     "eval_calibration_bins",
     "tokenizer_fertility_by_lang",
+    # r7: positional phrase search, arena-style BT fit, quality-aware
+    # dedup survivors, sort-for-compression layout cert
+    "search_phrase_positions",
+    "stats_bradley_terry",
+    "dedup_quality_survivors",
+    "layout_sort_compression_cert",
 ]
 
 

@@ -77,3 +77,44 @@ def test_cosine_similarity_and_bucket(spark):
     assert got == [1.0, 0.0, 0.0]  # zero-norm → 0, not NaN
     bdf = spark.createDataFrame([([1.0, -1.0, 1.0, -1.0],)], "v array<float>")
     assert bdf.select(sign_bucket("v", 4).alias("b")).first()["b"] == 0b1010
+
+
+# ---- BPE encode (functions/bpe.py) -----------------------------------------
+
+
+def test_bpe_greedy_left_to_right_semantics(spark):
+    """The sentinel-replace fold must reproduce BPE's greedy
+    left-to-right non-overlapping merge semantics exactly."""
+    from annotations_ingester_spark.functions import bpe
+
+    df = spark.createDataFrame(
+        [(1, "the then that"), (2, "ananas"), (3, "THE!!"), (4, "xyz")],
+        "i long, text string",
+    )
+    out = {
+        r.i: (r.n, list(r.t))
+        for r in df.select(
+            "i",
+            bpe.bpe_token_count("text").alias("n"),
+            bpe.bpe_tokens("text").alias("t"),
+        ).collect()
+    }
+    # 'the' -> th+e -> the (second-order merge); 'then' -> the,n;
+    # 'that' -> th,at
+    assert out[1][1][:1] == ["the"]
+    assert out[3] == (1, ["the"])  # normalization strips case/punct
+    # 'ananas': (a,n) merges greedily left-to-right -> an,an,a,s
+    assert out[2] == (4, ["an", "an", "a", "s"])
+    assert out[4] == (3, ["x", "y", "z"])  # no merges apply
+
+
+def test_bpe_counts_match_token_list_lengths(spark):
+    from annotations_ingester_spark.functions import bpe
+    from annotations_ingester_spark.plans.catalog import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    rows = docs.select(
+        bpe.bpe_token_count("text").alias("n"),
+        F.size(bpe.bpe_tokens("text")).alias("m"),
+    ).collect()
+    assert rows and all(r.n == r.m for r in rows)
