@@ -183,3 +183,56 @@ def pagerank_iterations(
             ).alias("rank"),
         )
     return ranks
+
+
+def label_propagation_iterations(
+    edges: DataFrame, n_iters: int = 2, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts labeled with itself; each iteration every node adopts the
+    label with the LARGEST total incident edge weight among its
+    neighbors' current labels (ties broken by the smallest label — the
+    deterministic tie-break that makes sync LPA engine-portable, where
+    textbook random tie-breaking makes it irreproducible). Edges must
+    carry integer weight column ``w`` and both directions (an undirected
+    graph passes each edge twice).
+
+    Scale shape: the iterative-template (PageRank/CC) shape — per
+    iteration one join of labels onto edges keyed on ``src``, one
+    (dst, label) weight aggregate, one per-dst arg-max window (bounded
+    by the node's distinct neighbor labels, never the graph). Labels are
+    strings; weights exact integers — nothing floats, so the unrolled
+    SQL twin matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    # materialize the (usually derived) edge list ONCE — it is consumed
+    # by the node set and by every iteration's label join (same fix as
+    # triangle_stats/pagerank_iterations: the consumed-N-times class)
+    edges = edges.select(src, dst, "w").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds every iteration's outer join
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iters):
+        scored = (
+            edges.join(labels, edges[src] == labels["node"])
+            .select(F.col(dst).alias("n2"), "label", "w")
+            .groupBy("n2", "label")
+            .agg(F.sum("w").cast("long").alias("tw"))
+        )
+        wmax = Window.partitionBy("n2").orderBy(
+            F.col("tw").desc(), F.col("label").asc()
+        )
+        best = (
+            scored.withColumn("_rn", F.row_number().over(wmax))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("n2").alias("node"), "label")
+        )
+        # isolated nodes (no incident edges) keep their current label
+        labels = nodes.join(best, "node", "left").select(
+            "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+        )
+    return labels

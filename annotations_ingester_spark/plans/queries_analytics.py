@@ -884,3 +884,161 @@ def q_format_roundtrip(spark: SparkSession, sf: str):
         out_rows,
         "fmt string, checksum_equal boolean, n long, xor_checksum long, sum_checksum string",
     )
+
+
+@register(
+    "graph_label_propagation",
+    """WITH e0 AS (
+         SELECT user_id, event_type, count(*)::BIGINT AS w
+         FROM events GROUP BY user_id, event_type),
+       e AS (
+         SELECT 'u:' || user_id::VARCHAR AS src, 't:' || event_type AS dst, w
+         FROM e0
+         UNION ALL
+         SELECT 't:' || event_type, 'u:' || user_id::VARCHAR, w FROM e0),
+       nodes AS (SELECT DISTINCT node FROM (
+         SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       l0 AS (SELECT node, node AS label FROM nodes),
+       s1 AS (
+         SELECT e.dst AS n2, l.label, sum(e.w)::BIGINT AS tw
+         FROM e JOIN l0 l ON l.node = e.src GROUP BY e.dst, l.label),
+       b1 AS (
+         SELECT n2 AS node, label FROM (
+           SELECT n2, label,
+                  row_number() OVER (PARTITION BY n2
+                                     ORDER BY tw DESC, label ASC) AS rn
+           FROM s1) WHERE rn = 1),
+       l1 AS (
+         SELECT n.node, coalesce(b1.label, n.node) AS label
+         FROM nodes n LEFT JOIN b1 ON b1.node = n.node),
+       s2 AS (
+         SELECT e.dst AS n2, l.label, sum(e.w)::BIGINT AS tw
+         FROM e JOIN l1 l ON l.node = e.src GROUP BY e.dst, l.label),
+       b2 AS (
+         SELECT n2 AS node, label FROM (
+           SELECT n2, label,
+                  row_number() OVER (PARTITION BY n2
+                                     ORDER BY tw DESC, label ASC) AS rn
+           FROM s2) WHERE rn = 1),
+       l2 AS (
+         SELECT n.node, coalesce(b2.label, n.node) AS label
+         FROM nodes n LEFT JOIN b2 ON b2.node = n.node)
+       SELECT label AS community, count(*)::BIGINT AS n_nodes,
+              min(node) AS exemplar
+       FROM l2 GROUP BY label""",
+    doc="Community detection via synchronous label propagation (2 "
+    "iterations) over the bipartite user <-> event-type interaction "
+    "graph: every node adopts the label with the largest total incident "
+    "edge weight among its neighbors, smallest-label tie-break — the "
+    "DETERMINISTIC variant of LPA (textbook random tie-breaking is "
+    "irreproducible; the fixed tie-break is what makes the unrolled SQL "
+    "twin match bit-for-bit, integer weights and string labels, nothing "
+    "floats). Output: per-community node count + exemplar. Scale shape: "
+    "the iterative-template shape (PageRank/CC) — per iteration one "
+    "label-onto-edges equi-join, one (node, label) weight aggregate, "
+    "one per-node arg-max window bounded by distinct neighbor labels. "
+    "(operators/graph.label_propagation_iterations)",
+)
+def q_graph_lpa(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.graph import (
+        label_propagation_iterations,
+    )
+
+    ev = events_table(spark, sf)
+    e0 = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    u = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    t = F.concat(F.lit("t:"), F.col("event_type"))
+    edges = e0.select(u.alias("src"), t.alias("dst"), "w").unionAll(
+        e0.select(t.alias("src"), u.alias("dst"), "w")
+    )
+    labels = label_propagation_iterations(edges, n_iters=2)
+    return labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("node").alias("exemplar"),
+    ).select(F.col("label").alias("community"), "n_nodes", "exemplar")
+
+
+@register(
+    "events_markov_transitions",
+    """WITH e AS (
+         SELECT user_id, event_type AS state,
+                floor(epoch(ts))::BIGINT AS ts_s, event_id
+         FROM events),
+       seq AS (
+         SELECT user_id, state,
+                lag(state) OVER (PARTITION BY user_id
+                                 ORDER BY ts_s, event_id) AS prev
+         FROM e),
+       t AS (
+         SELECT prev AS from_state, state AS to_state, count(*)::BIGINT AS n
+         FROM seq WHERE prev IS NOT NULL GROUP BY prev, state),
+       tot AS (SELECT from_state, sum(n)::BIGINT AS n_from FROM t
+               GROUP BY from_state)
+       SELECT t.from_state, t.to_state, t.n,
+              round(t.n * 1.0 / tot.n_from, 6) AS p
+       FROM t JOIN tot ON tot.from_state = t.from_state""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag each user's (ts, event_id)-ordered stream one step, "
+    "count (from, to) transitions, row-normalize — the behavioral model "
+    "behind next-action prediction, funnel leak diagnosis, and bot "
+    "detection (uniform rows = scripted traffic). One user_id window "
+    "shuffle + a states^2-bounded aggregate; integer counts with one "
+    "rounded division, so the matrix is engine-exact. Total ordering "
+    "via the (ts_s, event_id) tiebreak, same contract as "
+    "scd2_dimension_build.",
+)
+def q_events_markov(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select(
+        "user_id", F.col("event_type").alias("state"), "ts_s", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    seq = e.withColumn("prev", F.lag("state").over(w))
+    t = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_state"), F.col("state").alias("to_state"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = t.groupBy("from_state").agg(F.sum("n").cast("long").alias("n_from"))
+    return t.join(F.broadcast(tot), "from_state").select(
+        "from_state", "to_state", "n",
+        F.round(F.col("n") * 1.0 / F.col("n_from"), 6).alias("p"),
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    """SELECT source, (n_chars // 100)::BIGINT AS chars_bucket,
+              count(*)::BIGINT AS class_size,
+              count(DISTINCT lang)::BIGINT AS n_sensitive,
+              count(DISTINCT lang) >= 3 AS diverse_l3
+       FROM documents GROUP BY 1, 2""",
+    doc="l-diversity audit — the companion gate to privacy_k_anonymity "
+    "(k-anonymity alone fails to the homogeneity attack: a class where "
+    "every member shares the sensitive value re-identifies the value "
+    "even without re-identifying the row): per quasi-identifier class "
+    "(source, coarse length bucket), the number of DISTINCT sensitive "
+    "values (lang as the stand-in sensitive attribute) and an l>=3 "
+    "diversity flag. One scan-fused aggregate with a distinct count "
+    "per class (two-phase partial distinct at scale); class list "
+    "bounded by the QI domain.",
+)
+def q_privacy_l_diversity(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "documents")
+        .groupBy(
+            "source",
+            F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("chars_bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.count_distinct("lang").cast("long").alias("n_sensitive"),
+        )
+        .select(
+            "source", "chars_bucket", "class_size", "n_sensitive",
+            (F.col("n_sensitive") >= 3).alias("diverse_l3"),
+        )
+    )

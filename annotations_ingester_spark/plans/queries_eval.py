@@ -560,3 +560,116 @@ def q_eval_calibration_bins(spark: SparkSession, sf: str):
             2,
         ).alias("gap_bp"),
     )
+
+
+@register(
+    "eval_recall_at_k_curve",
+    f"""WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       q0 AS (SELECT vec_id AS q_id, e AS qe FROM b
+              WHERE vec_id % 101 = 0 AND vec_id < 2000),
+       nq AS (SELECT count(*)::BIGINT AS n_queries FROM q0),
+       scored AS (
+         SELECT q.q_id, c.vec_id,
+                round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                           * sqrt(list_dot_product(c.e, c.e)) > 0
+                      THEN list_dot_product(q.qe, c.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(c.e, c.e)))
+                      ELSE 0.0 END, 6) AS cos
+         FROM b c, q0 q WHERE c.vec_id <> q.q_id),
+       truth AS (
+         SELECT q_id, vec_id, rn AS rank_t FROM (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+           FROM scored) WHERE rn <= 10),
+       bkt AS (
+         SELECT vec_id, e, {_SB} AS bucket FROM b),
+       qb AS (SELECT k.vec_id AS q_id, k.e AS qe, k.bucket
+              FROM bkt k WHERE k.vec_id % 101 = 0 AND k.vec_id < 2000),
+       cand AS (
+         SELECT q.q_id, c.vec_id,
+                round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                           * sqrt(list_dot_product(c.e, c.e)) > 0
+                      THEN list_dot_product(q.qe, c.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(c.e, c.e)))
+                      ELSE 0.0 END, 6) AS cos
+         FROM bkt c JOIN qb q ON c.bucket = q.bucket
+         WHERE c.vec_id <> q.q_id),
+       pred AS (
+         SELECT q_id, vec_id, rn AS rank_p FROM (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+           FROM cand) WHERE rn <= 10),
+       hits AS (
+         SELECT k.k, count(*)::BIGINT AS total_hits
+         FROM pred p
+         JOIN truth t USING (q_id, vec_id)
+         CROSS JOIN (SELECT unnest([1, 5, 10]) AS k) k
+         WHERE p.rank_p <= k.k AND t.rank_t <= k.k
+         GROUP BY k.k)
+       SELECT k.k::BIGINT AS k, nq.n_queries,
+              coalesce(h.total_hits, 0)::BIGINT AS total_hits,
+              round(coalesce(h.total_hits, 0) * 1.0 / (k.k * nq.n_queries), 6)
+                AS recall_at_k
+       FROM (SELECT unnest([1, 5, 10]) AS k) k
+       LEFT JOIN hits h ON h.k = k.k
+       CROSS JOIN nq""",
+    doc="Recall@k curve (k = 1, 5, 10) of the sign-bucket ANN tier "
+    "against the brute-force ground truth — the tuning curve read next "
+    "to eval_ann_ndcg's rank quality: recall@1 prices exact-hit "
+    "serving, recall@10 prices candidate-generation-plus-rerank. Both "
+    "retrieval lists reuse the certified ANN shapes (broadcast query "
+    "side / bucket equi-join); hits are one joined pass fanned over "
+    "the three cutoffs; integer counts with one rounded division per "
+    "row, a 1-row query-count broadcast.",
+)
+def q_eval_recall_curve(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.similarity import (
+        brute_force_topk,
+        bucketed_topk,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    # the query batch feeds both retrieval tiers AND the count scalar —
+    # materialize the tiny frame once (scan-multiplicity discipline)
+    qs = emb.filter(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
+    ).localCheckpoint(eager=True)
+    nq = qs.agg(F.count("*").cast("long").alias("n_queries"))
+    truth = brute_force_topk(emb, qs, k=10).select(
+        "q_id", "vec_id", F.col("rank").alias("rank_t")
+    )
+    pred = bucketed_topk(emb, qs, k=10, n_bits=8).select(
+        "q_id", "vec_id", F.col("rank").alias("rank_p")
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(1,), (5,), (10,)], "k long"
+    )
+    hits = (
+        pred.join(truth, ["q_id", "vec_id"])
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("rank_p") <= F.col("k")) & (F.col("rank_t") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("total_hits"))
+    )
+    return (
+        ks.join(hits, "k", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "k",
+            "n_queries",
+            F.coalesce(F.col("total_hits"), F.lit(0)).cast("long").alias(
+                "total_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("total_hits"), F.lit(0))
+                * 1.0
+                / (F.col("k") * F.col("n_queries")),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )

@@ -162,6 +162,12 @@ HEADLINE = [
     "stats_bradley_terry",
     "dedup_quality_survivors",
     "layout_sort_compression_cert",
+    # r7: deterministic LPA communities, Markov transition matrix,
+    # l-diversity privacy gate, ANN recall@k tuning curve
+    "graph_label_propagation",
+    "events_markov_transitions",
+    "privacy_l_diversity",
+    "eval_recall_at_k_curve",
 ]
 
 

@@ -69,6 +69,10 @@ CROSS_ALLOWED = {
     # 1-row bigram-type-count broadcast (the Kneser-Ney continuation
     # normalizer T) onto the bigram model table
     "lm_kneser_ney_bigram",
+    # brute-force ground-truth list (broadcast query side — the exactness
+    # baseline, same shape as eval_ann_ndcg) + tiny k-cutoff/query-count
+    # broadcasts fanned over the joined hits
+    "eval_recall_at_k_curve",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
@@ -251,6 +255,8 @@ SCAN_MULTIPLICITY_ALLOW = {
     # eval_lsh_precision_recall: composed ssjoin/LSH pair sets now
     # localCheckpoint'ed once (r6) — was 12; falls under the default cap
     "eval_ann_ndcg": 5,
+    "eval_recall_at_k_curve": 3,   # exact + bucketed tiers each scan the
+                                   # corpus once (query batch checkpointed)
 }
 
 
