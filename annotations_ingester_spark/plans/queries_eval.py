@@ -673,3 +673,96 @@ def q_eval_recall_curve(spark: SparkSession, sf: str):
             ).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "eval_er_blocking_quality",
+    """WITH s AS (
+         SELECT c_custkey, c_name, c_nationkey, substr(c_name, 1, 15) AS pref
+         FROM customer WHERE c_custkey % 13 = 0),
+       truth AS (
+         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         FROM s a JOIN s b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1),
+       blocked AS (
+         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         FROM s a JOIN s b
+           ON a.c_nationkey = b.c_nationkey AND a.pref = b.pref
+         WHERE a.c_custkey < b.c_custkey
+           AND levenshtein(a.c_name, b.c_name) <= 1),
+       cand AS (
+         SELECT count(*)::BIGINT AS n_candidates FROM (
+           SELECT 1 FROM s a JOIN s b
+             ON a.c_nationkey = b.c_nationkey AND a.pref = b.pref
+           WHERE a.c_custkey < b.c_custkey)),
+       n AS (SELECT count(*)::BIGINT AS n_rows FROM s),
+       m AS (
+         SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+                (SELECT count(*) FROM blocked)::BIGINT AS n_blocked)
+       SELECT m.n_truth, m.n_blocked, cand.n_candidates,
+              round(m.n_blocked * 1.0 / greatest(m.n_truth, 1), 6)
+                AS pair_completeness,
+              round(1.0 - cand.n_candidates * 2.0 / (n.n_rows * (n.n_rows - 1)), 6)
+                AS reduction_ratio
+       FROM m, cand, n""",
+    doc="Blocking-scheme quality audit for entity resolution — the two "
+    "numbers every blocking design is judged on (Christen's framework): "
+    "PAIR COMPLETENESS (what fraction of true levenshtein<=1 matches "
+    "survive the (nation, name-prefix) blocking er_entity_clusters "
+    "uses) and REDUCTION RATIO (what fraction of the all-pairs "
+    "comparison space the blocking eliminates). Ground truth is the "
+    "EXACT unblocked pair set over a bounded deterministic subset "
+    "(custkey%13=0 — the documented exactness-tier cartesian, never "
+    "run corpus-wide; the blocked tier is the production path). "
+    "Integer counts, one rounded division per metric.",
+)
+def q_eval_er_blocking(spark: SparkSession, sf: str):
+    s = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 13 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.substring("c_name", 1, 15).alias("pref"),
+        )
+        .localCheckpoint(eager=True)  # feeds truth/blocked/candidate tiers
+    )
+    a = s.select(
+        F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"),
+        F.col("c_nationkey").alias("nka"), F.col("pref").alias("pa"),
+    )
+    b = s.select(
+        F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"),
+        F.col("c_nationkey").alias("nkb"), F.col("pref").alias("pb"),
+    )
+    truth = a.crossJoin(b).filter(
+        (F.col("ka") < F.col("kb"))
+        & (F.levenshtein("na", "nb") <= 1)
+    )
+    blocked_cand = a.join(
+        b, (F.col("nka") == F.col("nkb")) & (F.col("pa") == F.col("pb"))
+    ).filter(F.col("ka") < F.col("kb"))
+    blocked = blocked_cand.filter(F.levenshtein("na", "nb") <= 1)
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_blocked = blocked.agg(F.count("*").cast("long").alias("n_blocked"))
+    n_cand = blocked_cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_rows = s.agg(F.count("*").cast("long").alias("n_rows"))
+    return (
+        n_truth.crossJoin(n_blocked).crossJoin(n_cand).crossJoin(n_rows)
+        .select(
+            "n_truth",
+            "n_blocked",
+            "n_candidates",
+            F.round(
+                F.col("n_blocked") * 1.0 / F.greatest(F.col("n_truth"), F.lit(1)), 6
+            ).alias("pair_completeness"),
+            F.round(
+                1.0
+                - F.col("n_candidates")
+                * 2.0
+                / (F.col("n_rows") * (F.col("n_rows") - 1)),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )

@@ -710,6 +710,40 @@ def q_bpe_sequence_packing(spark: SparkSession, sf: str):
 
 # ---- fasttext-style quality classifier inference ---------------------------
 
+def classifier_scores(docs):
+    """Shared scorer for the batch query and its streaming gate twin:
+    (doc_id, text) -> (doc_id, n_tokens, logit_milli, keep)."""
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    spark = docs.sparkSession
+    d = docs.select("doc_id", F.explode(tx.tokens("text")).alias("w"))
+    bucketed = d.select(
+        "doc_id",
+        F.abs(
+            md5_hash64(F.concat(F.lit("qw:"), F.col("w"))) % 512
+        ).cast("long").alias("b"),
+    )
+    weights = spark.range(0, 512).select(
+        F.col("id").cast("long").alias("b"),
+        (
+            md5_hash64(F.concat(F.lit("qweight:"), F.col("id").cast("string")))
+            % 2001
+            - 1000
+        ).cast("long").alias("w_milli"),
+    )
+    s = (
+        bucketed.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w_milli").cast("long").alias("logit_milli"),
+        )
+    )
+    return s.select(
+        "doc_id", "n_tokens", "logit_milli", (F.col("logit_milli") > 0).alias("keep")
+    )
+
+
 _QC_BUCKET = "(" + HASH.format(e="'qw:' || u.w") + " % 512)"
 _QC_W = "((" + HASH.format(e="'qweight:' || b::VARCHAR") + " % 2001) - 1000)"
 
@@ -744,36 +778,7 @@ _QC_W = "((" + HASH.format(e="'qweight:' || b::VARCHAR") + " % 2001) - 1000)"
     "never a shuffle.",
 )
 def q_quality_classifier_scores(spark: SparkSession, sf: str):
-    from annotations_ingester_spark.functions.hashing import md5_hash64
-
-    d = table(spark, sf, "documents").select(
-        "doc_id", F.explode(tx.tokens("text")).alias("w")
-    )
-    bucketed = d.select(
-        "doc_id",
-        F.abs(
-            md5_hash64(F.concat(F.lit("qw:"), F.col("w"))) % 512
-        ).cast("long").alias("b"),
-    )
-    weights = spark.range(0, 512).select(
-        F.col("id").cast("long").alias("b"),
-        (
-            md5_hash64(F.concat(F.lit("qweight:"), F.col("id").cast("string")))
-            % 2001
-            - 1000
-        ).cast("long").alias("w_milli"),
-    )
-    s = (
-        bucketed.join(F.broadcast(weights), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("w_milli").cast("long").alias("logit_milli"),
-        )
-    )
-    return s.select(
-        "doc_id", "n_tokens", "logit_milli", (F.col("logit_milli") > 0).alias("keep")
-    )
+    return classifier_scores(table(spark, sf, "documents"))
 
 
 @register(
@@ -874,3 +879,63 @@ def q_packing_efficiency(spark: SparkSession, sf: str):
             F.sum("tokens_in_bin") * 10000.0 / (F.count("*") * 512), 2
         ).alias("fill_bp"),
     )
+
+
+@register(
+    "streaming_quality_gate",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+       tok AS (SELECT doc_id, unnest(t) AS w FROM d),
+       b AS (SELECT doc_id, abs({_QC_BUCKET})::BIGINT AS b
+             FROM tok u),
+       w AS (SELECT DISTINCT b, {_QC_W}::BIGINT AS w_milli FROM b),
+       s AS (
+         SELECT b.doc_id, count(*)::BIGINT AS n_tokens,
+                sum(w.w_milli)::BIGINT AS logit_milli
+         FROM b JOIN w ON b.b = w.b GROUP BY b.doc_id)
+       SELECT doc_id, n_tokens, logit_milli FROM s
+       WHERE logit_milli > 0""",
+    doc="Streaming twin of the quality-classifier gate, run for real: "
+    "documents stream in (availableNow, several micro-batches) and "
+    "foreachBatch scores each batch with the SAME hashed linear model "
+    "(classifier_scores — the hashing-trick feature space needs no "
+    "corpus statistics, which is exactly what makes the classifier "
+    "streamable where the percentile gate is not), landing each batch's "
+    "keep rows at a BATCH-ID-KEYED path (overwrite) — the idempotent "
+    "foreachBatch discipline: an at-least-once retry rewrites its own "
+    "partial instead of duplicating appended rows. The final read folds "
+    "the partials; the oracle is the batch classifier filtered to "
+    "keeps — streamed and batch gates must agree row-for-row because "
+    "the score depends only on the document itself.",
+)
+def q_streaming_quality_gate(spark: SparkSession, sf: str):
+    import os
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_qgate_")
+    feed_dir = os.path.join(run_dir, "feed")
+    store = os.path.join(run_dir, "store")
+    docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
+
+    def gate(batch_df, batch_id):
+        kept = classifier_scores(batch_df).filter(F.col("keep")).select(
+            "doc_id", "n_tokens", "logit_milli"
+        )
+        kept.write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
+
+    feed_schema = docs.schema  # just wrote it — no re-listing job
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(feed_dir)
+    )
+    q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination()
+    result = (
+        spark.read.parquet(store)
+        .select("doc_id", "n_tokens", "logit_milli")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return result

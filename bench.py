@@ -168,6 +168,9 @@ HEADLINE = [
     "events_markov_transitions",
     "privacy_l_diversity",
     "eval_recall_at_k_curve",
+    # r7: blocking-scheme audit + the streaming classifier gate
+    "eval_er_blocking_quality",
+    "streaming_quality_gate",
 ]
 
 

@@ -73,6 +73,10 @@ CROSS_ALLOWED = {
     # baseline, same shape as eval_ann_ndcg) + tiny k-cutoff/query-count
     # broadcasts fanned over the joined hits
     "eval_recall_at_k_curve",
+    # exact unblocked levenshtein ground truth over the BOUNDED
+    # custkey%13 subset (documented exactness-tier cartesian; the blocked
+    # tier is the production path) + the 1-row metric-count broadcasts
+    "eval_er_blocking_quality",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
@@ -91,8 +95,11 @@ STREAMING = {
     "streaming_cdc_apply",
     "streaming_shard_manifest",
     "streaming_sessionization",
+    "streaming_quality_gate",
     "layout_compaction_checksum",
     "layout_bucketed_join_cert",
+    "layout_dpp_cert",
+    "layout_sort_compression_cert",
     "format_roundtrip_checksum",
 }
 
