@@ -613,3 +613,141 @@ def extract_features(
         F.col(kind_col).alias("_kind"),
     )
     return slim.mapInPandas(run, schema=FEATURE_FIELDS)
+
+
+def synth_pcm_wav(media_id: int, n_samples: int = 256, rate: int = 8000) -> bytes:
+    """Build a REAL mono 16-bit PCM WAV whose sample i is the
+    deterministic integer ``((media_id*31 + i*17) % 4096) - 2048`` — an
+    arithmetic pseudo-signal an oracle can predict exactly, carried
+    through a genuine RIFF/WAVE container (the ``wave`` module both
+    writes and re-parses it, so the decode path is exercised on real
+    bytes, not a stub)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        frames = b"".join(
+            struct.pack(
+                "<h", ((media_id * 31 + i * 17) % 4096) - 2048
+            )
+            for i in range(n_samples)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+AUDIO_FRAME_FIELDS = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    frame_samples: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """CONTENT-level audio feature extraction: parse each WAV payload
+    with the stdlib ``wave`` module, split the PCM stream into
+    fixed-length sample frames, and emit per-frame ENERGY (exact integer
+    sum of squared samples — the loudness feature VAD/silence-trimming
+    uses) and ZERO-CROSSING count (the classical pitch/noisiness
+    feature), both exact integers so the oracle can assert them
+    bit-for-bit. Trailing partial frames are dropped (a frame is only
+    valid at full length — same rule as sample_frames).
+
+    Scale shape: mapInPandas inside the blob's own partition — PCM bytes
+    never shuffle; each output row is ~40 bytes. Corrupt/non-WAV
+    payloads contribute no rows (the 100 TB degradation rule: one bad
+    blob must not fail a task)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            ns: list[int] = []
+            energies: list[int] = []
+            zcs: list[int] = []
+            for mid, p in zip(pdf["_id"], pdf["_payload"]):
+                blob = b"" if p is None else bytes(p)
+                try:
+                    with wave.open(io.BytesIO(blob)) as wf:
+                        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+                            continue
+                        raw = wf.readframes(wf.getnframes())
+                except (wave.Error, EOFError):
+                    continue
+                samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+                n_frames = len(samples) // frame_samples
+                for fi in range(n_frames):
+                    seg = samples[fi * frame_samples : (fi + 1) * frame_samples]
+                    ids.append(int(mid))
+                    idxs.append(fi)
+                    ns.append(frame_samples)
+                    energies.append(sum(s * s for s in seg))
+                    zcs.append(
+                        sum(
+                            1
+                            for a, b in zip(seg, seg[1:])
+                            if (a >= 0) != (b >= 0)
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int64"),
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.pyfiles import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    slim = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return slim.mapInPandas(run, schema=AUDIO_FRAME_FIELDS)
+
+
+def synth_wav_images(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """mapInPandas WAV synthesizer: id → real PCM WAV payload rows
+    (``media_id, payload, meta``) — the audio twin of
+    synth_pattern_images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_id"].to_numpy(),
+                    "payload": [synth_pcm_wav(int(i)) for i in pdf["_id"]],
+                    "kind": "audio",
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.pyfiles import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    slim = df.select(F.col(id_col).alias("_id"))
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("kind", T.StringType(), False),
+        ]
+    )
+    return slim.mapInPandas(run, schema=out_schema).select(
+        "media_id", "payload", F.struct(F.col("kind")).alias("meta")
+    )

@@ -1726,3 +1726,138 @@ def q_layout_sort_compression(spark: SparkSession, sf: str):
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
     return result
+
+
+@register(
+    "media_audio_frame_energy",
+    """WITH s AS (
+         SELECT doc_id AS media_id, unnest(range(0, 256)) AS i
+         FROM documents),
+       v AS (
+         SELECT media_id, i, (i // 64)::BIGINT AS frame_idx,
+                ((media_id * 31 + i * 17) % 4096) - 2048 AS smp
+         FROM s),
+       z AS (
+         SELECT media_id, frame_idx, smp,
+                lag(smp) OVER (PARTITION BY media_id, frame_idx
+                               ORDER BY i) AS prev
+         FROM v)
+       SELECT media_id, frame_idx, 64::BIGINT AS n_samples,
+              sum(smp * smp)::BIGINT AS energy,
+              sum(CASE WHEN prev IS NOT NULL
+                        AND ((smp >= 0) <> (prev >= 0))
+                  THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+       FROM z GROUP BY media_id, frame_idx""",
+    doc="CONTENT-level audio feature extraction, run end-to-end on real "
+    "bytes: every doc becomes a genuine mono 16-bit PCM WAV (RIFF "
+    "container written AND re-parsed by the stdlib wave module) whose "
+    "samples are an arithmetic function of (media_id, i); the decoder "
+    "unpacks the PCM stream in-partition (Arrow-batched mapInPandas, "
+    "payload bytes never shuffle) and emits per-64-sample-frame ENERGY "
+    "(exact integer sum of squares — the VAD/silence-trim loudness "
+    "feature) and ZERO-CROSSING counts (the classical pitch/noisiness "
+    "feature). The oracle predicts every sample arithmetically, so a "
+    "hash match certifies synth -> container parse -> PCM unpack -> "
+    "framing -> features bit-for-bit — the audio twin of "
+    "media_phash_near_dup_pairs' image pipeline. A librosa/ffmpeg "
+    "spectrogram drops in at the same seam for codec formats.",
+)
+def q_media_audio_energy(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.multimodal.media import (
+        audio_frame_energy,
+        synth_wav_images,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synth_wav_images(docs)
+    return audio_frame_energy(media, frame_samples=64)
+
+
+@register(
+    "media_phash_clusters",
+    f"""WITH RECURSIVE img AS (
+         SELECT doc_id, (doc_id // 4)::BIGINT AS g, (doc_id % 4)::BIGINT AS m
+         FROM documents),
+       pat AS (
+         SELECT doc_id,
+                xor(xor({_PHASH_BASE},
+                        CASE WHEN m IN (1, 3)
+                             THEN (1::BIGINT << (g % 59 + 1)::INT)
+                             ELSE 0::BIGINT END),
+                    CASE WHEN m IN (2, 3)
+                         THEN (1::BIGINT << ((g * 7 + 3) % 59 + 1)::INT)
+                         ELSE 0::BIGINT END) AS phash
+         FROM img),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM pat a JOIN pat b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 4),
+       edges AS (
+         SELECT doc_a AS u, doc_b AS v FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       reach(u, v) AS (
+         SELECT u, v FROM edges
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE r.u <> e.v),
+       labels AS (
+         SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+         FROM reach GROUP BY u)
+       SELECT cluster_id, count(*)::BIGINT AS n_images,
+              min(doc_id)::BIGINT AS exemplar
+       FROM labels GROUP BY cluster_id""",
+    doc="Image near-duplicate CLUSTERS: the banded phash pairs "
+    "(media_phash_near_dup_pairs' certified synth -> decode -> band -> "
+    "verify pipeline) transitively closed into connected components with "
+    "per-cluster size + exemplar — the image-side twin of "
+    "dedup_duplicate_clusters, i.e. the artifact an image-dedup pass "
+    "actually consumes (keep one exemplar per cluster). Same scale "
+    "shape as the text CC stack: banded equi-join candidates, "
+    "star-contraction CC whose state is labels, never payloads. "
+    "Oracle: exact Hamming-threshold join over the predicted phashes + "
+    "recursive-CTE closure.",
+)
+def q_media_phash_clusters(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.multimodal.media import (
+        decode_content,
+        synth_pattern_images,
+    )
+    from annotations_ingester_spark.operators.cluster import connected_components
+    from annotations_ingester_spark.operators.dedup import hash64_near_dup_pairs
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    base = F.expr(
+        "CAST(conv(substring(md5(concat('phash:', CAST(g AS STRING))), 1, 15),"
+        " 16, 10) AS BIGINT) | CAST(1 AS BIGINT)"
+    )
+    imgs = (
+        docs.withColumn("g", F.expr("CAST(doc_id DIV 4 AS BIGINT)"))
+        .withColumn("m", F.expr("CAST(doc_id % 4 AS BIGINT)"))
+        .withColumn("base", base)
+        .withColumn(
+            "pattern",
+            F.expr(
+                "base"
+                " ^ (CASE WHEN m IN (1, 3)"
+                "     THEN shiftleft(CAST(1 AS BIGINT), CAST(g % 59 + 1 AS INT))"
+                "     ELSE CAST(0 AS BIGINT) END)"
+                " ^ (CASE WHEN m IN (2, 3)"
+                "     THEN shiftleft(CAST(1 AS BIGINT),"
+                "                    CAST((g * 7 + 3) % 59 + 1 AS INT))"
+                "     ELSE CAST(0 AS BIGINT) END)"
+            ),
+        )
+        .select(F.col("doc_id").alias("media_id"), "pattern")
+    )
+    decoded = decode_content(synth_pattern_images(imgs)).select(
+        "media_id", "phash"
+    )
+    pairs = hash64_near_dup_pairs(
+        decoded, id_col="media_id", hash_col="phash", n_bands=5, max_hamming=4
+    ).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    return cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.min("node").cast("long").alias("exemplar"),
+    )

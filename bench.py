@@ -171,6 +171,9 @@ HEADLINE = [
     # r7: blocking-scheme audit + the streaming classifier gate
     "eval_er_blocking_quality",
     "streaming_quality_gate",
+    # r7: audio content decode (PCM energy/ZCR) + image near-dup clusters
+    "media_audio_frame_energy",
+    "media_phash_clusters",
 ]
 
 
