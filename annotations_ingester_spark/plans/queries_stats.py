@@ -878,3 +878,70 @@ def q_stats_bradley_terry(spark: SparkSession, sf: str):
             ),
         )
     )
+
+
+@register(
+    "sketch_heavy_hitters_certified",
+    """WITH s AS (
+         SELECT CASE WHEN l_orderkey % 2 = 0 THEN (l_suppkey % 8)::BIGINT
+                     ELSE l_suppkey::BIGINT END AS item
+         FROM lineitem),
+       n AS (SELECT count(*)::BIGINT AS n_total FROM s),
+       c AS (SELECT item, count(*)::BIGINT AS exact_n FROM s GROUP BY item)
+       SELECT c.item, c.exact_n, n.n_total,
+              TRUE AS in_sketch, TRUE AS within_bound
+       FROM c, n WHERE c.exact_n * 32 > n.n_total""",
+    doc="Misra-Gries heavy-hitters sketch with exact certification — the "
+    "frequent-items summary Spark has no built-in for, implemented at "
+    "the brief's custom-sketch seam (operators/sketches.py): Arrow-"
+    "batched mapInPandas computes a bounded 32-counter MG summary per "
+    "batch (O(k) state regardless of stream size), summaries merge with "
+    "a relational sum. The stream plants skew (even orderkeys collapse "
+    "onto 8 hot supplier buckets, ~1/16 of the stream each; odd keys "
+    "spread over the full supplier domain, so evictions are real). "
+    "Certified facts are the MG THEOREMS, deterministic under any "
+    "stream/batch order — every item with exact frequency > N/32 is "
+    "present in the merged sketch, with estimate in [exact - N/32, "
+    "exact] — so the exact-SQL oracle (exact counts of the same "
+    "guaranteed-frequent set + TRUE flags) pins them without having to "
+    "simulate the stream. At 100 TB the summary is counters, never the "
+    "corpus; the merge shuffles <= batches x k rows.",
+)
+def q_sketch_heavy_hitters(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.sketches import (
+        misra_gries_summaries,
+    )
+
+    s = table(spark, sf, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % 2 == 0, (F.col("l_suppkey") % 8).cast("long")
+        )
+        .otherwise(F.col("l_suppkey").cast("long"))
+        .alias("item")
+    )
+    # The exact-count table is item-domain-sized and feeds BOTH the
+    # heavy-hitter filter and the stream-total scalar — materialize it
+    # once so the stream is scanned exactly twice (exact + sketch tiers)
+    exact = (
+        s.groupBy("item")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .localCheckpoint(eager=True)
+    )
+    n = exact.agg(F.sum("exact_n").cast("long").alias("n_total"))
+    sketch = misra_gries_summaries(s, "item", k=32)
+    hh = (
+        exact.crossJoin(F.broadcast(n))
+        .filter(F.col("exact_n") * 32 > F.col("n_total"))
+        .join(sketch, "item", "left")
+    )
+    return hh.select(
+        "item",
+        "exact_n",
+        "n_total",
+        F.col("mg_count").isNotNull().alias("in_sketch"),
+        (
+            F.col("mg_count").isNotNull()
+            & (F.col("mg_count") <= F.col("exact_n"))
+            & (F.col("exact_n") - F.col("mg_count") <= F.col("n_total") / 32)
+        ).alias("within_bound"),
+    )

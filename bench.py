@@ -174,6 +174,8 @@ HEADLINE = [
     # r7: audio content decode (PCM energy/ZCR) + image near-dup clusters
     "media_audio_frame_energy",
     "media_phash_clusters",
+    # r7: Misra-Gries heavy hitters (the custom mapInPandas sketch)
+    "sketch_heavy_hitters_certified",
 ]
 
 

@@ -77,6 +77,9 @@ CROSS_ALLOWED = {
     # custkey%13 subset (documented exactness-tier cartesian; the blocked
     # tier is the production path) + the 1-row metric-count broadcasts
     "eval_er_blocking_quality",
+    # 1-row stream-total broadcast (N for the N/k guarantee threshold)
+    # onto the item-domain-sized exact-count table
+    "sketch_heavy_hitters_certified",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,

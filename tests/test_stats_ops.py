@@ -97,3 +97,45 @@ def test_sketch_rollup_certified_and_exact(spark):
     # union distinct ≤ sum of group distincts (overlap), ≥ max group
     assert allr[0].exact_distinct <= sum(r.exact_distinct for r in per)
     assert allr[0].exact_distinct >= max(r.exact_distinct for r in per)
+
+
+def test_misra_gries_guarantee_on_adversarial_stream(spark):
+    """The MG theorems the certified query leans on, checked directly:
+    any item with frequency > N/k appears in the merged summary with an
+    estimate in [exact - N/k, exact] — under a stream deliberately
+    spread across many partitions/batches."""
+    from collections import Counter
+
+    from annotations_ingester_spark.operators.sketches import (
+        misra_gries_summaries,
+    )
+
+    # 3 hot items at ~10% each + a long uniform tail, shuffled
+    # deterministically across 16 partitions
+    vals = []
+    for i in range(20000):
+        if i % 10 < 3:
+            vals.append(i % 10)  # items 0,1,2 hot
+        else:
+            vals.append(100 + (i * 7919) % 500)
+    df = spark.createDataFrame([(v,) for v in vals], "item long").repartition(16)
+    k = 20
+    est = {
+        r.item: r.mg_count
+        for r in misra_gries_summaries(df, "item", k=k).collect()
+    }
+    exact = Counter(vals)
+    n = len(vals)
+    for item, c in exact.items():
+        if c > n / k:
+            assert item in est, f"guaranteed-frequent item {item} missing"
+            assert est[item] <= c and c - est[item] <= n / k, (item, c, est[item])
+
+
+def test_misra_gries_batch_bounds():
+    from annotations_ingester_spark.operators.sketches import misra_gries_batch
+
+    stream = [1] * 50 + [2] * 30 + list(range(100, 140))
+    out = misra_gries_batch(stream, k=5)
+    assert len(out) <= 5
+    assert out.get(1, 0) <= 50 and 50 - out.get(1, 0) <= len(stream) / 5
