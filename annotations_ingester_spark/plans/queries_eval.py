@@ -766,3 +766,93 @@ def q_eval_er_blocking(spark: SparkSession, sf: str):
             ).alias("reduction_ratio"),
         )
     )
+
+
+@register(
+    "eval_ann_mrr",
+    f"""WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       q0 AS (SELECT vec_id AS q_id, e AS qe FROM b
+              WHERE vec_id % 101 = 0 AND vec_id < 2000),
+       scored AS (
+         SELECT q.q_id, c.vec_id,
+                round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                           * sqrt(list_dot_product(c.e, c.e)) > 0
+                      THEN list_dot_product(q.qe, c.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(c.e, c.e)))
+                      ELSE 0.0 END, 6) AS cos
+         FROM b c, q0 q WHERE c.vec_id <> q.q_id),
+       top1 AS (
+         SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+           FROM scored) WHERE rn = 1),
+       bkt AS (SELECT vec_id, e, {_SB} AS bucket FROM b),
+       qb AS (SELECT k.vec_id AS q_id, k.e AS qe, k.bucket
+              FROM bkt k WHERE k.vec_id % 101 = 0 AND k.vec_id < 2000),
+       cand AS (
+         SELECT q.q_id, c.vec_id,
+                round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                           * sqrt(list_dot_product(c.e, c.e)) > 0
+                      THEN list_dot_product(q.qe, c.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(c.e, c.e)))
+                      ELSE 0.0 END, 6) AS cos
+         FROM bkt c JOIN qb q ON c.bucket = q.bucket
+         WHERE c.vec_id <> q.q_id),
+       pred AS (
+         SELECT q_id, vec_id, rn AS rank_p FROM (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+           FROM cand) WHERE rn <= 10),
+       rr AS (
+         SELECT t.q_id,
+                round(coalesce(1.0 / min(p.rank_p), 0.0), 9)::DECIMAL(20,9)
+                  AS rr
+         FROM top1 t LEFT JOIN pred p USING (q_id, vec_id)
+         GROUP BY t.q_id)
+       SELECT count(*)::BIGINT AS n_queries,
+              sum(CASE WHEN rr > 0 THEN 1 ELSE 0 END)::BIGINT AS n_found,
+              round(CAST(sum(rr) AS DOUBLE) / count(*), 6) AS mrr
+       FROM rr""",
+    doc="Mean reciprocal rank of the sign-bucket ANN tier at finding "
+    "each query's TRUE nearest neighbor (brute-force top-1 as the "
+    "relevant item) within its top-10 — the single-number retrieval "
+    "summary read next to recall@k (where does the right answer land, "
+    "averaged as 1/rank; misses contribute 0). Per-query reciprocal "
+    "ranks rounded + decimal-summed so the mean is order-free; both "
+    "tiers reuse the certified ANN shapes.",
+)
+def q_eval_ann_mrr(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.similarity import (
+        brute_force_topk,
+        bucketed_topk,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    qs = emb.filter(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
+    ).localCheckpoint(eager=True)
+    top1 = brute_force_topk(emb, qs, k=1).select("q_id", "vec_id")
+    pred = bucketed_topk(emb, qs, k=10, n_bits=8).select(
+        "q_id", "vec_id", F.col("rank").alias("rank_p")
+    )
+    rr = (
+        top1.join(pred, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.round(
+                F.coalesce(1.0 / F.min("rank_p"), F.lit(0.0)), 9
+            )
+            .cast("decimal(20,9)")
+            .alias("rr")
+        )
+    )
+    return rr.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum((F.col("rr") > 0).cast("long")).cast("long").alias("n_found"),
+        F.round(F.sum("rr").cast("double") / F.count("*"), 6).alias("mrr"),
+    )

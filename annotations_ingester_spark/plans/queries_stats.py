@@ -945,3 +945,108 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf: str):
             & (F.col("exact_n") - F.col("mg_count") <= F.col("n_total") / 32)
         ).alias("within_bound"),
     )
+
+
+_AB_HASH = "('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 15))::BIGINT"
+
+
+@register(
+    "stats_ab_test_proportions",
+    f"""WITH assign AS (
+         SELECT DISTINCT user_id, ({_AB_HASH} % 2)::BIGINT AS variant
+         FROM events),
+       conv AS (
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id HAVING count(*) >= 5),
+       cells AS (
+         SELECT a.variant,
+                count(*)::BIGINT AS n_users,
+                sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_converted
+         FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+         GROUP BY a.variant),
+       w AS (
+         SELECT max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+                max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+                max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+                max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+         FROM cells)
+       SELECT n0, c0, n1, c1,
+              round(c0 * 1.0 / n0, 6) AS p0,
+              round(c1 * 1.0 / n1, 6) AS p1,
+              round((c1 * 1.0 / n1) - (c0 * 1.0 / n0), 6) AS lift,
+              round(CASE WHEN (c0 + c1) = 0 OR (c0 + c1) = (n0 + n1)
+                         THEN 0.0
+                         ELSE ((c1 * 1.0 / n1) - (c0 * 1.0 / n0))
+                              / sqrt((((c0 + c1) * 1.0 / (n0 + n1))
+                                      * (1.0 - ((c0 + c1) * 1.0 / (n0 + n1))))
+                                     * ((1.0 / n0) + (1.0 / n1))) END, 4)
+                AS z_score
+       FROM w""",
+    doc="Two-proportion A/B test (pooled z-test) over a deterministic "
+    "hash split of the user base: users assign to variants by the "
+    "portable hash (the same stable-assignment contract as "
+    "split_hash_assign — no RNG to reconcile), conversion = any "
+    "'purchase' event, and the output is the contingency cells plus "
+    "conversion rates, lift, and the pooled z-score — the decision "
+    "statistic every experimentation platform computes. Float "
+    "discipline: all inputs are exact integer counts and the z "
+    "expression tree is shared, so each division/sqrt is IEEE "
+    "correctly-rounded identically on both engines; one rounding per "
+    "output. Scale shape: two distinct-user aggregates + a user-keyed "
+    "left join, then a 2-row pivot — flat at any event volume.",
+)
+def q_stats_ab_test(spark: SparkSession, sf: str):
+    ev = table(spark, sf, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        (
+            md5_hash64(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
+            % 2
+        ).cast("long").alias("variant"),
+    )
+    # conversion = a repeat purchaser (>=5 purchase events): all-but-one
+    # user makes SOME purchase in this corpus, which would degenerate the
+    # pooled variance to zero — the z-test needs a non-trivial rate
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("_np"))
+        .filter(F.col("_np") >= 5)
+        .select("user_id")
+        .withColumn("_c", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long").alias(
+                "n_converted"
+            ),
+        )
+    )
+    w = cells.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0") * 1.0 / F.col("n0")
+    p1 = F.col("c1") * 1.0 / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = F.when(
+        ((F.col("c0") + F.col("c1")) == 0)
+        | ((F.col("c0") + F.col("c1")) == (F.col("n0") + F.col("n1"))),
+        F.lit(0.0),
+    ).otherwise(
+        (p1 - p0)
+        / F.sqrt((pp * (1.0 - pp)) * ((1.0 / F.col("n0")) + (1.0 / F.col("n1"))))
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(p1 - p0, 6).alias("lift"),
+        F.round(z, 4).alias("z_score"),
+    )

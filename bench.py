@@ -176,6 +176,9 @@ HEADLINE = [
     "media_phash_clusters",
     # r7: Misra-Gries heavy hitters (the custom mapInPandas sketch)
     "sketch_heavy_hitters_certified",
+    # r7: MRR retrieval summary + two-proportion A/B z-test
+    "eval_ann_mrr",
+    "stats_ab_test_proportions",
 ]
 
 

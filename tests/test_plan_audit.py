@@ -80,6 +80,9 @@ CROSS_ALLOWED = {
     # 1-row stream-total broadcast (N for the N/k guarantee threshold)
     # onto the item-domain-sized exact-count table
     "sketch_heavy_hitters_certified",
+    # brute-force top-1 ground truth (broadcast query side — exactness
+    # baseline, same shape as eval_ann_ndcg / eval_recall_at_k_curve)
+    "eval_ann_mrr",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
@@ -267,6 +270,7 @@ SCAN_MULTIPLICITY_ALLOW = {
     "eval_ann_ndcg": 5,
     "eval_recall_at_k_curve": 3,   # exact + bucketed tiers each scan the
                                    # corpus once (query batch checkpointed)
+    "eval_ann_mrr": 3,             # same two-tier shape as the recall curve
 }
 
 
