@@ -1042,3 +1042,95 @@ def q_privacy_l_diversity(spark: SparkSession, sf: str):
             (F.col("n_sensitive") >= 3).alias("diverse_l3"),
         )
     )
+
+
+@register(
+    "timeseries_linear_trend",
+    """WITH e AS (
+         SELECT event_type,
+                floor(epoch(ts))::BIGINT AS x,
+                round(value * 10000)::BIGINT AS y
+         FROM events),
+       b AS (SELECT event_type, min(x)::BIGINT AS x0 FROM e GROUP BY event_type),
+       m AS (
+         SELECT e.event_type, count(*)::BIGINT AS n,
+                sum(e.x - b.x0)::BIGINT AS sx,
+                sum(e.y)::BIGINT AS sy,
+                sum((e.x - b.x0) * (e.x - b.x0))::DECIMAL(38,0) AS sxx,
+                sum((e.x - b.x0) * e.y)::DECIMAL(38,0) AS sxy,
+                sum(e.y::DECIMAL(38,0) * e.y)::DECIMAL(38,0) AS syy
+         FROM e JOIN b ON b.event_type = e.event_type
+         GROUP BY e.event_type)
+       SELECT event_type, n,
+              round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 10)
+                AS slope_e4_per_s,
+              round((sy - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                           / (n * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * sx)) * sx) / n, 4)
+                AS intercept_e4,
+              round(CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                              * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                              = 0 THEN 0.0
+                    ELSE (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                         * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                         / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                            * (n * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * sy)) END, 6) AS r2
+       FROM m""",
+    doc="Grouped closed-form OLS: per event type, the least-squares "
+    "slope/intercept/R^2 of (fixed-point value) against time — the "
+    "metric-drift trend every monitoring pipeline fits (is this metric "
+    "creeping up, and how much variance does time explain). The moment "
+    "sums (n, Sx, Sy, Sxx, Sxy, Syy) are EXACT: values carry as "
+    "integer 1e4 fixed-point, x is seconds offset from each group's "
+    "min (re-centering keeps products inside DECIMAL(38) headroom), "
+    "and all six moments are integer/decimal sums — order-free, so the "
+    "only floats are the final closed-form divisions on identical "
+    "operands (IEEE-identical across engines) with one rounding per "
+    "output. Scale shape: one map-side-combinable moment aggregate "
+    "(plus a tiny per-group min broadcast) — a single pass however "
+    "large the series; degenerate variance guarded on both engines.",
+)
+def q_timeseries_linear_trend(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        "event_type",
+        F.col("ts_s").alias("x"),
+        F.round(F.col("value") * 10000).cast("long").alias("y"),
+    )
+    b = e.groupBy("event_type").agg(F.min("x").cast("long").alias("x0"))
+    m = (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("x") - F.col("x0")).cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum((F.col("x") - F.col("x0")) * (F.col("x") - F.col("x0")))
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+            F.sum((F.col("x") - F.col("x0")) * F.col("y"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+            .cast("decimal(38,0)")
+            .alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    dx = n * sxx - sx * F.col("sx")
+    slope = (n * sxy - sx * sy) / dx
+    dy = n * syy - sy.cast("double") * sy
+    r2num = (n * sxy - sx * sy) * (n * sxy - sx * sy)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 10).alias("slope_e4_per_s"),
+        F.round((sy - slope * F.col("sx")) / n, 4).alias("intercept_e4"),
+        F.round(
+            F.when(dx * dy == 0, F.lit(0.0)).otherwise(r2num / (dx * dy)), 6
+        ).alias("r2"),
+    )

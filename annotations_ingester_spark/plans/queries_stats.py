@@ -1050,3 +1050,222 @@ def q_stats_ab_test(spark: SparkSession, sf: str):
         F.round(p1 - p0, 6).alias("lift"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+@register(
+    "streaming_heavy_hitters",
+    """WITH s AS (
+         SELECT CASE WHEN l_orderkey % 2 = 0 THEN (l_suppkey % 8)::BIGINT
+                     ELSE l_suppkey::BIGINT END AS item
+         FROM lineitem),
+       n AS (SELECT count(*)::BIGINT AS n_total FROM s),
+       c AS (SELECT item, count(*)::BIGINT AS exact_n FROM s GROUP BY item)
+       SELECT c.item, c.exact_n, n.n_total,
+              TRUE AS in_sketch, TRUE AS within_bound
+       FROM c, n WHERE c.exact_n * 32 > n.n_total""",
+    doc="Streaming twin of the Misra-Gries heavy-hitters sketch, run for "
+    "real: the planted-skew item stream arrives as micro-batches "
+    "(availableNow), foreachBatch computes each batch's bounded "
+    "32-counter MG summary and lands it at a BATCH-ID-KEYED path "
+    "(idempotent under at-least-once retry — the shard-manifest "
+    "discipline), and the final fold is a relational sum of counters. "
+    "The MG guarantee is MERGEABLE (per-batch undercounts sum to <= "
+    "N/32 total), so the certified facts — every item with exact "
+    "frequency > N/32 present, estimate within [exact - N/32, exact] — "
+    "hold under ANY micro-batch split, which is exactly what the "
+    "certification asserts against the batch oracle. At 100 TB this is "
+    "the streaming trending-items pipeline: O(k) state per batch, "
+    "counter rows on the wire, never the stream.",
+)
+def q_streaming_heavy_hitters(spark: SparkSession, sf: str):
+    import os
+    import shutil
+    import tempfile
+
+    from annotations_ingester_spark.operators.sketches import (
+        misra_gries_summaries,
+    )
+
+    s = table(spark, sf, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % 2 == 0, (F.col("l_suppkey") % 8).cast("long")
+        )
+        .otherwise(F.col("l_suppkey").cast("long"))
+        .alias("item")
+    )
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_shh_")
+    feed_dir = os.path.join(run_dir, "feed")
+    store = os.path.join(run_dir, "store")
+    s.repartition(8).write.mode("overwrite").parquet(feed_dir)
+
+    def land(batch_df, batch_id):
+        misra_gries_summaries(batch_df, "item", k=32).write.mode(
+            "overwrite"
+        ).parquet(f"{store}/batch={batch_id}")
+
+    stream = (
+        spark.readStream.schema(s.schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(feed_dir)
+    )
+    q = stream.writeStream.foreachBatch(land).trigger(availableNow=True).start()
+    q.awaitTermination()
+    sketch = (
+        spark.read.parquet(store)
+        .groupBy("item")
+        .agg(F.sum("mg_count").cast("long").alias("mg_count"))
+    )
+    exact = (
+        spark.read.parquet(feed_dir)
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .localCheckpoint(eager=True)
+    )
+    n = exact.agg(F.sum("exact_n").cast("long").alias("n_total"))
+    result = (
+        exact.crossJoin(F.broadcast(n))
+        .filter(F.col("exact_n") * 32 > F.col("n_total"))
+        .join(sketch, "item", "left")
+        .select(
+            "item",
+            "exact_n",
+            "n_total",
+            F.col("mg_count").isNotNull().alias("in_sketch"),
+            (
+                F.col("mg_count").isNotNull()
+                & (F.col("mg_count") <= F.col("exact_n"))
+                & (F.col("exact_n") - F.col("mg_count") <= F.col("n_total") / 32)
+            ).alias("within_bound"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return result
+
+
+@register(
+    "bpe_learn_two_merges",
+    f"""WITH wf AS (
+         SELECT u.w, count(*)::BIGINT AS f
+         FROM (SELECT unnest({TOKS}) AS w FROM documents) u
+         WHERE length(u.w) >= 2 GROUP BY u.w),
+       e0 AS (
+         SELECT f, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+                  AS enc
+         FROM wf),
+       p0 AS (
+         SELECT f,
+                string_split(substr(enc, 2, length(enc) - 2),
+                             chr(31) || chr(31)) AS t
+         FROM e0),
+       pr0 AS (
+         SELECT t[i] AS a, t[i + 1] AS b, sum(f)::BIGINT AS merges
+         FROM p0, unnest(range(1, len(t))) AS u(i)
+         GROUP BY t[i], t[i + 1]),
+       m1 AS (SELECT a, b, merges FROM pr0
+              ORDER BY merges DESC, a, b LIMIT 1),
+       e1 AS (
+         SELECT e0.f,
+                replace(e0.enc,
+                        chr(31) || m1.a || chr(31) || chr(31) || m1.b || chr(31),
+                        chr(31) || m1.a || m1.b || chr(31)) AS enc
+         FROM e0 CROSS JOIN m1),
+       p1 AS (
+         SELECT f,
+                string_split(substr(enc, 2, length(enc) - 2),
+                             chr(31) || chr(31)) AS t
+         FROM e1),
+       pr1 AS (
+         SELECT t[i] AS a, t[i + 1] AS b, sum(f)::BIGINT AS merges
+         FROM p1, unnest(range(1, len(t))) AS u(i)
+         GROUP BY t[i], t[i + 1]),
+       m2 AS (SELECT a, b, merges FROM pr1
+              ORDER BY merges DESC, a, b LIMIT 1)
+       SELECT 1::BIGINT AS step, a AS pair_a, b AS pair_b, merges FROM m1
+       UNION ALL
+       SELECT 2::BIGINT, a, b, merges FROM m2""",
+    doc="BPE merge LEARNING, two real iterations: the first merge is the "
+    "weighted argmax adjacent pair over the vocabulary (what "
+    "bpe_pair_merges reports as statistics), then — the part one-shot "
+    "statistics cannot do — that merge is APPLIED to every word (the "
+    "dynamic sentinel-replace: the learned pair arrives as a 1-row "
+    "broadcast, not a compile-time literal) and the pair counts are "
+    "recomputed over the updated corpus to learn merge #2, whose count "
+    "reflects post-merge adjacency (e.g. ('th','e') only exists after "
+    "('t','h')). Deterministic argmax via (count DESC, pair ASC). "
+    "Scale shape: everything runs over the VOCABULARY table with corpus "
+    "weights carried as counts (the standard BPE-learning trick — "
+    "corpus-sized only at the initial token count), one explode + "
+    "aggregate per learned merge; a 50k-merge learner is this loop "
+    "driven by the driver, each step one tiny argmax broadcast.",
+)
+def q_bpe_learn_two_merges(spark: SparkSession, sf: str):
+    SEP = "\x1f"
+
+    wf = (
+        table(spark, sf, "documents")
+        .select(F.explode(tx.tokens("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    e0 = wf.select(
+        "f", F.regexp_replace("w", "(.)", f"{SEP}$1{SEP}").alias("enc")
+    ).localCheckpoint(eager=True)  # feeds pair count 1 AND the re-encode
+
+    def pair_counts(e):
+        p = e.select(
+            "f",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS a,"
+                    "             element_at(t, i + 1) AS b))"
+                )
+            ).alias("pr"),
+        ).select("f", "pr.a", "pr.b")
+        return p.groupBy("a", "b").agg(F.sum("f").cast("long").alias("merges"))
+
+    def with_toks(e):
+        return e.withColumn(
+            "t",
+            F.split(
+                F.col("enc").substr(F.lit(2), F.length("enc") - 2),
+                f"{SEP}{SEP}",
+            ),
+        )
+
+    m1 = (
+        pair_counts(with_toks(e0))
+        .orderBy(F.col("merges").desc(), "a", "b")
+        .limit(1)
+    )
+    e1 = e0.crossJoin(F.broadcast(m1.select("a", "b"))).select(
+        "f",
+        F.replace(
+            F.col("enc"),
+            F.concat(
+                F.lit(SEP), F.col("a"), F.lit(SEP), F.lit(SEP), F.col("b"),
+                F.lit(SEP),
+            ),
+            F.concat(F.lit(SEP), F.col("a"), F.col("b"), F.lit(SEP)),
+        ).alias("enc"),
+    )
+    m2 = (
+        pair_counts(with_toks(e1))
+        .orderBy(F.col("merges").desc(), "a", "b")
+        .limit(1)
+    )
+    one = m1.select(
+        F.lit(1).cast("long").alias("step"),
+        F.col("a").alias("pair_a"),
+        F.col("b").alias("pair_b"),
+        "merges",
+    )
+    two = m2.select(
+        F.lit(2).cast("long").alias("step"),
+        F.col("a").alias("pair_a"),
+        F.col("b").alias("pair_b"),
+        "merges",
+    )
+    return one.unionByName(two)

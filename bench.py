@@ -179,6 +179,10 @@ HEADLINE = [
     # r7: MRR retrieval summary + two-proportion A/B z-test
     "eval_ann_mrr",
     "stats_ab_test_proportions",
+    # r7: streaming MG twin, 2-step BPE merge learning, grouped OLS trend
+    "streaming_heavy_hitters",
+    "bpe_learn_two_merges",
+    "timeseries_linear_trend",
 ]
 
 

@@ -83,6 +83,9 @@ CROSS_ALLOWED = {
     # brute-force top-1 ground truth (broadcast query side — exactness
     # baseline, same shape as eval_ann_ndcg / eval_recall_at_k_curve)
     "eval_ann_mrr",
+    # 1-row learned-merge broadcast applied back over the vocabulary
+    # (the dynamic sentinel-replace between the two learning steps)
+    "bpe_learn_two_merges",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
@@ -102,6 +105,7 @@ STREAMING = {
     "streaming_shard_manifest",
     "streaming_sessionization",
     "streaming_quality_gate",
+    "streaming_heavy_hitters",
     "layout_compaction_checksum",
     "layout_bucketed_join_cert",
     "layout_dpp_cert",
