@@ -861,3 +861,52 @@ def q_mixture_temperature_sample(spark: SparkSession, sf: str):
         .filter(F.col("domain_rank") <= F.col("quota"))
         .select("doc_id", "lang", "domain_rank", "quota")
     )
+
+
+@register(
+    "corpus_datasheet_report",
+    f"""WITH d AS (
+          SELECT doc_id, lang, source, n_chars,
+                 len({tokens_sql('text')})::BIGINT AS n_tokens,
+                 md5(text) AS fp
+          FROM documents WHERE text IS NOT NULL)
+        SELECT count(*)::BIGINT AS n_docs,
+               count(DISTINCT lang)::BIGINT AS n_langs,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               sum(n_chars)::BIGINT AS total_chars,
+               count(DISTINCT fp)::BIGINT AS n_unique_texts,
+               round((count(*) - count(DISTINCT fp)) * 1.0 / count(*), 6)
+                 AS exact_dup_rate,
+               round(sum(n_tokens) * 1.0 / count(*), 4) AS mean_tokens_per_doc
+        FROM d""",
+    doc="Dataset datasheet summary (the 'Datasheets for Datasets' "
+    "headline block): corpus size in docs/tokens/chars, language and "
+    "source diversity, exact-duplicate rate (content-hash distinct), "
+    "and mean document length — the one-row report card every release "
+    "ships next to the data. One scan-fused aggregate; the distinct "
+    "counts are two-phase partial distincts at scale (the md5 "
+    "fingerprint keyspace shuffles 16-byte keys, never text).",
+)
+def q_corpus_datasheet(spark: SparkSession, sf: str):
+    d = table(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    return d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("fp").cast("long").alias("n_unique_texts"),
+        F.round(
+            (F.count("*") - F.count_distinct("fp")) * 1.0 / F.count("*"), 6
+        ).alias("exact_dup_rate"),
+        F.round(F.sum("n_tokens") * 1.0 / F.count("*"), 4).alias(
+            "mean_tokens_per_doc"
+        ),
+    )

@@ -939,3 +939,81 @@ def q_streaming_quality_gate(spark: SparkSession, sf: str):
     )
     shutil.rmtree(run_dir, ignore_errors=True)
     return result
+
+
+@register(
+    "context_packing_manifest",
+    f"""WITH d AS (
+         SELECT doc_id, source, {_BPE_N} AS n_tokens
+         FROM documents WHERE text IS NOT NULL),
+       packed AS (
+         SELECT doc_id, source, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+         FROM d),
+       binned AS (
+         SELECT doc_id, source, n_tokens, cum,
+                (cum // 4096)::BIGINT AS bin,
+                (cum % 4096)::BIGINT AS tok_offset
+         FROM packed)
+       SELECT source, bin,
+              count(*)::BIGINT AS n_docs,
+              sum(n_tokens)::BIGINT AS total_tokens,
+              string_agg(doc_id::VARCHAR || ':' || tok_offset::VARCHAR,
+                         ',' ORDER BY doc_id) AS members
+       FROM binned GROUP BY source, bin""",
+    doc="Long-context packing MANIFEST — the artifact a dataloader "
+    "actually consumes, one step past bin statistics: docs pack into "
+    "4096-token contexts per source in deterministic doc_id order, and "
+    "each context row carries its canonical member list "
+    "('doc_id:token_offset', sorted) so the trainer can slice documents "
+    "and place attention boundaries without re-deriving the packing. "
+    "Offsets come from the same exclusive running sum as the bin id "
+    "(one window shuffle); token counts are the real BPE encoder's. "
+    "The canonical string postings make the nested artifact "
+    "hash-comparable across engines (the inverted_index_postings "
+    "discipline). At 100 TB: the window is per-source (the "
+    "corpus_shuffle_order prefix-sum pattern drops in for a single "
+    "giant source), the manifest is bins-sized, and a boundary doc "
+    "spanning two contexts is visible as offset+n_tokens > 4096 — the "
+    "truncate/pad decision is the consumer's, recorded not hidden.",
+)
+def q_context_packing_manifest(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", _bpe.bpe_token_count("text").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = d.withColumn("cum", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    binned = packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("cum") / 4096).cast("long").alias("bin"),
+        (F.col("cum") % 4096).cast("long").alias("offset"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("doc_id"),
+                            F.concat_ws(
+                                ":",
+                                F.col("doc_id").cast("string"),
+                                F.col("offset").cast("string"),
+                            ).alias("s"),
+                        )
+                    )
+                ).getField("s"),
+                ",",
+            ).alias("members"),
+        )
+    )

@@ -1861,3 +1861,66 @@ def q_media_phash_clusters(spark: SparkSession, sf: str):
         F.count("*").cast("long").alias("n_images"),
         F.min("node").cast("long").alias("exemplar"),
     )
+
+
+@register(
+    "format_schema_evolution_cert",
+    """SELECT TRUE AS merged_schema_ok,
+              count(*)::BIGINT AS n_rows,
+              sum(CASE WHEN o_orderkey % 2 = 0
+                       THEN round(o_totalprice * 100)::BIGINT END)::BIGINT
+                AS new_col_checksum,
+              sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                AS n_null_new_col
+       FROM orders""",
+    doc="Schema-evolution certification, run for real: the same logical "
+    "table lands as two parquet generations — v1 files carry "
+    "(o_orderkey, status), v2 files add a cents column — and the merged "
+    "read (mergeSchema) must (a) surface the union schema, (b) read the "
+    "new column as NULL across every v1 row (counted exactly), and (c) "
+    "preserve the new column's values across v2 rows (integer "
+    "checksum). This is the append-only lakehouse's most common "
+    "migration: new columns arrive without rewriting history, and the "
+    "read side is where correctness lives. At 100 TB the same read "
+    "works file-by-file — schema merge is metadata-only, no data "
+    "rewrite. Run-unique temp dirs, cleaned in finally.",
+)
+def q_format_schema_evolution(spark: SparkSession, sf: str):
+    import shutil
+    import tempfile
+
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_schevo_")
+    orders = table(spark, sf, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    try:
+        v1.write.mode("overwrite").parquet(f"{run_dir}/t/gen=1")
+        v2.write.mode("overwrite").parquet(f"{run_dir}/t/gen=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(f"{run_dir}/t")
+        ok = {"o_orderkey", "status", "cents"} <= set(merged.columns)
+        result = (
+            merged.groupBy()
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("new_col_checksum"),
+                F.sum(F.col("cents").isNull().cast("long")).cast("long").alias(
+                    "n_null_new_col"
+                ),
+            )
+            .select(
+                F.lit(ok).alias("merged_schema_ok"),
+                "n_rows",
+                "new_col_checksum",
+                "n_null_new_col",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return result

@@ -183,6 +183,10 @@ HEADLINE = [
     "streaming_heavy_hitters",
     "bpe_learn_two_merges",
     "timeseries_linear_trend",
+    # r7: long-context packing manifest, schema-evolution cert, datasheet
+    "context_packing_manifest",
+    "format_schema_evolution_cert",
+    "corpus_datasheet_report",
 ]
 
 

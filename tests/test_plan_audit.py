@@ -111,6 +111,7 @@ STREAMING = {
     "layout_dpp_cert",
     "layout_sort_compression_cert",
     "format_roundtrip_checksum",
+    "format_schema_evolution_cert",
 }
 
 
