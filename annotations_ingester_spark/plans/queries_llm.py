@@ -1017,3 +1017,111 @@ def q_context_packing_manifest(spark: SparkSession, sf: str):
             ).alias("members"),
         )
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    """WITH ev AS (
+         SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+       v AS (
+         SELECT user_id, min(ts_s) AS t_view FROM ev
+         WHERE event_type = 'view' GROUP BY user_id),
+       c AS (
+         SELECT e.user_id, v.t_view, min(e.ts_s) AS t_click
+         FROM ev e JOIN v ON e.user_id = v.user_id
+         WHERE e.event_type = 'click' AND e.ts_s >= v.t_view
+         GROUP BY e.user_id, v.t_view),
+       p AS (
+         SELECT e.user_id, c.t_view, c.t_click, min(e.ts_s) AS t_purchase
+         FROM ev e JOIN c ON e.user_id = c.user_id
+         WHERE e.event_type = 'purchase' AND e.ts_s >= c.t_click
+         GROUP BY e.user_id, c.t_view, c.t_click),
+       lat AS (
+         SELECT 'view_to_click' AS transition, t_click - t_view AS lat_s,
+                user_id
+         FROM c
+         UNION ALL
+         SELECT 'click_to_purchase', t_purchase - t_click, user_id FROM p),
+       sized AS (
+         SELECT transition, count(*)::BIGINT AS n FROM lat GROUP BY transition),
+       r AS (
+         SELECT transition, lat_s,
+                row_number() OVER (PARTITION BY transition
+                                   ORDER BY lat_s, user_id) AS rn
+         FROM lat)
+       SELECT s.transition, s.n,
+              min(CASE WHEN r.rn >= ceil(0.5 * s.n) THEN r.lat_s END)::BIGINT
+                AS p50_latency_s,
+              min(CASE WHEN r.rn >= ceil(0.9 * s.n) THEN r.lat_s END)::BIGINT
+                AS p90_latency_s,
+              sum(r.lat_s)::BIGINT AS total_latency_s
+       FROM sized s JOIN r ON r.transition = s.transition
+       GROUP BY s.transition, s.n""",
+    doc="Funnel TIMING — the companion the step-count funnel "
+    "(funnel_conversion_steps) is read with: per transition "
+    "(view->first qualifying click, click->first qualifying purchase), "
+    "the exact discrete p50/p90 latency in seconds plus the latency "
+    "total — where users stall, not just where they drop. Percentiles "
+    "use the engine-portable rank-selection convention "
+    "(ceil(q*n) under a (latency, user_id) total order — the "
+    "quantile_disc_certified discipline, no interpolation ambiguity). "
+    "Scale shape: the funnel's user_id-keyed joins/aggregates, then "
+    "one transition-partitioned rank window over the per-user latency "
+    "rows (2 bounded partitions).",
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf).select("user_id", "event_type", "ts_s")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_view"))
+    )
+    # per-user step frames are tiny (cohort-sized) and each feeds TWO
+    # consumers (the next step's join and the latency union) — checkpoint
+    # them so the events table is scanned once per step, not once per
+    # downstream lineage copy (scan-multiplicity discipline)
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_s") >= F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts_s").alias("t_click"))
+        .localCheckpoint(eager=True)
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_s") >= F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("ts_s").alias("t_purchase"))
+        .localCheckpoint(eager=True)
+    )
+    lat = c.select(
+        F.lit("view_to_click").alias("transition"),
+        (F.col("t_click") - F.col("t_view")).alias("lat_s"),
+        "user_id",
+    ).unionAll(
+        p.select(
+            F.lit("click_to_purchase").alias("transition"),
+            (F.col("t_purchase") - F.col("t_click")).alias("lat_s"),
+            "user_id",
+        )
+    )
+    sized = lat.groupBy("transition").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("transition").orderBy("lat_s", "user_id")
+    r = lat.withColumn("rn", F.row_number().over(w))
+    return (
+        r.join(F.broadcast(sized), "transition")
+        .groupBy("transition", "n")
+        .agg(
+            F.min(
+                F.when(F.col("rn") >= F.ceil(0.5 * F.col("n")), F.col("lat_s"))
+            ).cast("long").alias("p50_latency_s"),
+            F.min(
+                F.when(F.col("rn") >= F.ceil(0.9 * F.col("n")), F.col("lat_s"))
+            ).cast("long").alias("p90_latency_s"),
+            F.sum("lat_s").cast("long").alias("total_latency_s"),
+        )
+    )

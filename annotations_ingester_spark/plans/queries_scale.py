@@ -1924,3 +1924,101 @@ def q_format_schema_evolution(spark: SparkSession, sf: str):
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
     return result
+
+
+@register(
+    "eval_minhash_estimator",
+    f"""WITH {SIG_CTE},
+       band AS (
+         SELECT doc_id, seed // 2 AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed // 2),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+       agree AS (
+         SELECT c.doc_a, c.doc_b,
+                sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::BIGINT
+                  AS n_agree
+         FROM cand c
+         JOIN sig sa ON sa.doc_id = c.doc_a
+         JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+         GROUP BY c.doc_a, c.doc_b),
+       sh AS (
+         SELECT doc_id, list_distinct(sh) AS s
+         FROM d2),
+       sized AS (SELECT doc_id, len(s)::BIGINT AS sz, s FROM sh),
+       ex AS (SELECT doc_id, sz, unnest(s) AS shingle FROM sized),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sz AS sz_a, b.sz AS sz_b, count(*)::BIGINT AS n_inter
+         FROM ex a JOIN ex b ON a.shingle = b.shingle
+         WHERE a.doc_id < b.doc_id
+         GROUP BY doc_a, doc_b, sz_a, sz_b)
+       SELECT g.doc_a, g.doc_b, g.n_agree,
+              round(g.n_agree / 8.0, 6) AS est_jaccard,
+              round(coalesce(i.n_inter * 1.0
+                             / (i.sz_a + i.sz_b - i.n_inter), 0.0), 6)
+                AS exact_jaccard,
+              round(abs(g.n_agree / 8.0
+                        - coalesce(i.n_inter * 1.0
+                                   / (i.sz_a + i.sz_b - i.n_inter), 0.0)), 6)
+                AS abs_err
+       FROM agree g
+       LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b""",
+    doc="MinHash ESTIMATOR quality, value-level (the companion to "
+    "eval_lsh_precision_recall's set-level view): for every LSH "
+    "candidate pair, the Jaccard estimate implied by the signatures "
+    "(agreeing seeds / 8 — the unbiased MinHash estimator) against the "
+    "exact shingle Jaccard, with the absolute error — the query that "
+    "tells you whether 8 permutations is enough RESOLUTION for the "
+    "downstream threshold, distinct from whether the bands RECALL the "
+    "pairs. Seed agreement is deterministic (the signatures are the "
+    "certified md5 family), so the estimate is exact on both engines; "
+    "the exact tier reuses the shingle-intersection verification "
+    "machinery over the bounded candidate set. One signature self-join "
+    "keyed on (doc, seed) + the certified band/verify shapes.",
+)
+def q_eval_minhash_estimator(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import (
+        _shingle_intersections,
+    )
+
+    docs = table(spark, sf, "documents")
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)  # bands + both
+    # agreement sides reuse the 8-row/doc signature frame
+    cand = lsh_candidate_pairs(lsh_band_keys(sig)).select("doc_a", "doc_b")
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mh_b")
+    )
+    agree = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("mh_a") == F.col("mh_b")).cast("long"))
+            .cast("long")
+            .alias("n_agree")
+        )
+    )
+    inter = _shingle_intersections(docs, "text", "doc_id", 3)
+    exact = F.coalesce(
+        F.col("n_inter") * 1.0
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        F.lit(0.0),
+    )
+    return (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.round(F.col("n_agree") / 8.0, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("n_agree") / 8.0 - exact), 6).alias("abs_err"),
+        )
+    )

@@ -187,6 +187,9 @@ HEADLINE = [
     "context_packing_manifest",
     "format_schema_evolution_cert",
     "corpus_datasheet_report",
+    # r7: funnel timing percentiles + MinHash estimator-resolution eval
+    "funnel_time_to_convert",
+    "eval_minhash_estimator",
 ]
 
 
