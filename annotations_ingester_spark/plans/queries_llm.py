@@ -1125,3 +1125,157 @@ def q_funnel_time_to_convert(spark: SparkSession, sf: str):
             F.sum("lat_s").cast("long").alias("total_latency_s"),
         )
     )
+
+
+@register(
+    "ann_ivf_adc_topk",
+    """WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e,
+                (CASE WHEN (embedding::DOUBLE[])[1] >= 0 THEN 1 ELSE 0 END) * 128
+              + (CASE WHEN (embedding::DOUBLE[])[2] >= 0 THEN 1 ELSE 0 END) * 64
+              + (CASE WHEN (embedding::DOUBLE[])[3] >= 0 THEN 1 ELSE 0 END) * 32
+              + (CASE WHEN (embedding::DOUBLE[])[4] >= 0 THEN 1 ELSE 0 END) * 16
+              + (CASE WHEN (embedding::DOUBLE[])[5] >= 0 THEN 1 ELSE 0 END) * 8
+              + (CASE WHEN (embedding::DOUBLE[])[6] >= 0 THEN 1 ELSE 0 END) * 4
+              + (CASE WHEN (embedding::DOUBLE[])[7] >= 0 THEN 1 ELSE 0 END) * 2
+              + (CASE WHEN (embedding::DOUBLE[])[8] >= 0 THEN 1 ELSE 0 END)
+                AS bucket
+         FROM embeddings),
+       a AS (SELECT vec_id AS aid, e AS ae FROM b
+             WHERE vec_id % 31 = 0 AND vec_id < 496),
+       vd AS (
+         SELECT vec_id, s.i AS dim, s.v AS v
+         FROM (SELECT vec_id,
+                      unnest(list_transform(range(len(e)),
+                                            i -> {'i': i, 'v': e[i + 1]})) AS s
+               FROM b)),
+       ad AS (
+         SELECT aid, s.i AS dim, s.v AS av
+         FROM (SELECT aid,
+                      unnest(list_transform(range(len(ae)),
+                                            i -> {'i': i, 'v': ae[i + 1]})) AS s
+               FROM a)),
+       cd2 AS (
+         SELECT vd.vec_id, (vd.dim // 8)::BIGINT AS subspace, ad.aid,
+                sum(((vd.v - ad.av) * (vd.v - ad.av))::DECIMAL(28,12)) AS d2
+         FROM vd JOIN ad USING (dim)
+         GROUP BY 1, 2, 3),
+       codes AS (
+         SELECT vec_id, subspace, aid AS code FROM (
+           SELECT vec_id, subspace, aid, 
+                  row_number() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY d2, aid) AS rn
+           FROM cd2) WHERE rn = 1),
+       q0 AS (SELECT vec_id AS q_id, bucket FROM b
+              WHERE vec_id % 101 = 0 AND vec_id < 2000),
+       dt AS (
+         SELECT c.vec_id AS q_id, c.subspace, c.aid AS code, c.d2
+         FROM cd2 c JOIN q0 ON q0.q_id = c.vec_id),
+       cand AS (
+         SELECT q0.q_id, b.vec_id
+         FROM b JOIN q0 ON b.bucket = q0.bucket
+         WHERE b.vec_id <> q0.q_id),
+       adc AS (
+         SELECT cand.q_id, cand.vec_id,
+                sum(dt.d2)::DECIMAL(28,12) AS adc_d2
+         FROM cand
+         JOIN codes ON codes.vec_id = cand.vec_id
+         JOIN dt ON dt.q_id = cand.q_id
+               AND dt.subspace = codes.subspace
+               AND dt.code = codes.code
+         GROUP BY cand.q_id, cand.vec_id)
+       SELECT q_id, vec_id,
+              row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adc_d2, vec_id)::BIGINT AS rank,
+              round(CAST(adc_d2 AS DOUBLE), 6) AS adc_d2
+       FROM adc QUALIFY rank <= 5""",
+    doc="IVF-ADC retrieval — the modern billion-vector serving shape "
+    "(Jegou et al.; FAISS IVFPQ), composed from the certified parts: "
+    "the sign-bucket coarse index restricts each query to its own "
+    "cell's posting list (the IVF step), and candidates are scored by "
+    "ASYMMETRIC DISTANCE COMPUTATION — the query precomputes a 8x16 "
+    "subspace-distance lookup table against the pinned PQ codebooks, "
+    "and each candidate's score is the sum of 8 table lookups keyed by "
+    "its stored PQ codes (embedding_pq_codes' exact-decimal "
+    "assignment), never a full-vector distance. Top-5 per query by "
+    "(ADC, id). All distances are exact decimal sums, so the plan is "
+    "engine-exact end to end. Scale shape: codes ride as an 8-byte "
+    "column, the Q x 128 distance tables broadcast, scoring is one "
+    "bucket equi-join + map-side lookups + a (q, vec) partial-"
+    "combinable sum — at 100 TB this is the query path whose storage "
+    "side the PQ/IVF certs already priced.",
+)
+def q_ann_ivf_adc(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.functions.vectors import sign_bucket
+
+    d2_sql = (
+        "aggregate("
+        " zip_with(_sv, _av, (a, b) ->"
+        "   CAST((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        "        * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) AS DECIMAL(28,12))),"
+        " CAST(0 AS DECIMAL(28,12)),"
+        " (acc, x) -> CAST(acc + x AS DECIMAL(28,12)))"
+    )
+    emb = table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        sign_bucket("embedding", 8).alias("bucket"),
+    )
+    slices = F.array(*[F.slice("e", s * 8 + 1, 8) for s in range(8)])
+    sub = emb.select(
+        "vec_id", F.posexplode(slices).alias("subspace", "_sv")
+    ).withColumn("subspace", F.col("subspace").cast("long"))
+    anchors = (
+        emb.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496))
+        .select(
+            F.col("vec_id").alias("code"),
+            F.posexplode(slices).alias("subspace", "_av"),
+        )
+        .withColumn("subspace", F.col("subspace").cast("long"))
+        .localCheckpoint(eager=True)  # 16 anchors x 8 subspaces, reused twice
+    )
+    cd2 = (
+        sub.join(F.broadcast(anchors), "subspace")
+        .select("vec_id", "subspace", "code", F.expr(d2_sql).alias("d2"))
+    )
+    w_code = Window.partitionBy("vec_id", "subspace").orderBy("d2", "code")
+    # the (vec, subspace, anchor) distance frame feeds BOTH the code
+    # assignment (all vectors) and the query distance tables — compute it
+    # once; the assignment keeps argmin, the tables keep the query rows
+    cd2 = cd2.localCheckpoint(eager=True)
+    codes = (
+        cd2.withColumn("_rn", F.row_number().over(w_code))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    q0 = emb.filter(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
+    ).select(F.col("vec_id").alias("q_id"), "bucket")
+    dt = cd2.join(
+        q0.select(F.col("q_id").alias("vec_id")), "vec_id"
+    ).select(F.col("vec_id").alias("q_id"), "subspace", "code", "d2")
+    cand = (
+        emb.select("vec_id", "bucket")
+        .join(q0, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dt), ["q_id", "subspace", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2").cast("decimal(28,12)").alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id",
+            "vec_id",
+            "rank",
+            F.round(F.col("adc_d2").cast("double"), 6).alias("adc_d2"),
+        )
+    )

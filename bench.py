@@ -190,6 +190,8 @@ HEADLINE = [
     # r7: funnel timing percentiles + MinHash estimator-resolution eval
     "funnel_time_to_convert",
     "eval_minhash_estimator",
+    # r7: the composed IVF-ADC retrieval path (coarse cell + PQ lookup)
+    "ann_ivf_adc_topk",
 ]
 
 

@@ -276,6 +276,9 @@ SCAN_MULTIPLICITY_ALLOW = {
     "eval_recall_at_k_curve": 3,   # exact + bucketed tiers each scan the
                                    # corpus once (query batch checkpointed)
     "eval_ann_mrr": 3,             # same two-tier shape as the recall curve
+    "ann_ivf_adc_topk": 3,         # bucket posting side + query batch + the
+                                   # one-time code/table build (checkpointed
+                                   # frames absorb the rest)
 }
 
 
