@@ -1134,3 +1134,94 @@ def q_timeseries_linear_trend(spark: SparkSession, sf: str):
             F.when(dx * dy == 0, F.lit(0.0)).otherwise(r2num / (dx * dy)), 6
         ).alias("r2"),
     )
+
+
+@register(
+    "events_rfm_segmentation",
+    """WITH e AS (
+         SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s,
+                round(value * 10000)::BIGINT AS v_e4
+         FROM events),
+       mx AS (SELECT max(ts_s)::BIGINT AS t_max FROM e),
+       u AS (
+         SELECT user_id,
+                max(ts_s)::BIGINT AS last_ts,
+                count(*)::BIGINT AS frequency,
+                sum(v_e4)::BIGINT AS monetary_e4
+         FROM e GROUP BY user_id),
+       scored AS (
+         SELECT u.user_id,
+                (mx.t_max - u.last_ts)::BIGINT AS recency_s,
+                u.frequency, u.monetary_e4,
+                ntile(5) OVER (ORDER BY (mx.t_max - u.last_ts) DESC,
+                               u.user_id) AS r_score,
+                ntile(5) OVER (ORDER BY u.frequency ASC, u.user_id) AS f_score,
+                ntile(5) OVER (ORDER BY u.monetary_e4 ASC, u.user_id) AS m_score
+         FROM u CROSS JOIN mx)
+       SELECT (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm_segment,
+              count(*)::BIGINT AS n_users,
+              sum(recency_s)::BIGINT AS sum_recency_s,
+              sum(frequency)::BIGINT AS sum_frequency,
+              sum(monetary_e4)::BIGINT AS sum_monetary_e4
+       FROM scored GROUP BY 1""",
+    doc="RFM segmentation — the classic customer-value matrix: per user, "
+    "recency (seconds behind the corpus max), frequency, and monetary "
+    "total (1e4 fixed-point), each scored 1-5 by ntile quintile under a "
+    "TOTAL order (metric + user_id tiebreak — what makes ntile "
+    "deterministic and engine-portable; higher score = better, so "
+    "recency sorts DESC), rolled up per 3-digit RFM segment with exact "
+    "integer sums. Scale note: the three ntile windows are global by "
+    "the operator's definition — at 100 TB quantile BOUNDARIES from "
+    "percentile_approx + a scan-fused bucket join replace the exact "
+    "global sort (the quantile_disc_certified sketch tier prices that "
+    "substitution); the exact form here is the certified semantics.",
+)
+def q_events_rfm(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select(
+        "user_id",
+        F.col("ts_s"),
+        F.round(F.col("value") * 10000).cast("long").alias("v_e4"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.max("ts_s").cast("long").alias("last_ts"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum("v_e4").cast("long").alias("monetary_e4"),
+    )
+    mx = e.agg(F.max("ts_s").cast("long").alias("t_max"))
+    scored = (
+        u.crossJoin(F.broadcast(mx))
+        .withColumn("recency_s", (F.col("t_max") - F.col("last_ts")).cast("long"))
+        .withColumn(
+            "r_score",
+            F.ntile(5).over(
+                Window.orderBy(F.col("recency_s").desc(), F.col("user_id"))
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(
+                Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(
+                Window.orderBy(F.col("monetary_e4").asc(), F.col("user_id"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).cast("long").alias("rfm_segment")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("recency_s").cast("long").alias("sum_recency_s"),
+            F.sum("frequency").cast("long").alias("sum_frequency"),
+            F.sum("monetary_e4").cast("long").alias("sum_monetary_e4"),
+        )
+    )

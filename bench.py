@@ -192,6 +192,8 @@ HEADLINE = [
     "eval_minhash_estimator",
     # r7: the composed IVF-ADC retrieval path (coarse cell + PQ lookup)
     "ann_ivf_adc_topk",
+    # r7: RFM customer-value segmentation
+    "events_rfm_segmentation",
 ]
 
 

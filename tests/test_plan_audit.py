@@ -86,6 +86,9 @@ CROSS_ALLOWED = {
     # 1-row learned-merge broadcast applied back over the vocabulary
     # (the dynamic sentinel-replace between the two learning steps)
     "bpe_learn_two_merges",
+    # 1-row corpus-max-timestamp broadcast onto the per-user rollup (the
+    # recency reference point)
+    "events_rfm_segmentation",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
@@ -181,6 +184,10 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # rank window derived AFTER TakeOrderedAndProject limit(30) — the
     # top-30 token rows, never the exploded token stream
     "bpe_token_histogram",
+    # exact ntile quintiles over the PER-USER rollup (users ≪ events; the
+    # register-site doc pins the 100 TB substitution: percentile_approx
+    # boundaries + a scan-fused bucket join replace the global sort)
+    "events_rfm_segmentation",
 }
 
 
