@@ -1945,9 +1945,12 @@ def q_format_schema_evolution(spark: SparkSession, sf: str):
          JOIN sig sa ON sa.doc_id = c.doc_a
          JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
          GROUP BY c.doc_a, c.doc_b),
+       cids AS (
+         SELECT doc_a AS doc_id FROM cand
+         UNION SELECT doc_b FROM cand),
        sh AS (
-         SELECT doc_id, list_distinct(sh) AS s
-         FROM d2),
+         SELECT d2.doc_id, list_distinct(d2.sh) AS s
+         FROM d2 JOIN cids ON cids.doc_id = d2.doc_id),
        sized AS (SELECT doc_id, len(s)::BIGINT AS sz, s FROM sh),
        ex AS (SELECT doc_id, sz, unnest(s) AS shingle FROM sized),
        inter AS (
@@ -1988,7 +1991,13 @@ def q_eval_minhash_estimator(spark: SparkSession, sf: str):
     docs = table(spark, sf, "documents")
     sig = minhash_signatures(docs).localCheckpoint(eager=True)  # bands + both
     # agreement sides reuse the 8-row/doc signature frame
-    cand = lsh_candidate_pairs(lsh_band_keys(sig)).select("doc_a", "doc_b")
+    # the candidate pair list feeds the agreement join AND the exact
+    # tier's doc restriction — materialize the tiny frame once
+    cand = (
+        lsh_candidate_pairs(lsh_band_keys(sig))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
     )
@@ -2005,7 +2014,17 @@ def q_eval_minhash_estimator(spark: SparkSession, sf: str):
             .alias("n_agree")
         )
     )
-    inter = _shingle_intersections(docs, "text", "doc_id", 3)
+    # verification tier over CANDIDATE DOCS ONLY — the shingle join is
+    # the verify step, never corpus-wide discovery (ngram_jaccard_pairs'
+    # own contract); candidate ids bound the exact tier at any scale
+    cid = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    inter = _shingle_intersections(
+        docs.join(cid, "doc_id", "left_semi"), "text", "doc_id", 3
+    )
     exact = F.coalesce(
         F.col("n_inter") * 1.0
         / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
