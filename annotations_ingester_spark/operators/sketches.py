@@ -68,7 +68,33 @@ def misra_gries_summaries(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            counters = misra_gries_batch([int(v) for v in pdf["_item"]], k)
+            # Vectorized pre-count (pandas value_counts), then WEIGHTED MG
+            # over the distinct items — O(distinct) Python instead of
+            # O(rows): processing an item with multiplicity w either
+            # credits its counter, or (counters full) burns min(w, min_c)
+            # from every counter. Each burned unit removes k+1 units of
+            # stream mass, so total undercount ≤ n_batch/(k+1) — the same
+            # (slightly tighter) bound the unit-step Misra-Gries proof
+            # gives, and the only property the certified queries rely on.
+            counts = pdf["_item"].value_counts()
+            counters: dict[int, int] = {}
+            for x, w in zip(counts.index, counts.to_numpy()):
+                x, w = int(x), int(w)
+                if x in counters:
+                    counters[x] += w
+                elif len(counters) < k:
+                    counters[x] = w
+                else:
+                    m = min(counters.values())
+                    if w > m:
+                        counters = {
+                            y: c - m for y, c in counters.items() if c > m
+                        }
+                        counters[x] = w - m
+                    else:
+                        counters = {
+                            y: c - w for y, c in counters.items() if c > w
+                        }
             yield pd.DataFrame(
                 {
                     "item": pd.Series(list(counters.keys()), dtype="int64"),

