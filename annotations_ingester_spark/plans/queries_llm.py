@@ -1279,3 +1279,127 @@ def q_ann_ivf_adc(spark: SparkSession, sf: str):
             F.round(F.col("adc_d2").cast("double"), 6).alias("adc_d2"),
         )
     )
+
+
+@register(
+    "curation_gate_attrition",
+    f"""WITH s1 AS (
+         SELECT doc_id, md5(text) AS fp,
+                {{QS}} AS q
+         FROM documents
+         WHERE text IS NOT NULL AND length(text) >= 5),
+       f1 AS (SELECT * FROM s1 WHERE q >= 0.2),
+       f2 AS (
+         SELECT doc_id FROM (
+           SELECT doc_id,
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM f1) WHERE rn = 1),
+       cls AS (
+         SELECT b.doc_id, sum(w.w_milli)::BIGINT AS logit_milli
+         FROM (SELECT f2.doc_id, abs({_QC_BUCKET})::BIGINT AS b
+               FROM (SELECT d.doc_id, unnest({TOKS}) AS w
+                     FROM documents d JOIN f2 ON f2.doc_id = d.doc_id) u
+               JOIN f2 ON f2.doc_id = u.doc_id) b
+         JOIN (SELECT DISTINCT b, {_QC_W}::BIGINT AS w_milli
+               FROM (SELECT abs({_QC_BUCKET})::BIGINT AS b
+                     FROM (SELECT d.doc_id, unnest({TOKS}) AS w
+                           FROM documents d) u)) w ON b.b = w.b
+         GROUP BY b.doc_id),
+       f3 AS (SELECT doc_id FROM cls WHERE logit_milli > 0),
+       n AS (
+         SELECT (SELECT count(*) FROM s1)::BIGINT AS n0,
+                (SELECT count(*) FROM f1)::BIGINT AS n1,
+                (SELECT count(*) FROM f2)::BIGINT AS n2,
+                (SELECT count(*) FROM f3)::BIGINT AS n3)
+       SELECT 1::BIGINT AS gate, 'valid_text' AS name,
+              n0 AS n_kept, 0::BIGINT AS n_removed,
+              1.0 AS kept_frac FROM n
+       UNION ALL
+       SELECT 2, 'quality_floor', n1, n0 - n1,
+              round(n1 * 1.0 / greatest(n0, 1), 6) FROM n
+       UNION ALL
+       SELECT 3, 'exact_dedup', n2, n1 - n2,
+              round(n2 * 1.0 / greatest(n1, 1), 6) FROM n
+       UNION ALL
+       SELECT 4, 'classifier_keep', n3, n2 - n3,
+              round(n3 * 1.0 / greatest(n2, 1), 6) FROM n""".format(
+        QS="__QS__"
+    ).replace("__QS__", tx.quality_score_sql("text")),
+    doc="Curation gate ATTRITION funnel — the per-gate diagnostic every "
+    "filtering pipeline publishes (what each gate removed, cumulatively) "
+    "rather than only the final survivor stats "
+    "(corpus_curation_pipeline): valid-text -> quality floor -> exact "
+    "dedup survivor -> hashed-classifier keep, each gate applied to the "
+    "previous gate's survivors, reported as kept/removed counts and "
+    "kept fraction per gate. Composes the certified gate expressions "
+    "verbatim. Scale shape: one scoring scan (narrow survivor frame "
+    "checkpointed), one fingerprint window over survivors, one "
+    "classifier pass semi-joined to the dedup survivors; counts are "
+    "1-row aggregates unioned into a 4-row report.",
+)
+def q_curation_gate_attrition(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    s1 = (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") >= 5))
+        .select("doc_id", F.md5("text").alias("fp"), tx.quality_score("text").alias("q"))
+        .localCheckpoint(eager=True)  # feeds n0 count + the quality gate
+    )
+    f1 = s1.filter(F.col("q") >= 0.2)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    f2 = (
+        f1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .localCheckpoint(eager=True)  # feeds n2 count + the classifier pass
+    )
+    f3 = (
+        classifier_scores(docs.join(f2, "doc_id", "left_semi"))
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    n0 = s1.agg(F.count("*").cast("long").alias("n0"))
+    n1 = f1.agg(F.count("*").cast("long").alias("n1"))
+    n2 = f2.agg(F.count("*").cast("long").alias("n2"))
+    n3 = f3.agg(F.count("*").cast("long").alias("n3"))
+    # materialize the 1-row count frame ONCE: the four gate rows below
+    # each reference it, and without this the classifier pass would
+    # re-execute per unioned row (4 corpus scans for a 4-row report)
+    n = (
+        n0.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .localCheckpoint(eager=True)
+    )
+
+    def gate(idx, name, kept, removed, frac):
+        return n.select(
+            F.lit(idx).cast("long").alias("gate"),
+            F.lit(name).alias("name"),
+            kept.cast("long").alias("n_kept"),
+            removed.cast("long").alias("n_removed"),
+            F.round(frac, 6).alias("kept_frac"),
+        )
+
+    return (
+        gate(1, "valid_text", F.col("n0"), F.lit(0), F.lit(1.0))
+        .unionByName(
+            gate(
+                2, "quality_floor", F.col("n1"), F.col("n0") - F.col("n1"),
+                F.col("n1") * 1.0 / F.greatest(F.col("n0"), F.lit(1)),
+            )
+        )
+        .unionByName(
+            gate(
+                3, "exact_dedup", F.col("n2"), F.col("n1") - F.col("n2"),
+                F.col("n2") * 1.0 / F.greatest(F.col("n1"), F.lit(1)),
+            )
+        )
+        .unionByName(
+            gate(
+                4, "classifier_keep", F.col("n3"), F.col("n2") - F.col("n3"),
+                F.col("n3") * 1.0 / F.greatest(F.col("n2"), F.lit(1)),
+            )
+        )
+    )

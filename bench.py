@@ -194,6 +194,8 @@ HEADLINE = [
     "ann_ivf_adc_topk",
     # r7: RFM customer-value segmentation
     "events_rfm_segmentation",
+    # r7: per-gate curation attrition funnel
+    "curation_gate_attrition",
 ]
 
 

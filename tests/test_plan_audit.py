@@ -89,6 +89,8 @@ CROSS_ALLOWED = {
     # 1-row corpus-max-timestamp broadcast onto the per-user rollup (the
     # recency reference point)
     "events_rfm_segmentation",
+    # four 1-row gate-count aggregates assembled into the attrition report
+    "curation_gate_attrition",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
