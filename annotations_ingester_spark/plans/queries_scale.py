@@ -1548,16 +1548,16 @@ def q_layout_dpp_cert(spark: SparkSession, sf: str):
     # repartition on the partition column first: one file per partition
     # instead of tasks × partitions tiny files (the small-files trap every
     # dynamic-partition write at scale must dodge)
-    fact.repartition("month").write.mode("overwrite").partitionBy("month").parquet(
-        f"{run_dir}/fact"
-    )
-    dim = spark.sql(
-        """SELECT date_format(m, 'yyyy-MM') AS month, year(m) AS dim_year
-           FROM (SELECT explode(sequence(DATE '1992-01-01', DATE '1998-12-01',
-                                         INTERVAL 1 MONTH)) AS m)"""
-    )
-    dim.write.mode("overwrite").parquet(f"{run_dir}/dim")
     try:
+        fact.repartition("month").write.mode("overwrite").partitionBy(
+            "month"
+        ).parquet(f"{run_dir}/fact")
+        dim = spark.sql(
+            """SELECT date_format(m, 'yyyy-MM') AS month, year(m) AS dim_year
+               FROM (SELECT explode(sequence(DATE '1992-01-01', DATE '1998-12-01',
+                                             INTERVAL 1 MONTH)) AS m)"""
+        )
+        dim.write.mode("overwrite").parquet(f"{run_dir}/dim")
         f = spark.read.parquet(f"{run_dir}/fact")
         d = spark.read.parquet(f"{run_dir}/dim").filter(F.col("dim_year") == 1994)
         joined = f.join(d, "month")
