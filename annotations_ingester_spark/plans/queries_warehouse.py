@@ -418,3 +418,82 @@ def q_ivm_agg_maintenance(spark: SparkSession, sf: str):
         measure_cols=["total_cents"],
         count_col="n_orders",
     )
+
+
+@register(
+    "scd2_point_in_time_lookup",
+    """WITH e AS (
+         SELECT user_id, event_type AS state,
+                floor(epoch(ts))::BIGINT AS ts_s, event_id
+         FROM events),
+       lagd AS (
+         SELECT *, lag(state) OVER (PARTITION BY user_id
+                                    ORDER BY ts_s, event_id) AS prev,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_s, event_id) AS rn
+         FROM e),
+       runs AS (
+         SELECT *, sum(CASE WHEN rn = 1 OR state IS DISTINCT FROM prev
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                         ROWS UNBOUNDED PRECEDING) AS version
+         FROM lagd),
+       dim AS (
+         SELECT user_id, version::BIGINT AS version, min(state) AS state,
+                min(ts_s) AS valid_from,
+                lead(min(ts_s)) OVER (PARTITION BY user_id
+                                      ORDER BY version) AS valid_to
+         FROM runs GROUP BY user_id, version),
+       probes AS (
+         SELECT user_id, ts_s AS probe_ts, event_id FROM e
+         WHERE event_id % 10 = 0),
+       pit AS (
+         SELECT p.event_id, p.user_id, p.probe_ts, d.version, d.state
+         FROM probes p JOIN dim d
+           ON d.user_id = p.user_id
+          AND d.valid_from <= p.probe_ts
+          AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to))
+       SELECT state, count(*)::BIGINT AS n_lookups,
+              sum(version)::BIGINT AS version_checksum,
+              sum(event_id)::BIGINT AS probe_checksum
+       FROM pit GROUP BY state""",
+    doc="Point-in-time dimension lookup against the SCD2 history — THE "
+    "leakage-safety join every feature store runs (a training example "
+    "must see the dimension AS OF its own timestamp, never a future "
+    "version): probe events (every 10th) join the type-2 intervals "
+    "built by scd2_intervals on user + [valid_from, valid_to) "
+    "containment, with the open current interval matching everything "
+    "since its start. Summarized per resolved state with exact "
+    "version/probe checksums certifying the exact MEMBERSHIP of each "
+    "resolution, not just counts. Note the half-open convention makes "
+    "a probe AT a transition resolve to the NEW version — the same "
+    "convention the intervals were built with, so every probe resolves "
+    "exactly once (checksums would catch a double-resolve). Scale "
+    "shape: both sides key on user_id (one shuffle); per-user interval "
+    "counts bound the containment filter, so the join never degenerates "
+    "to a range cross-product.",
+)
+def q_scd2_pit_lookup(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.changefeed import scd2_intervals
+
+    ev = events_table(spark, sf).select(
+        "user_id", F.col("event_type").alias("state"), "ts_s", "event_id"
+    )
+    dim = scd2_intervals(
+        ev, key_col="user_id", state_col="state", ts_col="ts_s",
+        tiebreak_col="event_id",
+    ).select("user_id", "version", "state", "valid_from", "valid_to")
+    probes = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", F.col("ts_s").alias("probe_ts"), "event_id"
+    )
+    pit = probes.join(
+        dim.withColumnRenamed("state", "dim_state"), "user_id"
+    ).filter(
+        (F.col("valid_from") <= F.col("probe_ts"))
+        & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to")))
+    )
+    return pit.groupBy(F.col("dim_state").alias("state")).agg(
+        F.count("*").cast("long").alias("n_lookups"),
+        F.sum("version").cast("long").alias("version_checksum"),
+        F.sum("event_id").cast("long").alias("probe_checksum"),
+    )

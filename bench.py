@@ -196,6 +196,8 @@ HEADLINE = [
     "events_rfm_segmentation",
     # r7: per-gate curation attrition funnel
     "curation_gate_attrition",
+    # r7: leakage-safe point-in-time dimension lookup
+    "scd2_point_in_time_lookup",
 ]
 
 
