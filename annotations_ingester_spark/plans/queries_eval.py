@@ -856,3 +856,84 @@ def q_eval_ann_mrr(spark: SparkSession, sf: str):
         F.sum((F.col("rr") > 0).cast("long")).cast("long").alias("n_found"),
         F.round(F.sum("rr").cast("double") / F.count("*"), 6).alias("mrr"),
     )
+
+
+# ---- ROC/AUC rank statistic (round 7) ----------------------------------------
+
+
+@register(
+    "eval_auc_roc",
+    None,  # composed below from the stats module's shared CDF CTE
+    doc="ROC AUC of a deterministic scalar scorer (chars-per-token, the "
+    "crudest language signal) predicting the labeled positive class "
+    "(lang = 'en') — the threshold-free ranking metric every classifier "
+    "gate (quality_classifier_scores, streaming_quality_gate) should be "
+    "tuned against before picking a cutoff. Computed EXACTLY as the "
+    "Mann-Whitney rank statistic: AUC = U1/(n_pos*n_neg) with doubled "
+    "tie-averaged ranks kept integral, so the only floats are the final "
+    "two divisions (shared expression tree, one rounding each). Gini = "
+    "2*AUC - 1. Same bounded-domain score CDF + two-level prefix sum as "
+    "stats_ks_test (scores quantize to e6 fixed-point — the pinned "
+    "rounding); one aggregate over the per-score table, no cross join.",
+)
+def q_eval_auc_roc(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions import text as tx
+    from annotations_ingester_spark.plans.queries_stats import _two_sample_cdf
+
+    docs = table(spark, sf, "documents")
+    s = docs.select(
+        (F.col("lang") == "en").cast("int").alias("is_a"),
+        F.round(
+            F.col("n_chars") * 1000000.0 / F.size(tx.tokens("text"))
+        )
+        .cast("long")
+        .alias("v"),
+    ).filter(F.size(tx.tokens("text")) >= 1)
+    cdf = _two_sample_cdf(s)
+    k1, k2, c1, c2 = F.col("k1"), F.col("k2"), F.col("c1"), F.col("c2")
+    m = cdf.agg(
+        F.sum(k1 * (2 * ((c1 - k1) + (c2 - k2)) + (k1 + k2) + 1))
+        .cast("long")
+        .alias("r1d"),
+        F.max("c1").alias("n_pos"),
+        F.max("c2").alias("n_neg"),
+    )
+    n1, n2 = F.col("n_pos"), F.col("n_neg")
+    u = m.select(
+        "n_pos", "n_neg",
+        (F.col("r1d") - n1 * (n1 + 1)).cast("long").alias("u1_doubled"),
+    )
+    u1d = F.col("u1_doubled")
+    return u.select(
+        "n_pos", "n_neg", "u1_doubled",
+        F.round(u1d / (2.0 * n1 * n2), 6).alias("auc"),
+        F.round(u1d * 1.0 / (n1 * n2) - 1, 6).alias("gini"),
+    )
+
+
+def _auc_oracle() -> str:
+    from annotations_ingester_spark.functions.text import tokens_sql
+    from annotations_ingester_spark.plans.queries_stats import _cdf_oracle_cte
+
+    toks = tokens_sql("text")
+    src = (
+        "SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a, "
+        f"round(n_chars * 1000000.0 / len({toks}))::BIGINT AS v "
+        f"FROM documents WHERE len({toks}) >= 1"
+    )
+    return f"""WITH {_cdf_oracle_cte(src)},
+       m AS (SELECT
+               sum(k1 * (2 * ((c1 - k1) + (c2 - k2)) + (k1 + k2) + 1))::BIGINT
+                 AS r1d,
+               max(c1) AS n_pos, max(c2) AS n_neg
+             FROM cdf),
+       u AS (SELECT n_pos, n_neg,
+                    (r1d - n_pos * (n_pos + 1))::BIGINT AS u1_doubled
+             FROM m)
+       SELECT n_pos, n_neg, u1_doubled,
+              round(u1_doubled / (2.0 * n_pos * n_neg), 6) AS auc,
+              round(u1_doubled * 1.0 / (n_pos * n_neg) - 1, 6) AS gini
+       FROM u"""
+
+
+REGISTRY["eval_auc_roc"].oracle = _auc_oracle()

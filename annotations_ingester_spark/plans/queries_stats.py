@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from annotations_ingester_spark.functions import text as tx
 from annotations_ingester_spark.functions.hashing import md5_hash64
-from annotations_ingester_spark.plans.catalog import register, table
+from annotations_ingester_spark.plans.catalog import events_table, register, table
 
 TOKS = tx.tokens_sql("text")
 # bigrams from the already-bound token array t (CTE provides t)
@@ -1269,3 +1269,264 @@ def q_bpe_learn_two_merges(spark: SparkSession, sf: str):
         "merges",
     )
     return one.unionByName(two)
+
+
+# ---- Round-7 rank-statistics family ------------------------------------------
+#
+# Two-sample tests (Kolmogorov-Smirnov, Mann-Whitney) and the ROC/AUC rank
+# statistic share one ingredient: per distinct value, the sample counts and
+# the INCLUSIVE cumulative counts in value order. The distinct-value table
+# is bounded by the VALUE DOMAIN (fixed-point cents / e6 scores), not the
+# stream, and its cumulative sums use the same two-level distributed prefix
+# sum as sinks/sharding.py: in-bucket windows partitioned by an
+# order-preserving value bucket, plus a broadcast running offset over the
+# tiny bucket-count table (the only unpartitioned window). All rank sums
+# are exact integers (doubled average ranks stay integral); the only
+# floats are the final shared-expression-tree statistics.
+
+#: order-preserving value-bucket width for the two-level prefix sum —
+#: bucket count = value-domain / width, a constant independent of rows
+_CDF_BUCKET_WIDTH = 4096
+
+
+def _two_sample_cdf(df):
+    """``(is_a 0/1, v BIGINT)`` stream -> per distinct v: (k1, k2) sample
+    counts and (c1, c2) inclusive cumulative counts in v order. The
+    reduced per-value frame is localCheckpoint'ed so every downstream
+    statistic branch reuses it without re-reading the source scan."""
+    from pyspark.sql import Window
+
+    per_v = (
+        df.groupBy("v")
+        .agg(
+            F.sum("is_a").cast("long").alias("k1"),
+            F.sum(1 - F.col("is_a")).cast("long").alias("k2"),
+        )
+        .withColumn("_bucket", F.floor(F.col("v") / _CDF_BUCKET_WIDTH).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = per_v.withColumn("_c1", F.sum("k1").over(w_in)).withColumn(
+        "_c2", F.sum("k2").over(w_in)
+    )
+    counts = per_v.groupBy("_bucket").agg(
+        F.sum("k1").alias("_b1"), F.sum("k2").alias("_b2")
+    )
+    # running offset over the bucket-count aggregate — bounded by the value
+    # domain / _CDF_BUCKET_WIDTH, never by the stream (sharding.py pattern)
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bucket",
+        F.coalesce(F.sum("_b1").over(w_off), F.lit(0)).cast("long").alias("_o1"),
+        F.coalesce(F.sum("_b2").over(w_off), F.lit(0)).cast("long").alias("_o2"),
+    )
+    return ranked.join(F.broadcast(offsets), "_bucket").select(
+        "v",
+        "k1",
+        "k2",
+        (F.col("_o1") + F.col("_c1")).cast("long").alias("c1"),
+        (F.col("_o2") + F.col("_c2")).cast("long").alias("c2"),
+    )
+
+
+def _cdf_oracle_cte(src: str) -> str:
+    """DuckDB twin of :func:`_two_sample_cdf`; ``src`` selects (is_a, v)."""
+    return f"""s AS ({src}),
+       pv AS (SELECT v, sum(is_a)::BIGINT AS k1, sum(1 - is_a)::BIGINT AS k2
+              FROM s GROUP BY v),
+       cdf AS (SELECT v, k1, k2,
+                      sum(k1) OVER w::BIGINT AS c1,
+                      sum(k2) OVER w::BIGINT AS c2
+               FROM pv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING))"""
+
+
+_KS_SRC = (
+    "SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a, "
+    "round(value * 100)::BIGINT AS v FROM events "
+    "WHERE event_type IN ('click', 'purchase')"
+)
+
+
+@register(
+    "stats_ks_test",
+    f"""WITH {_cdf_oracle_cte(_KS_SRC)},
+       t AS (SELECT max(c1) AS n1, max(c2) AS n2 FROM cdf),
+       d AS (SELECT t.n1, t.n2,
+                    max(abs(c1 * t.n2 - c2 * t.n1))::BIGINT AS d_num
+             FROM cdf, t GROUP BY t.n1, t.n2)
+       SELECT n1, n2, d_num,
+              round(d_num * 1.0 / (n1 * n2), 6) AS d_stat,
+              round(sqrt((n1 * 1.0 * n2) / (n1 + n2))
+                    * (d_num * 1.0 / (n1 * n2)), 6) AS ks_scaled
+       FROM d""",
+    doc="Two-sample Kolmogorov-Smirnov test — the distribution-drift gate "
+    "every data pipeline runs (did this batch's value distribution shift "
+    "vs the reference?): D = max_v |F1(v) - F2(v)| between the click and "
+    "purchase value distributions, computed EXACTLY as the integer "
+    "max |c1*n2 - c2*n1| over the merged empirical CDFs (no float CDF "
+    "subtraction), plus the sqrt(n1*n2/(n1+n2))-scaled statistic the "
+    "critical tables use. Values quantize to cents (one pinned rounding); "
+    "the CDF table is bounded by the cents domain and prefix-summed with "
+    "the two-level bucket pattern (sinks/sharding.py). BIGINT cross "
+    "products hold to ~1e9 rows per sample; the DECIMAL(38) swap is the "
+    "documented extreme-scale variant.",
+)
+def q_stats_ks_test(spark: SparkSession, sf: str):
+    ev = events_table(spark, sf)
+    s = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    cdf = _two_sample_cdf(s)
+    t = cdf.agg(F.max("c1").alias("n1"), F.max("c2").alias("n2"))
+    d = (
+        cdf.crossJoin(F.broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    n1, n2, d_num = F.col("n1"), F.col("n2"), F.col("d_num")
+    return d.select(
+        "n1",
+        "n2",
+        "d_num",
+        F.round(d_num * 1.0 / (n1 * n2), 6).alias("d_stat"),
+        F.round(
+            F.sqrt((n1 * 1.0 * n2) / (n1 + n2)) * (d_num * 1.0 / (n1 * n2)), 6
+        ).alias("ks_scaled"),
+    )
+
+
+@register(
+    "stats_mann_whitney",
+    f"""WITH {_cdf_oracle_cte(_KS_SRC)},
+       m AS (SELECT
+               sum(k1 * (2 * ((c1 - k1) + (c2 - k2)) + (k1 + k2) + 1))::BIGINT
+                 AS r1d,
+               sum((k1 + k2) * (k1 + k2) * (k1 + k2) - (k1 + k2))::BIGINT
+                 AS t_ties,
+               max(c1) AS n1, max(c2) AS n2
+             FROM cdf),
+       u AS (SELECT n1, n2, t_ties,
+                    (r1d - n1 * (n1 + 1))::BIGINT AS u1_doubled
+             FROM m)
+       SELECT n1, n2, u1_doubled, t_ties,
+              round(u1_doubled * 1.0 / (n1 * n2) - 1, 6) AS rank_biserial,
+              round(CASE WHEN ((n1 * n2) / 12.0)
+                              * ((n1 + n2 + 1)
+                                 - (t_ties * 1.0
+                                    / ((n1 + n2) * (n1 + n2 - 1)))) <= 0
+                         THEN 0.0
+                         ELSE (u1_doubled - n1 * n2)
+                              / (2.0 * sqrt(((n1 * n2) / 12.0)
+                                 * ((n1 + n2 + 1)
+                                    - (t_ties * 1.0
+                                       / ((n1 + n2) * (n1 + n2 - 1))))))
+                    END, 4) AS z_score
+       FROM u""",
+    doc="Mann-Whitney U rank-sum test (the nonparametric two-sample "
+    "location test — robust where the t-test's normality assumption "
+    "fails): U from the tie-averaged rank sum of the click sample vs the "
+    "purchase sample, tie-corrected normal approximation z, and the "
+    "rank-biserial effect size. EXACT integer core: doubled average "
+    "ranks keep tie midpoints integral (R1*2 = sum k1*(2*cum_before + "
+    "k + 1)), the tie term sums k^3 - k per distinct value, and the only "
+    "floats are the final shared-expression z/effect computations "
+    "(division + one sqrt — IEEE-identical on identical integer "
+    "operands). Same bounded-domain CDF + two-level prefix sum as "
+    "stats_ks_test; one aggregate over the per-value table, no cross "
+    "join (the totals fold into the same reduction).",
+)
+def q_stats_mann_whitney(spark: SparkSession, sf: str):
+    ev = events_table(spark, sf)
+    s = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    cdf = _two_sample_cdf(s)
+    k1, k2, c1, c2 = F.col("k1"), F.col("k2"), F.col("c1"), F.col("c2")
+    m = cdf.agg(
+        F.sum(k1 * (2 * ((c1 - k1) + (c2 - k2)) + (k1 + k2) + 1))
+        .cast("long")
+        .alias("r1d"),
+        F.sum((k1 + k2) * (k1 + k2) * (k1 + k2) - (k1 + k2))
+        .cast("long")
+        .alias("t_ties"),
+        F.max("c1").alias("n1"),
+        F.max("c2").alias("n2"),
+    )
+    n1, n2, tt = F.col("n1"), F.col("n2"), F.col("t_ties")
+    u = m.select(
+        "n1", "n2", "t_ties",
+        (F.col("r1d") - n1 * (n1 + 1)).cast("long").alias("u1_doubled"),
+    )
+    u1d = F.col("u1_doubled")
+    sigma2 = ((n1 * n2) / 12.0) * (
+        (n1 + n2 + 1) - (tt * 1.0 / ((n1 + n2) * (n1 + n2 - 1)))
+    )
+    return u.select(
+        "n1", "n2", "u1_doubled", "t_ties",
+        F.round(u1d * 1.0 / (n1 * n2) - 1, 6).alias("rank_biserial"),
+        F.round(
+            F.when(sigma2 <= 0, F.lit(0.0)).otherwise(
+                (u1d - n1 * n2) / (2.0 * F.sqrt(sigma2))
+            ),
+            4,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "lm_good_turing_counts",
+    f"""WITH d AS (SELECT unnest({TOKS}) AS w FROM documents),
+       c AS (SELECT w, count(*)::BIGINT AS cnt FROM d GROUP BY w),
+       coc AS (SELECT cnt AS r, count(*)::BIGINT AS n_r FROM c GROUP BY cnt)
+       SELECT a.r, a.n_r, coalesce(b.n_r, 0)::BIGINT AS n_r1,
+              round((a.r + 1) * coalesce(b.n_r, 0) * 1.0 / a.n_r, 6) AS r_star
+       FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+       WHERE a.r BETWEEN 1 AND 10""",
+    doc="Good-Turing count-of-counts smoothing table (the Katz-backoff "
+    "ingredient; the third smoothing surface next to add-one perplexity "
+    "and Kneser-Ney): N_r = how many unigram types occur exactly r times, "
+    "and the adjusted count r* = (r+1) * N_(r+1) / N_r for r = 1..10 — "
+    "the low-count head where GT smoothing actually matters (N_1/N "
+    "estimates the unseen mass). Scale shape: one token explode -> "
+    "map-side-combinable type counts -> a count-of-counts aggregate "
+    "bounded by the max type frequency; the tiny N_r table is "
+    "localCheckpoint'ed and self-joined on r+1. Exact integers "
+    "throughout; one rounded division per row.",
+)
+def q_lm_good_turing(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    toks = docs.select(F.explode(tx.tokens("text")).alias("w"))
+    c = toks.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+    coc = (
+        c.groupBy(F.col("cnt").alias("r"))
+        .agg(F.count("*").cast("long").alias("n_r"))
+        .localCheckpoint(eager=True)
+    )
+    b = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_r1"))
+    out = (
+        coc.join(b, "r", "left")
+        .filter(F.col("r").between(1, 10))
+        .select(
+            "r",
+            "n_r",
+            F.coalesce(F.col("_n_r1"), F.lit(0)).cast("long").alias("n_r1"),
+        )
+    )
+    return out.select(
+        "r",
+        "n_r",
+        "n_r1",
+        F.round(
+            (F.col("r") + 1) * F.col("n_r1") * 1.0 / F.col("n_r"), 6
+        ).alias("r_star"),
+    )

@@ -91,6 +91,9 @@ CROSS_ALLOWED = {
     "events_rfm_segmentation",
     # four 1-row gate-count aggregates assembled into the attrition report
     "curation_gate_attrition",
+    # 1-row (n1, n2) totals broadcast back over the bounded distinct-value
+    # CDF table — the KS D numerator needs the sample sizes per row
+    "stats_ks_test",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
@@ -190,6 +193,12 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # register-site doc pins the 100 TB substitution: percentile_approx
     # boundaries + a scan-fused bucket join replace the global sort)
     "events_rfm_segmentation",
+    # running offset over the BUCKET-COUNT aggregate of the two-level
+    # prefix sum (value-domain/4096 rows — the sharding.py offsets shape),
+    # never over the per-value CDF table itself
+    "stats_ks_test",
+    "stats_mann_whitney",
+    "eval_auc_roc",
 }
 
 

@@ -139,3 +139,98 @@ def test_misra_gries_batch_bounds():
     out = misra_gries_batch(stream, k=5)
     assert len(out) <= 5
     assert out.get(1, 0) <= 50 and 50 - out.get(1, 0) <= len(stream) / 5
+
+
+def _write_events(tmp_path, rows):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime("2024-01-01"),
+            "user_id": [1] * len(rows),
+            "event_type": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+
+def test_ks_identical_samples_d_zero(spark, tmp_path):
+    """Identical click/purchase value distributions → D = 0."""
+    rows = [("click", v) for v in (1.0, 2.0, 3.0)] + [
+        ("purchase", v) for v in (1.0, 2.0, 3.0)
+    ]
+    _write_events(tmp_path, rows)
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_ks_test"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2, r.d_num, r.d_stat) == (3, 3, 0, 0.0)
+
+
+def test_ks_disjoint_samples_d_one(spark, tmp_path):
+    """Fully separated samples → D = 1 (max CDF gap at the boundary)."""
+    rows = [("click", v) for v in (1.0, 2.0)] + [
+        ("purchase", v) for v in (10.0, 20.0)
+    ]
+    _write_events(tmp_path, rows)
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_ks_test"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.d_stat == 1.0 and r.d_num == r.n1 * r.n2
+
+
+def test_mann_whitney_hand_example(spark, tmp_path):
+    """A = {1,2}, B = {3,4}: R1 = 1+2 = 3 → U1 = 0; with ties doubled
+    ranks stay integral (u1_doubled = 2*U1)."""
+    rows = [("click", 1.0), ("click", 2.0), ("purchase", 3.0), ("purchase", 4.0)]
+    _write_events(tmp_path, rows)
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_mann_whitney"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2, r.u1_doubled, r.t_ties) == (2, 2, 0, 0)
+    assert r.rank_biserial == -1.0  # all A below all B
+
+
+def test_auc_perfect_separation(spark, tmp_path):
+    """English docs all longer-worded than the rest → AUC = 1."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en", "en", "fr", "fr"],
+            "source": ["s"] * 4,
+            # chars-per-token score: en docs one long token, fr docs short
+            "text": ["abcdefghij", "abcdefgh", "ab", "abc"],
+            "n_chars": [10, 8, 2, 3],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["eval_auc_roc"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc, r.gini) == (2, 2, 1.0, 1.0)
+
+
+def test_good_turing_hand_counts(spark, tmp_path):
+    """Corpus 'a a a b b c' → N_1 = 1 (c), N_2 = 1 (b), N_3 = 1 (a):
+    r*(1) = 2*N_2/N_1 = 2; r*(2) = 3*N_3/N_2 = 3; r*(3) = 4*0/1 = 0."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "lang": ["en"],
+            "source": ["s"],
+            "text": ["a a a b b c"],
+            "n_chars": [11],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = {
+        r.r: r
+        for r in REGISTRY["lm_good_turing_counts"].spark(spark, str(tmp_path)).collect()
+    }
+    assert rows[1].r_star == 2.0 and rows[2].r_star == 3.0 and rows[3].r_star == 0.0
+    assert rows[1].n_r == rows[2].n_r == rows[3].n_r == 1
