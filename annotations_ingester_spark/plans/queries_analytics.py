@@ -1225,3 +1225,188 @@ def q_events_rfm(spark: SparkSession, sf: str):
             F.sum("monetary_e4").cast("long").alias("sum_monetary_e4"),
         )
     )
+
+
+# ---- Round-7 time-series statistics ------------------------------------------
+
+
+@register(
+    "timeseries_acf",
+    """WITH e AS (
+         SELECT floor(epoch(ts))::BIGINT AS ts_s,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
+       d AS (SELECT (ts_s // 86400)::BIGINT AS day, sum(cents)::BIGINT AS y
+             FROM e GROUP BY 1),
+       l AS (SELECT unnest(range(1, 6))::BIGINT AS lag),
+       p AS (SELECT l.lag, a.y AS ya, b.y AS yb
+             FROM d a CROSS JOIN l JOIN d b ON b.day = a.day + l.lag),
+       m AS (SELECT lag, count(*)::BIGINT AS n,
+                    sum(ya)::BIGINT AS sx, sum(yb)::BIGINT AS sy,
+                    sum(ya::DECIMAL(38,0) * ya)::DECIMAL(38,0) AS sxx,
+                    sum(yb::DECIMAL(38,0) * yb)::DECIMAL(38,0) AS syy,
+                    sum(ya::DECIMAL(38,0) * yb)::DECIMAL(38,0) AS sxy
+             FROM p GROUP BY lag)
+       SELECT lag, n,
+              round(CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                              * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                              <= 0 THEN 0.0
+                    ELSE (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                         / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                                * (n * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * sy)) END, 6) AS acf
+       FROM m""",
+    doc="Autocorrelation function of the daily revenue series at lags "
+    "1..5 — the seasonality/memory diagnostic behind every forecasting "
+    "model choice (a weekly cycle shows as an acf spike at lag 7; near-"
+    "zero acf says yesterday doesn't predict today). Each lag's acf is "
+    "the Pearson correlation of (x_t, x_(t+k)) pairs computed from EXACT "
+    "integer/decimal moment sums (the timeseries_linear_trend "
+    "discipline): daily sums of cent-quantized values, lag pairing via "
+    "an equi-join on day+k (never a window over the raw stream), and "
+    "only the final closed-form divisions in floats — IEEE-identical on "
+    "identical operands, one rounding per row. Scale shape: one "
+    "map-side-combinable daily aggregate (bounded by the date domain, "
+    "localCheckpoint'ed), a 5-way lag explode, and a self-equi-join on "
+    "day — flat however large the event stream.",
+)
+def q_timeseries_acf(spark: SparkSession, sf: str):
+    daily = (
+        events_table(spark, sf)
+        .select(
+            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    a = daily.withColumn(
+        "lag", F.explode(F.array(*[F.lit(k).cast("long") for k in range(1, 6)]))
+    ).select("lag", (F.col("day") + F.col("lag")).alias("bday"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("bday"), F.col("y").alias("yb"))
+    p = a.join(b, "bday")
+    ya_d = F.col("ya").cast("decimal(38,0)")
+    yb_d = F.col("yb").cast("decimal(38,0)")
+    m = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ya").cast("long").alias("sx"),
+        F.sum("yb").cast("long").alias("sy"),
+        F.sum(ya_d * F.col("ya")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yb_d * F.col("yb")).cast("decimal(38,0)").alias("syy"),
+        F.sum(ya_d * F.col("yb")).cast("decimal(38,0)").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    dx = n * sxx - sx * F.col("sx")
+    dy = n * syy - sy.cast("double") * sy
+    num = n * sxy - sx * sy
+    return m.select(
+        "lag",
+        "n",
+        F.round(
+            F.when(dx * dy <= 0, F.lit(0.0)).otherwise(num / F.sqrt(dx * dy)), 6
+        ).alias("acf"),
+    )
+
+
+@register(
+    "stats_theil_sen_slope",
+    """WITH mo AS (
+         SELECT (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS m,
+                sum(round(o_totalprice * 100))::BIGINT AS y
+         FROM orders GROUP BY 1),
+       pr AS (SELECT a.m AS m1, b.m AS m2,
+                     (b.y - a.y) * 1.0 / (b.m - a.m) AS slope
+              FROM mo a JOIN mo b ON b.m > a.m),
+       pr2 AS (SELECT slope,
+                      row_number() OVER (ORDER BY slope, m1, m2) AS rn,
+                      count(*) OVER () AS np
+               FROM pr),
+       ms AS (SELECT (min(slope) + max(slope)) / 2.0 AS med_slope,
+                     max(np)::BIGINT AS n_pairs
+              FROM pr2 WHERE rn IN ((np + 1) // 2, (np + 2) // 2)),
+       ic AS (SELECT mo.m, mo.y - ms.med_slope * mo.m AS i,
+                     ms.med_slope, ms.n_pairs
+              FROM mo, ms),
+       ic2 AS (SELECT i, med_slope, n_pairs,
+                      row_number() OVER (ORDER BY i, m) AS rn,
+                      count(*) OVER () AS np
+               FROM ic)
+       SELECT max(np)::BIGINT AS n_points, max(n_pairs)::BIGINT AS n_pairs,
+              round(max(med_slope), 6) AS sen_slope,
+              round((min(i) + max(i)) / 2.0, 4) AS sen_intercept
+       FROM ic2 WHERE rn IN ((np + 1) // 2, (np + 2) // 2)""",
+    doc="Theil-Sen robust trend fit of monthly revenue: the median of all "
+    "pairwise slopes (and the median intercept at that slope) — the "
+    "outlier-resistant companion to timeseries_linear_trend's OLS (one "
+    "corrupted month moves OLS arbitrarily; Theil-Sen tolerates ~29% "
+    "contamination). The pair set is bounded by the DATE DOMAIN "
+    "(months^2 / 2 — a constant, not a function of row count), so the "
+    "exact rank-median over pairs is safe; the monthly rollup itself is "
+    "one map-side-combinable aggregate, localCheckpoint'ed before the "
+    "self-join. Slopes are single IEEE divisions of exact integer "
+    "diffs; the median of an even count averages the two middle values "
+    "((min+max)/2 of the two selected ranks — permutation-stable under "
+    "ties); one rounding per output.",
+)
+def q_stats_theil_sen(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    mo = (
+        table(spark, sf, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("m")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    a = mo.select(F.col("m").alias("m1"), F.col("y").alias("y1"))
+    b = mo.select(F.col("m").alias("m2"), F.col("y").alias("y2"))
+    pr = a.join(b, F.col("m2") > F.col("m1")).select(
+        "m1",
+        "m2",
+        ((F.col("y2") - F.col("y1")) * 1.0 / (F.col("m2") - F.col("m1"))).alias(
+            "slope"
+        ),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pr2 = pr.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope", "m1", "m2")).alias("rn"),
+        F.count("*").over(w_all).alias("np"),
+    )
+    ms = pr2.filter(
+        F.expr("rn IN ((np + 1) DIV 2, (np + 2) DIV 2)")
+    ).agg(
+        ((F.min("slope") + F.max("slope")) / 2.0).alias("med_slope"),
+        F.max("np").cast("long").alias("n_pairs"),
+    )
+    ic = mo.crossJoin(F.broadcast(ms)).select(
+        "m",
+        (F.col("y") - F.col("med_slope") * F.col("m")).alias("i"),
+        "med_slope",
+        "n_pairs",
+    )
+    ic2 = ic.select(
+        "i",
+        "med_slope",
+        "n_pairs",
+        F.row_number().over(Window.orderBy("i", "m")).alias("rn"),
+        F.count("*").over(w_all).alias("np"),
+    )
+    return ic2.filter(F.expr("rn IN ((np + 1) DIV 2, (np + 2) DIV 2)")).agg(
+        F.max("np").cast("long").alias("n_points"),
+        F.max("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.max("med_slope"), 6).alias("sen_slope"),
+        F.round((F.min("i") + F.max("i")) / 2.0, 4).alias("sen_intercept"),
+    )

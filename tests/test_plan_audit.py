@@ -94,6 +94,9 @@ CROSS_ALLOWED = {
     # 1-row (n1, n2) totals broadcast back over the bounded distinct-value
     # CDF table — the KS D numerator needs the sample sizes per row
     "stats_ks_test",
+    # 1-row median-slope broadcast back onto the date-domain-bounded
+    # monthly rollup (the intercept pass)
+    "stats_theil_sen_slope",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
@@ -199,6 +202,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "stats_ks_test",
     "stats_mann_whitney",
     "eval_auc_roc",
+    # exact rank-median over the pairwise-slope set — bounded by the DATE
+    # DOMAIN squared (months^2/2), a constant independent of row count
+    "stats_theil_sen_slope",
 }
 
 

@@ -234,3 +234,76 @@ def test_good_turing_hand_counts(spark, tmp_path):
     }
     assert rows[1].r_star == 2.0 and rows[2].r_star == 3.0 and rows[3].r_star == 0.0
     assert rows[1].n_r == rows[2].n_r == rows[3].n_r == 1
+
+
+def test_acf_constant_series_zero(spark, tmp_path):
+    """A constant daily series has zero variance → acf guards to 0."""
+    import pandas as pd
+
+    days = pd.date_range("2024-01-01", periods=10, freq="D")
+    pd.DataFrame(
+        {
+            "event_id": range(10),
+            "ts": days,
+            "user_id": [1] * 10,
+            "event_type": ["click"] * 10,
+            "value": [5.0] * 10,
+            "props": ["{}"] * 10,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["timeseries_acf"].spark(spark, str(tmp_path)).collect()
+    assert {r.lag for r in rows} == {1, 2, 3, 4, 5}
+    assert all(r.acf == 0.0 for r in rows)
+
+
+def test_acf_alternating_series_lag_signs(spark, tmp_path):
+    """Alternating hi/lo days: acf(1) ≈ -1, acf(2) ≈ +1."""
+    import pandas as pd
+
+    days = pd.date_range("2024-01-01", periods=12, freq="D")
+    vals = [10.0 if i % 2 == 0 else 1.0 for i in range(12)]
+    pd.DataFrame(
+        {
+            "event_id": range(12),
+            "ts": days,
+            "user_id": [1] * 12,
+            "event_type": ["click"] * 12,
+            "value": vals,
+            "props": ["{}"] * 12,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = {r.lag: r.acf for r in REGISTRY["timeseries_acf"].spark(spark, str(tmp_path)).collect()}
+    assert rows[1] < -0.9 and rows[2] > 0.9
+
+
+def test_theil_sen_exact_linear(spark, tmp_path):
+    """Orders forming an exact monthly line y = 100*m + c in cents →
+    sen slope = exactly 100 cents/month, immune to one outlier month."""
+    import pandas as pd
+
+    months = pd.period_range("2023-01", periods=9, freq="M")
+    dates = [m.to_timestamp().date() for m in months]
+    prices = [1.0 * (i + 1) for i in range(9)]  # +1.00/month → +100 cents
+    prices[4] = 500.0  # one contaminated month
+    pd.DataFrame(
+        {
+            "o_orderkey": range(9),
+            "o_custkey": [1] * 9,
+            "o_orderstatus": ["F"] * 9,
+            "o_totalprice": prices,
+            "o_orderdate": dates,
+            "o_orderpriority": ["1-URGENT"] * 9,
+            "o_clerk": ["c"] * 9,
+            "o_shippriority": [0] * 9,
+            "o_comment": [""] * 9,
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_theil_sen_slope"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.n_points == 9 and r.n_pairs == 36
+    assert r.sen_slope == 100.0
