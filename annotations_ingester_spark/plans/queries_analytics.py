@@ -1410,3 +1410,83 @@ def q_stats_theil_sen(spark: SparkSession, sf: str):
         F.round(F.max("med_slope"), 6).alias("sen_slope"),
         F.round((F.min("i") + F.max("i")) / 2.0, 4).alias("sen_intercept"),
     )
+
+
+@register(
+    "privacy_t_closeness",
+    """WITH cl AS (
+         SELECT source, (n_chars // 100)::BIGINT AS b, lang,
+                count(*)::BIGINT AS c
+         FROM documents GROUP BY 1, 2, 3),
+       ct AS (SELECT source, b, sum(c)::BIGINT AS n_class
+              FROM cl GROUP BY 1, 2),
+       g AS (SELECT lang, sum(c)::BIGINT AS gl FROM cl GROUP BY 1),
+       t AS (SELECT sum(c)::BIGINT AS n_total FROM cl),
+       f AS (SELECT ct.source, ct.b, ct.n_class, g.lang, g.gl, t.n_total
+             FROM ct CROSS JOIN g CROSS JOIN t),
+       j AS (SELECT f.source, f.b, f.n_class, f.n_total,
+                    abs(coalesce(cl.c, 0) * f.n_total
+                        - f.gl * f.n_class)::BIGINT AS dev
+             FROM f LEFT JOIN cl ON cl.source = f.source AND cl.b = f.b
+                                AND cl.lang = f.lang),
+       a AS (SELECT source, b, n_class, n_total, sum(dev)::BIGINT AS tvd_num
+             FROM j GROUP BY 1, 2, 3, 4)
+       SELECT source, b AS chars_bucket, n_class, tvd_num,
+              round(tvd_num / (2.0 * n_class * n_total), 6) AS tvd,
+              (tvd_num / (2.0 * n_class * n_total)) <= 0.2 AS close_t20
+       FROM a""",
+    doc="t-closeness audit — the third privacy gate, closing the "
+    "k-anonymity (class size) -> l-diversity (distinct sensitive "
+    "values) -> t-closeness (distribution distance) ladder: l-diversity "
+    "still leaks under the skewness attack (a class can hold 3 distinct "
+    "langs at 98/1/1 while the corpus is uniform), so per QI class "
+    "(source, coarse length bucket) this emits the TOTAL VARIATION "
+    "DISTANCE between the class's sensitive-attribute (lang) "
+    "distribution and the corpus-wide one, plus the t <= 0.2 release "
+    "flag. EXACT integer core: TVD = sum |c_lang*N - g_lang*n_class| / "
+    "(2*n_class*N) — the numerator never leaves integers (missing "
+    "langs contribute |0 - g*n| via the bounded class x lang domain "
+    "cross), one shared-tree division per output. Scale shape: ONE "
+    "corpus scan into a (QI x lang)-bounded count table "
+    "(localCheckpoint'ed); every later branch (class totals, global "
+    "marginals, grand total, domain cross) reuses that tiny frame.",
+)
+def q_privacy_t_closeness(spark: SparkSession, sf: str):
+    cl = (
+        table(spark, sf, "documents")
+        .groupBy(
+            "source",
+            F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("b"),
+            "lang",
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ct = cl.groupBy("source", "b").agg(F.sum("c").cast("long").alias("n_class"))
+    g = cl.groupBy("lang").agg(F.sum("c").cast("long").alias("gl"))
+    t = cl.agg(F.sum("c").cast("long").alias("n_total"))
+    f = ct.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(t))
+    j = f.join(cl, ["source", "b", "lang"], "left").select(
+        "source",
+        "b",
+        "n_class",
+        "n_total",
+        F.abs(
+            F.coalesce(F.col("c"), F.lit(0)) * F.col("n_total")
+            - F.col("gl") * F.col("n_class")
+        )
+        .cast("long")
+        .alias("dev"),
+    )
+    a = j.groupBy("source", "b", "n_class", "n_total").agg(
+        F.sum("dev").cast("long").alias("tvd_num")
+    )
+    tvd = F.col("tvd_num") / (2.0 * F.col("n_class") * F.col("n_total"))
+    return a.select(
+        "source",
+        F.col("b").alias("chars_bucket"),
+        "n_class",
+        "tvd_num",
+        F.round(tvd, 6).alias("tvd"),
+        (tvd <= 0.2).alias("close_t20"),
+    )

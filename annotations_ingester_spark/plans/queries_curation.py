@@ -910,3 +910,132 @@ def q_corpus_datasheet(spark: SparkSession, sf: str):
             "mean_tokens_per_doc"
         ),
     )
+
+
+# ---- Round-7 curation additions ----------------------------------------------
+
+
+@register(
+    "corpus_ngram_novelty",
+    None,  # oracle assembled below (shares the word-shingle SQL helper)
+    doc="First-occurrence n-gram novelty score — the anti-memorization "
+    "curation signal (RefinedWeb/Gopher lineage): for each document, the "
+    "fraction of its distinct 3-gram shingles whose FIRST corpus "
+    "occurrence (min doc_id) is this document. Boilerplate-heavy docs "
+    "score near 0 (their shingles appeared earlier); fresh content "
+    "scores near 1 — the per-doc companion to the corpus-level "
+    "duplicated-line strip-list. Scale shape: one shingle explode -> "
+    "map-side-combinable min(doc_id) per shingle -> equi-join back on "
+    "the shingle key (zipfian -> AQE skew handling) -> per-doc "
+    "aggregate; state ∝ distinct shingles, never documents^2. Exact "
+    "integer counts; one rounded division per row.",
+)
+def q_corpus_ngram_novelty(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.text import word_shingles
+
+    sh = (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles("text", 3))).alias("g"),
+        )
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(first, "g")
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") * 1.0 / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def _novelty_oracle() -> str:
+    from annotations_ingester_spark.functions.text import word_shingles_sql
+
+    gs = word_shingles_sql("text", 3)
+    return f"""WITH raw AS (SELECT doc_id, unnest({gs}) AS g FROM documents),
+       sh AS (SELECT DISTINCT doc_id, g FROM raw),
+       f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+       SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+              sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT
+                AS n_novel,
+              round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                    * 1.0 / count(*), 6) AS novelty
+       FROM sh JOIN f USING (g) GROUP BY sh.doc_id"""
+
+
+from annotations_ingester_spark.plans.catalog import REGISTRY as _REG7  # noqa: E402
+
+_REG7["corpus_ngram_novelty"].oracle = _novelty_oracle()
+
+#: per-source document cap (RefinedWeb-style domain balancing) — pinned
+#: job parameter, NOT corpus-proportional
+_DOMAIN_CAP = 120
+
+_CAP_HASH = md5_hash64_sql("'cap:' || doc_id::VARCHAR")
+
+
+@register(
+    "curation_domain_caps",
+    f"""WITH r AS (
+         SELECT source, doc_id, {_CAP_HASH} AS h,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY {_CAP_HASH}, doc_id) AS rn
+         FROM documents)
+       SELECT source, count(*)::BIGINT AS n_docs,
+              sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)::BIGINT
+                AS n_kept,
+              (count(*) - sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END))
+                ::BIGINT AS n_dropped,
+              bit_xor(CASE WHEN rn <= {_DOMAIN_CAP} THEN h END)::BIGINT
+                AS kept_xor
+       FROM r GROUP BY source""",
+    doc="Per-domain document cap (the RefinedWeb/CCNet domain-balancing "
+    "step: no single source may contribute more than CAP docs): docs "
+    "rank within their source by the stable salted hash (the same "
+    "no-RNG determinism contract as split_hash_assign — rerunning the "
+    "cap on a grown corpus keeps earlier survivors while hash order "
+    "admits new ones), rank <= 120 survives. Emits the per-source "
+    "attrition report plus an order-insensitive XOR checksum of the "
+    "kept set, so a downstream consumer can verify the exact survivor "
+    "population without re-ranking. Scale shape: one source-partitioned "
+    "rank window + one map-side-combinable aggregate; skewed sources "
+    "are the window's partition key — AQE handles the imbalance, and "
+    "the cap bounds every downstream consumer.",
+)
+def q_curation_domain_caps(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    h = md5_hash64(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    r = (
+        table(spark, sf, "documents")
+        .select("source", "doc_id", h.alias("h"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("h", "doc_id")
+            ),
+        )
+    )
+    kept = F.when(F.col("rn") <= _DOMAIN_CAP, 1).otherwise(0)
+    return r.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        (F.count("*") - F.sum(kept)).cast("long").alias("n_dropped"),
+        F.expr(f"bit_xor(CASE WHEN rn <= {_DOMAIN_CAP} THEN h END)")
+        .cast("long")
+        .alias("kept_xor"),
+    )

@@ -250,3 +250,82 @@ def test_csv_roundtrip_survives_embedded_delimiters(spark, tmp_path):
     w.format("csv").save(path)
     back = r.schema(schema).format("csv").load(path)
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_t_closeness_uniform_class_zero(spark, tmp_path):
+    """A class whose lang mix equals the corpus mix has TVD = 0; a
+    single-lang class in a 50/50 corpus has TVD = 0.5."""
+    import pandas as pd
+
+    # source 'a': 2 en + 2 fr (matches global 50/50 → tvd 0)
+    # source 'b': 4 en only (tvd = |4*8(wait)| ...) compute: class n=4,
+    # N=8, g_en=6, g_fr=2 → dev_en=|4*8-6*4|=8, dev_fr=|0-2*4|=8 →
+    # tvd=16/(2*4*8)=0.25
+    rows = [("a", "en"), ("a", "en"), ("a", "fr"), ("a", "fr"),
+            ("b", "en"), ("b", "en"), ("b", "en"), ("b", "en")]
+    pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "lang": [r[1] for r in rows],
+            "source": [r[0] for r in rows],
+            "text": ["x"] * 8,
+            "n_chars": [1] * 8,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.source: r
+        for r in REGISTRY["privacy_t_closeness"].spark(spark, str(tmp_path)).collect()
+    }
+    # class 'a' mix (2en/2fr of 4) vs global (6en/2fr of 8):
+    # dev_en=|2*8-6*4|=8, dev_fr=|2*8-2*4|=8 → tvd=16/(2*4*8)=0.25
+    assert out["a"].tvd == 0.25 and out["b"].tvd == 0.25
+    assert not out["a"].close_t20 and not out["b"].close_t20
+
+
+def test_ngram_novelty_duplicate_doc_scores_zero(spark, tmp_path):
+    """An exact duplicate of an earlier doc has novelty 0; the first
+    occurrence scores 1."""
+    import pandas as pd
+
+    text = "the quick brown fox jumps over the lazy dog"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "text": [text, text],
+            "n_chars": [len(text)] * 2,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["corpus_ngram_novelty"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[1].novelty == 1.0 and out[2].novelty == 0.0
+    assert out[1].n_shingles == out[2].n_shingles == 7
+
+
+def test_domain_caps_determinism_and_counts(spark, tmp_path):
+    """A 200-doc source keeps exactly the cap; rerunning on the same
+    corpus keeps the identical survivor checksum (stable hash order)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "lang": ["en"] * 200,
+            "source": ["big"] * 200,
+            "text": ["x"] * 200,
+            "n_chars": [1] * 200,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r1 = REGISTRY["curation_domain_caps"].spark(spark, str(tmp_path)).collect()[0]
+    r2 = REGISTRY["curation_domain_caps"].spark(spark, str(tmp_path)).collect()[0]
+    assert r1.n_docs == 200 and r1.n_kept == 120 and r1.n_dropped == 80
+    assert r1.kept_xor == r2.kept_xor

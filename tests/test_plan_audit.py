@@ -97,6 +97,9 @@ CROSS_ALLOWED = {
     # 1-row median-slope broadcast back onto the date-domain-bounded
     # monthly rollup (the intercept pass)
     "stats_theil_sen_slope",
+    # bounded QI-class x lang-domain cross (plus the 1-row grand total):
+    # missing langs must contribute |0 - g*n| to the TVD numerator
+    "privacy_t_closeness",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
