@@ -751,3 +751,59 @@ def synth_wav_images(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     return slim.mapInPandas(run, schema=out_schema).select(
         "media_id", "payload", F.struct(F.col("kind")).alias("meta")
     )
+
+
+def synth_pcm_wav_gated(
+    media_id: int, n_samples: int = 1024, frame_samples: int = 64
+) -> bytes:
+    """:func:`synth_pcm_wav` variant with arithmetic SILENCE GATING: 64-
+    sample frame ``f`` is all-zero iff ``((f // 3) + media_id) % 3 == 0``
+    (3-frame silent blocks whose position varies by id), other samples
+    follow the base pseudo-signal. Gives every synthetic clip predictable
+    silence runs so a segment detector can be certified arithmetically."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        out = []
+        for i in range(n_samples):
+            f = i // frame_samples
+            if ((f // 3) + media_id) % 3 == 0:
+                out.append(0)
+            else:
+                out.append(((media_id * 31 + i * 17) % 4096) - 2048)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in out))
+    return buf.getvalue()
+
+
+def synth_wav_gated_images(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """mapInPandas synthesizer for :func:`synth_pcm_wav_gated` payloads —
+    same contract as :func:`synth_wav_images`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_id"].to_numpy(),
+                    "payload": [synth_pcm_wav_gated(int(i)) for i in pdf["_id"]],
+                    "kind": "audio",
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.pyfiles import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    slim = df.select(F.col(id_col).alias("_id"))
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("kind", T.StringType(), False),
+        ]
+    )
+    return slim.mapInPandas(run, schema=out_schema).select(
+        "media_id", "payload", F.struct(F.col("kind")).alias("meta")
+    )

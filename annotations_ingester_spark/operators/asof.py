@@ -100,3 +100,73 @@ def bucketized_range_join(
         joined.filter((gap > 0) & (gap <= max_gap))
         .drop("_b", "_probe")
     )
+
+
+def asof_join_multi(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Backward AND forward as-of matches in one partition pass: for each
+    left row, the most recent right row at-or-before (``b_``-prefixed
+    columns) and the earliest right row at-or-after (``f_``-prefixed),
+    both inclusive at equal timestamps, each optionally nulled when its
+    gap exceeds ``tolerance``. The nearest-mode pick is one CASE on top.
+
+    Scale shape: ONE shuffle on the ``by`` key serving two ordered
+    windows (ascending for backward, descending for forward — the second
+    window re-sorts in place, no second exchange), zero join
+    amplification. pd.merge_asof's three directions, distributed.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    r_payload_cols = [c for c in right.columns if c not in by_cols]
+    l_cols = left.columns
+
+    r = right.select(
+        *[F.col(c) for c in by_cols],
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.struct(*[F.col(c) for c in r_payload_cols]).alias("_r"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in l_cols
+            if c not in by_cols
+        ],
+    )
+    l = left.select(
+        *[F.col(c) for c in by_cols],
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in l_cols if c not in by_cols],
+    )
+    # backward: ascending time, right rows first at equal t (inclusive <=)
+    w_b = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.asc("_t"), F.asc("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: DESCENDING time — "preceding" rows are later times; right
+    # rows still sort first at equal t, so equal-timestamp matches stay
+    # inclusive for the >= direction too
+    w_f = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.desc("_t"), F.asc("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = (
+        r.unionByName(l)
+        .withColumn("_mb", F.last("_r", ignorenulls=True).over(w_b))
+        .withColumn("_mf", F.last("_r", ignorenulls=True).over(w_f))
+    )
+    mb, mf = F.col("_mb"), F.col("_mf")
+    if tolerance is not None:
+        mb = F.when(F.col("_t") - mb.getField(on) <= tolerance, mb)
+        mf = F.when(mf.getField(on) - F.col("_t") <= tolerance, mf)
+    out_cols = [F.col(c) for c in by_cols]
+    out_cols += [F.col(f"_l_{c}").alias(c) for c in l_cols if c not in by_cols]
+    out_cols += [mb.getField(c).alias(f"b_{c}") for c in r_payload_cols]
+    out_cols += [mf.getField(c).alias(f"f_{c}") for c in r_payload_cols]
+    return u.filter(F.col("_is_left") == 1).select(*out_cols)

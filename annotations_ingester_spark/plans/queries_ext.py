@@ -815,3 +815,68 @@ def q_unpivot_priority_metrics(spark: SparkSession, sf: str):
         "metric",
         "value",
     )
+
+
+@register(
+    "asof_join_modes",
+    f"""WITH {EV_CTE},
+       c AS (SELECT event_id, user_id, ts_s FROM ev
+             WHERE event_type = 'click'),
+       p AS (SELECT user_id, ts_s, max(event_id) AS event_id
+             FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_s),
+       b AS (SELECT c.event_id, c.user_id, c.ts_s,
+                    p.ts_s AS bt, p.event_id AS bi
+             FROM c ASOF LEFT JOIN p
+               ON c.user_id = p.user_id AND c.ts_s >= p.ts_s),
+       f AS (SELECT c.event_id, p.ts_s AS ft, p.event_id AS fi
+             FROM c ASOF LEFT JOIN p
+               ON c.user_id = p.user_id AND c.ts_s <= p.ts_s),
+       j AS (SELECT b.event_id, b.user_id, b.ts_s,
+                    CASE WHEN b.ts_s - b.bt <= 3600 THEN b.bt END AS b_ts_s,
+                    CASE WHEN b.ts_s - b.bt <= 3600 THEN b.bi END
+                      AS b_event_id,
+                    CASE WHEN f.ft - b.ts_s <= 3600 THEN f.ft END AS f_ts_s,
+                    CASE WHEN f.ft - b.ts_s <= 3600 THEN f.fi END
+                      AS f_event_id
+             FROM b JOIN f USING (event_id))
+       SELECT event_id, user_id, ts_s, b_ts_s, b_event_id, f_ts_s, f_event_id,
+              CASE WHEN b_ts_s IS NULL THEN f_event_id
+                   WHEN f_ts_s IS NULL THEN b_event_id
+                   WHEN (ts_s - b_ts_s) <= (f_ts_s - ts_s) THEN b_event_id
+                   ELSE f_event_id END AS near_event_id
+       FROM j""",
+    doc="As-of join, all three pd.merge_asof directions at once "
+    "(backward / forward / nearest) with a 3600 s tolerance — the "
+    "attribution primitive in both directions (last touch before, first "
+    "conversion after) plus the nearest-neighbor pick (ties -> "
+    "backward, the merge_asof convention). One union + one shuffle on "
+    "the user key serving two ordered windows (operators/asof.py "
+    "asof_join_multi — the descending window re-sorts in place, no "
+    "second exchange, no join amplification). Certified against "
+    "DuckDB's native ASOF JOIN run once per direction.",
+)
+def q_asof_modes(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.asof import asof_join_multi
+
+    ev = events_table(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_s"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_s")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    m = asof_join_multi(clicks, purchases, on="ts_s", by="user_id", tolerance=3600)
+    bt, ft = F.col("b_ts_s"), F.col("f_ts_s")
+    near = (
+        F.when(bt.isNull(), F.col("f_event_id"))
+        .when(ft.isNull(), F.col("b_event_id"))
+        .when((F.col("ts_s") - bt) <= (ft - F.col("ts_s")), F.col("b_event_id"))
+        .otherwise(F.col("f_event_id"))
+    )
+    return m.select(
+        "event_id", "user_id", "ts_s",
+        "b_ts_s", "b_event_id", "f_ts_s", "f_event_id",
+        near.alias("near_event_id"),
+    )

@@ -2064,3 +2064,116 @@ def q_eval_minhash_estimator(spark: SparkSession, sf: str):
             F.round(F.abs(F.col("n_agree") / 8.0 - exact), 6).alias("abs_err"),
         )
     )
+
+
+# ---- Round-7 scale additions ---------------------------------------------
+
+
+@register(
+    "tf_cosine_doc_pairs",
+    f"""WITH tok AS (SELECT doc_id, unnest({TOKS}) AS w FROM documents),
+       tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       dfq AS (SELECT w FROM tf GROUP BY w HAVING count(*) BETWEEN 2 AND 100),
+       k AS (SELECT tf.doc_id, tf.w, tf.tf FROM tf JOIN dfq USING (w)),
+       nrm AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM k GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    sum(a.tf * b.tf)::BIGINT AS dot
+             FROM k a JOIN k b ON a.w = b.w AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+       SELECT doc_a, doc_b, dot,
+              round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+       FROM p JOIN nrm na ON na.doc_id = doc_a
+              JOIN nrm nb ON nb.doc_id = doc_b
+       WHERE (dot / (sqrt(na.n2) * sqrt(nb.n2))) >= 0.6""",
+    doc="Sparse lexical cosine similarity pairs — the term-frequency-"
+    "vector counterpart to the Jaccard/SimHash dedup tiers (catches "
+    "reordered/partially-rewritten docs that set-similarity underrates): "
+    "docs pair through an equi-join on shared DISCRIMINATIVE terms "
+    "(document frequency 2..100 — the df cap excludes stopword-grade "
+    "terms, bounding every posting list's join fan-out to df^2/2; the "
+    "classic DAAT pruning), dot products and squared norms are EXACT "
+    "integer sums over the same capped term space, and cosine = "
+    "dot/(sqrt(n2_a)*sqrt(n2_b)) >= 0.6 is sqrt-only float (IEEE-"
+    "identical across engines). Scale shape: token explode -> map-"
+    "side-combinable tf -> df-capped posting join (zipfian key -> AQE "
+    "skew split) -> pair aggregate; never all-pairs, state ∝ capped "
+    "postings. The capped tf frame is localCheckpoint'ed once and "
+    "feeds norms + both join sides.",
+)
+def q_tf_cosine_pairs(spark: SparkSession, sf: str):
+    tf = (
+        table(spark, sf, "documents")
+        .select("doc_id", F.explode(tx.tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfq = tf.groupBy("w").agg(F.count("*").alias("_df")).filter(
+        F.col("_df").between(2, 100)
+    ).select("w")
+    k = tf.join(dfq, "w").localCheckpoint(eager=True)
+    nrm = k.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    )
+    a = k.select(F.col("doc_id").alias("doc_a"), "w", F.col("tf").alias("tfa"))
+    b = k.select(F.col("doc_id").alias("doc_b"), "w", F.col("tf").alias("tfb"))
+    p = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).cast("long").alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    j = p.join(na, "doc_a").join(nb, "doc_b")
+    cos = F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b")))
+    return j.filter(cos >= 0.6).select(
+        "doc_a", "doc_b", "dot", F.round(cos, 6).alias("cosine")
+    )
+
+
+@register(
+    "media_audio_silence_segments",
+    """WITH s AS (
+         SELECT doc_id AS media_id, unnest(range(0, 16))::BIGINT AS f
+         FROM documents),
+       sil AS (SELECT media_id, f FROM s
+               WHERE ((f // 3) + media_id) % 3 = 0),
+       g AS (SELECT media_id, f,
+                    f - row_number() OVER (PARTITION BY media_id
+                                           ORDER BY f) AS grp
+             FROM sil)
+       SELECT media_id, min(f)::BIGINT AS start_frame,
+              count(*)::BIGINT AS n_frames
+       FROM g GROUP BY media_id, grp""",
+    doc="Silence-segment detection over REAL decoded audio — the VAD/"
+    "silence-trim primitive every speech pipeline runs before chunking: "
+    "each doc becomes a genuine 1024-sample PCM WAV with arithmetic "
+    "silence gating (synth_pcm_wav_gated: 64-sample frame f is all-zero "
+    "iff ((f//3)+id)%3 = 0), the certified audio_frame_energy decoder "
+    "extracts per-frame energies in-partition, and zero-energy frames "
+    "collapse into maximal contiguous segments via the gaps-and-islands "
+    "rank difference (media-partitioned window, never global). The "
+    "oracle predicts the silent-frame set arithmetically and runs the "
+    "same islands reduction, so a hash match certifies synth -> RIFF "
+    "parse -> PCM unpack -> framing -> energy -> segmentation "
+    "end-to-end. Scale shape: payload bytes never shuffle (mapInPandas "
+    "in the blob's partition); only ~40-byte frame rows enter the "
+    "window; segments ∝ silent runs.",
+)
+def q_media_audio_silence(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.multimodal.media import (
+        audio_frame_energy,
+        synth_wav_gated_images,
+    )
+
+    docs = table(spark, sf, "documents").select(F.col("doc_id").alias("media_id"))
+    fr = audio_frame_energy(synth_wav_gated_images(docs), frame_samples=64)
+    sil = fr.filter(F.col("energy") == 0).select("media_id", "frame_idx")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    g = sil.withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+    return g.groupBy("media_id", "grp").agg(
+        F.min("frame_idx").cast("long").alias("start_frame"),
+        F.count("*").cast("long").alias("n_frames"),
+    ).drop("grp")

@@ -128,3 +128,47 @@ def test_annotation_outcome_counts(spark):
     # A4 failure accounting: 5 failed (B3 retry population), 5 annotated
     assert (m["n_docs"], m["n_annotated"], m["n_failed"]) == (10, 5, 5)
     assert m["n_entities"] == 5 * (len("a reasonably long document body") % 4)
+
+
+def test_asof_join_multi_directions(spark):
+    """Hand-checked backward/forward/tolerance semantics, including the
+    inclusive equal-timestamp match in BOTH directions."""
+    from annotations_ingester_spark.operators.asof import asof_join_multi
+
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 205, "l2"), (1, 300, "l3"), (2, 50, "l4")],
+        "k int, t long, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "r100"), (1, 210, "r210"), (2, 500, "r500")],
+        "k int, t long, rid string",
+    )
+    out = {
+        r.lid: r
+        for r in asof_join_multi(left, right, on="t", by="k", tolerance=150).collect()
+    }
+    # l1 at t=100: backward matches r100 (equal ts inclusive), forward too
+    assert out["l1"].b_rid == "r100" and out["l1"].f_rid == "r100"
+    # l2 at t=205: backward r100 (gap 105 <= 150), forward r210 (gap 5)
+    assert out["l2"].b_rid == "r100" and out["l2"].f_rid == "r210"
+    # l3 at t=300: backward r210 (gap 90), no forward within tolerance
+    assert out["l3"].b_rid == "r210" and out["l3"].f_rid is None
+    # l4 at t=50: no backward; forward r500 gap 450 > 150 → nulled
+    assert out["l4"].b_rid is None and out["l4"].f_rid is None
+
+
+def test_asof_join_multi_one_shuffle(spark):
+    """The two directional windows must share one exchange: exactly one
+    shuffle on the by key, no join nodes."""
+    from annotations_ingester_spark.operators.asof import asof_join_multi
+
+    left = spark.createDataFrame([(1, 10, "a")], "k int, t long, lid string")
+    right = spark.createDataFrame([(1, 5, "b")], "k int, t long, rid string")
+    plan = (
+        asof_join_multi(left, right, on="t", by="k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -512,3 +512,56 @@ def test_png_roundtrip_property_based():
         assert -(2**63) <= ph < 2**63  # signed-BIGINT portable
 
     check()
+
+
+def test_gated_wav_silence_islands(spark, tmp_path):
+    """The silence-segment query recovers exactly the arithmetic gating
+    blocks for a tiny corpus (runs end-to-end through real WAV bytes)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [5],
+            "lang": ["en"],
+            "source": ["s"],
+            "text": ["x"],
+            "n_chars": [1],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    segs = sorted(
+        (r.start_frame, r.n_frames)
+        for r in REGISTRY["media_audio_silence_segments"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    )
+    # id=5: silent blocks at frames 3-5 and 12-14 (((f//3)+5) % 3 == 0)
+    assert segs == [(3, 3), (12, 3)]
+
+
+def test_tf_cosine_identical_docs_score_one(spark, tmp_path):
+    """Two identical docs (plus a decoy sharing no capped terms) pair at
+    cosine exactly 1.0."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "text": [
+                "alpha beta gamma alpha",
+                "alpha beta gamma alpha",
+                "delta epsilon zeta",
+            ],
+            "n_chars": [22, 22, 18],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["tf_cosine_doc_pairs"].spark(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.cosine) == (1, 2, 1.0)
+    assert r.dot == 4 + 1 + 1  # tf alpha=2x2, beta=1, gamma=1
