@@ -198,6 +198,25 @@ HEADLINE = [
     "curation_gate_attrition",
     # r7: leakage-safe point-in-time dimension lookup
     "scd2_point_in_time_lookup",
+    # r7: rank-statistics family (shared bounded-domain CDF machinery;
+    # KS and MWU read the same source but exercise different reductions)
+    "stats_ks_test",
+    "stats_mann_whitney",
+    "eval_auc_roc",
+    "lm_good_turing_counts",
+    # r7: time-series ACF + Theil-Sen robust trend
+    "timeseries_acf",
+    "stats_theil_sen_slope",
+    # r7: novelty scoring, domain caps, t-closeness
+    "corpus_ngram_novelty",
+    "curation_domain_caps",
+    "privacy_t_closeness",
+    # r7: sparse lexical cosine + gated-WAV silence islands (distinct
+    # synth/decode from media_audio_frame_energy: 1024-sample gated PCM)
+    # + the three-direction as-of
+    "tf_cosine_doc_pairs",
+    "media_audio_silence_segments",
+    "asof_join_modes",
 ]
 
 
