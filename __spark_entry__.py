@@ -138,6 +138,23 @@ _QUEUED_LATE = {
 }
 
 
+# Round-7 additions made AFTER the 50-entry window filled exactly (38
+# early-r7 names + 12 late-r7 names). Without this, a new registration in
+# an early-imported module (e.g. queries_scale) would sort ahead of the
+# later modules' uncovered names and silently push the window's tail past
+# position 50 mid-round. Deferred names order after all other uncovered
+# names; next round they hold the front of the window (clear this set
+# once they gain green CORRECTNESS rows — it becomes a no-op then anyway,
+# like _QUEUED_LATE).
+_DEFERRED_PAST_WINDOW = {
+    "survival_kaplan_meier",
+    "stats_cuped_adjustment",
+    "stats_spearman_corr",
+    "sketch_minhash_mergeable",
+    "collocation_pmi_pairs",
+}
+
+
 def _ordered():
     reg = _registry()
     covered_names = _covered_from_disk()
@@ -147,10 +164,17 @@ def _ordered():
     fresh = {
         n: s
         for n, s in reg.items()
-        if n not in covered_names and n not in _QUEUED_LATE
+        if n not in covered_names
+        and n not in _QUEUED_LATE
+        and n not in _DEFERRED_PAST_WINDOW
+    }
+    deferred = {
+        n: s
+        for n, s in reg.items()
+        if n not in covered_names and n in _DEFERRED_PAST_WINDOW
     }
     covered = {n: s for n, s in reg.items() if n in covered_names}
-    return {**debt, **fresh, **covered}
+    return {**debt, **fresh, **deferred, **covered}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
