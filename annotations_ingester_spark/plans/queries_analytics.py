@@ -1490,3 +1490,126 @@ def q_privacy_t_closeness(spark: SparkSession, sf: str):
         F.round(tvd, 6).alias("tvd"),
         (tvd <= 0.2).alias("close_t20"),
     )
+
+
+@register(
+    "survival_kaplan_meier",
+    """WITH e AS (
+         SELECT user_id,
+                (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type, value
+         FROM events),
+       u AS (SELECT user_id, min(day) AS f, max(day) AS l
+             FROM e GROUP BY 1),
+       conv AS (SELECT user_id, min(day) AS cd FROM e
+                WHERE event_type = 'purchase' AND value >= 150 GROUP BY 1),
+       lt AS (SELECT CASE WHEN c.cd IS NOT NULL THEN c.cd - u.f
+                          ELSE u.l - u.f END::BIGINT AS t,
+                     CASE WHEN c.cd IS NOT NULL THEN 1 ELSE 0 END AS obs
+              FROM u LEFT JOIN conv c USING (user_id)),
+       pt AS (SELECT t, count(*)::BIGINT AS n_at, sum(obs)::BIGINT AS d
+              FROM lt GROUP BY t),
+       r AS (SELECT t, d,
+                    (sum(n_at) OVER ()
+                     - coalesce(sum(n_at) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0))::BIGINT AS n_risk
+             FROM pt),
+       dd AS (SELECT t, d, n_risk,
+                     CASE WHEN d < n_risk
+                          THEN round(ln((n_risk - d) * 1.0 / n_risk), 9)
+                               ::DECIMAL(20,9) END AS term
+              FROM r WHERE d > 0),
+       s AS (SELECT t, d, n_risk,
+                    max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w AS zf,
+                    sum(term) OVER w AS cum
+             FROM dd WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING))
+       SELECT t AS lifetime_days, n_risk, d AS n_deaths,
+              CASE WHEN zf = 1 THEN 0.0
+                   ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS survival
+       FROM s""",
+    doc="Kaplan-Meier time-to-conversion curve — P[user has NOT yet made "
+    "a big purchase (value >= 150) t days after their first event] with "
+    "RIGHT-CENSORING handled correctly: a user with no qualifying "
+    "purchase is censored at their last observed day (still at risk, "
+    "not a non-converter), which naive conversion-time averages get "
+    "wrong. S(t) = prod_{s<=t} (1 - "
+    "d_s/n_s); the product is computed as a DECIMAL(20,9) running sum "
+    "of 9-dp-rounded ln factors then one exp (the lm_perplexity_scores "
+    "float discipline — order-free and IEEE-identical), with the "
+    "risk-set-exhausted (d = n) step pinned to exactly 0. Scale shape: "
+    "two per-user rollups joined on the user key, then "
+    "every window runs over the LIFETIME-DOMAIN table (days, bounded "
+    "by the date span) — never over users or events.",
+)
+def q_survival_kaplan_meier(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf).select(
+        "user_id",
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        "event_type",
+        "value",
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("day").alias("f"), F.max("day").alias("l")
+    )
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 150))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cd"))
+    )
+    lt = u.join(conv, "user_id", "left").select(
+        F.when(F.col("cd").isNotNull(), F.col("cd") - F.col("f"))
+        .otherwise(F.col("l") - F.col("f"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("cd").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    pt = lt.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_at"),
+        F.sum("obs").cast("long").alias("d"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cb = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = pt.select(
+        "t",
+        "d",
+        (
+            F.sum("n_at").over(w_all)
+            - F.coalesce(F.sum("n_at").over(w_cb), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    dd = r.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log((F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk")), 9
+            ).cast("decimal(20,9)"),
+        ).alias("term"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    s = dd.select(
+        "t",
+        "d",
+        "n_risk",
+        F.max(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        ).over(w_cum).alias("zf"),
+        F.sum("term").over(w_cum).alias("cum"),
+    )
+    return s.select(
+        F.col("t").alias("lifetime_days"),
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        F.when(F.col("zf") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum").cast("double")), 6))
+        .alias("survival"),
+    )

@@ -2177,3 +2177,55 @@ def q_media_audio_silence(spark: SparkSession, sf: str):
         F.min("frame_idx").cast("long").alias("start_frame"),
         F.count("*").cast("long").alias("n_frames"),
     ).drop("grp")
+
+
+@register(
+    "sketch_minhash_mergeable",
+    f"""WITH d AS (SELECT source, {TOKS} AS t FROM documents),
+       d2 AS (SELECT source, {SHINGLES} AS sh FROM d WHERE len(t) >= 3),
+       shx AS (SELECT source, {HASH.format(e="u.shingle")} AS h
+               FROM (SELECT source, unnest(sh) AS shingle FROM d2) u),
+       seeds AS (SELECT unnest(range(0, 8)) AS seed),
+       ps AS (SELECT shx.source, seeds.seed,
+                     min(xor(h, {HASH.format(e="seeds.seed::VARCHAR")})) AS mh
+              FROM shx, seeds GROUP BY 1, 2),
+       merged AS (SELECT seed::BIGINT AS seed, min(mh)::BIGINT AS merged_minhash
+                  FROM ps GROUP BY 1),
+       direct AS (SELECT seeds.seed::BIGINT AS seed,
+                         min(xor(h, {HASH.format(e="seeds.seed::VARCHAR")}))::BIGINT
+                           AS direct_minhash
+                  FROM shx, seeds GROUP BY 1)
+       SELECT d.seed, d.direct_minhash, m.merged_minhash,
+              d.direct_minhash = m.merged_minhash AS merge_exact
+       FROM direct d JOIN merged m USING (seed)""",
+    doc="MinHash MERGEABILITY certification — the sketch-algebra property "
+    "the whole distributed dedup stack rests on (min is a commutative "
+    "idempotent monoid, so signature-of-union = element-wise min of "
+    "signatures): per-source 8-seed MinHash partials fold with one more "
+    "min into the corpus signature, certified equal per seed against the "
+    "signature computed DIRECTLY from the raw shingle stream. This is "
+    "the HLL/quantile-sketch rollup pattern (sketch_mergeable_rollup, "
+    "quantile_disc_certified) applied to the dedup family's own sketch: "
+    "a 1000-executor pass can MinHash per partition/source and merge "
+    "map-side, never re-reading payloads. Same hash family as "
+    "operators/dedup.py (md5-60bit x per-seed XOR bijection). Scale "
+    "shape: two shingle-explode aggregates (partial min combine), state "
+    "= sources x 8 longs.",
+)
+def q_sketch_minhash_mergeable(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    per_src = minhash_signatures(
+        docs.select(F.col("source"), "text"), id_col="source"
+    )
+    merged = per_src.groupBy("seed").agg(
+        F.min("minhash").cast("long").alias("merged_minhash")
+    )
+    direct = minhash_signatures(
+        docs.select(F.lit("all").alias("corpus"), "text"), id_col="corpus"
+    ).select("seed", F.col("minhash").cast("long").alias("direct_minhash"))
+    return direct.join(merged, "seed").select(
+        "seed",
+        "direct_minhash",
+        "merged_minhash",
+        (F.col("direct_minhash") == F.col("merged_minhash")).alias("merge_exact"),
+    )

@@ -1530,3 +1530,342 @@ def q_lm_good_turing(spark: SparkSession, sf: str):
             (F.col("r") + 1) * F.col("n_r1") * 1.0 / F.col("n_r"), 6
         ).alias("r_star"),
     )
+
+
+@register(
+    "stats_spearman_corr",
+    """WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type
+         FROM events),
+       d AS (SELECT day,
+                    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      ::BIGINT AS x,
+                    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      ::BIGINT AS y
+             FROM e GROUP BY day),
+       vx AS (SELECT x, count(*)::BIGINT AS k,
+                     coalesce(sum(count(*)) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       ::BIGINT AS cb
+              FROM d GROUP BY x),
+       vy AS (SELECT y, count(*)::BIGINT AS k,
+                     coalesce(sum(count(*)) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       ::BIGINT AS cb
+              FROM d GROUP BY y),
+       rk AS (SELECT (2 * vx.cb + vx.k + 1)::BIGINT AS rx2,
+                     (2 * vy.cb + vy.k + 1)::BIGINT AS ry2
+              FROM d JOIN vx USING (x) JOIN vy USING (y)),
+       m AS (SELECT count(*)::BIGINT AS n,
+                    sum(rx2)::BIGINT AS sx, sum(ry2)::BIGINT AS sy,
+                    sum(rx2::DECIMAL(38,0) * rx2)::DECIMAL(38,0) AS sxx,
+                    sum(ry2::DECIMAL(38,0) * ry2)::DECIMAL(38,0) AS syy,
+                    sum(rx2::DECIMAL(38,0) * ry2)::DECIMAL(38,0) AS sxy
+             FROM rk)
+       SELECT n,
+              round(CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                              * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                              <= 0 THEN 0.0
+                    ELSE (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                         / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                                * (n * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * sy)) END, 6)
+                AS spearman_rho
+       FROM m""",
+    doc="Spearman rank correlation between the daily click and purchase "
+    "volumes — the monotonic-association twin of the Pearson machinery "
+    "(robust to nonlinear but monotone coupling and to outlier days): "
+    "each day's metrics rank via DOUBLED tie-averaged ranks (2*cum_"
+    "before + k + 1 from the per-value count tables — exact integers, "
+    "the Mann-Whitney discipline), and rho is Pearson over the doubled "
+    "ranks from exact decimal moment sums (doubling cancels). Scale "
+    "shape: one map-side-combinable daily rollup (bounded by the date "
+    "domain, localCheckpoint'ed), two value-domain count tables with "
+    "their cumulative windows, one moments aggregate; the only "
+    "unpartitioned windows run over the BOUNDED value-count tables.",
+)
+def q_stats_spearman(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    d = (
+        events_table(spark, sf)
+        .select(
+            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"), "event_type"
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def ranks(col: str, out: str):
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            d.groupBy(col)
+            .agg(F.count("*").cast("long").alias("k"))
+            .select(
+                col,
+                "k",
+                F.coalesce(F.sum("k").over(w), F.lit(0)).cast("long").alias("cb"),
+            )
+            .select(
+                col,
+                (2 * F.col("cb") + F.col("k") + 1).cast("long").alias(out),
+            )
+        )
+
+    rk = d.join(ranks("x", "rx2"), "x").join(ranks("y", "ry2"), "y")
+    rx_d = F.col("rx2").cast("decimal(38,0)")
+    ry_d = F.col("ry2").cast("decimal(38,0)")
+    m = rk.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(rx_d * F.col("rx2")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(ry_d * F.col("ry2")).cast("decimal(38,0)").alias("syy"),
+        F.sum(rx_d * F.col("ry2")).cast("decimal(38,0)").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    dx = n * sxx - sx * F.col("sx")
+    dy = n * syy - sy.cast("double") * sy
+    num = n * sxy - sx * sy
+    return m.select(
+        "n",
+        F.round(
+            F.when(dx * dy <= 0, F.lit(0.0)).otherwise(num / F.sqrt(dx * dy)), 6
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "stats_cuped_adjustment",
+    f"""WITH e AS (
+         SELECT user_id, event_type,
+                (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
+       b AS (SELECT ((min(day) + max(day)) // 2)::BIGINT AS mid FROM e),
+       pu AS (SELECT e.user_id, ({_AB_HASH} % 2)::BIGINT AS variant,
+                     sum(CASE WHEN event_type = 'purchase' AND e.day <= b.mid
+                              THEN cents ELSE 0 END)::BIGINT AS x,
+                     sum(CASE WHEN event_type = 'purchase' AND e.day > b.mid
+                              THEN cents ELSE 0 END)::BIGINT AS y
+              FROM e, b GROUP BY 1, 2),
+       pv AS (SELECT variant, count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS sxx,
+                     sum(x::DECIMAL(38,0) * y)::DECIMAL(38,0) AS sxy
+              FROM pu GROUP BY variant),
+       g AS (SELECT sum(n)::BIGINT AS gn, sum(sx)::BIGINT AS gx,
+                    sum(sy)::BIGINT AS gy,
+                    sum(sxx)::DECIMAL(38,0) AS gxx,
+                    sum(sxy)::DECIMAL(38,0) AS gxy
+             FROM pv),
+       th AS (SELECT gn, gx,
+                     CASE WHEN gn * CAST(gxx AS DOUBLE)
+                               - CAST(gx AS DOUBLE) * gx = 0 THEN 0.0
+                          ELSE (gn * CAST(gxy AS DOUBLE)
+                                - CAST(gx AS DOUBLE) * gy)
+                               / (gn * CAST(gxx AS DOUBLE)
+                                  - CAST(gx AS DOUBLE) * gx) END AS theta
+             FROM g)
+       SELECT pv.variant, pv.n AS n_users,
+              round(pv.sy * 1.0 / pv.n, 4) AS mean_y,
+              round(pv.sy * 1.0 / pv.n
+                    - th.theta * (pv.sx * 1.0 / pv.n
+                                  - th.gx * 1.0 / th.gn), 4) AS mean_y_cuped,
+              round(th.theta, 6) AS theta
+       FROM pv, th""",
+    doc="CUPED variance-reduced A/B readout (the industry-standard "
+    "pre-experiment covariate adjustment): per hash-assigned variant, "
+    "the raw second-half purchase-spend mean and the CUPED-adjusted "
+    "mean y - theta*(x - mean(x)), where x is the user's FIRST-half "
+    "spend and theta = cov(x,y)/var(x) is fit POOLED across variants "
+    "(the unbiased recipe — per-arm thetas leak treatment effect). "
+    "EXACT integer core: per-user cents rollups, per-variant "
+    "integer/decimal moments, and the pooled moments are SUMS OF THE "
+    "2-ROW VARIANT TABLE (no second pass over users); theta and the "
+    "adjusted means are shared-tree IEEE divisions, one rounding per "
+    "output. Scale shape: one 1-row date-midpoint broadcast, one "
+    "user-keyed rollup, one 2-row aggregate — flat in events.",
+)
+def q_stats_cuped(spark: SparkSession, sf: str):
+    ev = events_table(spark, sf).select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = ev.agg(
+        F.expr("CAST((min(day) + max(day)) DIV 2 AS BIGINT)").alias("mid")
+    )
+    pu = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            "user_id",
+            (
+                md5_hash64(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
+                % 2
+            ).cast("long").alias("variant"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("day") <= F.col("mid")),
+                    F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("day") > F.col("mid")),
+                    F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    x_d = F.col("x").cast("decimal(38,0)")
+    pv = (
+        pu.groupBy("variant")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(x_d * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(x_d * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = pv.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("sx").cast("long").alias("gx"),
+        F.sum("sy").cast("long").alias("gy"),
+        F.sum("sxx").cast("decimal(38,0)").alias("gxx"),
+        F.sum("sxy").cast("decimal(38,0)").alias("gxy"),
+    )
+    gn, gx = F.col("gn"), F.col("gx").cast("double")
+    gxx, gxy = F.col("gxx").cast("double"), F.col("gxy").cast("double")
+    th = g.select(
+        "gn",
+        "gx",
+        F.when(gn * gxx - gx * F.col("gx") == 0, F.lit(0.0))
+        .otherwise((gn * gxy - gx * F.col("gy")) / (gn * gxx - gx * F.col("gx")))
+        .alias("theta"),
+    )
+    j = pv.crossJoin(F.broadcast(th))
+    return j.select(
+        "variant",
+        F.col("n").alias("n_users"),
+        F.round(F.col("sy") * 1.0 / F.col("n"), 4).alias("mean_y"),
+        F.round(
+            F.col("sy") * 1.0 / F.col("n")
+            - F.col("theta")
+            * (F.col("sx") * 1.0 / F.col("n") - F.col("gx") * 1.0 / F.col("gn")),
+            4,
+        ).alias("mean_y_cuped"),
+        F.round(F.col("theta"), 6).alias("theta"),
+    )
+
+
+def _pmi_oracle() -> str:
+    from annotations_ingester_spark.functions.text import word_shingles_sql
+
+    bg = word_shingles_sql("text", 2)
+    return f"""WITH uni AS (
+         SELECT w, count(*)::BIGINT AS c FROM
+           (SELECT unnest({TOKS}) AS w FROM documents) GROUP BY w),
+       bgx AS (SELECT g, count(*)::BIGINT AS c_ab FROM
+           (SELECT unnest({bg}) AS g FROM documents) GROUP BY g),
+       tot AS (SELECT (SELECT sum(c) FROM uni)::BIGINT AS n,
+                      (SELECT sum(c_ab) FROM bgx)::BIGINT AS nb),
+       p AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+                    c_ab FROM bgx WHERE c_ab >= 5),
+       j AS (SELECT p.w1, p.w2, p.c_ab, a.c AS c_a, b.c AS c_b, t.n, t.nb
+             FROM p JOIN uni a ON a.w = p.w1 JOIN uni b ON b.w = p.w2
+             CROSS JOIN tot t)
+       SELECT w1, w2, c_ab, c_a, c_b,
+              round(log2((c_ab * 1.0 / nb)
+                         / ((c_a * 1.0 / n) * (c_b * 1.0 / n))), 6) AS pmi
+       FROM j
+       WHERE log2((c_ab * 1.0 / nb)
+                  / ((c_a * 1.0 / n) * (c_b * 1.0 / n))) >= 0.3"""
+
+
+@register(
+    "collocation_pmi_pairs",
+    None,  # oracle assembled below (shares the word-shingle SQL helper)
+    doc="Pointwise-mutual-information collocations — the phrase-mining "
+    "primitive (which adjacent word pairs co-occur far above chance: "
+    "named entities, terms of art — the candidates a tokenizer or "
+    "vocab builder should keep intact): PMI = log2(p(ab)/(p(a)p(b))) "
+    "over adjacent token bigrams, emitted for pairs with count >= 5 "
+    "and PMI >= 0.3 (both pinned; the synthetic corpus is near-uniform "
+    "random vocabulary, so its PMI ceiling sits far below natural "
+    "text's — the cutoff is chosen to exercise the filter at every "
+    "SF). Counts are exact corpus aggregates "
+    "(the unigram and bigram count tables are vocabulary-bounded and "
+    "localCheckpoint'ed — each feeds two consumers without re-reading "
+    "the corpus); the filter and output share one expression tree "
+    "(log2 + IEEE divisions, the lm_perplexity discipline), one "
+    "rounding per row. Scale shape: two explode aggregates with "
+    "map-side combine, a bigram->unigram equi-join (zipfian -> AQE), "
+    "and a 1-row totals broadcast.",
+)
+def q_collocation_pmi(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.text import word_shingles
+
+    docs = table(spark, sf, "documents")
+    uni = (
+        docs.select(F.explode(tx.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    bgx = (
+        docs.select(F.explode(word_shingles("text", 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .localCheckpoint(eager=True)
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n")).crossJoin(
+        bgx.agg(F.sum("c_ab").cast("long").alias("nb"))
+    )
+    p = bgx.filter(F.col("c_ab") >= 5).select(
+        F.expr("split_part(g, ' ', 1)").alias("w1"),
+        F.expr("split_part(g, ' ', 2)").alias("w2"),
+        "c_ab",
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    j = p.join(a, "w1").join(b, "w2").crossJoin(F.broadcast(tot))
+    pmi = F.log2(
+        (F.col("c_ab") * 1.0 / F.col("nb"))
+        / ((F.col("c_a") * 1.0 / F.col("n")) * (F.col("c_b") * 1.0 / F.col("n")))
+    )
+    return j.filter(pmi >= 0.3).select(
+        "w1", "w2", "c_ab", "c_a", "c_b", F.round(pmi, 6).alias("pmi")
+    )
+
+
+_REG_S = None
+from annotations_ingester_spark.plans.catalog import REGISTRY as _REG_S  # noqa: E402
+
+_REG_S["collocation_pmi_pairs"].oracle = _pmi_oracle()

@@ -217,6 +217,13 @@ HEADLINE = [
     "tf_cosine_doc_pairs",
     "media_audio_silence_segments",
     "asof_join_modes",
+    # r7 deferred batch (r8 gate): KM survival, CUPED, Spearman,
+    # mergeable-MinHash cert, PMI collocations
+    "survival_kaplan_meier",
+    "stats_cuped_adjustment",
+    "stats_spearman_corr",
+    "sketch_minhash_mergeable",
+    "collocation_pmi_pairs",
 ]
 
 

@@ -100,6 +100,11 @@ CROSS_ALLOWED = {
     # bounded QI-class x lang-domain cross (plus the 1-row grand total):
     # missing langs must contribute |0 - g*n| to the TVD numerator
     "privacy_t_closeness",
+    # 1-row date-midpoint broadcast over events + 1-row pooled-theta
+    # broadcast onto the 2-row variant table
+    "stats_cuped_adjustment",
+    # 1-row (N, Nb) corpus-totals broadcast onto the PMI pair table
+    "collocation_pmi_pairs",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
@@ -208,6 +213,12 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # exact rank-median over the pairwise-slope set — bounded by the DATE
     # DOMAIN squared (months^2/2), a constant independent of row count
     "stats_theil_sen_slope",
+    # KM risk-set / log-survival cumulatives run over the LIFETIME-DOMAIN
+    # table (days, bounded by the date span), never users or events
+    "survival_kaplan_meier",
+    # rank cumulatives over the BOUNDED per-value count tables of the
+    # date-domain daily rollup (Mann-Whitney rank discipline)
+    "stats_spearman_corr",
 }
 
 

@@ -74,17 +74,23 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
     ordered = list(mod.queries())
     uncovered = [n for n in REGISTRY if n not in covered]
     debt = [n for n in uncovered if n in mod._QUEUED_LATE]
-    fresh = [n for n in uncovered if n not in mod._QUEUED_LATE]
-    # debt first, then fresh additions, then covered — as sets per segment
+    deferred = [n for n in uncovered if n in mod._DEFERRED_PAST_WINDOW]
+    fresh = [n for n in uncovered if n not in mod._QUEUED_LATE and n not in deferred]
+    # debt first, then fresh additions, then past-window deferrals, then
+    # covered — as sets per segment
+    n_front = len(debt) + len(fresh)
     n_unc = len(uncovered)
     assert set(ordered[: len(debt)]) == set(debt)
-    assert set(ordered[:n_unc]) == set(uncovered)
+    assert set(ordered[:n_front]) == set(debt) | set(fresh)
+    assert set(ordered[n_front:n_unc]) == set(deferred)
     assert set(ordered[n_unc:]) <= covered
-    # every uncovered name must fit inside the certification window;
-    # overflow means adding to _QUEUED_LATE (or waiting a round)
-    assert n_unc <= GATE_WINDOW, (
-        f"{n_unc} uncovered queries exceed the {GATE_WINDOW}-entry gate "
-        f"window; queue the newest additions via _QUEUED_LATE"
+    # every NON-DEFERRED uncovered name must fit inside the certification
+    # window; overflow means deferring the newest additions (or waiting a
+    # round) — and deferrals must sit OUTSIDE the window so they can never
+    # displace the round's planned certification set
+    assert n_front <= GATE_WINDOW, (
+        f"{n_front} front-of-window queries exceed the {GATE_WINDOW}-entry "
+        f"gate window; defer the newest additions via _DEFERRED_PAST_WINDOW"
     )
 
 

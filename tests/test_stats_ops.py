@@ -307,3 +307,83 @@ def test_theil_sen_exact_linear(spark, tmp_path):
     r = REGISTRY["stats_theil_sen_slope"].spark(spark, str(tmp_path)).collect()[0]
     assert r.n_points == 9 and r.n_pairs == 36
     assert r.sen_slope == 100.0
+
+
+def test_kaplan_meier_hand_curve(spark, tmp_path):
+    """3 users: conversions at t=1 and t=2, one censored at t=2.
+    S(1) = 2/3; S(2) = 2/3 * 1/2 = 1/3 (risk set at t=2 is {u2, u3})."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # u1: first event day0, big purchase day1 → death t=1
+        (1, base, "click", 1.0),
+        (1, base + pd.Timedelta(days=1), "purchase", 200.0),
+        # u2: first day0, big purchase day2 → death t=2
+        (2, base, "click", 1.0),
+        (2, base + pd.Timedelta(days=2), "purchase", 200.0),
+        # u3: first day0, last day2, never converts → censored t=2
+        (3, base, "click", 1.0),
+        (3, base + pd.Timedelta(days=2), "view", 1.0),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": [r[3] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.lifetime_days: r
+        for r in REGISTRY["survival_kaplan_meier"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[1].n_risk == 3 and out[1].n_deaths == 1
+    assert abs(out[1].survival - 2 / 3) < 1e-5
+    assert out[2].n_risk == 2 and out[2].n_deaths == 1
+    assert abs(out[2].survival - 1 / 3) < 1e-5
+
+
+def test_spearman_perfect_monotone(spark, tmp_path):
+    """Days where purchase volume rises exactly with click volume →
+    rho = 1 even though the relationship is nonlinear."""
+    import pandas as pd
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for day in range(5):
+        for _ in range(day + 1):
+            rows.append((base + pd.Timedelta(days=day), "click"))
+        for _ in range((day + 1) ** 2):  # nonlinear but monotone
+            rows.append((base + pd.Timedelta(days=day), "purchase"))
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[0] for r in rows],
+            "user_id": [1] * len(rows),
+            "event_type": [r[1] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_spearman_corr"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.n == 5 and r.spearman_rho == 1.0
+
+
+def test_minhash_mergeable_always_exact(spark):
+    """Mergeability is an algebraic identity — every seed must agree at
+    sf0.001."""
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["sketch_minhash_mergeable"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 8 and all(r.merge_exact for r in rows)
