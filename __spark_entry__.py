@@ -152,6 +152,11 @@ _DEFERRED_PAST_WINDOW = {
     "stats_spearman_corr",
     "sketch_minhash_mergeable",
     "collocation_pmi_pairs",
+    "events_changepoint_cusum",
+    "timeseries_seasonal_decompose",
+    "graph_common_neighbor_scores",
+    "stats_benford_first_digit",
+    "lm_oov_rate_by_vocab_size",
 }
 
 

@@ -26,8 +26,8 @@ import annotations_ingester_spark.plans.queries_eval  # noqa: F401,E402  (last: 
 # Floor, not exact count: adding queries must not break this, losing a whole
 # group module must. Keep >= the current registry size — the guard is about
 # REGISTRATION (a silently-failing group module), not certification, so it
-# rises with every batch of additions (234 = round-7 deferred batch: survival, CUPED, Spearman, mergeable MinHash, PMI).
-EXPECTED_MIN_QUERIES = 234
+# rises with every batch of additions (239 = round-7 deferred batches).
+EXPECTED_MIN_QUERIES = 239
 
 if len(REGISTRY) < EXPECTED_MIN_QUERIES:  # pragma: no cover - guard
     raise RuntimeError(

@@ -1613,3 +1613,251 @@ def q_survival_kaplan_meier(spark: SparkSession, sf: str):
         .otherwise(F.round(F.exp(F.col("cum").cast("double")), 6))
         .alias("survival"),
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    """WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
+       d AS (SELECT day, sum(cents)::BIGINT AS x FROM e GROUP BY day),
+       c AS (SELECT day,
+                    row_number() OVER (ORDER BY day) AS t,
+                    sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                      ::BIGINT AS cum,
+                    count(*) OVER ()::BIGINT AS n,
+                    sum(x) OVER ()::BIGINT AS gx
+             FROM d),
+       s AS (SELECT day, t, n,
+                    abs(n * cum - t * gx)::BIGINT AS dev
+             FROM c)
+       SELECT n AS n_days, day AS cp_day, t AS cp_index,
+              round(dev * 1.0 / n, 4) AS max_dev_cents
+       FROM s ORDER BY dev DESC, day ASC LIMIT 1""",
+    doc="CUSUM changepoint detection on the daily revenue series — the "
+    "level-shift locator behind metric drift alerts (where did the mean "
+    "move?): the classic mean-centered cumulative sum S_t = "
+    "sum_{i<=t}(x_i - xbar) is computed EXACTLY as the integer "
+    "D_t = n*cum_t - t*sum(x) (scaling by n avoids the rational mean — "
+    "no float accumulates), and the changepoint is argmax |D_t| with a "
+    "deterministic day tiebreak; the emitted magnitude |D|/n is the "
+    "centered cumulative deviation in cents at the break. Scale shape: "
+    "one map-side-combinable daily rollup (localCheckpoint'ed), windows "
+    "only over the DATE-DOMAIN table, TakeOrdered(1) for the argmax.",
+)
+def q_events_cusum(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    d = (
+        events_table(spark, sf)
+        .select(
+            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    w_ord = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = d.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("x").over(w_ord).cast("long").alias("cum"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+        F.sum("x").over(w_all).cast("long").alias("gx"),
+    )
+    s = c.select(
+        "day",
+        "t",
+        "n",
+        F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("gx"))
+        .cast("long")
+        .alias("dev"),
+    )
+    return (
+        s.orderBy(F.desc("dev"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("day").alias("cp_day"),
+            F.col("t").alias("cp_index"),
+            F.round(F.col("dev") * 1.0 / F.col("n"), 4).alias("max_dev_cents"),
+        )
+    )
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    """WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
+       d AS (SELECT day, sum(cents)::BIGINT AS x FROM e GROUP BY day),
+       p AS (SELECT (day % 7)::BIGINT AS dow, count(*)::BIGINT AS n_days,
+                    sum(x)::BIGINT AS s FROM d GROUP BY 1),
+       g AS (SELECT sum(n_days)::BIGINT AS n, sum(s)::BIGINT AS gs FROM p)
+       SELECT p.dow, p.n_days,
+              round(p.s * 1.0 / p.n_days, 4) AS mean_cents,
+              round((p.s * 1.0 / p.n_days) / (g.gs * 1.0 / g.n), 6)
+                AS seasonal_index
+       FROM p, g""",
+    doc="Weekly seasonal decomposition of daily revenue — the seasonal-"
+    "index table a forecaster divides out before trend fitting (and the "
+    "direct reading of timeseries_acf's lag-7 signal): days bucket by "
+    "epoch-day mod 7 (a stable 7-phase cycle — phase 0 is not anchored "
+    "to a weekday name, which needs no timezone calendar), each phase "
+    "emits its exact mean daily revenue and its index vs the grand "
+    "daily mean. Integer cents sums throughout; the two divisions share "
+    "one expression tree (one rounding each). Scale shape: one map-"
+    "side-combinable daily rollup (localCheckpoint'ed), a 7-row phase "
+    "aggregate, a 1-row grand-total broadcast.",
+)
+def q_timeseries_seasonal(spark: SparkSession, sf: str):
+    d = (
+        events_table(spark, sf)
+        .select(
+            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    p = d.groupBy((F.col("day") % 7).cast("long").alias("dow")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("s"),
+    ).localCheckpoint(eager=True)
+    g = p.agg(
+        F.sum("n_days").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("gs"),
+    )
+    j = p.crossJoin(F.broadcast(g))
+    mean_d = F.col("s") * 1.0 / F.col("n_days")
+    mean_g = F.col("gs") * 1.0 / F.col("n")
+    return j.select(
+        "dow",
+        "n_days",
+        F.round(mean_d, 4).alias("mean_cents"),
+        F.round(mean_d / mean_g, 6).alias("seasonal_index"),
+    )
+
+
+@register(
+    "graph_common_neighbor_scores",
+    None,  # oracle assembled below (reuses the MinHash band-pair CTE)
+    doc="Common-neighbor link prediction over the MinHash-LSH candidate "
+    "graph: for every NON-adjacent doc pair sharing at least one "
+    "neighbor, the common-neighbor count and the neighborhood-Jaccard "
+    "score cn/(deg_u + deg_v - cn) — the 'these two near-dup clusters "
+    "are probably one entity' signal an ER reviewer triages (the "
+    "missing-edge complement of the certified clustering stack). Scale "
+    "shape: the edge list is built ONCE (banded LSH candidates, "
+    "localCheckpoint'ed — the blast-radius discipline), wedges come "
+    "from one self-equi-join on the shared endpoint with a degree-16 "
+    "hub cap (the super-node exclusion: an uncapped hub contributes "
+    "deg^2/2 noise pairs) and a cn >= 2 floor, adjacency is removed "
+    "with a broadcast-able anti-join, and degrees join back from a "
+    "map-side-combinable count. Exact integers + one rounded division.",
+)
+def q_graph_common_neighbors(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 8 single-seed bands (vs the dedup tier's 4x2): the deliberately
+    # NOISIER candidate graph a link-prediction pass wants — partial
+    # signature agreement creates open wedges (A~B, B~C, A!~C) for the
+    # scorer to rank, where the high-precision 4x2 banding yields near-
+    # cliques only
+    pairs = (
+        lsh_candidate_pairs(
+            lsh_band_keys(
+                minhash_signatures(table(spark, sf, "documents")),
+                bands=8,
+                rows_per_band=1,
+            )
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    und = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    # hub cap: wedges only pivot through LOW-degree shared endpoints
+    # (deg <= 16) — the standard super-node exclusion that keeps the
+    # wedge join near-linear (a hub of degree d else contributes d^2/2
+    # candidate pairs of mostly-noise); scored pairs need cn >= 2
+    low = deg.filter(F.col("deg") <= 16).select(F.col("u").alias("w"))
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("w")).join(low, "w")
+    e2 = und.select(F.col("u").alias("w"), F.col("v").alias("b")).join(low, "w")
+    wedges = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    cand = wedges.join(
+        pairs,
+        (wedges["a"] == pairs["doc_a"]) & (wedges["b"] == pairs["doc_b"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    j = cand.join(da, "a").join(db, "b")
+    return j.select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        "cn",
+        "deg_a",
+        "deg_b",
+        F.round(
+            F.col("cn") * 1.0
+            / (F.col("deg_a") + F.col("deg_b") - F.col("cn")),
+            6,
+        ).alias("jaccard_score"),
+    )
+
+
+def _common_neighbor_oracle() -> str:
+    from annotations_ingester_spark.plans.queries_scale import SIG_CTE
+
+    return f"""WITH {SIG_CTE},
+       band AS (
+         SELECT doc_id, seed AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+       und AS (
+         SELECT doc_a AS u, doc_b AS v FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
+       deg AS (SELECT u, count(*)::BIGINT AS deg FROM und GROUP BY u),
+       low AS (SELECT u AS w FROM deg WHERE deg <= 16),
+       wedges AS (
+         SELECT e1.u AS a, e2.v AS b, count(*)::BIGINT AS cn
+         FROM und e1 JOIN low l1 ON l1.w = e1.v
+              JOIN und e2 ON e1.v = e2.u
+         WHERE e1.u < e2.v GROUP BY 1, 2
+         HAVING count(*) >= 2),
+       cand AS (
+         SELECT w.* FROM wedges w
+         WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                           WHERE p.doc_a = w.a AND p.doc_b = w.b))
+       SELECT cand.a AS doc_a, cand.b AS doc_b, cand.cn,
+              da.deg AS deg_a, db.deg AS deg_b,
+              round(cand.cn * 1.0 / (da.deg + db.deg - cand.cn), 6)
+                AS jaccard_score
+       FROM cand JOIN deg da ON da.u = cand.a JOIN deg db ON db.u = cand.b"""
+
+
+_REG["graph_common_neighbor_scores"].oracle = _common_neighbor_oracle()

@@ -1869,3 +1869,110 @@ _REG_S = None
 from annotations_ingester_spark.plans.catalog import REGISTRY as _REG_S  # noqa: E402
 
 _REG_S["collocation_pmi_pairs"].oracle = _pmi_oracle()
+
+
+@register(
+    "stats_benford_first_digit",
+    """WITH c AS (
+         SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders
+         WHERE o_totalprice > 0),
+       o AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit,
+                    count(*)::BIGINT AS n_obs
+             FROM c GROUP BY 1),
+       t AS (SELECT sum(n_obs)::BIGINT AS n FROM o)
+       SELECT o.digit, o.n_obs,
+              round(t.n * log10(1.0 + 1.0 / o.digit), 4) AS expected_n,
+              round((o.n_obs - t.n * log10(1.0 + 1.0 / o.digit))
+                    * (o.n_obs - t.n * log10(1.0 + 1.0 / o.digit))
+                    / (t.n * log10(1.0 + 1.0 / o.digit)), 6)
+                AS chi2_contribution
+       FROM o, t""",
+    doc="Benford first-digit audit — the classic fabricated-data / "
+    "corrupted-feed screen every financial-quality pipeline runs: the "
+    "observed first-significant-digit distribution of order totals vs "
+    "the Benford expectation p(d) = log10(1 + 1/d), with per-digit "
+    "chi-square contributions (sum them for the 8-dof statistic). The "
+    "digit extracts from the INTEGER cents string (no float log "
+    "tricks on the extraction path — exact and locale-free); expected "
+    "counts and contributions are one shared log10/division tree "
+    "(IEEE-identical), one rounding per output. Scale shape: one "
+    "scan-fused 9-row aggregate + a 1-row total broadcast. (TPC-H "
+    "prices are uniform-ish, not Benford — the audit's point is the "
+    "COMPARISON, and the synthetic corpus deliberately fails it.)",
+)
+def q_stats_benford(spark: SparkSession, sf: str):
+    c = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    )
+    o = (
+        c.select(
+            F.expr("CAST(substr(CAST(cents AS STRING), 1, 1) AS BIGINT)").alias(
+                "digit"
+            )
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+        .localCheckpoint(eager=True)
+    )
+    t = o.agg(F.sum("n_obs").cast("long").alias("n"))
+    j = o.crossJoin(F.broadcast(t))
+    exp_n = F.col("n") * F.log10(1.0 + 1.0 / F.col("digit"))
+    return j.select(
+        "digit",
+        "n_obs",
+        F.round(exp_n, 4).alias("expected_n"),
+        F.round(
+            (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n, 6
+        ).alias("chi2_contribution"),
+    )
+
+
+@register(
+    "lm_oov_rate_by_vocab_size",
+    f"""WITH u AS (SELECT w, count(*)::BIGINT AS c FROM
+           (SELECT unnest({TOKS}) AS w FROM documents) GROUP BY w),
+       r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk
+             FROM u),
+       k AS (SELECT unnest([100, 500, 1000])::BIGINT AS k)
+       SELECT k.k AS vocab_size,
+              sum(CASE WHEN r.rk <= k.k THEN r.c ELSE 0 END)::BIGINT
+                AS covered_tokens,
+              sum(r.c)::BIGINT AS total_tokens,
+              round(1.0 - sum(CASE WHEN r.rk <= k.k THEN r.c ELSE 0 END)
+                          * 1.0 / sum(r.c), 6) AS oov_rate
+       FROM r CROSS JOIN k GROUP BY k.k""",
+    doc="Out-of-vocabulary rate curve by vocabulary budget — the "
+    "tokenizer-sizing decision table (how much of the token stream does "
+    "a top-k vocab cover at k = 100/500/1000?): types rank by frequency "
+    "with a deterministic term tiebreak, and each budget row reports "
+    "covered vs total token OCCURRENCES (occurrence mass, not type "
+    "count — the quantity that drives UNK rates). Exact integer counts; "
+    "one rounded division per row. Scale shape: one token explode into "
+    "a map-side-combinable type-count aggregate; the rank window runs "
+    "over the VOCABULARY table (bounded by distinct types — the "
+    "ssjoin/Zipf allowlist class), then a 3-row budget broadcast "
+    "fans the one-pass conditional sums.",
+)
+def q_lm_oov_rate(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    u = (
+        table(spark, sf, "documents")
+        .select(F.explode(tx.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    r = u.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))).alias("rk"),
+    )
+    k = spark.createDataFrame([(100,), (500,), (1000,)], "k long")
+    j = r.crossJoin(F.broadcast(k))
+    covered = F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c")).otherwise(0))
+    return j.groupBy(F.col("k").alias("vocab_size")).agg(
+        covered.cast("long").alias("covered_tokens"),
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.round(1.0 - covered * 1.0 / F.sum("c"), 6).alias("oov_rate"),
+    )

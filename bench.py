@@ -224,6 +224,13 @@ HEADLINE = [
     "stats_spearman_corr",
     "sketch_minhash_mergeable",
     "collocation_pmi_pairs",
+    # r7 deferred batch 2 (r8 gate): CUSUM changepoint, weekly seasonal
+    # indexes, LSH link prediction, Benford audit, OOV-rate curve
+    "events_changepoint_cusum",
+    "timeseries_seasonal_decompose",
+    "graph_common_neighbor_scores",
+    "stats_benford_first_digit",
+    "lm_oov_rate_by_vocab_size",
 ]
 
 

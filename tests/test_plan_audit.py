@@ -105,6 +105,12 @@ CROSS_ALLOWED = {
     "stats_cuped_adjustment",
     # 1-row (N, Nb) corpus-totals broadcast onto the PMI pair table
     "collocation_pmi_pairs",
+    # 1-row digit-total broadcast onto the 9-row first-digit table
+    "stats_benford_first_digit",
+    # 3-row vocab-budget broadcast fanning the one-pass conditional sums
+    "lm_oov_rate_by_vocab_size",
+    # 1-row grand-total broadcast onto the 7-row weekly-phase table
+    "timeseries_seasonal_decompose",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
@@ -219,6 +225,12 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # rank cumulatives over the BOUNDED per-value count tables of the
     # date-domain daily rollup (Mann-Whitney rank discipline)
     "stats_spearman_corr",
+    # CUSUM index/cumulative/total windows over the DATE-DOMAIN daily
+    # rollup, argmax via TakeOrdered(1)
+    "events_changepoint_cusum",
+    # frequency rank over the VOCABULARY table (distinct types — the
+    # ssjoin/Zipf boundedness class), never the token stream
+    "lm_oov_rate_by_vocab_size",
 }
 
 

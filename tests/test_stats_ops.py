@@ -387,3 +387,103 @@ def test_minhash_mergeable_always_exact(spark):
         .collect()
     )
     assert len(rows) == 8 and all(r.merge_exact for r in rows)
+
+
+def test_cusum_locates_level_shift(spark, tmp_path):
+    """10 days at 100 then 10 days at 900 → the changepoint lands on the
+    last low day (max |cumulative deviation|)."""
+    import pandas as pd
+
+    days = pd.date_range("2024-01-01", periods=20, freq="D")
+    vals = [1.0] * 10 + [9.0] * 10
+    pd.DataFrame(
+        {
+            "event_id": range(20),
+            "ts": days,
+            "user_id": [1] * 20,
+            "event_type": ["click"] * 20,
+            "value": vals,
+            "props": ["{}"] * 20,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["events_changepoint_cusum"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 20 and r.cp_index == 10
+    # |S_10| = 10*(100 - 500) = 4000 cents below the mean path
+    assert r.max_dev_cents == 4000.0
+
+
+def test_seasonal_index_flat_series_is_one(spark, tmp_path):
+    """A constant daily series → every weekly phase index is exactly 1."""
+    import pandas as pd
+
+    days = pd.date_range("2024-01-01", periods=14, freq="D")
+    pd.DataFrame(
+        {
+            "event_id": range(14),
+            "ts": days,
+            "user_id": [1] * 14,
+            "event_type": ["click"] * 14,
+            "value": [5.0] * 14,
+            "props": ["{}"] * 14,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["timeseries_seasonal_decompose"].spark(spark, str(tmp_path)).collect()
+    assert len(rows) == 7
+    assert all(r.seasonal_index == 1.0 and r.n_days == 2 for r in rows)
+
+
+def test_benford_digit_extraction(spark, tmp_path):
+    """Prices 1.23 / 0.45 / 9.99 → first cents digits 1, 4, 9."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1] * 3,
+            "o_orderstatus": ["F"] * 3,
+            "o_totalprice": [1.23, 0.45, 9.99],
+            "o_orderdate": [pd.Timestamp("2024-01-01").date()] * 3,
+            "o_orderpriority": ["1-URGENT"] * 3,
+            "o_clerk": ["c"] * 3,
+            "o_shippriority": [0] * 3,
+            "o_comment": [""] * 3,
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = {
+        r.digit: r
+        for r in REGISTRY["stats_benford_first_digit"].spark(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1, 4, 9} and all(r.n_obs == 1 for r in rows.values())
+    import math
+
+    assert abs(rows[1].expected_n - 3 * math.log10(2)) < 1e-3
+
+
+def test_oov_rate_hand_vocab(spark, tmp_path):
+    """Tokens: 'a'x5 'b'x3 'c'x2; a top-1 budget covers 5/10 → the query
+    at its smallest pinned budget (100 >= all types) covers everything."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "lang": ["en"],
+            "source": ["s"],
+            "text": ["a a a a a b b b c c"],
+            "n_chars": [19],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = {
+        r.vocab_size: r
+        for r in REGISTRY["lm_oov_rate_by_vocab_size"].spark(spark, str(tmp_path)).collect()
+    }
+    assert rows[100].total_tokens == 10
+    assert rows[100].covered_tokens == 10 and rows[100].oov_rate == 0.0
