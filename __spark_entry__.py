@@ -157,6 +157,9 @@ _DEFERRED_PAST_WINDOW = {
     "graph_common_neighbor_scores",
     "stats_benford_first_digit",
     "lm_oov_rate_by_vocab_size",
+    "forecast_backtest_mae",
+    "stats_kendall_tau",
+    "text_readability_fk",
 }
 
 

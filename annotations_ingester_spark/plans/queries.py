@@ -27,7 +27,7 @@ import annotations_ingester_spark.plans.queries_eval  # noqa: F401,E402  (last: 
 # group module must. Keep >= the current registry size — the guard is about
 # REGISTRATION (a silently-failing group module), not certification, so it
 # rises with every batch of additions (239 = round-7 deferred batches).
-EXPECTED_MIN_QUERIES = 239
+EXPECTED_MIN_QUERIES = 242
 
 if len(REGISTRY) < EXPECTED_MIN_QUERIES:  # pragma: no cover - guard
     raise RuntimeError(

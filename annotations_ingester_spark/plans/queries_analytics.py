@@ -1861,3 +1861,180 @@ def _common_neighbor_oracle() -> str:
 
 
 _REG["graph_common_neighbor_scores"].oracle = _common_neighbor_oracle()
+
+
+@register(
+    "forecast_backtest_mae",
+    """WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
+       d AS (SELECT day, sum(cents)::BIGINT AS x FROM e GROUP BY day),
+       mx AS (SELECT max(day) AS mxd FROM d),
+       ev AS (SELECT d.day, d.x FROM d, mx WHERE d.day >= mx.mxd - 27),
+       nv AS (SELECT count(*)::BIGINT AS n_naive,
+                     sum(abs(ev.x - p.x))::BIGINT AS s_naive
+              FROM ev JOIN d p ON p.day = ev.day - 1),
+       sv AS (SELECT count(*)::BIGINT AS n_seasonal,
+                     sum(abs(ev.x - p.x))::BIGINT AS s_seasonal
+              FROM ev JOIN d p ON p.day = ev.day - 7)
+       SELECT nv.n_naive, sv.n_seasonal,
+              round(nv.s_naive * 1.0 / nv.n_naive, 4) AS mae_naive_cents,
+              round(sv.s_seasonal * 1.0 / sv.n_seasonal, 4)
+                AS mae_seasonal_cents,
+              round((nv.s_naive * 1.0 / nv.n_naive
+                     - sv.s_seasonal * 1.0 / sv.n_seasonal)
+                    / (nv.s_naive * 1.0 / nv.n_naive), 6) AS improvement
+       FROM nv, sv""",
+    doc="Walk-forward forecast backtest — the model-selection loop every "
+    "metric-forecasting pipeline runs before trusting a seasonal model: "
+    "over the last 28 observed days, score the naive forecast (x_(d-1)) "
+    "against the seasonal-naive (x_(d-7)) by mean absolute error, plus "
+    "the relative improvement — a positive value says the weekly cycle "
+    "(timeseries_acf / seasonal_decompose's signal) transfers to actual "
+    "held-out accuracy. EXACT integer error sums (cents); the MAE and "
+    "improvement divisions share one IEEE tree, one rounding each. "
+    "Scale shape: one map-side-combinable daily rollup "
+    "(localCheckpoint'ed), a 1-row horizon broadcast, two lag "
+    "equi-joins on the date-domain table, two 1-row aggregates.",
+)
+def q_forecast_backtest(spark: SparkSession, sf: str):
+    d = (
+        events_table(spark, sf)
+        .select(
+            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    mx = d.agg(F.max("day").alias("mxd"))
+    ev = d.crossJoin(F.broadcast(mx)).filter(
+        F.col("day") >= F.col("mxd") - 27
+    ).select("day", "x")
+
+    def mae_side(lag: int, n_name: str, s_name: str):
+        p = d.select((F.col("day") + lag).alias("day"), F.col("x").alias("px"))
+        return ev.join(p, "day").agg(
+            F.count("*").cast("long").alias(n_name),
+            F.sum(F.abs(F.col("x") - F.col("px"))).cast("long").alias(s_name),
+        )
+
+    nv = mae_side(1, "n_naive", "s_naive")
+    sv = mae_side(7, "n_seasonal", "s_seasonal")
+    j = nv.crossJoin(F.broadcast(sv))
+    mn = F.col("s_naive") * 1.0 / F.col("n_naive")
+    ms = F.col("s_seasonal") * 1.0 / F.col("n_seasonal")
+    return j.select(
+        "n_naive",
+        "n_seasonal",
+        F.round(mn, 4).alias("mae_naive_cents"),
+        F.round(ms, 4).alias("mae_seasonal_cents"),
+        F.round((mn - ms) / mn, 6).alias("improvement"),
+    )
+
+
+@register(
+    "stats_kendall_tau",
+    """WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type
+         FROM events),
+       d AS (SELECT day,
+                    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      ::BIGINT AS x,
+                    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      ::BIGINT AS y
+             FROM e GROUP BY day),
+       p AS (SELECT count(*)::BIGINT AS n_pairs,
+                    sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                              OR (a.x > b.x AND a.y > b.y)
+                         THEN 1 ELSE 0 END)::BIGINT AS c,
+                    sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                              OR (a.x > b.x AND a.y < b.y)
+                         THEN 1 ELSE 0 END)::BIGINT AS dsc
+             FROM d a JOIN d b ON a.day < b.day),
+       tx AS (SELECT sum(k * (k - 1) / 2)::BIGINT AS n1
+              FROM (SELECT count(*)::BIGINT AS k FROM d GROUP BY x)),
+       ty AS (SELECT sum(k * (k - 1) / 2)::BIGINT AS n2
+              FROM (SELECT count(*)::BIGINT AS k FROM d GROUP BY y))
+       SELECT p.n_pairs, p.c AS concordant, p.dsc AS discordant,
+              tx.n1 AS ties_x, ty.n2 AS ties_y,
+              round(CASE WHEN (p.n_pairs - tx.n1) * (p.n_pairs - ty.n2) <= 0
+                         THEN 0.0
+                         ELSE (p.c - p.dsc)
+                              / sqrt((p.n_pairs - tx.n1) * 1.0
+                                     * (p.n_pairs - ty.n2)) END, 6)
+                AS kendall_tau_b
+       FROM p, tx, ty""",
+    doc="Kendall tau-b rank correlation between daily click and purchase "
+    "volumes — completing the correlation trio (Pearson moments in the "
+    "OLS/ACF family, Spearman's rank rho, and now the pair-concordance "
+    "view, whose tau-b tie correction stays honest on count data full "
+    "of equal days): concordant/discordant/tie counts are EXACT "
+    "integers from one self-join over the DATE-DOMAIN daily rollup "
+    "(months^2-class pair set — a constant in row count, the Theil-Sen "
+    "boundedness argument), and tau_b = (C - D)/sqrt((n0-n1)(n0-n2)) "
+    "is one shared sqrt tree. Scale shape: daily rollup "
+    "(localCheckpoint'ed) -> bounded pair join + two tiny tie "
+    "aggregates -> 1-row assembly.",
+)
+def q_stats_kendall(spark: SparkSession, sf: str):
+    d = (
+        events_table(spark, sf)
+        .select(
+            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"), "event_type"
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    conc = ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb"))) | (
+        (F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))
+    )
+    disc = ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb"))) | (
+        (F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))
+    )
+    p = a.join(b, F.col("da") < F.col("db")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(conc, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(disc, 1).otherwise(0)).cast("long").alias("dsc"),
+    )
+
+    def ties(col: str, out: str):
+        return (
+            d.groupBy(col)
+            .agg(F.count("*").cast("long").alias("k"))
+            .agg(
+                F.sum(F.col("k") * (F.col("k") - 1) / 2).cast("long").alias(out)
+            )
+        )
+
+    j = (
+        p.crossJoin(F.broadcast(ties("x", "n1")))
+        .crossJoin(F.broadcast(ties("y", "n2")))
+    )
+    denom = (F.col("n_pairs") - F.col("n1")) * (F.col("n_pairs") - F.col("n2"))
+    tau = (F.col("c") - F.col("dsc")) / F.sqrt(
+        (F.col("n_pairs") - F.col("n1")) * 1.0 * (F.col("n_pairs") - F.col("n2"))
+    )
+    return j.select(
+        "n_pairs",
+        F.col("c").alias("concordant"),
+        F.col("dsc").alias("discordant"),
+        F.col("n1").alias("ties_x"),
+        F.col("n2").alias("ties_y"),
+        F.round(F.when(denom <= 0, F.lit(0.0)).otherwise(tau), 6).alias(
+            "kendall_tau_b"
+        ),
+    )

@@ -1039,3 +1039,68 @@ def q_curation_domain_caps(spark: SparkSession, sf: str):
         .cast("long")
         .alias("kept_xor"),
     )
+
+
+@register(
+    "text_readability_fk",
+    f"""WITH d AS (
+         SELECT doc_id,
+                greatest(len(list_filter(regexp_split_to_array(text,
+                  '[.!?]+'), s -> trim(s) <> '')), 1)::BIGINT AS n_sentences,
+                len({tokens_sql("text")})::BIGINT AS n_words,
+                greatest(len(regexp_extract_all(lower(text),
+                  '[aeiouy]+')), 1)::BIGINT AS n_syllables
+         FROM documents)
+       SELECT doc_id, n_sentences, n_words, n_syllables,
+              round(0.39 * (n_words * 1.0 / n_sentences)
+                    + 11.8 * (n_syllables * 1.0 / n_words) - 15.59, 4)
+                AS fk_grade,
+              round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                    - 84.6 * (n_syllables * 1.0 / n_words), 4)
+                AS flesch_ease
+       FROM d WHERE n_words >= 1""",
+    doc="Flesch-Kincaid readability scoring — the classic text-difficulty "
+    "curation signal (alongside the Gopher flags and perplexity: filter "
+    "or stratify a corpus by reading level): per doc, sentence count "
+    "(split on terminal punctuation, empty segments dropped, floor 1), "
+    "word count (the shared tokenizer), and a vowel-run syllable "
+    "heuristic (one regexp over the lowered text — a vowel run cannot "
+    "cross a word boundary, so the whole-text count equals the per-word "
+    "sum without an explode), then the FK grade and Flesch "
+    "reading-ease formulas. Exact integer counts; the two formula "
+    "trees are shared (IEEE-identical), one rounding each. Scale "
+    "shape: a single narrow scan-fused projection — no shuffle at all.",
+)
+def q_text_readability(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.text import token_count
+
+    d = table(spark, sf, "documents").select(
+        "doc_id",
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), r"[.!?]+", -1),
+                    lambda s: F.trim(s) != F.lit(""),
+                )
+            ),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        token_count("text").alias("n_words"),
+        F.greatest(
+            F.expr("regexp_count(lower(text), '[aeiouy]+')"), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    wps = F.col("n_words") * 1.0 / F.col("n_sentences")
+    spw = F.col("n_syllables") * 1.0 / F.col("n_words")
+    return d.filter(F.col("n_words") >= 1).select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
+    )

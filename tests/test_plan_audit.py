@@ -111,6 +111,10 @@ CROSS_ALLOWED = {
     "lm_oov_rate_by_vocab_size",
     # 1-row grand-total broadcast onto the 7-row weekly-phase table
     "timeseries_seasonal_decompose",
+    # 1-row horizon broadcast onto the daily rollup + 1-row MAE assembly
+    "forecast_backtest_mae",
+    # two 1-row tie-count broadcasts onto the 1-row concordance aggregate
+    "stats_kendall_tau",
 }
 
 # queries that execute on build (streaming: availableNow to a memory sink,
