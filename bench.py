@@ -231,6 +231,11 @@ HEADLINE = [
     "graph_common_neighbor_scores",
     "stats_benford_first_digit",
     "lm_oov_rate_by_vocab_size",
+    # r7 deferred batch 3 (r8 gate): forecast backtest, Kendall tau-b,
+    # FK readability
+    "forecast_backtest_mae",
+    "stats_kendall_tau",
+    "text_readability_fk",
 ]
 
 
