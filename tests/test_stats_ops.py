@@ -487,3 +487,77 @@ def test_oov_rate_hand_vocab(spark, tmp_path):
     }
     assert rows[100].total_tokens == 10
     assert rows[100].covered_tokens == 10 and rows[100].oov_rate == 0.0
+
+
+def test_forecast_backtest_perfect_weekly_cycle(spark, tmp_path):
+    """A strict 7-day periodic series → seasonal-naive MAE = 0,
+    improvement = 1."""
+    import pandas as pd
+
+    days = pd.date_range("2024-01-01", periods=42, freq="D")
+    vals = [float(1 + (i % 7)) for i in range(42)]
+    pd.DataFrame(
+        {
+            "event_id": range(42),
+            "ts": days,
+            "user_id": [1] * 42,
+            "event_type": ["click"] * 42,
+            "value": vals,
+            "props": ["{}"] * 42,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["forecast_backtest_mae"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.n_naive == 28 and r.n_seasonal == 28
+    assert r.mae_seasonal_cents == 0.0 and r.improvement == 1.0
+    assert r.mae_naive_cents > 0
+
+
+def test_kendall_tau_perfect_and_reversed(spark, tmp_path):
+    """Strictly co-monotone daily (x, y) with no ties → tau_b = 1."""
+    import pandas as pd
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for day in range(4):
+        rows += [(base + pd.Timedelta(days=day), "click")] * (day + 1)
+        rows += [(base + pd.Timedelta(days=day), "purchase")] * (2 * day + 1)
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[0] for r in rows],
+            "user_id": [1] * len(rows),
+            "event_type": [r[1] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_kendall_tau"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.n_pairs == 6 and r.concordant == 6 and r.discordant == 0
+    assert r.ties_x == 0 and r.ties_y == 0 and r.kendall_tau_b == 1.0
+
+
+def test_readability_hand_counts(spark, tmp_path):
+    """'The cat sat. It ran!' → 2 sentences, 5 words; syllables = vowel
+    runs (e, a, a, i, a) = 5."""
+    import pandas as pd
+
+    text = "The cat sat. It ran!"
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "lang": ["en"],
+            "source": ["s"],
+            "text": [text],
+            "n_chars": [len(text)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["text_readability_fk"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.n_sentences, r.n_words, r.n_syllables) == (2, 5, 5)
+    # FK = 0.39*(5/2) + 11.8*(5/5) - 15.59 = 0.975 + 11.8 - 15.59
+    assert abs(r.fk_grade - (0.39 * 2.5 + 11.8 - 15.59)) < 1e-6
