@@ -115,6 +115,12 @@ def asof_join_multi(
     both inclusive at equal timestamps, each optionally nulled when its
     gap exceeds ``tolerance``. The nearest-mode pick is one CASE on top.
 
+    Contract: right rows must be unique per (by, on) — pre-aggregate
+    duplicates (e.g. ``groupBy(by, on).agg(max(id))``) as the catalog
+    queries do; among equal-timestamp right rows the window's pick is
+    otherwise order-dependent (the single-direction :func:`asof_join`
+    exposes ``tiebreak`` for that case).
+
     Scale shape: ONE shuffle on the ``by`` key serving two ordered
     windows (ascending for backward, descending for forward — the second
     window re-sorts in place, no second exchange), zero join

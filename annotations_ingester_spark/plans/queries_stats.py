@@ -1875,7 +1875,7 @@ _REG_S["collocation_pmi_pairs"].oracle = _pmi_oracle()
     "stats_benford_first_digit",
     """WITH c AS (
          SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders
-         WHERE o_totalprice > 0),
+         WHERE round(o_totalprice * 100) >= 1),
        o AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit,
                     count(*)::BIGINT AS n_obs
              FROM c GROUP BY 1),
@@ -1901,9 +1901,11 @@ _REG_S["collocation_pmi_pairs"].oracle = _pmi_oracle()
     "COMPARISON, and the synthetic corpus deliberately fails it.)",
 )
 def q_stats_benford(spark: SparkSession, sf: str):
+    # guard on the QUANTIZED value: a sub-cent price rounds to cents = 0,
+    # whose "first digit" 0 would divide by log10(1 + 1/0)
     c = (
         table(spark, sf, "orders")
-        .filter(F.col("o_totalprice") > 0)
+        .filter(F.round(F.col("o_totalprice") * 100) >= 1)
         .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
     )
     o = (
