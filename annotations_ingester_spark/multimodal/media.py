@@ -720,17 +720,17 @@ def audio_frame_energy(
     return slim.mapInPandas(run, schema=AUDIO_FRAME_FIELDS)
 
 
-def synth_wav_images(df: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """mapInPandas WAV synthesizer: id → real PCM WAV payload rows
-    (``media_id, payload, meta``) — the audio twin of
-    synth_pattern_images."""
+def _synth_wav(df: DataFrame, synth_fn, id_col: str = "media_id") -> DataFrame:
+    """Shared mapInPandas WAV-synthesizer scaffolding: id → real PCM WAV
+    payload rows (``media_id, payload, meta``) with ``synth_fn(media_id)``
+    producing the RIFF bytes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["_id"].to_numpy(),
-                    "payload": [synth_pcm_wav(int(i)) for i in pdf["_id"]],
+                    "payload": [synth_fn(int(i)) for i in pdf["_id"]],
                     "kind": "audio",
                 }
             )
@@ -751,6 +751,13 @@ def synth_wav_images(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     return slim.mapInPandas(run, schema=out_schema).select(
         "media_id", "payload", F.struct(F.col("kind")).alias("meta")
     )
+
+
+def synth_wav_images(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """mapInPandas WAV synthesizer: id → real PCM WAV payload rows
+    (``media_id, payload, meta``) — the audio twin of
+    synth_pattern_images."""
+    return _synth_wav(df, synth_pcm_wav, id_col)
 
 
 def synth_pcm_wav_gated(
@@ -780,30 +787,4 @@ def synth_pcm_wav_gated(
 def synth_wav_gated_images(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """mapInPandas synthesizer for :func:`synth_pcm_wav_gated` payloads —
     same contract as :func:`synth_wav_images`."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["_id"].to_numpy(),
-                    "payload": [synth_pcm_wav_gated(int(i)) for i in pdf["_id"]],
-                    "kind": "audio",
-                }
-            )
-
-    from pyspark.sql import functions as F
-
-    from annotations_ingester_spark.pyfiles import ensure_worker_imports
-
-    ensure_worker_imports(df.sparkSession)
-    slim = df.select(F.col(id_col).alias("_id"))
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), False),
-            T.StructField("kind", T.StringType(), False),
-        ]
-    )
-    return slim.mapInPandas(run, schema=out_schema).select(
-        "media_id", "payload", F.struct(F.col("kind")).alias("meta")
-    )
+    return _synth_wav(df, synth_pcm_wav_gated, id_col)

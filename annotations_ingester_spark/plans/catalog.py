@@ -77,3 +77,67 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts_s", events_ts_seconds(dict(df.dtypes)["ts"]))
+
+
+#: DuckDB CTE twin of :func:`daily_cents` — compose as f"WITH {DAILY_CENTS_CTE}, ..."
+DAILY_CENTS_CTE = """e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
+       d AS (SELECT day, sum(cents)::BIGINT AS x FROM e GROUP BY day)"""
+
+#: DuckDB CTE twin of :func:`daily_type_counts`
+DAILY_TYPE_COUNTS_CTE = """e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type
+         FROM events),
+       d AS (SELECT day,
+                    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      ::BIGINT AS x,
+                    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      ::BIGINT AS y
+             FROM e GROUP BY day)"""
+
+
+def daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue series ``(day BIGINT, x BIGINT cents)`` — the shared
+    input of the time-series statistics family (ACF, CUSUM, seasonal
+    indexes, forecast backtest). One map-side-combinable aggregate over
+    the event stream, bounded by the date domain and localCheckpoint'ed
+    so every consumer branch re-reads the tiny frame, not the scan."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_table(spark, sf_dir)
+        .select(
+            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily paired metric series ``(day, x = clicks, y = purchases)`` —
+    the shared input of the rank-correlation family (Spearman, Kendall).
+    Same boundedness/checkpoint discipline as :func:`daily_cents`."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_table(spark, sf_dir)
+        .select(
+            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"), "event_type"
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )

@@ -26,7 +26,8 @@ import annotations_ingester_spark.plans.queries_eval  # noqa: F401,E402  (last: 
 # Floor, not exact count: adding queries must not break this, losing a whole
 # group module must. Keep >= the current registry size — the guard is about
 # REGISTRATION (a silently-failing group module), not certification, so it
-# rises with every batch of additions (239 = round-7 deferred batches).
+# rises with every batch of additions (no numeral in this comment on
+# purpose — hand-typed totals drift; the value below is the only copy).
 EXPECTED_MIN_QUERIES = 242
 
 if len(REGISTRY) < EXPECTED_MIN_QUERIES:  # pragma: no cover - guard

@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 
 from annotations_ingester_spark.functions import text as tx
 from annotations_ingester_spark.plans.catalog import (
+    DAILY_CENTS_CTE,
+    DAILY_TYPE_COUNTS_CTE,
+    daily_cents,
+    daily_type_counts,
     events_table,
     register,
     table,
@@ -1232,14 +1236,9 @@ def q_events_rfm(spark: SparkSession, sf: str):
 
 @register(
     "timeseries_acf",
-    """WITH e AS (
-         SELECT floor(epoch(ts))::BIGINT AS ts_s,
-                round(value * 100)::BIGINT AS cents
-         FROM events),
-       d AS (SELECT (ts_s // 86400)::BIGINT AS day, sum(cents)::BIGINT AS y
-             FROM e GROUP BY 1),
+    f"""WITH {DAILY_CENTS_CTE},
        l AS (SELECT unnest(range(1, 6))::BIGINT AS lag),
-       p AS (SELECT l.lag, a.y AS ya, b.y AS yb
+       p AS (SELECT l.lag, a.x AS ya, b.x AS yb
              FROM d a CROSS JOIN l JOIN d b ON b.day = a.day + l.lag),
        m AS (SELECT lag, count(*)::BIGINT AS n,
                     sum(ya)::BIGINT AS sx, sum(yb)::BIGINT AS sy,
@@ -1271,20 +1270,11 @@ def q_events_rfm(spark: SparkSession, sf: str):
     "day — flat however large the event stream.",
 )
 def q_timeseries_acf(spark: SparkSession, sf: str):
-    daily = (
-        events_table(spark, sf)
-        .select(
-            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
-        .groupBy("day")
-        .agg(F.sum("cents").cast("long").alias("y"))
-        .localCheckpoint(eager=True)
-    )
+    daily = daily_cents(spark, sf)
     a = daily.withColumn(
         "lag", F.explode(F.array(*[F.lit(k).cast("long") for k in range(1, 6)]))
-    ).select("lag", (F.col("day") + F.col("lag")).alias("bday"), F.col("y").alias("ya"))
-    b = daily.select(F.col("day").alias("bday"), F.col("y").alias("yb"))
+    ).select("lag", (F.col("day") + F.col("lag")).alias("bday"), F.col("x").alias("ya"))
+    b = daily.select(F.col("day").alias("bday"), F.col("x").alias("yb"))
     p = a.join(b, "bday")
     ya_d = F.col("ya").cast("decimal(38,0)")
     yb_d = F.col("yb").cast("decimal(38,0)")
@@ -1617,11 +1607,7 @@ def q_survival_kaplan_meier(spark: SparkSession, sf: str):
 
 @register(
     "events_changepoint_cusum",
-    """WITH e AS (
-         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
-                round(value * 100)::BIGINT AS cents
-         FROM events),
-       d AS (SELECT day, sum(cents)::BIGINT AS x FROM e GROUP BY day),
+    f"""WITH {DAILY_CENTS_CTE},
        c AS (SELECT day,
                     row_number() OVER (ORDER BY day) AS t,
                     sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
@@ -1649,16 +1635,7 @@ def q_survival_kaplan_meier(spark: SparkSession, sf: str):
 def q_events_cusum(spark: SparkSession, sf: str):
     from pyspark.sql import Window
 
-    d = (
-        events_table(spark, sf)
-        .select(
-            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
-        .groupBy("day")
-        .agg(F.sum("cents").cast("long").alias("x"))
-        .localCheckpoint(eager=True)
-    )
+    d = daily_cents(spark, sf)
     w_ord = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -1692,11 +1669,7 @@ def q_events_cusum(spark: SparkSession, sf: str):
 
 @register(
     "timeseries_seasonal_decompose",
-    """WITH e AS (
-         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
-                round(value * 100)::BIGINT AS cents
-         FROM events),
-       d AS (SELECT day, sum(cents)::BIGINT AS x FROM e GROUP BY day),
+    f"""WITH {DAILY_CENTS_CTE},
        p AS (SELECT (day % 7)::BIGINT AS dow, count(*)::BIGINT AS n_days,
                     sum(x)::BIGINT AS s FROM d GROUP BY 1),
        g AS (SELECT sum(n_days)::BIGINT AS n, sum(s)::BIGINT AS gs FROM p)
@@ -1717,16 +1690,7 @@ def q_events_cusum(spark: SparkSession, sf: str):
     "aggregate, a 1-row grand-total broadcast.",
 )
 def q_timeseries_seasonal(spark: SparkSession, sf: str):
-    d = (
-        events_table(spark, sf)
-        .select(
-            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
-        .groupBy("day")
-        .agg(F.sum("cents").cast("long").alias("x"))
-        .localCheckpoint(eager=True)
-    )
+    d = daily_cents(spark, sf)
     p = d.groupBy((F.col("day") % 7).cast("long").alias("dow")).agg(
         F.count("*").cast("long").alias("n_days"),
         F.sum("x").cast("long").alias("s"),
@@ -1865,11 +1829,7 @@ _REG["graph_common_neighbor_scores"].oracle = _common_neighbor_oracle()
 
 @register(
     "forecast_backtest_mae",
-    """WITH e AS (
-         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
-                round(value * 100)::BIGINT AS cents
-         FROM events),
-       d AS (SELECT day, sum(cents)::BIGINT AS x FROM e GROUP BY day),
+    f"""WITH {DAILY_CENTS_CTE},
        mx AS (SELECT max(day) AS mxd FROM d),
        ev AS (SELECT d.day, d.x FROM d, mx WHERE d.day >= mx.mxd - 27),
        nv AS (SELECT count(*)::BIGINT AS n_naive,
@@ -1899,16 +1859,7 @@ _REG["graph_common_neighbor_scores"].oracle = _common_neighbor_oracle()
     "equi-joins on the date-domain table, two 1-row aggregates.",
 )
 def q_forecast_backtest(spark: SparkSession, sf: str):
-    d = (
-        events_table(spark, sf)
-        .select(
-            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
-        .groupBy("day")
-        .agg(F.sum("cents").cast("long").alias("x"))
-        .localCheckpoint(eager=True)
-    )
+    d = daily_cents(spark, sf)
     mx = d.agg(F.max("day").alias("mxd"))
     ev = d.crossJoin(F.broadcast(mx)).filter(
         F.col("day") >= F.col("mxd") - 27
@@ -1937,16 +1888,7 @@ def q_forecast_backtest(spark: SparkSession, sf: str):
 
 @register(
     "stats_kendall_tau",
-    """WITH e AS (
-         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
-                event_type
-         FROM events),
-       d AS (SELECT day,
-                    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                      ::BIGINT AS x,
-                    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                      ::BIGINT AS y
-             FROM e GROUP BY day),
+    f"""WITH {DAILY_TYPE_COUNTS_CTE},
        p AS (SELECT count(*)::BIGINT AS n_pairs,
                     sum(CASE WHEN (a.x < b.x AND a.y < b.y)
                               OR (a.x > b.x AND a.y > b.y)
@@ -1981,22 +1923,7 @@ def q_forecast_backtest(spark: SparkSession, sf: str):
     "aggregates -> 1-row assembly.",
 )
 def q_stats_kendall(spark: SparkSession, sf: str):
-    d = (
-        events_table(spark, sf)
-        .select(
-            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"), "event_type"
-        )
-        .groupBy("day")
-        .agg(
-            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-            .cast("long")
-            .alias("x"),
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-            .cast("long")
-            .alias("y"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    d = daily_type_counts(spark, sf)
     a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
     conc = ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb"))) | (

@@ -881,14 +881,19 @@ def q_eval_auc_roc(spark: SparkSession, sf: str):
     from annotations_ingester_spark.plans.queries_stats import _two_sample_cdf
 
     docs = table(spark, sf, "documents")
-    s = docs.select(
+    # the non-empty-token filter runs as a cheap RLIKE equivalent
+    # (tokens split on [^a-z0-9]+, so "has a token" == "has an alnum
+    # char") — filtering on size(tokens(...)) would re-run the regex
+    # tokenize in FilterExec on top of the projection's own evaluation
+    # (the consumed-twice class; tokenization dominates per-row cost)
+    s = docs.filter(F.lower(F.col("text")).rlike("[a-z0-9]")).select(
         (F.col("lang") == "en").cast("int").alias("is_a"),
         F.round(
             F.col("n_chars") * 1000000.0 / F.size(tx.tokens("text"))
         )
         .cast("long")
         .alias("v"),
-    ).filter(F.size(tx.tokens("text")) >= 1)
+    )
     cdf = _two_sample_cdf(s)
     k1, k2, c1, c2 = F.col("k1"), F.col("k2"), F.col("c1"), F.col("c2")
     m = cdf.agg(

@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 
 from annotations_ingester_spark.functions import text as tx
 from annotations_ingester_spark.functions.hashing import md5_hash64
-from annotations_ingester_spark.plans.catalog import events_table, register, table
+from annotations_ingester_spark.plans.catalog import (
+    DAILY_TYPE_COUNTS_CTE,
+    daily_type_counts,
+    events_table,
+    register,
+    table,
+)
 
 TOKS = tx.tokens_sql("text")
 # bigrams from the already-bound token array t (CTE provides t)
@@ -1324,12 +1330,19 @@ def _two_sample_cdf(df):
         F.coalesce(F.sum("_b1").over(w_off), F.lit(0)).cast("long").alias("_o1"),
         F.coalesce(F.sum("_b2").over(w_off), F.lit(0)).cast("long").alias("_o2"),
     )
-    return ranked.join(F.broadcast(offsets), "_bucket").select(
-        "v",
-        "k1",
-        "k2",
-        (F.col("_o1") + F.col("_c1")).cast("long").alias("c1"),
-        (F.col("_o2") + F.col("_c2")).cast("long").alias("c2"),
+    # the FINAL frame checkpoints too: KS consumes it twice (totals + the
+    # D reduction) — without this the two window stages and the offsets
+    # join would re-execute per consumer (the consumed-twice class)
+    return (
+        ranked.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "v",
+            "k1",
+            "k2",
+            (F.col("_o1") + F.col("_c1")).cast("long").alias("c1"),
+            (F.col("_o2") + F.col("_c2")).cast("long").alias("c2"),
+        )
+        .localCheckpoint(eager=True)
     )
 
 
@@ -1410,11 +1423,11 @@ def q_stats_ks_test(spark: SparkSession, sf: str):
        m AS (SELECT
                sum(k1 * (2 * ((c1 - k1) + (c2 - k2)) + (k1 + k2) + 1))::BIGINT
                  AS r1d,
-               sum((k1 + k2) * (k1 + k2) * (k1 + k2) - (k1 + k2))::BIGINT
-                 AS t_ties,
+               sum((k1 + k2)::DECIMAL(38,0) * (k1 + k2) * (k1 + k2)
+                   - (k1 + k2))::DECIMAL(38,0) AS t_dec,
                max(c1) AS n1, max(c2) AS n2
              FROM cdf),
-       u AS (SELECT n1, n2, t_ties,
+       u AS (SELECT n1, n2, t_dec::BIGINT AS t_ties,
                     (r1d - n1 * (n1 + 1))::BIGINT AS u1_doubled
              FROM m)
        SELECT n1, n2, u1_doubled, t_ties,
@@ -1452,19 +1465,25 @@ def q_stats_mann_whitney(spark: SparkSession, sf: str):
     )
     cdf = _two_sample_cdf(s)
     k1, k2, c1, c2 = F.col("k1"), F.col("k2"), F.col("c1"), F.col("c2")
+    # the cubic tie term accumulates in DECIMAL(38,0) (the sxx/syy moment
+    # discipline): a single distinct value holding k >= 2^21 rows would
+    # overflow k^3 in BIGINT silently
+    kd = (k1 + k2).cast("decimal(38,0)")
     m = cdf.agg(
         F.sum(k1 * (2 * ((c1 - k1) + (c2 - k2)) + (k1 + k2) + 1))
         .cast("long")
         .alias("r1d"),
-        F.sum((k1 + k2) * (k1 + k2) * (k1 + k2) - (k1 + k2))
-        .cast("long")
-        .alias("t_ties"),
+        F.sum(kd * (k1 + k2) * (k1 + k2) - (k1 + k2))
+        .cast("decimal(38,0)")
+        .alias("t_dec"),
         F.max("c1").alias("n1"),
         F.max("c2").alias("n2"),
     )
-    n1, n2, tt = F.col("n1"), F.col("n2"), F.col("t_ties")
+    n1, n2 = F.col("n1"), F.col("n2")
+    tt = F.col("t_ties")
     u = m.select(
-        "n1", "n2", "t_ties",
+        "n1", "n2",
+        F.col("t_dec").cast("long").alias("t_ties"),
         (F.col("r1d") - n1 * (n1 + 1)).cast("long").alias("u1_doubled"),
     )
     u1d = F.col("u1_doubled")
@@ -1534,16 +1553,7 @@ def q_lm_good_turing(spark: SparkSession, sf: str):
 
 @register(
     "stats_spearman_corr",
-    """WITH e AS (
-         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
-                event_type
-         FROM events),
-       d AS (SELECT day,
-                    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                      ::BIGINT AS x,
-                    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                      ::BIGINT AS y
-             FROM e GROUP BY day),
+    f"""WITH {DAILY_TYPE_COUNTS_CTE},
        vx AS (SELECT x, count(*)::BIGINT AS k,
                      coalesce(sum(count(*)) OVER (ORDER BY x
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -1588,22 +1598,7 @@ def q_lm_good_turing(spark: SparkSession, sf: str):
 def q_stats_spearman(spark: SparkSession, sf: str):
     from pyspark.sql import Window
 
-    d = (
-        events_table(spark, sf)
-        .select(
-            F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"), "event_type"
-        )
-        .groupBy("day")
-        .agg(
-            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-            .cast("long")
-            .alias("x"),
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-            .cast("long")
-            .alias("y"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    d = daily_type_counts(spark, sf)
 
     def ranks(col: str, out: str):
         w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
@@ -1865,7 +1860,6 @@ def q_collocation_pmi(spark: SparkSession, sf: str):
     )
 
 
-_REG_S = None
 from annotations_ingester_spark.plans.catalog import REGISTRY as _REG_S  # noqa: E402
 
 _REG_S["collocation_pmi_pairs"].oracle = _pmi_oracle()

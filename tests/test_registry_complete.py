@@ -68,6 +68,17 @@ def test_queued_late_names_exist_in_registry():
     assert not stranded, f"_QUEUED_LATE names not in registry: {sorted(stranded)}"
 
 
+def test_deferred_names_exist_in_registry():
+    # a typo here would leave the intended query INSIDE the window,
+    # displacing the round's planned certification set — the exact
+    # failure the deferral mechanism exists to prevent
+    mod = _entry_module()
+    stranded = mod._DEFERRED_PAST_WINDOW - set(REGISTRY)
+    assert not stranded, (
+        f"_DEFERRED_PAST_WINDOW names not in registry: {sorted(stranded)}"
+    )
+
+
 def test_gate_window_fronts_uncovered_debt_then_fresh():
     mod = _entry_module()
     covered = mod._covered_from_disk()
