@@ -98,23 +98,30 @@ def apply_changelog(
     # Deterministic winner even under pathological inputs (a changelog row
     # with seq<=0 tying the synthesized base row, or duplicate seqs per
     # key): after seq desc then op desc, break remaining ties with ONE
-    # synthesized comparison — md5 over every value column cast to string
-    # (field separator + NULL sentinel keep the pre-image unambiguous).
-    # One hash comparison replaces the former O(columns) ORDER BY, and a
-    # string-cast handles ANY column type — including maps and nested
-    # maps, which Spark rejects as window ORDER BY keys. The identical
-    # expression is mirrored into the DuckDB oracle (parity-symmetry
-    # rule), so for value columns whose string casts agree across engines
-    # (all primitive types) the same winner emerges across runs,
+    # synthesized comparison. Each value column encodes PREFIX-FREE as
+    # 'n' (NULL) or 'v' || md5(cast) — per-column hashing makes the
+    # concatenated pre-image unambiguous (a raw separator scheme is not:
+    # a literal NUL value collides with the NULL sentinel, and values
+    # containing the separator can shift across column boundaries), then
+    # one outer md5 yields a single short comparison. A string-cast
+    # handles ANY column type — including maps and nested maps, which
+    # Spark rejects as window ORDER BY keys. The identical expression is
+    # mirrored into the DuckDB oracle (parity-symmetry rule), so for
+    # value columns whose string casts agree across engines (all
+    # primitive types) the same winner emerges across runs,
     # partitionings, and engines. Rows identical on every value column
     # hash identically and are interchangeable.
     value_cols = [
         c for c in all_rows.columns if c not in (*key_cols, seq_col, op_col)
     ]
     tiebreak = F.md5(
-        F.concat_ws(
-            "\x1f",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in value_cols],
+        F.concat(
+            *[
+                F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                    F.concat(F.lit("v"), F.md5(F.col(c).cast("string")))
+                )
+                for c in value_cols
+            ]
         )
     )
     w = Window.partitionBy(*key_cols).orderBy(

@@ -1110,10 +1110,15 @@ def q_timeseries_linear_trend(spark: SparkSession, sf: str):
             F.count("*").cast("long").alias("n"),
             F.sum(F.col("x") - F.col("x0")).cast("long").alias("sx"),
             F.sum("y").cast("long").alias("sy"),
-            F.sum((F.col("x") - F.col("x0")) * (F.col("x") - F.col("x0")))
+            F.sum(
+                (F.col("x") - F.col("x0")).cast("decimal(38,0)")
+                * (F.col("x") - F.col("x0"))
+            )
             .cast("decimal(38,0)")
             .alias("sxx"),
-            F.sum((F.col("x") - F.col("x0")) * F.col("y"))
+            F.sum(
+                (F.col("x") - F.col("x0")).cast("decimal(38,0)") * F.col("y")
+            )
             .cast("decimal(38,0)")
             .alias("sxy"),
             F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))

@@ -646,7 +646,7 @@ def q_eval_recall_curve(spark: SparkSession, sf: str):
     pred = bucketed_topk(emb, qs, k=10, n_bits=8).select(
         "q_id", "vec_id", F.col("rank").alias("rank_p")
     )
-    ks = spark.range(0).sparkSession.createDataFrame(
+    ks = spark.createDataFrame(
         [(1,), (5,), (10,)], "k long"
     )
     hits = (

@@ -916,29 +916,31 @@ def q_streaming_quality_gate(spark: SparkSession, sf: str):
     run_dir = tempfile.mkdtemp(prefix="spark_graft_qgate_")
     feed_dir = os.path.join(run_dir, "feed")
     store = os.path.join(run_dir, "store")
-    docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
+    try:
+        docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
 
-    def gate(batch_df, batch_id):
-        kept = classifier_scores(batch_df).filter(F.col("keep")).select(
-            "doc_id", "n_tokens", "logit_milli"
+        def gate(batch_df, batch_id):
+            kept = classifier_scores(batch_df).filter(F.col("keep")).select(
+                "doc_id", "n_tokens", "logit_milli"
+            )
+            kept.write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
+
+        feed_schema = docs.schema  # just wrote it — no re-listing job
+        stream = (
+            spark.readStream.schema(feed_schema)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(feed_dir)
         )
-        kept.write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
-
-    feed_schema = docs.schema  # just wrote it — no re-listing job
-    stream = (
-        spark.readStream.schema(feed_schema)
-        .option("maxFilesPerTrigger", "3")
-        .parquet(feed_dir)
-    )
-    q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
-    q.awaitTermination()
-    result = (
-        spark.read.parquet(store)
-        .select("doc_id", "n_tokens", "logit_milli")
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(run_dir, ignore_errors=True)
-    return result
+        q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+        q.awaitTermination()
+        return (
+            spark.read.parquet(store)
+            .select("doc_id", "n_tokens", "logit_milli")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # a failed feed write / stream / read must not leak the corpus copy
+        shutil.rmtree(run_dir, ignore_errors=True)
 
 
 @register(

@@ -1432,10 +1432,10 @@ def q_ngram_overlap(spark: SparkSession, sf: str):
 
 _PHASH_BASE = "(" + HASH.format(e="'phash:' || g::VARCHAR") + " | 1)"
 
-
-@register(
-    "media_phash_near_dup_pairs",
-    f"""WITH img AS (
+#: shared planted-pattern CTE (img + pat): 4 variants per group g —
+#: base, 1-bit flip, another 1-bit flip, both — the ONE statement of the
+#: synthesis contract both phash queries' oracles compose
+_PHASH_PAT_CTE = f"""img AS (
          SELECT doc_id, (doc_id // 4)::BIGINT AS g, (doc_id % 4)::BIGINT AS m
          FROM documents),
        pat AS (
@@ -1447,7 +1447,40 @@ _PHASH_BASE = "(" + HASH.format(e="'phash:' || g::VARCHAR") + " | 1)"
                     CASE WHEN m IN (2, 3)
                          THEN (1::BIGINT << ((g * 7 + 3) % 59 + 1)::INT)
                          ELSE 0::BIGINT END) AS phash
-         FROM img)
+         FROM img)"""
+
+
+def _phash_pattern_frame(docs):
+    """Spark twin of ``_PHASH_PAT_CTE``: (media_id, pattern) planted
+    phash patterns, one statement of the synthesis contract."""
+    base = F.expr(
+        "CAST(conv(substring(md5(concat('phash:', CAST(g AS STRING))), 1, 15),"
+        " 16, 10) AS BIGINT) | CAST(1 AS BIGINT)"
+    )
+    return (
+        docs.withColumn("g", F.expr("CAST(doc_id DIV 4 AS BIGINT)"))
+        .withColumn("m", F.expr("CAST(doc_id % 4 AS BIGINT)"))
+        .withColumn("base", base)
+        .withColumn(
+            "pattern",
+            F.expr(
+                "base"
+                " ^ (CASE WHEN m IN (1, 3)"
+                "     THEN shiftleft(CAST(1 AS BIGINT), CAST(g % 59 + 1 AS INT))"
+                "     ELSE CAST(0 AS BIGINT) END)"
+                " ^ (CASE WHEN m IN (2, 3)"
+                "     THEN shiftleft(CAST(1 AS BIGINT),"
+                "                    CAST((g * 7 + 3) % 59 + 1 AS INT))"
+                "     ELSE CAST(0 AS BIGINT) END)"
+            ),
+        )
+        .select(F.col("doc_id").alias("media_id"), "pattern")
+    )
+
+
+@register(
+    "media_phash_near_dup_pairs",
+    f"""WITH {_PHASH_PAT_CTE}
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
        FROM pat a JOIN pat b ON a.doc_id < b.doc_id
@@ -1479,29 +1512,7 @@ def q_media_phash_near_dup(spark: SparkSession, sf: str):
     from annotations_ingester_spark.operators.dedup import hash64_near_dup_pairs
 
     docs = table(spark, sf, "documents").select("doc_id")
-    base = F.expr(
-        "CAST(conv(substring(md5(concat('phash:', CAST(g AS STRING))), 1, 15),"
-        " 16, 10) AS BIGINT) | CAST(1 AS BIGINT)"
-    )
-    imgs = (
-        docs.withColumn("g", F.expr("CAST(doc_id DIV 4 AS BIGINT)"))
-        .withColumn("m", F.expr("CAST(doc_id % 4 AS BIGINT)"))
-        .withColumn("base", base)
-        .withColumn(
-            "pattern",
-            F.expr(
-                "base"
-                " ^ (CASE WHEN m IN (1, 3)"
-                "     THEN shiftleft(CAST(1 AS BIGINT), CAST(g % 59 + 1 AS INT))"
-                "     ELSE CAST(0 AS BIGINT) END)"
-                " ^ (CASE WHEN m IN (2, 3)"
-                "     THEN shiftleft(CAST(1 AS BIGINT),"
-                "                    CAST((g * 7 + 3) % 59 + 1 AS INT))"
-                "     ELSE CAST(0 AS BIGINT) END)"
-            ),
-        )
-        .select(F.col("doc_id").alias("media_id"), "pattern")
-    )
+    imgs = _phash_pattern_frame(docs)
     media = synth_pattern_images(imgs)
     decoded = decode_content(media).select("media_id", "phash")
     return hash64_near_dup_pairs(
@@ -1777,19 +1788,7 @@ def q_media_audio_energy(spark: SparkSession, sf: str):
 
 @register(
     "media_phash_clusters",
-    f"""WITH RECURSIVE img AS (
-         SELECT doc_id, (doc_id // 4)::BIGINT AS g, (doc_id % 4)::BIGINT AS m
-         FROM documents),
-       pat AS (
-         SELECT doc_id,
-                xor(xor({_PHASH_BASE},
-                        CASE WHEN m IN (1, 3)
-                             THEN (1::BIGINT << (g % 59 + 1)::INT)
-                             ELSE 0::BIGINT END),
-                    CASE WHEN m IN (2, 3)
-                         THEN (1::BIGINT << ((g * 7 + 3) % 59 + 1)::INT)
-                         ELSE 0::BIGINT END) AS phash
-         FROM img),
+    f"""WITH RECURSIVE {_PHASH_PAT_CTE},
        pairs AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM pat a JOIN pat b ON a.doc_id < b.doc_id
@@ -1827,29 +1826,7 @@ def q_media_phash_clusters(spark: SparkSession, sf: str):
     from annotations_ingester_spark.operators.dedup import hash64_near_dup_pairs
 
     docs = table(spark, sf, "documents").select("doc_id")
-    base = F.expr(
-        "CAST(conv(substring(md5(concat('phash:', CAST(g AS STRING))), 1, 15),"
-        " 16, 10) AS BIGINT) | CAST(1 AS BIGINT)"
-    )
-    imgs = (
-        docs.withColumn("g", F.expr("CAST(doc_id DIV 4 AS BIGINT)"))
-        .withColumn("m", F.expr("CAST(doc_id % 4 AS BIGINT)"))
-        .withColumn("base", base)
-        .withColumn(
-            "pattern",
-            F.expr(
-                "base"
-                " ^ (CASE WHEN m IN (1, 3)"
-                "     THEN shiftleft(CAST(1 AS BIGINT), CAST(g % 59 + 1 AS INT))"
-                "     ELSE CAST(0 AS BIGINT) END)"
-                " ^ (CASE WHEN m IN (2, 3)"
-                "     THEN shiftleft(CAST(1 AS BIGINT),"
-                "                    CAST((g * 7 + 3) % 59 + 1 AS INT))"
-                "     ELSE CAST(0 AS BIGINT) END)"
-            ),
-        )
-        .select(F.col("doc_id").alias("media_id"), "pattern")
-    )
+    imgs = _phash_pattern_frame(docs)
     decoded = decode_content(synth_pattern_images(imgs)).select(
         "media_id", "phash"
     )

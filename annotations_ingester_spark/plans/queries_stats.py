@@ -1100,53 +1100,56 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf: str):
         .alias("item")
     )
     run_dir = tempfile.mkdtemp(prefix="spark_graft_shh_")
-    feed_dir = os.path.join(run_dir, "feed")
-    store = os.path.join(run_dir, "store")
-    s.repartition(8).write.mode("overwrite").parquet(feed_dir)
+    try:
+        feed_dir = os.path.join(run_dir, "feed")
+        store = os.path.join(run_dir, "store")
+        s.repartition(8).write.mode("overwrite").parquet(feed_dir)
 
-    def land(batch_df, batch_id):
-        misra_gries_summaries(batch_df, "item", k=32).write.mode(
-            "overwrite"
-        ).parquet(f"{store}/batch={batch_id}")
+        def land(batch_df, batch_id):
+            misra_gries_summaries(batch_df, "item", k=32).write.mode(
+                "overwrite"
+            ).parquet(f"{store}/batch={batch_id}")
 
-    stream = (
-        spark.readStream.schema(s.schema)
-        .option("maxFilesPerTrigger", "3")
-        .parquet(feed_dir)
-    )
-    q = stream.writeStream.foreachBatch(land).trigger(availableNow=True).start()
-    q.awaitTermination()
-    sketch = (
-        spark.read.parquet(store)
-        .groupBy("item")
-        .agg(F.sum("mg_count").cast("long").alias("mg_count"))
-    )
-    exact = (
-        spark.read.parquet(feed_dir)
-        .groupBy("item")
-        .agg(F.count("*").cast("long").alias("exact_n"))
-        .localCheckpoint(eager=True)
-    )
-    n = exact.agg(F.sum("exact_n").cast("long").alias("n_total"))
-    result = (
-        exact.crossJoin(F.broadcast(n))
-        .filter(F.col("exact_n") * 32 > F.col("n_total"))
-        .join(sketch, "item", "left")
-        .select(
-            "item",
-            "exact_n",
-            "n_total",
-            F.col("mg_count").isNotNull().alias("in_sketch"),
-            (
-                F.col("mg_count").isNotNull()
-                & (F.col("mg_count") <= F.col("exact_n"))
-                & (F.col("exact_n") - F.col("mg_count") <= F.col("n_total") / 32)
-            ).alias("within_bound"),
+        stream = (
+            spark.readStream.schema(s.schema)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(feed_dir)
         )
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(run_dir, ignore_errors=True)
-    return result
+        q = stream.writeStream.foreachBatch(land).trigger(availableNow=True).start()
+        q.awaitTermination()
+        sketch = (
+            spark.read.parquet(store)
+            .groupBy("item")
+            .agg(F.sum("mg_count").cast("long").alias("mg_count"))
+        )
+        exact = (
+            spark.read.parquet(feed_dir)
+            .groupBy("item")
+            .agg(F.count("*").cast("long").alias("exact_n"))
+            .localCheckpoint(eager=True)
+        )
+        n = exact.agg(F.sum("exact_n").cast("long").alias("n_total"))
+        result = (
+            exact.crossJoin(F.broadcast(n))
+            .filter(F.col("exact_n") * 32 > F.col("n_total"))
+            .join(sketch, "item", "left")
+            .select(
+                "item",
+                "exact_n",
+                "n_total",
+                F.col("mg_count").isNotNull().alias("in_sketch"),
+                (
+                    F.col("mg_count").isNotNull()
+                    & (F.col("mg_count") <= F.col("exact_n"))
+                    & (F.col("exact_n") - F.col("mg_count") <= F.col("n_total") / 32)
+                ).alias("within_bound"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return result
+    finally:
+        # a failed feed write / stream / read must not leak the feed copy
+        shutil.rmtree(run_dir, ignore_errors=True)
 
 
 @register(
@@ -1220,7 +1223,11 @@ def q_bpe_learn_two_merges(spark: SparkSession, sf: str):
     ).localCheckpoint(eager=True)  # feeds pair count 1 AND the re-encode
 
     def pair_counts(e):
-        p = e.select(
+        # size(t) >= 2 guard (the q_lm_kneser_ney pattern): after merge #1
+        # a 2-letter word collapses to ONE token, where sequence(1, 0)
+        # counts DOWN and element_at(t, 0) throws — the oracle's
+        # range(1, len(t)) yields empty for the same row
+        p = e.filter(F.size("t") >= 2).select(
             "f",
             F.explode(
                 F.expr(

@@ -89,7 +89,9 @@ def q_scd2(spark: SparkSession, sf: str):
          SELECT *, row_number() OVER (
                      PARTITION BY o_orderkey
                      ORDER BY seq DESC, op DESC,
-                              md5(coalesce(total_cents::VARCHAR, chr(0))) ASC) AS rn
+                              md5(CASE WHEN total_cents IS NULL THEN 'n'
+                                       ELSE 'v' || md5(total_cents::VARCHAR)
+                                  END) ASC) AS rn
          FROM cl)
        SELECT o_orderkey, total_cents, seq AS last_seq, op
        FROM latest WHERE rn = 1 AND op <> 'D'""",
