@@ -45,5 +45,12 @@ def skip_processed(
     pid = processed_id_field or docid_field
     keys = processed_ids.select(F.col(pid).alias(docid_field)).distinct()
     if broadcast_threshold_rows:
-        keys = F.broadcast(keys)
+        # an actual threshold, not a boolean: only hint the broadcast when
+        # the distinct id set really fits (a billion-row processed table
+        # at continuous-ingest scale must fall back to the shuffle
+        # anti-join, not OOM the driver). limit(n+1).count() bounds the
+        # probe cost by the threshold itself.
+        probe = keys.limit(broadcast_threshold_rows + 1).count()
+        if probe <= broadcast_threshold_rows:
+            keys = F.broadcast(keys)
     return source.join(keys, on=docid_field, how="left_anti")

@@ -23,7 +23,10 @@ from annotations_ingester_spark.operators.dedup import (
     _tokens_sql,
 )
 
-EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+# case-insensitive by character class (RE2/Java-identical — no (?i)
+# flag needed): "John.Doe@Example.COM" is as much PII as its
+# lowercase form; pii_detection_stats already used this alphabet
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 LONG_NUM_RE = "[0-9]{4,}"
 
 

@@ -152,11 +152,14 @@ def minhash_signatures(
 def lsh_band_keys(
     signatures: DataFrame,
     id_col: str = "doc_id",
-    bands: int = 4,
     rows_per_band: int = 2,
 ) -> DataFrame:
     """Band the (id, seed, minhash) signature rows: one row per (doc, band)
-    with an md5 band key over the band's minhashes in seed order."""
+    with an md5 band key over the band's minhashes in seed order. The band
+    COUNT follows from the signature width: band = seed // rows_per_band
+    (a separate ``bands`` parameter was dead — silently ignored — and was
+    removed rather than validated; tune recall via ``rows_per_band`` and
+    the signature's ``num_hashes``)."""
     banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
     return banded.groupBy(id_col, "band").agg(
         F.md5(
@@ -495,6 +498,13 @@ def simhash_near_dup_pairs(
     fewer candidates than the old 32-bit/8-bit-byte banding (≤1024
     buckets), which saturated and went quadratic at scale (VERDICT r1 #3).
     """
+    if max_hamming >= 4:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the 4-band pigeonhole "
+            f"guarantee (a distance-4 pair can differ in every band and "
+            f"never becomes a candidate); use hash64_near_dup_pairs with "
+            f"more bands for larger radii"
+        )
     sig = simhash_signatures(df, text_col, id_col)
     bands = sig.select(
         F.col(id_col),

@@ -75,9 +75,20 @@ def bm25_rank(
     tfn = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
     )
+    # per-term contributions round to 9 dp and sum as DECIMAL(20,9) (the
+    # lm_perplexity float discipline): shuffled double accumulation order
+    # would otherwise make a last-ulp rounding tie flip top-k membership
+    # across runs/engines — the one raw-double sum this module had
     scored = (
         j.groupBy(id_col)
-        .agg(F.round(F.sum(idf * tfn), 6).alias("score"))
+        .agg(
+            F.round(
+                F.sum(F.round(idf * tfn, 9).cast("decimal(20,9)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("score")
+        )
     )
     # Distributed partial top-k (TakeOrderedAndProject), NOT a global
     # window: a window with no partitionBy would move every matching doc
@@ -138,6 +149,8 @@ def rrf_fuse(
     lifting happened in the per-list retrieval. Output order is total:
     rounded rrf desc, id asc.
     """
+    if not ranked_lists:
+        raise ValueError("ranked_lists must be non-empty")
     fused = None
     rank_names = []
     for i, lst in enumerate(ranked_lists, start=1):

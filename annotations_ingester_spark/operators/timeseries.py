@@ -47,7 +47,9 @@ def gapfill_locf(
     buckets before a key's first observation cannot be carried into (the
     grid starts at the key's own min, so none exist).
     """
-    b = (F.col(ts_col) / bucket_s).cast("long") * bucket_s
+    # floor, not a truncating cast: trunc(-0.5) = 0 would merge
+    # pre-epoch observations into the wrong (double-width) bucket
+    b = F.floor(F.col(ts_col) / bucket_s).cast("long") * bucket_s
     ev = events.select(F.col(key_col).alias("key"), b.alias("bucket"), F.col(value_col))
 
     observed = ev.groupBy("key", "bucket").agg(

@@ -1748,7 +1748,6 @@ def q_graph_common_neighbors(spark: SparkSession, sf: str):
         lsh_candidate_pairs(
             lsh_band_keys(
                 minhash_signatures(table(spark, sf, "documents")),
-                bands=8,
                 rows_per_band=1,
             )
         )

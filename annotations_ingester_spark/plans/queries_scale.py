@@ -576,7 +576,7 @@ def q_packing(spark: SparkSession, sf: str):
     "text_redaction",
     """SELECT doc_id,
               regexp_replace(regexp_replace(text,
-                  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
                   '[0-9]{4,}', '<NUM>', 'g') AS redacted
        FROM documents WHERE text IS NOT NULL""",
     doc="PII-style scrubbing: email + long-digit-run masking as a codegen "

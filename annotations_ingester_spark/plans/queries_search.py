@@ -30,11 +30,11 @@ _BM25_CTE = f"""base AS (
        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
        scored AS (
          SELECT tf.doc_id,
-                round(sum(
+                round(CAST(sum(round(
                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
                   (tf.tf * 2.2) /
                   (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.sum_dl / s.n_docs)))
-                ), 6) AS score
+                , 9)::DECIMAL(20,9)) AS DOUBLE), 6) AS score
          FROM tf
          JOIN dl USING (doc_id)
          JOIN dfreq d USING (term), stats s

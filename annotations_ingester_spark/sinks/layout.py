@@ -147,6 +147,23 @@ def compact_parquet(
         # fail fast on object-store URIs / nonexistent paths rather than
         # erroring at rename time (judge advice r4)
         raise ValueError(f"compact_parquet requires an existing local directory: {path!r}")
+    # refuse hive-partitioned roots: spark.read.parquet would fold the
+    # partition column into the data and the coalesced rewrite would
+    # flatten the tree — losing partition pruning and leaving a mixed
+    # layout a later partitionBy append rejects (or worse, duplicates
+    # under dynamic overwrite). Compact partitioned sinks one partition
+    # directory at a time instead.
+    hive_dirs = [
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if hive_dirs:
+        raise ValueError(
+            f"compact_parquet on a hive-partitioned root {path!r} would "
+            f"flatten partitions {hive_dirs[:3]}...; compact each "
+            f"partition directory instead"
+        )
 
     total_bytes = sum(
         os.path.getsize(os.path.join(dp, f))

@@ -48,7 +48,10 @@ def stream_annotations(
         # becomes its parent dir + a glob filter
         base, _, fname = source_path.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
-        source_path = base
+        # a bare relative filename ('docs.parquet') has no separator —
+        # its parent is the working directory, not the empty string
+        source_path = base or "."
+
     stream = reader.parquet(source_path)
     return flat_annotations(
         stream,

@@ -76,7 +76,14 @@ def watermarked_dedup(
     """Streaming dedup with bounded state: duplicates arriving within the
     watermark window are dropped; state for ids older than the watermark is
     evicted. Exactly the reference's reprocessing-convergence guarantee
-    (deterministic ids + idempotent sink) with O(window) memory."""
+    (deterministic ids + idempotent sink) with O(window) memory.
+
+    The dedup subset is the id columns ALONE: a re-delivered event whose
+    retry carries a later timestamp (the normal at-least-once re-ingestion
+    case) must still collapse onto its first arrival — including the
+    event-time column in the subset would give the retry a fresh state key
+    and emit it as a second row. The watermark column's only role here is
+    bounding state lifetime."""
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
-        id_cols + [ts_col]
+        id_cols
     )

@@ -172,3 +172,34 @@ def test_asof_join_multi_one_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_watermarked_dedup_drops_same_id_later_ts(spark, tmp_path):
+    """A re-delivered event whose retry carries a LATER timestamp must
+    still collapse onto its first arrival (dedup subset = id alone)."""
+    import pandas as pd
+
+    from annotations_ingester_spark.streaming.stateful import watermarked_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:05:00", "2024-01-01 00:01:00"]
+            ).astype("datetime64[us]"),  # micros — NANOS needs nanosAsLong
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "feed.parquet"))
+    stream = spark.readStream.schema("doc_id long, ts timestamp").option(
+        "pathGlobFilter", "feed.parquet"
+    ).parquet(str(tmp_path))
+    out = watermarked_dedup(stream, ["doc_id"], "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_dedup_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT doc_id FROM wm_dedup_t").collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]

@@ -564,3 +564,54 @@ def test_kmeans_fit_large_regime_matches_driver_regime(spark, monkeypatch):
     large = sorted((r["vec_id"], r["centroid_id"]) for r in a_large.collect())
     assert cheap == large
     assert it_cheap == it_large
+
+
+def test_redact_mixed_case_email(spark):
+    """PII scrub must catch 'John.Doe@Example.COM', not just lowercase."""
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.operators.chunking import redact_text
+
+    df = spark.createDataFrame(
+        [(1, "Contact John.Doe@Example.COM now"), (2, "plain j@x.io text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.red for r in df.select("doc_id", redact_text("text").alias("red")).collect()}
+    assert out[1] == "Contact <EMAIL> now"
+    assert out[2] == "plain <EMAIL> text"
+
+
+def test_simhash_pairs_rejects_unguaranteed_radius(spark):
+    import pytest as _pytest
+
+    from annotations_ingester_spark.operators.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(df, max_hamming=4)
+
+
+def test_gapfill_floor_buckets_negative_ts(spark):
+    """Pre-epoch seconds must floor into bucket -1, not merge into 0."""
+    from annotations_ingester_spark.operators.timeseries import gapfill_locf
+
+    df = spark.createDataFrame(
+        [("k", -1800, 10.0), ("k", 1800, 20.0)],
+        "key string, ts long, value double",
+    )
+    out = gapfill_locf(df, key_col="key", ts_col="ts", value_col="value", bucket_s=3600)
+    rows = {r.bucket_s: r.value_filled for r in out.collect()}
+    assert rows[-3600] == 10.0 and rows[0] == 20.0
+
+
+def test_compact_parquet_refuses_partitioned_root(spark, tmp_path):
+    import pytest as _pytest
+
+    from annotations_ingester_spark.sinks.layout import compact_parquet
+
+    p = str(tmp_path / "sink")
+    spark.range(10).selectExpr("id", "id % 2 AS part").write.partitionBy(
+        "part"
+    ).parquet(p)
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, p)
