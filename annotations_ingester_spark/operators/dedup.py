@@ -483,6 +483,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -498,12 +499,18 @@ def simhash_near_dup_pairs(
     fewer candidates than the old 32-bit/8-bit-byte banding (≤1024
     buckets), which saturated and went quadratic at scale (VERDICT r1 #3).
     """
-    if max_hamming >= 4:
+    if max_hamming >= 4 and not allow_partial_recall:
+        # beyond 4 bands' pigeonhole guarantee a qualifying pair can
+        # differ in every band and silently never become a candidate —
+        # recall drops below 1.0 probabilistically (test_ann_recall
+        # measures ~0.6+ at radius 10). Callers wanting that best-effort
+        # tier must say so; exact larger radii belong to
+        # hash64_near_dup_pairs with more bands.
         raise ValueError(
-            f"max_hamming={max_hamming} breaks the 4-band pigeonhole "
-            f"guarantee (a distance-4 pair can differ in every band and "
-            f"never becomes a candidate); use hash64_near_dup_pairs with "
-            f"more bands for larger radii"
+            f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
+            f"guarantee (recall < 1.0); pass allow_partial_recall=True "
+            f"for the probabilistic tier or use hash64_near_dup_pairs "
+            f"with more bands"
         )
     sig = simhash_signatures(df, text_col, id_col)
     bands = sig.select(

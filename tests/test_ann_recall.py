@@ -159,7 +159,7 @@ def test_simhash_banding_recall_on_planted_near_dups(planted_docs):
     )
 
     docs, truth = planted_docs
-    out = simhash_near_dup_pairs(docs, max_hamming=10)
+    out = simhash_near_dup_pairs(docs, max_hamming=10, allow_partial_recall=True)
     got = {(r["doc_a"], r["doc_b"]) for r in out.select("doc_a", "doc_b").collect()}
     sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
     within_guarantee = {
