@@ -160,6 +160,8 @@ _DEFERRED_PAST_WINDOW = {
     "forecast_backtest_mae",
     "stats_kendall_tau",
     "text_readability_fk",
+    "orders_pareto_abc",
+    "stats_runs_test",
 }
 
 

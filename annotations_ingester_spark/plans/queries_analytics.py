@@ -1969,3 +1969,173 @@ def q_stats_kendall(spark: SparkSession, sf: str):
             "kendall_tau_b"
         ),
     )
+
+
+@register(
+    "orders_pareto_abc",
+    """WITH c AS (
+         SELECT o_custkey, sum(round(o_totalprice * 100))::BIGINT AS rev
+         FROM orders GROUP BY o_custkey),
+       b AS (SELECT o_custkey, rev, (rev // 1048576)::BIGINT AS bkt FROM c),
+       ranked AS (
+         SELECT o_custkey, rev, bkt,
+                sum(rev) OVER (PARTITION BY bkt
+                               ORDER BY rev DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_in
+         FROM b),
+       bc AS (SELECT bkt, sum(rev)::BIGINT AS brev FROM b GROUP BY bkt),
+       off AS (SELECT bkt,
+                      coalesce(sum(brev) OVER (ORDER BY bkt DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)::BIGINT AS o,
+                      sum(brev) OVER ()::BIGINT AS total
+               FROM bc),
+       cum AS (SELECT r.o_custkey, r.rev,
+                      (f.o + r.cum_in)::BIGINT AS cum_rev, f.total
+               FROM ranked r JOIN off f USING (bkt)),
+       cls AS (SELECT o_custkey, rev,
+                      CASE WHEN cum_rev * 5 <= total * 4 THEN 'A'
+                           WHEN cum_rev * 20 <= total * 19 THEN 'B'
+                           ELSE 'C' END AS abc_class
+               FROM cum)
+       SELECT abc_class, count(*)::BIGINT AS n_customers,
+              sum(rev)::BIGINT AS class_rev_cents
+       FROM cls GROUP BY abc_class""",
+    doc="Pareto/ABC customer-value classification (the 80/15/5 inventory-"
+    "control rule applied to revenue concentration): customers sort by "
+    "lifetime revenue descending, the running revenue share buckets them "
+    "A (first 80% of revenue), B (next 15%), C (tail) — how top-heavy is "
+    "the customer base, the twin question to RFM's per-user scores. "
+    "EXACT integer core: cumulative shares compare as cum*5 <= total*4 "
+    "and cum*20 <= total*19 (no float division anywhere), and the "
+    "revenue-DESC running sum is the two-level distributed prefix sum "
+    "over an order-preserving 2^20-cent revenue-bucket key (descending "
+    "twin of the stats_ks_test/sharding machinery — in-bucket windows "
+    "partitioned by bucket, a broadcast running offset over the tiny "
+    "bucket table); per-customer rank ties break on custkey. Scale "
+    "shape: one map-side-combinable per-customer rollup, bounded-domain "
+    "windows, 3-row output.",
+)
+def q_orders_pareto_abc(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("rev"))
+        .withColumn("bkt", F.expr("CAST(rev DIV 1048576 AS BIGINT)"))
+        .localCheckpoint(eager=True)
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("rev"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = c.withColumn("cum_in", F.sum("rev").over(w_in).cast("long"))
+    bc = c.groupBy("bkt").agg(F.sum("rev").alias("brev"))
+    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off = bc.select(
+        "bkt",
+        F.coalesce(F.sum("brev").over(w_off), F.lit(0)).cast("long").alias("o"),
+        F.sum("brev").over(w_all).cast("long").alias("total"),
+    )
+    cum = ranked.join(F.broadcast(off), "bkt").select(
+        "o_custkey",
+        "rev",
+        (F.col("o") + F.col("cum_in")).cast("long").alias("cum_rev"),
+        "total",
+    )
+    cls = cum.select(
+        "o_custkey",
+        "rev",
+        F.when(F.col("cum_rev") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum_rev") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev").cast("long").alias("class_rev_cents"),
+    )
+
+
+@register(
+    "stats_runs_test",
+    f"""WITH {DAILY_CENTS_CTE},
+       m AS (SELECT day, x,
+                    lag(x) OVER (ORDER BY day) AS px
+             FROM d),
+       sgn AS (SELECT day,
+                      CASE WHEN x > px THEN 1 ELSE 0 END AS up,
+                      lag(CASE WHEN x > px THEN 1 ELSE 0 END)
+                        OVER (ORDER BY day) AS pup
+               FROM m WHERE px IS NOT NULL AND x <> px),
+       agg AS (SELECT count(*)::BIGINT AS n,
+                      sum(up)::BIGINT AS n_up,
+                      (1 + sum(CASE WHEN pup IS NOT NULL AND up <> pup
+                               THEN 1 ELSE 0 END))::BIGINT AS runs
+               FROM sgn)
+       SELECT n, n_up, (n - n_up)::BIGINT AS n_down, runs,
+              round(CASE WHEN n <= 1 OR n_up = 0 OR n_up = n THEN 0.0
+                    ELSE (runs - (2.0 * n_up * (n - n_up) / n + 1))
+                         / sqrt((2.0 * n_up * (n - n_up)
+                                 * (2.0 * n_up * (n - n_up) - n))
+                                / (1.0 * n * n * (n - 1))) END, 4)
+                AS z_score
+       FROM agg""",
+    doc="Wald-Wolfowitz runs test on daily revenue up/down moves — the "
+    "randomness diagnostic completing the nonparametric set (KS for "
+    "distribution, Mann-Whitney for location, Spearman/Kendall for "
+    "association, runs for INDEPENDENCE: too few runs = trending, too "
+    "many = oscillating): flat days drop (the classic tie handling), "
+    "runs count via sign-change summation over the date-domain series, "
+    "and the normal-approximation z uses the exact integer (n, n_up, "
+    "runs) in one shared IEEE tree with degenerate guards. Windows "
+    "only over the DATE-DOMAIN daily rollup.",
+)
+def q_stats_runs_test(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    d = daily_cents(spark, sf)
+    w = Window.orderBy("day")
+    m = d.select("day", "x", F.lag("x").over(w).alias("px"))
+    up = F.when(F.col("x") > F.col("px"), 1).otherwise(0)
+    sgn = (
+        m.filter(F.col("px").isNotNull() & (F.col("x") != F.col("px")))
+        .select("day", up.alias("up"))
+        .select("day", "up", F.lag("up").over(w).alias("pup"))
+    )
+    agg = sgn.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("up").cast("long").alias("n_up"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("pup").isNotNull() & (F.col("up") != F.col("pup")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n, nu, r = F.col("n"), F.col("n_up"), F.col("runs")
+    mu = 2.0 * nu * (n - nu) / n + 1
+    sig2 = (2.0 * nu * (n - nu) * (2.0 * nu * (n - nu) - n)) / (
+        1.0 * n * n * (n - 1)
+    )
+    return agg.select(
+        "n",
+        "n_up",
+        (n - nu).cast("long").alias("n_down"),
+        "runs",
+        F.round(
+            F.when((n <= 1) | (nu == 0) | (nu == n), F.lit(0.0)).otherwise(
+                (r - mu) / F.sqrt(sig2)
+            ),
+            4,
+        ).alias("z_score"),
+    )

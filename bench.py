@@ -236,6 +236,9 @@ HEADLINE = [
     "forecast_backtest_mae",
     "stats_kendall_tau",
     "text_readability_fk",
+    # r7 deferred batch 4 (r8 gate): Pareto/ABC revenue classes, runs test
+    "orders_pareto_abc",
+    "stats_runs_test",
 ]
 
 

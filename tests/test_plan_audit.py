@@ -117,6 +117,9 @@ CROSS_ALLOWED = {
     "stats_kendall_tau",
 }
 
+# (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
+# broadcast-hash join, not a cross shape; no entry needed)
+
 # queries that execute on build (streaming: availableNow to a memory sink,
 # returning the sink table; compaction: runs the maintenance job and
 # returns its certification row) — their plans are audited via their batch
@@ -232,6 +235,11 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # CUSUM index/cumulative/total windows over the DATE-DOMAIN daily
     # rollup, argmax via TakeOrdered(1)
     "events_changepoint_cusum",
+    # lag/sign-run windows over the DATE-DOMAIN daily rollup
+    "stats_runs_test",
+    # running offset over the revenue-BUCKET-COUNT table (2^20-cent
+    # buckets — the sharding.py offsets shape, descending twin)
+    "orders_pareto_abc",
     # frequency rank over the VOCABULARY table (distinct types — the
     # ssjoin/Zipf boundedness class), never the token stream
     "lm_oov_rate_by_vocab_size",

@@ -561,3 +561,55 @@ def test_readability_hand_counts(spark, tmp_path):
     assert (r.n_sentences, r.n_words, r.n_syllables) == (2, 5, 5)
     # FK = 0.39*(5/2) + 11.8*(5/5) - 15.59 = 0.975 + 11.8 - 15.59
     assert abs(r.fk_grade - (0.39 * 2.5 + 11.8 - 15.59)) < 1e-6
+
+
+def test_pareto_abc_hand_classes(spark, tmp_path):
+    """Revenues 80, 15, 5 → exactly one A (cum 80%), one B (95%), one C."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [10, 20, 30],
+            "o_orderstatus": ["F"] * 3,
+            "o_totalprice": [80.0, 15.0, 5.0],
+            "o_orderdate": [pd.Timestamp("2024-01-01").date()] * 3,
+            "o_orderpriority": ["1-URGENT"] * 3,
+            "o_clerk": ["c"] * 3,
+            "o_shippriority": [0] * 3,
+            "o_comment": [""] * 3,
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = {
+        r.abc_class: r
+        for r in REGISTRY["orders_pareto_abc"].spark(spark, str(tmp_path)).collect()
+    }
+    assert rows["A"].n_customers == 1 and rows["A"].class_rev_cents == 8000
+    assert rows["B"].n_customers == 1 and rows["B"].class_rev_cents == 1500
+    assert rows["C"].n_customers == 1 and rows["C"].class_rev_cents == 500
+
+
+def test_runs_test_alternating_series(spark, tmp_path):
+    """Strictly alternating up/down moves → every move starts a new run
+    (runs = n) and z is strongly positive."""
+    import pandas as pd
+
+    days = pd.date_range("2024-01-01", periods=13, freq="D")
+    vals = [5.0 if i % 2 == 0 else 1.0 for i in range(13)]
+    pd.DataFrame(
+        {
+            "event_id": range(13),
+            "ts": days,
+            "user_id": [1] * 13,
+            "event_type": ["click"] * 13,
+            "value": vals,
+            "props": ["{}"] * 13,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_runs_test"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.n == 12 and r.runs == 12 and r.n_up == 6 and r.n_down == 6
+    assert r.z_score > 2.0
