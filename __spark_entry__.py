@@ -162,6 +162,12 @@ _DEFERRED_PAST_WINDOW = {
     "text_readability_fk",
     "orders_pareto_abc",
     "stats_runs_test",
+    # round-8 additions (the 65 uncovered r7 names already overflow the
+    # window by 15; everything new this round rides behind them)
+    "stats_welch_ttest",
+    "stats_bootstrap_poisson_ci",
+    "stats_gini_lorenz",
+    "stats_diff_in_diff",
 }
 
 

@@ -1979,3 +1979,410 @@ def q_lm_oov_rate(spark: SparkSession, sf: str):
         F.sum("c").cast("long").alias("total_tokens"),
         F.round(1.0 - covered * 1.0 / F.sum("c"), 6).alias("oov_rate"),
     )
+
+
+# ---- round-8 statistics additions ------------------------------------------
+# Welch's t-test, the distributed Poisson bootstrap, Gini concentration,
+# and difference-in-differences: the experiment-analysis quartet that
+# complements the existing AB-proportions/CUPED/Mann-Whitney family with
+# unequal-variance means testing, a resampling CI that never materializes
+# a resample, and the causal-effect panel estimator.
+
+
+@register(
+    "stats_welch_ttest",
+    """WITH c AS (
+         SELECT event_type, round(value * 100)::BIGINT AS cents FROM events
+         WHERE event_type IN ('click', 'view')),
+       m AS (SELECT event_type, count(*)::BIGINT AS n,
+                    sum(cents)::BIGINT AS s,
+                    sum(cents::DECIMAL(38,0) * cents)::DECIMAL(38,0) AS q
+             FROM c GROUP BY event_type),
+       w AS (SELECT
+               max(CASE WHEN event_type = 'click' THEN n END)::BIGINT AS n1,
+               max(CASE WHEN event_type = 'view' THEN n END)::BIGINT AS n2,
+               max(CASE WHEN event_type = 'click' THEN s END)::BIGINT AS s1,
+               max(CASE WHEN event_type = 'view' THEN s END)::BIGINT AS s2,
+               max(CASE WHEN event_type = 'click' THEN q END) AS q1,
+               max(CASE WHEN event_type = 'view' THEN q END) AS q2
+             FROM m),
+       v AS (SELECT n1, n2,
+                    CAST(s1 AS DOUBLE) / n1 AS m1,
+                    CAST(s2 AS DOUBLE) / n2 AS m2,
+                    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                      / (n1 - 1) AS v1,
+                    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                      / (n2 - 1) AS v2
+             FROM w)
+       SELECT n1, n2, round(m1, 6) AS mean1_cents, round(m2, 6) AS mean2_cents,
+              round(v1, 4) AS var1, round(v2, 4) AS var2,
+              round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+              round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                    / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                       + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS welch_df
+       FROM v""",
+    doc="Welch's unequal-variance two-sample t-test (click vs view event "
+    "value): group moments come from exact integer/decimal sums "
+    "(Σcents BIGINT, Σcents² DECIMAL(38,0) — never a float variance "
+    "over raw doubles), so mean/variance/t/df are one shared IEEE "
+    "expression tree over exact inputs, rounded once each. The "
+    "Welch-Satterthwaite df is the output a reader joins to a t-table. "
+    "Scale shape: one scan-fused 2-group aggregate (map-side "
+    "combinable), then 1-row arithmetic — no shuffle beyond the "
+    "2-group exchange.",
+)
+def q_stats_welch_ttest(spark: SparkSession, sf: str):
+    c = (
+        events_table(spark, sf)
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("q"),
+    )
+    pick = lambda t, col: F.max(F.when(F.col("event_type") == t, F.col(col)))  # noqa: E731
+    w = m.agg(
+        pick("click", "n").cast("long").alias("n1"),
+        pick("view", "n").cast("long").alias("n2"),
+        pick("click", "s").cast("long").alias("s1"),
+        pick("view", "s").cast("long").alias("s2"),
+        pick("click", "q").alias("q1"),
+        pick("view", "q").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    v1 = (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1") / n1) / (
+        n1 - 1
+    )
+    v2 = (F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2") / n2) / (
+        n2 - 1
+    )
+    se2 = v1 / n1 + v2 / n2
+    return w.select(
+        "n1",
+        "n2",
+        F.round(m1, 6).alias("mean1_cents"),
+        F.round(m2, 6).alias("mean2_cents"),
+        F.round(v1, 4).alias("var1"),
+        F.round(v2, 4).alias("var2"),
+        F.round((m1 - m2) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+# Poisson(1) CDF thresholds (inverse-CDF bootstrap weights; see the
+# stats_bootstrap_poisson_ci docstring). Shared double literals — both
+# engines compare the same IEEE constants.
+_POIS_T = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+_BOOT_B = 100  # replicates; CI picks order stats 3 (2.5%) and 98 (97.5%)
+_U_DENOM = float(1 << 60)  # md5_hash64 is uniform on [0, 2^60)
+
+
+def _boot_w_sql(u: str) -> str:
+    t = _POIS_T
+    return (
+        f"CASE WHEN {u} < {t[0]!r} THEN 0 WHEN {u} < {t[1]!r} THEN 1 "
+        f"WHEN {u} < {t[2]!r} THEN 2 WHEN {u} < {t[3]!r} THEN 3 "
+        f"WHEN {u} < {t[4]!r} THEN 4 ELSE 5 END"
+    )
+
+
+from annotations_ingester_spark.functions.hashing import (  # noqa: E402
+    md5_hash64_sql,
+    seeded_hash64,
+    seeded_hash64_sql,
+)
+
+_BOOT_U = (
+    f"(CAST({seeded_hash64_sql('event_id::VARCHAR', 'b')} AS DOUBLE)"
+    f" / {_U_DENOM!r})"
+)
+
+
+@register(
+    "stats_bootstrap_poisson_ci",
+    f"""WITH c AS (
+         SELECT event_id, round(value * 100)::BIGINT AS cents FROM events),
+       r AS (SELECT b FROM range({_BOOT_B}) t(b)),
+       x AS (SELECT c.cents, r.b, {_BOOT_U} AS u FROM c CROSS JOIN r),
+       w AS (SELECT b, cents, {_boot_w_sql('u')} AS wgt FROM x),
+       rep AS (SELECT b, sum(wgt)::BIGINT AS sw,
+                      sum(wgt::BIGINT * cents)::BIGINT AS swc
+               FROM w GROUP BY b),
+       mb AS (SELECT b, round(CAST(swc AS DOUBLE) / sw, 6) AS mean_b,
+                     row_number() OVER (
+                       ORDER BY round(CAST(swc AS DOUBLE) / sw, 6), b) AS rn
+              FROM rep),
+       pt AS (SELECT count(*)::BIGINT AS n_events,
+                     round(CAST(sum(cents) AS DOUBLE) / count(*), 6)
+                       AS point_mean
+              FROM c)
+       SELECT pt.n_events, {_BOOT_B}::BIGINT AS n_replicates,
+              pt.point_mean AS point_mean_cents,
+              max(CASE WHEN rn = 3 THEN mean_b END) AS ci_lo_cents,
+              max(CASE WHEN rn = {_BOOT_B - 2} THEN mean_b END) AS ci_hi_cents
+       FROM mb, pt GROUP BY pt.n_events, pt.point_mean""",
+    doc="Distributed Poisson bootstrap 95% CI for the mean event value — "
+    "the resampling scheme that actually scales (Poisson(1) weights "
+    "approximate multinomial resampling without ever materializing a "
+    "resample or needing the global n up front; the practical method "
+    "for CIs over sharded data). Replicate b draws each row "
+    "w ~ Poisson(1) times via the inverse CDF on a SEEDED PORTABLE "
+    "hash-uniform u = md5(b:event_id)/2^60 — deterministic, "
+    "engine-replayable, no RNG state. Replicate sums Σw and Σw·cents "
+    "are exact integers, so each replicate mean is one rounded "
+    "division; the CI takes exact order statistics 3/98 of the 100 "
+    "replicate means (window over the 100-row replicate table — "
+    "bounded by B, the offset-table class). Scale shape: the ×B "
+    "explode feeds a map-side-combinable B-group aggregate (state = B "
+    "rows per task), plus one scan-fused point-estimate pass; two "
+    "column-pruned scans total, no join against data.",
+)
+def q_stats_bootstrap_ci(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = events_table(spark, sf).select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    x = c.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    )
+    u = (
+        seeded_hash64(F.col("event_id").cast("string"), F.col("b")).cast("double")
+        / F.lit(_U_DENOM)
+    )
+    t = _POIS_T
+    wgt = (
+        F.when(u < t[0], 0)
+        .when(u < t[1], 1)
+        .when(u < t[2], 2)
+        .when(u < t[3], 3)
+        .when(u < t[4], 4)
+        .otherwise(5)
+    )
+    rep = (
+        x.select("b", "cents", wgt.alias("wgt"))
+        .groupBy("b")
+        .agg(
+            F.sum("wgt").cast("long").alias("sw"),
+            F.sum(F.col("wgt").cast("long") * F.col("cents")).cast("long").alias("swc"),
+        )
+    )
+    mean_b = F.round(F.col("swc").cast("double") / F.col("sw"), 6)
+    # window over the B-row replicate table (bounded by B, offset-table class)
+    mb = rep.select(
+        "b", mean_b.alias("mean_b"),
+        F.row_number().over(Window.orderBy(mean_b, F.col("b"))).alias("rn"),
+    )
+    pt = c.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("cents").cast("double") / F.count("*"), 6).alias("point_mean"),
+    )
+    ci = mb.agg(
+        F.max(F.when(F.col("rn") == 3, F.col("mean_b"))).alias("ci_lo_cents"),
+        F.max(F.when(F.col("rn") == _BOOT_B - 2, F.col("mean_b"))).alias(
+            "ci_hi_cents"
+        ),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_events",
+        F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        F.col("point_mean").alias("point_mean_cents"),
+        "ci_lo_cents",
+        "ci_hi_cents",
+    )
+
+
+@register(
+    "stats_gini_lorenz",
+    """WITH c AS (
+         SELECT o_custkey, sum(round(o_totalprice * 100))::BIGINT AS rev
+         FROM orders GROUP BY o_custkey),
+       b AS (SELECT o_custkey, rev, (rev // 1048576)::BIGINT AS bkt FROM c),
+       ranked AS (
+         SELECT rev, bkt,
+                row_number() OVER (PARTITION BY bkt
+                                   ORDER BY rev, o_custkey) AS rk_in
+         FROM b),
+       bc AS (SELECT bkt, count(*)::BIGINT AS cnt FROM b GROUP BY bkt),
+       off AS (SELECT bkt,
+                      coalesce(sum(cnt) OVER (ORDER BY bkt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)::BIGINT AS o
+               FROM bc),
+       g AS (SELECT (f.o + r.rk_in)::BIGINT AS rk, r.rev
+             FROM ranked r JOIN off f USING (bkt)),
+       m AS (SELECT count(*)::BIGINT AS n, sum(rev)::BIGINT AS total,
+                    sum(rk::DECIMAL(38,0) * rev)::DECIMAL(38,0) AS s
+             FROM g)
+       SELECT n AS n_customers, total AS total_cents,
+              round((2 * CAST(s AS DOUBLE) - (n + 1) * CAST(total AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
+       FROM m""",
+    doc="Gini coefficient of customer revenue concentration — the scalar "
+    "summary under the Pareto/ABC classification (0 = perfectly even, "
+    "→1 = one customer is the book): G = (2·Σ i·x_i − (n+1)·Σx) / "
+    "(n·Σx) over revenues sorted ASCENDING with a deterministic "
+    "custkey tiebreak. The global rank i is the ascending twin of the "
+    "orders_pareto_abc machinery — the two-level distributed prefix "
+    "rank over order-preserving 2^20-cent revenue buckets (in-bucket "
+    "row_number windows partitioned by bucket + a broadcast cumulative "
+    "count over the tiny bucket table; never a global unpartitioned "
+    "window over customers). Σ i·x_i accumulates as DECIMAL(38,0) — "
+    "exact under any order — and the final formula is one shared IEEE "
+    "tree rounded once. Scale shape: one map-side-combinable "
+    "per-customer rollup, bounded-domain windows, 1-row output.",
+)
+def q_stats_gini(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("rev"))
+        .withColumn("bkt", F.expr("CAST(rev DIV 1048576 AS BIGINT)"))
+        .localCheckpoint(eager=True)
+    )
+    w_in = Window.partitionBy("bkt").orderBy(F.asc("rev"), F.asc("o_custkey"))
+    ranked = c.select("rev", "bkt", F.row_number().over(w_in).alias("rk_in"))
+    bc = c.groupBy("bkt").agg(F.count("*").cast("long").alias("cnt"))
+    w_off = Window.orderBy(F.asc("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    off = bc.select(
+        "bkt", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).cast("long").alias("o")
+    )
+    g = ranked.join(F.broadcast(off), "bkt").select(
+        (F.col("o") + F.col("rk_in")).cast("long").alias("rk"), "rev"
+    )
+    m = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("total"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("rev")).alias("s"),
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.round(
+            (2 * F.col("s").cast("double") - (F.col("n") + 1) * F.col("total").cast("double"))
+            / (F.col("n").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "stats_diff_in_diff",
+    f"""WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                user_id, round(value * 100)::BIGINT AS cents
+         FROM events),
+       p AS (SELECT ((min(day) + max(day) + 1) // 2)::BIGINT AS piv FROM e),
+       t AS (SELECT e.cents,
+                    e.day >= p.piv AS post,
+                    {md5_hash64_sql("user_id::VARCHAR")} % 2 = 0 AS treat
+             FROM e, p),
+       m AS (SELECT treat, post, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+             FROM t GROUP BY treat, post),
+       w AS (SELECT
+               max(CASE WHEN treat AND post
+                        THEN round(CAST(s AS DOUBLE) / n, 6) END) AS m_t_post,
+               max(CASE WHEN treat AND NOT post
+                        THEN round(CAST(s AS DOUBLE) / n, 6) END) AS m_t_pre,
+               max(CASE WHEN NOT treat AND post
+                        THEN round(CAST(s AS DOUBLE) / n, 6) END) AS m_c_post,
+               max(CASE WHEN NOT treat AND NOT post
+                        THEN round(CAST(s AS DOUBLE) / n, 6) END) AS m_c_pre,
+               max(CASE WHEN treat AND post THEN n END)::BIGINT AS n_t_post,
+               max(CASE WHEN treat AND NOT post THEN n END)::BIGINT AS n_t_pre,
+               max(CASE WHEN NOT treat AND post THEN n END)::BIGINT AS n_c_post,
+               max(CASE WHEN NOT treat AND NOT post THEN n END)::BIGINT
+                 AS n_c_pre,
+               max(p2.piv)::BIGINT AS pivot_day
+             FROM m, (SELECT piv FROM p) p2)
+       SELECT pivot_day, n_t_pre, n_t_post, n_c_pre, n_c_post,
+              m_t_pre AS mean_t_pre, m_t_post AS mean_t_post,
+              m_c_pre AS mean_c_pre, m_c_post AS mean_c_post,
+              round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)
+                AS did_cents
+       FROM w""",
+    doc="Difference-in-differences panel estimator over the event stream: "
+    "users split into pseudo-treatment/control arms by the PORTABLE "
+    "md5 user hash (deterministic, engine-replayable — the same "
+    "assignment discipline as split_hash_assign), the period pivots at "
+    "the data midpoint day (1-row broadcast), and the effect is "
+    "(treat_post − treat_pre) − (control_post − control_pre) over "
+    "per-cell means from exact integer sums — each mean rounds once "
+    "before the subtraction tree, so both engines subtract identical "
+    "doubles. On hash-split synthetic arms the true effect is ~0 — the "
+    "query is the estimator's A/A calibration harness. Scale shape: "
+    "one scan-fused 4-cell aggregate (map-side combinable) + a 1-row "
+    "pivot broadcast; no shuffle beyond the 4-group exchange.",
+)
+def q_stats_did(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    p = e.agg(
+        F.expr("CAST((min(day) + max(day) + 1) DIV 2 AS BIGINT)").alias("pivot")
+    )
+    t = e.crossJoin(F.broadcast(p)).select(
+        "cents",
+        (F.col("day") >= F.col("pivot")).alias("post"),
+        (md5_hash64(F.col("user_id").cast("string")) % 2 == 0).alias("treat"),
+        "pivot",
+    )
+    m = t.groupBy("treat", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.max("pivot").alias("pivot"),
+    )
+    mean6 = F.round(F.col("s").cast("double") / F.col("n"), 6)
+
+    def cell(tr: bool, po: bool, expr):
+        cond = (F.col("treat") == tr) & (F.col("post") == po)
+        return F.max(F.when(cond, expr))
+
+    w = m.agg(
+        cell(True, True, mean6).alias("m_t_post"),
+        cell(True, False, mean6).alias("m_t_pre"),
+        cell(False, True, mean6).alias("m_c_post"),
+        cell(False, False, mean6).alias("m_c_pre"),
+        cell(True, True, F.col("n")).cast("long").alias("n_t_post"),
+        cell(True, False, F.col("n")).cast("long").alias("n_t_pre"),
+        cell(False, True, F.col("n")).cast("long").alias("n_c_post"),
+        cell(False, False, F.col("n")).cast("long").alias("n_c_pre"),
+        F.max("pivot").cast("long").alias("pivot_day"),
+    )
+    return w.select(
+        "pivot_day",
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.col("m_t_pre").alias("mean_t_pre"),
+        F.col("m_t_post").alias("mean_t_post"),
+        F.col("m_c_pre").alias("mean_c_pre"),
+        F.col("m_c_post").alias("mean_c_post"),
+        F.round(
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre")),
+            6,
+        ).alias("did_cents"),
+    )

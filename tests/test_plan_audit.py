@@ -115,6 +115,10 @@ CROSS_ALLOWED = {
     "forecast_backtest_mae",
     # two 1-row tie-count broadcasts onto the 1-row concordance aggregate
     "stats_kendall_tau",
+    # 1-row CI-bounds aggregate broadcast onto the 1-row point estimate
+    "stats_bootstrap_poisson_ci",
+    # 1-row date-midpoint pivot broadcast over events (the CUPED shape)
+    "stats_diff_in_diff",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -243,6 +247,12 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # frequency rank over the VOCABULARY table (distinct types — the
     # ssjoin/Zipf boundedness class), never the token stream
     "lm_oov_rate_by_vocab_size",
+    # order statistics over the B-row replicate-mean table (bounded by
+    # the pinned replicate count, the offset-table class)
+    "stats_bootstrap_poisson_ci",
+    # running offset over the revenue-BUCKET-COUNT table (ascending twin
+    # of orders_pareto_abc's two-level prefix rank)
+    "stats_gini_lorenz",
 }
 
 

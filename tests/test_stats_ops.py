@@ -613,3 +613,106 @@ def test_runs_test_alternating_series(spark, tmp_path):
     r = REGISTRY["stats_runs_test"].spark(spark, str(tmp_path)).collect()[0]
     assert r.n == 12 and r.runs == 12 and r.n_up == 6 and r.n_down == 6
     assert r.z_score > 2.0
+
+
+def test_welch_ttest_hand_moments(spark, tmp_path):
+    """click cents {100,200,300}, view cents {200,400,600}: m1=200, m2=400,
+    v1=10000, v2=40000 → t = -200/sqrt(50000/3) ≈ -1.5492, df ≈ 2.94."""
+    import pandas as pd
+
+    vals = [("click", 1.0), ("click", 2.0), ("click", 3.0),
+            ("view", 2.0), ("view", 4.0), ("view", 6.0)]
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "ts": [base] * len(vals),
+            "user_id": [1] * len(vals),
+            "event_type": [t for t, _ in vals],
+            "value": [v for _, v in vals],
+            "props": ["{}"] * len(vals),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_welch_ttest"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2) == (3, 3)
+    assert (r.mean1_cents, r.mean2_cents) == (200.0, 400.0)
+    assert (r.var1, r.var2) == (10000.0, 40000.0)
+    assert r.t_stat == -1.5492
+    assert r.welch_df == 2.94
+
+
+def test_bootstrap_ci_degenerate_constant_series(spark, tmp_path):
+    """All events share value 2.00 → every replicate mean is exactly 200,
+    so the CI collapses onto the point estimate (and exposes any weighting
+    bug as a NULL or a spread)."""
+    import pandas as pd
+
+    n = 50
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(n)],
+            "user_id": [1] * n,
+            "event_type": ["click"] * n,
+            "value": [2.0] * n,
+            "props": ["{}"] * n,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_bootstrap_poisson_ci"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.n_events == n and r.n_replicates == 100
+    assert r.point_mean_cents == 200.0
+    assert r.ci_lo_cents == 200.0 and r.ci_hi_cents == 200.0
+
+
+def test_gini_hand_values(spark, tmp_path):
+    """Equal revenues → G = 0; cents {100,100,100,700} → S = 3400,
+    G = (2*3400 - 5*1000) / (4*1000) = 0.45."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"o_custkey": [1, 2, 3, 4], "o_totalprice": [10.0, 10.0, 10.0, 10.0]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_gini_lorenz"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.n_customers, r.total_cents, r.gini) == (4, 4000, 0.0)
+
+    pd.DataFrame(
+        {"o_custkey": [1, 2, 3, 4], "o_totalprice": [1.0, 1.0, 1.0, 7.0]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    r = REGISTRY["stats_gini_lorenz"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.n_customers, r.total_cents, r.gini) == (4, 1000, 0.45)
+
+
+def test_did_null_effect_on_period_only_shift(spark, tmp_path):
+    """Every user moves 1.00 → 3.00 across the pivot: both arms shift
+    identically, so the A/A DiD estimate is exactly 0."""
+    import pandas as pd
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for u in range(8):
+        rows.append((u, base, 1.0))
+        rows.append((u, base + pd.Timedelta(days=20), 3.0))
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [r[2] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_diff_in_diff"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.n_t_pre + r.n_c_pre == 8 and r.n_t_post + r.n_c_post == 8
+    assert r.mean_t_pre == 100.0 and r.mean_t_post == 300.0
+    assert r.mean_c_pre == 100.0 and r.mean_c_post == 300.0
+    assert r.did_cents == 0.0
