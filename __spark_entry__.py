@@ -168,6 +168,10 @@ _DEFERRED_PAST_WINDOW = {
     "stats_bootstrap_poisson_ci",
     "stats_gini_lorenz",
     "stats_diff_in_diff",
+    "graph_k_core_peel",
+    "events_attribution_credit",
+    "events_top_paths",
+    "events_concurrency_profile",
 }
 
 

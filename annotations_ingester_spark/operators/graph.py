@@ -236,3 +236,44 @@ def label_propagation_iterations(
             "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
         )
     return labels
+
+
+def k_core_subgraph(
+    edges: DataFrame, k: int = 2, n_iters: int = 4
+) -> DataFrame:
+    """Iterative k-core peeling over an undirected edge list (``src`` <
+    ``dst``, each edge stored once): repeat ``n_iters`` times — compute
+    node degrees, keep nodes with degree >= k, restrict edges to kept
+    endpoints — then return the surviving nodes with their degree in the
+    final subgraph, ``(node, deg)``.
+
+    The iteration count is a PINNED job parameter, not a convergence
+    loop: both engines of a parity pair must peel the same number of
+    rounds (the oracle unrolls the same count), and at real scale a
+    fixed small round count is the honest contract anyway — each peel is
+    one degree aggregate (map-side combinable) plus two semi-joins, and
+    the edge frame is localCheckpoint'ed per round so lineage stays
+    flat (the kmeans/pagerank discipline). Degrees only shrink, so a
+    fixpoint reached early just makes later rounds no-ops.
+    """
+    e = edges.localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        deg = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )

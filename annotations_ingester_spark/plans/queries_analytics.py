@@ -2139,3 +2139,358 @@ def q_stats_runs_test(spark: SparkSession, sf: str):
             4,
         ).alias("z_score"),
     )
+
+
+# ---- round-8 analytics additions -------------------------------------------
+# k-core peeling over the LSH candidate graph, multi-touch attribution,
+# conversion-path mining, and a sweep-line concurrency profile — the
+# event-journey family on top of the existing sessionization/funnel stack.
+
+
+def _k_core_oracle(k: int = 2, n_iters: int = 4) -> str:
+    """Unrolled k-core peel: each round recomputes degrees over the
+    surviving edge set and keeps nodes with deg >= k — the same PINNED
+    round count as the Spark side (the pagerank-unroll discipline)."""
+    # every CTE that is referenced twice per round is MATERIALIZED —
+    # DuckDB otherwise inlines CTE references, re-running the minhash
+    # band self-join O(4^rounds) times
+    parts = [
+        f"WITH {_lsh_edges_sql()},\n"
+        "       ke0 AS MATERIALIZED (SELECT src, dst FROM e)"
+    ]
+    prev = "ke0"
+    for i in range(n_iters):
+        parts.append(
+            f""",
+       kd{i} AS (SELECT node, count(*)::BIGINT AS deg FROM (
+                  SELECT src AS node FROM {prev}
+                  UNION ALL SELECT dst AS node FROM {prev}) GROUP BY node),
+       kn{i} AS MATERIALIZED (SELECT node FROM kd{i} WHERE deg >= {k}),
+       ke{i + 1} AS MATERIALIZED (SELECT t.src, t.dst FROM {prev} t
+                  JOIN kn{i} a ON t.src = a.node
+                  JOIN kn{i} b ON t.dst = b.node)"""
+        )
+        prev = f"ke{i + 1}"
+    parts.append(
+        f"""
+       SELECT node, count(*)::BIGINT AS deg FROM (
+         SELECT src AS node FROM {prev}
+         UNION ALL SELECT dst AS node FROM {prev}) GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_k_core_peel",
+    None,  # filled below (shares the lazily-built LSH edge CTE)
+    doc="k-core decomposition (k=2, 4 pinned peel rounds) of the "
+    "MinHash-LSH candidate graph — the densest-substructure health "
+    "check over dedup output (2-core members sit in duplicate CLUSTERS; "
+    "peeled-away nodes were isolated pair collisions, the noise the "
+    "banding scheme tolerates). Each round is one map-side-combinable "
+    "degree aggregate + two semi-joins, with the edge frame "
+    "localCheckpoint'ed per round (flat lineage, the kmeans/pagerank "
+    "discipline); degrees only shrink, so an early fixpoint makes later "
+    "rounds no-ops. Scale shape: cost per round ~ |E|, never all-pairs; "
+    "the iteration count is a pinned job parameter mirrored by the "
+    "unrolled oracle.",
+)
+def q_graph_k_core(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.graph import k_core_subgraph
+
+    return k_core_subgraph(_lsh_edges(spark, sf), k=2, n_iters=4)
+
+
+_REG["graph_k_core_peel"].oracle = _k_core_oracle(k=2, n_iters=4)
+
+
+# shared SQL prelude: per-user ordered events with a purchase-path id
+# (path_id = number of purchases STRICTLY BEFORE the row, so each
+# purchase terminates the path that carries its id)
+_PATHED_CTE = """ev AS (
+         SELECT user_id, event_id, event_type,
+                floor(epoch(ts))::BIGINT AS ts_s,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+         FROM events),
+       pathed AS (
+         SELECT user_id, event_id, event_type, ts_s, is_p,
+                coalesce(sum(is_p) OVER (
+                  PARTITION BY user_id ORDER BY ts_s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS path_id
+         FROM ev)"""
+
+
+def _pathed(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = events_table(spark, sf).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_s",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    return ev.withColumn(
+        "path_id", F.coalesce(F.sum("is_p").over(w), F.lit(0)).cast("long")
+    )
+
+
+@register(
+    "events_attribution_credit",
+    f"""WITH {_PATHED_CTE},
+       conv AS (SELECT DISTINCT user_id, path_id FROM pathed WHERE is_p = 1),
+       touch AS (
+         SELECT p.user_id, p.path_id, p.event_id, p.event_type, p.ts_s
+         FROM pathed p JOIN conv USING (user_id, path_id)
+         WHERE p.is_p = 0),
+       ranked AS (
+         SELECT event_type,
+                row_number() OVER (PARTITION BY user_id, path_id
+                                   ORDER BY ts_s, event_id) AS rn_f,
+                row_number() OVER (PARTITION BY user_id, path_id
+                                   ORDER BY ts_s DESC, event_id DESC) AS rn_l,
+                count(*) OVER (PARTITION BY user_id, path_id) AS n_t
+         FROM touch)
+       SELECT event_type AS channel,
+              sum(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END)::BIGINT AS first_touch,
+              sum(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END)::BIGINT AS last_touch,
+              CAST(round(sum(round(1.0 / n_t, 9)::DECIMAL(20,9)), 6) AS DOUBLE)
+                AS linear_credit,
+              count(*)::BIGINT AS n_touches
+       FROM ranked GROUP BY event_type""",
+    doc="Multi-touch marketing attribution over purchase-terminated event "
+    "paths: every non-purchase event in a CONVERTED path (path_id = "
+    "purchases strictly before the row — a per-user running sum) is a "
+    "touchpoint; channels (event types) earn first-touch and last-touch "
+    "conversion counts plus linear credit 1/n_touches per touch. Linear "
+    "terms round to 9 dp and sum as DECIMAL(20,9) (accumulation-order-"
+    "exact), one final 6-dp rounding. Scale shape: one user_id shuffle "
+    "for the path window, one (user, path) shuffle for the per-path "
+    "ranks, a semi-join against the converted-path id set, and a "
+    "channel-domain-bounded final aggregate.",
+)
+def q_events_attribution(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    pathed = _pathed(spark, sf)
+    conv = (
+        pathed.filter(F.col("is_p") == 1).select("user_id", "path_id").distinct()
+    )
+    touch = pathed.filter(F.col("is_p") == 0).join(
+        conv, ["user_id", "path_id"], "left_semi"
+    )
+    wp = Window.partitionBy("user_id", "path_id")
+    wf = wp.orderBy(F.asc("ts_s"), F.asc("event_id"))
+    wl = wp.orderBy(F.desc("ts_s"), F.desc("event_id"))
+    ranked = touch.select(
+        "event_type",
+        F.row_number().over(wf).alias("rn_f"),
+        F.row_number().over(wl).alias("rn_l"),
+        F.count("*").over(wp).alias("n_t"),
+    )
+    return ranked.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum(F.when(F.col("rn_f") == 1, 1).otherwise(0)).cast("long").alias(
+            "first_touch"
+        ),
+        F.sum(F.when(F.col("rn_l") == 1, 1).otherwise(0)).cast("long").alias(
+            "last_touch"
+        ),
+        F.round(F.sum(F.round(1.0 / F.col("n_t"), 9).cast("decimal(20,9)")), 6)
+        .cast("double")
+        .alias("linear_credit"),
+        F.count("*").cast("long").alias("n_touches"),
+    )
+
+
+@register(
+    "events_top_paths",
+    f"""WITH {_PATHED_CTE},
+       rn AS (SELECT user_id, path_id, event_type, ts_s, event_id,
+                     row_number() OVER (PARTITION BY user_id, path_id
+                                        ORDER BY ts_s, event_id) AS rn
+              FROM pathed),
+       paths AS (
+         SELECT user_id, path_id,
+                string_agg(event_type, '>' ORDER BY ts_s, event_id)
+                  FILTER (WHERE rn <= 8) AS path,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  ::BIGINT AS converted
+         FROM rn GROUP BY user_id, path_id),
+       agg AS (SELECT path, converted, count(*)::BIGINT AS n_paths
+               FROM paths GROUP BY path, converted)
+       SELECT path, converted, n_paths
+       FROM agg ORDER BY n_paths DESC, path, converted LIMIT 20""",
+    doc="Conversion-path mining: each purchase-terminated (or trailing "
+    "unconverted) per-user path renders as its first 8 event types "
+    "joined '>', and the 20 most frequent (path, converted) shapes "
+    "surface — the journey-pattern table next to the step funnel. The "
+    "truncation to 8 is per-path array arithmetic (sorted struct "
+    "collect + slice), never a global sort; top-20 is "
+    "TakeOrderedAndProject with a total (count DESC, path, converted) "
+    "order. Scale shape: one user_id window shuffle + one (user, path) "
+    "aggregate + a distinct-path-shape-bounded count.",
+)
+def q_events_top_paths(spark: SparkSession, sf: str):
+    pathed = _pathed(spark, sf)
+    paths = pathed.groupBy("user_id", "path_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts_s", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s.event_type,
+                ),
+                1,
+                8,
+            ),
+        ).alias("path"),
+        F.max("is_p").cast("long").alias("converted"),
+    )
+    agg = paths.groupBy("path", "converted").agg(
+        F.count("*").cast("long").alias("n_paths")
+    )
+    return agg.orderBy(
+        F.desc("n_paths"), F.asc("path"), F.asc("converted")
+    ).limit(20)
+
+
+# shared SQL prelude for the concurrency sweep: 30-min-gap sessions
+# rendered as [start_s, end_s] intervals (the events_sessionization CTE
+# with min/max instead of counts)
+_SESS_IVL_CTE = """ev AS (
+         SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+       flagged AS (
+         SELECT user_id, event_id, ts_s,
+                CASE WHEN lag(ts_s) OVER w IS NULL
+                          OR ts_s - lag(ts_s) OVER w > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       sessed AS (
+         SELECT user_id, ts_s,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+         FROM flagged),
+       ivl AS (SELECT user_id, sid, min(ts_s)::BIGINT AS s,
+                      max(ts_s)::BIGINT AS e
+               FROM sessed GROUP BY user_id, sid)"""
+
+
+@register(
+    "events_concurrency_profile",
+    f"""WITH {_SESS_IVL_CTE},
+       bnd AS (
+         SELECT s AS ts, 1 AS delta FROM ivl
+         UNION ALL SELECT e + 1 AS ts, -1 AS delta FROM ivl),
+       db AS (SELECT ts, delta, (ts // 86400)::BIGINT AS day FROM bnd),
+       daily AS (
+         SELECT day, sum(delta)::BIGINT AS day_delta,
+                sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_starts,
+                sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END)::BIGINT AS n_ends
+         FROM db GROUP BY day),
+       carry AS (
+         SELECT day, n_starts, n_ends,
+                coalesce(sum(day_delta) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS carry_in
+         FROM daily),
+       pref AS (
+         SELECT day,
+                sum(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                                 ROWS UNBOUNDED PRECEDING) AS p
+         FROM db),
+       mx AS (SELECT day, max(p)::BIGINT AS max_prefix FROM pref GROUP BY day)
+       SELECT c.day, c.n_starts, c.n_ends, c.carry_in,
+              (c.carry_in + greatest(m.max_prefix, 0))::BIGINT
+                AS peak_concurrency
+       FROM carry c JOIN mx m USING (day)
+       ORDER BY c.day""",
+    doc="Sweep-line concurrency profile: per day, the peak number of "
+    "simultaneously-open 30-min-gap user sessions. Each session emits "
+    "+1 at its start second and -1 one past its end (inclusive "
+    "intervals; a session touching a boundary second still counts "
+    "there), boundaries sort (ts, +1 before -1) so abutting sessions "
+    "count as concurrent, and peak_d = carry_in + max(0, max in-day "
+    "prefix) where carry_in is the cumulative boundary sum of all "
+    "prior days — the two-level distributed prefix-sum discipline "
+    "(in-day running sums partitioned by day; the only unpartitioned "
+    "window runs over the ~30-row day table). Days with open sessions "
+    "but zero boundaries are not emitted (both engines share the "
+    "boundary-day domain). Within-tie ordering of equal (ts, delta) "
+    "rows cannot move the max: prefixes are monotone inside an "
+    "equal-delta run. Scale shape: one user_id session shuffle, one "
+    "day-partitioned window, day-domain-bounded output.",
+)
+def q_events_concurrency(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf).select("user_id", "event_id", "ts_s")
+    wu = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(wu)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sessed = flagged.withColumn(
+        "sid",
+        F.sum("new_sess")
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    ivl = sessed.groupBy("user_id", "sid").agg(
+        F.min("ts_s").cast("long").alias("s"), F.max("ts_s").cast("long").alias("e")
+    )
+    bnd = ivl.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        ivl.select((F.col("e") + 1).alias("ts"), F.lit(-1).alias("delta"))
+    )
+    db = bnd.select(
+        "ts", "delta", F.expr("CAST(ts DIV 86400 AS BIGINT)").alias("day")
+    ).localCheckpoint(eager=True)
+    daily = db.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("day_delta"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_starts"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ends"),
+    )
+    # running offset over the ~30-row day table (offset-table class)
+    w_off = Window.orderBy(F.asc("day")).rowsBetween(Window.unboundedPreceding, -1)
+    carry = daily.select(
+        "day",
+        "n_starts",
+        "n_ends",
+        F.coalesce(F.sum("day_delta").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("carry_in"),
+    )
+    w_in = Window.partitionBy("day").orderBy(
+        F.asc("ts"), F.desc("delta")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mx = (
+        db.select("day", F.sum("delta").over(w_in).alias("p"))
+        .groupBy("day")
+        .agg(F.max("p").cast("long").alias("max_prefix"))
+    )
+    return (
+        carry.join(mx, "day")
+        .select(
+            "day",
+            "n_starts",
+            "n_ends",
+            "carry_in",
+            (F.col("carry_in") + F.greatest(F.col("max_prefix"), F.lit(0)))
+            .cast("long")
+            .alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )

@@ -239,6 +239,22 @@ HEADLINE = [
     # r7 deferred batch 4 (r8 gate): Pareto/ABC revenue classes, runs test
     "orders_pareto_abc",
     "stats_runs_test",
+    # r8: experiment-analysis quartet — Welch t, the ×100-replicate
+    # Poisson bootstrap (the round's heaviest new row by design), Gini
+    # concentration, and the diff-in-diff A/A harness
+    "stats_welch_ttest",
+    "stats_bootstrap_poisson_ci",
+    "stats_gini_lorenz",
+    "stats_diff_in_diff",
+    # r8: event-journey family (attribution + path mining share the
+    # per-user path window but exercise different reductions) and the
+    # sweep-line concurrency profile; k-core peels the LSH edge graph
+    # (edge construction already benchmarked via graph_triangle_count,
+    # the 4-round peel is the new cost)
+    "graph_k_core_peel",
+    "events_attribution_credit",
+    "events_top_paths",
+    "events_concurrency_profile",
 ]
 
 

@@ -329,3 +329,98 @@ def test_domain_caps_determinism_and_counts(spark, tmp_path):
     r2 = REGISTRY["curation_domain_caps"].spark(spark, str(tmp_path)).collect()[0]
     assert r1.n_docs == 200 and r1.n_kept == 120 and r1.n_dropped == 80
     assert r1.kept_xor == r2.kept_xor
+
+
+def test_k_core_peels_pendants_keeps_triangle(spark):
+    """Triangle {1,2,3} + pendant edge 3-4 + isolated edge 5-6: the
+    2-core is exactly the triangle (every node degree 2); the pendant
+    and the pair peel away in round one."""
+    from annotations_ingester_spark.operators.graph import k_core_subgraph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6)], ["src", "dst"]
+    )
+    out = {r.node: r.deg for r in k_core_subgraph(edges, k=2, n_iters=4).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (user_id, minute_offset, event_type)."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [base + pd.Timedelta(minutes=m) for _, m, _ in rows],
+            "user_id": [u for u, _, _ in rows],
+            "event_type": [t for _, _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+
+def test_attribution_credits_only_converted_paths(spark, tmp_path):
+    """view->click->purchase then a trailing view: the converted path
+    credits view (first touch) and click (last touch) 0.5 linear each;
+    the trailing unconverted view earns nothing."""
+    _write_events(
+        tmp_path,
+        [(1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"), (1, 3, "view")],
+    )
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.channel: r
+        for r in REGISTRY["events_attribution_credit"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {"view", "click"}
+    assert (out["view"].first_touch, out["view"].last_touch) == (1, 0)
+    assert (out["click"].first_touch, out["click"].last_touch) == (0, 1)
+    assert out["view"].linear_credit == out["click"].linear_credit == 0.5
+    assert out["view"].n_touches == out["click"].n_touches == 1
+
+
+def test_top_paths_purchase_terminates_and_truncates(spark, tmp_path):
+    """One user: the purchase closes path 0 ('view>click>purchase',
+    converted) and the trailing view opens unconverted path 1."""
+    _write_events(
+        tmp_path,
+        [(1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"), (1, 3, "view")],
+    )
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["events_top_paths"].spark(spark, str(tmp_path)).collect()
+    )
+    got = {(r.path, r.converted): r.n_paths for r in rows}
+    assert got == {("view>click>purchase", 1): 1, ("view", 0): 1}
+
+
+def test_concurrency_overlap_and_midnight_carry(spark, tmp_path):
+    """u1 session [0,600], u2 [300,300] overlap -> day-1 peak 2; u3's
+    session spans midnight (23:50 -> 00:05 next day, one 900 s gap), so
+    day 2 opens with carry_in 1 and peak 1 (its only boundary is the
+    -1 close)."""
+    _write_events(
+        tmp_path,
+        [
+            (1, 0, "view"),
+            (1, 10, "view"),
+            (2, 5, "view"),
+            (3, 23 * 60 + 50, "view"),
+            (3, 24 * 60 + 5, "view"),
+        ],
+    )
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["events_concurrency_profile"].spark(spark, str(tmp_path)).collect()
+    )
+    assert len(rows) == 2 and rows[1].day == rows[0].day + 1
+    d0, d1 = rows
+    assert (d0.n_starts, d0.n_ends, d0.carry_in, d0.peak_concurrency) == (3, 2, 0, 2)
+    assert (d1.n_starts, d1.n_ends, d1.carry_in, d1.peak_concurrency) == (0, 1, 1, 1)

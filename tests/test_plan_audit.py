@@ -253,6 +253,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # running offset over the revenue-BUCKET-COUNT table (ascending twin
     # of orders_pareto_abc's two-level prefix rank)
     "stats_gini_lorenz",
+    # carry-in offset over the ~30-row boundary-DAY table (in-day sweep
+    # windows are day-partitioned; two-level prefix-sum discipline)
+    "events_concurrency_profile",
 }
 
 
