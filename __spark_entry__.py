@@ -172,6 +172,12 @@ _DEFERRED_PAST_WINDOW = {
     "events_attribution_credit",
     "events_top_paths",
     "events_concurrency_profile",
+    "quality_constraint_suite",
+    "eval_matryoshka_truncation",
+    "stats_weighted_median",
+    "stats_ipw_estimate",
+    "er_fellegi_sunter_weights",
+    "events_activity_streaks",
 }
 
 

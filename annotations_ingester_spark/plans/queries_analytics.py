@@ -2494,3 +2494,188 @@ def q_events_concurrency(spark: SparkSession, sf: str):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "er_fellegi_sunter_weights",
+    """WITH b AS (
+         SELECT c_custkey, c_name, c_mktsegment,
+                c_acctbal >= 0 AS bal_sign,
+                (floor(c_acctbal / 1000))::BIGINT AS bal_kb,
+                c_nationkey, substr(c_name, 1, 15) AS pref
+         FROM customer),
+       pairs AS (
+         SELECT levenshtein(a.c_name, b2.c_name) <= 2 AS matched,
+                CASE WHEN a.c_mktsegment = b2.c_mktsegment
+                     THEN 1 ELSE 0 END AS ag_seg,
+                CASE WHEN a.bal_sign = b2.bal_sign THEN 1 ELSE 0 END AS ag_sign,
+                CASE WHEN a.bal_kb = b2.bal_kb THEN 1 ELSE 0 END AS ag_kb
+         FROM b a JOIN b b2
+           ON a.c_nationkey = b2.c_nationkey AND a.pref = b2.pref
+         WHERE a.c_custkey < b2.c_custkey),
+       agg AS (
+         SELECT sum(CASE WHEN matched THEN 1 ELSE 0 END)::BIGINT AS nm,
+                sum(CASE WHEN NOT matched THEN 1 ELSE 0 END)::BIGINT AS nn,
+                sum(CASE WHEN matched THEN ag_seg ELSE 0 END)::BIGINT AS am_seg,
+                sum(CASE WHEN NOT matched THEN ag_seg ELSE 0 END)::BIGINT
+                  AS an_seg,
+                sum(CASE WHEN matched THEN ag_sign ELSE 0 END)::BIGINT
+                  AS am_sign,
+                sum(CASE WHEN NOT matched THEN ag_sign ELSE 0 END)::BIGINT
+                  AS an_sign,
+                sum(CASE WHEN matched THEN ag_kb ELSE 0 END)::BIGINT AS am_kb,
+                sum(CASE WHEN NOT matched THEN ag_kb ELSE 0 END)::BIGINT
+                  AS an_kb
+         FROM pairs),
+       stacked AS (
+         SELECT 'mktsegment' AS field, nm, nn, am_seg AS am, an_seg AS an
+           FROM agg
+         UNION ALL SELECT 'acctbal_sign', nm, nn, am_sign, an_sign FROM agg
+         UNION ALL SELECT 'acctbal_kbucket', nm, nn, am_kb, an_kb FROM agg)
+       SELECT field, nm AS n_match, nn AS n_nonmatch,
+              am AS n_agree_match, an AS n_agree_nonmatch,
+              round(CAST(am AS DOUBLE) / nm, 6) AS m_rate,
+              round(CAST(an AS DOUBLE) / nn, 6) AS u_rate,
+              CASE WHEN am > 0 AND an > 0
+                   THEN round(log2(CAST(am AS DOUBLE) * nn
+                                   / (CAST(an AS DOUBLE) * nm)), 4)
+              END AS log2_weight
+       FROM stacked ORDER BY field""",
+    doc="Fellegi-Sunter agreement weights estimated on the blocked "
+    "candidate set: pairs sharing (nation, 15-char name prefix) are "
+    "labeled matched by the edit-distance verifier (lev <= 2 — the "
+    "er_blocked_name_matches rule), and each comparison field earns "
+    "m = P(agree|match), u = P(agree|non-match) and the linkage weight "
+    "log2(m/u) — the score a probabilistic record-linkage pass adds "
+    "per agreeing field. The weight computes as ONE log over "
+    "cross-multiplied exact integer counts (am*nn / an*nm), never a "
+    "ratio of rounded rates; degenerate fields (zero agreements on "
+    "either side) emit NULL. Scale shape: the same Σblock² candidate "
+    "equi-join as the ER verifier feeding one scan-fused aggregate, "
+    "then a zero-shuffle 3-row stack.",
+)
+def q_er_fs_weights(spark: SparkSession, sf: str):
+    b = table(spark, sf, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        (F.col("c_acctbal") >= 0).alias("bal_sign"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_kb"),
+        "c_nationkey",
+        F.substring("c_name", 1, 15).alias("pref"),
+    )
+    left = b.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("na"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("bal_sign").alias("sign_a"),
+        F.col("bal_kb").alias("kb_a"),
+        "c_nationkey",
+        "pref",
+    )
+    right = b.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("nb"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("bal_sign").alias("sign_b"),
+        F.col("bal_kb").alias("kb_b"),
+        "c_nationkey",
+        "pref",
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    pairs = (
+        left.join(right, ["c_nationkey", "pref"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            (F.levenshtein("na", "nb") <= 2).alias("matched"),
+            flag(F.col("seg_a") == F.col("seg_b")).alias("ag_seg"),
+            flag(F.col("sign_a") == F.col("sign_b")).alias("ag_sign"),
+            flag(F.col("kb_a") == F.col("kb_b")).alias("ag_kb"),
+        )
+    )
+    cnt = lambda cond, c: F.sum(F.when(cond, c).otherwise(0)).cast("long")  # noqa: E731
+    agg = pairs.agg(
+        cnt(F.col("matched"), F.lit(1)).alias("nm"),
+        cnt(~F.col("matched"), F.lit(1)).alias("nn"),
+        cnt(F.col("matched"), F.col("ag_seg")).alias("am_seg"),
+        cnt(~F.col("matched"), F.col("ag_seg")).alias("an_seg"),
+        cnt(F.col("matched"), F.col("ag_sign")).alias("am_sign"),
+        cnt(~F.col("matched"), F.col("ag_sign")).alias("an_sign"),
+        cnt(F.col("matched"), F.col("ag_kb")).alias("am_kb"),
+        cnt(~F.col("matched"), F.col("ag_kb")).alias("an_kb"),
+    )
+    stacked = agg.selectExpr(
+        "nm",
+        "nn",
+        "stack(3, "
+        "'mktsegment', am_seg, an_seg, "
+        "'acctbal_sign', am_sign, an_sign, "
+        "'acctbal_kbucket', am_kb, an_kb) AS (field, am, an)",
+    )
+    return stacked.select(
+        "field",
+        F.col("nm").alias("n_match"),
+        F.col("nn").alias("n_nonmatch"),
+        F.col("am").alias("n_agree_match"),
+        F.col("an").alias("n_agree_nonmatch"),
+        F.round(F.col("am").cast("double") / F.col("nm"), 6).alias("m_rate"),
+        F.round(F.col("an").cast("double") / F.col("nn"), 6).alias("u_rate"),
+        F.when(
+            (F.col("am") > 0) & (F.col("an") > 0),
+            F.round(
+                F.log2(
+                    F.col("am").cast("double")
+                    * F.col("nn")
+                    / (F.col("an").cast("double") * F.col("nm"))
+                ),
+                4,
+            ),
+        ).alias("log2_weight"),
+    ).orderBy("field")
+
+
+@register(
+    "events_activity_streaks",
+    """WITH d AS (
+         SELECT DISTINCT user_id,
+                (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day
+         FROM events),
+       rn AS (SELECT user_id, day,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY day) AS rk
+              FROM d),
+       runs AS (SELECT user_id, count(*)::BIGINT AS len
+                FROM rn GROUP BY user_id, day - rk),
+       mx AS (SELECT user_id, max(len)::BIGINT AS max_streak
+              FROM runs GROUP BY user_id)
+       SELECT max_streak AS streak_days, count(*)::BIGINT AS n_users
+       FROM mx GROUP BY max_streak ORDER BY max_streak""",
+    doc="Consecutive-active-day streaks (gaps-and-islands): per user, "
+    "distinct active days get a per-user row_number, day - rank is "
+    "constant exactly across consecutive runs (the island id), runs "
+    "group to lengths, and the report is the distribution of each "
+    "user's LONGEST streak — the engagement-cohort summary next to the "
+    "retention matrix. Scale shape: one user-keyed dedup + one "
+    "user-partitioned window + two map-side-combinable aggregates; "
+    "output bounded by the day-span domain.",
+)
+def q_events_streaks(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    d = (
+        events_table(spark, sf)
+        .select("user_id", F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"))
+        .distinct()
+    )
+    rn = d.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    )
+    runs = rn.groupBy("user_id", (F.col("day") - F.col("rk")).alias("island")).agg(
+        F.count("*").cast("long").alias("len")
+    )
+    mx = runs.groupBy("user_id").agg(F.max("len").cast("long").alias("max_streak"))
+    return (
+        mx.groupBy(F.col("max_streak").alias("streak_days"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("streak_days")
+    )

@@ -942,3 +942,121 @@ def _auc_oracle() -> str:
 
 
 REGISTRY["eval_auc_roc"].oracle = _auc_oracle()
+
+
+def _matryoshka_knn_sql(vec_expr: str, tag: str) -> str:
+    """Top-5 cosine neighbor SET at one truncation (DuckDB expression
+    ``vec_expr`` over base CTE ``mb``'s column ``e``) — the set-overlap
+    twin of _knn_pred_sql (which keeps votes, not members)."""
+    return f"""mv_{tag} AS (
+         SELECT vec_id, {vec_expr} AS v FROM mb),
+       mq_{tag} AS (SELECT vec_id AS q_id, v AS qv FROM mv_{tag}
+                    WHERE vec_id % 101 = 0 AND vec_id < 2000),
+       msc_{tag} AS (
+         SELECT q.q_id, c.vec_id,
+                round(CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(c.v, c.v)) > 0
+                      THEN list_dot_product(q.qv, c.v)
+                           / (sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(c.v, c.v)))
+                      ELSE 0.0 END, 6) AS cos
+         FROM mv_{tag} c, mq_{tag} q WHERE c.vec_id <> q.q_id),
+       mknn_{tag} AS (
+         SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+           FROM msc_{tag}) WHERE rn <= 5)"""
+
+
+_MATRYOSHKA_DIMS = (8, 16)
+
+
+def _matryoshka_overlap_sql() -> str:
+    knns = [_matryoshka_knn_sql("e", "full")] + [
+        _matryoshka_knn_sql(f"e[1:{d}]", f"d{d}") for d in _MATRYOSHKA_DIMS
+    ]
+    per_dim = "\n         UNION ALL ".join(
+        f"""SELECT {d} AS dim, t.q_id,
+                sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_common
+         FROM mknn_d{d} t LEFT JOIN mknn_full f
+           ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+         GROUP BY t.q_id"""
+        for d in _MATRYOSHKA_DIMS
+    )
+    knn_block = ",\n       ".join(knns)
+    return f"""WITH mb AS (SELECT vec_id, embedding AS e FROM embeddings),
+       {knn_block},
+       ov AS ({per_dim})
+       SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n_queries,
+              round(CAST(sum(n_common) AS DOUBLE) / (5 * count(*)), 6)
+                AS mean_overlap5,
+              round(CAST(min(n_common) AS DOUBLE) / 5, 6) AS min_overlap5
+       FROM ov GROUP BY dim ORDER BY dim"""
+
+
+@register(
+    "eval_matryoshka_truncation",
+    None,  # assembled below (shares the knn CTE builder)
+    doc="Matryoshka-truncation retrieval cert: top-5 cosine neighbor "
+    "OVERLAP between prefix-truncated embeddings (dims 8 and 16 of 64) "
+    "and the full vector, per truncation — the number that decides "
+    "whether a cheap prefix index can serve first-stage retrieval. "
+    "Overlap@5 per query is an exact integer (|knn_d ∩ knn_full| via a "
+    "(q_id, vec_id) equi-join of two top-5 sets), so the mean is one "
+    "rounded integer division — no float accumulation. Deterministic "
+    "rank ties on vec_id. Scale shape: one broadcast query batch "
+    "scored per truncation (fixed Q → linear in N each), bounded top-5 "
+    "windows, Q-bounded overlap join.",
+)
+def q_eval_matryoshka(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.similarity import brute_force_topk
+
+    emb = table(spark, sf, "embeddings")
+
+    def knn_at(frame):
+        qs = frame.filter((F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000))
+        return brute_force_topk(frame, qs, k=5).select("q_id", "vec_id")
+
+    # the full-dim top-5 set is consumed once per truncation — checkpoint
+    # so the N·Q scoring pass runs exactly once (scan-multiplicity rule)
+    full = (
+        knn_at(emb.select("vec_id", "embedding"))
+        .select(F.col("q_id").alias("f_q"), F.col("vec_id").alias("f_v"))
+        .localCheckpoint(eager=True)
+    )
+    per_q = None
+    for d in _MATRYOSHKA_DIMS:
+        trunc = knn_at(
+            emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        )
+        ov = (
+            trunc.join(
+                full,
+                (trunc["q_id"] == full["f_q"]) & (trunc["vec_id"] == full["f_v"]),
+                "left",
+            )
+            .groupBy("q_id")
+            .agg(
+                F.sum(F.when(F.col("f_v").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_common")
+            )
+            .select(F.lit(d).alias("dim"), "q_id", "n_common")
+        )
+        per_q = ov if per_q is None else per_q.unionAll(ov)
+    return (
+        per_q.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(
+                F.sum("n_common").cast("double") / (5 * F.count("*")), 6
+            ).alias("mean_overlap5"),
+            F.round(F.min("n_common").cast("double") / 5, 6).alias("min_overlap5"),
+        )
+        .orderBy("dim")
+    )
+
+
+REGISTRY["eval_matryoshka_truncation"].oracle = _matryoshka_overlap_sql()

@@ -2386,3 +2386,181 @@ def q_stats_did(spark: SparkSession, sf: str):
             6,
         ).alias("did_cents"),
     )
+
+
+@register(
+    "stats_weighted_median",
+    """WITH c AS (
+         SELECT round(l_extendedprice * 100)::BIGINT AS cents,
+                sum(l_quantity)::BIGINT AS w
+         FROM lineitem GROUP BY cents),
+       b AS (SELECT cents, w, (cents // 1048576)::BIGINT AS bkt FROM c),
+       ranked AS (
+         SELECT cents, w, bkt,
+                sum(w) OVER (PARTITION BY bkt ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cw_in
+         FROM b),
+       bc AS (SELECT bkt, sum(w)::BIGINT AS bw FROM b GROUP BY bkt),
+       off AS (SELECT bkt,
+                      coalesce(sum(bw) OVER (ORDER BY bkt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)::BIGINT AS o
+               FROM bc),
+       g AS (SELECT r.cents, (f.o + r.cw_in)::BIGINT AS cw
+             FROM ranked r JOIN off f USING (bkt)),
+       tot AS (SELECT sum(w)::BIGINT AS tw FROM c)
+       SELECT t.tw AS total_weight,
+              min(CASE WHEN 4 * g.cw >= t.tw THEN g.cents END)::BIGINT
+                AS wq25_cents,
+              min(CASE WHEN 2 * g.cw >= t.tw THEN g.cents END)::BIGINT
+                AS wmedian_cents,
+              min(CASE WHEN 4 * g.cw >= 3 * t.tw THEN g.cents END)::BIGINT
+                AS wq75_cents
+       FROM g, tot t GROUP BY t.tw""",
+    doc="Exact weighted quantiles (quantity-weighted price p25/median/"
+    "p75): the lower weighted quantile — the smallest price whose "
+    "cumulative weight reaches q·W — computed via the two-level "
+    "distributed prefix sum over DISTINCT price points (per-price "
+    "weight rollup collapses duplicates first; in-bucket cumulative "
+    "windows partitioned by 2^20-cent bucket + a cumulated offset over "
+    "the tiny bucket table — never a global unpartitioned window over "
+    "prices). All comparisons are integer cross-multiplications "
+    "(4·cum ≥ 3·W), no float thresholds anywhere. The percentile_approx "
+    "sketch answers this at lower cost when tolerance allows "
+    "(quantile_disc_certified certifies that trade); this is the exact "
+    "tier for the WEIGHTED case, which the sketch does not cover. "
+    "Scale shape: one map-side-combinable price rollup, bounded-domain "
+    "windows, one 1-row total broadcast, 1-row output.",
+)
+def q_stats_weighted_median(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = (
+        table(spark, sf, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .withColumn("bkt", F.expr("CAST(cents DIV 1048576 AS BIGINT)"))
+        .localCheckpoint(eager=True)
+    )
+    w_in = Window.partitionBy("bkt").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = c.select(
+        "cents", "bkt", F.sum("w").over(w_in).cast("long").alias("cw_in")
+    )
+    bc = c.groupBy("bkt").agg(F.sum("w").cast("long").alias("bw"))
+    w_off = Window.orderBy(F.asc("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    off = bc.select(
+        "bkt", F.coalesce(F.sum("bw").over(w_off), F.lit(0)).cast("long").alias("o")
+    )
+    g = ranked.join(F.broadcast(off), "bkt").select(
+        "cents", (F.col("o") + F.col("cw_in")).cast("long").alias("cw")
+    )
+    tot = c.agg(F.sum("w").cast("long").alias("tw"))
+    pick = lambda cond: F.min(F.when(cond, F.col("cents"))).cast("long")  # noqa: E731
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("tw")
+        .agg(
+            pick(4 * F.col("cw") >= F.col("tw")).alias("wq25_cents"),
+            pick(2 * F.col("cw") >= F.col("tw")).alias("wmedian_cents"),
+            pick(4 * F.col("cw") >= 3 * F.col("tw")).alias("wq75_cents"),
+        )
+        .select(
+            F.col("tw").alias("total_weight"),
+            "wq25_cents",
+            "wmedian_cents",
+            "wq75_cents",
+        )
+    )
+
+
+@register(
+    "stats_ipw_estimate",
+    f"""WITH e AS (
+         SELECT event_type AS stratum,
+                {md5_hash64_sql("'ipw:' || user_id::VARCHAR")} % 2 = 0 AS treat,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
+       s AS (SELECT stratum, count(*)::BIGINT AS n,
+                    sum(CASE WHEN treat THEN 1 ELSE 0 END)::BIGINT AS n1,
+                    sum(CASE WHEN treat THEN cents ELSE 0 END)::BIGINT AS s1,
+                    sum(CASE WHEN NOT treat THEN 1 ELSE 0 END)::BIGINT AS n0,
+                    sum(CASE WHEN NOT treat THEN cents ELSE 0 END)::BIGINT
+                      AS s0
+             FROM e GROUP BY stratum),
+       pos AS (SELECT * FROM s WHERE n1 > 0 AND n0 > 0),
+       agg AS (SELECT count(*)::BIGINT AS n_strata, sum(n)::BIGINT AS n_all,
+                      sum(n1)::BIGINT AS n_treat, sum(n0)::BIGINT AS n_control,
+                      sum(round(CAST(s1 AS DOUBLE) * n / n1, 9)
+                          ::DECIMAL(25,9)) AS t1,
+                      sum(round(CAST(s0 AS DOUBLE) * n / n0, 9)
+                          ::DECIMAL(25,9)) AS t0
+               FROM pos)
+       SELECT n_strata, n_treat, n_control,
+              round(CAST(t1 AS DOUBLE) / n_all, 6) AS mu_treat_cents,
+              round(CAST(t0 AS DOUBLE) / n_all, 6) AS mu_control_cents,
+              round(CAST(t1 AS DOUBLE) / n_all
+                    - CAST(t0 AS DOUBLE) / n_all, 6) AS ate_cents
+       FROM agg""",
+    doc="Inverse-propensity-weighted treatment-effect estimate with "
+    "exact stratum propensities (e_s = treated share within each "
+    "event-type stratum; arms assigned by the salted PORTABLE md5 user "
+    "hash, so this is the estimator's A/A calibration — true effect "
+    "~0). With stratum-constant propensity the Horvitz-Thompson sums "
+    "collapse algebraically: Σ T·y/e_s = Σ_s s1_s·n_s/n1_s, so each "
+    "stratum contributes ONE term computed from exact integer moments, "
+    "rounded to 9 dp and accumulated as DECIMAL(25,9) (order-exact); "
+    "strata missing either arm are excluded (the positivity rule, "
+    "reported via n_strata). Scale shape: one scan-fused "
+    "stratum-domain-bounded aggregate, then 1-row arithmetic.",
+)
+def q_stats_ipw(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        F.col("event_type").alias("stratum"),
+        (
+            md5_hash64(F.concat(F.lit("ipw:"), F.col("user_id").cast("string")))
+            % 2
+            == 0
+        ).alias("treat"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = e.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("treat"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(~F.col("treat"), 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(~F.col("treat"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+    )
+    pos = s.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    term = lambda sc, nc: F.sum(  # noqa: E731
+        F.round(F.col(sc).cast("double") * F.col("n") / F.col(nc), 9).cast(
+            "decimal(25,9)"
+        )
+    )
+    agg = pos.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("n1").cast("long").alias("n_treat"),
+        F.sum("n0").cast("long").alias("n_control"),
+        term("s1", "n1").alias("t1"),
+        term("s0", "n0").alias("t0"),
+    )
+    mu1 = F.col("t1").cast("double") / F.col("n_all")
+    mu0 = F.col("t0").cast("double") / F.col("n_all")
+    return agg.select(
+        "n_strata",
+        "n_treat",
+        "n_control",
+        F.round(mu1, 6).alias("mu_treat_cents"),
+        F.round(mu0, 6).alias("mu_control_cents"),
+        F.round(mu1 - mu0, 6).alias("ate_cents"),
+    )

@@ -499,3 +499,100 @@ def q_scd2_pit_lookup(spark: SparkSession, sf: str):
         F.sum("version").cast("long").alias("version_checksum"),
         F.sum("event_id").cast("long").alias("probe_checksum"),
     )
+
+
+@register(
+    "quality_constraint_suite",
+    """WITH base AS (
+         SELECT count(*)::BIGINT AS n_rows,
+                sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS v_null,
+                (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT
+                  AS v_unique,
+                sum(CASE WHEN NOT (o_totalprice >= 0) THEN 1 ELSE 0 END)::BIGINT
+                  AS v_price,
+                sum(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
+                         THEN 1 ELSE 0 END)::BIGINT AS v_status,
+                sum(CASE WHEN NOT (year(o_orderdate) BETWEEN 1995 AND 2001)
+                         THEN 1 ELSE 0 END)::BIGINT AS v_date,
+                sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                                 '^[1-5]-[A-Z ]+$')
+                         THEN 1 ELSE 0 END)::BIGINT AS v_prio
+         FROM orders),
+       ref AS (
+         SELECT count(*)::BIGINT AS v_ref FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)),
+       stacked AS (
+         SELECT 'orderkey_not_null' AS constraint_name, n_rows, v_null AS v
+           FROM base
+         UNION ALL SELECT 'orderkey_unique', n_rows, v_unique FROM base
+         UNION ALL SELECT 'totalprice_nonnegative', n_rows, v_price FROM base
+         UNION ALL SELECT 'orderstatus_domain', n_rows, v_status FROM base
+         UNION ALL SELECT 'orderdate_year_range', n_rows, v_date FROM base
+         UNION ALL SELECT 'orderpriority_format', n_rows, v_prio FROM base
+         UNION ALL SELECT 'custkey_ref_integrity', n_rows, v_ref
+           FROM base, ref)
+       SELECT constraint_name, n_rows AS n_checked, v AS n_violations,
+              v = 0 AS passed
+       FROM stacked ORDER BY constraint_name""",
+    doc="Declarative data-quality constraint suite (the Deequ/"
+    "expectations shape): seven named rules over the orders feed — "
+    "completeness, key uniqueness, non-negativity, a value domain, a "
+    "year range, a regex format, and referential integrity against "
+    "customer — each reported as (n_checked, n_violations, passed). "
+    "Domain/range/format rules count only NON-NULL non-conforming "
+    "values (CASE WHEN NOT cond: a NULL predicate falls to ELSE in "
+    "both engines); NULLs are the completeness rule's job. Scale "
+    "shape: six rules fuse into ONE scan-level aggregate (map-side "
+    "combinable; uniqueness pays the one distinct shuffle), the "
+    "referential rule is one key-projected anti-join, and the report "
+    "is a zero-shuffle stack over two 1-row frames.",
+)
+def q_quality_constraints(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders")
+    viol = lambda cond: F.sum(  # noqa: E731  (CASE WHEN NOT cond → ELSE 0 on NULL)
+        F.when(~cond, 1).otherwise(0)
+    ).cast("long")
+    base = o.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_null"),
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("v_unique"),
+        viol(F.col("o_totalprice") >= 0).alias("v_price"),
+        viol(F.col("o_orderstatus").isin("O", "F", "P")).alias("v_status"),
+        viol(F.year("o_orderdate").between(1995, 2001)).alias("v_date"),
+        viol(F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$")).alias("v_prio"),
+    )
+    ref = (
+        o.select("o_custkey")
+        .join(
+            table(spark, sf, "customer").select(
+                F.col("c_custkey").alias("o_custkey")
+            ),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("v_ref"))
+    )
+    wide = base.crossJoin(F.broadcast(ref))
+    stacked = wide.selectExpr(
+        "n_rows",
+        "stack(7, "
+        "'orderkey_not_null', v_null, "
+        "'orderkey_unique', v_unique, "
+        "'totalprice_nonnegative', v_price, "
+        "'orderstatus_domain', v_status, "
+        "'orderdate_year_range', v_date, "
+        "'orderpriority_format', v_prio, "
+        "'custkey_ref_integrity', v_ref) AS (constraint_name, v)",
+    )
+    return stacked.select(
+        "constraint_name",
+        F.col("n_rows").alias("n_checked"),
+        F.col("v").alias("n_violations"),
+        (F.col("v") == 0).alias("passed"),
+    ).orderBy("constraint_name")

@@ -255,6 +255,15 @@ HEADLINE = [
     "events_attribution_credit",
     "events_top_paths",
     "events_concurrency_profile",
+    # r8: Deequ-style constraint suite, Matryoshka truncation cert,
+    # exact weighted quantiles, IPW A/A estimator, Fellegi-Sunter
+    # linkage weights, gaps-and-islands activity streaks
+    "quality_constraint_suite",
+    "eval_matryoshka_truncation",
+    "stats_weighted_median",
+    "stats_ipw_estimate",
+    "er_fellegi_sunter_weights",
+    "events_activity_streaks",
 ]
 
 

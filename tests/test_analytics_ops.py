@@ -424,3 +424,62 @@ def test_concurrency_overlap_and_midnight_carry(spark, tmp_path):
     d0, d1 = rows
     assert (d0.n_starts, d0.n_ends, d0.carry_in, d0.peak_concurrency) == (3, 2, 0, 2)
     assert (d1.n_starts, d1.n_ends, d1.carry_in, d1.peak_concurrency) == (0, 1, 1, 1)
+
+
+def test_fs_weights_hand_block(spark, tmp_path):
+    """One block of four: two matched pairs (lev 1), four unmatched
+    cross pairs (lev 4). Segment agreement: 1 of 2 matched, 2 of 4
+    unmatched → m = u = 0.5, weight log2(1) = 0."""
+    import pandas as pd
+
+    p = "AAAAAAAAAAAAAAA"  # 15-char blocking prefix
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4],
+            "c_name": [p + "XX1", p + "XX2", p + "YYYY", p + "YYYZ"],
+            "c_nationkey": [1, 1, 1, 1],
+            "c_acctbal": [1.0, 2.0, 3.0, -4.0],
+            "c_mktsegment": ["S1", "S1", "S1", "S2"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.field: r
+        for r in REGISTRY["er_fellegi_sunter_weights"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    seg = out["mktsegment"]
+    assert (seg.n_match, seg.n_nonmatch) == (2, 4)
+    assert (seg.n_agree_match, seg.n_agree_nonmatch) == (1, 2)
+    assert (seg.m_rate, seg.u_rate, seg.log2_weight) == (0.5, 0.5, 0.0)
+    assert out["acctbal_sign"].n_match == 2
+
+
+def test_activity_streaks_islands(spark, tmp_path):
+    """u1 active on days 0,1,2,5 (longest streak 3 — duplicate events on
+    a day must not inflate it); u2 on days 0,2 (longest 1)."""
+    import pandas as pd
+
+    rows = [(1, 0), (1, 0), (1, 1), (1, 2), (1, 5), (2, 0), (2, 2)]
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [base + pd.Timedelta(days=d, minutes=i) for i, (_, d) in enumerate(rows)],
+            "user_id": [u for u, _ in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    got = {
+        r.streak_days: r.n_users
+        for r in REGISTRY["events_activity_streaks"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1: 1, 3: 1}

@@ -236,3 +236,38 @@ def test_gray8_png_roundtrip_phash_equals_pattern():
         w, h, mode, rows = png_decode_gray(gray8_png(pattern))
         assert (w, h, mode) == (8, 8, "L")
         assert average_hash_gray(rows, w, h) == pattern
+
+
+def test_matryoshka_prefix_blind_spot(spark, tmp_path):
+    """vec 1 hides its divergence in dim 9: at 8 dims it ties the pure
+    e1 vectors (rank ties on vec_id pull it into the top 5, overlap
+    4/5); at 16 dims the divergence is visible and overlap is exact."""
+    import pandas as pd
+
+    def vec(*pairs):
+        v = [0.0] * 64
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = {0: vec((0, 1.0)), 1: vec((0, 1.0), (8, 5.0))}
+    for i in range(2, 7):
+        rows[i] = vec((0, 1.0))
+    pd.DataFrame(
+        {
+            "vec_id": list(rows),
+            "embedding": [rows[k] for k in rows],
+            "label": [0] * len(rows),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.dim: r
+        for r in REGISTRY["eval_matryoshka_truncation"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[8].n_queries == out[16].n_queries == 1
+    assert out[8].mean_overlap5 == 0.8
+    assert out[16].mean_overlap5 == 1.0

@@ -119,6 +119,14 @@ CROSS_ALLOWED = {
     "stats_bootstrap_poisson_ci",
     # 1-row date-midpoint pivot broadcast over events (the CUPED shape)
     "stats_diff_in_diff",
+    # 1-row referential-integrity count assembled onto the 1-row
+    # six-rule aggregate before the zero-shuffle stack
+    "quality_constraint_suite",
+    # 1-row total-weight broadcast onto the distinct-price prefix table
+    "stats_weighted_median",
+    # brute-force broadcast query batch per truncation (the
+    # eval_knn_label_accuracy exactness-tier shape)
+    "eval_matryoshka_truncation",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -256,6 +264,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # carry-in offset over the ~30-row boundary-DAY table (in-day sweep
     # windows are day-partitioned; two-level prefix-sum discipline)
     "events_concurrency_profile",
+    # cumulative offset over the price-BUCKET-COUNT table (the gini/
+    # pareto two-level prefix class)
+    "stats_weighted_median",
 }
 
 
@@ -354,6 +365,9 @@ SCAN_MULTIPLICITY_ALLOW = {
     "ann_ivf_adc_topk": 3,         # bucket posting side + query batch + the
                                    # one-time code/table build (checkpointed
                                    # frames absorb the rest)
+    "eval_matryoshka_truncation": 4,  # two truncation chains, each a cheap
+                                      # pruned corpus + query-batch scan
+                                      # (full-dim chain checkpointed)
 }
 
 

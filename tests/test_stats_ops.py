@@ -716,3 +716,50 @@ def test_did_null_effect_on_period_only_shift(spark, tmp_path):
     assert r.mean_t_pre == 100.0 and r.mean_t_post == 300.0
     assert r.mean_c_pre == 100.0 and r.mean_c_post == 300.0
     assert r.did_cents == 0.0
+
+
+def test_weighted_median_hand_cumulative(spark, tmp_path):
+    """(price, qty) = (1.00,1),(2.00,2),(3.00,1): W=4; cumulative weight
+    crosses W/4 at 100 cents and both W/2 and 3W/4 at 200 cents."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"l_extendedprice": [1.0, 2.0, 3.0], "l_quantity": [1.0, 2.0, 1.0]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_weighted_median"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.total_weight, r.wq25_cents, r.wmedian_cents, r.wq75_cents) == (
+        4,
+        100,
+        200,
+        200,
+    )
+
+
+def test_ipw_constant_outcome_zero_effect(spark, tmp_path):
+    """Every event is worth 2.00 in both strata → both IPW means are
+    exactly 200 and the A/A effect is exactly 0 regardless of how the
+    hash splits the arms."""
+    import pandas as pd
+
+    n = 40
+    rows = [(u, t) for u in range(n) for t in ("click", "view")]
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(len(rows))],
+            "user_id": [u for u, _ in rows],
+            "event_type": [t for _, t in rows],
+            "value": [2.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_ipw_estimate"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.n_strata == 2
+    assert r.n_treat + r.n_control == len(rows)
+    assert r.mu_treat_cents == 200.0 and r.mu_control_cents == 200.0
+    assert r.ate_cents == 0.0

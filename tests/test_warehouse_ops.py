@@ -284,3 +284,35 @@ def test_streaming_cdc_apply_invariant_to_batch_split(spark, monkeypatch):
         for r in REGISTRY["streaming_cdc_apply"].spark(spark, sf).collect()
     }
     assert streamed == batch
+
+
+def test_constraint_suite_counts_each_rule(spark, tmp_path):
+    """Three rows engineered so every rule has exactly one violation:
+    a clean row, a dup-key row violating domain/range/format/price, and
+    a null-key row referencing a missing customer."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 1, None],
+            "o_custkey": [1, 2, 99],
+            "o_orderstatus": ["O", "X", "F"],
+            "o_totalprice": [10.0, -5.0, 1.0],
+            "o_orderdate": pd.to_datetime(
+                ["1995-06-01", "1993-01-01", "1996-01-01"]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT", "bad", "5-LOW"],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({"c_custkey": [1, 2]}).to_parquet(tmp_path / "customer.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.constraint_name: r
+        for r in REGISTRY["quality_constraint_suite"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(out) == 7
+    assert all(r.n_checked == 3 for r in out.values())
+    assert all(r.n_violations == 1 and not r.passed for r in out.values())
