@@ -178,6 +178,12 @@ _DEFERRED_PAST_WINDOW = {
     "stats_ipw_estimate",
     "er_fellegi_sunter_weights",
     "events_activity_streaks",
+    "eval_cluster_davies_bouldin",
+    "stats_power_mde",
+    "stats_overdispersion",
+    "eval_join_cardinality_est",
+    "text_rake_keywords",
+    "stats_group_sequential",
 }
 
 

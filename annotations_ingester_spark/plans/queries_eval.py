@@ -1060,3 +1060,225 @@ def q_eval_matryoshka(spark: SparkSession, sf: str):
 
 
 REGISTRY["eval_matryoshka_truncation"].oracle = _matryoshka_overlap_sql()
+
+
+# shared kmeans CTE prefix (the kmeans_lloyd_step machinery: per-dim
+# explode + exact-decimal L2^2 + deterministic argmin assignment)
+_KM_ASSIGN_CTE = """b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       c AS (SELECT vec_id AS centroid_id, e AS ce FROM b
+            WHERE vec_id % 173 = 0 AND vec_id < 2000),
+       vd AS (
+         SELECT vec_id, s.i AS dim, s.v AS v
+         FROM (SELECT vec_id,
+                      unnest(list_transform(range(len(e)),
+                                            i -> {'i': i, 'v': e[i + 1]})) AS s
+               FROM b)),
+       cd AS (
+         SELECT centroid_id, s.i AS dim, s.v AS cv
+         FROM (SELECT centroid_id,
+                      unnest(list_transform(range(len(ce)),
+                                            i -> {'i': i, 'v': ce[i + 1]})) AS s
+               FROM c)),
+       d2 AS (
+         SELECT vd.vec_id, cd.centroid_id,
+                sum(((vd.v - cd.cv) * (vd.v - cd.cv))::DECIMAL(28,12)) AS d2
+         FROM vd JOIN cd USING (dim)
+         GROUP BY vd.vec_id, cd.centroid_id),
+       assign AS (
+         SELECT vec_id, centroid_id, d2
+         FROM (SELECT vec_id, centroid_id, d2,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, centroid_id) AS rn
+               FROM d2)
+         WHERE rn = 1)"""
+
+
+@register(
+    "eval_cluster_davies_bouldin",
+    f"""WITH {_KM_ASSIGN_CTE},
+       s AS (
+         SELECT centroid_id, count(*)::BIGINT AS n_members,
+                round(CAST(sum(round(sqrt(CAST(d2 AS DOUBLE)), 6)
+                                ::DECIMAL(25,6)) AS DOUBLE) / count(*), 6)
+                  AS s_intra
+         FROM assign GROUP BY centroid_id),
+       m AS (
+         SELECT a.centroid_id AS ci, b2.centroid_id AS cj,
+                round(sqrt(CAST(sum(((a.cv - b2.cv) * (a.cv - b2.cv))
+                                    ::DECIMAL(28,12)) AS DOUBLE)), 6) AS dist
+         FROM cd a JOIN cd b2 USING (dim)
+         WHERE a.centroid_id <> b2.centroid_id
+         GROUP BY ci, cj),
+       r AS (
+         SELECT m.ci AS centroid_id,
+                max(round((si.s_intra + sj.s_intra) / m.dist, 6)) AS r_max
+         FROM m JOIN s si ON si.centroid_id = m.ci
+                JOIN s sj ON sj.centroid_id = m.cj
+         GROUP BY m.ci)
+       SELECT s.centroid_id, s.n_members, s.s_intra, r.r_max
+       FROM s JOIN r USING (centroid_id) ORDER BY s.centroid_id""",
+    doc="Davies-Bouldin cluster-quality report over the fixed-seed "
+    "k-means assignment (centroids vec_id%173<2000 — the "
+    "kmeans_lloyd_step seeds): per cluster, the member count, the mean "
+    "member-to-centroid distance S_i, and the DB term "
+    "R_i = max_j (S_i+S_j)/M_ij over the k x k centroid-distance "
+    "table — the separation-vs-scatter score that decides whether a "
+    "semantic-dedup clustering is tight enough to trust (mean of R_i "
+    "is the classic DB index; per-cluster rows localize the blame). "
+    "Distances are exact-decimal L2^2 folds (the kmeans argmin "
+    "discipline) surfaced once through sqrt and rounded to 6 dp; "
+    "per-cluster means accumulate rounded terms as DECIMAL(25,6) "
+    "(order-exact). Scale shape: broadcast-centroid assignment "
+    "(N x k, never all-pairs), one cluster-key aggregate, and a k x k "
+    "centroid cross bounded by the pinned k.",
+)
+def q_eval_davies_bouldin(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.operators.similarity import kmeans_assign
+
+    emb = table(spark, sf, "embeddings")
+    # cents (k rows) is consumed by the assignment, the member re-join,
+    # and both sides of the k x k distance table; the assignment frame by
+    # the member join — checkpoint both so the final plan reads the
+    # corpus ONCE (scan-multiplicity rule; the kmeans_two_round_assign
+    # discipline)
+    cents = (
+        emb.filter((F.col("vec_id") % 173 == 0) & (F.col("vec_id") < 2000))
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    asg = kmeans_assign(emb, cents).localCheckpoint(eager=True)
+    d2_sql = (
+        "aggregate("
+        " zip_with(_v, _cv, (a, b) ->"
+        "   CAST((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        "        * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) AS DECIMAL(28,12))),"
+        " CAST(0 AS DECIMAL(28,12)),"
+        " (acc, x) -> CAST(acc + x AS DECIMAL(28,12)))"
+    )
+    member_d = (
+        asg.join(emb.select("vec_id", F.col("embedding").alias("_v")), "vec_id")
+        .join(
+            F.broadcast(
+                cents.select("centroid_id", F.col("embedding").alias("_cv"))
+            ),
+            "centroid_id",
+        )
+        .select(
+            "centroid_id",
+            F.round(F.sqrt(F.expr(d2_sql).cast("double")), 6).alias("dist"),
+        )
+    )
+    # s (k rows) feeds si, sj, and the final join — checkpoint so the
+    # member-distance scan behind it runs once
+    s = member_d.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.col("dist").cast("decimal(25,6)")).cast("double") / F.count("*"),
+            6,
+        ).alias("s_intra"),
+    ).localCheckpoint(eager=True)
+    ci = cents.select(F.col("centroid_id").alias("ci"), F.col("embedding").alias("_v"))
+    cj = cents.select(F.col("centroid_id").alias("cj"), F.col("embedding").alias("_cv"))
+    m = (
+        ci.crossJoin(F.broadcast(cj))
+        .filter(F.col("ci") != F.col("cj"))
+        .select(
+            "ci",
+            "cj",
+            F.round(F.sqrt(F.expr(d2_sql).cast("double")), 6).alias("dist"),
+        )
+    )
+    si = s.select(F.col("centroid_id").alias("ci"), F.col("s_intra").alias("s_i"))
+    sj = s.select(F.col("centroid_id").alias("cj"), F.col("s_intra").alias("s_j"))
+    r = (
+        m.join(F.broadcast(si), "ci")
+        .join(F.broadcast(sj), "cj")
+        .groupBy(F.col("ci").alias("centroid_id"))
+        .agg(
+            F.max(
+                F.round((F.col("s_i") + F.col("s_j")) / F.col("dist"), 6)
+            ).alias("r_max")
+        )
+    )
+    return (
+        s.join(r, "centroid_id")
+        .select("centroid_id", "n_members", "s_intra", "r_max")
+        .orderBy("centroid_id")
+    )
+
+
+from annotations_ingester_spark.functions.hashing import (  # noqa: E402
+    md5_hash64,
+    md5_hash64_sql,
+)
+
+
+@register(
+    "eval_join_cardinality_est",
+    f"""WITH c AS (
+         SELECT l_partkey, count(*)::BIGINT AS k
+         FROM lineitem GROUP BY l_partkey),
+       a AS (SELECT count(*)::BIGINT AS n_keys,
+                    sum(CASE WHEN {md5_hash64_sql("'jce:' || l_partkey::VARCHAR")}
+                             % 16 = 0 THEN 1 ELSE 0 END)::BIGINT
+                      AS n_sampled,
+                    sum(k::DECIMAL(38,0) * k)::DECIMAL(38,0) AS exact_pairs,
+                    sum(CASE WHEN {md5_hash64_sql("'jce:' || l_partkey::VARCHAR")}
+                             % 16 = 0
+                             THEN k::DECIMAL(38,0) * k
+                             ELSE 0::DECIMAL(38,0) END)
+                      * 16 AS est_pairs
+             FROM c)
+       SELECT n_keys, n_sampled,
+              exact_pairs::BIGINT AS exact_pairs,
+              est_pairs::BIGINT AS est_pairs,
+              round(abs(CAST(est_pairs AS DOUBLE) - CAST(exact_pairs AS DOUBLE))
+                    / CAST(exact_pairs AS DOUBLE), 6) AS rel_error
+       FROM a""",
+    doc="Join-cardinality estimation certified against ground truth: the "
+    "self-equi-join size on l_partkey is exactly sum(c_k^2) over "
+    "per-key counts, and the 1/16 KEY-sampled estimator (keys chosen "
+    "by the salted portable md5 hash — sampling keys, not rows, keeps "
+    "the per-key count exact inside the sample) scales its partial sum "
+    "by 16; the report prices that estimator with its relative error — "
+    "the number a planner needs before risking a shuffle join at "
+    "100 TB. Both the exact and sampled sums ride ONE map-side-"
+    "combinable aggregate over the key-count rollup (a single scan, no "
+    "join is ever executed); pair counts accumulate as DECIMAL(38,0). "
+    "Scale shape: one key-rollup shuffle + a 1-row reduce.",
+)
+def q_eval_join_card(spark: SparkSession, sf: str):
+    c = (
+        table(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    sampled = (
+        md5_hash64(F.concat(F.lit("jce:"), F.col("l_partkey").cast("string"))) % 16
+        == 0
+    )
+    k2 = F.col("k").cast("decimal(38,0)") * F.col("k")
+    a = c.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.when(sampled, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum(k2).alias("exact_pairs"),
+        (F.sum(F.when(sampled, k2).otherwise(F.lit(0).cast("decimal(38,0)"))) * 16)
+        .alias("est_pairs"),
+    )
+    return a.select(
+        "n_keys",
+        "n_sampled",
+        F.col("exact_pairs").cast("long").alias("exact_pairs"),
+        F.col("est_pairs").cast("long").alias("est_pairs"),
+        F.round(
+            F.abs(
+                F.col("est_pairs").cast("double")
+                - F.col("exact_pairs").cast("double")
+            )
+            / F.col("exact_pairs").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )

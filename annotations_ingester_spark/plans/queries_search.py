@@ -193,3 +193,77 @@ def q_search_phrase(spark: SparkSession, sf: str):
             F.min("pos").cast("long").alias("first_pos"),
         )
     )
+
+
+# the pinned EN stopword set (functions/text.LANG_STOPWORDS) — RAKE's
+# phrase delimiters, shared as literals by both engines
+_RAKE_STOPS = ("the", "and", "of", "to", "a", "in", "is", "it")
+
+
+@register(
+    "text_rake_keywords",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+       p AS (
+         SELECT doc_id, unnest(t) AS tok,
+                unnest(range(1, len(t) + 1)) AS pos
+         FROM d),
+       ns AS (
+         SELECT doc_id, tok, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS island
+         FROM p WHERE tok NOT IN {repr(tuple(_RAKE_STOPS))}),
+       ph AS (SELECT doc_id, island, count(*)::BIGINT AS plen
+              FROM ns GROUP BY doc_id, island),
+       wp AS (SELECT ns.tok, ph.plen
+              FROM ns JOIN ph USING (doc_id, island)),
+       agg AS (SELECT tok, count(*)::BIGINT AS freq,
+                      sum(plen)::BIGINT AS degree
+               FROM wp GROUP BY tok)
+       SELECT tok AS keyword, freq, degree,
+              round(CAST(degree AS DOUBLE) / freq, 6) AS rake_score
+       FROM agg
+       ORDER BY rake_score DESC, degree DESC, keyword LIMIT 20""",
+    doc="RAKE keyword extraction (Rose et al.'s rapid automatic keyword "
+    "method): stopwords delimit candidate phrases, consecutive "
+    "non-stopword runs become phrases via gaps-and-islands (pos - "
+    "per-doc rank is constant exactly across a run), and each word "
+    "scores degree/frequency — degree sums the lengths of every phrase "
+    "the word appears in, rewarding words that live in long "
+    "collocations over merely frequent ones (the content-word "
+    "complement of tfidf_top_terms). Top-20 is TakeOrderedAndProject "
+    "under a total (score, degree, keyword) order. Scale shape: one "
+    "doc-partitioned position window + two map-side-combinable "
+    "aggregates; the phrase join is per-doc equi on (doc, island).",
+)
+def q_text_rake(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    p = table(spark, sf, "documents").select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    ns = p.filter(~F.col("tok").isin(*_RAKE_STOPS)).withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    ph = ns.groupBy("doc_id", "island").agg(
+        F.count("*").cast("long").alias("plen")
+    )
+    wp = ns.join(ph, ["doc_id", "island"]).select("tok", "plen")
+    agg = wp.groupBy("tok").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    return (
+        agg.select(
+            F.col("tok").alias("keyword"),
+            "freq",
+            "degree",
+            F.round(F.col("degree").cast("double") / F.col("freq"), 6).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy(F.desc("rake_score"), F.desc("degree"), F.asc("keyword"))
+        .limit(20)
+    )

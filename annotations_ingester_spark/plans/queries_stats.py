@@ -2564,3 +2564,256 @@ def q_stats_ipw(spark: SparkSession, sf: str):
         F.round(mu0, 6).alias("mu_control_cents"),
         F.round(mu1 - mu0, 6).alias("ate_cents"),
     )
+
+
+# two-sided alpha=0.05 / power=0.80 normal quantiles — pinned literals
+# shared by both engines (the experiment-sizing constants)
+_Z_ALPHA2 = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+
+
+@register(
+    "stats_power_mde",
+    f"""WITH c AS (
+         SELECT event_type, round(value * 100)::BIGINT AS cents FROM events
+         WHERE event_type IN ('click', 'view')),
+       m AS (SELECT event_type, count(*)::BIGINT AS n,
+                    sum(cents)::BIGINT AS s,
+                    sum(cents::DECIMAL(38,0) * cents)::DECIMAL(38,0) AS q
+             FROM c GROUP BY event_type),
+       w AS (SELECT
+               max(CASE WHEN event_type = 'click' THEN n END)::BIGINT AS n1,
+               max(CASE WHEN event_type = 'view' THEN n END)::BIGINT AS n2,
+               max(CASE WHEN event_type = 'click' THEN s END)::BIGINT AS s1,
+               max(CASE WHEN event_type = 'view' THEN s END)::BIGINT AS s2,
+               max(CASE WHEN event_type = 'click' THEN q END) AS q1,
+               max(CASE WHEN event_type = 'view' THEN q END) AS q2
+             FROM m),
+       v AS (SELECT n1, n2, CAST(s1 AS DOUBLE) / n1 AS m1,
+                    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                      / (n1 - 1) AS v1,
+                    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                      / (n2 - 1) AS v2
+             FROM w)
+       SELECT n1, n2, round(sqrt(v1 / n1 + v2 / n2), 6) AS se_cents,
+              round(({_Z_ALPHA2!r} + {_Z_BETA!r})
+                    * sqrt(v1 / n1 + v2 / n2), 4) AS mde_cents,
+              round(({_Z_ALPHA2!r} + {_Z_BETA!r})
+                    * sqrt(v1 / n1 + v2 / n2) / m1, 6) AS mde_rel
+       FROM v""",
+    doc="Experiment sizing: the minimum detectable effect at the CURRENT "
+    "sample sizes (two-sided alpha 0.05, power 0.80 — quantiles pinned "
+    "as shared literals) for the click-vs-view value comparison, "
+    "absolute and relative to the baseline mean. Group variances come "
+    "from the same exact integer/decimal moments as stats_welch_ttest "
+    "(never a float variance over raw doubles); MDE = (z_a/2 + z_b) * "
+    "SE is one shared IEEE tree rounded once per output. Scale shape: "
+    "one scan-fused 2-group aggregate, then 1-row arithmetic.",
+)
+def q_stats_power_mde(spark: SparkSession, sf: str):
+    c = (
+        events_table(spark, sf)
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("q"),
+    )
+    pick = lambda t, col: F.max(F.when(F.col("event_type") == t, F.col(col)))  # noqa: E731
+    w = m.agg(
+        pick("click", "n").cast("long").alias("n1"),
+        pick("view", "n").cast("long").alias("n2"),
+        pick("click", "s").cast("long").alias("s1"),
+        pick("view", "s").cast("long").alias("s2"),
+        pick("click", "q").alias("q1"),
+        pick("view", "q").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1
+    v1 = (
+        F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1") / n1
+    ) / (n1 - 1)
+    v2 = (
+        F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2") / n2
+    ) / (n2 - 1)
+    se = F.sqrt(v1 / n1 + v2 / n2)
+    zsum = F.lit(_Z_ALPHA2) + F.lit(_Z_BETA)
+    return w.select(
+        "n1",
+        "n2",
+        F.round(se, 6).alias("se_cents"),
+        F.round(zsum * se, 4).alias("mde_cents"),
+        F.round(zsum * se / m1, 6).alias("mde_rel"),
+    )
+
+
+@register(
+    "stats_overdispersion",
+    """WITH c AS (
+         SELECT user_id, event_type, count(*)::BIGINT AS k
+         FROM events GROUP BY user_id, event_type),
+       m AS (SELECT event_type, count(*)::BIGINT AS n_users,
+                    sum(k)::BIGINT AS s,
+                    sum(k::DECIMAL(38,0) * k)::DECIMAL(38,0) AS q
+             FROM c GROUP BY event_type)
+       SELECT event_type, n_users, s AS n_events,
+              round(CAST(s AS DOUBLE) / n_users, 6) AS mean_k,
+              round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_users)
+                    / (n_users - 1), 6) AS var_k,
+              round(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_users)
+                     / (n_users - 1)) / (CAST(s AS DOUBLE) / n_users), 6)
+                AS dispersion_index,
+              ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_users)
+               / (n_users - 1)) / (CAST(s AS DOUBLE) / n_users) > 1.5
+                AS overdispersed
+       FROM m ORDER BY event_type""",
+    doc="Overdispersion diagnostic for per-user event counts: the index "
+    "of dispersion var/mean per event type (1 under Poisson arrivals; "
+    "> 1.5 flags clumped usage that invalidates Poisson-rate "
+    "assumptions in the A/B machinery). Count moments are exact "
+    "integer/decimal sums; the index is one shared IEEE tree, rounded "
+    "once for display and compared UNROUNDED for the flag (both "
+    "engines evaluate the identical expression). Scale shape: one "
+    "(user, type) rollup shuffle + a type-domain-bounded aggregate.",
+)
+def q_stats_overdispersion(spark: SparkSession, sf: str):
+    c = events_table(spark, sf).groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("k").cast("long").alias("s"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k")).alias("q"),
+    )
+    mean_k = F.col("s").cast("double") / F.col("n_users")
+    var_k = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n_users")
+    ) / (F.col("n_users") - 1)
+    idx = var_k / mean_k
+    return m.select(
+        "event_type",
+        "n_users",
+        F.col("s").alias("n_events"),
+        F.round(mean_k, 6).alias("mean_k"),
+        F.round(var_k, 6).alias("var_k"),
+        F.round(idx, 6).alias("dispersion_index"),
+        (idx > 1.5).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+# O'Brien-Fleming boundaries for 5 equally-spaced looks at overall
+# two-sided alpha 0.05 (z_final * sqrt(K/k), z_final = 2.04) — pinned
+# literals shared by both engines
+_OBF_LOOKS = (
+    (1, 6, 4.5616),
+    (2, 12, 3.2256),
+    (3, 18, 2.6337),
+    (4, 24, 2.2808),
+    (5, 30, 2.04),
+)
+
+
+@register(
+    "stats_group_sequential",
+    f"""WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                {md5_hash64_sql("'gs:' || user_id::VARCHAR")} % 2 = 0 AS treat,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+         FROM events),
+       d0 AS (SELECT min(day)::BIGINT AS min_day FROM e),
+       daily AS (
+         SELECT day - d0.min_day AS day_off, treat,
+                count(*)::BIGINT AS n, sum(conv)::BIGINT AS x
+         FROM e, d0 GROUP BY day_off, treat),
+       looks AS (SELECT * FROM (VALUES {', '.join(f'({k}, {c}, {b!r})' for k, c, b in _OBF_LOOKS)})
+                 AS l(look, cutoff_days, obf_boundary)),
+       cum AS (
+         SELECT l.look, l.cutoff_days, l.obf_boundary,
+                sum(CASE WHEN d.treat THEN d.n ELSE 0 END)::BIGINT AS n1,
+                sum(CASE WHEN d.treat THEN d.x ELSE 0 END)::BIGINT AS x1,
+                sum(CASE WHEN NOT d.treat THEN d.n ELSE 0 END)::BIGINT AS n0,
+                sum(CASE WHEN NOT d.treat THEN d.x ELSE 0 END)::BIGINT AS x0
+         FROM looks l JOIN daily d ON d.day_off < l.cutoff_days
+         GROUP BY 1, 2, 3),
+       z AS (
+         SELECT look, cutoff_days, n1, x1, n0, x0, obf_boundary,
+                (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                / sqrt((CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                       * (1 - CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                       * (1.0 / n1 + 1.0 / n0)) AS zv
+         FROM cum)
+       SELECT look::BIGINT AS look, cutoff_days::BIGINT AS cutoff_days,
+              n1 AS n_treat, n0 AS n_control, x1 AS conv_treat,
+              x0 AS conv_control, round(zv, 4) AS z_k,
+              obf_boundary, abs(zv) > obf_boundary AS crossed
+       FROM z ORDER BY look""",
+    doc="Group-sequential interim monitoring (O'Brien-Fleming, 5 equally "
+    "spaced looks, two-sided alpha 0.05 — boundaries pinned as shared "
+    "literals): at each look, the cumulative two-proportion purchase-"
+    "conversion z between md5-hash arms is compared to its boundary — "
+    "the peeking-safe alternative to re-running stats_ab_test_"
+    "proportions daily, and an A/A calibration here (hash arms: no "
+    "look should cross). The crossing flag compares the UNROUNDED z "
+    "(identical IEEE tree both engines); z rounds once for display. "
+    "Scale shape: one scan-fused (day x arm)-bounded rollup, a 1-row "
+    "min-day broadcast, a 5-row look table fanned over the ~60-row "
+    "rollup, 5-row output.",
+)
+def q_stats_group_sequential(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        (
+            md5_hash64(F.concat(F.lit("gs:"), F.col("user_id").cast("string"))) % 2
+            == 0
+        ).alias("treat"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    d0 = e.agg(F.min("day").cast("long").alias("min_day"))
+    daily = (
+        e.crossJoin(F.broadcast(d0))
+        .groupBy((F.col("day") - F.col("min_day")).alias("day_off"), "treat")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("conv").cast("long").alias("x"))
+    )
+    looks = spark.createDataFrame(
+        list(_OBF_LOOKS), "look int, cutoff_days int, obf_boundary double"
+    )
+    cum = (
+        F.broadcast(looks)
+        .join(daily, daily["day_off"] < looks["cutoff_days"])
+        .groupBy("look", "cutoff_days", "obf_boundary")
+        .agg(
+            F.sum(F.when(F.col("treat"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("treat"), F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("x1"),
+            F.sum(F.when(~F.col("treat"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum(F.when(~F.col("treat"), F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("x0"),
+        )
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    pp = (F.col("x1") + F.col("x0")).cast("double") / (F.col("n1") + F.col("n0"))
+    zv = (p1 - p0) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n0")))
+    return cum.select(
+        F.col("look").cast("long").alias("look"),
+        F.col("cutoff_days").cast("long").alias("cutoff_days"),
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_control"),
+        F.col("x1").alias("conv_treat"),
+        F.col("x0").alias("conv_control"),
+        F.round(zv, 4).alias("z_k"),
+        "obf_boundary",
+        (F.abs(zv) > F.col("obf_boundary")).alias("crossed"),
+    ).orderBy("look")

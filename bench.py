@@ -264,6 +264,15 @@ HEADLINE = [
     "stats_ipw_estimate",
     "er_fellegi_sunter_weights",
     "events_activity_streaks",
+    # r8: Davies-Bouldin cluster quality, experiment sizing (MDE),
+    # Poisson overdispersion check, key-sampled join-cardinality cert,
+    # RAKE keyword extraction, O'Brien-Fleming interim monitoring
+    "eval_cluster_davies_bouldin",
+    "stats_power_mde",
+    "stats_overdispersion",
+    "eval_join_cardinality_est",
+    "text_rake_keywords",
+    "stats_group_sequential",
 ]
 
 

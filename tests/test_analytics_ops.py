@@ -483,3 +483,46 @@ def test_activity_streaks_islands(spark, tmp_path):
         .collect()
     }
     assert got == {1: 1, 3: 1}
+
+
+def test_rake_degree_rewards_collocations(spark, tmp_path):
+    """'the quick fox and the lazy dog' yields 2-word phrases (score 2
+    per word); 'of cat' yields the singleton 'cat' (score 1)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "text": ["the quick fox and the lazy dog", "of cat"],
+            "n_chars": [31, 6],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    got = {
+        r.keyword: (r.freq, r.degree, r.rake_score)
+        for r in REGISTRY["text_rake_keywords"].spark(spark, str(tmp_path)).collect()
+    }
+    for w in ("quick", "fox", "lazy", "dog"):
+        assert got[w] == (1, 2, 2.0)
+    assert got["cat"] == (1, 1, 1.0)
+    assert "the" not in got and "and" not in got and "of" not in got
+
+
+def test_join_cardinality_exact_tier(spark, tmp_path):
+    """Counts {3, 1} per key: exact self-join size is 9 + 1 = 10; the
+    estimate is a 16x-scaled subset sum, so it is 0, 16*9, 16*1 or
+    16*10 and the reported rel_error matches it."""
+    import pandas as pd
+
+    pd.DataFrame({"l_partkey": [7, 7, 7, 9]}).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["eval_join_cardinality_est"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.n_keys, r.exact_pairs) == (2, 10)
+    assert r.est_pairs in (0, 16, 144, 160)
+    assert r.rel_error == round(abs(r.est_pairs - 10) / 10, 6)

@@ -271,3 +271,41 @@ def test_matryoshka_prefix_blind_spot(spark, tmp_path):
     assert out[8].n_queries == out[16].n_queries == 1
     assert out[8].mean_overlap5 == 0.8
     assert out[16].mean_overlap5 == 1.0
+
+
+def test_davies_bouldin_two_hand_clusters(spark, tmp_path):
+    """Clusters A={0,1} (zero scatter) and B={173,174} (S=1.0) with
+    centroid distance sqrt(10): R = 1/sqrt(10) for both clusters."""
+    import pandas as pd
+
+    def vec(*pairs):
+        v = [0.0] * 8
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = {
+        0: vec((0, 1.0)),
+        1: vec((0, 1.0)),
+        173: vec((1, 3.0)),
+        174: vec((1, 5.0)),
+    }
+    pd.DataFrame(
+        {
+            "vec_id": list(rows),
+            "embedding": [rows[k] for k in rows],
+            "label": [0] * len(rows),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.centroid_id: r
+        for r in REGISTRY["eval_cluster_davies_bouldin"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {0, 173}
+    assert out[0].n_members == out[173].n_members == 2
+    assert out[0].s_intra == 0.0 and out[173].s_intra == 1.0
+    assert out[0].r_max == out[173].r_max == 0.316228

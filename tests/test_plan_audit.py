@@ -127,6 +127,12 @@ CROSS_ALLOWED = {
     # brute-force broadcast query batch per truncation (the
     # eval_knn_label_accuracy exactness-tier shape)
     "eval_matryoshka_truncation",
+    # broadcast-centroid assignment (the kmeans shape) + the k x k
+    # centroid-distance table bounded by the pinned k
+    "eval_cluster_davies_bouldin",
+    # 1-row min-day broadcast + 5-row pinned look table fanned over the
+    # (day x arm)-bounded rollup via the < cutoff inequality
+    "stats_group_sequential",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain

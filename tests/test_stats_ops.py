@@ -763,3 +763,86 @@ def test_ipw_constant_outcome_zero_effect(spark, tmp_path):
     assert r.n_treat + r.n_control == len(rows)
     assert r.mu_treat_cents == 200.0 and r.mu_control_cents == 200.0
     assert r.ate_cents == 0.0
+
+
+def test_power_mde_from_welch_moments(spark, tmp_path):
+    """Same groups as the Welch test (v1=10000, v2=40000, n=3 each):
+    SE = sqrt(50000/3) = 129.099445, MDE = 2.80159*SE = 361.6831 cents
+    = 1.808415 of the 200-cent baseline."""
+    import pandas as pd
+
+    vals = [("click", 1.0), ("click", 2.0), ("click", 3.0),
+            ("view", 2.0), ("view", 4.0), ("view", 6.0)]
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "ts": [base] * len(vals),
+            "user_id": [1] * len(vals),
+            "event_type": [t for t, _ in vals],
+            "value": [v for _, v in vals],
+            "props": ["{}"] * len(vals),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_power_mde"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2) == (3, 3)
+    assert r.se_cents == 129.099445
+    assert r.mde_cents == 361.6831
+    assert r.mde_rel == 1.808415
+
+
+def test_overdispersion_poisson_boundary(spark, tmp_path):
+    """Per-user click counts {1, 3}: mean 2, var 2, index exactly 1.0 —
+    the Poisson boundary, not flagged."""
+    import pandas as pd
+
+    rows = [(1, "click")] + [(2, "click")] * 3
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(len(rows))],
+            "user_id": [u for u, _ in rows],
+            "event_type": [t for _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_overdispersion"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.n_users, r.n_events, r.mean_k, r.var_k) == (2, 4, 2.0, 2.0)
+    assert r.dispersion_index == 1.0 and not r.overdispersed
+
+
+def test_group_sequential_balanced_mix_never_crosses(spark, tmp_path):
+    """Every user contributes one purchase and one click per active day,
+    so both arms convert at exactly 0.5 at every look: z = 0 everywhere,
+    no OBF boundary crossed."""
+    import pandas as pd
+
+    rows = []
+    for u in range(12):
+        for d in (0, 7, 13, 19, 25):
+            rows.append((u, d, "purchase"))
+            rows.append((u, d, "click"))
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [base + pd.Timedelta(days=d, minutes=i)
+                   for i, (_, d, _) in enumerate(rows)],
+            "user_id": [u for u, _, _ in rows],
+            "event_type": [t for _, _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rs = REGISTRY["stats_group_sequential"].spark(spark, str(tmp_path)).collect()
+    assert [r.look for r in rs] == [1, 2, 3, 4, 5]
+    assert all(r.z_k == 0.0 and not r.crossed for r in rs)
+    assert rs[-1].n_treat + rs[-1].n_control == len(rows)
