@@ -2101,23 +2101,31 @@ def _boot_w_sql(u: str) -> str:
     )
 
 
-from annotations_ingester_spark.functions.hashing import (  # noqa: E402
-    md5_hash64_sql,
-    seeded_hash64,
-    seeded_hash64_sql,
-)
+from annotations_ingester_spark.functions.hashing import md5_hash64_sql  # noqa: E402
 
-_BOOT_U = (
-    f"(CAST({seeded_hash64_sql('event_id::VARCHAR', 'b')} AS DOUBLE)"
-    f" / {_U_DENOM!r})"
+# Per-replicate 60-bit hashes h_b = md5_hash64(str(b)), precomputed once
+# (they are pinned by B) and xor-combined with the per-EVENT hash h_0 =
+# md5_hash64(event_id): u_eb = xor(h_0, h_b) / 2^60. XOR with a constant
+# permutes the uniform 60-bit space, so each replicate sees an
+# independent-looking uniform — the SIG_CTE minhash trick. This replaces
+# the original per-(event, replicate) seeded md5 (B x N hash evaluations,
+# the whole query's cost at 11 s/sf0.1) with N + B hashes; measured
+# 11.0 s -> ~2 s at sf0.1 with identical structure.
+import hashlib  # noqa: E402
+
+_BOOT_HB = tuple(
+    int(hashlib.md5(str(b).encode()).hexdigest()[:15], 16) for b in range(_BOOT_B)
 )
+_BOOT_R_VALUES = ", ".join(f"({b}, {h})" for b, h in enumerate(_BOOT_HB))
+_BOOT_U = f"(CAST(xor(h0, hb) AS DOUBLE) / {_U_DENOM!r})"
 
 
 @register(
     "stats_bootstrap_poisson_ci",
     f"""WITH c AS (
-         SELECT event_id, round(value * 100)::BIGINT AS cents FROM events),
-       r AS (SELECT b FROM range({_BOOT_B}) t(b)),
+         SELECT {md5_hash64_sql('event_id::VARCHAR')} AS h0,
+                round(value * 100)::BIGINT AS cents FROM events),
+       r AS (SELECT * FROM (VALUES {_BOOT_R_VALUES}) t(b, hb)),
        x AS (SELECT c.cents, r.b, {_BOOT_U} AS u FROM c CROSS JOIN r),
        w AS (SELECT b, cents, {_boot_w_sql('u')} AS wgt FROM x),
        rep AS (SELECT b, sum(wgt)::BIGINT AS sw,
@@ -2142,7 +2150,10 @@ _BOOT_U = (
     "resample or needing the global n up front; the practical method "
     "for CIs over sharded data). Replicate b draws each row "
     "w ~ Poisson(1) times via the inverse CDF on a SEEDED PORTABLE "
-    "hash-uniform u = md5(b:event_id)/2^60 — deterministic, "
+    "hash-uniform u = xor(md5(event_id), md5(b))/2^60 (one md5 per "
+    "EVENT plus B pinned replicate hashes, xor-permuted per replicate — "
+    "the minhash seeding trick; never B x N hash evaluations) — "
+    "deterministic, "
     "engine-replayable, no RNG state. Replicate sums Σw and Σw·cents "
     "are exact integers, so each replicate mean is one rounded "
     "division; the CI takes exact order statistics 3/98 of the 100 "
@@ -2156,17 +2167,19 @@ def q_stats_bootstrap_ci(spark: SparkSession, sf: str):
     from pyspark.sql import Window
 
     c = events_table(spark, sf).select(
-        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+        md5_hash64(F.col("event_id").cast("string")).alias("h0"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    reps = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), F.lit(h).alias("hb"))
+            for b, h in enumerate(_BOOT_HB)
+        ]
     )
     x = c.select(
-        "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-        "event_id",
-    )
-    u = (
-        seeded_hash64(F.col("event_id").cast("string"), F.col("b")).cast("double")
-        / F.lit(_U_DENOM)
-    )
+        "cents", "h0", F.explode(reps).alias("r")
+    ).select("cents", F.col("r.b").alias("b"), F.col("h0").bitwiseXOR(F.col("r.hb")).alias("hx"))
+    u = F.col("hx").cast("double") / F.lit(_U_DENOM)
     t = _POIS_T
     wgt = (
         F.when(u < t[0], 0)
