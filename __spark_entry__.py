@@ -184,6 +184,10 @@ _DEFERRED_PAST_WINDOW = {
     "eval_join_cardinality_est",
     "text_rake_keywords",
     "stats_group_sequential",
+    "streaming_constraint_suite",
+    "eval_embedding_isotropy",
+    "vocab_heaps_law",
+    "quality_value_reconciliation",
 }
 
 

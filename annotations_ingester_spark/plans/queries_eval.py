@@ -1282,3 +1282,83 @@ def q_eval_join_card(spark: SparkSession, sf: str):
             6,
         ).alias("rel_error"),
     )
+
+
+@register(
+    "eval_embedding_isotropy",
+    """WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       vd AS (
+         SELECT s.i AS dim, s.v AS v
+         FROM (SELECT unnest(list_transform(range(len(e)),
+                                            i -> {'i': i, 'v': e[i + 1]})) AS s
+               FROM b)),
+       per_dim AS (
+         SELECT dim, count(*)::BIGINT AS n,
+                sum(v::DECIMAL(27,12))::DECIMAL(38,12) AS s,
+                sum((v * v)::DECIMAL(28,12))::DECIMAL(38,12) AS q
+         FROM vd GROUP BY dim),
+       agg AS (
+         SELECT max(n)::BIGINT AS n,
+                sum(round((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                          12)::DECIMAL(25,12)) AS mu2,
+                sum(q)::DECIMAL(38,12) AS qtot,
+                max(round(CAST(q AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                          12)) AS max_var,
+                sum(round(CAST(q AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                          12)::DECIMAL(25,12)) AS var_tot
+         FROM per_dim)
+       SELECT n AS n_vectors,
+              round(CAST(mu2 AS DOUBLE), 6) AS mean_norm2,
+              round(CAST(qtot AS DOUBLE) / n, 6) AS mean_sq_norm,
+              round(CAST(mu2 AS DOUBLE) / (CAST(qtot AS DOUBLE) / n), 6)
+                AS anisotropy,
+              round(CAST(max_var AS DOUBLE) / CAST(var_tot AS DOUBLE), 6)
+                AS top_dim_var_share
+       FROM agg""",
+    doc="Embedding-space isotropy diagnostic: ||mean vector||^2 vs the "
+    "mean squared norm (their ratio is the classic anisotropy score — "
+    "near 0 for a centered isotropic space, near 1 when all vectors "
+    "share a dominant direction, the common pathology that breaks "
+    "cosine retrieval) plus the largest single dimension's share of "
+    "total variance. Per-dimension first/second moments accumulate as "
+    "exact DECIMAL sums over the posexplode stream (map-side "
+    "combinable, dim-domain-bounded groups); each per-dim mean/variance "
+    "rounds to 12 dp before the DECIMAL re-accumulation so both engines "
+    "sum identical terms. Scale shape: one N x d explode into a "
+    "64-group aggregate, then 1-row arithmetic.",
+)
+def q_eval_isotropy(spark: SparkSession, sf: str):
+    b = table(spark, sf, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    per_dim = b.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(27,12)")).cast("decimal(38,12)").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,12)"))
+        .cast("decimal(38,12)")
+        .alias("q"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var_d = F.round(F.col("q").cast("double") / F.col("n") - mu * mu, 12)
+    agg = per_dim.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.round(mu * mu, 12).cast("decimal(25,12)")).alias("mu2"),
+        F.sum("q").cast("decimal(38,12)").alias("qtot"),
+        F.max(var_d).alias("max_var"),
+        F.sum(var_d.cast("decimal(25,12)")).alias("var_tot"),
+    )
+    return agg.select(
+        F.col("n").alias("n_vectors"),
+        F.round(F.col("mu2").cast("double"), 6).alias("mean_norm2"),
+        F.round(F.col("qtot").cast("double") / F.col("n"), 6).alias("mean_sq_norm"),
+        F.round(
+            F.col("mu2").cast("double") / (F.col("qtot").cast("double") / F.col("n")),
+            6,
+        ).alias("anisotropy"),
+        F.round(
+            F.col("max_var").cast("double") / F.col("var_tot").cast("double"), 6
+        ).alias("top_dim_var_share"),
+    )

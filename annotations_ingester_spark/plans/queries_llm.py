@@ -1405,3 +1405,82 @@ def q_curation_gate_attrition(spark: SparkSession, sf: str):
             )
         )
     )
+
+
+@register(
+    "vocab_heaps_law",
+    f"""WITH mx AS (SELECT max(doc_id)::BIGINT AS mid FROM documents),
+       d AS (SELECT least(9, (10 * doc_id) // (mx.mid + 1))::BIGINT AS bkt,
+                    {TOKS} AS t
+             FROM documents, mx),
+       tok AS (SELECT bkt, unnest(t) AS w FROM d),
+       per_bkt AS (SELECT bkt, count(*)::BIGINT AS n_tokens FROM tok
+                   GROUP BY bkt),
+       first_b AS (SELECT w, min(bkt)::BIGINT AS fb FROM tok GROUP BY w),
+       new_types AS (SELECT fb AS bkt, count(*)::BIGINT AS n_new
+                     FROM first_b GROUP BY fb),
+       cum AS (
+         SELECT p.bkt,
+                sum(p.n_tokens) OVER (ORDER BY p.bkt
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
+                sum(coalesce(n.n_new, 0)) OVER (ORDER BY p.bkt
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_vocab
+         FROM per_bkt p LEFT JOIN new_types n ON n.bkt = p.bkt)
+       SELECT bkt, cum_tokens, cum_vocab,
+              round(ln(CAST(cum_vocab AS DOUBLE))
+                    / ln(CAST(cum_tokens AS DOUBLE)), 6) AS heaps_beta_upper
+       FROM cum ORDER BY bkt""",
+    doc="Heaps'-law vocabulary growth: the corpus splits into ten "
+    "id-range deciles (bucket = 10*doc_id div (max_id+1) — a 1-row "
+    "max broadcast, never a global rank window), each TYPE is charged "
+    "to the first bucket it appears in (min bucket per token — one "
+    "map-side-combinable aggregate over the token stream), and the "
+    "10-row cumulative table reports V(N) with the log-ratio "
+    "ln V/ln N (an upper bound on Heaps' beta since K >= 1) — the "
+    "curve that predicts tokenizer vocabulary demand as a corpus "
+    "grows toward 100 TB. Scale shape: one token-key shuffle + one "
+    "bucket-domain aggregate; the only unpartitioned window runs over "
+    "the 10-row bucket table.",
+)
+def q_vocab_heaps(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    mx = docs.agg(F.max("doc_id").cast("long").alias("mid"))
+    d = docs.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.lit(9).cast("long"),
+            F.expr("CAST((10 * doc_id) DIV (mid + 1) AS BIGINT)"),
+        ).alias("bkt"),
+        tx.tokens("text").alias("t"),
+    )
+    tok = d.select("bkt", F.explode("t").alias("w"))
+    per_bkt = tok.groupBy("bkt").agg(F.count("*").cast("long").alias("n_tokens"))
+    first_b = tok.groupBy("w").agg(F.min("bkt").cast("long").alias("fb"))
+    new_types = first_b.groupBy(F.col("fb").alias("bkt")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    w_cum = Window.orderBy(F.asc("bkt")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        per_bkt.join(F.broadcast(new_types), "bkt", "left")
+        .select(
+            "bkt",
+            F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w_cum)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )
+    return cum.select(
+        "bkt",
+        "cum_tokens",
+        "cum_vocab",
+        F.round(
+            F.log(F.col("cum_vocab").cast("double"))
+            / F.log(F.col("cum_tokens").cast("double")),
+            6,
+        ).alias("heaps_beta_upper"),
+    ).orderBy("bkt")

@@ -596,3 +596,188 @@ def q_quality_constraints(spark: SparkSession, sf: str):
         F.col("v").alias("n_violations"),
         (F.col("v") == 0).alias("passed"),
     ).orderBy("constraint_name")
+
+
+@register(
+    "streaming_constraint_suite",
+    """WITH base AS (
+         SELECT count(*)::BIGINT AS n_rows,
+                sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS v_null,
+                sum(CASE WHEN NOT (o_totalprice >= 0) THEN 1 ELSE 0 END)::BIGINT
+                  AS v_price,
+                sum(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
+                         THEN 1 ELSE 0 END)::BIGINT AS v_status,
+                sum(CASE WHEN NOT (year(o_orderdate) BETWEEN 1995 AND 2001)
+                         THEN 1 ELSE 0 END)::BIGINT AS v_date,
+                sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                                 '^[1-5]-[A-Z ]+$')
+                         THEN 1 ELSE 0 END)::BIGINT AS v_prio
+         FROM orders),
+       stacked AS (
+         SELECT 'orderkey_not_null' AS constraint_name, n_rows, v_null AS v
+           FROM base
+         UNION ALL SELECT 'totalprice_nonnegative', n_rows, v_price FROM base
+         UNION ALL SELECT 'orderstatus_domain', n_rows, v_status FROM base
+         UNION ALL SELECT 'orderdate_year_range', n_rows, v_date FROM base
+         UNION ALL SELECT 'orderpriority_format', n_rows, v_prio FROM base)
+       SELECT constraint_name, n_rows AS n_checked, v AS n_violations,
+              v = 0 AS passed
+       FROM stacked ORDER BY constraint_name""",
+    doc="Streaming twin of the constraint suite, run for real: orders "
+    "stream in (availableNow, several micro-batches) and foreachBatch "
+    "reduces each batch to ONE partial-counter row for the five "
+    "BATCH-DECOMPOSABLE rules (completeness, non-negativity, domain, "
+    "year range, format — every column a commutative monoid, so "
+    "partials merge in any order and any batching), landed at a "
+    "batch-id-keyed path (overwrite — the idempotent at-least-once "
+    "discipline). Key uniqueness and referential integrity are "
+    "cross-partition properties and deliberately stay in the batch "
+    "suite (quality_constraint_suite): a stream would need keyed state "
+    "(the streaming_incremental_dedup machinery), not counters. The "
+    "final fold is O(batches); the oracle is the batch suite restricted "
+    "to the same five rules — stream and batch must agree exactly.",
+)
+def q_streaming_constraints(spark: SparkSession, sf: str):
+    import os
+    import shutil
+    import tempfile
+
+    o = table(spark, sf, "orders")
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_constraints_")
+    feed_dir = os.path.join(run_dir, "feed")
+    store = os.path.join(run_dir, "store")
+    try:
+        o.repartition(8).write.mode("overwrite").parquet(feed_dir)
+
+        def check(batch_df, batch_id):
+            viol = lambda cond: F.sum(  # noqa: E731
+                F.when(~cond, 1).otherwise(0)
+            ).cast("long")
+            part = batch_df.agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("v_null"),
+                viol(F.col("o_totalprice") >= 0).alias("v_price"),
+                viol(F.col("o_orderstatus").isin("O", "F", "P")).alias("v_status"),
+                viol(F.year("o_orderdate").between(1995, 2001)).alias("v_date"),
+                viol(F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$")).alias(
+                    "v_prio"
+                ),
+            )
+            part.write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
+
+        feed_schema = o.schema
+        stream = (
+            spark.readStream.schema(feed_schema)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(feed_dir)
+        )
+        q = stream.writeStream.foreachBatch(check).trigger(availableNow=True).start()
+        q.awaitTermination()
+        merged = spark.read.parquet(store).agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("v_null").cast("long").alias("v_null"),
+            F.sum("v_price").cast("long").alias("v_price"),
+            F.sum("v_status").cast("long").alias("v_status"),
+            F.sum("v_date").cast("long").alias("v_date"),
+            F.sum("v_prio").cast("long").alias("v_prio"),
+        )
+        stacked = merged.selectExpr(
+            "n_rows",
+            "stack(5, "
+            "'orderkey_not_null', v_null, "
+            "'totalprice_nonnegative', v_price, "
+            "'orderstatus_domain', v_status, "
+            "'orderdate_year_range', v_date, "
+            "'orderpriority_format', v_prio) AS (constraint_name, v)",
+        )
+        return (
+            stacked.select(
+                "constraint_name",
+                F.col("n_rows").alias("n_checked"),
+                F.col("v").alias("n_violations"),
+                (F.col("v") == 0).alias("passed"),
+            )
+            .orderBy("constraint_name")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
+@register(
+    "quality_value_reconciliation",
+    """WITH l AS (
+         SELECT l_orderkey,
+                sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100))::BIGINT AS line_cents
+         FROM lineitem GROUP BY l_orderkey),
+       o AS (SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents
+             FROM orders),
+       j AS (
+         SELECT o.cents, l.line_cents,
+                CASE WHEN l.l_orderkey IS NULL THEN 'missing_lines'
+                     WHEN l.line_cents = o.cents THEN 'exact'
+                     WHEN abs(l.line_cents - o.cents) * 100 <= o.cents
+                       THEN 'within_1pct'
+                     ELSE 'mismatch' END AS recon_class
+         FROM o LEFT JOIN l ON l.l_orderkey = o.o_orderkey)
+       SELECT recon_class, count(*)::BIGINT AS n_orders,
+              sum(coalesce(abs(line_cents - cents), 0))::BIGINT
+                AS abs_diff_cents
+       FROM j GROUP BY recon_class ORDER BY recon_class""",
+    doc="Aggregate-level reconciliation between the order header and its "
+    "lines: per order, the line-derived total (per-line rounded "
+    "extendedprice*(1-disc)*(1+tax) cents, exact integer sum) against "
+    "o_totalprice, classed exact / within-1% / mismatch / "
+    "missing_lines — the VALUE-integrity companion to the constraint "
+    "suite's key-integrity rule (header-vs-detail drift is the classic "
+    "silent warehouse corruption). The 1% band is an integer "
+    "cross-multiplication (abs diff * 100 <= cents), no float "
+    "thresholds. Scale shape: one map-side-combinable per-order line "
+    "rollup + one key-shuffle left join + a 4-class aggregate.",
+)
+def q_value_reconciliation(spark: SparkSession, sf: str):
+    li = (
+        table(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                )
+            )
+            .cast("long")
+            .alias("line_cents")
+        )
+    )
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left").select(
+        "cents",
+        "line_cents",
+        F.when(F.col("l_orderkey").isNull(), "missing_lines")
+        .when(F.col("line_cents") == F.col("cents"), "exact")
+        .when(
+            F.abs(F.col("line_cents") - F.col("cents")) * 100 <= F.col("cents"),
+            "within_1pct",
+        )
+        .otherwise("mismatch")
+        .alias("recon_class"),
+    )
+    return (
+        j.groupBy("recon_class")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.coalesce(F.abs(F.col("line_cents") - F.col("cents")), F.lit(0)))
+            .cast("long")
+            .alias("abs_diff_cents"),
+        )
+        .orderBy("recon_class")
+    )

@@ -273,6 +273,14 @@ HEADLINE = [
     "eval_join_cardinality_est",
     "text_rake_keywords",
     "stats_group_sequential",
+    # r8: streaming twin of the constraint suite (monoid partial counters
+    # merged across micro-batches)
+    "streaming_constraint_suite",
+    # r8: embedding isotropy diagnostic, Heaps-law vocab growth,
+    # header-vs-lines value reconciliation
+    "eval_embedding_isotropy",
+    "vocab_heaps_law",
+    "quality_value_reconciliation",
 ]
 
 

@@ -526,3 +526,28 @@ def test_join_cardinality_exact_tier(spark, tmp_path):
     assert (r.n_keys, r.exact_pairs) == (2, 10)
     assert r.est_pairs in (0, 16, 144, 160)
     assert r.rel_error == round(abs(r.est_pairs - 10) / 10, 6)
+
+
+def test_heaps_law_new_types_per_decile(spark, tmp_path):
+    """doc 0 ('a b') lands in decile 0, doc 1 ('a c') in decile 5: the
+    second bucket adds 2 tokens but only 1 new type."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "text": ["a b", "a c"],
+            "n_chars": [3, 3],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["vocab_heaps_law"].spark(spark, str(tmp_path)).collect()
+    assert [(r.bkt, r.cum_tokens, r.cum_vocab) for r in rows] == [
+        (0, 2, 2),
+        (5, 4, 3),
+    ]
+    assert rows[0].heaps_beta_upper == 1.0
+    assert rows[1].heaps_beta_upper == 0.792481

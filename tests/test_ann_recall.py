@@ -309,3 +309,24 @@ def test_davies_bouldin_two_hand_clusters(spark, tmp_path):
     assert out[0].n_members == out[173].n_members == 2
     assert out[0].s_intra == 0.0 and out[173].s_intra == 1.0
     assert out[0].r_max == out[173].r_max == 0.316228
+
+
+def test_isotropy_centered_vs_degenerate(spark, tmp_path):
+    """[1,0] and [-1,0]: mean vector is 0 (anisotropy 0) and dim 0 holds
+    all the variance (share 1.0)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "vec_id": [0, 1],
+            "embedding": [[1.0, 0.0], [-1.0, 0.0]],
+            "label": [0, 0],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["eval_embedding_isotropy"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.n_vectors == 2
+    assert r.mean_norm2 == 0.0 and r.mean_sq_norm == 1.0
+    assert r.anisotropy == 0.0
+    assert r.top_dim_var_share == 1.0

@@ -133,6 +133,8 @@ CROSS_ALLOWED = {
     # 1-row min-day broadcast + 5-row pinned look table fanned over the
     # (day x arm)-bounded rollup via the < cutoff inequality
     "stats_group_sequential",
+    # 1-row max-doc-id broadcast (the id-range decile bucketing scalar)
+    "vocab_heaps_law",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -273,6 +275,8 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # cumulative offset over the price-BUCKET-COUNT table (the gini/
     # pareto two-level prefix class)
     "stats_weighted_median",
+    # cumulative V(N)/token totals over the 10-row corpus-decile table
+    "vocab_heaps_law",
 }
 
 

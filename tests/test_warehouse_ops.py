@@ -316,3 +316,48 @@ def test_constraint_suite_counts_each_rule(spark, tmp_path):
     assert len(out) == 7
     assert all(r.n_checked == 3 for r in out.values())
     assert all(r.n_violations == 1 and not r.passed for r in out.values())
+
+
+def test_value_reconciliation_classes(spark, tmp_path):
+    """Four orders: lines summing exactly, within 1%, off by 50%, and
+    absent — one order per reconciliation class."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [1, 1, 1, 1],
+            "o_orderstatus": ["O"] * 4,
+            "o_totalprice": [10.0, 10.0, 10.0, 5.0],
+            "o_orderdate": pd.to_datetime(["1996-01-01"] * 4).astype(
+                "datetime64[us]"
+            ),
+            "o_orderpriority": ["5-LOW"] * 4,
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3],
+            "l_extendedprice": [10.0, 9.95, 5.0],
+            "l_discount": [0.0, 0.0, 0.0],
+            "l_tax": [0.0, 0.0, 0.0],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.recon_class: r
+        for r in REGISTRY["quality_value_reconciliation"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert {k: v.n_orders for k, v in out.items()} == {
+        "exact": 1,
+        "within_1pct": 1,
+        "mismatch": 1,
+        "missing_lines": 1,
+    }
+    assert out["exact"].abs_diff_cents == 0
+    assert out["within_1pct"].abs_diff_cents == 5
+    assert out["mismatch"].abs_diff_cents == 500
+    assert out["missing_lines"].abs_diff_cents == 0
