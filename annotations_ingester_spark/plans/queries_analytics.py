@@ -2244,11 +2244,13 @@ def _pathed(spark: SparkSession, sf: str):
 @register(
     "events_attribution_credit",
     f"""WITH {_PATHED_CTE},
-       conv AS (SELECT DISTINCT user_id, path_id FROM pathed WHERE is_p = 1),
+       flagged AS (
+         SELECT user_id, path_id, event_id, event_type, ts_s, is_p,
+                max(is_p) OVER (PARTITION BY user_id, path_id) AS conv
+         FROM pathed),
        touch AS (
-         SELECT p.user_id, p.path_id, p.event_id, p.event_type, p.ts_s
-         FROM pathed p JOIN conv USING (user_id, path_id)
-         WHERE p.is_p = 0),
+         SELECT user_id, path_id, event_id, event_type, ts_s
+         FROM flagged WHERE is_p = 0 AND conv = 1),
        ranked AS (
          SELECT event_type,
                 row_number() OVER (PARTITION BY user_id, path_id
@@ -2271,21 +2273,22 @@ def _pathed(spark: SparkSession, sf: str):
     "conversion counts plus linear credit 1/n_touches per touch. Linear "
     "terms round to 9 dp and sum as DECIMAL(20,9) (accumulation-order-"
     "exact), one final 6-dp rounding. Scale shape: one user_id shuffle "
-    "for the path window, one (user, path) shuffle for the per-path "
-    "ranks, a semi-join against the converted-path id set, and a "
-    "channel-domain-bounded final aggregate.",
+    "for the path window, then ONE (user, path) shuffle serving the "
+    "converted-path flag (max(is_p) over the path partition — no "
+    "distinct + self-join round trip; the corpus is scanned once) and "
+    "all three per-path ranks, into a channel-domain-bounded final "
+    "aggregate.",
 )
 def q_events_attribution(spark: SparkSession, sf: str):
     from pyspark.sql import Window
 
     pathed = _pathed(spark, sf)
-    conv = (
-        pathed.filter(F.col("is_p") == 1).select("user_id", "path_id").distinct()
-    )
-    touch = pathed.filter(F.col("is_p") == 0).join(
-        conv, ["user_id", "path_id"], "left_semi"
-    )
     wp = Window.partitionBy("user_id", "path_id")
+    touch = (
+        pathed.withColumn("conv", F.max("is_p").over(wp))
+        .filter((F.col("is_p") == 0) & (F.col("conv") == 1))
+        .select("user_id", "path_id", "event_id", "event_type", "ts_s")
+    )
     wf = wp.orderBy(F.asc("ts_s"), F.asc("event_id"))
     wl = wp.orderBy(F.desc("ts_s"), F.desc("event_id"))
     ranked = touch.select(
