@@ -188,6 +188,8 @@ _DEFERRED_PAST_WINDOW = {
     "eval_embedding_isotropy",
     "vocab_heaps_law",
     "quality_value_reconciliation",
+    "stats_mann_kendall",
+    "timeseries_seasonal_strength",
 }
 
 

@@ -2682,3 +2682,190 @@ def q_events_streaks(spark: SparkSession, sf: str):
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("streak_days")
     )
+
+
+@register(
+    "stats_mann_kendall",
+    """WITH mo AS (
+         SELECT (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS m,
+                sum(round(o_totalprice * 100))::BIGINT AS y
+         FROM orders GROUP BY 1),
+       s AS (SELECT sum(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS s_stat
+             FROM mo a JOIN mo b ON b.m > a.m),
+       n AS (SELECT count(*)::BIGINT AS n FROM mo),
+       ties AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT
+                  AS tie_term
+                FROM (SELECT count(*)::BIGINT AS t FROM mo GROUP BY y)
+                WHERE t > 1),
+       v AS (SELECT (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term)
+                    / 18.0 AS var_s, n.n
+             FROM n, ties)
+       SELECT v.n AS n_points, s.s_stat,
+              round(v.var_s, 4) AS var_s,
+              round(CASE WHEN s.s_stat > 0
+                           THEN (s.s_stat - 1) / sqrt(v.var_s)
+                         WHEN s.s_stat < 0
+                           THEN (s.s_stat + 1) / sqrt(v.var_s)
+                         ELSE 0.0 END, 4) AS z_stat,
+              CASE WHEN s.s_stat > 0 THEN 'increasing'
+                   WHEN s.s_stat < 0 THEN 'decreasing'
+                   ELSE 'none' END AS trend
+       FROM s, v""",
+    doc="Mann-Kendall non-parametric trend TEST on monthly revenue — the "
+    "significance companion to stats_theil_sen_slope's magnitude (the "
+    "pair S counts sign agreements, so one corrupted month cannot move "
+    "it): exact integer S over the date-domain-bounded pair join "
+    "(months^2/2 — a constant), the tie-corrected variance "
+    "[n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18 from exact integer counts, "
+    "and the continuity-corrected z. Scale shape: one map-side-"
+    "combinable monthly rollup (localCheckpoint'ed before its "
+    "self-join and tie scan), then constant-size arithmetic.",
+)
+def q_stats_mann_kendall(spark: SparkSession, sf: str):
+    mo = (
+        table(spark, sf, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("m")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    a = mo.select(F.col("m").alias("m1"), F.col("y").alias("y1"))
+    b = mo.select(F.col("m").alias("m2"), F.col("y").alias("y2"))
+    s = (
+        a.join(b, F.col("m2") > F.col("m1"))
+        .agg(
+            F.sum(
+                F.when(F.col("y2") > F.col("y1"), 1)
+                .when(F.col("y2") < F.col("y1"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = mo.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        mo.groupBy("y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        n.crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            (
+                (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                 - F.col("tie_term"))
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    j = s.crossJoin(F.broadcast(v))
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("n").alias("n_points"),
+        "s_stat",
+        F.round(F.col("var_s"), 4).alias("var_s"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+@register(
+    "timeseries_seasonal_strength",
+    """WITH d AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                sum(round(value * 100))::BIGINT AS y
+         FROM events GROUP BY day),
+       w AS (SELECT day, y, (day % 7)::BIGINT AS wd FROM d),
+       wm AS (SELECT wd, round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS wmean
+              FROM w GROUP BY wd),
+       gm AS (SELECT round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS gmean,
+                     count(*)::BIGINT AS n
+              FROM w),
+       r AS (SELECT w.y - wm.wmean AS rem, w.y - gm.gmean AS detr
+             FROM w JOIN wm USING (wd), gm),
+       v AS (SELECT sum(round(rem * rem, 6)::DECIMAL(30,6)) AS vr,
+                    sum(round(detr * detr, 6)::DECIMAL(30,6)) AS vd,
+                    count(*)::BIGINT AS n
+             FROM r)
+       SELECT n AS n_days,
+              round(CAST(vr AS DOUBLE) / n, 4) AS var_remainder,
+              round(CAST(vd AS DOUBLE) / n, 4) AS var_detrended,
+              round(greatest(0.0, 1 - (CAST(vr AS DOUBLE) / n)
+                                   / (CAST(vd AS DOUBLE) / n)), 6)
+                AS seasonal_strength
+       FROM v""",
+    doc="STL-style seasonal-strength score for daily revenue with a "
+    "weekly component: Fs = max(0, 1 - Var(remainder)/Var(detrended)) "
+    "where the seasonal fit is the per-weekday mean — the scalar that "
+    "says whether timeseries_seasonal_decompose's weekly indexes carry "
+    "signal or noise (Fs near 0: don't deseasonalize; near 1: weekday "
+    "explains the series). Means round to 6 dp before residuals, and "
+    "both variance numerators accumulate rounded squares as "
+    "DECIMAL(30,6) (order-exact), one final rounding each. Scale "
+    "shape: one scan-fused day-domain rollup, a 7-row weekday-mean "
+    "broadcast, 1-row output.",
+)
+def q_timeseries_seasonal_strength(spark: SparkSession, sf: str):
+    d = (
+        events_table(spark, sf)
+        .groupBy(F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("y"))
+        .withColumn("wd", F.expr("CAST(day % 7 AS BIGINT)"))
+        .localCheckpoint(eager=True)
+    )
+    wm = d.groupBy("wd").agg(
+        F.round(F.sum("y").cast("double") / F.count("*"), 6).alias("wmean")
+    )
+    gm = d.agg(
+        F.round(F.sum("y").cast("double") / F.count("*"), 6).alias("gmean"),
+        F.count("*").cast("long").alias("n"),
+    )
+    r = d.join(F.broadcast(wm), "wd").crossJoin(F.broadcast(gm)).select(
+        (F.col("y") - F.col("wmean")).alias("rem"),
+        (F.col("y") - F.col("gmean")).alias("detr"),
+    )
+    v = r.agg(
+        F.sum(F.round(F.col("rem") * F.col("rem"), 6).cast("decimal(30,6)")).alias(
+            "vr"
+        ),
+        F.sum(F.round(F.col("detr") * F.col("detr"), 6).cast("decimal(30,6)")).alias(
+            "vd"
+        ),
+        F.count("*").cast("long").alias("n"),
+    )
+    vr_n = F.col("vr").cast("double") / F.col("n")
+    vd_n = F.col("vd").cast("double") / F.col("n")
+    return v.select(
+        F.col("n").alias("n_days"),
+        F.round(vr_n, 4).alias("var_remainder"),
+        F.round(vd_n, 4).alias("var_detrended"),
+        F.round(F.greatest(F.lit(0.0), 1 - vr_n / vd_n), 6).alias(
+            "seasonal_strength"
+        ),
+    )

@@ -281,6 +281,9 @@ HEADLINE = [
     "eval_embedding_isotropy",
     "vocab_heaps_law",
     "quality_value_reconciliation",
+    # r8: Mann-Kendall trend significance + STL seasonal strength
+    "stats_mann_kendall",
+    "timeseries_seasonal_strength",
 ]
 
 

@@ -551,3 +551,58 @@ def test_heaps_law_new_types_per_decile(spark, tmp_path):
     ]
     assert rows[0].heaps_beta_upper == 1.0
     assert rows[1].heaps_beta_upper == 0.792481
+
+
+def test_mann_kendall_strict_increase(spark, tmp_path):
+    """Five strictly increasing months: S = C(5,2) = 10, no ties, var =
+    5*4*15/18, z = 9/sqrt(var) = 2.2045."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": range(1, 6),
+            "o_custkey": [1] * 5,
+            "o_orderstatus": ["O"] * 5,
+            "o_totalprice": [float(m) for m in range(1, 6)],
+            "o_orderdate": pd.to_datetime(
+                [f"1995-0{m}-01" for m in range(1, 6)]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["5-LOW"] * 5,
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["stats_mann_kendall"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.n_points, r.s_stat, r.trend) == (5, 10, "increasing")
+    assert r.var_s == 16.6667
+    assert r.z_stat == 2.2045
+
+
+def test_seasonal_strength_pure_weekly_signal(spark, tmp_path):
+    """Two weeks where revenue is a pure function of weekday: the
+    remainder variance is exactly 0, so seasonal strength is 1."""
+    import pandas as pd
+
+    rows = [(d, float(d % 7 + 1)) for d in range(14)]
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [base + pd.Timedelta(days=d) for d, _ in rows],
+            "user_id": [1] * len(rows),
+            "event_type": ["click"] * len(rows),
+            "value": [v for _, v in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = (
+        REGISTRY["timeseries_seasonal_strength"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert r.n_days == 14
+    assert r.var_remainder == 0.0
+    assert r.var_detrended > 0
+    assert r.seasonal_strength == 1.0

@@ -135,6 +135,11 @@ CROSS_ALLOWED = {
     "stats_group_sequential",
     # 1-row max-doc-id broadcast (the id-range decile bucketing scalar)
     "vocab_heaps_law",
+    # 1-row tie-term and 1-row variance broadcasts onto the 1-row pair
+    # aggregate (the kendall-tau shape)
+    "stats_mann_kendall",
+    # 1-row grand-mean broadcast over the day-domain rollup
+    "timeseries_seasonal_strength",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
