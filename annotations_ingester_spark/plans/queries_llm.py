@@ -1447,13 +1447,16 @@ def q_vocab_heaps(spark: SparkSession, sf: str):
 
     docs = table(spark, sf, "documents")
     mx = docs.agg(F.max("doc_id").cast("long").alias("mid"))
+    # d feeds BOTH downstream aggregates (per-bucket token totals and
+    # first-bucket-per-type) — checkpoint the doc-level frame so the
+    # tokenize + explode lineage runs once (scan-multiplicity rule)
     d = docs.crossJoin(F.broadcast(mx)).select(
         F.least(
             F.lit(9).cast("long"),
             F.expr("CAST((10 * doc_id) DIV (mid + 1) AS BIGINT)"),
         ).alias("bkt"),
         tx.tokens("text").alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     tok = d.select("bkt", F.explode("t").alias("w"))
     per_bkt = tok.groupBy("bkt").agg(F.count("*").cast("long").alias("n_tokens"))
     first_b = tok.groupBy("w").agg(F.min("bkt").cast("long").alias("fb"))
