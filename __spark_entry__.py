@@ -190,6 +190,8 @@ _DEFERRED_PAST_WINDOW = {
     "quality_value_reconciliation",
     "stats_mann_kendall",
     "timeseries_seasonal_strength",
+    "sketch_count_min_certified",
+    "text_code_detect",
 }
 
 

@@ -2206,3 +2206,71 @@ def q_sketch_minhash_mergeable(spark: SparkSession, sf: str):
         "merged_minhash",
         (F.col("direct_minhash") == F.col("merged_minhash")).alias("merge_exact"),
     )
+
+
+# code-detection heuristic constants (pinned; the score is milli-units)
+_CODE_SYM = r"[{}();=<>\[\]]"
+_CODE_INDENT = r"(?m)^(  +|\t)"
+_CODE_SNAKE = "[a-z]+_[a-z]+"
+_CODE_CAMEL = "[a-z][A-Z]"
+_CODE_THRESHOLD_MILLI = 30.0
+
+
+@register(
+    "text_code_detect",
+    f"""WITH c AS (
+         SELECT doc_id,
+                greatest(length(text), 1)::BIGINT AS n_chars,
+                len(regexp_extract_all(text, '{_CODE_SYM}'))::BIGINT AS n_sym,
+                len(regexp_extract_all(text, '{_CODE_INDENT}'))::BIGINT
+                  AS n_indent,
+                (len(regexp_extract_all(text, '{_CODE_SNAKE}'))
+                 + len(regexp_extract_all(text, '{_CODE_CAMEL}')))::BIGINT
+                  AS n_ident
+         FROM documents WHERE text IS NOT NULL),
+       s AS (
+         SELECT doc_id, n_chars, n_sym, n_indent, n_ident,
+                1000.0 * (2.0 * n_sym + 10.0 * n_indent + n_ident) / n_chars
+                  AS score
+         FROM c)
+       SELECT doc_id, n_sym, n_indent, n_ident,
+              round(score, 4) AS code_score_milli,
+              score > {_CODE_THRESHOLD_MILLI!r} AS is_code
+       FROM s""",
+    doc="Code-vs-prose detection (the source-code routing step every "
+    "mixed-corpus training pipeline runs before tokenizer/quality "
+    "decisions — code wants different dedup and quality gates than "
+    "prose): per doc, counts of code-symbol characters, indented "
+    "lines, and snake_case/camelCase identifiers (three pinned "
+    "regexes over ONE scan-fused projection — no explode, no shuffle), "
+    "combined as a weighted milli-score with a pinned threshold. The "
+    "flag compares the UNROUNDED score (identical IEEE tree both "
+    "engines); the score rounds once for display. Scale shape: "
+    "stateless per-row projection — whole-stage-codegen regex CPU, "
+    "embarrassingly parallel at any corpus size.",
+)
+def q_text_code_detect(spark: SparkSession, sf: str):
+    t = table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    cnt = lambda pat: F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast(  # noqa: E731
+        "long"
+    )
+    c = t.select(
+        "doc_id",
+        F.greatest(F.length("text"), F.lit(1)).cast("long").alias("n_chars"),
+        cnt(_CODE_SYM.replace("\\", "\\\\")).alias("n_sym"),
+        cnt(_CODE_INDENT).alias("n_indent"),
+        (cnt(_CODE_SNAKE) + cnt(_CODE_CAMEL)).alias("n_ident"),
+    )
+    score = (
+        1000.0
+        * (2.0 * F.col("n_sym") + 10.0 * F.col("n_indent") + F.col("n_ident"))
+        / F.col("n_chars")
+    )
+    return c.select(
+        "doc_id",
+        "n_sym",
+        "n_indent",
+        "n_ident",
+        F.round(score, 4).alias("code_score_milli"),
+        (score > _CODE_THRESHOLD_MILLI).alias("is_code"),
+    )

@@ -284,6 +284,10 @@ HEADLINE = [
     # r8: Mann-Kendall trend significance + STL seasonal strength
     "stats_mann_kendall",
     "timeseries_seasonal_strength",
+    # r8: count-min sketch certification (completes the mergeable-sketch
+    # triad) + code-vs-prose routing heuristic
+    "sketch_count_min_certified",
+    "text_code_detect",
 ]
 
 

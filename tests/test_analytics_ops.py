@@ -606,3 +606,58 @@ def test_seasonal_strength_pure_weekly_signal(spark, tmp_path):
     assert r.var_remainder == 0.0
     assert r.var_detrended > 0
     assert r.seasonal_strength == 1.0
+
+
+def test_count_min_never_underestimates(spark, tmp_path):
+    """Corpus 'x x x y': CMS estimates must dominate the exact counts and
+    the exact tier must be exact."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "lang": ["en"],
+            "source": ["s"],
+            "text": ["x x x y"],
+            "n_chars": [7],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.token: r
+        for r in REGISTRY["sketch_count_min_certified"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["x"].exact_count == 3 and out["y"].exact_count == 1
+    for r in out.values():
+        assert r.cms_estimate >= r.exact_count
+        assert r.overestimate == r.cms_estimate - r.exact_count
+
+
+def test_code_detect_separates_code_from_prose(spark, tmp_path):
+    """A function body with symbols, indentation and identifiers flags as
+    code; flat prose does not."""
+    import pandas as pd
+
+    code = "def foo_bar(x):\n    return {x: 1};"
+    prose = "the cat sat on the mat and looked around quietly"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "text": [code, prose],
+            "n_chars": [len(code), len(prose)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["text_code_detect"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[1].is_code and not out[2].is_code
+    assert out[1].n_indent == 1 and out[1].n_ident >= 1 and out[1].n_sym == 5
+    assert out[2].n_sym == 0 and out[2].n_indent == 0

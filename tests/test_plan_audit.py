@@ -140,6 +140,9 @@ CROSS_ALLOWED = {
     "stats_mann_kendall",
     # 1-row grand-mean broadcast over the day-domain rollup
     "timeseries_seasonal_strength",
+    # 1-row stream-total broadcast (the 2N/w envelope scalar) onto the
+    # 20-row probe table (the heavy-hitters shape)
+    "sketch_count_min_certified",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
