@@ -192,6 +192,10 @@ _DEFERRED_PAST_WINDOW = {
     "timeseries_seasonal_strength",
     "sketch_count_min_certified",
     "text_code_detect",
+    "streaming_count_min",
+    "stats_sequential_srm",
+    "events_cohort_ltv",
+    "curation_epoch_plan",
 }
 
 

@@ -2869,3 +2869,67 @@ def q_timeseries_seasonal_strength(spark: SparkSession, sf: str):
             "seasonal_strength"
         ),
     )
+
+
+@register(
+    "events_cohort_ltv",
+    """WITH e AS (
+         SELECT user_id, (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
+       f AS (SELECT user_id, min(day)::BIGINT AS d0 FROM e GROUP BY user_id),
+       aged AS (
+         SELECT (f.d0 // 7)::BIGINT AS cohort_week,
+                ((e.day - f.d0) // 7)::BIGINT AS age_week,
+                e.cents
+         FROM e JOIN f USING (user_id)),
+       cell AS (
+         SELECT cohort_week, age_week, count(*)::BIGINT AS n_events,
+                sum(cents)::BIGINT AS revenue_cents
+         FROM aged GROUP BY cohort_week, age_week),
+       cum AS (
+         SELECT cohort_week, age_week, n_events, revenue_cents,
+                sum(revenue_cents) OVER (PARTITION BY cohort_week
+                  ORDER BY age_week ROWS UNBOUNDED PRECEDING)::BIGINT
+                  AS cum_revenue_cents
+         FROM cell)
+       SELECT * FROM cum ORDER BY cohort_week, age_week""",
+    doc="Cohort lifetime-value matrix: users cohort by first-activity "
+    "week, every event's revenue lands in its (cohort_week, age_week) "
+    "cell, and each cohort's running total is the LTV curve — the "
+    "revenue companion to cohort_retention_matrix's counts (the pair "
+    "answers 'do later cohorts monetize faster?'). Exact integer "
+    "cents; the cumulative window is PARTITIONED by cohort over the "
+    "age-week domain (~span/7 rows per cohort — the offset-table "
+    "class, never a window over raw events). Scale shape: one user_id "
+    "rollup + one user_id join shuffle + a week-domain-bounded cell "
+    "aggregate.",
+)
+def q_events_cohort_ltv(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select(
+        "user_id",
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    f = e.groupBy("user_id").agg(F.min("day").cast("long").alias("d0"))
+    aged = e.join(f, "user_id").select(
+        F.expr("CAST(d0 DIV 7 AS BIGINT)").alias("cohort_week"),
+        F.expr("CAST((day - d0) DIV 7 AS BIGINT)").alias("age_week"),
+        "cents",
+    )
+    cell = aged.groupBy("cohort_week", "age_week").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_week").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cell.select(
+        "cohort_week",
+        "age_week",
+        "n_events",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    ).orderBy("cohort_week", "age_week")

@@ -1104,3 +1104,65 @@ def q_text_readability(spark: SparkSession, sf: str):
         F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
     )
+
+
+_EPOCH_BUDGET_TOKENS = 1_000_000  # pinned planning budget
+
+
+@register(
+    "curation_epoch_plan",
+    f"""WITH c AS (
+         SELECT source, sum(len({_TOKS}))::BIGINT AS n_tokens
+         FROM documents GROUP BY source),
+       t AS (SELECT sum(n_tokens)::BIGINT AS total,
+                    sum(round(sqrt(CAST(n_tokens AS DOUBLE)), 9)
+                        ::DECIMAL(25,9)) AS wsum
+             FROM c)
+       SELECT c.source, c.n_tokens,
+              round(CAST(c.n_tokens AS DOUBLE) / t.total, 6) AS actual_share,
+              round(round(sqrt(CAST(c.n_tokens AS DOUBLE)), 9)
+                    / CAST(t.wsum AS DOUBLE), 6) AS target_share,
+              round((round(sqrt(CAST(c.n_tokens AS DOUBLE)), 9)
+                     / CAST(t.wsum AS DOUBLE))
+                    / (CAST(c.n_tokens AS DOUBLE) / t.total), 4) AS epochs,
+              round({_EPOCH_BUDGET_TOKENS}
+                    * (round(sqrt(CAST(c.n_tokens AS DOUBLE)), 9)
+                       / CAST(t.wsum AS DOUBLE)))::BIGINT AS planned_tokens
+       FROM c, t ORDER BY c.source""",
+    doc="Domain mixture EPOCH plan (the Pile/Gopher recipe's output "
+    "artifact): per source, the sqrt-temperature target share "
+    "(alpha = 0.5, the same temperature as mixture_temperature_sample) "
+    "over real token counts, the repeat factor epochs = target/actual "
+    "(> 1 means the domain is seen more than once per pass; the "
+    "up-sampling a trainer actually schedules), and the planned token "
+    "count at the pinned planning budget. Per-domain sqrt weights "
+    "round to 9 dp and accumulate as DECIMAL(25,9) (order-exact "
+    "normalizer). Scale shape: one scan-fused source-domain rollup + a "
+    "1-row totals broadcast; domain-bounded output.",
+)
+def q_curation_epoch_plan(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions import text as _tx
+
+    c = (
+        table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(_tx.tokens("text"))).cast("long").alias("n_tokens"))
+    )
+    w = F.round(F.sqrt(F.col("n_tokens").cast("double")), 9)
+    t = c.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.sum(w.cast("decimal(25,9)")).alias("wsum"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    tgt = w / F.col("wsum").cast("double")
+    act = F.col("n_tokens").cast("double") / F.col("total")
+    return j.select(
+        "source",
+        "n_tokens",
+        F.round(act, 6).alias("actual_share"),
+        F.round(tgt, 6).alias("target_share"),
+        F.round(tgt / act, 4).alias("epochs"),
+        F.round(F.lit(_EPOCH_BUDGET_TOKENS) * tgt).cast("long").alias(
+            "planned_tokens"
+        ),
+    ).orderBy("source")

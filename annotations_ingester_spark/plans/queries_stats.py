@@ -2919,3 +2919,159 @@ def q_sketch_count_min(spark: SparkSession, sf: str):
         )
         .orderBy(F.desc("exact_count"), F.asc("token"))
     )
+
+
+from annotations_ingester_spark.plans.catalog import REGISTRY as _SREG  # noqa: E402
+
+
+@register(
+    "streaming_count_min",
+    _SREG["sketch_count_min_certified"].oracle,
+    doc="Streaming twin of the count-min certification, run for real: "
+    "documents stream in (availableNow, several micro-batches) and "
+    "foreachBatch reduces each batch to its OWN 4x256 cell partial "
+    "landed at a batch-id-keyed path (idempotent overwrite) — the "
+    "whole point of CMS is that cells are a commutative monoid, so "
+    "the final fold (sum cells across batches) must equal the batch "
+    "sketch EXACTLY, and the probe against the exact top-20 then "
+    "matches sketch_count_min_certified row for row (shared oracle). "
+    "This is the operational proof of the sketch's merge claim: any "
+    "batching, any arrival order, same cells. Scale shape: per batch "
+    "one token explode into 1024 cells; fold is O(batches x 1024); "
+    "the exact tier reads the settled corpus once.",
+)
+def q_streaming_count_min(spark: SparkSession, sf: str):
+    import os
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_cms_")
+    feed_dir = os.path.join(run_dir, "feed")
+    store = os.path.join(run_dir, "store")
+    try:
+        docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
+
+        def sketch(batch_df, batch_id):
+            tok = batch_df.select(
+                F.explode(tx.tokens("text")).alias("w")
+            ).select(
+                "w",
+                F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("seed"),
+            )
+            cells = (
+                tok.select(
+                    "seed",
+                    (seeded_hash64(F.col("w"), F.col("seed")) % _CMS_W).alias(
+                        "bkt"
+                    ),
+                )
+                .groupBy("seed", "bkt")
+                .agg(F.count("*").cast("long").alias("c"))
+            )
+            cells.write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(feed_dir)
+        )
+        q = stream.writeStream.foreachBatch(sketch).trigger(availableNow=True).start()
+        q.awaitTermination()
+        merged = (
+            spark.read.parquet(store)
+            .groupBy("seed", "bkt")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        # exact tier + probe over the settled corpus (one scan)
+        tok = (
+            table(spark, sf, "documents")
+            .select(F.explode(tx.tokens("text")).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        n = tok.agg(F.count("*").cast("long").alias("n_total"))
+        exact = tok.groupBy("w").agg(F.count("*").cast("long").alias("xc"))
+        top = exact.orderBy(F.desc("xc"), F.asc("w")).limit(20)
+        probes = top.select(
+            "w",
+            "xc",
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("seed"),
+        ).select(
+            "w",
+            "xc",
+            "seed",
+            (seeded_hash64(F.col("w"), F.col("seed")) % _CMS_W).alias("bkt"),
+        )
+        est = (
+            probes.join(F.broadcast(merged), ["seed", "bkt"])
+            .groupBy("w", "xc")
+            .agg(F.min("c").cast("long").alias("cms"))
+        )
+        return (
+            est.crossJoin(F.broadcast(n))
+            .select(
+                F.col("w").alias("token"),
+                F.col("xc").alias("exact_count"),
+                F.col("cms").alias("cms_estimate"),
+                (F.col("cms") - F.col("xc")).cast("long").alias("overestimate"),
+                (
+                    (F.col("cms") - F.col("xc")) * _CMS_W <= 2 * F.col("n_total")
+                ).alias("within_2eps"),
+            )
+            .orderBy(F.desc("exact_count"), F.asc("token"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
+@register(
+    "stats_sequential_srm",
+    f"""WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                {md5_hash64_sql("'ab:' || user_id::VARCHAR")} % 2 = 0 AS treat
+         FROM events),
+       d AS (SELECT day,
+                    sum(CASE WHEN treat THEN 1 ELSE 0 END)::BIGINT AS n1,
+                    sum(CASE WHEN NOT treat THEN 1 ELSE 0 END)::BIGINT AS n0
+             FROM e GROUP BY day)
+       SELECT day, n1 AS n_treat, n0 AS n_control,
+              round(CAST((n1 - n0) * (n1 - n0) AS DOUBLE) / (n1 + n0), 4)
+                AS chi2,
+              CAST((n1 - n0) * (n1 - n0) AS DOUBLE) / (n1 + n0) > 3.841
+                AS srm_flag
+       FROM d ORDER BY day""",
+    doc="Sample-ratio-mismatch monitor for the hash-split A/B arms (the "
+    "same 'ab:' assignment stats_ab_test_proportions reads): per day, "
+    "the 1-df chi-square of the two arm sizes against the designed "
+    "50/50 split — (n1-n0)^2/(n1+n0) — flagged above the pinned 3.841 "
+    "95% critical value. SRM is the first health check every "
+    "experimentation platform runs: a flagged day means the assignment "
+    "or logging is broken and every downstream test on that exposure "
+    "is invalid. Exact integer counts; the flag compares the UNROUNDED "
+    "statistic (identical IEEE tree both engines). Scale shape: one "
+    "scan-fused (day x arm)-bounded aggregate, day-domain output.",
+)
+def q_stats_srm(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        (
+            md5_hash64(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2
+            == 0
+        ).alias("treat"),
+    )
+    d = e.groupBy("day").agg(
+        F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~F.col("treat"), 1).otherwise(0)).cast("long").alias("n0"),
+    )
+    chi2 = ((F.col("n1") - F.col("n0")) * (F.col("n1") - F.col("n0"))).cast(
+        "double"
+    ) / (F.col("n1") + F.col("n0"))
+    return d.select(
+        "day",
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_control"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    ).orderBy("day")

@@ -288,6 +288,12 @@ HEADLINE = [
     # triad) + code-vs-prose routing heuristic
     "sketch_count_min_certified",
     "text_code_detect",
+    # r8: streaming CMS merge proof, sample-ratio-mismatch monitor,
+    # cohort LTV matrix, domain epoch plan
+    "streaming_count_min",
+    "stats_sequential_srm",
+    "events_cohort_ltv",
+    "curation_epoch_plan",
 ]
 
 

@@ -661,3 +661,61 @@ def test_code_detect_separates_code_from_prose(spark, tmp_path):
     assert out[1].is_code and not out[2].is_code
     assert out[1].n_indent == 1 and out[1].n_ident >= 1 and out[1].n_sym == 5
     assert out[2].n_sym == 0 and out[2].n_indent == 0
+
+
+def test_cohort_ltv_cells_and_running_total(spark, tmp_path):
+    """u1 (cohort week 0) spends 1.00 at age 0 and 2.00 at age 1; u2
+    (cohort week 1) spends 3.00 at age 0 — running totals per cohort."""
+    import pandas as pd
+
+    rows = [(1, 0, 1.0), (1, 8, 2.0), (2, 7, 3.0)]
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [base + pd.Timedelta(days=d) for _, d, _ in rows],
+            "user_id": [u for u, _, _ in rows],
+            "event_type": ["purchase"] * len(rows),
+            "value": [v for _, _, v in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = REGISTRY["events_cohort_ltv"].spark(spark, str(tmp_path)).collect()
+    w0 = out[0].cohort_week
+    got = [
+        (r.cohort_week - w0, r.age_week, r.revenue_cents, r.cum_revenue_cents)
+        for r in out
+    ]
+    assert got == [(0, 0, 100, 100), (0, 1, 200, 300), (1, 0, 300, 300)]
+
+
+def test_epoch_plan_sqrt_temperature(spark, tmp_path):
+    """Sources with 9 and 16 tokens: sqrt weights 3 and 4, target shares
+    3/7 and 4/7, epochs (3/7)/(9/25) and (4/7)/(16/25)."""
+    import pandas as pd
+
+    t9 = " ".join(f"w{i}" for i in range(9))
+    t16 = " ".join(f"v{i}" for i in range(16))
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "lang": ["en", "en"],
+            "source": ["small", "big"],
+            "text": [t9, t16],
+            "n_chars": [len(t9), len(t16)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.source: r
+        for r in REGISTRY["curation_epoch_plan"].spark(spark, str(tmp_path)).collect()
+    }
+    s, b = out["small"], out["big"]
+    assert (s.n_tokens, b.n_tokens) == (9, 16)
+    assert s.target_share == round(3 / 7, 6) and b.target_share == round(4 / 7, 6)
+    assert s.epochs == round((3 / 7) / (9 / 25), 4)
+    assert b.epochs == round((4 / 7) / (16 / 25), 4)
+    assert s.planned_tokens + b.planned_tokens in (1_000_000, 1_000_001)

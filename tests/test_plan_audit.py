@@ -143,6 +143,10 @@ CROSS_ALLOWED = {
     # 1-row stream-total broadcast (the 2N/w envelope scalar) onto the
     # 20-row probe table (the heavy-hitters shape)
     "sketch_count_min_certified",
+    "streaming_count_min",
+    # 1-row totals broadcast (temperature normalizer) onto the
+    # source-domain rollup
+    "curation_epoch_plan",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain

@@ -846,3 +846,31 @@ def test_group_sequential_balanced_mix_never_crosses(spark, tmp_path):
     assert [r.look for r in rs] == [1, 2, 3, 4, 5]
     assert all(r.z_k == 0.0 and not r.crossed for r in rs)
     assert rs[-1].n_treat + rs[-1].n_control == len(rows)
+
+
+def test_srm_chi2_arithmetic(spark, tmp_path):
+    """chi2 must equal (n1-n0)^2/(n1+n0) computed from the returned arm
+    counts, and the flag must agree with the pinned 3.841 cutoff."""
+    import pandas as pd
+
+    n = 60
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [base + pd.Timedelta(days=i % 3, minutes=i) for i in range(n)],
+            "user_id": [i % 20 for i in range(n)],
+            "event_type": ["click"] * n,
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["stats_sequential_srm"].spark(spark, str(tmp_path)).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_treat + r.n_control == 20
+        expect = (r.n_treat - r.n_control) ** 2 / (r.n_treat + r.n_control)
+        assert r.chi2 == round(expect, 4)
+        assert r.srm_flag == (expect > 3.841)
