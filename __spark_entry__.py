@@ -196,6 +196,8 @@ _DEFERRED_PAST_WINDOW = {
     "stats_sequential_srm",
     "events_cohort_ltv",
     "curation_epoch_plan",
+    "lm_domain_kl_divergence",
+    "graph_degree_assortativity",
 }
 
 

@@ -277,3 +277,45 @@ def k_core_subgraph(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("deg"))
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman's degree-assortativity coefficient r over an undirected edge
+    list (``src`` < ``dst``, each edge once): the Pearson correlation of
+    endpoint degrees over DIRECTED edge instances (each edge contributes
+    both orientations, the standard convention) →
+    ``(n_directed_edges, assortativity)``.
+
+    Moments are exact integer/DECIMAL sums over the edge-degree join; the
+    correlation is one shared IEEE tree rounded once. The edge frame is
+    localCheckpoint'ed because the orientation union feeds both the
+    degree rollup and the pair join (cost ~ |E|, never all-pairs).
+    """
+    e = edges.localCheckpoint(eager=True)
+    und = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        und.join(deg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst")
+        .select("dx", "dy")
+    )
+    m = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    dx2 = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    dy2 = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(num / F.sqrt(dx2 * dy2), 6).alias("assortativity"),
+    )

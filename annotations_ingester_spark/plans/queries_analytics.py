@@ -2933,3 +2933,43 @@ def q_events_cohort_ltv(spark: SparkSession, sf: str):
         "revenue_cents",
         F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
     ).orderBy("cohort_week", "age_week")
+
+
+@register(
+    "graph_degree_assortativity",
+    f"""WITH {_lsh_edges_sql()},
+       und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM und
+               GROUP BY node),
+       pairs AS (
+         SELECT da.d AS dx, db.d AS dy
+         FROM und u JOIN deg da ON da.node = u.src
+                    JOIN deg db ON db.node = u.dst),
+       m AS (SELECT count(*)::BIGINT AS n,
+                    sum(dx)::BIGINT AS sx, sum(dy)::BIGINT AS sy,
+                    sum(dx::DECIMAL(38,0) * dy)::DECIMAL(38,0) AS sxy,
+                    sum(dx::DECIMAL(38,0) * dx)::DECIMAL(38,0) AS sxx,
+                    sum(dy::DECIMAL(38,0) * dy)::DECIMAL(38,0) AS syy
+             FROM pairs)
+       SELECT n AS n_directed_edges,
+              round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                    / sqrt((n * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * sx)
+                           * (n * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * sy)), 6)
+                AS assortativity
+       FROM m""",
+    doc="Degree assortativity of the LSH candidate graph — the Pearson "
+    "correlation of endpoint degrees over directed edge instances "
+    "(Newman's r): positive means duplicate clusters link hubs to hubs "
+    "(clean near-clique dedup structure), negative means star-shaped "
+    "collision noise — the one-scalar companion to the triangle "
+    "census. Moments are exact integer/DECIMAL sums over the "
+    "edge-degree join; the correlation is one shared IEEE tree rounded "
+    "once. Scale shape: one degree rollup + two node-key joins along "
+    "the edge list (cost ~ |E|, never all-pairs), 1-row output.",
+)
+def q_graph_assortativity(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_lsh_edges(spark, sf))

@@ -1487,3 +1487,68 @@ def q_vocab_heaps(spark: SparkSession, sf: str):
             6,
         ).alias("heaps_beta_upper"),
     ).orderBy("bkt")
+
+
+@register(
+    "lm_domain_kl_divergence",
+    f"""WITH tok AS (
+         SELECT source, unnest(t) AS w
+         FROM (SELECT source, {TOKS} AS t FROM documents)),
+       sc AS (SELECT source, w, count(*)::BIGINT AS c
+              FROM tok GROUP BY source, w),
+       st AS (SELECT source, sum(c)::BIGINT AS n_s FROM sc GROUP BY source),
+       cc AS (SELECT w, sum(c)::BIGINT AS cq FROM sc GROUP BY w),
+       ct AS (SELECT sum(cq)::BIGINT AS n_q FROM cc),
+       terms AS (
+         SELECT sc.source,
+                round((CAST(sc.c AS DOUBLE) / st.n_s)
+                      * ln((CAST(sc.c AS DOUBLE) / st.n_s)
+                           / (CAST(cc.cq AS DOUBLE) / ct.n_q)), 12) AS term
+         FROM sc JOIN st USING (source) JOIN cc USING (w), ct)
+       SELECT t.source, st.n_s AS n_tokens,
+              round(CAST(sum(t.term::DECIMAL(25,12)) AS DOUBLE), 6)
+                AS kl_nats
+       FROM terms t JOIN st ON st.source = t.source
+       GROUP BY t.source, st.n_s ORDER BY t.source""",
+    doc="Per-domain KL divergence KL(p_source || p_corpus) over unigram "
+    "token distributions — the domain-shift scalar data-mixing recipes "
+    "weight by (a source far from the corpus mean costs more to "
+    "upsample): every source token also appears in the corpus "
+    "distribution, so q > 0 and no smoothing convention leaks into "
+    "parity. Each term p·ln(p/q) is one shared IEEE tree over exact "
+    "integer counts, rounded to 12 dp and accumulated as "
+    "DECIMAL(25,12) (order-exact), one final 6-dp rounding. Scale "
+    "shape: one (source, token) rollup shuffle, a token-key join "
+    "against the vocab-bounded corpus distribution, and a "
+    "source-domain-bounded aggregate.",
+)
+def q_lm_domain_kl(spark: SparkSession, sf: str):
+    tok = table(spark, sf, "documents").select(
+        "source", F.explode(tx.tokens("text")).alias("w")
+    )
+    sc = tok.groupBy("source", "w").agg(F.count("*").cast("long").alias("c"))
+    sc = sc.localCheckpoint(eager=True)
+    st = sc.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    cc = sc.groupBy("w").agg(F.sum("c").cast("long").alias("cq"))
+    ct = cc.agg(F.sum("cq").cast("long").alias("n_q"))
+    p = F.col("c").cast("double") / F.col("n_s")
+    q = F.col("cq").cast("double") / F.col("n_q")
+    terms = (
+        sc.join(F.broadcast(st), "source")
+        .join(cc, "w")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            "n_s",
+            F.round(p * F.log(p / q), 12).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("source", "n_s")
+        .agg(
+            F.round(F.sum(F.col("term").cast("decimal(25,12)")).cast("double"), 6)
+            .alias("kl_nats")
+        )
+        .select("source", F.col("n_s").alias("n_tokens"), "kl_nats")
+        .orderBy("source")
+    )

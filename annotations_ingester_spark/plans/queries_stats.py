@@ -2832,33 +2832,40 @@ def q_stats_group_sequential(spark: SparkSession, sf: str):
     ).orderBy("look")
 
 
-from annotations_ingester_spark.functions.hashing import (  # noqa: E402
-    seeded_hash64,
-    seeded_hash64_sql,
-)
-
 _CMS_D = 4  # hash rows
 _CMS_W = 256  # buckets per row; eps = 2/W for the reported bound flag
+
+# Per-row 60-bit seed hashes h_s = md5_hash64('cms' + str(s)), pinned and
+# xor-combined with the per-TOKEN hash: bucket(s, w) = xor(h0(w), h_s) % W
+# — the bootstrap/minhash seeding trick (one md5 per token occurrence
+# plus d pinned constants, never d x stream hash evaluations; measured
+# 33 s -> ~8 s at sf1 for the batch cert)
+_CMS_HS = tuple(
+    int(hashlib.md5(f"cms{s}".encode()).hexdigest()[:15], 16) for s in range(_CMS_D)
+)
+_CMS_SEED_VALUES = ", ".join(f"({s}, {h})" for s, h in enumerate(_CMS_HS))
 
 
 @register(
     "sketch_count_min_certified",
     f"""WITH d AS (SELECT {TOKS} AS t FROM documents),
-       tok AS (SELECT unnest(t) AS w FROM d),
+       tok AS (SELECT unnest(t) AS w, {md5_hash64_sql('unnest(t)')} AS h0
+               FROM d),
        n AS (SELECT count(*)::BIGINT AS n_total FROM tok),
+       sd AS (SELECT * FROM (VALUES {_CMS_SEED_VALUES}) v(seed, hs)),
        cells AS (
-         SELECT s.seed,
-                ({seeded_hash64_sql('w', 's.seed')} % {_CMS_W})::BIGINT AS bkt,
+         SELECT s.seed, (xor(tok.h0, s.hs) % {_CMS_W})::BIGINT AS bkt,
                 count(*)::BIGINT AS c
-         FROM tok, (SELECT unnest(range({_CMS_D})) AS seed) s
+         FROM tok, sd s
          GROUP BY s.seed, bkt),
        exact AS (SELECT w, count(*)::BIGINT AS xc FROM tok GROUP BY w),
-       top AS (SELECT w, xc FROM exact ORDER BY xc DESC, w LIMIT 20),
+       top AS (SELECT w, {md5_hash64_sql('w')} AS h0, xc FROM exact
+               ORDER BY xc DESC, w LIMIT 20),
        est AS (
          SELECT t.w, t.xc, min(c.c)::BIGINT AS cms
-         FROM top t, (SELECT unnest(range({_CMS_D})) AS seed) s
+         FROM top t, sd s
          JOIN cells c ON c.seed = s.seed
-          AND c.bkt = ({seeded_hash64_sql('t.w', 's.seed')} % {_CMS_W})
+          AND c.bkt = (xor(t.h0, s.hs) % {_CMS_W})
          GROUP BY t.w, t.xc)
        SELECT e.w AS token, e.xc AS exact_count, e.cms AS cms_estimate,
               (e.cms - e.xc)::BIGINT AS overestimate,
@@ -2875,31 +2882,43 @@ _CMS_W = 256  # buckets per row; eps = 2/W for the reported bound flag
     "identically by both engines, reported not assumed). Alongside "
     "Misra-Gries (deterministic support) and HLL (distinct counts), "
     "this completes the mergeable-sketch triad a 1000-executor "
-    "frequency rollup chooses from. Scale shape: one token explode x 4 "
-    "pinned seeds into a 1024-cell aggregate + one vocab-bounded exact "
-    "rollup; the probe joins 20 x 4 rows against broadcast cells.",
+    "frequency rollup chooses from. Row hashes follow the xor-seeding "
+    "discipline (one md5 per occurrence, d pinned seed constants — "
+    "never d x stream hash evaluations). Scale shape: one token "
+    "explode x 4 pinned seeds into a 1024-cell aggregate + one "
+    "vocab-bounded exact rollup; the probe joins 20 x 4 rows against "
+    "broadcast cells.",
 )
 def q_sketch_count_min(spark: SparkSession, sf: str):
     d = table(spark, sf, "documents").select(tx.tokens("text").alias("t"))
-    tok = d.select(F.explode("t").alias("w")).localCheckpoint(eager=True)
+    tok = d.select(
+        F.explode("t").alias("w")
+    ).select("w", md5_hash64(F.col("w")).alias("h0")).localCheckpoint(eager=True)
     n = tok.agg(F.count("*").cast("long").alias("n_total"))
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("seed")
+    seeds = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(s).alias("seed"), F.lit(h).alias("hs"))
+                for s, h in enumerate(_CMS_HS)
+            ]
+        )
+    ).alias("sd")
     cells = (
-        tok.select("w", seeds)
+        tok.select("h0", seeds)
         .select(
-            "seed",
-            (seeded_hash64(F.col("w"), F.col("seed")) % _CMS_W).alias("bkt"),
+            F.col("sd.seed").alias("seed"),
+            (F.col("h0").bitwiseXOR(F.col("sd.hs")) % _CMS_W).alias("bkt"),
         )
         .groupBy("seed", "bkt")
         .agg(F.count("*").cast("long").alias("c"))
     )
     exact = tok.groupBy("w").agg(F.count("*").cast("long").alias("xc"))
     top = exact.orderBy(F.desc("xc"), F.asc("w")).limit(20)
-    probes = top.select("w", "xc", seeds).select(
+    probes = top.select("w", md5_hash64(F.col("w")).alias("h0"), "xc", seeds).select(
         "w",
         "xc",
-        "seed",
-        (seeded_hash64(F.col("w"), F.col("seed")) % _CMS_W).alias("bkt"),
+        F.col("sd.seed").alias("seed"),
+        (F.col("h0").bitwiseXOR(F.col("sd.hs")) % _CMS_W).alias("bkt"),
     )
     est = (
         probes.join(F.broadcast(cells), ["seed", "bkt"])
@@ -2952,19 +2971,23 @@ def q_streaming_count_min(spark: SparkSession, sf: str):
     try:
         docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
 
+        seed_arr = F.array(
+            *[
+                F.struct(F.lit(s).alias("seed"), F.lit(h).alias("hs"))
+                for s, h in enumerate(_CMS_HS)
+            ]
+        )
+
         def sketch(batch_df, batch_id):
-            tok = batch_df.select(
-                F.explode(tx.tokens("text")).alias("w")
-            ).select(
-                "w",
-                F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("seed"),
+            tok = (
+                batch_df.select(F.explode(tx.tokens("text")).alias("w"))
+                .select(md5_hash64(F.col("w")).alias("h0"))
+                .select("h0", F.explode(seed_arr).alias("sd"))
             )
             cells = (
                 tok.select(
-                    "seed",
-                    (seeded_hash64(F.col("w"), F.col("seed")) % _CMS_W).alias(
-                        "bkt"
-                    ),
+                    F.col("sd.seed").alias("seed"),
+                    (F.col("h0").bitwiseXOR(F.col("sd.hs")) % _CMS_W).alias("bkt"),
                 )
                 .groupBy("seed", "bkt")
                 .agg(F.count("*").cast("long").alias("c"))
@@ -2995,13 +3018,14 @@ def q_streaming_count_min(spark: SparkSession, sf: str):
         top = exact.orderBy(F.desc("xc"), F.asc("w")).limit(20)
         probes = top.select(
             "w",
+            md5_hash64(F.col("w")).alias("h0"),
             "xc",
-            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("seed"),
+            F.explode(seed_arr).alias("sd"),
         ).select(
             "w",
             "xc",
-            "seed",
-            (seeded_hash64(F.col("w"), F.col("seed")) % _CMS_W).alias("bkt"),
+            F.col("sd.seed").alias("seed"),
+            (F.col("h0").bitwiseXOR(F.col("sd.hs")) % _CMS_W).alias("bkt"),
         )
         est = (
             probes.join(F.broadcast(merged), ["seed", "bkt"])

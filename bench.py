@@ -294,6 +294,10 @@ HEADLINE = [
     "stats_sequential_srm",
     "events_cohort_ltv",
     "curation_epoch_plan",
+    # r8: per-domain unigram KL (domain-shift scalar) + LSH-graph
+    # degree assortativity
+    "lm_domain_kl_divergence",
+    "graph_degree_assortativity",
 ]
 
 

@@ -719,3 +719,51 @@ def test_epoch_plan_sqrt_temperature(spark, tmp_path):
     assert s.epochs == round((3 / 7) / (9 / 25), 4)
     assert b.epochs == round((4 / 7) / (16 / 25), 4)
     assert s.planned_tokens + b.planned_tokens in (1_000_000, 1_000_001)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """A star graph is maximally disassortative: every directed edge
+    pairs the hub degree with a leaf degree, r = -1 exactly."""
+    from annotations_ingester_spark.operators.graph import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "src long, dst long"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r.n_directed_edges == 8
+    assert r.assortativity == -1.0
+
+
+def test_domain_kl_zero_for_identical_distributions(spark, tmp_path):
+    """Two sources with the identical token distribution ('a b'): the
+    corpus distribution equals each source's, so KL = 0 for both; a
+    skewed third source earns the hand-computed positive KL."""
+    import math
+
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["en"] * 3,
+            "source": ["s1", "s2", "s3"],
+            "text": ["a b", "a b", "a a a b"],
+            "n_chars": [3, 3, 7],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.source: r
+        for r in REGISTRY["lm_domain_kl_divergence"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # corpus: a=5, b=3 of 8
+    t_a = round(0.75 * math.log(0.75 / (5 / 8)), 12)
+    t_b = round(0.25 * math.log(0.25 / (3 / 8)), 12)
+    assert out["s3"].n_tokens == 4
+    assert out["s3"].kl_nats == round(t_a + t_b, 6)
+    ua = round(0.5 * math.log(0.5 / (5 / 8)), 12)
+    ub = round(0.5 * math.log(0.5 / (3 / 8)), 12)
+    assert out["s1"].kl_nats == out["s2"].kl_nats == round(ua + ub, 6)

@@ -147,6 +147,8 @@ CROSS_ALLOWED = {
     # 1-row totals broadcast (temperature normalizer) onto the
     # source-domain rollup
     "curation_epoch_plan",
+    # 1-row corpus-token-total broadcast onto the (source, token) rollup
+    "lm_domain_kl_divergence",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
