@@ -198,6 +198,8 @@ _DEFERRED_PAST_WINDOW = {
     "curation_epoch_plan",
     "lm_domain_kl_divergence",
     "graph_degree_assortativity",
+    "privacy_redaction_cert",
+    "events_interarrival_stats",
 }
 
 

@@ -2973,3 +2973,58 @@ def q_graph_assortativity(spark: SparkSession, sf: str):
     from annotations_ingester_spark.operators.graph import degree_assortativity
 
     return degree_assortativity(_lsh_edges(spark, sf))
+
+
+@register(
+    "events_interarrival_stats",
+    """WITH e AS (
+         SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s, event_id
+         FROM events),
+       g AS (
+         SELECT ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                       ORDER BY ts_s, event_id) AS gap
+         FROM e),
+       m AS (SELECT count(*)::BIGINT AS n, sum(gap)::BIGINT AS s,
+                    sum(gap::DECIMAL(38,0) * gap)::DECIMAL(38,0) AS q,
+                    min(gap)::BIGINT AS mn, max(gap)::BIGINT AS mx
+             FROM g WHERE gap IS NOT NULL)
+       SELECT n AS n_gaps, mn AS min_gap_s, mx AS max_gap_s,
+              round(CAST(s AS DOUBLE) / n, 4) AS mean_gap_s,
+              round(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                         / (n - 1)) / (CAST(s AS DOUBLE) / n), 6) AS cv
+       FROM m""",
+    doc="Per-user inter-arrival-time profile: consecutive event gaps via "
+    "one user-partitioned lag, reduced to exact integer/DECIMAL "
+    "moments — the coefficient of variation is the Poisson-process "
+    "companion to stats_overdispersion (exponential arrivals have "
+    "CV = 1; CV >> 1 means bursty sessions, the thing that invalidates "
+    "per-event independence assumptions in the A/B machinery). Scale "
+    "shape: one user_id window shuffle + one scan-fused moment "
+    "aggregate, 1-row output.",
+)
+def q_events_interarrival(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select("user_id", "ts_s", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    g = e.select((F.col("ts_s") - F.lag("ts_s").over(w)).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    m = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap")).alias("q"),
+        F.min("gap").cast("long").alias("mn"),
+        F.max("gap").cast("long").alias("mx"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    return m.select(
+        F.col("n").alias("n_gaps"),
+        F.col("mn").alias("min_gap_s"),
+        F.col("mx").alias("max_gap_s"),
+        F.round(mean, 4).alias("mean_gap_s"),
+        F.round(F.sqrt(var) / mean, 6).alias("cv"),
+    )

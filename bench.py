@@ -298,6 +298,9 @@ HEADLINE = [
     # degree assortativity
     "lm_domain_kl_divergence",
     "graph_degree_assortativity",
+    # r8: end-to-end redaction certification + inter-arrival CV profile
+    "privacy_redaction_cert",
+    "events_interarrival_stats",
 ]
 
 

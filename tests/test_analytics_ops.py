@@ -767,3 +767,54 @@ def test_domain_kl_zero_for_identical_distributions(spark, tmp_path):
     ua = round(0.5 * math.log(0.5 / (5 / 8)), 12)
     ub = round(0.5 * math.log(0.5 / (3 / 8)), 12)
     assert out["s1"].kl_nats == out["s2"].kl_nats == round(ua + ub, 6)
+
+
+def test_redaction_cert_clears_seeded_pii(spark, tmp_path):
+    """A doc with an email and a long number plus the seeded doc-7 email:
+    before-counts are positive, after-counts are zero, all_clear holds."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [7, 8],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "text": ["call 12345 or mail a.b@example.com", "plain words only"],
+            "n_chars": [34, 16],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["privacy_redaction_cert"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.n_docs == 2
+    assert r.emails_before == 2  # the literal one + the seeded doc-7 one
+    assert r.longnums_before == 1
+    assert r.emails_after == 0 and r.longnums_after == 0 and r.all_clear
+
+
+def test_interarrival_constant_gaps_cv_zero(spark, tmp_path):
+    """One user, events every 60 s: all gaps equal, CV exactly 0."""
+    import pandas as pd
+
+    n = 10
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(n)],
+            "user_id": [1] * n,
+            "event_type": ["click"] * n,
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["events_interarrival_stats"].spark(spark, str(tmp_path)).collect()[0]
+    assert (r.n_gaps, r.min_gap_s, r.max_gap_s, r.mean_gap_s, r.cv) == (
+        9,
+        60,
+        60,
+        60.0,
+        0.0,
+    )
