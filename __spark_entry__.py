@@ -200,6 +200,7 @@ _DEFERRED_PAST_WINDOW = {
     "graph_degree_assortativity",
     "privacy_redaction_cert",
     "events_interarrival_stats",
+    "timeseries_cross_correlation",
 }
 
 

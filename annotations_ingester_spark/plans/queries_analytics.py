@@ -3028,3 +3028,94 @@ def q_events_interarrival(spark: SparkSession, sf: str):
         F.round(mean, 4).alias("mean_gap_s"),
         F.round(F.sqrt(var) / mean, 6).alias("cv"),
     )
+
+
+# two daily COUNT series for the cross-correlation: clicks (the driver
+# signal) and purchases (the response)
+_CCF_CTE = """dd AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                  AS x,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  ::BIGINT AS y
+         FROM events GROUP BY day)"""
+
+
+@register(
+    "timeseries_cross_correlation",
+    f"""WITH {_CCF_CTE},
+       l AS (SELECT unnest(range(0, 8))::BIGINT AS lag),
+       p AS (SELECT l.lag, a.x AS xa, b.y AS yb
+             FROM dd a CROSS JOIN l JOIN dd b ON b.day = a.day + l.lag),
+       m AS (SELECT lag, count(*)::BIGINT AS n,
+                    sum(xa)::BIGINT AS sx, sum(yb)::BIGINT AS sy,
+                    sum(xa::DECIMAL(38,0) * xa)::DECIMAL(38,0) AS sxx,
+                    sum(yb::DECIMAL(38,0) * yb)::DECIMAL(38,0) AS syy,
+                    sum(xa::DECIMAL(38,0) * yb)::DECIMAL(38,0) AS sxy
+             FROM p GROUP BY lag)
+       SELECT lag, n,
+              round(CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                              * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                              <= 0 THEN 0.0
+                    ELSE (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                         / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                                * (n * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * sy)) END, 6) AS ccf
+       FROM m ORDER BY lag""",
+    doc="Lagged cross-correlation between the daily click and purchase "
+    "count series (lags 0..7): the lead-lag discovery step that says "
+    "whether clicks PREDICT purchases k days out — the bivariate "
+    "companion to timeseries_acf, same exact-moment discipline "
+    "(integer daily counts, lag pairing via an equi-join on day+k over "
+    "the date-domain-bounded series, Pearson from exact "
+    "integer/DECIMAL sums, one rounding per row, degenerate variance "
+    "-> 0). Scale shape: one scan-fused daily aggregate + a "
+    "days x 8 bounded lag join.",
+)
+def q_timeseries_ccf(spark: SparkSession, sf: str):
+    dd = (
+        events_table(spark, sf)
+        .groupBy(F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = dd.withColumn(
+        "lag", F.explode(F.array(*[F.lit(k).cast("long") for k in range(0, 8)]))
+    ).select("lag", (F.col("day") + F.col("lag")).alias("bday"), F.col("x").alias("xa"))
+    b = dd.select(F.col("day").alias("bday"), F.col("y").alias("yb"))
+    p = a.join(b, "bday")
+    xa_d = F.col("xa").cast("decimal(38,0)")
+    yb_d = F.col("yb").cast("decimal(38,0)")
+    m = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("yb").cast("long").alias("sy"),
+        F.sum(xa_d * F.col("xa")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yb_d * F.col("yb")).cast("decimal(38,0)").alias("syy"),
+        F.sum(xa_d * F.col("yb")).cast("decimal(38,0)").alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    dx = n * sxx - sx * F.col("sx")
+    dy = n * syy - sy.cast("double") * sy
+    num = n * sxy - sx * sy
+    return m.select(
+        "lag",
+        "n",
+        F.round(
+            F.when(dx * dy <= 0, F.lit(0.0)).otherwise(num / F.sqrt(dx * dy)), 6
+        ).alias("ccf"),
+    ).orderBy("lag")

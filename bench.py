@@ -301,6 +301,8 @@ HEADLINE = [
     # r8: end-to-end redaction certification + inter-arrival CV profile
     "privacy_redaction_cert",
     "events_interarrival_stats",
+    # r8: click->purchase lead-lag cross-correlation
+    "timeseries_cross_correlation",
 ]
 
 

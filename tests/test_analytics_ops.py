@@ -818,3 +818,39 @@ def test_interarrival_constant_gaps_cv_zero(spark, tmp_path):
         60.0,
         0.0,
     )
+
+
+def test_ccf_detects_planted_two_day_lead(spark, tmp_path):
+    """Purchases replay the click counts shifted two days: lag-2
+    correlation is exactly 1; lag 0 is below it."""
+    import pandas as pd
+
+    rows = []
+    for d in range(10):
+        for _ in range((d % 5) + 1):
+            rows.append((d, "click"))
+    for d in range(2, 12):
+        for _ in range(((d - 2) % 5) + 1):
+            rows.append((d, "purchase"))
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [base + pd.Timedelta(days=d, minutes=i)
+                   for i, (d, _) in enumerate(rows)],
+            "user_id": [1] * len(rows),
+            "event_type": [t for _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    out = {
+        r.lag: r.ccf
+        for r in REGISTRY["timeseries_cross_correlation"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[2] == 1.0
+    assert out[0] < 1.0
