@@ -252,11 +252,19 @@ def k_core_subgraph(
     rounds (the oracle unrolls the same count), and at real scale a
     fixed small round count is the honest contract anyway — each peel is
     one degree aggregate (map-side combinable) plus two semi-joins, and
-    the edge frame is localCheckpoint'ed per round so lineage stays
-    flat (the kmeans/pagerank discipline). Degrees only shrink, so a
-    fixpoint reached early just makes later rounds no-ops.
+    the edge frame is checkpointed per round through
+    :class:`~.iterate.CheckpointCycler` so lineage stays flat AND the
+    previous round's checkpoint blocks are freed once the new round
+    materializes — at most two edge-set generations live in executor
+    storage instead of ``n_iters`` (the cluster.py discipline; raw
+    per-round ``localCheckpoint`` is the eviction-storm pattern
+    iterate.py documents). Degrees only shrink, so a fixpoint reached
+    early just makes later rounds no-ops.
     """
-    e = edges.localCheckpoint(eager=True)
+    from .iterate import CheckpointCycler
+
+    cycler = CheckpointCycler(edges.sparkSession)
+    e = cycler.checkpoint(edges)
     for _ in range(n_iters):
         deg = (
             e.select(F.col("src").alias("node"))
@@ -265,12 +273,14 @@ def k_core_subgraph(
             .agg(F.count("*").cast("long").alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k).select("node")
-        e = (
+        e = cycler.checkpoint(
             e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
         )
+        # the new edge set is eagerly materialized and nothing reads the
+        # previous generation again — free its blocks now
+        cycler.retire_previous()
     return (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -287,16 +297,25 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     ``(n_directed_edges, assortativity)``.
 
     Moments are exact integer/DECIMAL sums over the edge-degree join; the
-    correlation is one shared IEEE tree rounded once. The edge frame is
-    localCheckpoint'ed because the orientation union feeds both the
-    degree rollup and the pair join (cost ~ |E|, never all-pairs).
+    correlation is one shared IEEE tree rounded once. Both checkpoints go
+    through :class:`~.iterate.CheckpointCycler` (the cluster.py
+    discipline): the edge frame because the orientation union feeds both
+    the degree rollup and the pair join (cost ~ |E|, never all-pairs),
+    the degree frame because the pair join reads it twice (dx/dy sides).
+    No ``retire_previous`` call is valid here — unlike the k-core loop,
+    BOTH generations feed the one final moments job, so both are
+    genuinely live until the caller executes the result; the cycler's
+    value is that exactly two bounded generations exist (|E| edges +
+    |V| degree rows), never a per-round accumulation.
     """
-    e = edges.localCheckpoint(eager=True)
+    from .iterate import CheckpointCycler
+
+    cycler = CheckpointCycler(edges.sparkSession)
+    e = cycler.checkpoint(edges)
     und = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = (
+    deg = cycler.checkpoint(
         und.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("long").alias("d"))
-        .localCheckpoint(eager=True)
     )
     pairs = (
         und.join(deg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src")

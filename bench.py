@@ -408,6 +408,31 @@ def main() -> None:
         result["scaling"] = scaling
 
     print(json.dumps(result))
+    # Persist the COMPLETE per-query map as a committed artifact
+    # (BENCH_FULL_r{N}.json). BENCH_r{N}.json keeps only the captured
+    # stdout tail, so absolute per-query times survive a round only if a
+    # judge reruns the bench; this file makes round-over-round per-query
+    # regression diffs possible from repo artifacts alone (r8 verdict
+    # item 3). Round number: $SPARK_GRAFT_ROUND if set, else one past the
+    # highest driver-written BENCH_r*.json. Best-effort — the bench's
+    # stdout contract must survive a read-only checkout.
+    try:
+        repo = Path(__file__).resolve().parent
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            import re
+
+            seen = [
+                int(m.group(1))
+                for p in repo.glob("BENCH_r*.json")
+                if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
+            ]
+            rnd = str(max(seen, default=0) + 1)
+        (repo / f"BENCH_FULL_r{int(rnd):02d}.json").write_text(
+            json.dumps(result, indent=1, sort_keys=False) + "\n"
+        )
+    except OSError:
+        pass
     # The driver's capture keeps the TAIL of long output (BENCH_r03..r05
     # all had "parsed": null with only the end of the big line surviving),
     # so ALSO emit a short trailing summary line — the one placement that
