@@ -204,6 +204,25 @@ _DEFERRED_PAST_WINDOW = {
 }
 
 
+# Round-9 additions: an ABSOLUTE-LAST tier. _DEFERRED_PAST_WINDOW is not
+# enough for these — within that bucket names keep registry (module
+# import) order, and the r9 additions in early-imported modules
+# (queries_analytics, queries_llm) would sort ahead of the r7/r8 debt
+# living in queries_stats/queries_eval, displacing 4 old names out of
+# the 50-slot window (measured before this tier existed). The r8 verdict
+# pins the priority the other way: the 52-name certification debt
+# clears first; these six ride behind ALL other uncovered names and
+# front the r10 window together with the 2 old names past this window.
+_ORDER_LAST = {
+    "sketch_bloom_membership_cert",
+    "graph_local_clustering",
+    "stats_hodges_lehmann",
+    "privacy_dp_noisy_counts_cert",
+    "eval_split_leakage_audit",
+    "text_char_entropy",
+}
+
+
 def _ordered():
     reg = _registry()
     covered_names = _covered_from_disk()
@@ -216,14 +235,20 @@ def _ordered():
         if n not in covered_names
         and n not in _QUEUED_LATE
         and n not in _DEFERRED_PAST_WINDOW
+        and n not in _ORDER_LAST
     }
     deferred = {
         n: s
         for n, s in reg.items()
-        if n not in covered_names and n in _DEFERRED_PAST_WINDOW
+        if n not in covered_names
+        and n in _DEFERRED_PAST_WINDOW
+        and n not in _ORDER_LAST
+    }
+    last = {
+        n: s for n, s in reg.items() if n not in covered_names and n in _ORDER_LAST
     }
     covered = {n: s for n, s in reg.items() if n in covered_names}
-    return {**debt, **fresh, **deferred, **covered}
+    return {**debt, **fresh, **deferred, **last, **covered}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -338,3 +338,63 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.col("n").alias("n_directed_edges"),
         F.round(num / F.sqrt(dx2 * dy2), 6).alias("assortativity"),
     )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected canonical
+    edge list (``src`` < ``dst``, distinct): for every node,
+    ``(node, deg, n_tri, local_cc)`` where ``n_tri`` is the number of
+    triangles through the node and
+    ``local_cc = 2·n_tri / (deg·(deg−1))`` (0.0 for degree < 2) — the
+    Watts-Strogatz per-node refinement of :func:`triangle_stats`'s
+    global transitivity.
+
+    Plan: the same oriented wedge enumeration as :func:`triangle_stats`
+    (pairs of oriented neighbors ``v < w`` of each lower endpoint ``u``,
+    closed by an equi-join probe for ``(v, w)``) — each closed triangle
+    instance then credits all three corners, one union + key aggregate.
+    The edge list is consumed five times (two degree branches, two wedge
+    sides, the closing probe), so it is localCheckpoint'ed ONCE; every
+    join is an equi-join on node keys (never all-pairs), and the
+    per-node division stays exact (the numerator is doubled instead of
+    halving the always-even denominator product).
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        e.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
+    )
+    tri_nodes = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(tri_nodes, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("local_cc"),
+        )
+    )

@@ -3119,3 +3119,123 @@ def q_timeseries_ccf(spark: SparkSession, sf: str):
             F.when(dx * dy <= 0, F.lit(0.0)).otherwise(num / F.sqrt(dx * dy)), 6
         ).alias("ccf"),
     ).orderBy("lag")
+
+
+# --- per-node local clustering coefficient (r9) ----------------------------
+
+
+@register(
+    "graph_local_clustering",
+    None,  # oracle attached below (composes the shared LSH-edge CTE)
+    doc="Per-node local clustering coefficient of the LSH candidate "
+    "graph — the Watts-Strogatz refinement of graph_triangle_count's "
+    "single global transitivity number, and the per-node health "
+    "metric for a dedup candidate graph (true duplicate clusters are "
+    "near-cliques with local_cc ~ 1; spurious LSH band collisions sit "
+    "in open wedges with local_cc ~ 0, so the cc distribution is the "
+    "graph-level precision diagnostic). (node, deg, n_tri, local_cc) "
+    "per node; 2·tri/(deg·(deg−1)) rounded once, 0.0 below degree 2. "
+    "Scale shape: oriented wedge enumeration + closing-edge equi-join "
+    "(Σ deg⁺² — never all-pairs), triangle corners credited via one "
+    "3-way union + key aggregate; edges checkpointed once "
+    "(operators/graph.py local_clustering).",
+)
+def q_graph_local_clustering(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.graph import local_clustering
+
+    return local_clustering(_lsh_edges(spark, sf))
+
+
+_REG["graph_local_clustering"].oracle = f"""WITH {_lsh_edges_sql()},
+       deg AS (
+         SELECT node, count(*)::BIGINT AS deg
+         FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+         GROUP BY node),
+       tri AS (
+         SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         FROM e e1
+         JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       tn AS (
+         SELECT node, count(*)::BIGINT AS n_tri
+         FROM (SELECT u AS node FROM tri UNION ALL
+               SELECT v AS node FROM tri UNION ALL
+               SELECT w AS node FROM tri)
+         GROUP BY node)
+       SELECT d.node, d.deg,
+              coalesce(tn.n_tri, 0)::BIGINT AS n_tri,
+              CASE WHEN d.deg >= 2
+                   THEN round(2.0 * coalesce(tn.n_tri, 0)
+                              / (d.deg * (d.deg - 1)), 6)
+                   ELSE 0.0 END AS local_cc
+       FROM deg d LEFT JOIN tn ON tn.node = d.node"""
+
+
+# --- Hodges-Lehmann robust location estimator (r9) -------------------------
+
+
+@register(
+    "stats_hodges_lehmann",
+    f"""WITH {DAILY_CENTS_CTE},
+       p AS (
+         SELECT a.x + b.x AS s
+         FROM d a JOIN d b ON a.day <= b.day),
+       m AS (SELECT count(*)::BIGINT AS n_pairs FROM p),
+       r AS (
+         SELECT s, row_number() OVER (ORDER BY s) AS rn FROM p),
+       med AS (
+         SELECT sum(r.s)::BIGINT AS s2, count(*)::BIGINT AS k
+         FROM r, m
+         WHERE r.rn IN ((m.n_pairs + 1) // 2, m.n_pairs // 2 + 1))
+       SELECT (SELECT count(*) FROM d)::BIGINT AS n_days,
+              m.n_pairs,
+              round(med.s2 * 1.0 / (2 * med.k), 2) AS hl_cents
+       FROM m, med""",
+    doc="Hodges-Lehmann estimator of the daily-revenue location: the "
+    "median of all Walsh averages (x_i + x_j)/2 over day pairs i <= j "
+    "— the robust location estimate that pairs with the Mann-Whitney "
+    "test (its R estimator), ~95% as efficient as the mean under "
+    "normality while shrugging off the heavy-tailed spikes that wreck "
+    "it (the robust-metric family next to Theil-Sen's slope and the "
+    "winsorized moments). Even-count medians average the two middle "
+    "Walsh sums; all selection arithmetic stays integral until the "
+    "one rounded division. Scale shape: the pair set is the DATE "
+    "DOMAIN squared (days·(days+1)/2 — a constant independent of "
+    "event volume, the Theil-Sen boundedness class) built from the "
+    "checkpointed daily rollup; the rank selection runs over that "
+    "bounded frame, never the event stream.",
+)
+def q_stats_hodges_lehmann(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    d = daily_cents(spark, sf)
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    p = a.join(b, F.col("da") <= F.col("db")).select(
+        (F.col("xa") + F.col("xb")).alias("s")
+    )
+    m = p.agg(F.count("*").cast("long").alias("n_pairs"))
+    r = p.withColumn("rn", F.row_number().over(Window.orderBy("s")))
+    med = (
+        r.crossJoin(F.broadcast(m))
+        .filter(
+            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n_pairs") / 2) + 1)
+        )
+        .agg(
+            F.sum("s").cast("long").alias("s2"),
+            F.count("*").cast("long").alias("k"),
+        )
+    )
+    n_days = d.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        n_days.crossJoin(m)
+        .crossJoin(med)
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round(F.col("s2") * 1.0 / (2 * F.col("k")), 2).alias(
+                "hl_cents"
+            ),
+        )
+    )

@@ -1256,3 +1256,81 @@ def q_privacy_redaction_cert(spark: SparkSession, sf: str):
         "longnums_after",
         ((F.col("emails_after") + F.col("longnums_after")) == 0).alias("all_clear"),
     )
+
+
+# --- differentially-private noisy-count release certification (r9) ---------
+
+_DP_EPS = 1.0  # epsilon; count queries have sensitivity 1, so b = 1/eps
+_DP_B = 1.0 / _DP_EPS
+_DP_DENOM = float(1 << 60)  # md5_hash64 is 60-bit nonnegative
+_DP_HASH = md5_hash64_sql("'dp:' || n_name")
+
+
+@register(
+    "privacy_dp_noisy_counts_cert",
+    f"""WITH c AS (
+         SELECT n.n_name, count(*)::BIGINT AS exact_count
+         FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name),
+       u AS (
+         SELECT n_name, exact_count,
+                ({_DP_HASH} + 0.5) / {_DP_DENOM!r} AS uv
+         FROM c),
+       z AS (
+         SELECT n_name, exact_count,
+                CASE WHEN uv < 0.5 THEN {_DP_B!r} * ln(2.0 * uv)
+                     ELSE -{_DP_B!r} * ln(2.0 * (1.0 - uv)) END AS noise
+         FROM u)
+       SELECT n_name, exact_count,
+              round(noise, 6) AS noise,
+              round(exact_count + noise, 6) AS noisy_count,
+              abs(noise) <= {_DP_B!r} * ln(100.0) AS within_99pct
+       FROM z""",
+    doc="Differentially-private noisy-count release certification: "
+    "per-nation customer counts released with Laplace(b = 1/epsilon, "
+    "epsilon = 1) noise via inverse-CDF sampling (u < 0.5 -> b ln 2u, "
+    "else -b ln 2(1-u)); per released row the exact count, the noise "
+    "draw, the noisy release, and the 99%-envelope flag "
+    "(P(|Lap(b)| > b ln(1/alpha)) = alpha — reported, not assumed). "
+    "The uniform comes from the repo's seeded 60-bit md5 (u = "
+    "(h+0.5)/2^60), which is what makes the release ORACLE-CHECKABLE: "
+    "both engines draw the identical noise, so the cert pins the whole "
+    "sensitivity-1/inverse-CDF release pipeline bit-for-bit. That "
+    "seeding is explicitly NOT cryptographic privacy — a production "
+    "release swaps the hash-uniform for a sealed RNG and keeps every "
+    "other expression unchanged; what this certifies is the plumbing "
+    "a DP release runs through, the same way media decode stubs "
+    "certify the multimodal plumbing. Scale shape: one broadcast dim "
+    "join + a 25-group map-side-combinable count; noise is a "
+    "scan-fused scalar projection over the GROUP table (one hash per "
+    "released aggregate, never per row).",
+)
+def q_privacy_dp_noisy_counts(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    c = (
+        table(spark, sf, "customer")
+        .join(
+            F.broadcast(
+                table(spark, sf, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    u = (
+        md5_hash64(F.concat(F.lit("dp:"), F.col("n_name"))) + 0.5
+    ) / F.lit(_DP_DENOM)
+    noise = F.when(u < 0.5, _DP_B * F.log(2.0 * u)).otherwise(
+        -_DP_B * F.log(2.0 * (1.0 - u))
+    )
+    return c.select(
+        "n_name",
+        "exact_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("exact_count") + noise, 6).alias("noisy_count"),
+        (F.abs(noise) <= _DP_B * float(__import__("math").log(100.0))).alias(
+            "within_99pct"
+        ),
+    )

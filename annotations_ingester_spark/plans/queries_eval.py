@@ -1365,3 +1365,126 @@ def q_eval_isotropy(spark: SparkSession, sf: str):
             F.col("max_var").cast("double") / F.col("var_tot").cast("double"), 6
         ).alias("top_dim_var_share"),
     )
+
+
+# --- train/eval near-duplicate leakage audit (r9) --------------------------
+
+
+@register(
+    "eval_split_leakage_audit",
+    None,  # oracle attached below (composes the shared LSH-edge CTE)
+    doc="Train/eval contamination audit over the near-duplicate graph: "
+    "assign every document its stable hash split (the split_hash_assign "
+    "80/10/10 rule — same salt, same buckets), take the MinHash-LSH "
+    "candidate pairs (the banded near-dup graph minhash_lsh_pairs "
+    "certifies), and count the pairs that STRADDLE train vs val/test — "
+    "each one is an eval example whose near-duplicate sits in the "
+    "training set, the leakage class that silently inflates benchmark "
+    "scores (the reason decontamination pipelines exist). Reports the "
+    "pair totals, the straddling count, the leakage rate over eval-side "
+    "pairs, and the count of distinct CONTAMINATED EVAL DOCS (the "
+    "number a release gate would act on). Scale shape: the banded "
+    "self-join is the certified LSH shape ((band, band_key) buckets, "
+    "never all-pairs); split assignment is a scan-fused projection "
+    "joined onto the pair list by doc id — two key equi-joins, "
+    "map-side-combinable counts.",
+)
+def q_eval_split_leakage(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.sampling import hash_split
+    from annotations_ingester_spark.plans.queries_analytics import _lsh_edges
+
+    splits = hash_split(
+        table(spark, sf, "documents").select("doc_id")
+    ).select("doc_id", "split")
+    pairs = _lsh_edges(spark, sf)
+    j = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("src"), F.col("split").alias("split_a")
+            ),
+            "src",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("dst"), F.col("split").alias("split_b")
+            ),
+            "dst",
+        )
+        .localCheckpoint(eager=True)  # feeds the totals and the doc rollup
+    )
+    is_cross = (
+        (F.col("split_a") == "train") & (F.col("split_b") != "train")
+    ) | ((F.col("split_a") != "train") & (F.col("split_b") == "train"))
+    touches_eval = (F.col("split_a") != "train") | (F.col("split_b") != "train")
+    totals = j.agg(
+        F.count("*").cast("long").alias("n_neardup_pairs"),
+        F.sum(F.when(touches_eval, 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval_side_pairs"),
+        F.sum(F.when(is_cross, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_pairs"),
+    )
+    contaminated = (
+        j.filter(is_cross)
+        .select(
+            F.when(F.col("split_a") != "train", F.col("src"))
+            .otherwise(F.col("dst"))
+            .alias("doc")
+        )
+        .agg(F.count_distinct(F.col("doc")).cast("long").alias("n_contaminated_eval_docs"))
+    )
+    return totals.crossJoin(contaminated).select(
+        "n_neardup_pairs",
+        "n_eval_side_pairs",
+        "n_cross_pairs",
+        "n_contaminated_eval_docs",
+        F.round(
+            F.col("n_cross_pairs")
+            * 1.0
+            / F.greatest(F.col("n_eval_side_pairs"), F.lit(1)),
+            6,
+        ).alias("leakage_rate"),
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from annotations_ingester_spark.functions.hashing import md5_hash64_sql
+    from annotations_ingester_spark.plans.queries_analytics import _lsh_edges_sql
+
+    split_hash = md5_hash64_sql("'split:' || doc_id::VARCHAR")
+    return f"""WITH {_lsh_edges_sql()},
+       sp AS (
+         SELECT doc_id,
+                CASE WHEN {split_hash} % 100 < 80 THEN 'train'
+                     WHEN {split_hash} % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents),
+       j AS (
+         SELECT e.src, e.dst, sa.split AS split_a, sb.split AS split_b
+         FROM e
+         JOIN sp sa ON sa.doc_id = e.src
+         JOIN sp sb ON sb.doc_id = e.dst),
+       t AS (
+         SELECT count(*)::BIGINT AS n_neardup_pairs,
+                sum(CASE WHEN split_a <> 'train' OR split_b <> 'train'
+                         THEN 1 ELSE 0 END)::BIGINT AS n_eval_side_pairs,
+                sum(CASE WHEN (split_a = 'train' AND split_b <> 'train')
+                           OR (split_a <> 'train' AND split_b = 'train')
+                         THEN 1 ELSE 0 END)::BIGINT AS n_cross_pairs
+         FROM j),
+       c AS (
+         SELECT count(DISTINCT CASE WHEN split_a <> 'train' THEN src
+                                    ELSE dst END)::BIGINT
+                  AS n_contaminated_eval_docs
+         FROM j
+         WHERE (split_a = 'train' AND split_b <> 'train')
+            OR (split_a <> 'train' AND split_b = 'train'))
+       SELECT t.n_neardup_pairs, t.n_eval_side_pairs, t.n_cross_pairs,
+              c.n_contaminated_eval_docs,
+              round(t.n_cross_pairs * 1.0
+                    / greatest(t.n_eval_side_pairs, 1), 6) AS leakage_rate
+       FROM t, c"""
+
+
+REGISTRY["eval_split_leakage_audit"].oracle = _split_leakage_oracle()

@@ -1552,3 +1552,72 @@ def q_lm_domain_kl(spark: SparkSession, sf: str):
         .select("source", F.col("n_s").alias("n_tokens"), "kl_nats")
         .orderBy("source")
     )
+
+
+# --- per-document character-bigram entropy (r9) ----------------------------
+
+
+@register(
+    "text_char_entropy",
+    """WITH d AS (
+         SELECT doc_id, lower(text) AS t FROM documents
+         WHERE text IS NOT NULL AND length(text) >= 2),
+       b AS (
+         SELECT doc_id,
+                unnest([substr(t, i, 2)
+                        for i in generate_series(1, length(t) - 1)]) AS bg
+         FROM d),
+       c AS (SELECT doc_id, bg, count(*)::BIGINT AS c
+             FROM b GROUP BY doc_id, bg),
+       n AS (SELECT doc_id, sum(c)::BIGINT AS n FROM c GROUP BY doc_id)
+       SELECT c.doc_id, n.n AS n_bigrams,
+              round(log2(n.n) - sum(c.c * log2(c.c)) / n.n, 6)
+                AS char_bigram_entropy,
+              (log2(n.n) - sum(c.c * log2(c.c)) / n.n) < 3.0
+                AS low_entropy_flag
+       FROM c JOIN n USING (doc_id)
+       GROUP BY c.doc_id, n.n""",
+    doc="Per-document character-bigram Shannon entropy — the classic "
+    "model-free gibberish/boilerplate signal (low entropy = repeated "
+    "padding, key-mash, template residue; it needs no fitted LM, so it "
+    "complements lm_perplexity_scores' bigram cross-entropy which "
+    "measures IN-DISTRIBUTION-ness, not internal diversity). Computed "
+    "as log2(n) - sum(c*log2 c)/n over exact integer bigram counts — "
+    "one log tree per group, rounded once; the <3.0-bit flag compares "
+    "the unrounded value (identical IEEE tree both engines). Scale "
+    "shape: character-volume-bound explode into a two-stage keyed "
+    "aggregate ((doc, bigram) then doc — both map-side combinable, "
+    "state bounded by per-doc alphabet^2), embarrassingly parallel at "
+    "any corpus size; no window, no join.",
+)
+def q_text_char_entropy(spark: SparkSession, sf: str):
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 2))
+        .select("doc_id", F.lower(F.col("text")).alias("t"))
+    )
+    b = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("bg"),
+    )
+    c = b.groupBy("doc_id", "bg").agg(F.count("*").cast("long").alias("c"))
+    n = c.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    ent = F.log2(F.col("n")) - F.sum(
+        F.col("c") * F.log2(F.col("c"))
+    ) / F.col("n")
+    return (
+        c.join(n, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.round(ent, 6).alias("char_bigram_entropy"),
+            (ent < 3.0).alias("low_entropy_flag"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_bigrams"),
+            "char_bigram_entropy",
+            "low_entropy_flag",
+        )
+    )

@@ -3099,3 +3099,177 @@ def q_stats_srm(spark: SparkSession, sf: str):
         F.round(chi2, 4).alias("chi2"),
         (chi2 > 3.841).alias("srm_flag"),
     ).orderBy("day")
+
+
+# --- Bloom-filter membership certification (r9) ---------------------------
+
+_BLOOM_M = 65536  # bits
+_BLOOM_K = 4  # hash functions
+# xor-seeding discipline (count-min/bootstrap lineage): ONE md5 per key
+# plus k pinned 60-bit constants, never k stream hash evaluations
+_BLOOM_HS = tuple(
+    int(hashlib.md5(f"bloom{s}".encode()).hexdigest()[:15], 16)
+    for s in range(_BLOOM_K)
+)
+_BLOOM_SEED_VALUES = ", ".join(f"({s}, {h})" for s, h in enumerate(_BLOOM_HS))
+
+
+@register(
+    "sketch_bloom_membership_cert",
+    f"""WITH build AS (
+         SELECT DISTINCT o_custkey AS key FROM orders),
+       bh AS (SELECT key, {md5_hash64_sql('key::VARCHAR')} AS h0 FROM build),
+       sd AS (SELECT * FROM (VALUES {_BLOOM_SEED_VALUES}) v(seed, hs)),
+       bits AS (
+         SELECT DISTINCT (xor(bh.h0, sd.hs) % {_BLOOM_M})::BIGINT AS pos
+         FROM bh, sd),
+       probe AS (
+         SELECT c_custkey AS key,
+                {md5_hash64_sql('c_custkey::VARCHAR')} AS h0
+         FROM customer),
+       hits AS (
+         SELECT p.key,
+                count(b.pos)::BIGINT AS n_hit
+         FROM probe p
+         CROSS JOIN sd
+         LEFT JOIN bits b
+           ON b.pos = (xor(p.h0, sd.hs) % {_BLOOM_M})
+         GROUP BY p.key),
+       flags AS (
+         SELECT h.key, h.n_hit = {_BLOOM_K} AS bloom_hit,
+                EXISTS (SELECT 1 FROM build b WHERE b.key = h.key) AS present
+         FROM hits h),
+       n AS (SELECT count(*)::BIGINT AS n_build FROM build)
+       SELECT n.n_build,
+              (SELECT count(*) FROM bits)::BIGINT AS n_bits_set,
+              count(*)::BIGINT AS n_probe,
+              sum(CASE WHEN f.present THEN 1 ELSE 0 END)::BIGINT AS n_present,
+              sum(CASE WHEN f.present AND NOT f.bloom_hit THEN 1 ELSE 0 END)
+                ::BIGINT AS false_negatives,
+              sum(CASE WHEN NOT f.present THEN 1 ELSE 0 END)::BIGINT
+                AS n_absent,
+              sum(CASE WHEN NOT f.present AND f.bloom_hit THEN 1 ELSE 0 END)
+                ::BIGINT AS false_positives,
+              round(sum(CASE WHEN NOT f.present AND f.bloom_hit
+                             THEN 1 ELSE 0 END) * 1.0
+                    / greatest(sum(CASE WHEN NOT f.present THEN 1 ELSE 0 END),
+                               1), 6) AS fpr_measured,
+              round(power(1.0 - power(1.0 - 1.0/{_BLOOM_M},
+                                      {_BLOOM_K}.0 * n.n_build),
+                          {_BLOOM_K}.0), 6) AS fpr_expected
+       FROM flags f, n GROUP BY n.n_build""",
+    doc="Bloom-filter membership certification — the missing member of "
+    "the mergeable-sketch family (HLL distinct / Misra-Gries heavy "
+    "hitters / count-min frequencies / MinHash similarity / BLOOM "
+    "membership): an m=65536-bit, k=4 filter built over the distinct "
+    "ordering customers, probed with every customer. Certifies the "
+    "structural no-false-negative guarantee (false_negatives must be "
+    "0 — reported, not assumed), the measured false-positive rate on "
+    "the truly-absent keys, and the analytic expectation "
+    "(1-(1-1/m)^(kn))^k both engines compute from the same integers "
+    "(rounded once). Hashing follows the xor-seeding discipline: one "
+    "md5 per key, k pinned seed constants. The filter is represented "
+    "as the distinct SET of set bit positions, which makes "
+    "mergeability structural: the union of per-partition bit sets IS "
+    "the distinct aggregate Spark executes (map-side combinable, "
+    "<=m rows of state). Scale shape: one distinct over build keys, "
+    "one <=m-row bit aggregate broadcast to the probe side (the probe "
+    "never shuffles), one key-shuffle semi for ground truth — at "
+    "100 TB swap the cert's exact-truth tier for the production "
+    "filter use unchanged (reference parity: the J1 skip-processed "
+    "anti-join is exactly where a cluster deployment would consult "
+    "this filter before paying the shuffle).",
+)
+def q_sketch_bloom_membership(spark: SparkSession, sf: str):
+    seeds = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(s).alias("seed"), F.lit(h).alias("hs"))
+                for s, h in enumerate(_BLOOM_HS)
+            ]
+        )
+    ).alias("sd")
+    build = (
+        table(spark, sf, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds bits + ground-truth tiers
+    )
+    bits = (
+        build.select(md5_hash64(F.col("key").cast("string")).alias("h0"), seeds)
+        .select(
+            (F.col("h0").bitwiseXOR(F.col("sd.hs")) % _BLOOM_M)
+            .cast("long")
+            .alias("pos")
+        )
+        .distinct()
+    )
+    probe = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"),
+        md5_hash64(F.col("c_custkey").cast("string")).alias("h0"),
+    )
+    hits = (
+        probe.select("key", "h0", seeds)
+        .select(
+            "key",
+            (F.col("h0").bitwiseXOR(F.col("sd.hs")) % _BLOOM_M)
+            .cast("long")
+            .alias("pos"),
+        )
+        .join(F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left")
+        .groupBy("key")
+        .agg(F.count("_set").cast("long").alias("n_hit"))
+    )
+    flags = hits.join(
+        build.withColumn("_b", F.lit(1)), "key", "left"
+    ).select(
+        "key",
+        (F.col("n_hit") == _BLOOM_K).alias("bloom_hit"),
+        F.col("_b").isNotNull().alias("present"),
+    )
+    n_build = build.agg(F.count("*").cast("long").alias("n_build"))
+    n_bits = bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+    fp = F.sum(F.when((~F.col("present")) & F.col("bloom_hit"), 1).otherwise(0))
+    absent = F.sum(F.when(~F.col("present"), 1).otherwise(0))
+    return (
+        flags.crossJoin(F.broadcast(n_build))
+        .crossJoin(F.broadcast(n_bits))
+        .groupBy("n_build", "n_bits_set")
+        .agg(
+            F.count("*").cast("long").alias("n_probe"),
+            F.sum(F.when(F.col("present"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_present"),
+            F.sum(
+                F.when(F.col("present") & (~F.col("bloom_hit")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("false_negatives"),
+            absent.cast("long").alias("n_absent"),
+            fp.cast("long").alias("false_positives"),
+            F.round(fp * 1.0 / F.greatest(absent, F.lit(1)), 6).alias(
+                "fpr_measured"
+            ),
+        )
+        .select(
+            "n_build",
+            "n_bits_set",
+            "n_probe",
+            "n_present",
+            "false_negatives",
+            "n_absent",
+            "false_positives",
+            "fpr_measured",
+            F.round(
+                F.pow(
+                    1.0
+                    - F.pow(
+                        F.lit(1.0 - 1.0 / _BLOOM_M),
+                        _BLOOM_K * F.col("n_build").cast("double"),
+                    ),
+                    float(_BLOOM_K),
+                ),
+                6,
+            ).alias("fpr_expected"),
+        )
+    )

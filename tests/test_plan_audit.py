@@ -149,6 +149,17 @@ CROSS_ALLOWED = {
     "curation_epoch_plan",
     # 1-row corpus-token-total broadcast onto the (source, token) rollup
     "lm_domain_kl_divergence",
+    # Walsh-average pair self-join over the daily-revenue rollup with an
+    # i<=j inequality — bounded by the events DATE DOMAIN squared
+    # (days*(days+1)/2 pairs, the Theil-Sen boundedness class), plus the
+    # 1-row rank-median broadcast
+    "stats_hodges_lehmann",
+    # two 1-row totals broadcasts (n_build, n_bits_set) onto the
+    # probe-flag table before the single report aggregate
+    "sketch_bloom_membership_cert",
+    # 1-row split-size totals broadcast onto the 1-row cross-split edge
+    # aggregate (the leakage-rate assembly)
+    "eval_split_leakage_audit",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -345,6 +356,13 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # cumulative V(N)/token totals over the 10-row corpus-decile table
     # (pinned decile count, structural)
     "vocab_heaps_law": (10, "SELECT 10"),
+    # exact rank-median over the Walsh-average pair set — bounded by the
+    # events DATE DOMAIN squared (days·(days+1)/2, the Theil-Sen
+    # boundedness class); sf0.001 measures 30 days → 465 pairs
+    "stats_hodges_lehmann": (1000, """
+        SELECT d * (d + 1) // 2 FROM (
+          SELECT count(DISTINCT date_trunc('day', ts))::BIGINT AS d
+          FROM events)"""),
 }
 
 

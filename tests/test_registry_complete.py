@@ -84,16 +84,32 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
     covered = mod._covered_from_disk()
     ordered = list(mod.queries())
     uncovered = [n for n in REGISTRY if n not in covered]
-    debt = [n for n in uncovered if n in mod._QUEUED_LATE]
-    deferred = [n for n in uncovered if n in mod._DEFERRED_PAST_WINDOW]
-    fresh = [n for n in uncovered if n not in mod._QUEUED_LATE and n not in deferred]
+    last = [n for n in uncovered if n in mod._ORDER_LAST]
+    debt = [
+        n for n in uncovered if n in mod._QUEUED_LATE and n not in mod._ORDER_LAST
+    ]
+    deferred = [
+        n
+        for n in uncovered
+        if n in mod._DEFERRED_PAST_WINDOW
+        and n not in mod._QUEUED_LATE
+        and n not in mod._ORDER_LAST
+    ]
+    fresh = [
+        n
+        for n in uncovered
+        if n not in mod._QUEUED_LATE
+        and n not in mod._DEFERRED_PAST_WINDOW
+        and n not in mod._ORDER_LAST
+    ]
     # debt first, then fresh additions, then past-window deferrals, then
-    # covered — as sets per segment
+    # the absolute-last tier, then covered — as sets per segment
     n_front = len(debt) + len(fresh)
     n_unc = len(uncovered)
     assert set(ordered[: len(debt)]) == set(debt)
     assert set(ordered[:n_front]) == set(debt) | set(fresh)
-    assert set(ordered[n_front:n_unc]) == set(deferred)
+    assert set(ordered[n_front : n_front + len(deferred)]) == set(deferred)
+    assert set(ordered[n_front + len(deferred) : n_unc]) == set(last)
     assert set(ordered[n_unc:]) <= covered
     # every NON-DEFERRED uncovered name must fit inside the certification
     # window; overflow means deferring the newest additions (or waiting a
