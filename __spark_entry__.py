@@ -220,6 +220,12 @@ _ORDER_LAST = {
     "privacy_dp_noisy_counts_cert",
     "eval_split_leakage_audit",
     "text_char_entropy",
+    "stats_anova_oneway",
+    "stats_permutation_test",
+    "stats_psi_drift",
+    "eval_conformal_coverage",
+    "eval_label_centroid_sim",
+    "lm_vocab_jaccard_sources",
 }
 
 

@@ -18,7 +18,12 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from annotations_ingester_spark.functions.vectors import sign_bucket_sql
-from annotations_ingester_spark.plans.catalog import REGISTRY, register, table
+from annotations_ingester_spark.plans.catalog import (
+    REGISTRY,
+    events_table,
+    register,
+    table,
+)
 
 # fixed IDCG@10 for binary-graded gains rel(i) = 11 - i, i = 1..10 —
 # Σ (11-i)/log2(i+1); one shared literal on both engines
@@ -1488,3 +1493,248 @@ def _split_leakage_oracle() -> str:
 
 
 REGISTRY["eval_split_leakage_audit"].oracle = _split_leakage_oracle()
+
+
+# --- round-9 batch B: conformal coverage, label-centroid similarity --------
+
+_CONF_BKT = 1_048_576  # 2^20-millicent residual buckets (two-level prefix)
+
+
+@register(
+    "eval_conformal_coverage",
+    f"""WITH e AS (
+         SELECT event_id, event_type,
+                round(value * 100)::BIGINT AS cents,
+                {md5_hash64_sql("'conf:' || event_id::VARCHAR")} % 4 AS split
+         FROM events),
+       tm AS (SELECT event_type, count(*)::BIGINT AS n,
+                     round(CAST(sum(cents) AS DOUBLE) * 1000
+                           / count(*))::BIGINT AS pm
+              FROM e WHERE split <= 1 GROUP BY event_type),
+       cal AS (SELECT abs(e.cents * 1000 - tm.pm)::BIGINT AS r
+               FROM e JOIN tm USING (event_type) WHERE e.split = 2),
+       tst AS (SELECT abs(e.cents * 1000 - tm.pm)::BIGINT AS r
+               FROM e JOIN tm USING (event_type) WHERE e.split = 3),
+       nc AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+       rv AS (SELECT r, count(*)::BIGINT AS w,
+                     (r // {_CONF_BKT})::BIGINT AS bkt
+              FROM cal GROUP BY r),
+       ranked AS (
+         SELECT r, bkt,
+                sum(w) OVER (PARTITION BY bkt ORDER BY r
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cw_in
+         FROM rv),
+       bc AS (SELECT bkt, sum(w)::BIGINT AS bw FROM rv GROUP BY bkt),
+       off AS (SELECT bkt,
+                      coalesce(sum(bw) OVER (ORDER BY bkt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)::BIGINT AS o
+               FROM bc),
+       g AS (SELECT r.r, (f.o + r.cw_in)::BIGINT AS cw
+             FROM ranked r JOIN off f USING (bkt)),
+       qh AS (SELECT min(CASE WHEN 10 * g.cw >= 9 * (nc.n_cal + 1)
+                              THEN g.r END)::BIGINT AS qhat
+              FROM g, nc),
+       cov AS (SELECT count(*)::BIGINT AS n_test,
+                      sum(CASE WHEN t.r <= q.qhat THEN 1 ELSE 0 END)::BIGINT
+                        AS n_covered
+               FROM tst t, qh q)
+       SELECT (SELECT sum(n) FROM tm)::BIGINT AS n_train,
+              nc.n_cal, c.n_test,
+              ((9 * (nc.n_cal + 1) + 9) // 10)::BIGINT AS k_rank,
+              q.qhat AS qhat_millicents,
+              round(CAST(c.n_covered AS DOUBLE) / c.n_test, 6) AS coverage
+       FROM nc, qh q, cov c""",
+    doc="Split-conformal prediction-interval certification over the "
+    "event stream: a 50/25/25 hash split (train/calibration/test, "
+    "md5('conf:'||event_id) — stable, engine-portable), the 'model' is "
+    "the per-event-type train mean (rounded once to integer "
+    "millicents), nonconformity is the absolute residual, and qhat is "
+    "the EXACT k-th smallest calibration residual at "
+    "k = ceil(0.9*(n_cal+1)) — the finite-sample-valid conformal rank, "
+    "located via the stats_weighted_median two-level prefix sum "
+    "(per-residual rollup, in-bucket cumulative windows partitioned by "
+    "2^20-millicent bucket, a cumulated offset over the tiny bucket "
+    "table — never a global unpartitioned window over residuals) with "
+    "the rank threshold as the integer cross-multiplication "
+    "10*cum >= 9*(n_cal+1). The reported test coverage certifies the "
+    "conformal guarantee P(covered) >= 90% holds empirically on the "
+    "held-out quarter — the distribution-free ML-deployment check. "
+    "Scale shape: scan-fused split projection, one 5-group train "
+    "aggregate, map-side-combinable residual rollup, bounded-domain "
+    "windows, two 1-row broadcasts (k, qhat), 1-row output.""",
+)
+def q_eval_conformal_coverage(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            md5_hash64(F.concat(F.lit("conf:"), F.col("event_id").cast("string")))
+            % 4
+        ).alias("split"),
+    )
+    tm = (
+        e.filter(F.col("split") <= 1)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("cents").cast("double") * 1000 / F.count("*"))
+            .cast("long")
+            .alias("pm"),
+        )
+        .localCheckpoint(eager=True)  # 5 rows; feeds join + n_train branches
+    )
+    resid = F.abs(F.col("cents") * 1000 - F.col("pm")).cast("long").alias("r")
+    joined = e.join(F.broadcast(tm.select("event_type", "pm")), "event_type")
+    cal = joined.filter(F.col("split") == 2).select(resid)
+    tst = joined.filter(F.col("split") == 3).select(resid)
+    n_train = tm.agg(F.sum("n").cast("long").alias("n_train"))
+    rv = (
+        cal.groupBy("r")
+        .agg(F.count("*").cast("long").alias("w"))
+        .withColumn("bkt", F.expr(f"CAST(r DIV {_CONF_BKT} AS BIGINT)"))
+        # value-domain-bounded rollup; feeds n_cal + in-bucket + bucket-count
+        .localCheckpoint(eager=True)
+    )
+    nc = rv.agg(F.sum("w").cast("long").alias("n_cal"))
+    from pyspark.sql import Window
+
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rv.withColumn("cw_in", F.sum("w").over(w_in).cast("long"))
+    bc = rv.groupBy("bkt").agg(F.sum("w").cast("long").alias("bw"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bc.withColumn(
+        "o", F.coalesce(F.sum("bw").over(w_off), F.lit(0)).cast("long")
+    ).select("bkt", "o")
+    g = ranked.join(F.broadcast(off), "bkt").select(
+        "r", (F.col("o") + F.col("cw_in")).cast("long").alias("cw")
+    )
+    qh = (
+        g.crossJoin(F.broadcast(nc))
+        .agg(
+            F.min(
+                F.when(
+                    10 * F.col("cw") >= 9 * (F.col("n_cal") + 1), F.col("r")
+                )
+            )
+            .cast("long")
+            .alias("qhat")
+        )
+    )
+    cov = tst.crossJoin(F.broadcast(qh)).agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+        F.max("qhat").cast("long").alias("qhat"),
+    )
+    return (
+        cov.crossJoin(F.broadcast(n_train))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            F.expr("CAST((9 * (n_cal + 1) + 9) DIV 10 AS BIGINT)").alias("k_rank"),
+            F.col("qhat").alias("qhat_millicents"),
+            F.round(F.col("n_covered").cast("double") / F.col("n_test"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+@register(
+    "eval_label_centroid_sim",
+    """WITH vd AS (
+         SELECT label, s.i AS dim, s.v AS v
+         FROM (SELECT label,
+                      unnest(list_transform(range(len(embedding)),
+                             i -> {'i': i, 'v': embedding[i + 1]::DOUBLE})) AS s
+               FROM embeddings)),
+       pd AS (SELECT label, dim, count(*)::BIGINT AS n,
+                     sum(v::DECIMAL(27,12))::DECIMAL(38,12) AS s
+              FROM vd GROUP BY label, dim),
+       cent AS (SELECT label, dim,
+                       round(CAST(s AS DOUBLE) / n, 12) AS c
+                FROM pd),
+       nrm AS (SELECT label,
+                      sum(round(c * c, 12)::DECIMAL(25,12)) AS n2
+               FROM cent GROUP BY label),
+       dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                       sum(round(a.c * b.c, 12)::DECIMAL(25,12)) AS dot
+                FROM cent a JOIN cent b ON a.dim = b.dim
+                                        AND a.label < b.label
+                GROUP BY a.label, b.label)
+       SELECT d.label_a, d.label_b,
+              round(CAST(d.dot AS DOUBLE)
+                    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                    6) AS cos_sim
+       FROM dots d
+       JOIN nrm na ON na.label = d.label_a
+       JOIN nrm nb ON nb.label = d.label_b""",
+    doc="Pairwise cosine similarity between per-label embedding "
+    "centroids — the class-separability diagnostic that complements "
+    "eval_cluster_davies_bouldin (high inter-centroid cosine = classes "
+    "whose mean directions collide, the retrieval/classification "
+    "failure eval_embedding_isotropy's anisotropy score predicts). "
+    "Per-(label, dim) first moments accumulate as exact DECIMAL sums "
+    "over the posexplode stream (the isotropy discipline: map-side "
+    "combinable, label x dim = 640 bounded groups); each centroid "
+    "coordinate rounds to 12 dp before the pairwise products, which "
+    "re-accumulate as DECIMAL so both engines sum identical terms. "
+    "Scale shape: one N x d explode into a 640-group aggregate, then "
+    "all joins run on the label/dim DOMAIN tables (<=45 pairs) — the "
+    "N-row stream is touched exactly once.",
+)
+def q_eval_label_centroid_sim(spark: SparkSession, sf: str):
+    vd = table(spark, sf, "embeddings").select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    pd_ = vd.groupBy("label", "dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(27,12)")).cast("decimal(38,12)").alias("s"),
+    )
+    cent = pd_.select(
+        "label", "dim", F.round(F.col("s").cast("double") / F.col("n"), 12).alias("c")
+    ).localCheckpoint(eager=True)  # 640 rows; feeds norms + pair branches
+    nrm = cent.groupBy("label").agg(
+        F.sum(F.round(F.col("c") * F.col("c"), 12).cast("decimal(25,12)")).alias("n2")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.round(F.col("ca") * F.col("cb"), 12).cast("decimal(25,12)")
+            ).alias("dot")
+        )
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("n2").alias("n2a"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )

@@ -1621,3 +1621,97 @@ def q_text_char_entropy(spark: SparkSession, sf: str):
             "low_entropy_flag",
         )
     )
+
+
+# --- round-9 batch B: pairwise source-vocabulary Jaccard -------------------
+
+_VJ_TOP = 200  # top-K tokens per source (pinned job parameter)
+
+
+@register(
+    "lm_vocab_jaccard_sources",
+    f"""WITH d AS (SELECT source, {TOKS} AS t FROM documents),
+       tok AS (SELECT source, unnest(t) AS w FROM d),
+       cnt AS (SELECT source, w, count(*)::BIGINT AS c
+               FROM tok GROUP BY source, w),
+       ranked AS (
+         SELECT source, w,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY c DESC, w) AS rk
+         FROM cnt),
+       top AS (SELECT source, w FROM ranked WHERE rk <= {_VJ_TOP}),
+       sz AS (SELECT source, count(*)::BIGINT AS sz FROM top GROUP BY source),
+       inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                        count(*)::BIGINT AS n_inter
+                 FROM top a JOIN top b ON a.w = b.w AND a.source < b.source
+                 GROUP BY a.source, b.source),
+       pairs AS (SELECT x.source AS source_a, y.source AS source_b
+                 FROM sz x JOIN sz y ON x.source < y.source)
+       SELECT p.source_a, p.source_b,
+              coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+              (sa.sz + sb.sz - coalesce(i.n_inter, 0))::BIGINT AS n_union,
+              round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                    / (sa.sz + sb.sz - coalesce(i.n_inter, 0)), 6) AS jaccard
+       FROM pairs p
+       LEFT JOIN inter i ON i.source_a = p.source_a
+                         AND i.source_b = p.source_b
+       JOIN sz sa ON sa.source = p.source_a
+       JOIN sz sb ON sb.source = p.source_b""",
+    doc="Pairwise Jaccard similarity of the per-source top-200 "
+    f"vocabularies (K={_VJ_TOP} pinned, ties broken by token — fully "
+    "deterministic): the corpus-mixture diagnostic that tells a "
+    "curation pass which sources are lexically redundant (near-1 "
+    "Jaccard = overlapping registers, candidates for down-weighting in "
+    "curation_epoch_plan's mixture) and which contribute novel "
+    "vocabulary (the complement of lm_domain_kl_divergence, which "
+    "scores distribution shift rather than set overlap). The top-K "
+    "rank window is PARTITIONED by source; every downstream join runs "
+    "on the (source x K)-bounded top tables and the 20-source pair "
+    "spine — the token stream is scanned once into a map-side-"
+    "combinable (source, token) rollup. Scale shape: one scan + one "
+    "key-shuffle aggregate, then domain-table joins (<=190 pairs).",
+)
+def q_lm_vocab_jaccard_sources(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    tok = (
+        table(spark, sf, "documents")
+        .select("source", F.explode(tx.tokens("text")).alias("w"))
+    )
+    cnt = tok.groupBy("source", "w").agg(F.count("*").cast("long").alias("c"))
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("w"))
+    )
+    top = (
+        cnt.withColumn("rk", rk)
+        .filter(F.col("rk") <= _VJ_TOP)
+        .select("source", "w")
+        .localCheckpoint(eager=True)  # <=source x K rows; feeds 3 branches
+    )
+    sz = top.groupBy("source").agg(F.count("*").cast("long").alias("sz"))
+    a = top.select(F.col("source").alias("source_a"), "w")
+    b = top.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("sz").alias("sza"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("sz").alias("szb"))
+    pairs = sa.crossJoin(F.broadcast(sb)).filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0)).cast("long")
+    return (
+        pairs.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            ni.alias("n_inter"),
+            (F.col("sza") + F.col("szb") - ni).cast("long").alias("n_union"),
+            F.round(
+                ni.cast("double") / (F.col("sza") + F.col("szb") - ni), 6
+            ).alias("jaccard"),
+        )
+    )

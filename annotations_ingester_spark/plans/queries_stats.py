@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from annotations_ingester_spark.functions import text as tx
 from annotations_ingester_spark.functions.hashing import md5_hash64
 from annotations_ingester_spark.plans.catalog import (
+    DAILY_CENTS_CTE,
     DAILY_TYPE_COUNTS_CTE,
     daily_type_counts,
     events_table,
@@ -3271,5 +3272,321 @@ def q_sketch_bloom_membership(spark: SparkSession, sf: str):
                 ),
                 6,
             ).alias("fpr_expected"),
+        )
+    )
+
+
+# --- round-9 batch B: ANOVA, permutation test, PSI drift -------------------
+
+_PERM_B = 499  # pinned replicate count — p-value resolution 1/(B+1) = 0.002
+
+
+@register(
+    "stats_anova_oneway",
+    """WITH c AS (
+         SELECT o_orderpriority AS grp,
+                round(o_totalprice * 100)::BIGINT AS cents
+         FROM orders),
+       m AS (SELECT grp, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+                    sum(cents::DECIMAL(38,0) * cents)::DECIMAL(38,0) AS q
+             FROM c GROUP BY grp),
+       a AS (SELECT count(*)::BIGINT AS k,
+                    sum(n)::BIGINT AS n_total,
+                    sum(s)::BIGINT AS s_total,
+                    sum(q)::DECIMAL(38,0) AS q_total,
+                    sum(round(CAST(s AS DOUBLE) * s / n, 4)::DECIMAL(30,4))
+                      AS sb_terms
+             FROM m)
+       SELECT k, n_total,
+              round(CAST(sb_terms AS DOUBLE)
+                    - CAST(s_total AS DOUBLE) * s_total / n_total, 2)
+                AS ss_between,
+              round(CAST(q_total AS DOUBLE) - CAST(sb_terms AS DOUBLE), 2)
+                AS ss_within,
+              round(((CAST(sb_terms AS DOUBLE)
+                      - CAST(s_total AS DOUBLE) * s_total / n_total)
+                     / (k - 1))
+                    / ((CAST(q_total AS DOUBLE) - CAST(sb_terms AS DOUBLE))
+                       / (n_total - k)), 4) AS f_stat,
+              round((CAST(sb_terms AS DOUBLE)
+                     - CAST(s_total AS DOUBLE) * s_total / n_total)
+                    / (CAST(q_total AS DOUBLE)
+                       - CAST(s_total AS DOUBLE) * s_total / n_total), 6)
+                AS eta_squared
+       FROM a""",
+    doc="One-way ANOVA F-statistic over the five order-priority groups "
+    "(order value in cents): the >2-group generalization of "
+    "stats_welch_ttest. Group moments are exact (n, Σcents BIGINT, "
+    "Σcents² DECIMAL(38,0)); each group's between-term s²/n rounds to "
+    "4 dp and re-accumulates as DECIMAL so both engines sum identical "
+    "terms; SS_between/SS_within/F/η² are then one shared IEEE "
+    "expression tree over exact inputs, rounded once each. η² "
+    "(SS_between/SS_total) is the effect size a reader pairs with the "
+    "F table at (k-1, N-k) df. Scale shape: one scan-fused 5-group "
+    "aggregate (map-side combinable), a 5-row fold, 1-row arithmetic — "
+    "no shuffle beyond the k-group exchange.",
+)
+def q_stats_anova_oneway(spark: SparkSession, sf: str):
+    c = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = c.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("q"),
+    )
+    a = m.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("s").cast("long").alias("s_total"),
+        F.sum("q").cast("decimal(38,0)").alias("q_total"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s") / F.col("n"), 4
+            ).cast("decimal(30,4)")
+        ).alias("sb_terms"),
+    )
+    sb = F.col("sb_terms").cast("double")
+    st = F.col("s_total").cast("double")
+    qt = F.col("q_total").cast("double")
+    n = F.col("n_total")
+    k = F.col("k")
+    ssb = sb - st * F.col("s_total") / n
+    ssw = qt - sb
+    sst = qt - st * F.col("s_total") / n
+    return a.select(
+        "k",
+        "n_total",
+        F.round(ssb, 2).alias("ss_between"),
+        F.round(ssw, 2).alias("ss_within"),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), 4).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
+@register(
+    "stats_permutation_test",
+    f"""WITH {DAILY_CENTS_CTE},
+       h AS (SELECT day, x,
+                    {md5_hash64_sql("'perm:' || day::VARCHAR")} % 2 AS arm
+             FROM d),
+       o AS (SELECT
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+               sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS s0,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS s1
+             FROM h),
+       reps AS (
+         SELECT r.b, hh.day, hh.x,
+                {md5_hash64_sql("'perm:' || b::VARCHAR || ':' || day::VARCHAR")}
+                  % 2 AS arm
+         FROM h hh CROSS JOIN (SELECT unnest(range(1, {_PERM_B} + 1)) AS b) r),
+       pm AS (SELECT b,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+               sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS s0,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS s1
+              FROM reps GROUP BY b),
+       cmp AS (SELECT p.b,
+                CASE WHEN abs(CAST(p.s0 AS DOUBLE) * p.n1
+                              - CAST(p.s1 AS DOUBLE) * p.n0)
+                          * (CAST(o.n0 AS DOUBLE) * o.n1)
+                     >= abs(CAST(o.s0 AS DOUBLE) * o.n1
+                            - CAST(o.s1 AS DOUBLE) * o.n0)
+                          * (CAST(p.n0 AS DOUBLE) * p.n1)
+                     THEN 1 ELSE 0 END AS ge
+               FROM pm p, o)
+       SELECT o.n0 + o.n1 AS n_days, {_PERM_B} AS b_reps,
+              round(CAST(o.s0 AS DOUBLE) / o.n0
+                    - CAST(o.s1 AS DOUBLE) / o.n1, 4) AS obs_diff_cents,
+              round((1.0 + sum(ge)) / ({_PERM_B} + 1.0), 6) AS p_value
+       FROM cmp, o GROUP BY o.n0, o.n1, o.s0, o.s1""",
+    doc="Distribution-free permutation test on the A/A hash arms: days "
+    "are the exchangeable unit (daily revenue in cents), the observed "
+    "statistic is the |difference of arm means|, and each of the "
+    f"pinned B={_PERM_B} replicates re-assigns every day via "
+    "md5('perm:'||b||':'||day) — seeded, engine-portable, and "
+    "date-domain-bounded (days x B hash evaluations, a constant "
+    "independent of row count; the N+B xor discipline is unnecessary "
+    "when N is the date domain). The >= comparison cross-multiplies "
+    "means into products of exact integers evaluated as identical IEEE "
+    "doubles on both engines — no accumulation-order sensitivity. "
+    "p = (1 + #{stat_b >= stat_obs}) / (B+1), the add-one permutation "
+    "p-value; under A/A it calibrates to Uniform(0,1) — the harness a "
+    "real experiment drops its treatment column into. Scale shape: one "
+    "map-side-combinable daily rollup, a days x B cross of two tiny "
+    "domains, one B-group aggregate, 1-row output.",
+)
+def q_stats_permutation_test(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf)
+    h = d.select(
+        "day",
+        "x",
+        (
+            md5_hash64(F.concat(F.lit("perm:"), F.col("day").cast("string"))) % 2
+        ).alias("arm"),
+    )
+    def _arms(df, keys):
+        return df.groupBy(*keys).agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("s0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("s1"),
+        )
+
+    o = _arms(h, [])
+    reps = (
+        h.select("day", "x")
+        .crossJoin(F.broadcast(spark.range(1, _PERM_B + 1).withColumnRenamed("id", "b")))
+        .select(
+            "b",
+            "x",
+            (
+                md5_hash64(
+                    F.concat_ws(
+                        "",
+                        F.lit("perm:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("day").cast("string"),
+                    )
+                )
+                % 2
+            ).alias("arm"),
+        )
+    )
+    pm = _arms(reps, ["b"])
+    obs = o.select(
+        F.col("n0").alias("on0"),
+        F.col("s0").alias("os0"),
+        F.col("n1").alias("on1"),
+        F.col("s1").alias("os1"),
+    )
+    lhs = F.abs(
+        F.col("s0").cast("double") * F.col("n1")
+        - F.col("s1").cast("double") * F.col("n0")
+    ) * (F.col("on0").cast("double") * F.col("on1"))
+    rhs = F.abs(
+        F.col("os0").cast("double") * F.col("on1")
+        - F.col("os1").cast("double") * F.col("on0")
+    ) * (F.col("n0").cast("double") * F.col("n1"))
+    cmp = pm.crossJoin(F.broadcast(obs)).select(
+        "on0",
+        "os0",
+        "on1",
+        "os1",
+        F.when(lhs >= rhs, 1).otherwise(0).alias("ge"),
+    )
+    return (
+        cmp.groupBy("on0", "os0", "on1", "os1")
+        .agg(F.sum("ge").alias("n_ge"))
+        .select(
+            (F.col("on0") + F.col("on1")).cast("long").alias("n_days"),
+            F.lit(_PERM_B).cast("int").alias("b_reps"),
+            F.round(
+                F.col("os0").cast("double") / F.col("on0")
+                - F.col("os1").cast("double") / F.col("on1"),
+                4,
+            ).alias("obs_diff_cents"),
+            F.round((1.0 + F.col("n_ge")) / (_PERM_B + 1.0), 6).alias("p_value"),
+        )
+    )
+
+
+@register(
+    "stats_psi_drift",
+    """WITH c AS (
+         SELECT floor(epoch(o_orderdate))::BIGINT AS t,
+                round(o_totalprice * 100)::BIGINT AS cents
+         FROM orders),
+       p AS (SELECT ((min(t) + max(t)) // 2)::BIGINT AS mid FROM c),
+       b AS (SELECT least(c.cents // 5000000, 9)::BIGINT AS bkt,
+                    CASE WHEN c.t <= p.mid THEN 0 ELSE 1 END AS half
+             FROM c, p),
+       counts AS (SELECT bkt,
+                    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+                    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c2
+                  FROM b GROUP BY bkt),
+       spine AS (SELECT unnest(range(10))::BIGINT AS bkt),
+       dense AS (SELECT s.bkt, coalesce(c.c1, 0)::BIGINT AS c1,
+                        coalesce(c.c2, 0)::BIGINT AS c2
+                 FROM spine s LEFT JOIN counts c USING (bkt)),
+       tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM dense),
+       terms AS (SELECT d.bkt,
+                   round(((d.c1 + 1) / (t.n1 + 10.0)
+                          - (d.c2 + 1) / (t.n2 + 10.0))
+                         * ln(((d.c1 + 1) / (t.n1 + 10.0))
+                              / ((d.c2 + 1) / (t.n2 + 10.0))),
+                         9)::DECIMAL(20,9) AS term
+                 FROM dense d, tot t)
+       SELECT t.n1 AS n_first_half, t.n2 AS n_second_half,
+              round(CAST(sum(term) AS DOUBLE), 6) AS psi
+       FROM terms, tot t GROUP BY t.n1, t.n2""",
+    doc="Population stability index of the order-value distribution, "
+    "first half vs second half of the date range (the diff_in_diff "
+    "data-midpoint pivot): the standard model-monitoring drift score "
+    "PSI = sum (p_i - q_i) ln(p_i/q_i) over 10 PINNED 50k-wide value "
+    "buckets (bucket edges are job constants, never data quantiles — "
+    "the 100 TB-safe choice), add-one smoothed so empty buckets are "
+    "defined. Rule of thumb a monitor applies: <0.1 stable, 0.1-0.25 "
+    "moderate shift, >0.25 action. Per-bucket terms round to 9 dp and "
+    "sum as DECIMAL (the repo-wide log-term discipline); the bucket "
+    "spine densifies missing buckets so both halves share the full "
+    "10-bucket support. Scale shape: one scan-fused (bucket, half) "
+    "aggregate (map-side combinable), a 10-row spine join, two 1-row "
+    "broadcasts (midpoint, totals), 1-row output.",
+)
+def q_stats_psi_drift(spark: SparkSession, sf: str):
+    c = table(spark, sf, "orders").select(
+        F.unix_timestamp("o_orderdate").cast("long").alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    p = c.agg(F.expr("CAST((min(t) + max(t)) DIV 2 AS BIGINT)").alias("mid"))
+    b = c.crossJoin(F.broadcast(p)).select(
+        F.least(F.expr("cents DIV 5000000"), F.lit(9)).cast("long").alias("bkt"),
+        F.when(F.col("t") <= F.col("mid"), 0).otherwise(1).alias("half"),
+    )
+    counts = b.groupBy("bkt").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    spine = spark.range(10).select(F.col("id").cast("long").alias("bkt"))
+    dense = (
+        spine.join(F.broadcast(counts), "bkt", "left")
+        .select(
+            "bkt",
+            F.coalesce(F.col("c1"), F.lit(0)).cast("long").alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0)).cast("long").alias("c2"),
+        )
+        .localCheckpoint(eager=True)  # tiny; feeds totals + terms branches
+    )
+    tot = dense.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    pi = (F.col("c1") + 1) / (F.col("n1") + 10.0)
+    qi = (F.col("c2") + 1) / (F.col("n2") + 10.0)
+    terms = dense.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.round((pi - qi) * F.log(pi / qi), 9).cast("decimal(20,9)").alias("term"),
+    )
+    return (
+        terms.groupBy("n1", "n2")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("psi"))
+        .select(
+            F.col("n1").alias("n_first_half"),
+            F.col("n2").alias("n_second_half"),
+            "psi",
         )
     )

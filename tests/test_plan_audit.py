@@ -160,6 +160,19 @@ CROSS_ALLOWED = {
     # 1-row split-size totals broadcast onto the 1-row cross-split edge
     # aggregate (the leakage-rate assembly)
     "eval_split_leakage_audit",
+    # days x B cross of two tiny domains (date domain x pinned replicate
+    # spine) + the 1-row observed-statistic broadcast onto the B-row
+    # replicate aggregate
+    "stats_permutation_test",
+    # 1-row date-midpoint broadcast over orders (the diff_in_diff pivot
+    # shape) + 1-row totals broadcast onto the 10-row bucket spine
+    "stats_psi_drift",
+    # three 1-row broadcasts (n_cal, qhat, n_train) onto the residual
+    # aggregates (the weighted-median totals shape)
+    "eval_conformal_coverage",
+    # source-domain pair spine (<=20 x 20 size rows) before the
+    # inequality filter — never the token stream
+    "lm_vocab_jaccard_sources",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -363,6 +376,21 @@ UNPARTITIONED_WINDOW_ALLOWED = {
         SELECT d * (d + 1) // 2 FROM (
           SELECT count(DISTINCT date_trunc('day', ts))::BIGINT AS d
           FROM events)"""),
+    # cumulative offset over the residual-BUCKET-COUNT table (2^20-
+    # millicent buckets — the weighted-median two-level prefix class);
+    # in-bucket cumulatives are bucket-partitioned
+    "eval_conformal_coverage": (500, """
+        WITH e AS (
+          SELECT event_id, event_type, round(value * 100)::BIGINT AS cents,
+                 (('0x' || substr(md5('conf:' || event_id::VARCHAR), 1, 15))
+                   ::BIGINT) % 4 AS split
+          FROM events),
+        tm AS (SELECT event_type,
+                      round(CAST(sum(cents) AS DOUBLE) * 1000
+                            / count(*))::BIGINT AS pm
+               FROM e WHERE split <= 1 GROUP BY event_type)
+        SELECT count(DISTINCT abs(e.cents * 1000 - tm.pm) // 1048576)
+        FROM e JOIN tm USING (event_type) WHERE e.split = 2"""),
 }
 
 
@@ -464,6 +492,10 @@ SCAN_MULTIPLICITY_ALLOW = {
     "cdc_apply_changelog": 4,      # base + synthesized I/U/D branches
     "ivm_agg_maintenance": 3,      # materialized base + retract/insert delta
     "quantile_disc_certified": 3,  # ranked + sized + sketch tiers
+    "eval_conformal_coverage": 3,  # train agg + cal rollup + test coverage
+    #   (tm/rv domain frames are localCheckpoint'ed so their fan-out
+    #    doesn't re-read the scan; the three passes see disjoint splits
+    #    with pushed-down filters — the scale-correct shape)
     "market_basket_pairs": 4,
     "lm_perplexity_scores": 4,     # unigram model + vocab stat + scoring side
     "dsir_importance_weights": 3,

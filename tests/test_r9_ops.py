@@ -121,3 +121,111 @@ def test_char_entropy_known_values(spark, tmp_path):
     assert out[2].n_bigrams == 4
     assert out[2].char_bigram_entropy == 1.0 and out[2].low_entropy_flag
     assert out[3].char_bigram_entropy > 3.0 and not out[3].low_entropy_flag
+
+
+# --- batch B: ANOVA, permutation, PSI, conformal, centroids, jaccard -------
+
+
+def test_anova_matches_scipy_formula(spark):
+    """Independent recompute of the F statistic from raw group arrays."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT o_orderpriority, list(round(o_totalprice * 100)::BIGINT)
+            FROM '{SF}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+    groups = [g for _, g in rows]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = sum(sum(g) for g in groups) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups)
+    ssw = sum(sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups)
+    f_expected = (ssb / (k - 1)) / (ssw / (n - k))
+    r = REGISTRY["stats_anova_oneway"].spark(spark, SF).collect()[0]
+    assert r.k == k and r.n_total == n
+    assert r.f_stat == pytest.approx(f_expected, rel=1e-4)
+    assert r.eta_squared == pytest.approx(ssb / (ssb + ssw), abs=1e-4)
+
+
+def test_permutation_test_pvalue_valid(spark):
+    """A/A p-value is in (0,1], add-one guaranteed > 0, and the replicate
+    count is the pinned constant."""
+    r = REGISTRY["stats_permutation_test"].spark(spark, SF).collect()[0]
+    assert r.b_reps == 499
+    assert 1.0 / 500 <= r.p_value <= 1.0
+    assert r.n_days == 30  # sf0.001 date domain
+
+
+def test_psi_identical_halves_is_zero(spark, tmp_path):
+    """A synthetic orders table whose two halves share the exact value
+    distribution must score PSI == 0."""
+    import pandas as pd
+
+    vals = [10_000.0, 20_000.0, 60_000.0, 120_000.0] * 25
+    df = pd.DataFrame(
+        {
+            "o_orderkey": range(200),
+            "o_custkey": [1] * 200,
+            "o_orderstatus": ["F"] * 200,
+            "o_totalprice": vals + vals,
+            "o_orderdate": pd.Series(
+                [pd.Timestamp("2024-01-01")] * 100
+                + [pd.Timestamp("2024-06-01")] * 100,
+                dtype="datetime64[us]",  # Spark can't read NANOS here
+            ),
+            "o_orderpriority": ["1-URGENT"] * 200,
+        }
+    )
+    df.to_parquet(tmp_path / "orders.parquet")
+    r = REGISTRY["stats_psi_drift"].spark(spark, str(tmp_path)).collect()[0]
+    assert r.n_first_half == 100 and r.n_second_half == 100
+    assert r.psi == 0.0
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Finite-sample conformal validity: test coverage must land near the
+    90% target (within binomial noise for the sf0.001 test-split size),
+    and qhat must be the k-th smallest calibration residual."""
+    r = REGISTRY["eval_conformal_coverage"].spark(spark, SF).collect()[0]
+    assert r.n_train + r.n_cal + r.n_test == 1000  # sf0.001 events
+    assert r.k_rank == math.ceil(0.9 * (r.n_cal + 1))
+    assert r.coverage >= 0.80  # 90% guarantee minus small-sample noise
+    assert r.qhat_millicents > 0
+
+
+def test_label_centroid_sim_range_and_count(spark):
+    rows = REGISTRY["eval_label_centroid_sim"].spark(spark, SF).collect()
+    labels = {r.label_a for r in rows} | {r.label_b for r in rows}
+    n = len(labels)
+    assert len(rows) == n * (n - 1) // 2  # every unordered pair
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9
+        assert r.label_a < r.label_b
+
+
+def test_vocab_jaccard_self_similarity_bounds(spark, tmp_path):
+    """Two sources with identical corpora -> Jaccard 1; a disjoint third
+    -> Jaccard 0 against both."""
+    import pandas as pd
+
+    same = "alpha beta gamma delta epsilon"
+    other = "zeta eta theta iota kappa"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [same, same, other],
+            "lang": ["en"] * 3,
+            "source": ["s1", "s2", "s3"],
+            "n_chars": [len(same), len(same), len(other)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in REGISTRY["lm_vocab_jaccard_sources"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(rows) == 3
+    assert rows[("s1", "s2")].jaccard == 1.0
+    assert rows[("s1", "s3")].jaccard == 0.0
+    assert rows[("s2", "s3")].jaccard == 0.0
