@@ -226,6 +226,12 @@ _ORDER_LAST = {
     "eval_conformal_coverage",
     "eval_label_centroid_sim",
     "lm_vocab_jaccard_sources",
+    "stats_tukey_hsd",
+    "stats_brown_forsythe",
+    "stats_effect_sizes",
+    "sketch_hll_intersection_cert",
+    "streaming_psi_drift",
+    "eval_pinball_loss",
 }
 
 

@@ -1738,3 +1738,109 @@ def q_eval_label_centroid_sim(spark: SparkSession, sf: str):
             ).alias("cos_sim"),
         )
     )
+
+
+@register(
+    "eval_pinball_loss",
+    f"""WITH e AS (
+         SELECT event_id, event_type,
+                round(value * 100)::BIGINT AS cents,
+                {md5_hash64_sql("'pin:' || event_id::VARCHAR")} % 4 AS split
+         FROM events),
+       tr AS (SELECT event_type, cents, event_id FROM e WHERE split <= 2),
+       sized AS (SELECT event_type, count(*)::BIGINT AS n_train
+                 FROM tr GROUP BY event_type),
+       ranked AS (
+         SELECT event_type, cents,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cents, event_id) AS r
+         FROM tr),
+       qs AS (
+         SELECT s.event_type, s.n_train,
+                min(CASE WHEN r.r >= ceil(0.5 * s.n_train)
+                         THEN r.cents END)::BIGINT AS q50,
+                min(CASE WHEN r.r >= ceil(0.9 * s.n_train)
+                         THEN r.cents END)::BIGINT AS q90
+         FROM sized s JOIN ranked r ON s.event_type = r.event_type
+         GROUP BY s.event_type, s.n_train),
+       t AS (SELECT e.event_type, q.n_train, e.cents, q.q50, q.q90
+             FROM e JOIN qs q USING (event_type) WHERE e.split = 3)
+       SELECT event_type, n_train, count(*)::BIGINT AS n_test,
+              max(q50)::BIGINT AS q50_cents,
+              max(q90)::BIGINT AS q90_cents,
+              round(sum(5 * abs(cents - q50))::BIGINT
+                    / (10.0 * count(*)), 4) AS pinball50,
+              round(sum(CASE WHEN cents >= q90 THEN 9 * (cents - q90)
+                             ELSE (q90 - cents) END)::BIGINT
+                    / (10.0 * count(*)), 4) AS pinball90
+       FROM t GROUP BY event_type, n_train""",
+    doc="Pinball (quantile) loss evaluation of per-event-type quantile "
+    "forecasts: a 75/25 hash split (md5('pin:'||event_id)), the "
+    "'forecaster' is the exact train-split p50/p90 (the "
+    "quantile_disc_certified rank-ceil(q n) order statistic via "
+    "PARTITIONED rank windows — 5 bounded groups), scored on the test "
+    "split with the loss that quantile regression optimizes: "
+    "L_q(y, yhat) = q (y - yhat) if y >= yhat else (1-q)(yhat - y). "
+    "Pinball loss is the proper scoring rule for quantiles — the "
+    "companion eval to eval_conformal_coverage (coverage says the "
+    "interval is wide enough; pinball says the quantile is SHARP). "
+    "EXACT integer core: 10x the per-row loss is an integer (5|d| for "
+    "p50, 9d+ or 1d- for p90), summed as BIGINT, divided once. Scale "
+    "shape: one train scan into the partitioned rank window, one "
+    "5-row quantile broadcast onto the test scan, one scan-fused "
+    "5-group loss aggregate.",
+)
+def q_eval_pinball_loss(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            md5_hash64(F.concat(F.lit("pin:"), F.col("event_id").cast("string")))
+            % 4
+        ).alias("split"),
+    )
+    tr = e.filter(F.col("split") <= 2).select("event_type", "cents", "event_id")
+    sized = tr.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_train")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = tr.withColumn("r", F.row_number().over(w))
+    qs = (
+        ranked.join(F.broadcast(sized), "event_type")
+        .groupBy("event_type", "n_train")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("r") >= F.ceil(0.5 * F.col("n_train")), F.col("cents")
+                )
+            )
+            .cast("long")
+            .alias("q50"),
+            F.min(
+                F.when(
+                    F.col("r") >= F.ceil(0.9 * F.col("n_train")), F.col("cents")
+                )
+            )
+            .cast("long")
+            .alias("q90"),
+        )
+    )
+    t = e.filter(F.col("split") == 3).join(F.broadcast(qs), "event_type")
+    l50 = 5 * F.abs(F.col("cents") - F.col("q50"))
+    l90 = F.when(
+        F.col("cents") >= F.col("q90"), 9 * (F.col("cents") - F.col("q90"))
+    ).otherwise(F.col("q90") - F.col("cents"))
+    return t.groupBy("event_type", "n_train").agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.max("q50").cast("long").alias("q50_cents"),
+        F.max("q90").cast("long").alias("q90_cents"),
+        F.round(F.sum(l50).cast("long") / (10.0 * F.count("*")), 4).alias(
+            "pinball50"
+        ),
+        F.round(F.sum(l90).cast("long") / (10.0 * F.count("*")), 4).alias(
+            "pinball90"
+        ),
+    )

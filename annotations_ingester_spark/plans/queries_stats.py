@@ -3590,3 +3590,478 @@ def q_stats_psi_drift(spark: SparkSession, sf: str):
             "psi",
         )
     )
+
+
+# --- round-9 batch C: post-hoc, variance test, effect sizes, HLL inter -----
+
+# Studentized-range upper-5% critical value q(0.05, k=5, df=inf) — pinned
+# job constant (published table value), the df→inf row because N >> k at
+# every shipped sf.
+_TUKEY_Q_CRIT = 3.858
+
+
+@register(
+    "stats_tukey_hsd",
+    f"""WITH c AS (
+         SELECT o_orderpriority AS grp,
+                round(o_totalprice * 100)::BIGINT AS cents
+         FROM orders),
+       m AS (SELECT grp, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+                    sum(cents::DECIMAL(38,0) * cents)::DECIMAL(38,0) AS q
+             FROM c GROUP BY grp),
+       a AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n_total,
+                    sum(round((CAST(q AS DOUBLE)
+                               - CAST(s AS DOUBLE) * s / n), 4)
+                        ::DECIMAL(30,4)) AS ssw
+             FROM m),
+       msw AS (SELECT CAST(ssw AS DOUBLE) / (n_total - k) AS msw FROM a),
+       p AS (SELECT x.grp AS grp_a, y.grp AS grp_b,
+                    CAST(x.s AS DOUBLE) / x.n - CAST(y.s AS DOUBLE) / y.n
+                      AS diff,
+                    x.n AS na, y.n AS nb
+             FROM m x JOIN m y ON x.grp < y.grp)
+       SELECT p.grp_a, p.grp_b,
+              round(p.diff, 6) AS mean_diff_cents,
+              round(abs(p.diff)
+                    / sqrt(w.msw / 2 * (1.0 / p.na + 1.0 / p.nb)), 4)
+                AS q_stat,
+              abs(p.diff) / sqrt(w.msw / 2 * (1.0 / p.na + 1.0 / p.nb))
+                >= {_TUKEY_Q_CRIT} AS significant
+       FROM p, msw w""",
+    doc="Tukey HSD post-hoc over the five order-priority groups — the "
+    "pairwise follow-up to stats_anova_oneway (which only says SOME "
+    "group differs): all 10 pairwise mean differences, the studentized "
+    "range statistic q = |m_a - m_b| / sqrt(MSW/2 (1/n_a + 1/n_b)) "
+    "(Tukey-Kramer form for unequal n), and a significance flag at the "
+    f"pinned published critical value q(0.05, k=5, df=inf) = "
+    f"{_TUKEY_Q_CRIT} (N >> k at every shipped sf, so the df=inf row "
+    "applies). Group moments are the exact ANOVA integers; per-group "
+    "within-SS terms round to 4 dp and re-accumulate as DECIMAL. Scale "
+    "shape: one scan-fused 5-group aggregate, a 5x5 domain pair spine, "
+    "one 1-row MSW broadcast — 10-row output at any corpus size.",
+)
+def q_stats_tukey_hsd(spark: SparkSession, sf: str):
+    c = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = c.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("q"),
+    ).localCheckpoint(eager=True)  # 5 rows; feeds MSW + both pair sides
+    a = m.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(
+            F.round(
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n"),
+                4,
+            ).cast("decimal(30,4)")
+        ).alias("ssw"),
+    )
+    msw = a.select(
+        (F.col("ssw").cast("double") / (F.col("n_total") - F.col("k"))).alias(
+            "msw"
+        )
+    )
+    x = m.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    y = m.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    p = x.crossJoin(F.broadcast(y)).filter(F.col("grp_a") < F.col("grp_b"))
+    diff = F.col("sa").cast("double") / F.col("na") - F.col("sb").cast(
+        "double"
+    ) / F.col("nb")
+    se = F.sqrt(F.col("msw") / 2 * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    return p.crossJoin(F.broadcast(msw)).select(
+        "grp_a",
+        "grp_b",
+        F.round(diff, 6).alias("mean_diff_cents"),
+        F.round(F.abs(diff) / se, 4).alias("q_stat"),
+        (F.abs(diff) / se >= F.lit(_TUKEY_Q_CRIT)).alias("significant"),
+    )
+
+
+@register(
+    "stats_brown_forsythe",
+    """WITH c AS (
+         SELECT o_orderpriority AS grp,
+                round(o_totalprice * 100)::BIGINT AS cents,
+                o_orderkey
+         FROM orders),
+       sized AS (SELECT grp, count(*)::BIGINT AS n FROM c GROUP BY grp),
+       ranked AS (
+         SELECT grp, cents,
+                row_number() OVER (PARTITION BY grp
+                                   ORDER BY cents, o_orderkey) AS r
+         FROM c),
+       med AS (
+         SELECT s.grp,
+                min(CASE WHEN r.r >= ceil(0.5 * s.n) THEN r.cents END)::BIGINT
+                  AS med
+         FROM sized s JOIN ranked r ON s.grp = r.grp
+         GROUP BY s.grp),
+       z AS (SELECT c.grp, abs(c.cents - m.med)::BIGINT AS z
+             FROM c JOIN med m ON c.grp = m.grp),
+       zm AS (SELECT grp, count(*)::BIGINT AS n, sum(z)::BIGINT AS s,
+                     sum(z::DECIMAL(38,0) * z)::DECIMAL(38,0) AS q
+              FROM z GROUP BY grp),
+       a AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n_total,
+                    sum(s)::BIGINT AS s_total,
+                    sum(q)::DECIMAL(38,0) AS q_total,
+                    sum(round(CAST(s AS DOUBLE) * s / n, 4)::DECIMAL(30,4))
+                      AS sb_terms
+             FROM zm)
+       SELECT k, n_total,
+              round(((CAST(sb_terms AS DOUBLE)
+                      - CAST(s_total AS DOUBLE) * s_total / n_total)
+                     / (k - 1))
+                    / ((CAST(q_total AS DOUBLE) - CAST(sb_terms AS DOUBLE))
+                       / (n_total - k)), 4) AS bf_stat
+       FROM a""",
+    doc="Brown-Forsythe variance-homogeneity test (the robust Levene "
+    "variant) over the five order-priority groups: one-way ANOVA F "
+    "recomputed on the absolute deviations from the GROUP MEDIAN "
+    "(median-centering makes the test robust to heavy tails, the "
+    "standard pre-check before trusting stats_anova_oneway's pooled "
+    "MSW). Group medians are the exact rank-ceil(n/2) order statistic "
+    "via the quantile_disc_certified partitioned-window shape; the "
+    "deviations are pure integers, so the second-stage ANOVA reuses "
+    "the exact-moment discipline verbatim. Scale shape: one "
+    "grp-partitioned rank window (5 bounded groups), one 5-row median "
+    "broadcast back onto the scan, two scan-fused 5-group aggregates — "
+    "three passes total, each with pushed-down column pruning.",
+)
+def q_stats_brown_forsythe(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    sized = c.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    ranked = c.withColumn("r", F.row_number().over(w))
+    med = (
+        ranked.join(F.broadcast(sized), "grp")
+        .groupBy("grp")
+        .agg(
+            F.min(
+                F.when(F.col("r") >= F.ceil(0.5 * F.col("n")), F.col("cents"))
+            )
+            .cast("long")
+            .alias("med")
+        )
+    )
+    z = c.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("cents") - F.col("med")).cast("long").alias("z")
+    )
+    zm = z.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("q"),
+    )
+    a = zm.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("s").cast("long").alias("s_total"),
+        F.sum("q").cast("decimal(38,0)").alias("q_total"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s") / F.col("n"), 4
+            ).cast("decimal(30,4)")
+        ).alias("sb_terms"),
+    )
+    sb = F.col("sb_terms").cast("double")
+    st = F.col("s_total").cast("double")
+    qt = F.col("q_total").cast("double")
+    n = F.col("n_total")
+    k = F.col("k")
+    return a.select(
+        "k",
+        "n_total",
+        F.round(
+            ((sb - st * F.col("s_total") / n) / (k - 1)) / ((qt - sb) / (n - k)),
+            4,
+        ).alias("bf_stat"),
+    )
+
+
+@register(
+    "stats_effect_sizes",
+    """WITH c AS (
+         SELECT event_type, round(value * 100)::BIGINT AS cents FROM events
+         WHERE event_type IN ('click', 'view')),
+       m AS (SELECT event_type, count(*)::BIGINT AS n,
+                    sum(cents)::BIGINT AS s,
+                    sum(cents::DECIMAL(38,0) * cents)::DECIMAL(38,0) AS q
+             FROM c GROUP BY event_type),
+       w AS (SELECT
+               max(CASE WHEN event_type = 'click' THEN n END)::BIGINT AS n1,
+               max(CASE WHEN event_type = 'view' THEN n END)::BIGINT AS n2,
+               max(CASE WHEN event_type = 'click' THEN s END)::BIGINT AS s1,
+               max(CASE WHEN event_type = 'view' THEN s END)::BIGINT AS s2,
+               max(CASE WHEN event_type = 'click' THEN q END) AS q1,
+               max(CASE WHEN event_type = 'view' THEN q END) AS q2
+             FROM m),
+       v AS (SELECT n1, n2,
+                    CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md,
+                    ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+                      / (n1 + n2 - 2) AS pv
+             FROM w),
+       d AS (SELECT n1, n2, md / sqrt(pv) AS d, sqrt(pv) AS psd FROM v)
+       SELECT n1, n2,
+              round(psd, 4) AS pooled_sd_cents,
+              round(d, 6) AS cohens_d,
+              round(d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g,
+              CASE WHEN abs(d) < 0.2 THEN 'negligible'
+                   WHEN abs(d) < 0.5 THEN 'small'
+                   WHEN abs(d) < 0.8 THEN 'medium'
+                   ELSE 'large' END AS magnitude
+       FROM d""",
+    doc="Parametric effect sizes for the click-vs-view value comparison: "
+    "Cohen's d from the pooled standard deviation (exact integer/"
+    "decimal group moments — the stats_welch_ttest discipline), the "
+    "small-sample bias-corrected Hedges' g = d (1 - 3/(4N - 9)), and "
+    "the conventional magnitude label at the pinned 0.2/0.5/0.8 "
+    "thresholds. Complements the NONPARAMETRIC effect size the "
+    "Mann-Whitney query already reports (rank-biserial = Cliff's "
+    "delta): d answers 'how many pooled SDs apart', the rank-biserial "
+    "answers 'how often does one sample win'. Scale shape: one "
+    "scan-fused 2-group aggregate, 1-row arithmetic.",
+)
+def q_stats_effect_sizes(spark: SparkSession, sf: str):
+    c = (
+        events_table(spark, sf)
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("q"),
+    )
+    pick = lambda t, col: F.max(F.when(F.col("event_type") == t, F.col(col)))  # noqa: E731
+    w = m.agg(
+        pick("click", "n").cast("long").alias("n1"),
+        pick("view", "n").cast("long").alias("n2"),
+        pick("click", "s").cast("long").alias("s1"),
+        pick("view", "s").cast("long").alias("s2"),
+        pick("click", "q").alias("q1"),
+        pick("view", "q").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    md = F.col("s1").cast("double") / n1 - F.col("s2").cast("double") / n2
+    pv = (
+        (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1") / n1)
+        + (
+            F.col("q2").cast("double")
+            - F.col("s2").cast("double") * F.col("s2") / n2
+        )
+    ) / (n1 + n2 - 2)
+    d = md / F.sqrt(pv)
+    return w.select(
+        "n1",
+        "n2",
+        F.round(F.sqrt(pv), 4).alias("pooled_sd_cents"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6).alias("hedges_g"),
+        F.when(F.abs(d) < 0.2, "negligible")
+        .when(F.abs(d) < 0.5, "small")
+        .when(F.abs(d) < 0.8, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+@register(
+    "sketch_hll_intersection_cert",
+    """WITH a AS (
+         SELECT count(DISTINCT CASE WHEN event_type = 'click'
+                                    THEN user_id END)::BIGINT AS exact_a,
+                count(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END)::BIGINT AS exact_b,
+                count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                                    THEN user_id END)::BIGINT AS exact_union
+         FROM events)
+       SELECT exact_a, exact_b, exact_union,
+              (exact_a + exact_b - exact_union)::BIGINT AS exact_intersection,
+              true AS certified
+       FROM a""",
+    doc="HLL intersection estimate certified against the exact count: "
+    "|A∩B| (users who clicked AND purchased) via inclusion-exclusion "
+    "over three mergeable sketches — hll(A) + hll(B) - hll(A∪B), the "
+    "union sketch being the cell-wise merge hll_union(skA, skB), never "
+    "a rescan. Inclusion-exclusion COMPOUNDS the three sketches' "
+    "errors (each ±rsd of its own cardinality), so the certification "
+    "envelope is 3x the single-sketch bound TIMES THE UNION (the "
+    "relative-to-intersection error can be arbitrarily large when the "
+    "overlap is small — this query is also the standing documentation "
+    "of that caveat). DELIBERATE one-sided certification like "
+    "sketch_mergeable_rollup: the oracle pins the exact integers and "
+    "certified=true; a parity failure IS the envelope being violated. "
+    "Scale shape: ONE scan builds both sketches and all three exact "
+    "tiers as conditional aggregates; at 100 TB only the sketch side "
+    "runs, merged from per-partition partials.",
+)
+def q_sketch_hll_intersection(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select("event_type", "user_id")
+    click = F.when(F.col("event_type") == "click", F.col("user_id"))
+    purch = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    either = F.when(
+        F.col("event_type").isin("click", "purchase"), F.col("user_id")
+    )
+    a = e.agg(
+        F.hll_sketch_agg(click).alias("ska"),
+        F.hll_sketch_agg(purch).alias("skb"),
+        F.count_distinct(click).cast("long").alias("exact_a"),
+        F.count_distinct(purch).cast("long").alias("exact_b"),
+        F.count_distinct(either).cast("long").alias("exact_union"),
+    )
+    est_inter = (
+        F.hll_sketch_estimate("ska")
+        + F.hll_sketch_estimate("skb")
+        - F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+    )
+    exact_inter = F.col("exact_a") + F.col("exact_b") - F.col("exact_union")
+    return a.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        exact_inter.cast("long").alias("exact_intersection"),
+        (
+            F.abs(est_inter.cast("double") - exact_inter)
+            <= 3 * _HLL_BOUND * F.col("exact_union")
+        ).alias("certified"),
+    )
+
+
+@register(
+    "streaming_psi_drift",
+    _SREG["stats_psi_drift"].oracle,
+    doc="Streaming twin of the PSI drift monitor, run for real: orders "
+    "stream in (availableNow, several micro-batches) and foreachBatch "
+    "reduces each batch to its OWN (bucket, orderdate-second) count "
+    "partial landed at a batch-id-keyed path (idempotent overwrite). "
+    "Counts keyed by (bucket, t) are a commutative monoid and the t "
+    "domain is the DATE DOMAIN (orderdates are day-resolution), so the "
+    "fold — sum partials, derive the (min+max)/2 midpoint from the "
+    "folded key set, assign halves, densify the 10-bucket spine, same "
+    "DECIMAL term sum — must equal the batch query EXACTLY (shared "
+    "oracle with stats_psi_drift). This is the operational proof that "
+    "the drift monitor can run incrementally: a 100 TB deployment "
+    "stores per-window partials and re-derives PSI on every fold "
+    "without rescanning history. Scale shape: per batch one scan-fused "
+    "(bucket, t) aggregate; fold is O(batches x buckets x dates).",
+)
+def q_streaming_psi_drift(spark: SparkSession, sf: str):
+    import os
+    import shutil
+    import tempfile
+
+    orders = table(spark, sf, "orders").select("o_orderdate", "o_totalprice")
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_psi_")
+    feed_dir = os.path.join(run_dir, "feed")
+    store = os.path.join(run_dir, "store")
+    try:
+        orders.repartition(8).write.mode("overwrite").parquet(feed_dir)
+
+        def partials(batch_df, batch_id):
+            cells = (
+                batch_df.select(
+                    F.unix_timestamp("o_orderdate").cast("long").alias("t"),
+                    F.least(
+                        F.expr(
+                            "CAST(round(o_totalprice * 100) AS BIGINT)"
+                            " DIV 5000000"
+                        ),
+                        F.lit(9),
+                    )
+                    .cast("long")
+                    .alias("bkt"),
+                )
+                .groupBy("bkt", "t")
+                .agg(F.count("*").cast("long").alias("n"))
+            )
+            cells.write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
+
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(feed_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(partials)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        folded = (
+            spark.read.parquet(store)
+            .groupBy("bkt", "t")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .localCheckpoint(eager=True)  # (bucket x date)-domain bounded
+        )
+        mid = folded.agg(
+            F.expr("CAST((min(t) + max(t)) DIV 2 AS BIGINT)").alias("mid")
+        )
+        counts = (
+            folded.crossJoin(F.broadcast(mid))
+            .groupBy("bkt")
+            .agg(
+                F.sum(F.when(F.col("t") <= F.col("mid"), F.col("n")).otherwise(0))
+                .cast("long")
+                .alias("c1"),
+                F.sum(F.when(F.col("t") > F.col("mid"), F.col("n")).otherwise(0))
+                .cast("long")
+                .alias("c2"),
+            )
+        )
+        spine = spark.range(10).select(F.col("id").cast("long").alias("bkt"))
+        dense = (
+            spine.join(F.broadcast(counts), "bkt", "left")
+            .select(
+                "bkt",
+                F.coalesce(F.col("c1"), F.lit(0)).cast("long").alias("c1"),
+                F.coalesce(F.col("c2"), F.lit(0)).cast("long").alias("c2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tot = dense.agg(
+            F.sum("c1").cast("long").alias("n1"),
+            F.sum("c2").cast("long").alias("n2"),
+        )
+        pi = (F.col("c1") + 1) / (F.col("n1") + 10.0)
+        qi = (F.col("c2") + 1) / (F.col("n2") + 10.0)
+        terms = dense.crossJoin(F.broadcast(tot)).select(
+            "n1",
+            "n2",
+            F.round((pi - qi) * F.log(pi / qi), 9)
+            .cast("decimal(20,9)")
+            .alias("term"),
+        )
+        return (
+            terms.groupBy("n1", "n2")
+            .agg(F.round(F.sum("term").cast("double"), 6).alias("psi"))
+            .select(
+                F.col("n1").alias("n_first_half"),
+                F.col("n2").alias("n_second_half"),
+                "psi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -173,6 +173,8 @@ CROSS_ALLOWED = {
     # source-domain pair spine (<=20 x 20 size rows) before the
     # inequality filter — never the token stream
     "lm_vocab_jaccard_sources",
+    # 5x5 priority-domain pair spine + the 1-row MSW broadcast
+    "stats_tukey_hsd",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -196,6 +198,7 @@ STREAMING = {
     "streaming_sessionization",
     "streaming_quality_gate",
     "streaming_heavy_hitters",
+    "streaming_psi_drift",
     "layout_compaction_checksum",
     "layout_bucketed_join_cert",
     "layout_dpp_cert",
@@ -496,6 +499,8 @@ SCAN_MULTIPLICITY_ALLOW = {
     #   (tm/rv domain frames are localCheckpoint'ed so their fan-out
     #    doesn't re-read the scan; the three passes see disjoint splits
     #    with pushed-down filters — the scale-correct shape)
+    "stats_brown_forsythe": 3,     # sized + ranked + median-centered pass
+    "eval_pinball_loss": 3,        # sized + ranked train tiers + test scan
     "market_basket_pairs": 4,
     "lm_perplexity_scores": 4,     # unigram model + vocab stat + scoring side
     "dsir_importance_weights": 3,

@@ -229,3 +229,131 @@ def test_vocab_jaccard_self_similarity_bounds(spark, tmp_path):
     assert rows[("s1", "s2")].jaccard == 1.0
     assert rows[("s1", "s3")].jaccard == 0.0
     assert rows[("s2", "s3")].jaccard == 0.0
+
+
+# --- batch C: Tukey, Brown-Forsythe, effect sizes, HLL inter, pinball ------
+
+
+def test_tukey_hsd_pair_count_and_consistency(spark):
+    """10 unordered pairs over 5 groups; q_stat recomputes from the
+    reported mean diffs and the ANOVA MSW."""
+    rows = REGISTRY["stats_tukey_hsd"].spark(spark, SF).collect()
+    assert len(rows) == 10
+    anova = REGISTRY["stats_anova_oneway"].spark(spark, SF).collect()[0]
+    msw = anova.ss_within / (anova.n_total - anova.k)
+    import duckdb
+
+    sizes = dict(
+        duckdb.sql(
+            f"""SELECT o_orderpriority, count(*)
+                FROM '{SF}/orders.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    for r in rows:
+        assert r.grp_a < r.grp_b
+        se = math.sqrt(msw / 2 * (1 / sizes[r.grp_a] + 1 / sizes[r.grp_b]))
+        # q_stat is rounded to 4 dp in the query output
+        assert r.q_stat == pytest.approx(
+            abs(r.mean_diff_cents) / se, abs=1e-4 + 1e-3 * abs(r.q_stat)
+        )
+        assert r.significant == (r.q_stat >= 3.858) or abs(
+            r.q_stat - 3.858
+        ) < 1e-3
+
+
+def test_brown_forsythe_matches_scipy_formula(spark):
+    """Independent recompute: BF = one-way F over |x - group median|."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT o_orderpriority, list(round(o_totalprice * 100)::BIGINT)
+            FROM '{SF}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+
+    def lower_median(g):
+        s = sorted(g)
+        return s[math.ceil(0.5 * len(s)) - 1]
+
+    zs = [[abs(x - lower_median(g)) for x in g] for _, g in rows]
+    n = sum(len(z) for z in zs)
+    k = len(zs)
+    grand = sum(sum(z) for z in zs) / n
+    ssb = sum(len(z) * (sum(z) / len(z) - grand) ** 2 for z in zs)
+    ssw = sum(sum((x - sum(z) / len(z)) ** 2 for x in z) for z in zs)
+    expected = (ssb / (k - 1)) / (ssw / (n - k))
+    r = REGISTRY["stats_brown_forsythe"].spark(spark, SF).collect()[0]
+    assert r.k == k and r.n_total == n
+    assert r.bf_stat == pytest.approx(expected, rel=1e-3)
+
+
+def test_effect_sizes_consistency(spark):
+    """Hedges g is the documented shrink of d; magnitude matches the
+    pinned thresholds; d agrees with Welch means scaled by pooled sd."""
+    r = REGISTRY["stats_effect_sizes"].spark(spark, SF).collect()[0]
+    shrink = 1.0 - 3.0 / (4.0 * (r.n1 + r.n2) - 9.0)
+    assert r.hedges_g == pytest.approx(r.cohens_d * shrink, abs=2e-6)
+    lvl = (
+        "negligible"
+        if abs(r.cohens_d) < 0.2
+        else "small"
+        if abs(r.cohens_d) < 0.5
+        else "medium"
+        if abs(r.cohens_d) < 0.8
+        else "large"
+    )
+    assert r.magnitude == lvl
+    w = REGISTRY["stats_welch_ttest"].spark(spark, SF).collect()[0]
+    assert r.cohens_d == pytest.approx(
+        (w.mean1_cents - w.mean2_cents) / r.pooled_sd_cents, rel=1e-3
+    )
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    """The exact tier is the integer identity |A∩B| = |A|+|B|-|A∪B|; the
+    sketch estimate must sit inside the documented 3x envelope."""
+    r = REGISTRY["sketch_hll_intersection_cert"].spark(spark, SF).collect()[0]
+    assert r.exact_intersection == r.exact_a + r.exact_b - r.exact_union
+    assert 0 <= r.exact_intersection <= min(r.exact_a, r.exact_b)
+    assert r.certified  # deterministic for a fixed input set
+
+
+def test_streaming_psi_equals_batch(spark):
+    """The foreachBatch fold must reproduce the batch PSI bit-for-bit —
+    the monoid merge claim, proven by running the stream."""
+    batch = REGISTRY["stats_psi_drift"].spark(spark, SF).collect()
+    stream = REGISTRY["streaming_psi_drift"].spark(spark, SF).collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+
+
+def test_pinball_loss_exact_recompute(spark):
+    """Independent recompute of both losses for one event type from the
+    raw split (same hash, same rank-ceil quantile convention)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""WITH e AS (
+              SELECT event_id, event_type, round(value * 100)::BIGINT AS c,
+                     (('0x' || substr(md5('pin:' || event_id::VARCHAR), 1, 15))
+                       ::BIGINT) % 4 AS split
+              FROM '{SF}/events.parquet' WHERE event_type = 'click')
+            SELECT split <= 2 AS is_train, list(c ORDER BY c, event_id)
+            FROM e GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    by = {k: v for k, v in rows}
+    train, test = by[True], by[False]
+    q50 = train[math.ceil(0.5 * len(train)) - 1]
+    q90 = train[math.ceil(0.9 * len(train)) - 1]
+    p50 = sum(5 * abs(c - q50) for c in test) / (10.0 * len(test))
+    p90 = sum(
+        9 * (c - q90) if c >= q90 else (q90 - c) for c in test
+    ) / (10.0 * len(test))
+    out = {
+        r.event_type: r
+        for r in REGISTRY["eval_pinball_loss"].spark(spark, SF).collect()
+    }
+    r = out["click"]
+    assert r.n_train == len(train) and r.n_test == len(test)
+    assert r.q50_cents == q50 and r.q90_cents == q90
+    assert r.pinball50 == pytest.approx(p50, abs=1e-4)
+    assert r.pinball90 == pytest.approx(p90, abs=1e-4)
