@@ -232,6 +232,12 @@ _ORDER_LAST = {
     "sketch_hll_intersection_cert",
     "streaming_psi_drift",
     "eval_pinball_loss",
+    "stats_cramers_v",
+    "stats_negative_binomial_fit",
+    "stats_bh_fdr",
+    "graph_two_hop_reach",
+    "privacy_dp_quantile_release",
+    "lm_subword_fertility",
 }
 
 

@@ -398,3 +398,43 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             .alias("local_cc"),
         )
     )
+
+
+def two_hop_reach(edges: DataFrame) -> DataFrame:
+    """Per-node 2-hop neighborhood size over an undirected canonical edge
+    list (``src`` < ``dst``, distinct): ``(node, deg, reach_2hop)`` where
+    ``reach_2hop`` counts the distinct nodes within graph distance <= 2
+    (self excluded) — the local-density companion to
+    :func:`local_clustering` (a node with high degree but small 2-hop
+    reach sits inside a dense near-clique; dedup clusters look exactly
+    like that, spurious LSH collisions do not).
+
+    Plan: bidirect the edge list once, one self-equi-join on the middle
+    node for the 2-hop frontier (cost Σ deg² — degree-bounded, never
+    all-pairs), union with the 1-hop frontier, distinct + count per
+    node. The bidirected list is consumed three times (both join sides
+    + the 1-hop union), so it is localCheckpoint'ed ONCE.
+    """
+    e = edges.select("src", "dst")
+    bid = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = bid.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    mid = bid.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+    out = bid.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+    two = (
+        mid.join(out, "m")
+        .filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("node"), F.col("b").alias("nb"))
+    )
+    one = bid.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
+    reach = (
+        one.unionAll(two)
+        .distinct()
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("reach_2hop"))
+    )
+    return deg.join(reach, "node").select("node", "deg", "reach_2hop")

@@ -3239,3 +3239,46 @@ def q_stats_hodges_lehmann(spark: SparkSession, sf: str):
             ),
         )
     )
+
+
+# --- round-9 batch D: 2-hop reach ------------------------------------------
+
+
+@register(
+    "graph_two_hop_reach",
+    None,  # oracle attached below (composes the shared LSH-edge CTE)
+    doc="Per-node 2-hop neighborhood size of the MinHash-LSH candidate "
+    "graph — the local-density companion to graph_local_clustering: a "
+    "node whose 2-hop reach barely exceeds its degree sits inside a "
+    "dense near-clique (what duplicate clusters look like), while "
+    "reach >> degree marks a bridge/spurious-collision node. One "
+    "bidirect + one middle-node self-equi-join (cost Σ deg², "
+    "degree-bounded, never all-pairs), union with the 1-hop frontier, "
+    "distinct + count; the bidirected edge list is localCheckpoint'ed "
+    "once (operators/graph.py two_hop_reach).",
+)
+def q_graph_two_hop_reach(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.graph import two_hop_reach
+
+    return two_hop_reach(_lsh_edges(spark, sf))
+
+
+_REG["graph_two_hop_reach"].oracle = f"""WITH {_lsh_edges_sql()},
+       bid AS (
+         SELECT src, dst FROM e
+         UNION ALL
+         SELECT dst AS src, src AS dst FROM e),
+       deg AS (SELECT src AS node, count(*)::BIGINT AS deg
+               FROM bid GROUP BY src),
+       two AS (
+         SELECT a.src AS node, b.dst AS nb
+         FROM bid a JOIN bid b ON a.dst = b.src
+         WHERE b.dst != a.src),
+       reach AS (
+         SELECT node, count(*)::BIGINT AS reach_2hop FROM (
+           SELECT DISTINCT node, nb FROM (
+             SELECT src AS node, dst AS nb FROM bid
+             UNION ALL SELECT node, nb FROM two))
+         GROUP BY node)
+       SELECT d.node, d.deg, r.reach_2hop
+       FROM deg d JOIN reach r ON d.node = r.node"""

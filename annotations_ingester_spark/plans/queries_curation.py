@@ -1334,3 +1334,102 @@ def q_privacy_dp_noisy_counts(spark: SparkSession, sf: str):
             "within_99pct"
         ),
     )
+
+
+# --- differentially-private quantile release (r9, exponential mechanism) ---
+
+_DPQ_EPS = 1.0
+_DPQ_HASH = md5_hash64_sql("'dpq:' || bkt::VARCHAR")
+
+
+@register(
+    "privacy_dp_quantile_release",
+    f"""WITH c AS (
+         SELECT least(round(o_totalprice * 100)::BIGINT // 5000000, 9)
+                  ::BIGINT AS bkt
+         FROM orders),
+       counts AS (SELECT bkt, count(*)::BIGINT AS cnt FROM c GROUP BY bkt),
+       spine AS (SELECT unnest(range(10))::BIGINT AS bkt),
+       dense AS (SELECT s.bkt, coalesce(co.cnt, 0)::BIGINT AS cnt
+                 FROM spine s LEFT JOIN counts co USING (bkt)),
+       cum AS (SELECT bkt, cnt,
+                      sum(cnt) OVER (ORDER BY bkt
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cw
+               FROM dense),
+       n AS (SELECT sum(cnt)::BIGINT AS n FROM dense),
+       scored AS (
+         SELECT c.bkt,
+                abs(2 * c.cw - t.n)::BIGINT AS rank_err,
+                -{_DPQ_EPS!r} * abs(2 * c.cw - t.n) / 4.0
+                  - ln(-ln(({_DPQ_HASH} + 0.5) / {float(1 << 60)!r})) AS key,
+                CASE WHEN 2 * c.cw >= t.n THEN c.bkt END AS med_cand
+         FROM cum c, n t)
+       SELECT t.n,
+              arg_max(s.bkt, s.key)::BIGINT AS released_bucket,
+              min(s.med_cand)::BIGINT AS true_median_bucket,
+              arg_max(s.rank_err, s.key)::BIGINT AS rank_error,
+              {_DPQ_EPS!r} AS epsilon
+       FROM scored s, n t GROUP BY t.n""",
+    doc="Differentially-private MEDIAN release via the exponential "
+    "mechanism — the quantile member of the DP family "
+    "(privacy_dp_noisy_counts_cert covers counts; quantiles need "
+    "selection, not additive noise): candidate outputs are the 10 "
+    "PINNED 50k-cent value buckets (the stats_psi_drift spine — "
+    "bucket edges are job constants, so the candidate set is "
+    "data-independent as the mechanism requires), utility is the "
+    "doubled rank distance u(b) = -|2 cum(b) - n| (sensitivity 2 in "
+    "doubled units: one record moves one cumulative count), and "
+    "selection Pr(b) proportional to exp(eps u / (2 du)) runs via the "
+    "Gumbel-max trick — argmax of eps u/4 + Gumbel, the Gumbel drawn "
+    "from the repo's seeded 60-bit md5 uniform (one hash per "
+    "CANDIDATE, never per row). Seeded hashing makes the release "
+    "oracle-checkable, same caveat as the counts cert: a production "
+    "release swaps in a sealed RNG and keeps every expression. "
+    "Reports the released bucket next to the true median bucket and "
+    "the released bucket's rank error — the utility audit a DP "
+    "deployment publishes. Scale shape: one scan-fused 10-bucket "
+    "count, a 10-row cumulative window (structural), 1-row output.",
+)
+def q_privacy_dp_quantile_release(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    c = table(spark, sf, "orders").select(
+        F.least(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 5000000"),
+            F.lit(9),
+        )
+        .cast("long")
+        .alias("bkt")
+    )
+    counts = c.groupBy("bkt").agg(F.count("*").cast("long").alias("cnt"))
+    spine = spark.range(10).select(F.col("id").cast("long").alias("bkt"))
+    dense = spine.join(F.broadcast(counts), "bkt", "left").select(
+        "bkt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dense.select(
+        "bkt", "cnt", F.sum("cnt").over(w).cast("long").alias("cw")
+    ).localCheckpoint(eager=True)  # 10 rows; feeds totals + scoring
+    n = cum.agg(F.sum("cnt").cast("long").alias("n"))
+    u = (
+        md5_hash64(F.concat(F.lit("dpq:"), F.col("bkt").cast("string"))) + 0.5
+    ) / F.lit(float(1 << 60))
+    rank_err = F.abs(2 * F.col("cw") - F.col("n")).cast("long")
+    key = -_DPQ_EPS * F.abs(2 * F.col("cw") - F.col("n")) / 4.0 - F.log(
+        -F.log(u)
+    )
+    scored = cum.crossJoin(F.broadcast(n)).select(
+        "n",
+        "bkt",
+        rank_err.alias("rank_err"),
+        key.alias("key"),
+        F.when(2 * F.col("cw") >= F.col("n"), F.col("bkt")).alias("med_cand"),
+    )
+    return scored.groupBy("n").agg(
+        F.expr("max_by(bkt, key)").cast("long").alias("released_bucket"),
+        F.min("med_cand").cast("long").alias("true_median_bucket"),
+        F.expr("max_by(rank_err, key)").cast("long").alias("rank_error"),
+        F.lit(_DPQ_EPS).alias("epsilon"),
+    )

@@ -1715,3 +1715,51 @@ def q_lm_vocab_jaccard_sources(spark: SparkSession, sf: str):
             ).alias("jaccard"),
         )
     )
+
+
+# --- round-9 batch D: subword fertility -------------------------------------
+
+
+@register(
+    "lm_subword_fertility",
+    f"""WITH d AS (
+         SELECT source,
+                len({_BPE_T})::BIGINT AS n_bpe,
+                len({TOKS})::BIGINT AS n_ws
+         FROM documents)
+       SELECT source, count(*)::BIGINT AS n_docs,
+              sum(n_ws)::BIGINT AS n_ws_tokens,
+              sum(n_bpe)::BIGINT AS n_bpe_tokens,
+              round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 6) AS fertility
+       FROM d WHERE n_ws > 0 GROUP BY source""",
+    doc="Subword fertility per source: BPE tokens emitted per whitespace "
+    "word (the standard tokenizer-quality metric — fertility near 1 "
+    "means the vocabulary covers the register; high fertility marks "
+    "sources the tokenizer fragments, which inflates training cost "
+    "per effective word and skews mixture weights computed in tokens). "
+    "Uses the repo's deterministic BPE encoder (functions/bpe.py, the "
+    "bpe_encode_tokens machinery) against the whitespace tokenization "
+    "both engines share. Scale shape: one scan-fused projection "
+    "(two array lengths per doc, no explode), one source-domain "
+    "aggregate — map-side combinable.",
+)
+def q_lm_subword_fertility(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions import bpe as _bpe
+
+    d = table(spark, sf, "documents").select(
+        "source",
+        F.size(_bpe.bpe_tokens("text")).cast("long").alias("n_bpe"),
+        F.size(tx.tokens("text")).cast("long").alias("n_ws"),
+    )
+    return (
+        d.filter(F.col("n_ws") > 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_ws").cast("long").alias("n_ws_tokens"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6
+            ).alias("fertility"),
+        )
+    )

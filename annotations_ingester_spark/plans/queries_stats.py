@@ -4065,3 +4065,318 @@ def q_streaming_psi_drift(spark: SparkSession, sf: str):
         )
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+# --- round-9 batch D: Cramér's V, NB fit, BH-FDR ----------------------------
+
+_FDR_B = 199  # pinned replicates per hypothesis — p resolution 1/200
+_FDR_ALPHA = 0.10
+
+
+@register(
+    "stats_cramers_v",
+    """WITH obs AS (
+         SELECT lang, source, count(*)::DOUBLE AS o
+         FROM documents GROUP BY lang, source),
+       rt AS (SELECT lang, sum(o) AS rl FROM obs GROUP BY lang),
+       ct AS (SELECT source, sum(o) AS cl FROM obs GROUP BY source),
+       n AS (SELECT sum(o) AS n FROM obs),
+       cells AS (
+         SELECT round(pow(o - rl * cl / n.n, 2) / (rl * cl / n.n), 9)
+                  ::DECIMAL(20,9) AS term
+         FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n),
+       dims AS (
+         SELECT (SELECT count(*) FROM rt)::BIGINT AS nl,
+                (SELECT count(*) FROM ct)::BIGINT AS ns,
+                (SELECT n FROM n) AS n),
+       agg AS (SELECT CAST(sum(term) AS DOUBLE) AS chi2 FROM cells)
+       SELECT round(a.chi2, 6) AS chi2,
+              (d.nl - 1) * (d.ns - 1) AS dof,
+              d.n::BIGINT AS n,
+              round(sqrt(a.chi2 / (d.n * (least(d.nl, d.ns) - 1))), 6)
+                AS cramers_v
+       FROM agg a, dims d""",
+    doc="Cramér's V effect size for the lang x source association — the "
+    "magnitude companion to stats_chi_square_independence (chi-square "
+    "says WHETHER the contingency departs from independence; V = "
+    "sqrt(chi2 / (N (min(r,c) - 1))) in [0,1] says HOW MUCH, "
+    "comparable across table sizes). Same cells construction: per-cell "
+    "terms rounded to 9 dp and decimal-summed, one shared chi2 feeding "
+    "both outputs. Scale shape: one scan into the categories² "
+    "contingency aggregate; everything after runs on domain tables.",
+)
+def q_stats_cramers_v(spark: SparkSession, sf: str):
+    obs = (
+        table(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("double").alias("o"))
+        .localCheckpoint(eager=True)  # categories^2 rows; feeds 4 branches
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("cl"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                F.pow(F.col("o") - F.col("rl") * F.col("cl") / F.col("n"), 2)
+                / (F.col("rl") * F.col("cl") / F.col("n")),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("term")
+        )
+    )
+    dims = (
+        rt.agg(F.count("*").cast("long").alias("nl"))
+        .crossJoin(F.broadcast(ct.agg(F.count("*").cast("long").alias("ns"))))
+        .crossJoin(F.broadcast(n))
+    )
+    agg = cells.agg(F.sum("term").cast("double").alias("chi2"))
+    return agg.crossJoin(F.broadcast(dims)).select(
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least(F.col("nl"), F.col("ns")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "stats_negative_binomial_fit",
+    """WITH pc AS (
+         SELECT event_type, user_id, count(*)::BIGINT AS c
+         FROM events GROUP BY event_type, user_id),
+       m AS (SELECT event_type, count(*)::BIGINT AS n_users,
+                    sum(c)::BIGINT AS s,
+                    sum(c::DECIMAL(38,0) * c)::DECIMAL(38,0) AS q
+             FROM pc GROUP BY event_type),
+       v AS (SELECT event_type, n_users,
+                    CAST(s AS DOUBLE) / n_users AS mean,
+                    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_users)
+                      / (n_users - 1) AS var
+             FROM m)
+       SELECT event_type, n_users,
+              round(mean, 6) AS mean_count,
+              round(var, 6) AS var_count,
+              var > mean AS overdispersed,
+              round(CASE WHEN var > mean
+                         THEN mean * mean / (var - mean) END, 6) AS nb_r,
+              round(CASE WHEN var > mean THEN mean / var END, 6) AS nb_p
+       FROM v""",
+    doc="Method-of-moments negative-binomial fit of per-user event "
+    "counts, per event type: r = m²/(v-m), p = m/v — the parametric "
+    "follow-through to stats_overdispersion (which only flags v > m; "
+    "this hands the modeler the NB(r, p) a count model would use, with "
+    "NULL parameters where the Poisson already fits). Moments are "
+    "exact (Σc BIGINT, Σc² DECIMAL); mean/variance/r/p are one shared "
+    "IEEE tree rounded once each. Scale shape: one (type, user) "
+    "key-shuffle rollup, then a 5-group aggregate — the same shuffle "
+    "the overdispersion gate already pays.",
+)
+def q_stats_negative_binomial_fit(spark: SparkSession, sf: str):
+    pc = (
+        events_table(spark, sf)
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    m = pc.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_users")
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n_users")
+    ) / (F.col("n_users") - 1)
+    return m.select(
+        "event_type",
+        "n_users",
+        F.round(mean, 6).alias("mean_count"),
+        F.round(var, 6).alias("var_count"),
+        (var > mean).alias("overdispersed"),
+        F.round(
+            F.when(var > mean, mean * mean / (var - mean)), 6
+        ).alias("nb_r"),
+        F.round(F.when(var > mean, mean / var), 6).alias("nb_p"),
+    )
+
+
+@register(
+    "stats_bh_fdr",
+    f"""WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type, round(value * 100)::BIGINT AS cents
+         FROM events),
+       d AS (SELECT day, event_type, sum(cents)::BIGINT AS x
+             FROM e GROUP BY day, event_type),
+       o AS (SELECT event_type,
+               sum(CASE WHEN {md5_hash64_sql("'fdr:' || day::VARCHAR")} % 2 = 0
+                        THEN 1 ELSE 0 END)::BIGINT AS n0,
+               sum(CASE WHEN {md5_hash64_sql("'fdr:' || day::VARCHAR")} % 2 = 0
+                        THEN x ELSE 0 END)::BIGINT AS s0,
+               sum(CASE WHEN {md5_hash64_sql("'fdr:' || day::VARCHAR")} % 2 = 1
+                        THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN {md5_hash64_sql("'fdr:' || day::VARCHAR")} % 2 = 1
+                        THEN x ELSE 0 END)::BIGINT AS s1
+             FROM d GROUP BY event_type),
+       reps AS (
+         SELECT r.b, dd.event_type, dd.x,
+                {md5_hash64_sql("'fdr:' || b::VARCHAR || ':' || day::VARCHAR")}
+                  % 2 AS arm
+         FROM d dd
+         CROSS JOIN (SELECT unnest(range(1, {_FDR_B} + 1)) AS b) r),
+       pm AS (SELECT event_type, b,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+               sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS s0,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS s1
+              FROM reps GROUP BY event_type, b),
+       pv AS (SELECT p.event_type,
+               round((1.0 + sum(CASE WHEN
+                 abs(CAST(p.s0 AS DOUBLE) * p.n1 - CAST(p.s1 AS DOUBLE) * p.n0)
+                   * (CAST(o.n0 AS DOUBLE) * o.n1)
+                 >= abs(CAST(o.s0 AS DOUBLE) * o.n1
+                        - CAST(o.s1 AS DOUBLE) * o.n0)
+                   * (CAST(p.n0 AS DOUBLE) * p.n1)
+                 THEN 1 ELSE 0 END))
+                / ({_FDR_B} + 1.0), 6) AS p_value
+              FROM pm p JOIN o ON o.event_type = p.event_type
+              GROUP BY p.event_type, o.n0, o.s0, o.n1, o.s1),
+       ranked AS (
+         SELECT event_type, p_value,
+                row_number() OVER (ORDER BY p_value, event_type) AS rk,
+                count(*) OVER () AS m
+         FROM pv),
+       thr AS (SELECT coalesce(max(CASE WHEN p_value
+                                          <= {_FDR_ALPHA} * rk / m
+                                        THEN p_value END), -1.0) AS t
+               FROM ranked)
+       SELECT r.event_type, r.p_value, r.rk::BIGINT AS rank,
+              round({_FDR_ALPHA} * r.rk / r.m, 6) AS bh_critical,
+              r.p_value <= t.t AS rejected
+       FROM ranked r, thr t""",
+    doc="Benjamini-Hochberg FDR control over a FAMILY of five "
+    "distribution-free permutation tests (one per event type, daily "
+    "revenue A/A arms, the stats_permutation_test machinery with a "
+    f"per-hypothesis pinned B={_FDR_B}): p-values from the add-one "
+    "permutation count, then the BH step-up — rank ascending p, find "
+    f"the largest p_i <= alpha i/m at alpha={_FDR_ALPHA}, reject "
+    "everything at or below it. This is the multiple-testing layer "
+    "every metrics platform needs above its per-test family (running "
+    "five uncorrected tests at alpha=0.1 false-alarms ~40% of the "
+    "time); under A/A the rejection set calibrates to empty almost "
+    "always. The day-replicate re-randomization is shared across "
+    "hypotheses (one hash per (day, b), types ride the same spine), "
+    "so the hash volume stays days x B — date-domain bounded. The "
+    "rank window runs over the 5-row p-value table (structural). "
+    "Scale shape: one (day, type) rollup, a days x B x types "
+    "domain cross, one (type, b) aggregate, 5-row arithmetic.",
+)
+def q_stats_bh_fdr(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = (
+        e.groupBy("day", "event_type")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint(eager=True)  # (date x type)-domain bounded
+    )
+    arm_obs = (
+        md5_hash64(F.concat(F.lit("fdr:"), F.col("day").cast("string"))) % 2
+    )
+    def _arms(df, keys, arm):
+        return df.groupBy(*keys).agg(
+            F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n0"),
+            F.sum(F.when(arm == 0, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("s0"),
+            F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(arm == 1, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("s1"),
+        )
+
+    o = _arms(d, ["event_type"], arm_obs).select(
+        "event_type",
+        F.col("n0").alias("on0"),
+        F.col("s0").alias("os0"),
+        F.col("n1").alias("on1"),
+        F.col("s1").alias("os1"),
+    )
+    reps = d.crossJoin(
+        F.broadcast(spark.range(1, _FDR_B + 1).withColumnRenamed("id", "b"))
+    ).select(
+        "b",
+        "event_type",
+        "x",
+        (
+            md5_hash64(
+                F.concat_ws(
+                    "",
+                    F.lit("fdr:"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("day").cast("string"),
+                )
+            )
+            % 2
+        ).alias("arm"),
+    )
+    pm = _arms(reps, ["event_type", "b"], F.col("arm"))
+    lhs = F.abs(
+        F.col("s0").cast("double") * F.col("n1")
+        - F.col("s1").cast("double") * F.col("n0")
+    ) * (F.col("on0").cast("double") * F.col("on1"))
+    rhs = F.abs(
+        F.col("os0").cast("double") * F.col("on1")
+        - F.col("os1").cast("double") * F.col("on0")
+    ) * (F.col("n0").cast("double") * F.col("n1"))
+    pv = (
+        pm.join(F.broadcast(o), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                (1.0 + F.sum(F.when(lhs >= rhs, 1).otherwise(0)))
+                / (_FDR_B + 1.0),
+                6,
+            ).alias("p_value")
+        )
+    )
+    w = Window.orderBy("p_value", "event_type")
+    ranked = pv.select(
+        "event_type",
+        "p_value",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    ).localCheckpoint(eager=True)  # 5 rows; feeds threshold + report
+    thr = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value") <= _FDR_ALPHA * F.col("rk") / F.col("m"),
+                    F.col("p_value"),
+                )
+            ),
+            F.lit(-1.0),
+        ).alias("t")
+    )
+    return ranked.crossJoin(F.broadcast(thr)).select(
+        "event_type",
+        "p_value",
+        F.col("rk").cast("long").alias("rank"),
+        F.round(_FDR_ALPHA * F.col("rk") / F.col("m"), 6).alias("bh_critical"),
+        (F.col("p_value") <= F.col("t")).alias("rejected"),
+    )

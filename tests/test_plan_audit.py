@@ -175,6 +175,16 @@ CROSS_ALLOWED = {
     "lm_vocab_jaccard_sources",
     # 5x5 priority-domain pair spine + the 1-row MSW broadcast
     "stats_tukey_hsd",
+    # two 1-row broadcasts (grand total, r x c dims) onto the
+    # categories^2 contingency cells (the chi-square shape)
+    "stats_cramers_v",
+    # days x B domain cross (the permutation-test spine shared across
+    # the 5 hypotheses) + the 1-row BH threshold broadcast onto the
+    # 5-row ranked p table
+    "stats_bh_fdr",
+    # 1-row total broadcast onto the 10-row cumulative bucket table
+    # (candidate scoring), then a 1-row report
+    "privacy_dp_quantile_release",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -379,6 +389,12 @@ UNPARTITIONED_WINDOW_ALLOWED = {
         SELECT d * (d + 1) // 2 FROM (
           SELECT count(DISTINCT date_trunc('day', ts))::BIGINT AS d
           FROM events)"""),
+    # rank + count windows over the 5-row per-hypothesis p-value table
+    # (one row per event type — domain-bounded)
+    "stats_bh_fdr": (16, "SELECT count(DISTINCT event_type) FROM events"),
+    # cumulative over the PINNED 10-bucket spine (candidate set of the
+    # exponential mechanism — structural)
+    "privacy_dp_quantile_release": (10, "SELECT 10"),
     # cumulative offset over the residual-BUCKET-COUNT table (2^20-
     # millicent buckets — the weighted-median two-level prefix class);
     # in-bucket cumulatives are bucket-partitioned

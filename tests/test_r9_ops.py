@@ -357,3 +357,102 @@ def test_pinball_loss_exact_recompute(spark):
     assert r.q50_cents == q50 and r.q90_cents == q90
     assert r.pinball50 == pytest.approx(p50, abs=1e-4)
     assert r.pinball90 == pytest.approx(p90, abs=1e-4)
+
+
+# --- batch D: Cramér's V, NB fit, BH-FDR, 2-hop, DP quantile, fertility ----
+
+
+def test_cramers_v_consistency(spark):
+    """V recomputes from the chi-square query's own chi2/dof and sits in
+    [0, 1]."""
+    chi = REGISTRY["stats_chi_square_independence"].spark(spark, SF).collect()[0]
+    r = REGISTRY["stats_cramers_v"].spark(spark, SF).collect()[0]
+    assert r.chi2 == pytest.approx(chi.chi2, abs=1e-4)
+    assert r.dof == chi.dof
+    # min(r,c)-1 recovered from dof factorization is not unique; check the
+    # definitional identity instead
+    assert 0.0 <= r.cramers_v <= 1.0
+    # V^2 * n * (min-1) == chi2 for the actual min dimension
+    mins = [
+        m
+        for m in range(1, 40)
+        if abs(r.cramers_v**2 * r.n * m - r.chi2) < max(1e-2, r.chi2 * 1e-3)
+    ]
+    assert mins, "cramers_v does not invert to chi2 for any min(r,c)-1"
+
+
+def test_negative_binomial_fit_identities(spark):
+    """Where overdispersed: NB mean r(1-p)/p must equal the sample mean and
+    NB variance r(1-p)/p^2 the sample variance (method of moments)."""
+    rows = REGISTRY["stats_negative_binomial_fit"].spark(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        if r.overdispersed:
+            nb_mean = r.nb_r * (1 - r.nb_p) / r.nb_p
+            nb_var = r.nb_r * (1 - r.nb_p) / r.nb_p**2
+            assert nb_mean == pytest.approx(r.mean_count, rel=1e-3)
+            assert nb_var == pytest.approx(r.var_count, rel=1e-3)
+        else:
+            assert r.nb_r is None and r.nb_p is None
+
+
+def test_bh_fdr_step_up_consistency(spark):
+    """The rejection set must be exactly the BH step-up: everything at or
+    below the largest p_i <= alpha i/m."""
+    rows = sorted(
+        REGISTRY["stats_bh_fdr"].spark(spark, SF).collect(), key=lambda r: r.rank
+    )
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    m = len(rows)
+    passing = [r.p_value for r in rows if r.p_value <= 0.10 * r.rank / m]
+    thr = max(passing) if passing else -1.0
+    for r in rows:
+        assert r.bh_critical == pytest.approx(0.10 * r.rank / m, abs=1e-6)
+        assert r.rejected == (r.p_value <= thr)
+        assert 1.0 / 200 <= r.p_value <= 1.0
+
+
+def test_two_hop_reach_path_graph(spark):
+    """Path 1-2-3-4-5: ends reach 2, second nodes reach 3, middle 4."""
+    from annotations_ingester_spark.operators.graph import two_hop_reach
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    out = {r.node: r for r in two_hop_reach(edges).collect()}
+    assert out[1].deg == 1 and out[1].reach_2hop == 2
+    assert out[2].deg == 2 and out[2].reach_2hop == 3
+    assert out[3].deg == 2 and out[3].reach_2hop == 4
+    assert out[5].reach_2hop == 2
+
+
+def test_dp_quantile_release_deterministic_and_sane(spark):
+    """Seeded release is reproducible; the true median bucket is correct
+    by recompute; rank error is 0 when the mechanism picks the median."""
+    import duckdb
+
+    r1 = REGISTRY["privacy_dp_quantile_release"].spark(spark, SF).collect()[0]
+    r2 = REGISTRY["privacy_dp_quantile_release"].spark(spark, SF).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert 0 <= r1.released_bucket <= 9
+    med_cents = duckdb.sql(
+        f"""SELECT median(round(o_totalprice * 100)::BIGINT)
+            FROM '{SF}/orders.parquet'"""
+    ).fetchone()[0]
+    assert r1.true_median_bucket == min(int(med_cents) // 5000000, 9)
+    if r1.released_bucket == r1.true_median_bucket:
+        # the released bucket's rank error is the minimum over candidates
+        assert r1.rank_error <= r1.n
+
+
+def test_subword_fertility_bounds(spark):
+    """BPE splits words, never merges across whitespace: fertility >= 1
+    for every source (each ws word maps to >= 1 BPE token)."""
+    rows = REGISTRY["lm_subword_fertility"].spark(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.fertility >= 1.0
+        assert r.n_bpe_tokens >= r.n_ws_tokens
+        assert r.fertility == pytest.approx(
+            r.n_bpe_tokens / r.n_ws_tokens, abs=1e-5
+        )
