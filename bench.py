@@ -303,6 +303,34 @@ HEADLINE = [
     "events_interarrival_stats",
     # r8: click->purchase lead-lag cross-correlation
     "timeseries_cross_correlation",
+    # r9: classical-inference completion (ANOVA family, robust location,
+    # effect sizes, permutation/FDR), uncertainty + drift + DP releases,
+    # two more mergeable-sketch certs, LSH-graph local structure,
+    # leakage audit, char entropy, vocab Jaccard, subword fertility
+    "sketch_bloom_membership_cert",
+    "graph_local_clustering",
+    "stats_hodges_lehmann",
+    "privacy_dp_noisy_counts_cert",
+    "eval_split_leakage_audit",
+    "text_char_entropy",
+    "stats_anova_oneway",
+    "stats_permutation_test",
+    "stats_psi_drift",
+    "eval_conformal_coverage",
+    "eval_label_centroid_sim",
+    "lm_vocab_jaccard_sources",
+    "stats_tukey_hsd",
+    "stats_brown_forsythe",
+    "stats_effect_sizes",
+    "sketch_hll_intersection_cert",
+    "streaming_psi_drift",
+    "eval_pinball_loss",
+    "stats_cramers_v",
+    "stats_negative_binomial_fit",
+    "stats_bh_fdr",
+    "graph_two_hop_reach",
+    "privacy_dp_quantile_release",
+    "lm_subword_fertility",
 ]
 
 
