@@ -1844,3 +1844,84 @@ def q_eval_pinball_loss(spark: SparkSession, sf: str):
             "pinball90"
         ),
     )
+
+
+@register(
+    "eval_cohens_kappa",
+    f"""WITH pred AS (SELECT * FROM ({_oracle('text_lang_id')}) t),
+       cm AS (
+         SELECT labeled_lang, predicted_lang, count(*)::BIGINT AS n
+         FROM pred GROUP BY labeled_lang, predicted_lang),
+       tot AS (SELECT sum(n)::BIGINT AS n,
+                      sum(CASE WHEN labeled_lang = predicted_lang
+                               THEN n ELSE 0 END)::BIGINT AS agree
+               FROM cm),
+       rt AS (SELECT labeled_lang AS lang, sum(n)::BIGINT AS r FROM cm
+              GROUP BY labeled_lang),
+       ct AS (SELECT predicted_lang AS lang, sum(n)::BIGINT AS c FROM cm
+              GROUP BY predicted_lang),
+       pe AS (SELECT sum(rt.r::DECIMAL(38,0) * ct.c)::DECIMAL(38,0) AS pe_num
+              FROM rt JOIN ct USING (lang))
+       SELECT t.n, t.agree,
+              round(CAST(t.agree AS DOUBLE) / t.n, 6) AS po,
+              round(CAST(p.pe_num AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n), 6)
+                AS pe,
+              round((CAST(t.n AS DOUBLE) * t.agree - CAST(p.pe_num AS DOUBLE))
+                    / (CAST(t.n AS DOUBLE) * t.n - CAST(p.pe_num AS DOUBLE)),
+                    6) AS kappa
+       FROM tot t, pe p""",
+    doc="Cohen's kappa of the language-ID heuristic against the labeled "
+    "corpus — chance-corrected agreement, the metric an ANNOTATION "
+    "pipeline publishes about its annotators (the reference engine's "
+    "whole domain: its MedCAT/GATE services emit annotations whose "
+    "agreement against gold labels is exactly this statistic; "
+    "eval_langid_confusion gives per-class P/R/F1, kappa gives the one "
+    "chance-robust scalar). EXACT integer core: kappa = (N·agree - "
+    "Σ r_i c_i) / (N² - Σ r_i c_i) — the marginal cross products "
+    "accumulate as DECIMAL, the final division is one shared IEEE "
+    "expression. Scale shape: one certified-projection scan into the "
+    "categories² confusion matrix; everything after is domain-table "
+    "arithmetic.",
+)
+def q_eval_cohens_kappa(spark: SparkSession, sf: str):
+    pred = REGISTRY["text_lang_id"].spark(spark, sf)
+    cm = (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)  # categories^2 rows; feeds 3 branches
+    )
+    tot = cm.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("labeled_lang") == F.col("predicted_lang"), F.col("n")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("agree"),
+    )
+    rt = cm.groupBy(F.col("labeled_lang").alias("lang")).agg(
+        F.sum("n").cast("long").alias("r")
+    )
+    ct = cm.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.sum("n").cast("long").alias("c")
+    )
+    pe = (
+        rt.join(F.broadcast(ct), "lang")
+        .agg(
+            F.sum(F.col("r").cast("decimal(38,0)") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("pe_num")
+        )
+    )
+    nd = F.col("n").cast("double")
+    pn = F.col("pe_num").cast("double")
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "agree",
+        F.round(F.col("agree").cast("double") / F.col("n"), 6).alias("po"),
+        F.round(pn / (nd * F.col("n")), 6).alias("pe"),
+        F.round(
+            (nd * F.col("agree") - pn) / (nd * F.col("n") - pn), 6
+        ).alias("kappa"),
+    )

@@ -1763,3 +1763,68 @@ def q_lm_subword_fertility(spark: SparkSession, sf: str):
             ).alias("fertility"),
         )
     )
+
+
+@register(
+    "text_token_burstiness",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+       nd AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+       tok AS (SELECT doc_id, unnest(t) AS w FROM d),
+       dc AS (SELECT w, doc_id, count(*)::BIGINT AS c
+              FROM tok GROUP BY w, doc_id),
+       totals AS (SELECT w, sum(c)::BIGINT AS total,
+                         count(*)::BIGINT AS df,
+                         sum(c::DECIMAL(38,0) * c)::DECIMAL(38,0) AS q
+                  FROM dc GROUP BY w),
+       top AS (SELECT * FROM totals ORDER BY total DESC, w LIMIT 50)
+       SELECT t.w AS token, t.total, t.df,
+              round(CAST(t.total AS DOUBLE) / n.n_docs, 6) AS mean_count,
+              round((CAST(t.q AS DOUBLE)
+                     - CAST(t.total AS DOUBLE) * t.total / n.n_docs)
+                    / (n.n_docs - 1), 6) AS var_count,
+              round(((CAST(t.q AS DOUBLE)
+                      - CAST(t.total AS DOUBLE) * t.total / n.n_docs)
+                     / (n.n_docs - 1))
+                    / (CAST(t.total AS DOUBLE) / n.n_docs), 6) AS fano
+       FROM top t, nd n""",
+    doc="Token burstiness (Church-Gale): the Fano factor "
+    "var/mean of per-document counts — over ALL documents, zeros "
+    "included — for the top-50 corpus tokens. Function words scatter "
+    "evenly (Fano near 1, Poisson-like); topical/boilerplate tokens "
+    "are bursty (Fano >> 1) — the signal that separates stopword "
+    "candidates from content terms better than raw frequency, and a "
+    "boilerplate detector when burstiness is extreme. Zeros need no "
+    "densification: with Σc and Σc² accumulated only over occurring "
+    "docs, mean = Σc/N and var = (Σc² - (Σc)²/N)/(N-1) are already "
+    "the all-docs moments (absent docs contribute 0 to both sums) — "
+    "exact integers into one shared IEEE expression. Scale shape: one "
+    "token explode into a (token, doc) rollup, a token-level "
+    "aggregate, TakeOrdered(50), one 1-row N broadcast.",
+)
+def q_text_token_burstiness(spark: SparkSession, sf: str):
+    d = table(spark, sf, "documents")
+    nd = d.agg(F.count("*").cast("long").alias("n_docs"))
+    dc = (
+        d.select("doc_id", F.explode(tx.tokens("text")).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = dc.groupBy("w").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("q"),
+    )
+    top = totals.orderBy(F.desc("total"), F.asc("w")).limit(50)
+    mean = F.col("total").cast("double") / F.col("n_docs")
+    var = (
+        F.col("q").cast("double")
+        - F.col("total").cast("double") * F.col("total") / F.col("n_docs")
+    ) / (F.col("n_docs") - 1)
+    return top.crossJoin(F.broadcast(nd)).select(
+        F.col("w").alias("token"),
+        "total",
+        "df",
+        F.round(mean, 6).alias("mean_count"),
+        F.round(var, 6).alias("var_count"),
+        F.round(var / mean, 6).alias("fano"),
+    )

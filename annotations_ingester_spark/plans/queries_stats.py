@@ -4380,3 +4380,213 @@ def q_stats_bh_fdr(spark: SparkSession, sf: str):
         F.round(_FDR_ALPHA * F.col("rk") / F.col("m"), 6).alias("bh_critical"),
         (F.col("p_value") <= F.col("t")).alias("rejected"),
     )
+
+
+# --- round-9 batch E: paired/blocked nonparametrics -------------------------
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    f"""WITH {DAILY_TYPE_COUNTS_CTE},
+       dd AS (SELECT day, x - y AS df FROM d WHERE x - y != 0),
+       av AS (SELECT abs(df)::BIGINT AS ad, count(*)::BIGINT AS k,
+                     sum(CASE WHEN df > 0 THEN 1 ELSE 0 END)::BIGINT AS kp
+              FROM dd GROUP BY abs(df)),
+       ranked AS (
+         SELECT ad, k, kp,
+                coalesce(sum(k) OVER (ORDER BY ad
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS cb
+         FROM av),
+       agg AS (
+         SELECT sum(k)::BIGINT AS n,
+                sum(kp * (2 * cb + k + 1))::BIGINT AS w2,
+                sum(k::DECIMAL(38,0) * k * k - k)::DECIMAL(38,0) AS t_dec
+         FROM ranked)
+       SELECT n AS n_pairs, w2 AS w_plus_doubled, t_dec::BIGINT AS t_ties,
+              round((w2 / 2.0 - n * (n + 1) / 4.0)
+                    / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0
+                           - CAST(t_dec AS DOUBLE) / 48.0), 4) AS z_score
+       FROM agg""",
+    doc="Wilcoxon signed-rank test on the PAIRED daily (clicks, "
+    "purchases) series — the paired companion to stats_mann_whitney "
+    "(same exchangeable-days framing as the permutation family, but "
+    "rank-based and sign-symmetric): nonzero daily differences ranked "
+    "by |d| with tie midranks kept integral via the doubled-rank "
+    "discipline (2R = 2·cum_before + k + 1 per distinct |d|), "
+    "W+ from the positive-difference ranks, tie term Σ(k³-k), and the "
+    "tie-corrected normal approximation z — the only floats are the "
+    "final shared expression over exact integers. The rank cumulative "
+    "runs over the DISTINCT-|d| table, bounded by the date domain. "
+    "Scale shape: one map-side-combinable daily rollup, a "
+    "days-bounded cumulative, 1-row output.",
+)
+def q_stats_wilcoxon_signed_rank(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    d = daily_type_counts(spark, sf)
+    dd = d.select((F.col("x") - F.col("y")).alias("df")).filter(F.col("df") != 0)
+    av = dd.groupBy(F.abs(F.col("df")).cast("long").alias("ad")).agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.when(F.col("df") > 0, 1).otherwise(0)).cast("long").alias("kp"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = av.withColumn(
+        "cb", F.coalesce(F.sum("k").over(w), F.lit(0)).cast("long")
+    )
+    agg = ranked.agg(
+        F.sum("k").cast("long").alias("n"),
+        F.sum(F.col("kp") * (2 * F.col("cb") + F.col("k") + 1))
+        .cast("long")
+        .alias("w2"),
+        F.sum(
+            F.col("k").cast("decimal(38,0)") * F.col("k") * F.col("k")
+            - F.col("k")
+        )
+        .cast("decimal(38,0)")
+        .alias("t_dec"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.alias("n_pairs"),
+        F.col("w2").alias("w_plus_doubled"),
+        F.col("t_dec").cast("long").alias("t_ties"),
+        F.round(
+            (F.col("w2") / 2.0 - n * (n + 1) / 4.0)
+            / F.sqrt(
+                n * (n + 1.0) * (2 * n + 1) / 24.0
+                - F.col("t_dec").cast("double") / 48.0
+            ),
+            4,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "stats_friedman_test",
+    """WITH c AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type, count(*)::BIGINT AS cnt
+         FROM events GROUP BY day, event_type),
+       days AS (SELECT DISTINCT day FROM c),
+       types AS (SELECT DISTINCT event_type FROM c),
+       dense AS (
+         SELECT d.day, t.event_type, coalesce(c.cnt, 0)::BIGINT AS cnt
+         FROM days d CROSS JOIN types t
+         LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type),
+       grp AS (SELECT day, cnt, count(*)::BIGINT AS k FROM dense
+               GROUP BY day, cnt),
+       ranked AS (
+         SELECT day, cnt, k,
+                coalesce(sum(k) OVER (PARTITION BY day ORDER BY cnt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS cb
+         FROM grp),
+       r2 AS (SELECT d.day, d.event_type,
+                     (2 * r.cb + r.k + 1)::BIGINT AS rr2
+              FROM dense d
+              JOIN ranked r ON r.day = d.day AND r.cnt = d.cnt),
+       rj AS (SELECT event_type, sum(rr2)::BIGINT AS rj2 FROM r2
+              GROUP BY event_type),
+       dims AS (SELECT (SELECT count(*) FROM days)::BIGINT AS n,
+                       (SELECT count(*) FROM types)::BIGINT AS k),
+       parts AS (
+         SELECT (SELECT sum(rj2::DECIMAL(38,0) * rj2) FROM rj)
+                  ::DECIMAL(38,0) AS sum_rj2_sq,
+                (SELECT sum(rr2::DECIMAL(38,0) * rr2) FROM r2)
+                  ::DECIMAL(38,0) AS a2,
+                n, k
+         FROM dims)
+       SELECT n AS n_blocks, k,
+              round((k - 1.0)
+                    * (CAST(sum_rj2_sq AS DOUBLE)
+                       - CAST(n AS DOUBLE) * n * k * (k + 1) * (k + 1))
+                    / (CAST(a2 AS DOUBLE)
+                       - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1)),
+                    4) AS chi2_f
+       FROM parts""",
+    doc="Friedman test over (day blocks x 5 event-type treatments) daily "
+    "activity counts — the k-sample repeated-measures nonparametric "
+    "(one-way blocked ANOVA on ranks; completes the family: "
+    "Mann-Whitney = 2 unpaired, Wilcoxon = 2 paired, Kruskal class "
+    "k unpaired, Friedman = k BLOCKED): within-day ranks with tie "
+    "midranks via the doubled-rank discipline, per-treatment rank sums "
+    "Rj, and the Conover tie-general statistic "
+    "chi2 = (k-1)(ΣRj² - n²k(k+1)²)/(A - nk(k+1)²) evaluated in the "
+    "DOUBLED-rank scale where every Σ is an exact integer (the "
+    "identity holds verbatim with 2R everywhere). Day-partitioned rank "
+    "windows see k<=5 rows each; the day x type densification is a "
+    "domain cross. Scale shape: one (day, type) rollup, bounded "
+    "windows, 1-row output.",
+)
+def q_stats_friedman_test(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = (
+        events_table(spark, sf)
+        .select(F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # (date x type)-domain bounded
+    )
+    days = c.select("day").distinct()
+    types = c.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(F.broadcast(c), ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grp = dense.groupBy("day", "cnt").agg(F.count("*").cast("long").alias("k"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = grp.withColumn(
+        "cb", F.coalesce(F.sum("k").over(w), F.lit(0)).cast("long")
+    )
+    r2 = dense.join(F.broadcast(ranked), ["day", "cnt"]).select(
+        "day",
+        "event_type",
+        (2 * F.col("cb") + F.col("k") + 1).cast("long").alias("rr2"),
+    ).localCheckpoint(eager=True)  # feeds rank sums + A2
+    rj = r2.groupBy("event_type").agg(F.sum("rr2").cast("long").alias("rj2"))
+    sum_rj2_sq = rj.agg(
+        F.sum(F.col("rj2").cast("decimal(38,0)") * F.col("rj2"))
+        .cast("decimal(38,0)")
+        .alias("sum_rj2_sq")
+    )
+    a2 = r2.agg(
+        F.sum(F.col("rr2").cast("decimal(38,0)") * F.col("rr2"))
+        .cast("decimal(38,0)")
+        .alias("a2")
+    )
+    dims = days.agg(F.count("*").cast("long").alias("n")).crossJoin(
+        F.broadcast(types.agg(F.count("*").cast("long").alias("k")))
+    )
+    n, k = F.col("n"), F.col("k")
+    return (
+        sum_rj2_sq.crossJoin(F.broadcast(a2))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            n.alias("n_blocks"),
+            "k",
+            F.round(
+                (k - 1.0)
+                * (
+                    F.col("sum_rj2_sq").cast("double")
+                    - n.cast("double") * n * k * (k + 1) * (k + 1)
+                )
+                / (
+                    F.col("a2").cast("double")
+                    - n.cast("double") * k * (k + 1) * (k + 1)
+                ),
+                4,
+            ).alias("chi2_f"),
+        )
+    )

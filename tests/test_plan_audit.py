@@ -185,6 +185,14 @@ CROSS_ALLOWED = {
     # 1-row total broadcast onto the 10-row cumulative bucket table
     # (candidate scoring), then a 1-row report
     "privacy_dp_quantile_release",
+    # 1-row totals + 1-row marginal-cross-product broadcasts (the kappa
+    # assembly over the categories^2 confusion matrix)
+    "eval_cohens_kappa",
+    # day x type domain spine densification + three 1-row broadcasts
+    # (rank-sum squares, A2, dims)
+    "stats_friedman_test",
+    # 1-row corpus-size broadcast onto the top-50 token table
+    "text_token_burstiness",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -392,6 +400,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # rank + count windows over the 5-row per-hypothesis p-value table
     # (one row per event type — domain-bounded)
     "stats_bh_fdr": (16, "SELECT count(DISTINCT event_type) FROM events"),
+    # rank cumulative over the DISTINCT-|d| table of the daily paired
+    # differences — bounded by the date domain
+    "stats_wilcoxon_signed_rank": (200, _EVENTS_DAYS_PROBE),
     # cumulative over the PINNED 10-bucket spine (candidate set of the
     # exponential mechanism — structural)
     "privacy_dp_quantile_release": (10, "SELECT 10"),

@@ -456,3 +456,128 @@ def test_subword_fertility_bounds(spark):
         assert r.fertility == pytest.approx(
             r.n_bpe_tokens / r.n_ws_tokens, abs=1e-5
         )
+
+
+# --- batch E: kappa, Wilcoxon, Friedman, burstiness -------------------------
+
+
+def test_cohens_kappa_identity(spark):
+    """kappa recomputes from po/pe; po is the langid confusion accuracy."""
+    r = REGISTRY["eval_cohens_kappa"].spark(spark, SF).collect()[0]
+    assert r.kappa == pytest.approx((r.po - r.pe) / (1 - r.pe), abs=2e-5)
+    conf = REGISTRY["eval_langid_confusion"].spark(spark, SF).collect()
+    acc = sum(c.tp for c in conf) / sum(c.support for c in conf)
+    assert r.po == pytest.approx(acc, abs=1e-6)
+    assert -1.0 <= r.kappa <= 1.0
+
+
+def test_wilcoxon_matches_scipy_formula(spark):
+    """Independent recompute of W+ and the tie-corrected z from the raw
+    daily paired differences."""
+    import duckdb
+
+    diffs = [
+        v[0]
+        for v in duckdb.sql(
+            f"""WITH e AS (
+                  SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                         event_type
+                  FROM '{SF}/events.parquet')
+                SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       - sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                FROM e GROUP BY day"""
+        ).fetchall()
+        if v[0] != 0
+    ]
+    n = len(diffs)
+    sorted_abs = sorted(abs(d) for d in diffs)
+    # midranks
+    rank_of = {}
+    i = 0
+    while i < len(sorted_abs):
+        j = i
+        while j < len(sorted_abs) and sorted_abs[j] == sorted_abs[i]:
+            j += 1
+        rank_of[sorted_abs[i]] = (i + 1 + j) / 2.0
+        i = j
+    w_plus = sum(rank_of[abs(d)] for d in diffs if d > 0)
+    from collections import Counter
+
+    ties = sum(k**3 - k for k in Counter(sorted_abs).values())
+    z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    )
+    r = REGISTRY["stats_wilcoxon_signed_rank"].spark(spark, SF).collect()[0]
+    assert r.n_pairs == n
+    assert r.w_plus_doubled == int(2 * w_plus)
+    assert r.t_ties == ties
+    assert r.z_score == pytest.approx(z, abs=2e-4)
+
+
+def test_friedman_matches_scipy_formula(spark):
+    """Independent recompute via the Conover tie-general formula on
+    midranks."""
+    import duckdb
+    from collections import Counter
+
+    rows = duckdb.sql(
+        f"""WITH e AS (
+              SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                     event_type
+              FROM '{SF}/events.parquet')
+            SELECT day, event_type, count(*) FROM e GROUP BY 1, 2"""
+    ).fetchall()
+    days = sorted({r[0] for r in rows})
+    types = sorted({r[1] for r in rows})
+    cnt = {(d, t): 0 for d in days for t in types}
+    for d, t, c in rows:
+        cnt[(d, t)] = c
+    n, k = len(days), len(types)
+    rank_sum = dict.fromkeys(types, 0.0)
+    a_sq = 0.0
+    for d in days:
+        vals = sorted(cnt[(d, t)] for t in types)
+        c = Counter(vals)
+        cum = 0
+        midrank = {}
+        for v in sorted(c):
+            midrank[v] = cum + (c[v] + 1) / 2.0
+            cum += c[v]
+        for t in types:
+            r_ = midrank[cnt[(d, t)]]
+            rank_sum[t] += r_
+            a_sq += r_ * r_
+    sum_rj_sq = sum(v * v for v in rank_sum.values())
+    chi2 = (
+        (k - 1)
+        * (sum_rj_sq - n * n * k * (k + 1) ** 2 / 4.0)
+        / (a_sq - n * k * (k + 1) ** 2 / 4.0)
+    )
+    r = REGISTRY["stats_friedman_test"].spark(spark, SF).collect()[0]
+    assert r.n_blocks == n and r.k == k
+    assert r.chi2_f == pytest.approx(chi2, abs=2e-3)
+
+
+def test_burstiness_poisson_vs_bursty(spark, tmp_path):
+    """A token appearing once in every doc has Fano 0 (constant count); a
+    token concentrated in one doc is maximally bursty (Fano ~ count)."""
+    import pandas as pd
+
+    docs = ["even " + "bursty " * 10] + ["even"] * 9
+    pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": docs,
+            "lang": ["en"] * 10,
+            "source": ["t"] * 10,
+            "n_chars": [len(x) for x in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r.token: r
+        for r in REGISTRY["text_token_burstiness"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["even"].fano == 0.0  # once in every doc: zero variance
+    assert out["bursty"].df == 1 and out["bursty"].fano > 5.0
