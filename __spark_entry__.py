@@ -242,6 +242,8 @@ _ORDER_LAST = {
     "stats_wilcoxon_signed_rank",
     "stats_friedman_test",
     "text_token_burstiness",
+    "stats_kruskal_wallis",
+    "stats_ljung_box",
 }
 
 

@@ -4590,3 +4590,238 @@ def q_stats_friedman_test(spark: SparkSession, sf: str):
             ).alias("chi2_f"),
         )
     )
+
+
+# --- round-9 batch F: Kruskal-Wallis, Ljung-Box ------------------------------
+
+
+@register(
+    "stats_kruskal_wallis",
+    """WITH c AS (
+         SELECT o_orderpriority AS grp,
+                round(o_totalprice * 100)::BIGINT AS cents
+         FROM orders),
+       vg AS (SELECT cents, grp, count(*)::BIGINT AS kj
+              FROM c GROUP BY cents, grp),
+       v AS (SELECT cents, sum(kj)::BIGINT AS k,
+                    (cents // 1048576)::BIGINT AS bkt
+             FROM vg GROUP BY cents),
+       ranked AS (
+         SELECT cents, k, bkt,
+                sum(k) OVER (PARTITION BY bkt ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cw_in
+         FROM v),
+       bc AS (SELECT bkt, sum(k)::BIGINT AS bw FROM v GROUP BY bkt),
+       off AS (SELECT bkt,
+                      coalesce(sum(bw) OVER (ORDER BY bkt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)::BIGINT AS o
+               FROM bc),
+       mid AS (SELECT r.cents,
+                      (2 * (f.o + r.cw_in - r.k) + r.k + 1)::BIGINT AS mid2,
+                      r.k
+               FROM ranked r JOIN off f USING (bkt)),
+       rj AS (SELECT g.grp, sum(g.kj)::BIGINT AS nj,
+                     sum(g.kj * m.mid2)::BIGINT AS rj2
+              FROM vg g JOIN mid m ON m.cents = g.cents
+              GROUP BY g.grp),
+       ties AS (SELECT sum(k::DECIMAL(38,0) * k * k - k)::DECIMAL(38,0) AS t
+                FROM v),
+       agg AS (SELECT count(*)::BIGINT AS kg, sum(nj)::BIGINT AS n,
+                      sum(round(CAST(rj2 AS DOUBLE) * rj2 / nj, 6)
+                          ::DECIMAL(30,6)) AS s
+               FROM rj)
+       SELECT a.kg AS k_groups, a.n AS n_total,
+              t.t::BIGINT AS t_ties,
+              round((12.0 / (4.0 * a.n * (a.n + 1)) * CAST(a.s AS DOUBLE)
+                     - 3.0 * (a.n + 1))
+                    / (1.0 - CAST(t.t AS DOUBLE)
+                             / (CAST(a.n AS DOUBLE) * a.n * a.n - a.n)),
+                    4) AS h_stat
+       FROM agg a, ties t""",
+    doc="Kruskal-Wallis H over the five order-priority groups — the "
+    "k-sample UNPAIRED nonparametric that completes the 2x2 rank-test "
+    "family (Mann-Whitney 2-unpaired / Wilcoxon 2-paired / Friedman "
+    "k-blocked / KW k-unpaired), and the robust twin of "
+    "stats_anova_oneway. Global tie midranks stay integral via the "
+    "doubled-rank discipline over DISTINCT cent values, located with "
+    "the stats_weighted_median two-level prefix sum (in-bucket "
+    "cumulatives partitioned by 2^20-cent bucket + a cumulated offset "
+    "over the tiny bucket table — never a global unpartitioned window "
+    "over values); per-group rank sums come from the (value, group) "
+    "rollup joined to the midrank table. H is evaluated in the doubled "
+    "scale (Sum Rj2^2/(4 nj) folded into 12/(4 N(N+1))) with the "
+    "standard tie correction 1 - Sum(k^3-k)/(N^3-N). Scale shape: one "
+    "(value, group) rollup, bounded-domain windows, a value-key join, "
+    "5-row + 1-row arithmetic.",
+)
+def q_stats_kruskal_wallis(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    vg = (
+        c.groupBy("cents", "grp")
+        .agg(F.count("*").cast("long").alias("kj"))
+        .localCheckpoint(eager=True)  # value x group domain; feeds 2 branches
+    )
+    v = (
+        vg.groupBy("cents")
+        .agg(F.sum("kj").cast("long").alias("k"))
+        .withColumn("bkt", F.expr("CAST(cents DIV 1048576 AS BIGINT)"))
+        .localCheckpoint(eager=True)
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = v.withColumn("cw_in", F.sum("k").over(w_in).cast("long"))
+    bc = v.groupBy("bkt").agg(F.sum("k").cast("long").alias("bw"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bc.withColumn(
+        "o", F.coalesce(F.sum("bw").over(w_off), F.lit(0)).cast("long")
+    ).select("bkt", "o")
+    mid = ranked.join(F.broadcast(off), "bkt").select(
+        "cents",
+        "k",
+        (2 * (F.col("o") + F.col("cw_in") - F.col("k")) + F.col("k") + 1)
+        .cast("long")
+        .alias("mid2"),
+    )
+    rj = (
+        vg.join(mid.select("cents", "mid2"), "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("kj").cast("long").alias("nj"),
+            F.sum(F.col("kj") * F.col("mid2")).cast("long").alias("rj2"),
+        )
+    )
+    ties = v.agg(
+        F.sum(
+            F.col("k").cast("decimal(38,0)") * F.col("k") * F.col("k")
+            - F.col("k")
+        )
+        .cast("decimal(38,0)")
+        .alias("t")
+    )
+    agg = rj.agg(
+        F.count("*").cast("long").alias("kg"),
+        F.sum("nj").cast("long").alias("n"),
+        F.sum(
+            F.round(
+                F.col("rj2").cast("double") * F.col("rj2") / F.col("nj"), 6
+            ).cast("decimal(30,6)")
+        ).alias("s"),
+    )
+    n = F.col("n")
+    return agg.crossJoin(F.broadcast(ties)).select(
+        F.col("kg").alias("k_groups"),
+        n.alias("n_total"),
+        F.col("t").cast("long").alias("t_ties"),
+        F.round(
+            (12.0 / (4.0 * n * (n + 1)) * F.col("s").cast("double") - 3.0 * (n + 1))
+            / (
+                1.0
+                - F.col("t").cast("double")
+                / (n.cast("double") * n * n - n)
+            ),
+            4,
+        ).alias("h_stat"),
+    )
+
+
+@register(
+    "stats_ljung_box",
+    f"""WITH {DAILY_CENTS_CTE},
+       m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                    sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS sxx
+             FROM d),
+       l AS (SELECT unnest(range(1, 6))::BIGINT AS lag),
+       p AS (SELECT l.lag, a.x AS ya, b.x AS yb
+             FROM d a CROSS JOIN l JOIN d b ON b.day = a.day + l.lag),
+       pl AS (SELECT lag, count(*)::BIGINT AS np,
+                     sum(ya)::BIGINT AS sa, sum(yb)::BIGINT AS sb,
+                     sum(ya::DECIMAL(38,0) * yb)::DECIMAL(38,0) AS sxy
+              FROM p GROUP BY lag),
+       rho AS (
+         SELECT pl.lag,
+                (CAST(pl.sxy AS DOUBLE)
+                 - (CAST(m.sx AS DOUBLE) / m.n) * (pl.sa + pl.sb)
+                 + pl.np * (CAST(m.sx AS DOUBLE) / m.n)
+                   * (CAST(m.sx AS DOUBLE) / m.n))
+                / (CAST(m.sxx AS DOUBLE)
+                   - CAST(m.sx AS DOUBLE) * m.sx / m.n) AS r,
+                m.n
+         FROM pl, m),
+       q AS (SELECT max(n)::BIGINT AS n,
+                    sum(round(r * r / (n - lag), 12)::DECIMAL(25,12)) AS body
+             FROM rho)
+       SELECT n AS n_days, 5 AS n_lags,
+              round(n * (n + 2.0) * CAST(body AS DOUBLE), 4) AS q_stat
+       FROM q""",
+    doc="Ljung-Box portmanteau test on the daily revenue series at lags "
+    "1..5 — the 'is there ANY autocorrelation left' gate that "
+    "complements timeseries_acf's per-lag view (Q is what a "
+    "forecasting pipeline checks on its residuals; compare to "
+    "chi-square with 5 df). Uses the STANDARD single-mean estimator "
+    "rho_h = Sum (x_t - xbar)(x_(t+h) - xbar) / Sum (x_t - xbar)^2 "
+    "expanded into exact integer moment sums (full-series n/Sx/Sxx, "
+    "per-lag pair sums via the day+h equi-join — the ACF query's "
+    "pairing convention over the contiguous date domain); per-lag "
+    "rho^2/(n-h) terms round to 12 dp and re-accumulate as DECIMAL so "
+    "both engines sum identical addends, one final rounding. Scale "
+    "shape: one date-domain daily rollup, a 5-way lag join over that "
+    "tiny table, 1-row output.",
+)
+def q_stats_ljung_box(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf)
+    m = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    lags = spark.range(1, 6).select(F.col("id").cast("long").alias("lag"))
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("ya"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("yb"))
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    pl = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("ya").cast("long").alias("sa"),
+        F.sum("yb").cast("long").alias("sb"),
+        F.sum(F.col("ya").cast("decimal(38,0)") * F.col("yb")).alias("sxy"),
+    )
+    xbar = F.col("sx").cast("double") / F.col("n")
+    r = (
+        F.col("sxy").cast("double")
+        - xbar * (F.col("sa") + F.col("sb"))
+        + F.col("np") * xbar * xbar
+    ) / (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    )
+    rho = pl.crossJoin(F.broadcast(m)).select(
+        "lag", r.alias("r"), "n"
+    )
+    q = rho.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(
+            F.round(
+                F.col("r") * F.col("r") / (F.col("n") - F.col("lag")), 12
+            ).cast("decimal(25,12)")
+        ).alias("body"),
+    )
+    return q.select(
+        F.col("n").alias("n_days"),
+        F.lit(5).cast("int").alias("n_lags"),
+        F.round(
+            F.col("n") * (F.col("n") + 2.0) * F.col("body").cast("double"), 4
+        ).alias("q_stat"),
+    )

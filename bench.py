@@ -331,6 +331,12 @@ HEADLINE = [
     "graph_two_hop_reach",
     "privacy_dp_quantile_release",
     "lm_subword_fertility",
+    "eval_cohens_kappa",
+    "stats_wilcoxon_signed_rank",
+    "stats_friedman_test",
+    "text_token_burstiness",
+    "stats_kruskal_wallis",
+    "stats_ljung_box",
 ]
 
 

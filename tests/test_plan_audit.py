@@ -193,6 +193,12 @@ CROSS_ALLOWED = {
     "stats_friedman_test",
     # 1-row corpus-size broadcast onto the top-50 token table
     "text_token_burstiness",
+    # 1-row tie-term broadcast onto the 1-row H aggregate (the
+    # kendall-tau shape)
+    "stats_kruskal_wallis",
+    # 5-row lag spine over the date-domain daily table + the 1-row
+    # full-series moment broadcast (the ACF pairing shape)
+    "stats_ljung_box",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -403,6 +409,11 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # rank cumulative over the DISTINCT-|d| table of the daily paired
     # differences — bounded by the date domain
     "stats_wilcoxon_signed_rank": (200, _EVENTS_DAYS_PROBE),
+    # cumulative offset over the order-value BUCKET-COUNT table (2^20-
+    # cent buckets — the weighted-median two-level prefix class)
+    "stats_kruskal_wallis": (500, """
+        SELECT count(DISTINCT round(o_totalprice * 100)::BIGINT // 1048576)
+        FROM orders"""),
     # cumulative over the PINNED 10-bucket spine (candidate set of the
     # exponential mechanism — structural)
     "privacy_dp_quantile_release": (10, "SELECT 10"),

@@ -581,3 +581,66 @@ def test_burstiness_poisson_vs_bursty(spark, tmp_path):
     }
     assert out["even"].fano == 0.0  # once in every doc: zero variance
     assert out["bursty"].df == 1 and out["bursty"].fano > 5.0
+
+
+# --- batch F: Kruskal-Wallis, Ljung-Box --------------------------------------
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    """Independent recompute of tie-corrected H from the raw groups."""
+    import duckdb
+    from collections import Counter
+
+    rows = duckdb.sql(
+        f"""SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT
+            FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+    values = sorted(v for _, v in rows)
+    n = len(values)
+    c = Counter(values)
+    cum = 0
+    midrank = {}
+    for v in sorted(c):
+        midrank[v] = cum + (c[v] + 1) / 2.0
+        cum += c[v]
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(midrank[v])
+    s = sum(sum(rs) ** 2 / len(rs) for rs in groups.values())
+    ties = sum(k**3 - k for k in c.values())
+    h = (12.0 / (n * (n + 1)) * s - 3 * (n + 1)) / (1 - ties / (n**3 - n))
+    r = REGISTRY["stats_kruskal_wallis"].spark(spark, SF).collect()[0]
+    assert r.k_groups == len(groups) and r.n_total == n
+    assert r.t_ties == ties
+    assert r.h_stat == pytest.approx(h, abs=2e-3)
+
+
+def test_ljung_box_matches_numpy(spark):
+    """Independent recompute of Q from the daily series with the standard
+    single-mean ACF estimator over the day+h pairing."""
+    import duckdb
+
+    days = dict(
+        duckdb.sql(
+            f"""SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                       sum(round(value * 100)::BIGINT)
+                FROM '{SF}/events.parquet' GROUP BY day"""
+        ).fetchall()
+    )
+    keys = sorted(days)
+    xs = [float(days[k]) for k in keys]
+    n = len(xs)
+    xbar = sum(xs) / n
+    den = sum((x - xbar) ** 2 for x in xs)
+    q = 0.0
+    for h in range(1, 6):
+        num = sum(
+            (days[k] - xbar) * (days[k + h] - xbar)
+            for k in keys
+            if k + h in days
+        )
+        q += (num / den) ** 2 / (n - h)
+    q *= n * (n + 2)
+    r = REGISTRY["stats_ljung_box"].spark(spark, SF).collect()[0]
+    assert r.n_days == n and r.n_lags == 5
+    assert r.q_stat == pytest.approx(q, abs=2e-3)
