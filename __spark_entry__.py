@@ -211,8 +211,10 @@ _DEFERRED_PAST_WINDOW = {
 # living in queries_stats/queries_eval, displacing 4 old names out of
 # the 50-slot window (measured before this tier existed). The r8 verdict
 # pins the priority the other way: the 52-name certification debt
-# clears first; these six ride behind ALL other uncovered names and
-# front the r10 window together with the 2 old names past this window.
+# clears first; ALL 30 round-9 additions ride behind every other
+# uncovered name. After the r9 gate certifies its 50, the r10 window
+# fronts the 2 remaining old names plus these 30 — 32 names, well
+# inside one 50-slot window.
 _ORDER_LAST = {
     "sketch_bloom_membership_cert",
     "graph_local_clustering",
