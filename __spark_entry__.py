@@ -246,6 +246,8 @@ _ORDER_LAST = {
     "text_token_burstiness",
     "stats_kruskal_wallis",
     "stats_ljung_box",
+    "stats_mood_median_test",
+    "eval_mcc_langid",
 }
 
 

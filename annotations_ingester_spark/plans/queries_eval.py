@@ -1925,3 +1925,67 @@ def q_eval_cohens_kappa(spark: SparkSession, sf: str):
             (nd * F.col("agree") - pn) / (nd * F.col("n") - pn), 6
         ).alias("kappa"),
     )
+
+
+@register(
+    "eval_mcc_langid",
+    f"""WITH pred AS (SELECT * FROM ({_oracle('text_lang_id')}) t),
+       b AS (SELECT (labeled_lang = 'en')::INT AS y,
+                    (predicted_lang = 'en')::INT AS yh
+             FROM pred),
+       m AS (SELECT
+               sum(CASE WHEN y = 1 AND yh = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+               sum(CASE WHEN y = 0 AND yh = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+               sum(CASE WHEN y = 0 AND yh = 1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+               sum(CASE WHEN y = 1 AND yh = 0 THEN 1 ELSE 0 END)::BIGINT AS fn
+             FROM b)
+       SELECT tp, tn, fp, fn,
+              round(CASE WHEN (tp + fp) * (tp + fn) = 0
+                           OR (tn + fp) * (tn + fn) = 0 THEN 0.0
+                    ELSE (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                         / sqrt((CAST(tp AS DOUBLE) + fp) * (tp + fn))
+                         / sqrt((CAST(tn AS DOUBLE) + fp) * (tn + fn)) END,
+                    6) AS mcc
+       FROM m""",
+    doc="Matthews correlation coefficient of the language-ID heuristic "
+    "binarized to the dominant class (en vs not) — the single "
+    "imbalance-robust scalar for a binary gate (accuracy and even F1 "
+    "mislead under class imbalance; MCC is the binary-confusion phi "
+    "coefficient and only rewards getting BOTH classes right). "
+    "Completes the agreement family next to eval_cohens_kappa "
+    "(chance-corrected multiclass) and eval_langid_confusion "
+    "(per-class P/R/F1). EXACT integer core — TP/TN/FP/FN from one "
+    "scan-fused conditional aggregate; the two-sqrt factoring keeps "
+    "the product inside double range at any corpus size. Scale shape: "
+    "one certified-projection scan, 1-row arithmetic.",
+)
+def q_eval_mcc_langid(spark: SparkSession, sf: str):
+    pred = REGISTRY["text_lang_id"].spark(spark, sf)
+    y = (F.col("labeled_lang") == "en").cast("int")
+    yh = (F.col("predicted_lang") == "en").cast("int")
+    m = pred.select(y.alias("y"), yh.alias("yh")).agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("yh") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yh") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yh") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yh") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    tp, tn, fp, fn = (F.col(x) for x in ("tp", "tn", "fp", "fn"))
+    mcc = (tp.cast("double") * tn - fp.cast("double") * fn) / F.sqrt(
+        (tp.cast("double") + fp) * (tp + fn)
+    ) / F.sqrt((tn.cast("double") + fp) * (tn + fn))
+    degenerate = ((tp + fp) * (tp + fn) == 0) | ((tn + fp) * (tn + fn) == 0)
+    return m.select(
+        "tp",
+        "tn",
+        "fp",
+        "fn",
+        F.round(F.when(degenerate, F.lit(0.0)).otherwise(mcc), 6).alias("mcc"),
+    )

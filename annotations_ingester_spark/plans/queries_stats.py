@@ -4825,3 +4825,140 @@ def q_stats_ljung_box(spark: SparkSession, sf: str):
             F.col("n") * (F.col("n") + 2.0) * F.col("body").cast("double"), 4
         ).alias("q_stat"),
     )
+
+
+# --- round-9 batch G: Mood's median test -------------------------------------
+
+
+@register(
+    "stats_mood_median_test",
+    """WITH c AS (
+         SELECT o_orderpriority AS grp,
+                round(o_totalprice * 100)::BIGINT AS cents
+         FROM orders),
+       v AS (SELECT cents, count(*)::BIGINT AS k,
+                    (cents // 1048576)::BIGINT AS bkt
+             FROM c GROUP BY cents),
+       ranked AS (
+         SELECT cents, k, bkt,
+                sum(k) OVER (PARTITION BY bkt ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cw_in
+         FROM v),
+       bc AS (SELECT bkt, sum(k)::BIGINT AS bw FROM v GROUP BY bkt),
+       off AS (SELECT bkt,
+                      coalesce(sum(bw) OVER (ORDER BY bkt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)::BIGINT AS o
+               FROM bc),
+       tot AS (SELECT sum(k)::BIGINT AS n FROM v),
+       med AS (SELECT min(CASE WHEN 2 * (f.o + r.cw_in) >= t.n
+                               THEN r.cents END)::BIGINT AS med
+               FROM ranked r JOIN off f USING (bkt), tot t),
+       cls AS (SELECT c.grp,
+                      count(*)::BIGINT AS n_g,
+                      sum(CASE WHEN c.cents > m.med THEN 1 ELSE 0 END)
+                        ::BIGINT AS above
+               FROM c, med m GROUP BY c.grp),
+       g AS (SELECT sum(n_g)::BIGINT AS n, sum(above)::BIGINT AS a FROM cls),
+       terms AS (
+         SELECT round(pow(cls.above - cls.n_g * (CAST(g.a AS DOUBLE) / g.n),
+                          2)
+                      / (cls.n_g * (CAST(g.a AS DOUBLE) / g.n)), 9)
+                  ::DECIMAL(20,9)
+                + round(pow((cls.n_g - cls.above)
+                            - cls.n_g * (1.0 - CAST(g.a AS DOUBLE) / g.n), 2)
+                        / (cls.n_g * (1.0 - CAST(g.a AS DOUBLE) / g.n)), 9)
+                  ::DECIMAL(20,9) AS term
+         FROM cls, g)
+       SELECT (SELECT count(*) FROM cls)::BIGINT AS k_groups,
+              (SELECT n FROM g) AS n_total,
+              (SELECT med FROM med) AS grand_median_cents,
+              round(CAST(sum(term) AS DOUBLE), 4) AS chi2_mood
+       FROM terms""",
+    doc="Mood's median test over the five order-priority groups: classify "
+    "every order above/at-or-below the GRAND median (the exact lower "
+    "median via the weighted-median two-level prefix sum over distinct "
+    "cent values), then the chi-square of the groups x {above, not} "
+    "contingency against the pooled proportion — the coarsest, most "
+    "outlier-proof of the k-sample location tests (it only looks at "
+    "median crossings, so it survives distributions where even "
+    "Kruskal-Wallis's rank machinery is distorted; the three-way "
+    "ANOVA / KW / Mood comparison is the standard robustness ladder). "
+    "Per-cell (O-E)^2/E terms round to 9 dp and sum as DECIMAL. Scale "
+    "shape: one value rollup + bounded-domain windows for the median, "
+    "one 1-row median broadcast back over the scan into a 5-group "
+    "aggregate, 1-row output.",
+)
+def q_stats_mood_median_test(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v = (
+        c.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("k"))
+        .withColumn("bkt", F.expr("CAST(cents DIV 1048576 AS BIGINT)"))
+        .localCheckpoint(eager=True)  # value-domain; feeds 3 branches
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = v.withColumn("cw_in", F.sum("k").over(w_in).cast("long"))
+    bc = v.groupBy("bkt").agg(F.sum("k").cast("long").alias("bw"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bc.withColumn(
+        "o", F.coalesce(F.sum("bw").over(w_off), F.lit(0)).cast("long")
+    ).select("bkt", "o")
+    tot = v.agg(F.sum("k").cast("long").alias("n"))
+    med = (
+        ranked.join(F.broadcast(off), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    2 * (F.col("o") + F.col("cw_in")) >= F.col("n"),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias("med")
+        )
+    )
+    cls = (
+        c.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum(F.when(F.col("cents") > F.col("med"), 1).otherwise(0))
+            .cast("long")
+            .alias("above"),
+        )
+        .localCheckpoint(eager=True)  # 5 rows; feeds totals + terms
+    )
+    g = cls.agg(
+        F.sum("n_g").cast("long").alias("n"), F.sum("above").cast("long").alias("a")
+    )
+    p = F.col("a").cast("double") / F.col("n")
+    e_above = F.col("n_g") * p
+    e_below = F.col("n_g") * (1.0 - p)
+    term = (
+        F.round(F.pow(F.col("above") - e_above, 2) / e_above, 9).cast(
+            "decimal(20,9)"
+        )
+        + F.round(
+            F.pow((F.col("n_g") - F.col("above")) - e_below, 2) / e_below, 9
+        ).cast("decimal(20,9)")
+    )
+    terms = cls.crossJoin(F.broadcast(g)).select(term.alias("term"))
+    kg = cls.agg(F.count("*").cast("long").alias("k_groups"))
+    return (
+        terms.agg(F.round(F.sum("term").cast("double"), 4).alias("chi2_mood"))
+        .crossJoin(F.broadcast(kg))
+        .crossJoin(F.broadcast(g.select(F.col("n").alias("n_total"))))
+        .crossJoin(F.broadcast(med.select(F.col("med").alias("grand_median_cents"))))
+        .select("k_groups", "n_total", "grand_median_cents", "chi2_mood")
+    )

@@ -337,6 +337,8 @@ HEADLINE = [
     "text_token_burstiness",
     "stats_kruskal_wallis",
     "stats_ljung_box",
+    "stats_mood_median_test",
+    "eval_mcc_langid",
 ]
 
 

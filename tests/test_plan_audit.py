@@ -199,6 +199,9 @@ CROSS_ALLOWED = {
     # 5-row lag spine over the date-domain daily table + the 1-row
     # full-series moment broadcast (the ACF pairing shape)
     "stats_ljung_box",
+    # 1-row grand-median broadcast over the scan + three 1-row report
+    # assemblies (totals, dims, median)
+    "stats_mood_median_test",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -412,6 +415,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # cumulative offset over the order-value BUCKET-COUNT table (2^20-
     # cent buckets — the weighted-median two-level prefix class)
     "stats_kruskal_wallis": (500, """
+        SELECT count(DISTINCT round(o_totalprice * 100)::BIGINT // 1048576)
+        FROM orders"""),
+    "stats_mood_median_test": (500, """
         SELECT count(DISTINCT round(o_totalprice * 100)::BIGINT // 1048576)
         FROM orders"""),
     # cumulative over the PINNED 10-bucket spine (candidate set of the

@@ -644,3 +644,50 @@ def test_ljung_box_matches_numpy(spark):
     r = REGISTRY["stats_ljung_box"].spark(spark, SF).collect()[0]
     assert r.n_days == n and r.n_lags == 5
     assert r.q_stat == pytest.approx(q, abs=2e-3)
+
+
+# --- batch G: Mood's median test, MCC ----------------------------------------
+
+
+def test_mood_median_matches_formula(spark):
+    """Independent recompute: classify vs the exact lower grand median,
+    chi-square of groups x {above, not} against the pooled proportion."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT
+            FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+    values = sorted(v for _, v in rows)
+    n = len(values)
+    med = values[math.ceil(0.5 * n) - 1]
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    a_tot = sum(1 for _, v in rows if v > med)
+    p = a_tot / n
+    chi2 = 0.0
+    for g, vs in groups.items():
+        ng = len(vs)
+        above = sum(1 for v in vs if v > med)
+        chi2 += (above - ng * p) ** 2 / (ng * p)
+        chi2 += ((ng - above) - ng * (1 - p)) ** 2 / (ng * (1 - p))
+    r = REGISTRY["stats_mood_median_test"].spark(spark, SF).collect()[0]
+    assert r.k_groups == len(groups) and r.n_total == n
+    assert r.grand_median_cents == med
+    assert r.chi2_mood == pytest.approx(chi2, abs=2e-3)
+
+
+def test_mcc_matches_formula(spark):
+    """MCC recomputes from the reported confusion cells and is the phi
+    coefficient in [-1, 1]."""
+    r = REGISTRY["eval_mcc_langid"].spark(spark, SF).collect()[0]
+    tp, tn, fp, fn = r.tp, r.tn, r.fp, r.fn
+    denom = math.sqrt((tp + fp) * (tp + fn)) * math.sqrt((tn + fp) * (tn + fn))
+    expected = 0.0 if denom == 0 else (tp * tn - fp * fn) / denom
+    assert r.mcc == pytest.approx(expected, abs=2e-6)
+    assert -1.0 <= r.mcc <= 1.0
+    conf = {
+        c.lang: c for c in REGISTRY["eval_langid_confusion"].spark(spark, SF).collect()
+    }
+    assert tp == conf["en"].tp  # binarized TP is the en diagonal cell
