@@ -211,9 +211,9 @@ _DEFERRED_PAST_WINDOW = {
 # living in queries_stats/queries_eval, displacing 4 old names out of
 # the 50-slot window (measured before this tier existed). The r8 verdict
 # pins the priority the other way: the 52-name certification debt
-# clears first; ALL 30 round-9 additions ride behind every other
+# clears first; ALL 32 round-9 additions ride behind every other
 # uncovered name. After the r9 gate certifies its 50, the r10 window
-# fronts the 2 remaining old names plus these 30 — 32 names, well
+# fronts the 2 remaining old names plus these 32 — 34 names, well
 # inside one 50-slot window.
 _ORDER_LAST = {
     "sketch_bloom_membership_cert",
@@ -251,11 +251,25 @@ _ORDER_LAST = {
 }
 
 
+# Round-10 additions ride behind even the r9 tier: the r10 gate window
+# fronts the 34 uncovered older names (2 r8 stragglers + 32 r9), leaving
+# 16 spare slots — this tier fills those slots in registration order and
+# can never displace the debt (the r9 verdict's item 1 pins that
+# priority). Keep r10 additions ≤16 so the whole round certifies in one
+# window.
+_ORDER_LAST_R10: set[str] = set()
+
+
 def _ordered():
     reg = _registry()
     covered_names = _covered_from_disk()
     debt = {
-        n: s for n, s in reg.items() if n not in covered_names and n in _QUEUED_LATE
+        n: s
+        for n, s in reg.items()
+        if n not in covered_names
+        and n in _QUEUED_LATE
+        and n not in _ORDER_LAST
+        and n not in _ORDER_LAST_R10
     }
     fresh = {
         n: s
@@ -264,6 +278,7 @@ def _ordered():
         and n not in _QUEUED_LATE
         and n not in _DEFERRED_PAST_WINDOW
         and n not in _ORDER_LAST
+        and n not in _ORDER_LAST_R10
     }
     deferred = {
         n: s
@@ -271,12 +286,18 @@ def _ordered():
         if n not in covered_names
         and n in _DEFERRED_PAST_WINDOW
         and n not in _ORDER_LAST
+        and n not in _ORDER_LAST_R10
     }
     last = {
-        n: s for n, s in reg.items() if n not in covered_names and n in _ORDER_LAST
+        n: s
+        for n, s in reg.items()
+        if n not in covered_names and n in _ORDER_LAST and n not in _ORDER_LAST_R10
+    }
+    last10 = {
+        n: s for n, s in reg.items() if n not in covered_names and n in _ORDER_LAST_R10
     }
     covered = {n: s for n, s in reg.items() if n in covered_names}
-    return {**debt, **fresh, **deferred, **last, **covered}
+    return {**debt, **fresh, **deferred, **last, **last10, **covered}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

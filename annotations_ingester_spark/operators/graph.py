@@ -400,20 +400,30 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     )
 
 
-def two_hop_reach(edges: DataFrame) -> DataFrame:
+def two_hop_reach(edges: DataFrame, hub_cap: int = 64) -> DataFrame:
     """Per-node 2-hop neighborhood size over an undirected canonical edge
     list (``src`` < ``dst``, distinct): ``(node, deg, reach_2hop)`` where
     ``reach_2hop`` counts the distinct nodes within graph distance <= 2
-    (self excluded) — the local-density companion to
+    (self excluded), with 2-hop paths pivoting ONLY through middle nodes
+    of degree <= ``hub_cap`` — the local-density companion to
     :func:`local_clustering` (a node with high degree but small 2-hop
     reach sits inside a dense near-clique; dedup clusters look exactly
     like that, spurious LSH collisions do not).
 
     Plan: bidirect the edge list once, one self-equi-join on the middle
-    node for the 2-hop frontier (cost Σ deg² — degree-bounded, never
-    all-pairs), union with the 1-hop frontier, distinct + count per
-    node. The bidirected list is consumed three times (both join sides
-    + the 1-hop union), so it is localCheckpoint'ed ONCE.
+    node for the 2-hop frontier, union with the 1-hop frontier, distinct
+    + count per node. The bidirected list is consumed three times (both
+    join sides + the 1-hop union), so it is localCheckpoint'ed ONCE.
+
+    The hub cap is the super-node exclusion (same pattern as the
+    common-neighbor link-prediction wedge join): uncapped, the middle
+    join costs Σ deg(m)² — quadratic in the degree of the worst hub, so
+    one degenerate LSH band key (a viral near-dup cluster at 100×) makes
+    it blow up. Capped, the cost is Σ_{deg(m)<=cap} deg(m)² <= cap · 2E —
+    linear in the edge count. Semantically, reach through a hub is the
+    least informative part of the metric (a hub's neighborhood is the
+    whole cluster anyway); callers wanting exact reach on a
+    known-bounded graph can raise the cap.
     """
     e = edges.select("src", "dst")
     bid = (
@@ -423,7 +433,8 @@ def two_hop_reach(edges: DataFrame) -> DataFrame:
     deg = bid.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("deg")
     )
-    mid = bid.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+    low = deg.filter(F.col("deg") <= hub_cap).select(F.col("node").alias("m"))
+    mid = bid.select(F.col("src").alias("a"), F.col("dst").alias("m")).join(low, "m")
     out = bid.select(F.col("src").alias("m"), F.col("dst").alias("b"))
     two = (
         mid.join(out, "m")

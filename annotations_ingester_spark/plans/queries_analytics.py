@@ -3252,10 +3252,13 @@ def q_stats_hodges_lehmann(spark: SparkSession, sf: str):
     "node whose 2-hop reach barely exceeds its degree sits inside a "
     "dense near-clique (what duplicate clusters look like), while "
     "reach >> degree marks a bridge/spurious-collision node. One "
-    "bidirect + one middle-node self-equi-join (cost Σ deg², "
-    "degree-bounded, never all-pairs), union with the 1-hop frontier, "
-    "distinct + count; the bidirected edge list is localCheckpoint'ed "
-    "once (operators/graph.py two_hop_reach).",
+    "bidirect + one middle-node self-equi-join with a degree-64 hub cap "
+    "on the middle node (the super-node exclusion: capped cost is "
+    "Σ_{deg<=64} deg² <= 64·2E, linear in edges, where one degenerate "
+    "band key at 100× would otherwise make Σ deg² quadratic in the "
+    "hub's degree), union with the 1-hop frontier, distinct + count; "
+    "the bidirected edge list is localCheckpoint'ed once "
+    "(operators/graph.py two_hop_reach; cap mirrored in the oracle).",
 )
 def q_graph_two_hop_reach(spark: SparkSession, sf: str):
     from annotations_ingester_spark.operators.graph import two_hop_reach
@@ -3272,7 +3275,9 @@ _REG["graph_two_hop_reach"].oracle = f"""WITH {_lsh_edges_sql()},
                FROM bid GROUP BY src),
        two AS (
          SELECT a.src AS node, b.dst AS nb
-         FROM bid a JOIN bid b ON a.dst = b.src
+         FROM bid a
+         JOIN deg dm ON dm.node = a.dst AND dm.deg <= 64
+         JOIN bid b ON a.dst = b.src
          WHERE b.dst != a.src),
        reach AS (
          SELECT node, count(*)::BIGINT AS reach_2hop FROM (

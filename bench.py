@@ -342,6 +342,55 @@ HEADLINE = [
 ]
 
 
+def compute_superlinear_flags(
+    timings: dict[str, float],
+    base: dict[str, float],
+    data_ratio: float,
+    cal_main: float | None = None,
+    cal_base: float | None = None,
+    remeasure=None,
+) -> list[str]:
+    """Contention-robust superlinear flagger (r9 verdict item 2).
+
+    The naive ``timings[q]/base[q] > 1.5 * data_ratio`` check compares two
+    suite passes that can sit under different machine load: the driver's r9
+    sweep flagged ``ssjoin_jaccard_prefix`` at 16.9x while the isolated
+    truth was 2.7x — its whole pass was uniformly ~26% slower (calibration
+    0.514 vs 0.419). Two defenses, both pinned by pytest:
+
+    1. **Calibration normalization** — each pass is preceded by
+       ``calibrate()`` (a fixed codegen'd no-I/O job); the time ratio is
+       divided by ``cal_main/cal_base`` so a uniformly-slowed pass cancels
+       out instead of flagging every shuffle-heavy query.
+    2. **Isolation re-measure** — a query that still trips the normalized
+       threshold is re-timed in isolation (``remeasure(q) -> (t_main,
+       t_base)``, fresh median-of-3 at both scale factors, machine
+       otherwise between-queries idle) and only flagged if the isolated
+       ratio ALSO exceeds the threshold. A transient load spike during one
+       query's original timing window cannot produce a flag on its own.
+
+    Sub-second timings are planner-overhead noise, not scaling signal, and
+    are never flagged.
+    """
+    cal_ratio = 1.0
+    if cal_main and cal_base and cal_base > 0:
+        cal_ratio = cal_main / cal_base
+    threshold = 1.5 * data_ratio
+    flagged: list[str] = []
+    for q, t in timings.items():
+        b = base.get(q)
+        if not b or b <= 0 or t < 0.5:
+            continue
+        if (t / cal_ratio) / b <= threshold:
+            continue
+        if remeasure is not None:
+            t2, b2 = remeasure(q)
+            if not b2 or b2 <= 0 or t2 < 0.5 or (t2 / b2) <= threshold:
+                continue
+        flagged.append(q)
+    return flagged
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from annotations_ingester_spark.plans.queries import REGISTRY
@@ -368,26 +417,30 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return round(sorted(runs)[1], 3)
 
+    def time_query(name: str, at_dir: str) -> float:
+        # One UNTIMED warm-up execution (fills codegen/broadcast/
+        # file-listing caches), then median-of-3 timed runs with the SQL
+        # cache cleared and a GC hint first so one query's garbage doesn't
+        # tax the next.
+        spec = REGISTRY[name]
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        spec.spark(spark, at_dir).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.spark(spark, at_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 3)  # median-of-3
+
     def run_suite(at_dir: str) -> dict[str, float]:
         # Isolation discipline (r3: a ~1.2x uniform drift from shared-JVM
-        # pressure masked real regressions): per query, one UNTIMED warm-up
-        # execution (fills codegen/broadcast/file-listing caches), then
-        # median-of-3 timed runs with the SQL cache cleared and a GC hint
-        # between queries so one query's garbage doesn't tax the next.
-        out: dict[str, float] = {}
-        for name in HEADLINE:
-            spec = REGISTRY[name]
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            spec.spark(spark, at_dir).write.format("noop").mode("overwrite").save()
-            runs = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                spec.spark(spark, at_dir).write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-            out[name] = round(sorted(runs)[1], 3)  # median-of-3
-        return out
+        # pressure masked real regressions) lives in time_query.
+        return {name: time_query(name, at_dir) for name in HEADLINE}
 
+    # Calibrate IMMEDIATELY before each suite pass (r9 verdict item 2):
+    # the pass-local machine speed is what normalizes that pass's timings.
+    cal_main = calibrate()
     timings = run_suite(sf_dir)
 
     def sf_of(d: str) -> float | None:
@@ -413,29 +466,37 @@ def main() -> None:
         # the convergence loop's round count (set by the kmeans_fit_converged
         # runs above) — certifies the fit stopped on tolerance, not exhaustion
         "kmeans_fit_iterations": getattr(_sim, "LAST_FIT_ITERATIONS", None),
-        "calibration_sec": calibrate(),
+        "calibration_sec": cal_main,
     }
 
     base_dir = os.environ.get("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.01")
     base_sf = sf_of(base_dir) if base_dir else None
     scaling = None
     if base_dir and base_dir != sf_dir and os.path.isdir(base_dir) and sf and base_sf:
+        cal_base = calibrate()
         base = run_suite(base_dir)
         data_ratio = round(sf / base_sf, 2)
         ratios = {
             q: round(timings[q] / base[q], 2) if base[q] > 0 else None for q in HEADLINE
         }
-        # flag superlinear growth; sub-second timings are planner overhead
-        # noise, not scaling signal
-        flagged = [
-            q
-            for q, r in ratios.items()
-            if r is not None and timings[q] >= 0.5 and r > 1.5 * data_ratio
-        ]
+        # Contention-robust flagging: calibration-normalized ratios plus an
+        # in-isolation re-measure of anything that still trips (see
+        # compute_superlinear_flags). The raw ratios stay in the artifact
+        # for round-over-round continuity.
+        flagged = compute_superlinear_flags(
+            timings,
+            base,
+            data_ratio,
+            cal_main=cal_main,
+            cal_base=cal_base,
+            remeasure=lambda q: (time_query(q, sf_dir), time_query(q, base_dir)),
+        )
         result["flagged_superlinear"] = flagged
         scaling = {
             "base_sf": base_sf,
             "data_ratio": data_ratio,
+            "calibration_main_sec": cal_main,
+            "calibration_base_sec": cal_base,
             "time_ratios": ratios,
         }
 
@@ -467,7 +528,9 @@ def main() -> None:
         (repo / f"BENCH_FULL_r{int(rnd):02d}.json").write_text(
             json.dumps(result, indent=1, sort_keys=False) + "\n"
         )
-    except OSError:
+    except (OSError, ValueError):
+        # OSError: read-only checkout; ValueError: non-numeric
+        # SPARK_GRAFT_ROUND — the stdout contract must survive both.
         pass
     # The driver's capture keeps the TAIL of long output (BENCH_r03..r05
     # all had "parsed": null with only the end of the big line surviving),

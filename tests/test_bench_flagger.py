@@ -1,0 +1,100 @@
+"""The bench superlinear flagger must be contention-robust (r9 verdict
+item 2): the driver's official r9 artifact flagged ssjoin_jaccard_prefix
+at 16.9x under machine load while the isolated truth was 2.7x. These
+tests pin the two defenses — calibration normalization and the
+isolation re-measure — against synthetic-load scenarios, pure-function
+style (no Spark session)."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _bench_module():
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("bench", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+FLAG = _bench_module().compute_superlinear_flags
+
+# A healthy suite at data_ratio 10: times grow ~3x (sublinear).
+BASE = {"q_linear": 0.50, "q_heavy": 1.60, "q_tiny": 0.02}
+MAIN = {"q_linear": 1.50, "q_heavy": 4.40, "q_tiny": 0.06}
+
+
+def test_healthy_pass_no_flags():
+    assert FLAG(MAIN, BASE, 10.0, cal_main=0.42, cal_base=0.42) == []
+
+
+def test_uniformly_slowed_pass_does_not_flag():
+    # The r9 failure mode: the whole main pass (including calibration) runs
+    # under ~4x machine load. Raw ratios for q_heavy become 4.4*4/1.6 = 11x
+    # vs threshold 15 — push it further with a 6x slowdown so the RAW ratio
+    # (16.5x) would trip the old flagger, then show calibration
+    # normalization cancels it.
+    slowed = {q: round(t * 6.0, 3) for q, t in MAIN.items()}
+    raw_ratio = slowed["q_heavy"] / BASE["q_heavy"]
+    assert raw_ratio > 1.5 * 10.0  # the naive check would flag this
+    assert (
+        FLAG(slowed, BASE, 10.0, cal_main=0.42 * 6.0, cal_base=0.42) == []
+    )
+
+
+def test_genuine_superlinear_is_flagged():
+    # q_quad grows 40x at 10x data with IDENTICAL calibration — a real
+    # O(N^2); the isolation re-measure confirms it.
+    main = dict(MAIN, q_quad=20.0)
+    base = dict(BASE, q_quad=0.5)
+    flags = FLAG(
+        main,
+        base,
+        10.0,
+        cal_main=0.42,
+        cal_base=0.42,
+        remeasure=lambda q: (19.5, 0.5),
+    )
+    assert flags == ["q_quad"]
+
+
+def test_isolation_remeasure_refutes_transient_spike():
+    # One query's timing window caught a load spike (calibration happened
+    # to be clean, so normalization can't help) — the isolated re-measure
+    # shows the true sublinear ratio and the flag is suppressed.
+    main = dict(MAIN, q_spiked=25.0)
+    base = dict(BASE, q_spiked=1.6)
+    flags = FLAG(
+        main,
+        base,
+        10.0,
+        cal_main=0.42,
+        cal_base=0.42,
+        remeasure=lambda q: (4.3, 1.6),  # isolated truth: 2.7x
+    )
+    assert flags == []
+
+
+def test_subsecond_timings_never_flag():
+    # q_tiny's ratio is 30x but at 0.06 s it's planner overhead, not scale.
+    main = dict(BASE, q_tiny=0.45)
+    assert FLAG(main, BASE, 10.0, cal_main=0.42, cal_base=0.42) == []
+
+
+def test_no_remeasure_hook_still_flags_on_normalized_ratio():
+    # remeasure=None (e.g. a unit-test caller): the calibration-normalized
+    # threshold alone decides.
+    main = dict(MAIN, q_quad=20.0)
+    base = dict(BASE, q_quad=0.5)
+    assert FLAG(main, base, 10.0, cal_main=0.42, cal_base=0.42) == ["q_quad"]
+
+
+def test_missing_calibration_degrades_to_raw_ratio():
+    main = dict(MAIN, q_quad=20.0)
+    base = dict(BASE, q_quad=0.5)
+    assert FLAG(main, base, 10.0) == ["q_quad"]

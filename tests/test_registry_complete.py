@@ -79,14 +79,29 @@ def test_deferred_names_exist_in_registry():
     )
 
 
+def test_order_last_r10_names_exist_in_registry():
+    mod = _entry_module()
+    stranded = mod._ORDER_LAST_R10 - set(REGISTRY)
+    assert not stranded, f"_ORDER_LAST_R10 names not in registry: {sorted(stranded)}"
+
+
 def test_gate_window_fronts_uncovered_debt_then_fresh():
     mod = _entry_module()
     covered = mod._covered_from_disk()
     ordered = list(mod.queries())
     uncovered = [n for n in REGISTRY if n not in covered]
-    last = [n for n in uncovered if n in mod._ORDER_LAST]
+    last10 = [n for n in uncovered if n in mod._ORDER_LAST_R10]
+    last = [
+        n
+        for n in uncovered
+        if n in mod._ORDER_LAST and n not in mod._ORDER_LAST_R10
+    ]
     debt = [
-        n for n in uncovered if n in mod._QUEUED_LATE and n not in mod._ORDER_LAST
+        n
+        for n in uncovered
+        if n in mod._QUEUED_LATE
+        and n not in mod._ORDER_LAST
+        and n not in mod._ORDER_LAST_R10
     ]
     deferred = [
         n
@@ -94,6 +109,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         if n in mod._DEFERRED_PAST_WINDOW
         and n not in mod._QUEUED_LATE
         and n not in mod._ORDER_LAST
+        and n not in mod._ORDER_LAST_R10
     ]
     fresh = [
         n
@@ -101,16 +117,28 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         if n not in mod._QUEUED_LATE
         and n not in mod._DEFERRED_PAST_WINDOW
         and n not in mod._ORDER_LAST
+        and n not in mod._ORDER_LAST_R10
     ]
     # debt first, then fresh additions, then past-window deferrals, then
-    # the absolute-last tier, then covered — as sets per segment
+    # the absolute-last tiers (r9 then r10), then covered — as sets per
+    # segment
     n_front = len(debt) + len(fresh)
     n_unc = len(uncovered)
     assert set(ordered[: len(debt)]) == set(debt)
     assert set(ordered[:n_front]) == set(debt) | set(fresh)
     assert set(ordered[n_front : n_front + len(deferred)]) == set(deferred)
-    assert set(ordered[n_front + len(deferred) : n_unc]) == set(last)
+    n_def = n_front + len(deferred)
+    assert set(ordered[n_def : n_def + len(last)]) == set(last)
+    assert set(ordered[n_def + len(last) : n_unc]) == set(last10)
     assert set(ordered[n_unc:]) <= covered
+    # the whole uncovered set (debt + r9 tier + r10 additions) must fit
+    # inside one certification window — the r9 verdict's item 1: all 34
+    # older names certify this round, so r10 additions are capped at the
+    # spare slots
+    assert n_unc <= GATE_WINDOW, (
+        f"{n_unc} uncovered queries exceed the {GATE_WINDOW}-entry gate "
+        f"window; the r10 tier must stay within the spare slots"
+    )
     # every NON-DEFERRED uncovered name must fit inside the certification
     # window; overflow means deferring the newest additions (or waiting a
     # round) — and deferrals must sit OUTSIDE the window so they can never
