@@ -1569,22 +1569,29 @@ def q_lm_domain_kl(spark: SparkSession, sf: str):
          FROM d),
        c AS (SELECT doc_id, bg, count(*)::BIGINT AS c
              FROM b GROUP BY doc_id, bg),
-       n AS (SELECT doc_id, sum(c)::BIGINT AS n FROM c GROUP BY doc_id)
-       SELECT c.doc_id, n.n AS n_bigrams,
-              round(log2(n.n) - sum(c.c * log2(c.c)) / n.n, 6)
-                AS char_bigram_entropy,
-              (log2(n.n) - sum(c.c * log2(c.c)) / n.n) < 3.0
-                AS low_entropy_flag
-       FROM c JOIN n USING (doc_id)
-       GROUP BY c.doc_id, n.n""",
+       n AS (SELECT doc_id, sum(c)::BIGINT AS n FROM c GROUP BY doc_id),
+       e AS (
+         SELECT c.doc_id, n.n,
+                round(log2(n.n)
+                      - sum(round(c.c * log2(c.c), 9)::DECIMAL(20,9))::DOUBLE
+                        / n.n, 6) AS ent
+         FROM c JOIN n USING (doc_id)
+         GROUP BY c.doc_id, n.n)
+       SELECT doc_id, n AS n_bigrams, ent AS char_bigram_entropy,
+              ent < 3.0 AS low_entropy_flag
+       FROM e""",
     doc="Per-document character-bigram Shannon entropy — the classic "
     "model-free gibberish/boilerplate signal (low entropy = repeated "
     "padding, key-mash, template residue; it needs no fitted LM, so it "
     "complements lm_perplexity_scores' bigram cross-entropy which "
     "measures IN-DISTRIBUTION-ness, not internal diversity). Computed "
-    "as log2(n) - sum(c*log2 c)/n over exact integer bigram counts — "
-    "one log tree per group, rounded once; the <3.0-bit flag compares "
-    "the unrounded value (identical IEEE tree both engines). Scale "
+    "as log2(n) - sum(c*log2 c)/n over exact integer bigram counts; "
+    "each c*log2(c) term rounds to 9 dp and sums as DECIMAL(20,9) (the "
+    "file's lm_perplexity_scores discipline — a raw-double sum is "
+    "accumulation-order-dependent and can flip the 6-dp value between "
+    "engines), then one double divide/subtract and one final 6-dp "
+    "rounding; the <3.0-bit flag compares the ROUNDED entropy so the "
+    "boolean can never disagree with the printed value. Scale "
     "shape: character-volume-bound explode into a two-stage keyed "
     "aggregate ((doc, bigram) then doc — both map-side combinable, "
     "state bounded by per-doc alphabet^2), embarrassingly parallel at "
@@ -1604,21 +1611,22 @@ def q_text_char_entropy(spark: SparkSession, sf: str):
     )
     c = b.groupBy("doc_id", "bg").agg(F.count("*").cast("long").alias("c"))
     n = c.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
-    ent = F.log2(F.col("n")) - F.sum(
-        F.col("c") * F.log2(F.col("c"))
-    ) / F.col("n")
+    # per-term 9-dp round + DECIMAL sum (deterministic regardless of
+    # accumulation order), then a single double divide/subtract and ONE
+    # final rounding; the flag reads the rounded value
+    term = F.round(F.col("c") * F.log2(F.col("c")), 9).cast("decimal(20,9)")
+    ent = F.round(
+        F.log2(F.col("n")) - F.sum(term).cast("double") / F.col("n"), 6
+    )
     return (
         c.join(n, "doc_id")
         .groupBy("doc_id", "n")
-        .agg(
-            F.round(ent, 6).alias("char_bigram_entropy"),
-            (ent < 3.0).alias("low_entropy_flag"),
-        )
+        .agg(ent.alias("char_bigram_entropy"))
         .select(
             "doc_id",
             F.col("n").alias("n_bigrams"),
             "char_bigram_entropy",
-            "low_entropy_flag",
+            (F.col("char_bigram_entropy") < 3.0).alias("low_entropy_flag"),
         )
     )
 
