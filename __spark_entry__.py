@@ -257,7 +257,16 @@ _ORDER_LAST = {
 # can never displace the debt (the r9 verdict's item 1 pins that
 # priority). Keep r10 additions ≤16 so the whole round certifies in one
 # window.
-_ORDER_LAST_R10: set[str] = set()
+_ORDER_LAST_R10: set[str] = {
+    "dedup_substring_exact",
+    "dedup_substring_survivors",
+    "stats_page_hinkley",
+    "stats_dickey_fuller",
+    "stats_durbin_watson",
+    "stats_bartlett_test",
+    "stats_cochran_q",
+    "stats_jonckheere_terpstra",
+}
 
 
 def _ordered():

@@ -697,3 +697,103 @@ def duplicate_span_islands(
         (F.max(pos_col) + (n - 1) - F.min(pos_col) + 1).cast("long").alias("span_len"),
         F.count("*").cast("long").alias("n_grams"),
     )
+
+
+def substring_removal_intervals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_n: int = 5,
+    min_len: int = 10,
+) -> DataFrame:
+    """Exact substring dedup at suffix granularity — the Lee-et-al
+    "remove any >= k-token substring that appears twice in the corpus"
+    primitive (reference recipe: a corpus suffix array; that structure
+    doesn't shard, so the distributed equivalent anchors on duplicated
+    ``anchor_n``-gram hashes and extends-and-merges them into maximal
+    islands) → ``(doc_id, start_pos, end_pos, span_len)`` removal
+    intervals, keeping only islands of at least ``min_len`` tokens.
+
+    The threshold is what separates this from
+    :func:`duplicate_span_islands`: a lone duplicated 5-gram (a common
+    phrase) is NOT evidence of cloned text and survives; a >= ``min_len``
+    run of overlapping duplicated grams is a verbatim clone and gets
+    cut. Every duplicated substring of length >= max(anchor_n, min_len)
+    is a contiguous run of duplicated anchor grams, so the anchor scan
+    has no false negatives; islands can over-extend across adjacent
+    clones (the standard multiset relaxation of the suffix-array exact
+    semantics — strictly more conservative to remove).
+
+    Scale shape: inherits duplicate_ngram_spans (hash-before-shuffle,
+    map-side-combined gram counts, equi-join flagging — AQE covers hot
+    boilerplate keys) + one doc_id-partitioned lag/prefix-sum window;
+    the length filter is free. No all-pairs shape anywhere.
+    """
+    spans = duplicate_ngram_spans(
+        df, text_col=text_col, id_col=id_col, n=anchor_n, min_count=2
+    )
+    islands = duplicate_span_islands(spans, n=anchor_n, id_col=id_col)
+    return islands.filter(F.col("span_len") >= min_len).select(
+        id_col, "start_pos", "end_pos", "span_len"
+    )
+
+
+def substring_dedup_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_n: int = 5,
+    min_len: int = 10,
+) -> DataFrame:
+    """Apply :func:`substring_removal_intervals` — produce the SURVIVING
+    corpus: per document, ``(doc_id, total_tokens, removed_tokens,
+    surviving_tokens, surviving_hash)`` where ``surviving_hash`` is the
+    md5 of the space-joined tokens OUTSIDE every removal interval
+    (md5('') for fully-removed docs). This is the deliverable a
+    span-cutting pass ships to training — the doc-level dedup families
+    drop whole documents; this keeps the unique remainder.
+
+    Scale shape: removal intervals explode to (doc, pos) rows — bounded
+    by interval length, i.e. by document length, never corpus-quadratic;
+    surviving tokens come from one broadcast-able LEFT ANTI equi-join on
+    (doc, pos); reconstruction is a per-doc collect_list + array_sort
+    (state bounded by per-doc token count, the same bound the tokenizer
+    already imposes). One doc_id shuffle serves the final aggregate.
+    """
+    toks = _tokens_sql(text_col)
+    d = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col, F.expr(toks).alias("_tk"))
+        .localCheckpoint(eager=True)  # consumed by tok + totals
+    )
+    tok = d.select(id_col, F.posexplode("_tk").alias("pos", "w"))
+    rem = substring_removal_intervals(
+        df, text_col=text_col, id_col=id_col, anchor_n=anchor_n, min_len=min_len
+    ).select(id_col, F.explode(F.expr("sequence(start_pos, end_pos)")).alias("pos"))
+    surv = tok.join(rem, [id_col, "pos"], "left_anti")
+    agg = surv.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("surviving_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+        ).alias("_joined"),
+    )
+    return (
+        d.select(id_col, F.size("_tk").cast("long").alias("total_tokens"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "total_tokens",
+            (
+                F.col("total_tokens") - F.coalesce(F.col("surviving_tokens"), F.lit(0))
+            )
+            .cast("long")
+            .alias("removed_tokens"),
+            F.coalesce(F.col("surviving_tokens"), F.lit(0))
+            .cast("long")
+            .alias("surviving_tokens"),
+            F.md5(F.coalesce(F.col("_joined"), F.lit(""))).alias("surviving_hash"),
+        )
+    )

@@ -904,6 +904,114 @@ def q_span_islands(spark: SparkSession, sf: str):
     return duplicate_span_islands(spans, n=5)
 
 
+# Shared CTE chain for the exact-substring-dedup family (r10): duplicated
+# 5-gram anchors -> gaps-and-islands -> removal intervals of >= 10 tokens.
+# Identical to the dedup_span_islands oracle up to `isl`, then the length
+# threshold.
+_SUBSTRING_SPANS_CTE = f"""d AS (SELECT doc_id, {TOKS} AS t FROM documents WHERE text IS NOT NULL),
+       sh AS (SELECT doc_id, {_NGRAM5} AS s FROM d WHERE len(t) >= 5),
+       g AS (
+         SELECT doc_id, u.x.p::BIGINT AS pos,
+                {HASH.format(e="u.x.g")} AS gram_hash
+         FROM (SELECT doc_id,
+                      unnest(list_transform(range(len(s)),
+                                            i -> {{'p': i, 'g': s[i + 1]}})) AS x
+               FROM sh) u),
+       c AS (SELECT gram_hash FROM g GROUP BY gram_hash HAVING count(*) >= 2),
+       hits AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram_hash)),
+       lagd AS (
+         SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS new_i
+         FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       isl AS (
+         SELECT doc_id, pos,
+                sum(new_i) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS island_id
+         FROM lagd),
+       spans AS (
+         SELECT doc_id, min(pos)::BIGINT AS start_pos,
+                (max(pos) + 4)::BIGINT AS end_pos,
+                (max(pos) + 4 - min(pos) + 1)::BIGINT AS span_len
+         FROM isl GROUP BY doc_id, island_id
+         HAVING (max(pos) + 4 - min(pos) + 1) >= 10)"""
+
+
+@register(
+    "dedup_substring_exact",
+    f"""WITH {_SUBSTRING_SPANS_CTE}
+       SELECT doc_id, start_pos, end_pos, span_len FROM spans""",
+    doc="Exact substring dedup at suffix granularity (Lee et al.'s "
+    "'remove any >= k-token substring that appears twice in the "
+    "corpus', k = 10): duplicated-5-gram anchors extend-and-merge into "
+    "maximal islands (the shardable equivalent of the corpus "
+    "suffix-array recipe — every duplicated >= k-token substring is a "
+    "contiguous anchor run, so no false negatives), and only islands "
+    "of >= 10 tokens become removal intervals — a lone duplicated "
+    "common phrase survives, a verbatim clone is cut. Scale shape: "
+    "hash-before-shuffle grams, map-side-combined counts, equi-join "
+    "flagging (AQE covers hot boilerplate keys), one doc-partitioned "
+    "lag/prefix-sum window; never all-pairs "
+    "(operators/dedup.py substring_removal_intervals).",
+)
+def q_substring_exact(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import (
+        substring_removal_intervals,
+    )
+
+    return substring_removal_intervals(
+        table(spark, sf, "documents"), anchor_n=5, min_len=10
+    )
+
+
+@register(
+    "dedup_substring_survivors",
+    f"""WITH {_SUBSTRING_SPANS_CTE},
+       rem AS (SELECT DISTINCT doc_id,
+                      unnest(range(start_pos, end_pos + 1)) AS pos
+               FROM spans),
+       tp AS (
+         SELECT doc_id, u.x.p::BIGINT AS pos, u.x.w AS w
+         FROM (SELECT doc_id,
+                      unnest(list_transform(range(len(t)),
+                                            i -> {{'p': i, 'w': t[i + 1]}})) AS x
+               FROM d) u),
+       surv AS (
+         SELECT tp.doc_id, tp.pos, tp.w FROM tp
+         WHERE NOT EXISTS (SELECT 1 FROM rem
+                           WHERE rem.doc_id = tp.doc_id AND rem.pos = tp.pos)),
+       agg AS (
+         SELECT doc_id, count(*)::BIGINT AS surviving_tokens,
+                string_agg(w, ' ' ORDER BY pos) AS s
+         FROM surv GROUP BY doc_id)
+       SELECT d.doc_id, len(d.t)::BIGINT AS total_tokens,
+              (len(d.t) - coalesce(agg.surviving_tokens, 0))::BIGINT
+                AS removed_tokens,
+              coalesce(agg.surviving_tokens, 0)::BIGINT AS surviving_tokens,
+              md5(coalesce(agg.s, '')) AS surviving_hash
+       FROM d LEFT JOIN agg USING (doc_id)""",
+    doc="The exact-substring dedup APPLIED — the surviving corpus: per "
+    "document, tokens outside every >= 10-token duplicated-substring "
+    "removal interval, reported as counts plus the md5 of the "
+    "space-joined surviving text (md5('') for fully-removed docs). "
+    "Doc-level dedup drops whole documents; this keeps each doc's "
+    "unique remainder — the artifact a span-cutting pass actually "
+    "ships to training. Scale shape: intervals explode to (doc, pos) "
+    "rows bounded by document length; one LEFT ANTI equi-join on "
+    "(doc, pos); per-doc collect_list+array_sort reconstruction with "
+    "state bounded by doc token count "
+    "(operators/dedup.py substring_dedup_survivors).",
+)
+def q_substring_survivors(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import (
+        substring_dedup_survivors,
+    )
+
+    return substring_dedup_survivors(
+        table(spark, sf, "documents"), anchor_n=5, min_len=10
+    )
+
+
 @register(
     "dedup_corpus_survivors",
     f"""WITH RECURSIVE {SIG_CTE},

@@ -4962,3 +4962,655 @@ def q_stats_mood_median_test(spark: SparkSession, sf: str):
         .crossJoin(F.broadcast(med.select(F.col("med").alias("grand_median_cents"))))
         .select("k_groups", "n_total", "grand_median_cents", "chi2_mood")
     )
+
+
+# --- round-10 batch A: sequential/time-series diagnostics -------------------
+#
+# Parity discipline for the family: exact BIGINT/DECIMAL aggregates, each
+# double term rounded to 9 dp and summed as DECIMAL, one final rounding;
+# boolean flags always compare ROUNDED values so they can never disagree
+# with the printed number.
+
+_PH_DELTA_FRAC = 0.005  # drift allowance as a fraction of the global mean
+_PH_LAMBDA_FRAC = 0.05  # alarm threshold as a fraction of the global mean
+
+
+@register(
+    "stats_page_hinkley",
+    f"""WITH {DAILY_CENTS_CTE},
+       g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM d),
+       par AS (SELECT round({_PH_DELTA_FRAC} * CAST(s AS DOUBLE) / n, 4) AS delta,
+                      round({_PH_LAMBDA_FRAC} * CAST(s AS DOUBLE) / n, 4) AS lam
+               FROM g),
+       o AS (SELECT day, x,
+                    row_number() OVER (ORDER BY day) AS t,
+                    sum(x) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+             FROM d),
+       t1 AS (SELECT day, t,
+                     round(x - CAST(cum AS DOUBLE) / t - p.delta, 9)
+                       ::DECIMAL(20,9) AS term
+              FROM o, par p),
+       m AS (SELECT day, t,
+                    sum(term) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                      AS mt
+             FROM t1),
+       mm AS (SELECT day, mt,
+                     min(mt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                       AS minm
+              FROM m)
+       SELECT day, round(CAST(mt AS DOUBLE), 4) AS ph_m,
+              round(CAST(mt - minm AS DOUBLE), 4) AS gap,
+              round(CAST(mt - minm AS DOUBLE), 4) > p.lam AS alarm
+       FROM mm, par p""",
+    doc="Page-Hinkley mean-INCREASE detector over the daily revenue "
+    "series — the ONLINE sequential companion to events_changepoint_"
+    "cusum (which locates a shift retrospectively) and stats_psi_drift "
+    "(distribution shape): m_t = sum_(i<=t)(x_i - xbar_i - delta) with "
+    "the running mean xbar_i, alarm when m_t - min_(i<=t) m_i exceeds "
+    "lambda. delta/lambda are pinned FRACTIONS of the global mean "
+    f"({_PH_DELTA_FRAC}/{_PH_LAMBDA_FRAC}), so the detector is "
+    "scale-free across sf. Each term rounds to 9 dp and cumulates as "
+    "DECIMAL (running sums are order-defined but the decimal sum "
+    "removes any accumulation sensitivity); the alarm compares the "
+    "4-dp-rounded gap to the 4-dp-rounded threshold. Scale shape: one "
+    "map-side-combinable daily rollup, then windows over the bounded "
+    "DATE DOMAIN (~30 rows at any sf); 1-row global mean broadcast.",
+)
+def q_stats_page_hinkley(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf)
+    g = d.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    par = g.select(
+        F.round(
+            F.lit(_PH_DELTA_FRAC) * F.col("s").cast("double") / F.col("n"), 4
+        ).alias("delta"),
+        F.round(
+            F.lit(_PH_LAMBDA_FRAC) * F.col("s").cast("double") / F.col("n"), 4
+        ).alias("lam"),
+    )
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    o = d.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("x").over(w_run).cast("long").alias("cum"),
+    )
+    t1 = o.crossJoin(F.broadcast(par)).select(
+        "day",
+        "lam",
+        F.round(
+            F.col("x") - F.col("cum").cast("double") / F.col("t") - F.col("delta"),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("term"),
+    )
+    m = t1.select("day", "lam", F.sum("term").over(w_run).alias("mt"))
+    mm = m.select("day", "lam", "mt", F.min("mt").over(w_run).alias("minm"))
+    gap = F.round((F.col("mt") - F.col("minm")).cast("double"), 4)
+    return mm.select(
+        "day",
+        F.round(F.col("mt").cast("double"), 4).alias("ph_m"),
+        gap.alias("gap"),
+        (gap > F.col("lam")).alias("alarm"),
+    )
+
+
+_DF_CRIT_5PCT = -2.93  # tau_mu 5% critical value (constant-only DF, n ~ 30)
+
+
+@register(
+    "stats_dickey_fuller",
+    f"""WITH {DAILY_CENTS_CTE},
+       o AS (SELECT day, x, lag(x) OVER (ORDER BY day) AS xp FROM d),
+       p AS (SELECT (x - xp)::BIGINT AS y, xp AS z FROM o WHERE xp IS NOT NULL),
+       s AS (SELECT count(*)::BIGINT AS m,
+                    sum(z)::BIGINT AS sz, sum(y)::BIGINT AS sy,
+                    sum(z::DECIMAL(38,0) * z)::DECIMAL(38,0) AS szz,
+                    sum(z::DECIMAL(38,0) * y)::DECIMAL(38,0) AS szy,
+                    sum(y::DECIMAL(38,0) * y)::DECIMAL(38,0) AS syy
+             FROM p),
+       c AS (SELECT m,
+                    CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz / m AS vzz,
+                    CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * sy / m AS vzy,
+                    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / m AS vyy
+             FROM s)
+       SELECT m AS n_diffs,
+              round(vzy / vzz, 6) AS rho_hat,
+              round((vzy / vzz)
+                    / sqrt(((vyy - vzy * vzy / vzz) / (m - 2)) / vzz),
+                    4) AS df_stat,
+              round((vzy / vzz)
+                    / sqrt(((vyy - vzy * vzy / vzz) / (m - 2)) / vzz),
+                    4) < {_DF_CRIT_5PCT} AS stationary
+       FROM c""",
+    doc="Dickey-Fuller unit-root test (constant-only) on the daily "
+    "revenue series — the stationarity gate a forecasting pipeline "
+    "runs before trusting timeseries_acf/seasonal models: regress "
+    "delta-x on the lagged level, DF = rho_hat / se(rho_hat); "
+    "rho near 0 (DF above the critical value) means a random walk, "
+    "strongly negative means mean-reversion. EXACT integer/DECIMAL(38) "
+    "sum core (the five OLS sufficient statistics), then a fixed "
+    "closed-form double expression — no accumulation-order "
+    f"sensitivity; the flag compares the ROUNDED stat to the pinned "
+    f"tau_mu 5% critical value {_DF_CRIT_5PCT}. Scale shape: daily "
+    "rollup + one date-domain lag window + single-row arithmetic.",
+)
+def q_stats_dickey_fuller(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf)
+    o = d.select("day", "x", F.lag("x").over(Window.orderBy("day")).alias("xp"))
+    p = o.filter(F.col("xp").isNotNull()).select(
+        (F.col("x") - F.col("xp")).cast("long").alias("y"),
+        F.col("xp").alias("z"),
+    )
+    s = p.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+        .cast("decimal(38,0)")
+        .alias("szz"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("szy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    m = F.col("m")
+    vzz = F.col("szz").cast("double") - F.col("sz").cast("double") * F.col("sz") / m
+    vzy = F.col("szy").cast("double") - F.col("sz").cast("double") * F.col("sy") / m
+    vyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / m
+    rho = vzy / vzz
+    df_stat = F.round(rho / F.sqrt(((vyy - vzy * vzy / vzz) / (m - 2)) / vzz), 4)
+    return s.select(
+        m.alias("n_diffs"),
+        F.round(rho, 6).alias("rho_hat"),
+        df_stat.alias("df_stat"),
+        (df_stat < F.lit(_DF_CRIT_5PCT)).alias("stationary"),
+    )
+
+
+_DW_POS_AUTOCORR = 1.35  # d_L lower bound, k=1 regressor, n ~ 30, 5%
+
+
+@register(
+    "stats_durbin_watson",
+    f"""WITH {DAILY_CENTS_CTE},
+       o AS (SELECT day, x, row_number() OVER (ORDER BY day) AS t FROM d),
+       s AS (SELECT count(*)::BIGINT AS n,
+                    sum(t)::BIGINT AS st, sum(x)::BIGINT AS sx,
+                    sum(t::DECIMAL(38,0) * t)::DECIMAL(38,0) AS stt,
+                    sum(t::DECIMAL(38,0) * x)::DECIMAL(38,0) AS stx
+             FROM o),
+       fit AS (SELECT n,
+                      (CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) * sx / n)
+                      / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)
+                        AS b,
+                      CAST(sx AS DOUBLE) / n
+                      - (CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) * sx / n)
+                        / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)
+                        * CAST(st AS DOUBLE) / n AS a
+               FROM s),
+       resid AS (SELECT o.day, o.x - f.a - f.b * o.t AS res
+                 FROM o, fit f),
+       l AS (SELECT day, res, lag(res) OVER (ORDER BY day) AS rp FROM resid),
+       terms AS (SELECT
+                   sum(round(res * res, 9)::DECIMAL(30,9)) AS se2,
+                   sum(CASE WHEN rp IS NULL THEN 0::DECIMAL(30,9)
+                            ELSE round((res - rp) * (res - rp), 9)
+                                 ::DECIMAL(30,9) END) AS sd2
+                 FROM l)
+       SELECT f.n AS n_days, round(f.b, 6) AS slope_cents_per_day,
+              round(CAST(t.sd2 AS DOUBLE) / CAST(t.se2 AS DOUBLE), 4)
+                AS dw_stat,
+              round(CAST(t.sd2 AS DOUBLE) / CAST(t.se2 AS DOUBLE), 4)
+                < {_DW_POS_AUTOCORR} AS positive_autocorr
+       FROM terms t, fit f""",
+    doc="Durbin-Watson autocorrelation-of-residuals test on the daily "
+    "revenue series detrended by its OLS day-index line — the lag-1 "
+    "WHITENESS check behind every trend report (timeseries_linear_"
+    "trend fits the line; DW says whether its residuals are "
+    "independent, i.e. whether the trend's standard errors can be "
+    "believed — DW ~ 2 is white, << 2 positively autocorrelated). "
+    "EXACT integer/DECIMAL OLS sufficient statistics, fixed "
+    "closed-form residual expression per row, each squared term "
+    "rounded to 9 dp and DECIMAL-summed, flag from the ROUNDED stat "
+    f"vs the pinned d_L 5% bound {_DW_POS_AUTOCORR}. Scale shape: "
+    "date-domain windows only; 1-row fit broadcast onto ~30 rows.",
+)
+def q_stats_durbin_watson(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf)
+    o = d.select(
+        "day", "x", F.row_number().over(Window.orderBy("day")).alias("t")
+    ).localCheckpoint(eager=True)  # feeds fit + residuals
+    s = o.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t"))
+        .cast("decimal(38,0)")
+        .alias("stt"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("stx"),
+    )
+    n = F.col("n")
+    b = (F.col("stx").cast("double") - F.col("st").cast("double") * F.col("sx") / n) / (
+        F.col("stt").cast("double") - F.col("st").cast("double") * F.col("st") / n
+    )
+    fit = s.select(n.alias("n"), b.alias("b"), (
+        F.col("sx").cast("double") / n - b * F.col("st").cast("double") / n
+    ).alias("a"))
+    e = o.crossJoin(F.broadcast(fit)).select(
+        "day", "n", "b", (F.col("x") - F.col("a") - F.col("b") * F.col("t")).alias("res")
+    )
+    l = e.select(
+        "day", "n", "b", "res", F.lag("res").over(Window.orderBy("day")).alias("rp")
+    )
+    terms = l.groupBy("n", "b").agg(
+        F.sum(F.round(F.col("res") * F.col("res"), 9).cast("decimal(30,9)")).alias(
+            "se2"
+        ),
+        F.sum(
+            F.when(F.col("rp").isNull(), F.lit(0).cast("decimal(30,9)")).otherwise(
+                F.round(
+                    (F.col("res") - F.col("rp")) * (F.col("res") - F.col("rp")), 9
+                ).cast("decimal(30,9)")
+            )
+        ).alias("sd2"),
+    )
+    dw = F.round(F.col("sd2").cast("double") / F.col("se2").cast("double"), 4)
+    return terms.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("b"), 6).alias("slope_cents_per_day"),
+        dw.alias("dw_stat"),
+        (dw < F.lit(_DW_POS_AUTOCORR)).alias("positive_autocorr"),
+    )
+
+
+# --- round-10 batch B: k-group homogeneity / ordered-trend tests ------------
+
+_CHI2_CRIT_4DF = 9.488  # 5% critical value, chi-square with 4 df
+
+
+@register(
+    "stats_bartlett_test",
+    f"""WITH c AS (
+         SELECT o_orderpriority AS grp,
+                round(o_totalprice * 100)::BIGINT AS cents
+         FROM orders),
+       pg AS (SELECT grp, count(*)::BIGINT AS ni,
+                     sum(cents)::BIGINT AS sx,
+                     sum(cents::DECIMAL(38,0) * cents)::DECIMAL(38,0) AS sx2
+              FROM c GROUP BY grp),
+       v AS (SELECT grp, ni,
+                    (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / ni)
+                    / (ni - 1) AS s2
+             FROM pg),
+       agg AS (SELECT count(*)::BIGINT AS k, sum(ni)::BIGINT AS n,
+                      sum(round((ni - 1) * s2, 4)::DECIMAL(30,4)) AS pooled_num,
+                      sum(round((ni - 1) * ln(s2), 9)::DECIMAL(20,9)) AS sum_lns,
+                      sum(round(1.0 / (ni - 1), 12)::DECIMAL(20,12)) AS sum_inv
+               FROM v)
+       SELECT k AS k_groups, n AS n_total,
+              round(((n - k) * ln(CAST(pooled_num AS DOUBLE) / (n - k))
+                     - CAST(sum_lns AS DOUBLE))
+                    / (1.0 + (CAST(sum_inv AS DOUBLE) - 1.0 / (n - k))
+                             / (3.0 * (k - 1))),
+                    4) AS bartlett_t,
+              round(((n - k) * ln(CAST(pooled_num AS DOUBLE) / (n - k))
+                     - CAST(sum_lns AS DOUBLE))
+                    / (1.0 + (CAST(sum_inv AS DOUBLE) - 1.0 / (n - k))
+                             / (3.0 * (k - 1))),
+                    4) > {_CHI2_CRIT_4DF} AS reject_equal_var
+       FROM agg""",
+    doc="Bartlett's test for variance homogeneity across the five "
+    "order-priority groups — the NORMAL-theory twin of stats_brown_"
+    "forsythe (BF is robust to non-normality; Bartlett is the more "
+    "powerful classical test when normality holds — a pipeline runs "
+    "both and trusts BF when they disagree). Per-group variances from "
+    "EXACT integer/DECIMAL(38) moment sums; the (ni-1)*ln(s2) and "
+    "1/(ni-1) terms round to 9/12 dp and DECIMAL-sum over the 5-row "
+    "group table; T = ((N-k) ln Sp2 - Sum(ni-1) ln si2) / C with the "
+    "standard small-sample correction C, flag from the ROUNDED stat "
+    f"vs the pinned chi-square(4) 5% value {_CHI2_CRIT_4DF}. Scale "
+    "shape: one map-side-combinable group rollup, 5-row arithmetic.",
+)
+def q_stats_bartlett(spark: SparkSession, sf: str):
+    c = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    pg = c.groupBy("grp").agg(
+        F.count("*").cast("long").alias("ni"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sx2"),
+    )
+    s2 = (
+        F.col("sx2").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / F.col("ni")
+    ) / (F.col("ni") - 1)
+    v = pg.select("grp", "ni", s2.alias("s2"))
+    agg = v.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum(
+            F.round((F.col("ni") - 1) * F.col("s2"), 4).cast("decimal(30,4)")
+        ).alias("pooled_num"),
+        F.sum(
+            F.round((F.col("ni") - 1) * F.log(F.col("s2")), 9).cast("decimal(20,9)")
+        ).alias("sum_lns"),
+        F.sum(
+            F.round(F.lit(1.0) / (F.col("ni") - 1), 12).cast("decimal(20,12)")
+        ).alias("sum_inv"),
+    )
+    k, n = F.col("k"), F.col("n")
+    t_stat = F.round(
+        (
+            (n - k) * F.log(F.col("pooled_num").cast("double") / (n - k))
+            - F.col("sum_lns").cast("double")
+        )
+        / (
+            F.lit(1.0)
+            + (F.col("sum_inv").cast("double") - F.lit(1.0) / (n - k))
+            / (F.lit(3.0) * (k - 1))
+        ),
+        4,
+    )
+    return agg.select(
+        k.alias("k_groups"),
+        n.alias("n_total"),
+        t_stat.alias("bartlett_t"),
+        (t_stat > F.lit(_CHI2_CRIT_4DF)).alias("reject_equal_var"),
+    )
+
+
+_COCHRAN_MIN_DAYS = 12  # x=1 iff the user emitted the type on >= 12 days
+
+
+@register(
+    "stats_cochran_q",
+    f"""WITH ud AS (
+         SELECT user_id, event_type
+         FROM events
+         GROUP BY user_id, event_type
+         HAVING count(DISTINCT floor(epoch(ts))::BIGINT // 86400)
+                >= {_COCHRAN_MIN_DAYS}),
+       nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events),
+       kk AS (SELECT count(DISTINCT event_type)::BIGINT AS k FROM events),
+       r AS (SELECT user_id, count(*)::BIGINT AS ri FROM ud GROUP BY user_id),
+       cj AS (SELECT event_type, count(*)::BIGINT AS cjn
+              FROM ud GROUP BY event_type),
+       rs AS (SELECT coalesce(sum(ri), 0)::BIGINT AS s,
+                     coalesce(sum(ri * ri), 0)::BIGINT AS sr2
+              FROM r),
+       cs AS (SELECT coalesce(sum(cjn * cjn), 0)::BIGINT AS sc2 FROM cj),
+       q AS (SELECT kk.k, nu.n_users,
+                    CASE WHEN kk.k * rs.s - rs.sr2 = 0 THEN 0.0
+                         ELSE round((kk.k - 1)
+                                    * (kk.k * CAST(cs.sc2 AS DOUBLE)
+                                       - CAST(rs.s AS DOUBLE) * rs.s)
+                                    / (kk.k * CAST(rs.s AS DOUBLE) - rs.sr2), 4)
+                    END AS q_stat
+             FROM kk, nu, rs, cs)
+       SELECT k AS k_treatments, n_users, q_stat,
+              q_stat > {_CHI2_CRIT_4DF} AS reject_equal_rates
+       FROM q""",
+    doc="Cochran's Q over the user x event-type participation matrix "
+    "(blocks = users, treatments = the k event types, x = 1 iff the "
+    "user emitted that type on >= 12 distinct days — 'ever' saturates "
+    "to an all-ones matrix where Q is undefined; the pinned day "
+    "threshold sits at the per-(user,type) median so both margins "
+    "vary) — the k-treatment extension of "
+    "McNemar and the BINARY companion to stats_friedman_test (same "
+    "blocked design, binary outcomes): do the event types differ in "
+    "adoption rate once per-user activity level is blocked out? "
+    "Q = (k-1)(k SumCj^2 - S^2)/(kS - SumRi^2) — EXACT integer core "
+    "(row/column totals of a 0/1 matrix), one double division, flag "
+    f"from the ROUNDED stat vs chi-square(k-1=4) 5% = {_CHI2_CRIT_4DF}. "
+    "Scale shape: one DISTINCT rollup (map-side combinable), two tiny "
+    "total tables, 1-row arithmetic — no window, no join on data.",
+)
+def q_stats_cochran_q(spark: SparkSession, sf: str):
+    ev = events_table(spark, sf).localCheckpoint(eager=True)
+    ud = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.countDistinct(F.expr("CAST(ts_s DIV 86400 AS BIGINT)")).alias("nd")
+        )
+        .filter(F.col("nd") >= _COCHRAN_MIN_DAYS)
+        .select("user_id", "event_type")
+        .localCheckpoint(eager=True)  # feeds row + column totals
+    )
+    nu = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    kk = ev.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    r = ud.groupBy("user_id").agg(F.count("*").cast("long").alias("ri"))
+    cj = ud.groupBy("event_type").agg(F.count("*").cast("long").alias("cjn"))
+    rs = r.agg(
+        F.coalesce(F.sum("ri"), F.lit(0)).cast("long").alias("s"),
+        F.coalesce(F.sum(F.col("ri") * F.col("ri")), F.lit(0))
+        .cast("long")
+        .alias("sr2"),
+    )
+    cs = cj.agg(
+        F.coalesce(F.sum(F.col("cjn") * F.col("cjn")), F.lit(0))
+        .cast("long")
+        .alias("sc2")
+    )
+    j = (
+        kk.crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(rs))
+        .crossJoin(F.broadcast(cs))
+    )
+    k = F.col("k")
+    den = k * F.col("s").cast("double") - F.col("sr2")
+    q = F.when(den == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (k - 1)
+            * (
+                k * F.col("sc2").cast("double")
+                - F.col("s").cast("double") * F.col("s")
+            )
+            / den,
+            4,
+        )
+    )
+    return j.select(
+        k.alias("k_treatments"),
+        "n_users",
+        q.alias("q_stat"),
+        (q > F.lit(_CHI2_CRIT_4DF)).alias("reject_equal_rates"),
+    )
+
+
+# --- round-10: Jonckheere-Terpstra ordered-trend test ------------------------
+#
+# The 10-term pairwise expansion (ordered group pairs i<j over the 5
+# priority ordinals) is generated once here and shared verbatim by the
+# Spark builder and the DuckDB oracle, so the two engines cannot drift.
+
+_JT_K = 5
+_JT_PAIRS = [(i, j) for i in range(1, _JT_K + 1) for j in range(1, _JT_K + 1) if i < j]
+# per-value contribution to the DOUBLED statistic: k_j(v) * (2*cumlt_i(v) + k_i(v))
+_JT_TERM_SQL = " + ".join(
+    f"k{j} * (2 * (o{i} + cw{i} - k{i}) + k{i})" for i, j in _JT_PAIRS
+)
+_Z_CRIT_5PCT = 1.645
+
+
+def _jt_oracle() -> str:
+    ks = ",\n                ".join(
+        f"sum(CASE WHEN g = {i} THEN kj ELSE 0 END)::BIGINT AS k{i}"
+        for i in range(1, _JT_K + 1)
+    )
+    cws = ",\n                ".join(
+        f"sum(k{i}) OVER (PARTITION BY bkt ORDER BY cents"
+        f" ROWS UNBOUNDED PRECEDING)::BIGINT AS cw{i}"
+        for i in range(1, _JT_K + 1)
+    )
+    bs = ",\n                ".join(
+        f"sum(k{i})::BIGINT AS b{i}" for i in range(1, _JT_K + 1)
+    )
+    offs = ",\n                ".join(
+        f"coalesce(sum(b{i}) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED"
+        f" PRECEDING AND 1 PRECEDING), 0)::BIGINT AS o{i}"
+        for i in range(1, _JT_K + 1)
+    )
+    return f"""WITH c AS (
+         SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+                round(o_totalprice * 100)::BIGINT AS cents
+         FROM orders),
+       vg AS (SELECT cents, g, count(*)::BIGINT AS kj
+              FROM c GROUP BY cents, g),
+       v AS (SELECT cents, (cents // 1048576)::BIGINT AS bkt,
+                {ks}
+             FROM vg GROUP BY cents),
+       w AS (SELECT cents, bkt, k1, k2, k3, k4, k5,
+                {cws}
+             FROM v),
+       bc AS (SELECT bkt,
+                {bs}
+              FROM v GROUP BY bkt),
+       off AS (SELECT bkt,
+                {offs}
+               FROM bc),
+       jt AS (SELECT sum({_JT_TERM_SQL})::BIGINT AS jt2
+              FROM w JOIN off USING (bkt)),
+       gs AS (SELECT g, count(*)::BIGINT AS ng FROM c GROUP BY g),
+       tot AS (SELECT sum(ng)::BIGINT AS n, sum(ng * ng)::BIGINT AS sn2,
+                      sum(ng * ng * (2 * ng + 3))::BIGINT AS sn23
+               FROM gs)
+       SELECT t.n AS n_total, j.jt2 AS jt_doubled,
+              round((j.jt2 - (t.n * t.n - t.sn2) / 2.0)
+                    / (2.0 * sqrt((CAST(t.n AS DOUBLE) * t.n * (2 * t.n + 3)
+                                   - t.sn23) / 72.0)), 4) AS z_stat,
+              round((j.jt2 - (t.n * t.n - t.sn2) / 2.0)
+                    / (2.0 * sqrt((CAST(t.n AS DOUBLE) * t.n * (2 * t.n + 3)
+                                   - t.sn23) / 72.0)), 4)
+                > {_Z_CRIT_5PCT} AS increasing_trend
+       FROM jt j, tot t"""
+
+
+@register(
+    "stats_jonckheere_terpstra",
+    None,  # oracle assembled below (shares the generated pairwise expansion)
+    doc="Jonckheere-Terpstra ordered-alternative trend test across the "
+    "five order-priority ordinals (1-URGENT < ... < 5-LOW by label "
+    "prefix — a pinned ordinal domain): JT = Sum over ordered group "
+    "pairs i<j of the Mann-Whitney count #(x_i < x_j) + ties/2. Where "
+    "stats_kruskal_wallis asks 'do the groups differ AT ALL', JT asks "
+    "'do values RISE with the ordinal' — the one-degree-of-freedom "
+    "test a priority-SLA or dose-response question actually wants. "
+    "Kept exact in the DOUBLED scale (2U = 2*strict + ties is integral); "
+    "the per-value contribution k_j(v)*(2*cumlt_i(v)+k_i(v)) runs over "
+    "the DISTINCT-cents rollup with the weighted-median two-level "
+    "bucketed prefix sum PER GROUP COLUMN (in-bucket cumulatives "
+    "partitioned by 2^20-cent bucket, a cumulated offset over the tiny "
+    "bucket table — never a global window over values), and the "
+    "5-column pivot makes the 10 pair terms one projection. z uses "
+    "the standard no-tie normal approximation (ties are a vanishing "
+    "fraction of continuous cents; the exact-tie variance correction "
+    "changes z in the 3rd decimal here), flag from the ROUNDED z vs "
+    f"{_Z_CRIT_5PCT}. Scale shape: one (value, group) rollup, "
+    "bucket-partitioned windows, a bucket-key join, 1-row arithmetic.",
+)
+def q_stats_jonckheere(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = table(spark, sf, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    vg = c.groupBy("cents", "g").agg(F.count("*").cast("long").alias("kj"))
+    ks = [
+        F.sum(F.when(F.col("g") == i, F.col("kj")).otherwise(0))
+        .cast("long")
+        .alias(f"k{i}")
+        for i in range(1, _JT_K + 1)
+    ]
+    v = (
+        vg.groupBy("cents")
+        .agg(*ks)
+        .withColumn("bkt", F.expr("CAST(cents DIV 1048576 AS BIGINT)"))
+        .localCheckpoint(eager=True)  # feeds in-bucket windows + bucket rollup
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w = v.select(
+        "cents",
+        "bkt",
+        *[F.col(f"k{i}") for i in range(1, _JT_K + 1)],
+        *[
+            F.sum(f"k{i}").over(w_in).cast("long").alias(f"cw{i}")
+            for i in range(1, _JT_K + 1)
+        ],
+    )
+    bc = v.groupBy("bkt").agg(
+        *[F.sum(f"k{i}").cast("long").alias(f"b{i}") for i in range(1, _JT_K + 1)]
+    )
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bc.select(
+        "bkt",
+        *[
+            F.coalesce(F.sum(f"b{i}").over(w_off), F.lit(0))
+            .cast("long")
+            .alias(f"o{i}")
+            for i in range(1, _JT_K + 1)
+        ],
+    )
+    jt = (
+        w.join(F.broadcast(off), "bkt")
+        .select(F.expr(_JT_TERM_SQL).alias("term"))
+        .agg(F.sum("term").cast("long").alias("jt2"))
+    )
+    gs = c.groupBy("g").agg(F.count("*").cast("long").alias("ng"))
+    tot = gs.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.col("ng") * F.col("ng")).cast("long").alias("sn2"),
+        F.sum(F.col("ng") * F.col("ng") * (2 * F.col("ng") + 3))
+        .cast("long")
+        .alias("sn23"),
+    )
+    j = jt.crossJoin(F.broadcast(tot))
+    n = F.col("n")
+    z = F.round(
+        (F.col("jt2") - (n * n - F.col("sn2")) / F.lit(2.0))
+        / (
+            F.lit(2.0)
+            * F.sqrt(
+                (n.cast("double") * n * (2 * n + 3) - F.col("sn23")) / F.lit(72.0)
+            )
+        ),
+        4,
+    )
+    return j.select(
+        n.alias("n_total"),
+        F.col("jt2").alias("jt_doubled"),
+        z.alias("z_stat"),
+        (z > F.lit(_Z_CRIT_5PCT)).alias("increasing_trend"),
+    )
+
+
+from annotations_ingester_spark.plans.catalog import REGISTRY as _REG_R10  # noqa: E402
+
+_REG_R10["stats_jonckheere_terpstra"].oracle = _jt_oracle()

@@ -140,6 +140,14 @@ CROSS_ALLOWED = {
     "stats_mann_kendall",
     # 1-row grand-mean broadcast over the day-domain rollup
     "timeseries_seasonal_strength",
+    # r10: 1-row delta/lambda parameter broadcast over the day-domain
+    # rollup (Page-Hinkley), 1-row OLS-fit broadcast for residuals
+    # (Durbin-Watson), three 1-row total broadcasts (Cochran Q), 1-row
+    # group-size totals broadcast (Jonckheere-Terpstra)
+    "stats_page_hinkley",
+    "stats_durbin_watson",
+    "stats_cochran_q",
+    "stats_jonckheere_terpstra",
     # 1-row stream-total broadcast (the 2N/w envelope scalar) onto the
     # 20-row probe table (the heavy-hitters shape)
     "sketch_count_min_certified",
@@ -423,6 +431,16 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # cumulative over the PINNED 10-bucket spine (candidate set of the
     # exponential mechanism — structural)
     "privacy_dp_quantile_release": (10, "SELECT 10"),
+    # r10: running mean/cumsum/min (Page-Hinkley), lag (Dickey-Fuller,
+    # Durbin-Watson residual diffs) over the DATE-DOMAIN daily rollup
+    "stats_page_hinkley": (200, _EVENTS_DAYS_PROBE),
+    "stats_dickey_fuller": (200, _EVENTS_DAYS_PROBE),
+    "stats_durbin_watson": (200, _EVENTS_DAYS_PROBE),
+    # cumulative offset over the order-value BUCKET-COUNT table (the
+    # kruskal-wallis two-level prefix class, 5 parallel group columns)
+    "stats_jonckheere_terpstra": (500, """
+        SELECT count(DISTINCT round(o_totalprice * 100)::BIGINT // 1048576)
+        FROM orders"""),
     # cumulative offset over the residual-BUCKET-COUNT table (2^20-
     # millicent buckets — the weighted-median two-level prefix class);
     # in-bucket cumulatives are bucket-partitioned
