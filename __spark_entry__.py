@@ -266,6 +266,13 @@ _ORDER_LAST_R10: set[str] = {
     "stats_bartlett_test",
     "stats_cochran_q",
     "stats_jonckheere_terpstra",
+    "eval_mcnemar_models",
+    "eval_dup_capture_recapture",
+    "curation_mixture_waterfill",
+    "lm_self_bleu_proxy",
+    "dedup_lsh_banding_sweep",
+    "media_shot_boundaries",
+    "streaming_page_hinkley",
 }
 
 

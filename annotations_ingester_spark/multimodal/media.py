@@ -788,3 +788,69 @@ def synth_wav_gated_images(df: DataFrame, id_col: str = "media_id") -> DataFrame
     """mapInPandas synthesizer for :func:`synth_pcm_wav_gated` payloads —
     same contract as :func:`synth_wav_images`."""
     return _synth_wav(df, synth_pcm_wav_gated, id_col)
+
+
+SIG_FIELDS = (
+    "media_id long, frame_idx long, n_frames long, sig long"
+)
+
+
+def frame_signatures(
+    df: DataFrame,
+    frame_len: int = 32,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-frame AVERAGE-HASH signatures over opaque payloads →
+    ``(media_id, frame_idx, n_frames, sig)``: each fixed-length frame's
+    bit i is set iff byte i >= the frame's mean byte (integer floor mean)
+    — the 1-D analogue of the image average-hash in
+    :func:`average_hash_gray`, locality-sensitive (frames with similar
+    byte distributions get small Hamming distance) and byte-exact to
+    mirror in SQL, which keeps the oracle honest where a real pixel
+    decoder would sit (same seam discipline as :func:`sample_frames`).
+
+    Scale shape: mapInPandas inside the blob's partition — frames never
+    shuffle; output rows are fixed-width scalars.
+    """
+    if frame_len <= 0 or frame_len > 63:
+        raise ValueError("frame_len must be in 1..63 (sig is a BIGINT bitmap)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            totals: list[int] = []
+            sigs: list[int] = []
+            for mid, p in zip(pdf["_id"], pdf["_payload"]):
+                blob = b"" if p is None else bytes(p)
+                n_frames = len(blob) // frame_len
+                for fi in range(n_frames):
+                    fr = blob[fi * frame_len : (fi + 1) * frame_len]
+                    mean = sum(fr) // frame_len
+                    sig = 0
+                    for i, by in enumerate(fr):
+                        if by >= mean:
+                            sig |= 1 << i
+                    ids.append(int(mid))
+                    idxs.append(fi)
+                    totals.append(n_frames)
+                    sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_frames": pd.Series(totals, dtype="int64"),
+                    "sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    from annotations_ingester_spark.pyfiles import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    slim = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return slim.mapInPandas(run, schema=SIG_FIELDS)

@@ -1433,3 +1433,136 @@ def q_privacy_dp_quantile_release(spark: SparkSession, sf: str):
         F.expr("max_by(rank_err, key)").cast("long").alias("rank_error"),
         F.lit(_DPQ_EPS).alias("epsilon"),
     )
+
+
+# --- round-10: token-budget waterfilling across sources ----------------------
+
+_WF_BUDGET_FRAC_PCT = 50  # global budget = 50% of total corpus tokens
+
+
+@register(
+    "curation_mixture_waterfill",
+    f"""WITH src AS (
+         SELECT source, sum(len({tokens_sql('text')}))::BIGINT AS tokens
+         FROM documents GROUP BY source),
+       tot AS (SELECT count(*)::BIGINT AS n_src, sum(tokens)::BIGINT AS t,
+                      (sum(tokens) * {_WF_BUDGET_FRAC_PCT} // 100)::BIGINT AS b
+               FROM src),
+       o AS (SELECT source, tokens,
+                    row_number() OVER (ORDER BY tokens, source) AS i,
+                    coalesce(sum(tokens) OVER (ORDER BY tokens, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS pfx
+             FROM src),
+       c AS (SELECT o.*, tot.n_src, tot.b,
+                    CASE WHEN o.tokens * (tot.n_src - o.i + 1)
+                              <= tot.b - o.pfx THEN 1 ELSE 0 END AS ok
+             FROM o, tot),
+       sat AS (SELECT c.*,
+                      min(ok) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+                        AS saturated
+               FROM c),
+       lvl AS (SELECT coalesce(sum(CASE WHEN saturated = 1 THEN tokens END), 0)
+                        ::BIGINT AS pfx_sat,
+                      coalesce(sum(saturated), 0)::BIGINT AS n_sat
+               FROM sat),
+       theta AS (SELECT CASE WHEN t.n_src = l.n_sat THEN NULL
+                             ELSE (t.b - l.pfx_sat) // (t.n_src - l.n_sat)
+                        END::BIGINT AS th
+                 FROM lvl l, tot t)
+       SELECT s.source, s.tokens,
+              CASE WHEN s.saturated = 1 THEN s.tokens
+                   ELSE least(s.tokens, theta.th) END::BIGINT AS alloc_tokens,
+              s.saturated = 1 AS saturated,
+              round(CAST(CASE WHEN s.saturated = 1 THEN s.tokens
+                              ELSE least(s.tokens, theta.th) END AS DOUBLE)
+                    / s.tokens, 6) AS fill_frac
+       FROM sat s, theta""",
+    doc="Token-budget waterfilling across sources — the mixture OPTIMIZER "
+    "next to corpus_mixture_report's inventory: given a global budget "
+    f"({_WF_BUDGET_FRAC_PCT}% of corpus tokens) and the per-source "
+    "supply, allocate as uniformly as possible without exceeding any "
+    "source's supply (small sources keep everything — 'saturated'; "
+    "large sources are capped at the common waterline theta). The "
+    "closed form sorts sources by supply ascending and finds the "
+    "saturation breakpoint via the running-AND of the level test "
+    "c_i*(S-i+1) <= B - prefix_(i-1); theta = (B - prefix_sat) DIV "
+    "(S - n_sat) in EXACT integer arithmetic (the sub-theta remainder "
+    "is deliberately unallocated — deterministic, no fractional "
+    "tokens). This is the anti-over-sampling allocation every "
+    "multi-source training mix starts from (uniform target; plug in "
+    "weights by scaling supplies). Scale shape: one "
+    "map-side-combinable source rollup, then windows over the "
+    "SOURCE-DOMAIN table (~20 rows at any sf), 1-row scalars.",
+)
+def q_curation_waterfill(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    src = (
+        table(spark, sf, "documents")
+        .select("source", F.size(tokens("text")).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("tokens"))
+        .localCheckpoint(eager=True)  # source-domain table; feeds 3 branches
+    )
+    tot = src.agg(
+        F.count("*").cast("long").alias("n_src"),
+        F.sum("tokens").cast("long").alias("t"),
+        (F.sum("tokens") * _WF_BUDGET_FRAC_PCT / 100)
+        .cast("long")
+        .alias("b"),
+    )
+    w_ord = Window.orderBy("tokens", "source")
+    o = src.select(
+        "source",
+        "tokens",
+        F.row_number().over(w_ord).alias("i"),
+        F.coalesce(
+            F.sum("tokens").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pfx"),
+    )
+    c = o.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.when(
+            F.col("tokens") * (F.col("n_src") - F.col("i") + 1)
+            <= F.col("b") - F.col("pfx"),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok"),
+    )
+    sat = c.select(
+        "*",
+        F.min("ok")
+        .over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("saturated"),
+    ).localCheckpoint(eager=True)  # feeds the level aggregate + final select
+    lvl = sat.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("saturated") == 1, F.col("tokens"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("pfx_sat"),
+        F.coalesce(F.sum("saturated"), F.lit(0)).cast("long").alias("n_sat"),
+    )
+    theta = lvl.crossJoin(F.broadcast(tot.select("n_src", "b"))).select(
+        F.when(F.col("n_src") == F.col("n_sat"), F.lit(None))
+        .otherwise(
+            F.floor((F.col("b") - F.col("pfx_sat")) / (F.col("n_src") - F.col("n_sat")))
+        )
+        .cast("long")
+        .alias("th")
+    )
+    alloc = F.when(F.col("saturated") == 1, F.col("tokens")).otherwise(
+        F.least(F.col("tokens"), F.col("th"))
+    )
+    return sat.crossJoin(F.broadcast(theta)).select(
+        "source",
+        "tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        (F.col("saturated") == 1).alias("saturated"),
+        F.round(alloc.cast("double") / F.col("tokens"), 6).alias("fill_frac"),
+    )

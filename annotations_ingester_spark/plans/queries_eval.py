@@ -1989,3 +1989,157 @@ def q_eval_mcc_langid(spark: SparkSession, sf: str):
         "fn",
         F.round(F.when(degenerate, F.lit(0.0)).otherwise(mcc), 6).alias("mcc"),
     )
+
+
+# --- round-10: paired model comparison + dedup coverage estimation ----------
+
+_CHI2_CRIT_1DF = 3.841  # 5% critical value, chi-square with 1 df
+
+
+@register(
+    "eval_mcnemar_models",
+    f"""WITH pred AS (SELECT * FROM ({{langid}}) t),
+       maj AS (
+         SELECT labeled_lang AS m FROM pred
+         GROUP BY labeled_lang
+         ORDER BY count(*) DESC, labeled_lang LIMIT 1),
+       pairs AS (
+         SELECT (predicted_lang = labeled_lang) AS a_ok,
+                (labeled_lang = maj.m) AS b_ok
+         FROM pred, maj),
+       m AS (SELECT count(*)::BIGINT AS n_docs,
+                    sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                      ::BIGINT AS b,
+                    sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+                      ::BIGINT AS c
+             FROM pairs)
+       SELECT n_docs, b AS only_a_correct, c AS only_b_correct,
+              CASE WHEN b + c = 0 THEN 0.0
+                   ELSE round((abs(b - c) - 1.0) * (abs(b - c) - 1.0)
+                              / (b + c), 4) END AS mcnemar_chi2,
+              CASE WHEN b + c = 0 THEN 0.0
+                   ELSE round((abs(b - c) - 1.0) * (abs(b - c) - 1.0)
+                              / (b + c), 4) END > {_CHI2_CRIT_1DF}
+                AS models_differ
+       FROM m""",
+    doc="McNemar's paired test between two language-ID models on the SAME "
+    "documents — model A = the n-gram langid heuristic (text_lang_id), "
+    "model B = the majority-class baseline (predict the corpus-majority "
+    "label everywhere; count-desc, label-asc tiebreak). The PAIRED "
+    "design is the point: only the b/c discordant cells (exactly one "
+    "model right) carry information, so McNemar detects a real accuracy "
+    "difference with far fewer documents than comparing two independent "
+    "accuracy estimates — the standard before/after gate for swapping a "
+    "quality classifier on the same eval set. Continuity-corrected "
+    "chi-square (|b-c|-1)^2/(b+c), guarded at b+c=0, EXACT integer "
+    "cells, flag from the ROUNDED stat vs chi-square(1) 5% = "
+    f"{_CHI2_CRIT_1DF}. Scale shape: one certified-projection scan, a "
+    "1-row majority broadcast, 1-row arithmetic.",
+)
+def q_eval_mcnemar(spark: SparkSession, sf: str):
+    pred = REGISTRY["text_lang_id"].spark(spark, sf)
+    maj = (
+        pred.groupBy("labeled_lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("labeled_lang").asc())
+        .limit(1)
+        .select(F.col("labeled_lang").alias("m"))
+    )
+    pairs = pred.crossJoin(F.broadcast(maj)).select(
+        (F.col("predicted_lang") == F.col("labeled_lang")).alias("a_ok"),
+        (F.col("labeled_lang") == F.col("m")).alias("b_ok"),
+    )
+    m = pairs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("a_ok") & ~F.col("b_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("a_ok") & F.col("b_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    b, c = F.col("b"), F.col("c")
+    chi2 = F.when(b + c == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c),
+            4,
+        )
+    )
+    return m.select(
+        "n_docs",
+        b.alias("only_a_correct"),
+        c.alias("only_b_correct"),
+        chi2.alias("mcnemar_chi2"),
+        (chi2 > F.lit(_CHI2_CRIT_1DF)).alias("models_differ"),
+    )
+
+
+_REG_MC = REGISTRY["eval_mcnemar_models"]
+_REG_MC.oracle = _REG_MC.oracle.format(langid=_oracle("text_lang_id"))
+
+
+@register(
+    "eval_dup_capture_recapture",
+    f"""WITH p1 AS (SELECT doc_a, doc_b FROM ({{lsh}}) t1),
+       p2 AS (SELECT doc_a, doc_b FROM ({{simhash}}) t2),
+       s AS (SELECT
+               (SELECT count(*) FROM p1)::BIGINT AS n1,
+               (SELECT count(*) FROM p2)::BIGINT AS n2,
+               (SELECT count(*) FROM p1 JOIN p2 USING (doc_a, doc_b))
+                 ::BIGINT AS m)
+       SELECT n1 AS n_lsh, n2 AS n_simhash, m AS n_both,
+              round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 2)
+                AS est_total_pairs,
+              round((n1 + n2 - m)
+                    / ((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0), 6)
+                AS union_coverage
+       FROM s""",
+    doc="Capture-recapture (Chapman's bias-corrected Lincoln-Petersen) "
+    "estimate of the TRUE near-duplicate pair count from two dedup "
+    "detectors run on the same corpus — capture 1 = MinHash-LSH banded "
+    "candidates, capture 2 = SimHash Hamming pairs. The overlap m "
+    "between the two 'samples' estimates what BOTH miss: "
+    "N_hat = (n1+1)(n2+1)/(m+1) - 1, union_coverage = |P1 u P2|/N_hat "
+    "— the dedup-recall health number a pipeline tracks without any "
+    "labeled ground truth (the detectors share signal, so N_hat is a "
+    "LOWER bound on missed pairs — documented heuristic, standard in "
+    "ecology and dedup audits alike). EXACT integer counts via one "
+    "equi-join on the pair key; Chapman's +1s keep it finite at m=0. "
+    "Scale shape: two certified banded/bucketed pair tiers (never "
+    "all-pairs), one pair-key equi-join, 1-row arithmetic.",
+)
+def q_eval_capture_recapture(spark: SparkSession, sf: str):
+    # each pair set feeds its own count AND the overlap join — checkpoint
+    # once so the banded/bucketed tiers don't re-scan the corpus per use
+    p1 = (
+        REGISTRY["minhash_lsh_pairs"]
+        .spark(spark, sf)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    p2 = (
+        REGISTRY["simhash_near_dup_pairs"]
+        .spark(spark, sf)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n1 = p1.agg(F.count("*").cast("long").alias("n1"))
+    n2 = p2.agg(F.count("*").cast("long").alias("n2"))
+    m = p1.join(p2, ["doc_a", "doc_b"]).agg(F.count("*").cast("long").alias("m"))
+    s = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    nhat = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0
+    return s.select(
+        F.col("n1").alias("n_lsh"),
+        F.col("n2").alias("n_simhash"),
+        F.col("m").alias("n_both"),
+        F.round(nhat, 2).alias("est_total_pairs"),
+        F.round((F.col("n1") + F.col("n2") - F.col("m")) / nhat, 6).alias(
+            "union_coverage"
+        ),
+    )
+
+
+_REG_CR = REGISTRY["eval_dup_capture_recapture"]
+_REG_CR.oracle = _REG_CR.oracle.format(
+    lsh=_oracle("minhash_lsh_pairs"), simhash=_oracle("simhash_near_dup_pairs")
+)

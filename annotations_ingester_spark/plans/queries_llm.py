@@ -1836,3 +1836,79 @@ def q_text_token_burstiness(spark: SparkSession, sf: str):
         F.round(var, 6).alias("var_count"),
         F.round(var / mean, 6).alias("fano"),
     )
+
+
+# --- round-10: corpus self-BLEU (diversity) ----------------------------------
+
+_SB_BIGRAMS = (
+    "list_transform(range(1, greatest(len(t) - 1, 0) + 1),"
+    " i -> t[i] || ' ' || t[i+1])"
+)
+
+
+@register(
+    "lm_self_bleu_proxy",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents
+              WHERE text IS NOT NULL),
+       b AS (SELECT doc_id, unnest({_SB_BIGRAMS}) AS bg
+             FROM d WHERE len(t) >= 2),
+       c AS (SELECT doc_id, {HASH.format(e="bg")} AS gh,
+                    count(*)::BIGINT AS cdoc
+             FROM b GROUP BY doc_id, gh),
+       g AS (SELECT gh, sum(cdoc)::BIGINT AS cglob FROM c GROUP BY gh)
+       SELECT c.doc_id,
+              sum(c.cdoc)::BIGINT AS n_bigrams,
+              round(CAST(sum(least(c.cdoc, g.cglob - c.cdoc)) AS DOUBLE)
+                    / sum(c.cdoc), 6) AS self_bleu2
+       FROM c JOIN g USING (gh)
+       GROUP BY c.doc_id""",
+    doc="Per-document self-BLEU (clipped bigram precision against the "
+    "REST of the corpus): sum_g min(c_doc(g), C(g) - c_doc(g)) / "
+    "n_bigrams_doc — the corpus-DIVERSITY metric from the text-"
+    "generation literature (high self-BLEU = the doc is assembled from "
+    "phrases the corpus already repeats — templated/mode-collapsed "
+    "data; low = fresh phrasing). Complements corpus_ngram_novelty "
+    "(binary seen/unseen across a split) with the clipped-COUNT "
+    "precision on the full corpus, and text_repetition_stats "
+    "(WITHIN-doc repeats) with the cross-doc view. EXACT integer "
+    "clipping per (doc, bigram); one rounded division per doc. Scale "
+    "shape: bigrams hash to 8-byte ints pre-shuffle, (doc, gram) and "
+    "gram rollups both map-side combinable, flagging is a gram-key "
+    "equi-join (AQE covers hot boilerplate grams) — never all-pairs.",
+)
+def q_lm_self_bleu(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import _hash_sql
+
+    toks = tx.tokens("text")
+    base = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    b = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    c = b.select("doc_id", F.expr(_hash_sql("bg")).alias("gh")).groupBy(
+        "doc_id", "gh"
+    ).agg(F.count("*").cast("long").alias("cdoc"))
+    g = c.groupBy("gh").agg(F.sum("cdoc").cast("long").alias("cglob"))
+    return (
+        c.join(g, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cdoc").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.least(F.col("cdoc"), F.col("cglob") - F.col("cdoc")))
+                .cast("double")
+                / F.sum("cdoc"),
+                6,
+            ).alias("self_bleu2"),
+        )
+    )

@@ -2382,3 +2382,83 @@ def q_text_code_detect(spark: SparkSession, sf: str):
         F.round(score, 4).alias("code_score_milli"),
         (score > _CODE_THRESHOLD_MILLI).alias("is_code"),
     )
+
+
+# --- round-10: LSH banding parameter sweep -----------------------------------
+
+_SWEEP_RPB = (1, 2, 4)  # rows-per-band configs over the 8-seed signature
+
+
+def _banding_sweep_oracle() -> str:
+    arms = []
+    for rpb in _SWEEP_RPB:
+        arms.append(f"""SELECT {8 // rpb}::BIGINT AS n_bands,
+              {rpb}::BIGINT AS rows_per_band,
+              count(DISTINCT (doc_a, doc_b))::BIGINT AS n_candidate_pairs,
+              count(DISTINCT doc)::BIGINT AS n_docs_flagged
+       FROM (
+         SELECT doc_a, doc_b, unnest([doc_a, doc_b]) AS doc
+         FROM (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM (SELECT doc_id, seed // {rpb} AS band,
+                        md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed))
+                          AS band_key
+                 FROM sig GROUP BY doc_id, seed // {rpb}) a
+           JOIN (SELECT doc_id, seed // {rpb} AS band,
+                        md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed))
+                          AS band_key
+                 FROM sig GROUP BY doc_id, seed // {rpb}) b
+             ON a.band = b.band AND a.band_key = b.band_key
+           WHERE a.doc_id < b.doc_id))""")
+    body = "\n       UNION ALL\n       ".join(arms)
+    return f"WITH {SIG_CTE}\n       {body}"
+
+
+@register(
+    "dedup_lsh_banding_sweep",
+    None,  # oracle assembled below (shares SIG_CTE across the three arms)
+    doc="LSH banding parameter sweep — the TUNING artifact behind the "
+    "pinned production banding: for rows-per-band in (1, 2, 4) over "
+    "the same 8-seed MinHash signature (8x1 / 4x2 / 2x4 bands), the "
+    "candidate-pair count and the number of documents flagged. The "
+    "S-curve tradeoff made measurable: fewer rows per band = higher "
+    "recall + more noise (8x1 is the link-prediction grade), more "
+    "rows = precision (2x4 pairs only near-identical docs); "
+    "eval_lsh_precision_recall scores ONE config against exact truth, "
+    "this query shows the whole dial. Scale shape: the signature "
+    "table is computed ONCE (localCheckpoint — one documents scan for "
+    "all three arms); each arm is the standard (band, band_key) "
+    "bucketed self-join — never all-pairs; 3-row output.",
+)
+def q_lsh_banding_sweep(spark: SparkSession, sf: str):
+    sig = minhash_signatures(table(spark, sf, "documents")).localCheckpoint(
+        eager=True
+    )
+    arms = []
+    for rpb in _SWEEP_RPB:
+        pairs = lsh_candidate_pairs(lsh_band_keys(sig, rows_per_band=rpb)).select(
+            "doc_a", "doc_b"
+        )
+        docs = pairs.select(F.col("doc_a").alias("doc")).unionAll(
+            pairs.select(F.col("doc_b").alias("doc"))
+        )
+        arm = pairs.agg(F.count("*").cast("long").alias("n_candidate_pairs")).crossJoin(
+            F.broadcast(
+                docs.agg(F.countDistinct("doc").cast("long").alias("n_docs_flagged"))
+            )
+        ).select(
+            F.lit(8 // rpb).cast("long").alias("n_bands"),
+            F.lit(rpb).cast("long").alias("rows_per_band"),
+            "n_candidate_pairs",
+            "n_docs_flagged",
+        )
+        arms.append(arm)
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+from annotations_ingester_spark.plans.catalog import REGISTRY as _REG_SWEEP  # noqa: E402
+
+_REG_SWEEP["dedup_lsh_banding_sweep"].oracle = _banding_sweep_oracle()

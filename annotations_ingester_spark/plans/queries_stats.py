@@ -5018,11 +5018,16 @@ _PH_LAMBDA_FRAC = 0.05  # alarm threshold as a fraction of the global mean
     "DATE DOMAIN (~30 rows at any sf); 1-row global mean broadcast.",
 )
 def q_stats_page_hinkley(spark: SparkSession, sf: str):
-    from pyspark.sql import Window
-
     from annotations_ingester_spark.plans.catalog import daily_cents
 
-    d = daily_cents(spark, sf)
+    return _page_hinkley_report(daily_cents(spark, sf))
+
+
+def _page_hinkley_report(d):
+    """The exact PH computation over a ``(day, x)`` daily series — shared
+    by the batch query and its streaming twin (same oracle)."""
+    from pyspark.sql import Window
+
     g = d.agg(
         F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
     )
@@ -5614,3 +5619,71 @@ def q_stats_jonckheere(spark: SparkSession, sf: str):
 from annotations_ingester_spark.plans.catalog import REGISTRY as _REG_R10  # noqa: E402
 
 _REG_R10["stats_jonckheere_terpstra"].oracle = _jt_oracle()
+
+
+# --- round-10: streaming twin of the Page-Hinkley detector -------------------
+
+
+@register(
+    "streaming_page_hinkley",
+    _REG_R10["stats_page_hinkley"].oracle,
+    doc="Streaming twin of the Page-Hinkley drift detector, run for "
+    "real: the scan-fused (day, cents) projection of the event stream "
+    "feeds availableNow micro-batches, and foreachBatch reduces each "
+    "batch to its OWN per-day cents partial landed at a "
+    "batch-id-keyed path (idempotent overwrite — a retried batch "
+    "re-lands the same partial). Daily sums are a commutative monoid, "
+    "so the fold (sum partials per day) equals the batch rollup "
+    "EXACTLY regardless of how the stream split into batches or "
+    "arrival order; the folded series then runs the identical PH "
+    "computation (shared code path and shared oracle with "
+    "stats_page_hinkley). Operational meaning at 100 TB: the drift "
+    "monitor keeps per-window partials and re-derives the alarm "
+    "sequence on every fold without rescanning history — the same "
+    "partial-store discipline as streaming_psi_drift. Scale shape: "
+    "per batch one map-side-combinable day rollup; fold is "
+    "O(batches x days); the PH windows run on the date-domain table.",
+)
+def q_streaming_page_hinkley(spark: SparkSession, sf: str):
+    import os
+    import shutil
+    import tempfile
+
+    ev = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_ph_")
+    feed_dir = os.path.join(run_dir, "feed")
+    store = os.path.join(run_dir, "store")
+    try:
+        ev.repartition(8).write.mode("overwrite").parquet(feed_dir)
+
+        def partials(batch_df, batch_id):
+            (
+                batch_df.groupBy("day")
+                .agg(F.sum("cents").cast("long").alias("x"))
+                .write.mode("overwrite")
+                .parquet(f"{store}/batch={batch_id}")
+            )
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(feed_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(partials)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        folded = (
+            spark.read.parquet(store)
+            .groupBy("day")
+            .agg(F.sum("x").cast("long").alias("x"))
+            .localCheckpoint(eager=True)  # date-domain bounded
+        )
+        return _page_hinkley_report(folded).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -781,3 +781,104 @@ def q_value_reconciliation(spark: SparkSession, sf: str):
         )
         .orderBy("recon_class")
     )
+
+
+# --- round-10: shot-boundary detection over frame signatures -----------------
+
+_SHOT_HAMMING_T = 12  # boundary when consecutive-frame Hamming > 12 (of 32)
+
+
+@register(
+    "media_shot_boundaries",
+    f"""WITH m AS (
+         SELECT doc_id AS media_id, text AS t FROM documents
+         WHERE text IS NOT NULL
+           AND octet_length(encode(text)) = length(text)
+           AND length(t) >= 32),
+       f AS (SELECT media_id, t, (length(t) // 32)::BIGINT AS n_frames FROM m),
+       ix AS (SELECT media_id, t, n_frames,
+                     unnest(range(0, n_frames)) AS fi
+              FROM f),
+       fb AS (SELECT media_id, n_frames, fi::BIGINT AS fi,
+                     list_transform(range(32),
+                       i -> ascii(substr(t, (fi * 32 + i + 1)::BIGINT, 1)))
+                       AS bl
+              FROM ix),
+       sg AS (SELECT media_id, n_frames, fi,
+                     list_sum(list_transform(range(32),
+                       i -> CASE WHEN bl[i + 1]
+                                      >= list_sum(bl) // 32
+                                 THEN (1::BIGINT << i) ELSE 0 END))
+                       ::BIGINT AS sig
+              FROM fb),
+       lg AS (SELECT media_id, n_frames, fi, sig,
+                     lag(sig) OVER (PARTITION BY media_id ORDER BY fi) AS ps
+              FROM sg),
+       hm AS (SELECT media_id, n_frames,
+                     CASE WHEN ps IS NULL THEN NULL
+                          ELSE bit_count(xor(sig, ps))::BIGINT END AS ham
+              FROM lg)
+       SELECT media_id, any_value(n_frames) AS n_frames,
+              coalesce(sum(CASE WHEN ham > {_SHOT_HAMMING_T}
+                                THEN 1 END), 0)::BIGINT AS n_boundaries,
+              (coalesce(sum(CASE WHEN ham > {_SHOT_HAMMING_T}
+                                 THEN 1 END), 0) + 1)::BIGINT AS n_shots,
+              coalesce(round(CAST(sum(ham) AS DOUBLE) / count(ham), 4), 0.0)
+                AS mean_hamming
+       FROM hm GROUP BY media_id""",
+    doc="Shot-boundary detection over opaque video payloads (documents "
+    "re-encoded as blobs — the certified media-seam model): every "
+    "32-byte frame gets a 1-D AVERAGE-HASH signature (bit i = byte i "
+    ">= frame mean, the locality-sensitive analogue of the image "
+    "average hash in multimodal/media.py), and a boundary fires where "
+    f"consecutive frames' Hamming distance exceeds {_SHOT_HAMMING_T} "
+    "of 32 — the classic histogram-difference shot detector; a codec "
+    "decode would swap pixel features in at the same seam. Per media: "
+    "frame count, boundary count, shot count (boundaries + 1) and "
+    "mean consecutive-frame Hamming. Scale shape: Arrow-batched "
+    "mapInPandas signatures inside the blob's partition (frames never "
+    "shuffle a payload), one media-partitioned lag window over "
+    "fixed-width scalars, one keyed aggregate.",
+)
+def q_media_shot_boundaries(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.multimodal.media import frame_signatures
+
+    docs = table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.octet_length(F.encode(F.col("text"), "utf-8")) == F.length("text"))
+        & (F.length("text") >= 32)
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    sg = frame_signatures(media, frame_len=32)
+    lg = sg.select(
+        "media_id",
+        "n_frames",
+        "sig",
+        F.lag("sig")
+        .over(Window.partitionBy("media_id").orderBy("frame_idx"))
+        .alias("ps"),
+    )
+    hm = lg.select(
+        "media_id",
+        "n_frames",
+        F.when(
+            F.col("ps").isNotNull(),
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("ps"))).cast("long"),
+        ).alias("ham"),
+    )
+    bnd = F.coalesce(
+        F.sum(F.when(F.col("ham") > _SHOT_HAMMING_T, 1)), F.lit(0)
+    ).cast("long")
+    return hm.groupBy("media_id").agg(
+        F.first("n_frames").alias("n_frames"),
+        bnd.alias("n_boundaries"),
+        (bnd + 1).cast("long").alias("n_shots"),
+        F.coalesce(
+            F.round(F.sum("ham").cast("double") / F.count("ham"), 4), F.lit(0.0)
+        ).alias("mean_hamming"),
+    )

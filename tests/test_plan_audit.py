@@ -148,6 +148,14 @@ CROSS_ALLOWED = {
     "stats_durbin_watson",
     "stats_cochran_q",
     "stats_jonckheere_terpstra",
+    # r10: 1-row majority-class broadcast over the langid predictions
+    "eval_mcnemar_models",
+    # r10: three 1-row capture counts assembled into the Chapman estimate
+    "eval_dup_capture_recapture",
+    # r10: 1-row totals/waterline broadcasts over the source-domain table
+    "curation_mixture_waterfill",
+    # r10: per-arm 1-row pair/doc count crosses (3-row output assembly)
+    "dedup_lsh_banding_sweep",
     # 1-row stream-total broadcast (the 2N/w envelope scalar) onto the
     # 20-row probe table (the heavy-hitters shape)
     "sketch_count_min_certified",
@@ -220,6 +228,7 @@ CROSS_ALLOWED = {
 # returns its certification row) — their plans are audited via their batch
 # twins / the operators' own plan tests
 STREAMING = {
+    "streaming_page_hinkley",
     "streaming_w1_pipeline",
     "streaming_tumbling_agg",
     "streaming_watermarked_dedup",
@@ -441,6 +450,10 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "stats_jonckheere_terpstra": (500, """
         SELECT count(DISTINCT round(o_totalprice * 100)::BIGINT // 1048576)
         FROM orders"""),
+    # r10: waterfill rank/prefix/running-AND windows over the
+    # SOURCE-DOMAIN rollup (~20 sources at any sf)
+    "curation_mixture_waterfill": (
+        64, "SELECT count(DISTINCT source) FROM documents"),
     # cumulative offset over the residual-BUCKET-COUNT table (2^20-
     # millicent buckets — the weighted-median two-level prefix class);
     # in-bucket cumulatives are bucket-partitioned

@@ -278,3 +278,176 @@ def test_jonckheere_recompute_bruteforce(spark):
     assert r.jt_doubled == jt2
     assert r.z_stat == pytest.approx((jt2 - mu2) / (2 * sigma), abs=1e-3)
     assert r.increasing_trend == (r.z_stat > 1.645)
+
+
+def test_mcnemar_recompute(spark):
+    import pytest
+
+    pred = [
+        (r.labeled_lang, r.predicted_lang)
+        for r in REGISTRY["text_lang_id"].spark(spark, SF).collect()
+    ]
+    counts: dict = {}
+    for y, _ in pred:
+        counts[y] = counts.get(y, 0) + 1
+    maj = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    b = sum(1 for y, yh in pred if yh == y and y != maj)
+    c = sum(1 for y, yh in pred if yh != y and y == maj)
+    chi2 = 0.0 if b + c == 0 else (abs(b - c) - 1.0) ** 2 / (b + c)
+    r = REGISTRY["eval_mcnemar_models"].spark(spark, SF).collect()[0]
+    assert (r.n_docs, r.only_a_correct, r.only_b_correct) == (len(pred), b, c)
+    assert r.mcnemar_chi2 == pytest.approx(chi2, abs=1e-3)
+    assert r.models_differ == (r.mcnemar_chi2 > 3.841)
+
+
+def test_capture_recapture_recompute(spark):
+    import pytest
+
+    p1 = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["minhash_lsh_pairs"].spark(spark, SF).collect()
+    }
+    p2 = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["simhash_near_dup_pairs"].spark(spark, SF).collect()
+    }
+    n1, n2, m = len(p1), len(p2), len(p1 & p2)
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    r = REGISTRY["eval_dup_capture_recapture"].spark(spark, SF).collect()[0]
+    assert (r.n_lsh, r.n_simhash, r.n_both) == (n1, n2, m)
+    assert r.est_total_pairs == pytest.approx(nhat, abs=0.01)
+    assert r.union_coverage == pytest.approx((n1 + n2 - m) / nhat, abs=1e-5)
+
+
+def test_waterfill_recompute(spark):
+    import duckdb
+
+    supply = dict(
+        duckdb.sql(
+            f"""SELECT source, sum(len(list_filter(regexp_split_to_array(
+                  lower(text), '[^a-z0-9]+'), x -> x <> '')))::BIGINT
+            FROM '{SF}/documents.parquet' GROUP BY source"""
+        ).fetchall()
+    )
+    total = sum(supply.values())
+    budget = total * 50 // 100
+    ordered = sorted(supply.items(), key=lambda kv: (kv[1], kv[0]))
+    s_cnt = len(ordered)
+    sat, pfx, all_ok = set(), 0, True
+    for i, (src, c) in enumerate(ordered, start=1):
+        all_ok = all_ok and (c * (s_cnt - i + 1) <= budget - pfx)
+        if all_ok:
+            sat.add(src)
+        pfx += c
+    pfx_sat = sum(supply[s] for s in sat)
+    theta = None if len(sat) == s_cnt else (budget - pfx_sat) // (s_cnt - len(sat))
+    out = {
+        r.source: r
+        for r in REGISTRY["curation_mixture_waterfill"].spark(spark, SF).collect()
+    }
+    assert set(out) == set(supply)
+    for src, c in supply.items():
+        r = out[src]
+        expect = c if src in sat else min(c, theta)
+        assert (r.tokens, r.alloc_tokens, r.saturated) == (c, expect, src in sat)
+    # the allocation respects the budget and fills it up to < n_src tokens
+    # of integer-floor slack
+    assert sum(r.alloc_tokens for r in out.values()) <= budget
+
+
+def test_self_bleu_recompute_exact_strings(spark):
+    """Recompute with EXACT bigram strings (no hashing) — catches a hash
+    collision or a clipping bug that two hash-based engines would share."""
+    import re
+
+    import duckdb
+    import pytest
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' WHERE text IS NOT NULL"
+    ).fetchall()
+    per_doc: dict = {}
+    glob: dict = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if len(toks) < 2:
+            continue
+        cnt: dict = {}
+        for i in range(len(toks) - 1):
+            g = f"{toks[i]} {toks[i + 1]}"
+            cnt[g] = cnt.get(g, 0) + 1
+            glob[g] = glob.get(g, 0) + 1
+        per_doc[doc_id] = cnt
+    out = {
+        r.doc_id: r for r in REGISTRY["lm_self_bleu_proxy"].spark(spark, SF).collect()
+    }
+    assert set(out) == set(per_doc)
+    for doc_id, cnt in per_doc.items():
+        n = sum(cnt.values())
+        clipped = sum(min(c, glob[g] - c) for g, c in cnt.items())
+        r = out[doc_id]
+        assert r.n_bigrams == n
+        assert r.self_bleu2 == pytest.approx(clipped / n, abs=1e-5)
+
+
+def test_banding_sweep_nesting(spark):
+    """Band keys nest: an (r rows/band) candidate is always an (r/2) one,
+    so pair counts are monotone non-increasing in rows_per_band; a pair of
+    identical docs is found by every arm."""
+    rows = {
+        r.rows_per_band: r
+        for r in REGISTRY["dedup_lsh_banding_sweep"].spark(spark, SF).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].n_bands == 8 and rows[2].n_bands == 4 and rows[4].n_bands == 2
+    assert (
+        rows[1].n_candidate_pairs
+        >= rows[2].n_candidate_pairs
+        >= rows[4].n_candidate_pairs
+    )
+    assert rows[4].n_candidate_pairs >= 1  # the corpus has exact dup pairs
+    for r in rows.values():
+        assert r.n_docs_flagged <= 2 * r.n_candidate_pairs
+
+
+def test_shot_boundaries_synthetic(spark, tmp_path):
+    """Payload with 3 frames of pattern A then 2 of pattern B (A/B differ
+    in >12 average-hash bits): exactly one boundary, n_shots = 2, and the
+    signatures match a from-scratch Python recompute."""
+    import pytest
+
+    frame_a = "ab" * 16  # bytes alternate 97/98
+    frame_b = "a" * 16 + "z" * 16  # half low, half high
+    payload = frame_a * 3 + frame_b * 2
+
+    def avg_hash(fr: bytes) -> int:
+        mean = sum(fr) // len(fr)
+        return sum(1 << i for i, b in enumerate(fr) if b >= mean)
+
+    sig_a, sig_b = avg_hash(frame_a.encode()), avg_hash(frame_b.encode())
+    ham = bin(sig_a ^ sig_b).count("1")
+    assert ham > 12
+    sf = _write_docs(tmp_path, [payload, frame_a])  # doc 2: single frame
+    out = {
+        r.media_id: r
+        for r in REGISTRY["media_shot_boundaries"].spark(spark, sf).collect()
+    }
+    r1 = out[1]
+    assert (r1.n_frames, r1.n_boundaries, r1.n_shots) == (5, 1, 2)
+    assert r1.mean_hamming == pytest.approx(ham / 4.0, abs=1e-3)
+    r2 = out[2]
+    assert (r2.n_frames, r2.n_boundaries, r2.n_shots, r2.mean_hamming) == (
+        1, 0, 1, 0.0,
+    )
+
+
+def test_streaming_page_hinkley_equals_batch(spark):
+    """The streaming fold must reproduce the batch PH report EXACTLY —
+    the commutative-monoid contract across arbitrary micro-batch splits."""
+    batch = sorted(
+        map(tuple, REGISTRY["stats_page_hinkley"].spark(spark, SF).collect())
+    )
+    stream = sorted(
+        map(tuple, REGISTRY["streaming_page_hinkley"].spark(spark, SF).collect())
+    )
+    assert batch == stream
