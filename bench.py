@@ -339,6 +339,22 @@ HEADLINE = [
     "stats_ljung_box",
     "stats_mood_median_test",
     "eval_mcc_langid",
+    # r10 additions
+    "dedup_substring_exact",
+    "dedup_substring_survivors",
+    "stats_page_hinkley",
+    "stats_dickey_fuller",
+    "stats_durbin_watson",
+    "stats_bartlett_test",
+    "stats_cochran_q",
+    "stats_jonckheere_terpstra",
+    "eval_mcnemar_models",
+    "eval_dup_capture_recapture",
+    "curation_mixture_waterfill",
+    "lm_self_bleu_proxy",
+    "dedup_lsh_banding_sweep",
+    "media_shot_boundaries",
+    "streaming_page_hinkley",
 ]
 
 
