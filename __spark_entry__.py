@@ -273,6 +273,7 @@ _ORDER_LAST_R10: set[str] = {
     "dedup_lsh_banding_sweep",
     "media_shot_boundaries",
     "streaming_page_hinkley",
+    "stats_grubbs_outlier",
 }
 
 

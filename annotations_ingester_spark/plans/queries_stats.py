@@ -5687,3 +5687,73 @@ def q_streaming_page_hinkley(spark: SparkSession, sf: str):
         return _page_hinkley_report(folded).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+# --- round-10: Grubbs' outlier test -------------------------------------------
+
+_GRUBBS_CRIT = 2.745  # two-sided 5% critical value, n ~ 30
+
+
+@register(
+    "stats_grubbs_outlier",
+    f"""WITH {DAILY_CENTS_CTE},
+       s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                    sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS sxx
+             FROM d),
+       m AS (SELECT n, CAST(sx AS DOUBLE) / n AS mean,
+                    sqrt((CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * sx / n) / (n - 1)) AS sd
+             FROM s),
+       dev AS (SELECT d.day, d.x, m.n, m.mean, m.sd,
+                      abs(d.x - m.mean) AS ad
+               FROM d, m),
+       top AS (SELECT * FROM dev ORDER BY ad DESC, day LIMIT 1)
+       SELECT n AS n_days, day AS suspect_day, x AS suspect_cents,
+              round(ad / sd, 4) AS g_stat,
+              round(ad / sd, 4) > {_GRUBBS_CRIT} AS is_outlier
+       FROM top""",
+    doc="Grubbs' test for a single outlier in the daily revenue series — "
+    "the FORMAL hypothesis test completing the outlier family "
+    "(events_anomaly_mad flags points by robust z; Grubbs says whether "
+    "the single most extreme day is statistically incompatible with "
+    "the rest under normality, the classic before-you-delete-a-point "
+    "gate): G = max|x - xbar| / s, suspect located by a TOTAL order "
+    "(|deviation| desc, day asc — deterministic at ties). EXACT "
+    "integer/DECIMAL(38) moment core, one double sqrt/division, flag "
+    f"from the ROUNDED G vs the pinned 5% critical value {_GRUBBS_CRIT} "
+    "(n ~ 30; the date domain is pinned by the generator). Scale "
+    "shape: one map-side-combinable daily rollup, a 1-row moment "
+    "broadcast, TakeOrdered(1) — no window at all.",
+)
+def q_stats_grubbs(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf)
+    s = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    n = F.col("n")
+    m = s.select(
+        n.alias("n"),
+        (F.col("sx").cast("double") / n).alias("mean"),
+        F.sqrt(
+            (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n)
+            / (n - 1)
+        ).alias("sd"),
+    )
+    dev = d.crossJoin(F.broadcast(m)).select(
+        "day", "x", "n", "sd", F.abs(F.col("x") - F.col("mean")).alias("ad")
+    )
+    top = dev.orderBy(F.col("ad").desc(), F.col("day").asc()).limit(1)
+    g = F.round(F.col("ad") / F.col("sd"), 4)
+    return top.select(
+        F.col("n").alias("n_days"),
+        F.col("day").alias("suspect_day"),
+        F.col("x").alias("suspect_cents"),
+        g.alias("g_stat"),
+        (g > F.lit(_GRUBBS_CRIT)).alias("is_outlier"),
+    )

@@ -355,6 +355,7 @@ HEADLINE = [
     "dedup_lsh_banding_sweep",
     "media_shot_boundaries",
     "streaming_page_hinkley",
+    "stats_grubbs_outlier",
 ]
 
 

@@ -156,6 +156,8 @@ CROSS_ALLOWED = {
     "curation_mixture_waterfill",
     # r10: per-arm 1-row pair/doc count crosses (3-row output assembly)
     "dedup_lsh_banding_sweep",
+    # r10: 1-row moment broadcast onto the day-domain rollup (Grubbs)
+    "stats_grubbs_outlier",
     # 1-row stream-total broadcast (the 2N/w envelope scalar) onto the
     # 20-row probe table (the heavy-hitters shape)
     "sketch_count_min_certified",

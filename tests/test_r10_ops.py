@@ -451,3 +451,18 @@ def test_streaming_page_hinkley_equals_batch(spark):
         map(tuple, REGISTRY["streaming_page_hinkley"].spark(spark, SF).collect())
     )
     assert batch == stream
+
+
+def test_grubbs_recompute(spark):
+    import pytest
+
+    series = _daily_cents()
+    xs = [x for _, x in series]
+    n = len(xs)
+    mean = sum(xs) / n
+    sd = (sum((v - mean) ** 2 for v in xs) / (n - 1)) ** 0.5
+    suspect = sorted(series, key=lambda dv: (-abs(dv[1] - mean), dv[0]))[0]
+    r = REGISTRY["stats_grubbs_outlier"].spark(spark, SF).collect()[0]
+    assert (r.n_days, r.suspect_day, r.suspect_cents) == (n, *suspect)
+    assert r.g_stat == pytest.approx(abs(suspect[1] - mean) / sd, abs=1e-3)
+    assert r.is_outlier == (r.g_stat > 2.745)
