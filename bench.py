@@ -425,14 +425,22 @@ def main() -> None:
     # round-over-round delta by the calibration ratio separates machine
     # noise from genuine plan regressions.
     def calibrate() -> float:
-        runs = []
-        for _ in range(3):
+        # One DISCARDED pass first: the r10 artifact showed a median-of-3
+        # taken at session start reads ~3x slower than the same job after
+        # the suite has warmed the JVM (JIT/codegen, not machine load) —
+        # an asymmetry between the two passes' calibrations inflates the
+        # normalization divisor and can MASK a real superlinear. Warming
+        # the calibration shape itself before timing makes the two
+        # calibrations comparable.
+        def one() -> float:
             t0 = time.perf_counter()
             spark.range(50_000_000).selectExpr(
                 "sum(id * 2)", "avg(id)", "count(distinct id % 1000)"
             ).collect()
-            runs.append(time.perf_counter() - t0)
-        return round(sorted(runs)[1], 3)
+            return time.perf_counter() - t0
+
+        one()  # discarded warm-up
+        return round(sorted(one() for _ in range(3))[1], 3)
 
     def time_query(name: str, at_dir: str) -> float:
         # One UNTIMED warm-up execution (fills codegen/broadcast/
