@@ -386,6 +386,16 @@ def compute_superlinear_flags(
        ratio ALSO exceeds the threshold. A transient load spike during one
        query's original timing window cannot produce a flag on its own.
 
+    Normalization is ONE-SIDED: it can only ADD candidates, never remove
+    them. Measured r10 artifacts show the main-pass calibration reads up
+    to ~2x slower than the base-pass one even on an idle machine (early-
+    session JVM warmth the discarded warm-up doesn't fully cure), so
+    dividing by the calibration ratio alone would silently HIDE a real
+    quadratic behind apparent contention. A query whose raw OR normalized
+    ratio trips the threshold becomes a candidate; the isolation
+    re-measure is the arbiter. Without a ``remeasure`` hook, a candidate
+    is flagged only when BOTH ratios trip (high confidence, no arbiter).
+
     Sub-second timings are planner-overhead noise, not scaling signal, and
     are never flagged.
     """
@@ -398,12 +408,16 @@ def compute_superlinear_flags(
         b = base.get(q)
         if not b or b <= 0 or t < 0.5:
             continue
-        if (t / cal_ratio) / b <= threshold:
+        raw_over = (t / b) > threshold
+        norm_over = ((t / cal_ratio) / b) > threshold
+        if not (raw_over or norm_over):
             continue
         if remeasure is not None:
             t2, b2 = remeasure(q)
             if not b2 or b2 <= 0 or t2 < 0.5 or (t2 / b2) <= threshold:
                 continue
+        elif not (raw_over and norm_over):
+            continue
         flagged.append(q)
     return flagged
 

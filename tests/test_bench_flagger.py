@@ -98,3 +98,30 @@ def test_missing_calibration_degrades_to_raw_ratio():
     main = dict(MAIN, q_quad=20.0)
     base = dict(BASE, q_quad=0.5)
     assert FLAG(main, base, 10.0) == ["q_quad"]
+
+
+def test_inflated_main_calibration_cannot_hide_a_real_quadratic():
+    # Early-session JVM warmth inflates cal_main 2x (the r10 artifact
+    # pattern). A genuine O(N^2) at raw 18x / normalized 9x must still
+    # surface through the raw-ratio candidacy + isolation confirmation —
+    # normalization may only ADD candidates, never remove them.
+    main = dict(MAIN, q_quad=9.0)
+    base = dict(BASE, q_quad=0.5)  # raw 18x > 15
+    flags = FLAG(
+        main,
+        base,
+        10.0,
+        cal_main=0.84,
+        cal_base=0.42,  # normalized 9x < 15
+        remeasure=lambda q: (9.0, 0.5),  # isolated truth: still 18x
+    )
+    assert flags == ["q_quad"]
+
+
+def test_without_arbiter_a_candidate_needs_both_ratios():
+    # Same inflated-calibration scenario, no remeasure hook: raw trips,
+    # normalized doesn't -> ambiguous, not flagged (and the inverse for
+    # the uniformly-slowed pass is covered above).
+    main = dict(MAIN, q_quad=9.0)
+    base = dict(BASE, q_quad=0.5)
+    assert FLAG(main, base, 10.0, cal_main=0.84, cal_base=0.42) == []
