@@ -201,3 +201,17 @@ def test_unpivot_is_zero_shuffle_fanout(spark):
     assert "Expand" in p
     # one exchange for the groupBy; none introduced by the reshape
     assert p.count("Exchange") <= 2  # agg shuffle (+ AQE read wrapper)
+
+
+def test_substring_dedup_flagging_join_broadcasts_dupes_dim(spark):
+    """The r10 exact-substring pass flags duplicated grams via an
+    equi-join of the gram stream against the (aggregated, filtered)
+    duplicated-gram dim. At test scale the dim must BROADCAST — the
+    gram stream never shuffles for the flagging (hot boilerplate keys
+    ride the broadcast probe side for free; at dim sizes beyond the
+    broadcast threshold the documented fallback is SMJ under AQE skew
+    handling, covered by the catalog-wide audit)."""
+    p = plan_of(spark, "dedup_substring_exact")
+    assert "BroadcastHashJoin" in p, p[:800]
+    # gaps-and-islands windows are doc-partitioned, never global
+    assert "Window" in p

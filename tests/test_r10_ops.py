@@ -466,3 +466,26 @@ def test_grubbs_recompute(spark):
     assert (r.n_days, r.suspect_day, r.suspect_cents) == (n, *suspect)
     assert r.g_stat == pytest.approx(abs(suspect[1] - mean) / sd, abs=1e-3)
     assert r.is_outlier == (r.g_stat > 2.745)
+
+
+def test_substring_dedup_corpus_wide_boilerplate_hot_key(spark, tmp_path):
+    """Worst-case gram skew: ONE 12-token boilerplate block present in
+    EVERY document (the license-header pathology — a single gram_hash key
+    carries the whole corpus). Semantics: every doc gets exactly one
+    removal interval over the block, and survivors keep only the unique
+    tail. This is the hot-key path the docstring assigns to the
+    broadcast/AQE tier; 400 docs suffice to make the hot gram dominate."""
+    n = 400
+    texts = [f"{CLONE} tail{i}a tail{i}b tail{i}c" for i in range(n)]
+    sf = _write_docs(tmp_path, texts)
+    rows = REGISTRY["dedup_substring_exact"].spark(spark, sf).collect()
+    assert len(rows) == n
+    assert {(r.start_pos, r.end_pos, r.span_len) for r in rows} == {(0, 11, 12)}
+    surv = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_substring_survivors"].spark(spark, sf).collect()
+    }
+    assert all(
+        (surv[i].total_tokens, surv[i].surviving_tokens) == (15, 3)
+        for i in range(1, n + 1)
+    )
