@@ -277,6 +277,19 @@ _ORDER_LAST_R10: set[str] = {
 }
 
 
+# Round-11 head start: operators built late in round 10, AFTER the r10
+# gate window filled exactly (34 debt + 16 r10 = 50). They ride behind
+# every other uncovered name and front the r11 window once the r10 gate
+# certifies its 50. Verified today by tools/parity.py (sf0.01 sweep) and
+# per-op recompute tests — only the OFFICIAL row waits for r11.
+_ORDER_LAST_R11: set[str] = {
+    "dedup_substring_cross_split",
+    "stats_cochran_armitage",
+    "events_markov_entropy_rate",
+    "text_mattr_diversity",
+}
+
+
 def _ordered():
     reg = _registry()
     covered_names = _covered_from_disk()
@@ -287,6 +300,7 @@ def _ordered():
         and n in _QUEUED_LATE
         and n not in _ORDER_LAST
         and n not in _ORDER_LAST_R10
+        and n not in _ORDER_LAST_R11
     }
     fresh = {
         n: s
@@ -296,6 +310,7 @@ def _ordered():
         and n not in _DEFERRED_PAST_WINDOW
         and n not in _ORDER_LAST
         and n not in _ORDER_LAST_R10
+        and n not in _ORDER_LAST_R11
     }
     deferred = {
         n: s
@@ -304,17 +319,28 @@ def _ordered():
         and n in _DEFERRED_PAST_WINDOW
         and n not in _ORDER_LAST
         and n not in _ORDER_LAST_R10
+        and n not in _ORDER_LAST_R11
     }
     last = {
         n: s
         for n, s in reg.items()
-        if n not in covered_names and n in _ORDER_LAST and n not in _ORDER_LAST_R10
+        if n not in covered_names
+        and n in _ORDER_LAST
+        and n not in _ORDER_LAST_R10
+        and n not in _ORDER_LAST_R11
     }
     last10 = {
-        n: s for n, s in reg.items() if n not in covered_names and n in _ORDER_LAST_R10
+        n: s
+        for n, s in reg.items()
+        if n not in covered_names
+        and n in _ORDER_LAST_R10
+        and n not in _ORDER_LAST_R11
+    }
+    last11 = {
+        n: s for n, s in reg.items() if n not in covered_names and n in _ORDER_LAST_R11
     }
     covered = {n: s for n, s in reg.items() if n in covered_names}
-    return {**debt, **fresh, **deferred, **last, **last10, **covered}
+    return {**debt, **fresh, **deferred, **last, **last10, **last11, **covered}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -797,3 +797,103 @@ def substring_dedup_survivors(
             F.md5(F.coalesce(F.col("_joined"), F.lit(""))).alias("surviving_hash"),
         )
     )
+
+
+def cross_split_substring_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_n: int = 5,
+    min_len: int = 10,
+    train_pct: int = 80,
+) -> DataFrame:
+    """Eval-set contamination at SUBSTRING granularity: hash-split the
+    corpus into train/test (``md5('split:'||id) % 100 < train_pct`` — the
+    split_hash_assign discipline), then flag every >= ``min_len``-token
+    run in a TEST document whose ``anchor_n``-gram anchors ALL appear
+    somewhere in TRAIN → per test doc ``(doc_id, total_tokens,
+    contaminated_tokens, contamination_frac)``.
+
+    This is the substring-level refinement of
+    :func:`cross_split_contamination` (which scores doc-level n-gram
+    overlap): a benchmark answer quoted verbatim inside a training page
+    shows up here as a long contaminated run even when the documents
+    share little else — the Lee-et-al decontamination primitive applied
+    across the split boundary instead of within the corpus.
+
+    Scale shape: grams hash pre-shuffle; the train gram DIM is a
+    map-side-combined distinct that joins back on the hash (broadcast
+    under the threshold, SMJ+AQE beyond); islands are one
+    doc-partitioned lag/prefix-sum window; per-doc totals one keyed agg.
+    Never all-pairs.
+    """
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    toks = _tokens_sql(text_col)
+    split = (
+        md5_hash64(F.concat(F.lit("split:"), F.col(id_col).cast("string"))) % 100
+    )
+    d = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            F.expr(toks).alias("_tk"),
+            (split < train_pct).alias("_is_train"),
+        )
+        .localCheckpoint(eager=True)  # feeds train grams + test grams + totals
+    )
+    _disable_infer_filters_from_generate(df)
+    parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(anchor_n))
+    grams = (
+        d.filter(F.size("_tk") >= anchor_n)
+        .withColumn(
+            "_sh",
+            # CASE guard in addition to the filter: Catalyst can evaluate
+            # the projection before the filter lands (same hazard
+            # duplicate_ngram_spans documents), and element_at past the
+            # array end throws under ANSI
+            F.expr(
+                f"CASE WHEN size(_tk) >= {anchor_n} THEN"
+                f" transform(sequence(1, size(_tk) - {anchor_n - 1}),"
+                f" i -> concat_ws(' ', {parts}))"
+                f" ELSE cast(array() as array<string>) END"
+            ),
+        )
+        .select(id_col, "_is_train", F.posexplode("_sh").alias("pos", "_gram"))
+        .select(
+            id_col,
+            "_is_train",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(_hash_sql("_gram")).alias("gram_hash"),
+        )
+    )
+    train_dim = (
+        grams.filter(F.col("_is_train")).select("gram_hash").distinct()
+    )
+    hits = (
+        grams.filter(~F.col("_is_train"))
+        .join(train_dim, "gram_hash")
+        .select(id_col, "pos")
+    )
+    islands = duplicate_span_islands(hits, n=anchor_n, id_col=id_col)
+    spans = islands.filter(F.col("span_len") >= min_len)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").cast("long").alias("contaminated_tokens")
+    )
+    return (
+        d.filter(~F.col("_is_train"))
+        .select(id_col, F.size("_tk").cast("long").alias("total_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "total_tokens",
+            F.coalesce(F.col("contaminated_tokens"), F.lit(0))
+            .cast("long")
+            .alias("contaminated_tokens"),
+            F.round(
+                F.coalesce(F.col("contaminated_tokens"), F.lit(0))
+                / F.greatest(F.col("total_tokens"), F.lit(1)),
+                6,
+            ).alias("contamination_frac"),
+        )
+    )

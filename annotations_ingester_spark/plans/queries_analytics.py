@@ -3287,3 +3287,94 @@ _REG["graph_two_hop_reach"].oracle = f"""WITH {_lsh_edges_sql()},
          GROUP BY node)
        SELECT d.node, d.deg, r.reach_2hop
        FROM deg d JOIN reach r ON d.node = r.node"""
+
+
+# --- round-11 head start: Markov entropy rate ---------------------------------
+
+
+@register(
+    "events_markov_entropy_rate",
+    """WITH e AS (
+         SELECT user_id, event_type AS state,
+                floor(epoch(ts))::BIGINT AS ts_s, event_id
+         FROM events),
+       seq AS (
+         SELECT user_id, state,
+                lag(state) OVER (PARTITION BY user_id
+                                 ORDER BY ts_s, event_id) AS prev
+         FROM e),
+       t AS (
+         SELECT prev AS s, state AS v, count(*)::BIGINT AS c
+         FROM seq WHERE prev IS NOT NULL GROUP BY prev, state),
+       fr AS (SELECT s, sum(c)::BIGINT AS cs FROM t GROUP BY s),
+       tot AS (SELECT sum(c)::BIGINT AS n FROM t),
+       terms AS (
+         SELECT round((t.c * 1.0 / tot.n) * log2(t.c * 1.0 / fr.cs), 9)
+                  ::DECIMAL(20,9) AS term
+         FROM t JOIN fr USING (s), tot),
+       k AS (SELECT count(*)::BIGINT AS n_states FROM fr)
+       SELECT tot.n AS n_transitions, k.n_states,
+              round(-CAST(sum(term) AS DOUBLE), 6) AS entropy_rate_bits,
+              round(log2(k.n_states), 6) AS max_entropy_bits,
+              round(-CAST(sum(term) AS DOUBLE) / log2(k.n_states), 6)
+                AS predictability_ratio
+       FROM terms, tot, k
+       GROUP BY tot.n, k.n_states""",
+    doc="Empirical entropy rate of the first-order Markov chain over "
+    "per-user event sequences — the single-number summary of "
+    "events_markov_transitions: H = -Sum_(s,v) (c_sv/T) "
+    "log2(c_sv/c_s), the average surprisal of the next action given "
+    "the current one. Low rate relative to log2(#states) = scripted/"
+    "predictable traffic (the bot-detection scalar next to the full "
+    "matrix); the ratio column makes the comparison explicit. Each "
+    "plogp term rounds to 9 dp and DECIMAL-sums (the catalog's "
+    "entropy discipline); counts are exact integers from one lag "
+    "window + a states^2-bounded rollup. Scale shape: one user_id "
+    "window shuffle, then states^2-row arithmetic — no further "
+    "data-sized stage.",
+)
+def q_events_markov_entropy(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select(
+        "user_id", F.col("event_type").alias("state"), "ts_s", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    seq = e.withColumn("prev", F.lag("state").over(w))
+    t = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("s"), F.col("state").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # states^2 rows; feeds 3 branches
+    )
+    fr = t.groupBy("s").agg(F.sum("c").cast("long").alias("cs"))
+    tot = t.agg(F.sum("c").cast("long").alias("n"))
+    k = fr.agg(F.count("*").cast("long").alias("n_states"))
+    terms = (
+        t.join(F.broadcast(fr), "s")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("c") * 1.0 / F.col("n"))
+                * F.log2(F.col("c") * 1.0 / F.col("cs")),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("term")
+        )
+    )
+    h = -F.col("sum_term").cast("double")
+    return (
+        terms.agg(F.sum("term").alias("sum_term"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(k))
+        .select(
+            F.col("n").alias("n_transitions"),
+            "n_states",
+            F.round(h, 6).alias("entropy_rate_bits"),
+            F.round(F.log2(F.col("n_states")), 6).alias("max_entropy_bits"),
+            F.round(h / F.log2(F.col("n_states")), 6).alias(
+                "predictability_ratio"
+            ),
+        )
+    )

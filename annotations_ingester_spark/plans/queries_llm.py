@@ -1912,3 +1912,68 @@ def q_lm_self_bleu(spark: SparkSession, sf: str):
             ).alias("self_bleu2"),
         )
     )
+
+
+# --- round-11 head start: MATTR lexical diversity ------------------------------
+
+_MATTR_W = 25  # moving-average TTR window (tokens)
+
+
+@register(
+    "text_mattr_diversity",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents
+              WHERE text IS NOT NULL),
+       nz AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM d WHERE len(t) >= 1),
+       m AS (
+         SELECT doc_id, n,
+                CASE WHEN n < {_MATTR_W}
+                     THEN round(len(list_distinct(t)) * 1.0 / n, 6)
+                     ELSE round(list_sum(list_transform(
+                            range(1, n - {_MATTR_W} + 2),
+                            i -> len(list_distinct(
+                                   list_slice(t, i, i + {_MATTR_W} - 1)))))
+                          * 1.0 / ((n - {_MATTR_W} + 1) * {_MATTR_W}), 6)
+                END AS mattr
+         FROM nz)
+       SELECT doc_id, n AS n_tokens, mattr FROM m""",
+    doc="Moving-average type-token ratio (MATTR, Covington-McFall) per "
+    f"document at window W={_MATTR_W}: the mean of distinct/W over "
+    "every W-token sliding window — the lexical-diversity measure that, "
+    "unlike raw TTR, does not fall mechanically with document length "
+    "(short docs below W fall back to plain TTR over their full "
+    "length). Complements text_repetition_stats (fixed n-gram repeat "
+    "fractions) with the windowed vocabulary view — template/"
+    "mode-collapse text shows low MATTR even when no single n-gram "
+    "dominates. Exact integer distinct counts per window, one rounded "
+    "division per doc. Scale shape: pure per-row higher-order array "
+    "functions inside whole-stage codegen — window count is bounded by "
+    "per-doc token length, no shuffle, no UDF, embarrassingly "
+    "parallel.",
+)
+def q_text_mattr(spark: SparkSession, sf: str):
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", tx.tokens("text").alias("t"))
+        .filter(F.size("t") >= 1)
+        .select("doc_id", "t", F.size("t").cast("long").alias("n"))
+    )
+    w = _MATTR_W
+    short = F.round(
+        F.size(F.array_distinct("t")) * 1.0 / F.col("n"), 6
+    )
+    long_ = F.round(
+        F.expr(
+            f"aggregate(transform(sequence(1, n - {w} + 1),"
+            f" i -> size(array_distinct(slice(t, i, {w})))),"
+            f" 0L, (acc, x) -> acc + x)"
+        )
+        * 1.0
+        / ((F.col("n") - w + 1) * w),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.when(F.col("n") < w, short).otherwise(long_).alias("mattr"),
+    )

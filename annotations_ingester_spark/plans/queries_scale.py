@@ -2462,3 +2462,73 @@ def q_lsh_banding_sweep(spark: SparkSession, sf: str):
 from annotations_ingester_spark.plans.catalog import REGISTRY as _REG_SWEEP  # noqa: E402
 
 _REG_SWEEP["dedup_lsh_banding_sweep"].oracle = _banding_sweep_oracle()
+
+
+# --- round-11 head start: cross-split substring contamination ----------------
+
+from annotations_ingester_spark.functions.hashing import md5_hash64_sql as _mh64  # noqa: E402
+
+_XS_SPLIT = _mh64("'split:' || doc_id::VARCHAR")
+
+
+@register(
+    "dedup_substring_cross_split",
+    f"""WITH d AS (
+         SELECT doc_id, {TOKS} AS t,
+                ({_XS_SPLIT} % 100 < 80) AS is_train
+         FROM documents WHERE text IS NOT NULL),
+       sh AS (SELECT doc_id, is_train, {_NGRAM5} AS s FROM d WHERE len(t) >= 5),
+       g AS (
+         SELECT doc_id, is_train, u.x.p::BIGINT AS pos,
+                {HASH.format(e="u.x.g")} AS gram_hash
+         FROM (SELECT doc_id, is_train,
+                      unnest(list_transform(range(len(s)),
+                                            i -> {{'p': i, 'g': s[i + 1]}})) AS x
+               FROM sh) u),
+       tr AS (SELECT DISTINCT gram_hash FROM g WHERE is_train),
+       hits AS (SELECT g.doc_id, g.pos FROM g JOIN tr USING (gram_hash)
+                WHERE NOT g.is_train),
+       lagd AS (
+         SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS new_i
+         FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       isl AS (
+         SELECT doc_id, pos,
+                sum(new_i) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS island_id
+         FROM lagd),
+       spans AS (
+         SELECT doc_id, (max(pos) + 4 - min(pos) + 1)::BIGINT AS span_len
+         FROM isl GROUP BY doc_id, island_id
+         HAVING (max(pos) + 4 - min(pos) + 1) >= 10),
+       pd AS (SELECT doc_id, sum(span_len)::BIGINT AS contaminated_tokens
+              FROM spans GROUP BY doc_id)
+       SELECT d.doc_id, len(d.t)::BIGINT AS total_tokens,
+              coalesce(pd.contaminated_tokens, 0)::BIGINT
+                AS contaminated_tokens,
+              round(coalesce(pd.contaminated_tokens, 0)
+                    / greatest(len(d.t), 1), 6) AS contamination_frac
+       FROM d LEFT JOIN pd USING (doc_id)
+       WHERE NOT d.is_train""",
+    doc="Eval-set contamination at SUBSTRING granularity: hash-split the "
+    "corpus 80/20 (the split_hash_assign discipline), flag every >= "
+    "10-token run in a TEST document whose 5-gram anchors all appear "
+    "somewhere in TRAIN — per test doc, the contaminated token count "
+    "and fraction. The substring-level refinement of "
+    "decontamination_ngram_overlap (doc-level overlap scores): a "
+    "benchmark answer quoted verbatim inside a training page surfaces "
+    "as one long contaminated run even when the documents share "
+    "little else — the Lee-et-al decontamination primitive applied "
+    "across the split boundary. Scale shape: pre-shuffle gram hashes, "
+    "a map-side-combined distinct train-gram dim joined back on the "
+    "hash (broadcast under threshold, SMJ+AQE beyond), one "
+    "doc-partitioned islands window, one keyed agg "
+    "(operators/dedup.py cross_split_substring_contamination).",
+)
+def q_substring_cross_split(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import (
+        cross_split_substring_contamination,
+    )
+
+    return cross_split_substring_contamination(table(spark, sf, "documents"))

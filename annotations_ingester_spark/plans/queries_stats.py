@@ -5757,3 +5757,138 @@ def q_stats_grubbs(spark: SparkSession, sf: str):
         g.alias("g_stat"),
         (g > F.lit(_GRUBBS_CRIT)).alias("is_outlier"),
     )
+
+
+# --- round-11 head start: Cochran-Armitage trend in proportions ---------------
+
+
+@register(
+    "stats_cochran_armitage",
+    f"""WITH c AS (
+         SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+                round(o_totalprice * 100)::BIGINT AS cents
+         FROM orders),
+       v AS (SELECT cents, count(*)::BIGINT AS k FROM c GROUP BY cents),
+       vb AS (SELECT cents, k, (cents // 1048576)::BIGINT AS bkt FROM v),
+       ranked AS (
+         SELECT cents, k, bkt,
+                sum(k) OVER (PARTITION BY bkt ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cw_in
+         FROM vb),
+       bc AS (SELECT bkt, sum(k)::BIGINT AS bw FROM vb GROUP BY bkt),
+       off AS (SELECT bkt,
+                      coalesce(sum(bw) OVER (ORDER BY bkt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)::BIGINT AS o
+               FROM bc),
+       tot AS (SELECT sum(k)::BIGINT AS n FROM v),
+       med AS (SELECT min(CASE WHEN 2 * (f.o + r.cw_in) >= tot.n
+                               THEN r.cents END)::BIGINT AS med
+               FROM ranked r JOIN off f USING (bkt), tot),
+       pg AS (SELECT c.g AS t, count(*)::BIGINT AS ni,
+                     sum(CASE WHEN c.cents > med.med THEN 1 ELSE 0 END)
+                       ::BIGINT AS ri
+              FROM c, med GROUP BY c.g),
+       s AS (SELECT sum(ni)::BIGINT AS n, sum(ri)::BIGINT AS r,
+                    sum(t * ri)::BIGINT AS str_, sum(t * ni)::BIGINT AS stn,
+                    sum(t * t * ni)::BIGINT AS stt
+             FROM pg)
+       SELECT n AS n_total, r AS successes,
+              round((CAST(n AS DOUBLE) * str_ - CAST(r AS DOUBLE) * stn)
+                    / sqrt(CAST(r AS DOUBLE) * (n - r)
+                           * (CAST(n AS DOUBLE) * stt
+                              - CAST(stn AS DOUBLE) * stn) / n),
+                    4) AS z_stat,
+              abs(round((CAST(n AS DOUBLE) * str_ - CAST(r AS DOUBLE) * stn)
+                    / sqrt(CAST(r AS DOUBLE) * (n - r)
+                           * (CAST(n AS DOUBLE) * stt
+                              - CAST(stn AS DOUBLE) * stn) / n),
+                    4)) > 1.96 AS trend_detected
+       FROM s""",
+    doc="Cochran-Armitage trend test for PROPORTIONS across the ordered "
+    "priority ordinals (scores t = 1..5): is the share of "
+    "above-grand-median orders rising or falling with priority? The "
+    "binary companion to stats_jonckheere_terpstra (JT ranks the "
+    "values; CA tests a success rate) and the trend refinement of the "
+    "2xk chi-square — one degree of freedom pointed at the ordering. "
+    "The grand median is EXACT via the weighted-median two-level "
+    "bucketed prefix (the mood_median machinery); the statistic "
+    "reduces to five exact integer sums and one closed-form double "
+    "z = (N Sum(t r) - R Sum(t n)) / sqrt(R(N-R)(N Sum(t^2 n) - "
+    "Sum(t n)^2)/N), flag from the ROUNDED |z| vs 1.96. Scale shape: "
+    "one value rollup + bucket-partitioned windows for the median, "
+    "one group rollup, 1-row arithmetic.",
+)
+def q_stats_cochran_armitage(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = table(spark, sf, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v = (
+        c.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("k"))
+        .withColumn("bkt", F.expr("CAST(cents DIV 1048576 AS BIGINT)"))
+        .localCheckpoint(eager=True)
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = v.withColumn("cw_in", F.sum("k").over(w_in).cast("long"))
+    bc = v.groupBy("bkt").agg(F.sum("k").cast("long").alias("bw"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bc.withColumn(
+        "o", F.coalesce(F.sum("bw").over(w_off), F.lit(0)).cast("long")
+    ).select("bkt", "o")
+    tot = v.agg(F.sum("k").cast("long").alias("n"))
+    med = (
+        ranked.join(F.broadcast(off), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    2 * (F.col("o") + F.col("cw_in")) >= F.col("n"),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias("med")
+        )
+    )
+    pg = (
+        c.crossJoin(F.broadcast(med))
+        .groupBy(F.col("g").alias("t"))
+        .agg(
+            F.count("*").cast("long").alias("ni"),
+            F.sum(F.when(F.col("cents") > F.col("med"), 1).otherwise(0))
+            .cast("long")
+            .alias("ri"),
+        )
+    )
+    s = pg.agg(
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("ri").cast("long").alias("r"),
+        F.sum(F.col("t") * F.col("ri")).cast("long").alias("str_"),
+        F.sum(F.col("t") * F.col("ni")).cast("long").alias("stn"),
+        F.sum(F.col("t") * F.col("t") * F.col("ni")).cast("long").alias("stt"),
+    )
+    n, r = F.col("n"), F.col("r")
+    z = F.round(
+        (n.cast("double") * F.col("str_") - r.cast("double") * F.col("stn"))
+        / F.sqrt(
+            r.cast("double")
+            * (n - r)
+            * (n.cast("double") * F.col("stt") - F.col("stn").cast("double") * F.col("stn"))
+            / n
+        ),
+        4,
+    )
+    return s.select(
+        n.alias("n_total"),
+        r.alias("successes"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("trend_detected"),
+    )

@@ -356,6 +356,11 @@ HEADLINE = [
     "media_shot_boundaries",
     "streaming_page_hinkley",
     "stats_grubbs_outlier",
+    # r11 head-start tier (certifies next round; benchmarked from day one)
+    "dedup_substring_cross_split",
+    "stats_cochran_armitage",
+    "events_markov_entropy_rate",
+    "text_mattr_diversity",
 ]
 
 

@@ -158,6 +158,11 @@ CROSS_ALLOWED = {
     "dedup_lsh_banding_sweep",
     # r10: 1-row moment broadcast onto the day-domain rollup (Grubbs)
     "stats_grubbs_outlier",
+    # r11 head start: 1-row exact-median broadcast onto the group rollup
+    # (Cochran-Armitage, the mood_median shape); 1-row totals/state-count
+    # broadcasts onto the states^2 transition table (entropy rate)
+    "stats_cochran_armitage",
+    "events_markov_entropy_rate",
     # 1-row stream-total broadcast (the 2N/w envelope scalar) onto the
     # 20-row probe table (the heavy-hitters shape)
     "sketch_count_min_certified",
@@ -456,6 +461,11 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # SOURCE-DOMAIN rollup (~20 sources at any sf)
     "curation_mixture_waterfill": (
         64, "SELECT count(DISTINCT source) FROM documents"),
+    # r11 head start: cumulative offset over the order-value BUCKET-COUNT
+    # table (the kruskal/mood two-level prefix class — exact grand median)
+    "stats_cochran_armitage": (500, """
+        SELECT count(DISTINCT round(o_totalprice * 100)::BIGINT // 1048576)
+        FROM orders"""),
     # cumulative offset over the residual-BUCKET-COUNT table (2^20-
     # millicent buckets — the weighted-median two-level prefix class);
     # in-bucket cumulatives are bucket-partitioned

@@ -489,3 +489,142 @@ def test_substring_dedup_corpus_wide_boilerplate_hot_key(spark, tmp_path):
         (surv[i].total_tokens, surv[i].surviving_tokens) == (15, 3)
         for i in range(1, n + 1)
     )
+
+
+# --- r11 head-start tier (built late in r10; certify next round) -------------
+
+
+def test_cross_split_contamination_recompute(spark, tmp_path):
+    """Train doc carries the clone; the test doc quoting it gets exactly
+    the clone span flagged; an uncontaminated test doc reports zero.
+    Split membership is forced by choosing doc ids on both sides of the
+    hash split (computed below, not assumed)."""
+    import hashlib
+
+    def is_train(doc_id: int) -> bool:
+        h = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % 100 < 80
+
+    train_id = next(i for i in range(1, 50) if is_train(i))
+    test_ids = [i for i in range(1, 50) if not is_train(i)][:2]
+    texts_by_id = {
+        train_id: f"{CLONE} trainer filler words here",
+        test_ids[0]: f"aa bb {CLONE} cc dd",
+        test_ids[1]: "totally fresh unseen words without any overlap at all",
+    }
+    n = max(texts_by_id) + 1
+    texts = [texts_by_id.get(i, f"pad{i}x pad{i}y pad{i}z") for i in range(1, n)]
+    sf = _write_docs(tmp_path, texts)
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_substring_cross_split"].spark(spark, sf).collect()
+    }
+    assert train_id not in out  # train docs are not scored
+    quoted = out[test_ids[0]]
+    assert (quoted.total_tokens, quoted.contaminated_tokens) == (16, 12)
+    clean = out[test_ids[1]]
+    assert clean.contaminated_tokens == 0 and clean.contamination_frac == 0.0
+
+
+def test_cochran_armitage_recompute(spark):
+    import pytest
+
+    rows = _order_groups()
+    cents = sorted(c for _, c in rows)
+    n = len(cents)
+    med = cents[(n - 1) // 2] if n % 2 else cents[n // 2 - 1]
+    # lower median per the two-level prefix definition: min v with
+    # 2*cum(v) >= n
+    cum = 0
+    for v in cents:
+        cum += 1
+        if 2 * cum >= n:
+            med = v
+            break
+    ni: dict = {}
+    ri: dict = {}
+    for g, c in rows:
+        ni[g] = ni.get(g, 0) + 1
+        if c > med:
+            ri[g] = ri.get(g, 0) + 1
+    N = sum(ni.values())
+    R = sum(ri.values())
+    strv = sum(t * ri.get(t, 0) for t in ni)
+    stn = sum(t * ni[t] for t in ni)
+    stt = sum(t * t * ni[t] for t in ni)
+    z = (N * strv - R * stn) / ((R * (N - R) * (N * stt - stn * stn) / N) ** 0.5)
+    r = REGISTRY["stats_cochran_armitage"].spark(spark, SF).collect()[0]
+    assert (r.n_total, r.successes) == (N, R)
+    assert r.z_stat == pytest.approx(z, abs=1e-3)
+    assert r.trend_detected == (abs(r.z_stat) > 1.96)
+
+
+def test_markov_entropy_rate_recompute(spark):
+    import math
+
+    import duckdb
+    import pytest
+
+    trans = duckdb.sql(
+        f"""WITH e AS (SELECT user_id, event_type AS s,
+                  floor(epoch(ts))::BIGINT AS ts_s, event_id
+            FROM '{SF}/events.parquet'),
+        seq AS (SELECT user_id, s,
+                       lag(s) OVER (PARTITION BY user_id
+                                    ORDER BY ts_s, event_id) AS prev
+                FROM e)
+        SELECT prev, s, count(*) FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, s"""
+    ).fetchall()
+    cs: dict = {}
+    total = 0
+    for p, _, c in trans:
+        cs[p] = cs.get(p, 0) + c
+        total += c
+    h = -sum((c / total) * math.log2(c / cs[p]) for p, _, c in trans)
+    r = REGISTRY["events_markov_entropy_rate"].spark(spark, SF).collect()[0]
+    assert (r.n_transitions, r.n_states) == (total, len(cs))
+    assert r.entropy_rate_bits == pytest.approx(h, abs=1e-4)
+    assert r.predictability_ratio == pytest.approx(
+        h / math.log2(len(cs)), abs=1e-4
+    )
+
+
+def test_mattr_recompute(spark, tmp_path):
+    import pytest
+
+    texts = [
+        " ".join(["tok"] * 40),                      # degenerate: MATTR = 1/25
+        " ".join(f"w{i}" for i in range(40)),        # all distinct: MATTR = 1
+        "a b c a b",                                  # short doc (< W): TTR 3/5
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["text_mattr_diversity"].spark(spark, sf).collect()
+    }
+    assert out[1].mattr == pytest.approx(1.0 / 25, abs=1e-6)
+    assert out[2].mattr == pytest.approx(1.0, abs=1e-6)
+    assert out[3].n_tokens == 5 and out[3].mattr == pytest.approx(0.6, abs=1e-6)
+    # independent recompute on real data
+    import re
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' WHERE text IS NOT NULL"
+    ).fetchall()
+    real = {
+        r.doc_id: r.mattr
+        for r in REGISTRY["text_mattr_diversity"].spark(spark, SF).collect()
+    }
+    for doc_id, text in docs[:50]:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        n = len(toks)
+        if n < 25:
+            expect = len(set(toks)) / n
+        else:
+            expect = sum(
+                len(set(toks[i : i + 25])) for i in range(n - 25 + 1)
+            ) / ((n - 25 + 1) * 25)
+        assert real[doc_id] == pytest.approx(expect, abs=1e-5)

@@ -85,16 +85,29 @@ def test_order_last_r10_names_exist_in_registry():
     assert not stranded, f"_ORDER_LAST_R10 names not in registry: {sorted(stranded)}"
 
 
+def test_order_last_r11_names_exist_in_registry():
+    mod = _entry_module()
+    stranded = mod._ORDER_LAST_R11 - set(REGISTRY)
+    assert not stranded, f"_ORDER_LAST_R11 names not in registry: {sorted(stranded)}"
+
+
 def test_gate_window_fronts_uncovered_debt_then_fresh():
     mod = _entry_module()
     covered = mod._covered_from_disk()
     ordered = list(mod.queries())
     uncovered = [n for n in REGISTRY if n not in covered]
-    last10 = [n for n in uncovered if n in mod._ORDER_LAST_R10]
+    last11 = [n for n in uncovered if n in mod._ORDER_LAST_R11]
+    last10 = [
+        n
+        for n in uncovered
+        if n in mod._ORDER_LAST_R10 and n not in mod._ORDER_LAST_R11
+    ]
     last = [
         n
         for n in uncovered
-        if n in mod._ORDER_LAST and n not in mod._ORDER_LAST_R10
+        if n in mod._ORDER_LAST
+        and n not in mod._ORDER_LAST_R10
+        and n not in mod._ORDER_LAST_R11
     ]
     debt = [
         n
@@ -102,6 +115,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         if n in mod._QUEUED_LATE
         and n not in mod._ORDER_LAST
         and n not in mod._ORDER_LAST_R10
+        and n not in mod._ORDER_LAST_R11
     ]
     deferred = [
         n
@@ -110,6 +124,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         and n not in mod._QUEUED_LATE
         and n not in mod._ORDER_LAST
         and n not in mod._ORDER_LAST_R10
+        and n not in mod._ORDER_LAST_R11
     ]
     fresh = [
         n
@@ -118,6 +133,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         and n not in mod._DEFERRED_PAST_WINDOW
         and n not in mod._ORDER_LAST
         and n not in mod._ORDER_LAST_R10
+        and n not in mod._ORDER_LAST_R11
     ]
     # debt first, then fresh additions, then past-window deferrals, then
     # the absolute-last tiers (r9 then r10), then covered — as sets per
@@ -129,15 +145,18 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
     assert set(ordered[n_front : n_front + len(deferred)]) == set(deferred)
     n_def = n_front + len(deferred)
     assert set(ordered[n_def : n_def + len(last)]) == set(last)
-    assert set(ordered[n_def + len(last) : n_unc]) == set(last10)
+    n_l = n_def + len(last)
+    assert set(ordered[n_l : n_l + len(last10)]) == set(last10)
+    assert set(ordered[n_l + len(last10) : n_unc]) == set(last11)
     assert set(ordered[n_unc:]) <= covered
-    # the whole uncovered set (debt + r9 tier + r10 additions) must fit
-    # inside one certification window — the r9 verdict's item 1: all 34
-    # older names certify this round, so r10 additions are capped at the
-    # spare slots
-    assert n_unc <= GATE_WINDOW, (
-        f"{n_unc} uncovered queries exceed the {GATE_WINDOW}-entry gate "
-        f"window; the r10 tier must stay within the spare slots"
+    # everything except the r11 head-start tier (debt + r9 tier + r10
+    # additions) must fit inside one certification window — the r9
+    # verdict's item 1: all 34 older names certify this round, r10
+    # additions are capped at the spare slots, and late r11-tier builds
+    # ride BEHIND the window (they certify next round)
+    assert n_unc - len(last11) <= GATE_WINDOW, (
+        f"{n_unc - len(last11)} pre-r11 uncovered queries exceed the "
+        f"{GATE_WINDOW}-entry gate window"
     )
     # every NON-DEFERRED uncovered name must fit inside the certification
     # window; overflow means deferring the newest additions (or waiting a
