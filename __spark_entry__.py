@@ -287,6 +287,12 @@ _ORDER_LAST_R11: set[str] = {
     "stats_cochran_armitage",
     "events_markov_entropy_rate",
     "text_mattr_diversity",
+    "survival_nelson_aalen",
+    "survival_log_rank",
+    "eval_ece_mce",
+    "eval_brier_decomposition",
+    "eval_lift_gains_curve",
+    "stats_jarque_bera",
 }
 
 

@@ -3378,3 +3378,342 @@ def q_events_markov_entropy(spark: SparkSession, sf: str):
             ),
         )
     )
+
+
+# --- round-11: Nelson-Aalen cumulative hazard --------------------------------
+
+
+@register(
+    "survival_nelson_aalen",
+    """WITH e AS (
+         SELECT user_id,
+                (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type, value
+         FROM events),
+       u AS (SELECT user_id, min(day) AS f, max(day) AS l
+             FROM e GROUP BY 1),
+       conv AS (SELECT user_id, min(day) AS cd FROM e
+                WHERE event_type = 'purchase' AND value >= 150 GROUP BY 1),
+       lt AS (SELECT CASE WHEN c.cd IS NOT NULL THEN c.cd - u.f
+                          ELSE u.l - u.f END::BIGINT AS t,
+                     CASE WHEN c.cd IS NOT NULL THEN 1 ELSE 0 END AS obs
+              FROM u LEFT JOIN conv c USING (user_id)),
+       pt AS (SELECT t, count(*)::BIGINT AS n_at, sum(obs)::BIGINT AS d
+              FROM lt GROUP BY t),
+       r AS (SELECT t, d,
+                    (sum(n_at) OVER ()
+                     - coalesce(sum(n_at) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0))::BIGINT AS n_risk
+             FROM pt),
+       dd AS (SELECT t, d, n_risk,
+                     round(d * 1.0 / n_risk, 9)::DECIMAL(20,9) AS hz,
+                     round(d * 1.0 / (n_risk::DOUBLE * n_risk), 9)
+                       ::DECIMAL(20,9) AS vz
+              FROM r WHERE d > 0),
+       s AS (SELECT t, d, n_risk,
+                    sum(hz) OVER w AS ch, sum(vz) OVER w AS cv
+             FROM dd WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING))
+       SELECT t AS lifetime_days, n_risk, d AS n_deaths,
+              round(CAST(ch AS DOUBLE), 6) AS cum_hazard,
+              round(sqrt(CAST(cv AS DOUBLE)), 6) AS hazard_se,
+              round(exp(-CAST(ch AS DOUBLE)), 6) AS breslow_survival
+       FROM s""",
+    doc="Nelson-Aalen cumulative-hazard estimator over the same "
+    "right-censored time-to-conversion data as survival_kaplan_meier: "
+    "H(t) = sum_{s<=t} d_s/n_s with the Poisson-variance standard "
+    "error sqrt(sum d/n^2) and the Breslow survival transform "
+    "exp(-H). Where KM multiplies survival factors, NA sums hazard "
+    "increments — the additive form is what hazard-ratio models and "
+    "competing-risk extensions start from, and near d<<n the two "
+    "curves agree (a cheap cross-estimator sanity check: breslow_"
+    "survival vs KM's survival column). Hazard increments are "
+    "9-dp-rounded DECIMAL(20,9) running sums (order-free, "
+    "IEEE-identical in both engines). Scale shape: identical to KM — "
+    "two per-user rollups joined on user_id, then every window runs "
+    "over the bounded lifetime-day domain, never over users.",
+)
+def q_survival_nelson_aalen(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf).select(
+        "user_id",
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        "event_type",
+        "value",
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("day").alias("f"), F.max("day").alias("l")
+    )
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 150))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cd"))
+    )
+    lt = u.join(conv, "user_id", "left").select(
+        F.when(F.col("cd").isNotNull(), F.col("cd") - F.col("f"))
+        .otherwise(F.col("l") - F.col("f"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("cd").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    pt = lt.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_at"),
+        F.sum("obs").cast("long").alias("d"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cb = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = pt.select(
+        "t",
+        "d",
+        (
+            F.sum("n_at").over(w_all)
+            - F.coalesce(F.sum("n_at").over(w_cb), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    dd = r.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(F.col("d") * 1.0 / F.col("n_risk"), 9)
+        .cast("decimal(20,9)")
+        .alias("hz"),
+        F.round(
+            F.col("d") * 1.0 / (F.col("n_risk").cast("double") * F.col("n_risk")),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("vz"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    s = dd.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum("hz").over(w_cum).alias("ch"),
+        F.sum("vz").over(w_cum).alias("cv"),
+    )
+    ch = F.col("ch").cast("double")
+    return s.select(
+        F.col("t").alias("lifetime_days"),
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        F.round(ch, 6).alias("cum_hazard"),
+        F.round(F.sqrt(F.col("cv").cast("double")), 6).alias("hazard_se"),
+        F.round(F.exp(-ch), 6).alias("breslow_survival"),
+    )
+
+
+# --- round-11: two-sample log-rank test ---------------------------------------
+
+_LOGRANK_CHI2_CRIT_1DF = 3.8415  # chi-square 0.95 quantile, 1 df
+
+
+@register(
+    "survival_log_rank",
+    f"""WITH e AS (
+         SELECT user_id,
+                (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type, value
+         FROM events),
+       u AS (SELECT user_id, (user_id % 2)::BIGINT AS grp,
+                    min(day) AS f, max(day) AS l
+             FROM e GROUP BY 1, 2),
+       conv AS (SELECT user_id, min(day) AS cd FROM e
+                WHERE event_type = 'purchase' AND value >= 150 GROUP BY 1),
+       lt AS (SELECT u.grp,
+                     CASE WHEN c.cd IS NOT NULL THEN c.cd - u.f
+                          ELSE u.l - u.f END::BIGINT AS t,
+                     CASE WHEN c.cd IS NOT NULL THEN 1 ELSE 0 END AS obs
+              FROM u LEFT JOIN conv c USING (user_id)),
+       pt AS (SELECT grp, t, count(*)::BIGINT AS n_at,
+                     sum(obs)::BIGINT AS d
+              FROM lt GROUP BY 1, 2),
+       days AS (SELECT DISTINCT t FROM pt),
+       grid AS (SELECT g.grp, days.t,
+                       coalesce(p.n_at, 0)::BIGINT AS n_at,
+                       coalesce(p.d, 0)::BIGINT AS d
+                FROM days CROSS JOIN (SELECT 0::BIGINT AS grp
+                                      UNION ALL SELECT 1::BIGINT) g
+                LEFT JOIN pt p ON p.grp = g.grp AND p.t = days.t),
+       r AS (SELECT grp, t, d,
+                    (sum(n_at) OVER (PARTITION BY grp)
+                     - coalesce(sum(n_at) OVER (PARTITION BY grp ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0))::BIGINT AS n_risk
+             FROM grid),
+       byday AS (SELECT t,
+                        sum(d)::BIGINT AS d_tot,
+                        sum(n_risk)::BIGINT AS n_tot,
+                        sum(CASE WHEN grp = 1 THEN d ELSE 0 END)::BIGINT
+                          AS d1,
+                        sum(CASE WHEN grp = 1 THEN n_risk ELSE 0 END)::BIGINT
+                          AS n1
+                 FROM r GROUP BY t),
+       terms AS (
+         SELECT d1, d_tot,
+                round(d_tot * 1.0 * n1 / n_tot, 9)::DECIMAL(20,9) AS e1,
+                CASE WHEN n_tot > 1 THEN
+                  round(d_tot * (n1 * 1.0 / n_tot) * (1.0 - n1 * 1.0 / n_tot)
+                        * (n_tot - d_tot) / (n_tot - 1.0), 9)::DECIMAL(20,9)
+                ELSE 0::DECIMAL(20,9) END AS v
+         FROM byday WHERE d_tot > 0 AND n_tot > 0),
+       agg AS (SELECT sum(d1)::BIGINT AS o1,
+                      sum(e1) AS e1s, sum(v) AS vs
+               FROM terms),
+       sz AS (SELECT sum(CASE WHEN grp = 0 THEN n_at ELSE 0 END)::BIGINT
+                       AS n0,
+                     sum(CASE WHEN grp = 1 THEN n_at ELSE 0 END)::BIGINT
+                       AS n1u
+              FROM pt)
+       SELECT sz.n0 AS n_users_g0, sz.n1u AS n_users_g1,
+              agg.o1 AS observed_g1,
+              round(CAST(agg.e1s AS DOUBLE), 6) AS expected_g1,
+              round(CAST(agg.vs AS DOUBLE), 6) AS variance,
+              round((agg.o1 - CAST(agg.e1s AS DOUBLE))
+                    * (agg.o1 - CAST(agg.e1s AS DOUBLE))
+                    / CAST(agg.vs AS DOUBLE), 4) AS logrank_chi2,
+              (agg.o1 - CAST(agg.e1s AS DOUBLE))
+                * (agg.o1 - CAST(agg.e1s AS DOUBLE))
+                / CAST(agg.vs AS DOUBLE)
+                >= {_LOGRANK_CHI2_CRIT_1DF!r} AS curves_differ
+       FROM agg CROSS JOIN sz""",
+    doc="Two-sample log-rank (Mantel-Cox) test comparing the "
+    "time-to-conversion survival curves of two deterministic user "
+    "cohorts (user_id parity — the A/B-bucketing twin of "
+    "split_hash_assign): at each event time, observed group-1 deaths "
+    "vs the hypergeometric expectation d*n1/n and variance "
+    "d*(n1/n)*(1-n1/n)*(n-d)/(n-1); chi2 = (O-E)^2/V with 1 df "
+    "against the pinned 0.95 critical value. THE standard test for "
+    "'did the experiment change time-to-event', robust to censoring "
+    "where comparing mean conversion times is not. Per-day E and V "
+    "terms are 9-dp DECIMAL(20,9) sums (order-free parity). Scale "
+    "shape: per-user rollups on the user key, then a bounded "
+    "(day x 2-group) grid — the risk-set windows and the final "
+    "aggregate run over the day domain, never over users or events.",
+)
+def q_survival_log_rank(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf).select(
+        "user_id",
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        "event_type",
+        "value",
+    )
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("long").alias("grp")
+    ).agg(F.min("day").alias("f"), F.max("day").alias("l"))
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 150))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cd"))
+    )
+    lt = u.join(conv, "user_id", "left").select(
+        "grp",
+        F.when(F.col("cd").isNotNull(), F.col("cd") - F.col("f"))
+        .otherwise(F.col("l") - F.col("f"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("cd").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    # pt is the (grp x lifetime-day) rollup — tiny (bounded by the date
+    # span x 2); checkpoint it so the three downstream consumers (day
+    # spine, grid join, group sizes) re-read the rollup, not the events
+    # scan (scan-multiplicity 2: the per-user u + conv passes).
+    pt = (
+        lt.groupBy("grp", "t")
+        .agg(
+            F.count("*").cast("long").alias("n_at"),
+            F.sum("obs").cast("long").alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    days = pt.select("t").distinct()
+    grps = pt.sparkSession.range(2).select(F.col("id").cast("long").alias("grp"))
+    grid = (
+        days.crossJoin(F.broadcast(grps))
+        .join(pt, ["grp", "t"], "left")
+        .select(
+            "grp",
+            "t",
+            F.coalesce(F.col("n_at"), F.lit(0)).cast("long").alias("n_at"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("d"),
+        )
+    )
+    w_all = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cb = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = grid.select(
+        "grp",
+        "t",
+        "d",
+        (
+            F.sum("n_at").over(w_all)
+            - F.coalesce(F.sum("n_at").over(w_cb), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    byday = r.groupBy("t").agg(
+        F.sum("d").cast("long").alias("d_tot"),
+        F.sum("n_risk").cast("long").alias("n_tot"),
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_risk")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    p1 = F.col("n1") * 1.0 / F.col("n_tot")
+    terms = byday.filter((F.col("d_tot") > 0) & (F.col("n_tot") > 0)).select(
+        "d1",
+        F.round(F.col("d_tot") * p1, 9).cast("decimal(20,9)").alias("e1"),
+        F.when(
+            F.col("n_tot") > 1,
+            F.round(
+                F.col("d_tot")
+                * p1
+                * (1.0 - p1)
+                * (F.col("n_tot") - F.col("d_tot"))
+                / (F.col("n_tot") - 1.0),
+                9,
+            ).cast("decimal(20,9)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(20,9)"))
+        .alias("v"),
+    )
+    agg = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1").alias("e1s"),
+        F.sum("v").alias("vs"),
+    )
+    sz = pt.groupBy().agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("n_at")).otherwise(0))
+        .cast("long")
+        .alias("n_users_g0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_at")).otherwise(0))
+        .cast("long")
+        .alias("n_users_g1"),
+    )
+    e1s = F.col("e1s").cast("double")
+    vs = F.col("vs").cast("double")
+    chi2 = (F.col("o1") - e1s) * (F.col("o1") - e1s) / vs
+    return agg.crossJoin(F.broadcast(sz)).select(
+        "n_users_g0",
+        "n_users_g1",
+        F.col("o1").alias("observed_g1"),
+        F.round(e1s, 6).alias("expected_g1"),
+        F.round(vs, 6).alias("variance"),
+        F.round(chi2, 4).alias("logrank_chi2"),
+        (chi2 >= F.lit(_LOGRANK_CHI2_CRIT_1DF)).alias("curves_differ"),
+    )

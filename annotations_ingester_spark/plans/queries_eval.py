@@ -2143,3 +2143,300 @@ _REG_CR = REGISTRY["eval_dup_capture_recapture"]
 _REG_CR.oracle = _REG_CR.oracle.format(
     lsh=_oracle("minhash_lsh_pairs"), simhash=_oracle("simhash_near_dup_pairs")
 )
+
+
+# --- round-11: scalar calibration metrics (ECE / MCE) --------------------------
+
+_ECE_GROSS_BP = 500.0  # "grossly miscalibrated" gate, basis points
+
+
+@register(
+    "eval_ece_mce",
+    f"""WITH p AS (
+         SELECT ({_CONF_HASH} % 10000)::BIGINT AS conf_bp,
+                CASE WHEN ({_OUT_HASH} % 10000) <
+                          (({_CONF_HASH} % 10000) * 9) // 10 + 500
+                     THEN 1 ELSE 0 END::BIGINT AS correct
+         FROM embeddings),
+       b AS (
+         SELECT conf_bp // 1000 AS bin,
+                count(*)::BIGINT AS n,
+                sum(conf_bp)::BIGINT AS sc,
+                sum(correct)::BIGINT AS nc
+         FROM p GROUP BY 1)
+       SELECT sum(n)::BIGINT AS n_total,
+              count(*)::BIGINT AS n_bins,
+              round(sum(abs(sc - 10000 * nc)) * 1.0 / sum(n), 4) AS ece_bp,
+              round(max(abs(sc * 1.0 / n - 10000.0 * nc / n)), 4) AS mce_bp,
+              sum(abs(sc - 10000 * nc)) * 1.0 / sum(n) >= {_ECE_GROSS_BP!r}
+                AS grossly_miscalibrated
+       FROM b""",
+    doc="Expected / Maximum Calibration Error — the two scalars every "
+    "model card quotes, over the same deterministic synthetic "
+    "prediction stream as eval_calibration_bins (outcome probability "
+    "pinned at 0.9*conf + 0.05, so true ECE is ~250 bp): ECE = "
+    "sum_b n_b*|conf-acc|/N computed as EXACT INTEGERS "
+    "(n_b*|mean_conf - acc| telescopes to |sum_conf - 10000*n_correct| "
+    "in basis points — zero per-bin divisions) until one final "
+    "division; MCE is the max per-bin gap. Where calibration_bins "
+    "shows the diagram, this is the headline number with a pinned "
+    "gross-miscalibration gate far from the expected value. Scale "
+    "shape: one scan-fused map-side-combinable 10-group aggregate "
+    "then a 10-row reduce — flat at any prediction-set size.",
+)
+def q_eval_ece_mce(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    conf = md5_hash64(
+        F.concat(F.lit("conf:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    out = md5_hash64(
+        F.concat(F.lit("outcome:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    p = table(spark, sf, "embeddings").select(
+        conf.cast("long").alias("conf_bp"),
+        (out < F.floor(conf * 9 / 10) + 500).cast("long").alias("correct"),
+    )
+    b = p.groupBy(
+        F.floor(F.col("conf_bp") / 1000).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conf_bp").cast("long").alias("sc"),
+        F.sum("correct").cast("long").alias("nc"),
+    )
+    ece = F.sum(F.abs(F.col("sc") - 10000 * F.col("nc"))) * 1.0 / F.sum("n")
+    return b.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(ece, 4).alias("ece_bp"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("sc") * 1.0 / F.col("n")
+                    - 10000.0 * F.col("nc") / F.col("n")
+                )
+            ),
+            4,
+        ).alias("mce_bp"),
+        (ece >= F.lit(_ECE_GROSS_BP)).alias("grossly_miscalibrated"),
+    )
+
+
+# --- round-11: Brier score decomposition ---------------------------------------
+
+
+@register(
+    "eval_brier_decomposition",
+    f"""WITH p AS (
+         SELECT ({_CONF_HASH} % 10000)::BIGINT AS conf_bp,
+                CASE WHEN ({_OUT_HASH} % 10000) <
+                          (({_CONF_HASH} % 10000) * 9) // 10 + 500
+                     THEN 1 ELSE 0 END::BIGINT AS correct
+         FROM embeddings),
+       b AS (
+         SELECT conf_bp // 1000 AS bin,
+                count(*)::BIGINT AS n,
+                sum(conf_bp)::BIGINT AS sc,
+                sum(correct)::BIGINT AS nc,
+                sum((conf_bp - 10000 * correct)::DECIMAL(38,0)
+                    * (conf_bp - 10000 * correct))::DECIMAL(38,0) AS sq
+         FROM p GROUP BY 1),
+       g AS (SELECT sum(n)::BIGINT AS n_total,
+                    sum(nc)::BIGINT AS nc_total,
+                    sum(sq)::DECIMAL(38,0) AS sq_total
+             FROM b),
+       t AS (
+         SELECT g.n_total, g.nc_total, g.sq_total,
+                sum(round((b.sc - 10000.0 * b.nc)
+                          * (b.sc - 10000.0 * b.nc) / (1e8 * b.n), 9)
+                    ::DECIMAL(20,9)) AS rel_s,
+                sum(round(b.n * (b.nc * 1.0 / b.n
+                                 - g.nc_total * 1.0 / g.n_total)
+                              * (b.nc * 1.0 / b.n
+                                 - g.nc_total * 1.0 / g.n_total), 9)
+                    ::DECIMAL(20,9)) AS res_s
+         FROM b CROSS JOIN g
+         GROUP BY 1, 2, 3)
+       SELECT n_total,
+              round(CAST(sq_total AS DOUBLE) / (1e8 * n_total), 6) AS brier,
+              round(CAST(rel_s AS DOUBLE) / n_total, 6) AS reliability,
+              round(CAST(res_s AS DOUBLE) / n_total, 6) AS resolution,
+              round((nc_total * 1.0 / n_total)
+                    * (1.0 - nc_total * 1.0 / n_total), 6) AS uncertainty,
+              round(CAST(sq_total AS DOUBLE) / (1e8 * n_total)
+                    - (CAST(rel_s AS DOUBLE) / n_total
+                       - CAST(res_s AS DOUBLE) / n_total
+                       + (nc_total * 1.0 / n_total)
+                         * (1.0 - nc_total * 1.0 / n_total)), 6)
+                AS decomp_residual
+       FROM t""",
+    doc="Murphy decomposition of the Brier score over the deterministic "
+    "synthetic prediction stream: BS = reliability - resolution + "
+    "uncertainty + residual, where the residual is the exact gap from "
+    "binning (within-bin confidence variance MINUS twice the within-bin "
+    "confidence-outcome covariance — negative here because conf and "
+    "outcome correlate inside bins by construction); reporting it makes "
+    "the identity itself an auditable cross-engine check rather than an "
+    "assumed-zero. The raw Brier sum is EXACT "
+    "integer arithmetic ((conf_bp - 10000*outcome)^2 summed as "
+    "DECIMAL(38,0)); reliability/resolution bin terms are 9-dp "
+    "DECIMAL(20,9) sums. Tells the modeler WHERE a bad Brier comes "
+    "from: miscalibration (reliability) vs weak discrimination (low "
+    "resolution). Scale shape: one scan-fused 10-bin aggregate, one "
+    "1-row global broadcast back over the 10 bins — flat at any N.",
+)
+def q_eval_brier_decomposition(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    conf = md5_hash64(
+        F.concat(F.lit("conf:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    out = md5_hash64(
+        F.concat(F.lit("outcome:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    p = table(spark, sf, "embeddings").select(
+        conf.cast("long").alias("conf_bp"),
+        (out < F.floor(conf * 9 / 10) + 500).cast("long").alias("correct"),
+    )
+    dev = F.col("conf_bp") - 10000 * F.col("correct")
+    b = p.groupBy(
+        F.floor(F.col("conf_bp") / 1000).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conf_bp").cast("long").alias("sc"),
+        F.sum("correct").cast("long").alias("nc"),
+        F.sum(dev.cast("decimal(38,0)") * dev).cast("decimal(38,0)").alias("sq"),
+    )
+    g = b.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("nc").cast("long").alias("nc_total"),
+        F.sum("sq").cast("decimal(38,0)").alias("sq_total"),
+    )
+    acc_gap = F.col("nc") * 1.0 / F.col("n") - F.col("nc_total") * 1.0 / F.col(
+        "n_total"
+    )
+    t = (
+        b.crossJoin(F.broadcast(g))
+        .groupBy("n_total", "nc_total", "sq_total")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("sc") - 10000.0 * F.col("nc"))
+                    * (F.col("sc") - 10000.0 * F.col("nc"))
+                    / (1e8 * F.col("n")),
+                    9,
+                ).cast("decimal(20,9)")
+            ).alias("rel_s"),
+            F.sum(
+                F.round(F.col("n") * acc_gap * acc_gap, 9).cast("decimal(20,9)")
+            ).alias("res_s"),
+        )
+    )
+    n = F.col("n_total")
+    brier = F.col("sq_total").cast("double") / (1e8 * n)
+    rel = F.col("rel_s").cast("double") / n
+    res = F.col("res_s").cast("double") / n
+    acc = F.col("nc_total") * 1.0 / n
+    unc = acc * (1.0 - acc)
+    return t.select(
+        "n_total",
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(brier - (rel - res + unc), 6).alias("decomp_residual"),
+    )
+
+
+# --- round-11: cumulative gains / lift curve ------------------------------------
+
+
+@register(
+    "eval_lift_gains_curve",
+    f"""WITH p AS (
+         SELECT ({_CONF_HASH} % 10000)::BIGINT AS conf_bp,
+                CASE WHEN ({_OUT_HASH} % 10000) <
+                          (({_CONF_HASH} % 10000) * 9) // 10 + 500
+                     THEN 1 ELSE 0 END::BIGINT AS correct
+         FROM embeddings),
+       b AS (
+         SELECT conf_bp // 1000 AS bucket,
+                count(*)::BIGINT AS n,
+                sum(correct)::BIGINT AS n_pos
+         FROM p GROUP BY 1),
+       c AS (
+         SELECT bucket,
+                sum(n) OVER w AS cum_n,
+                sum(n_pos) OVER w AS cum_pos,
+                sum(n) OVER () AS n_total,
+                sum(n_pos) OVER () AS pos_total
+         FROM b WINDOW w AS (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING))
+       SELECT (bucket * 1000)::BIGINT AS threshold_bp,
+              cum_n::BIGINT AS n_targeted,
+              cum_pos::BIGINT AS n_captured,
+              round(cum_n * 1.0 / n_total, 6) AS coverage,
+              round(cum_pos * 1.0 / pos_total, 6) AS capture_rate,
+              round((cum_pos * 1.0 / cum_n)
+                    / (pos_total * 1.0 / n_total), 4) AS lift
+       FROM c""",
+    doc="Cumulative gains / lift table over the deterministic synthetic "
+    "prediction stream: for each score threshold (decile cutoffs "
+    "9000..0 bp), how many rows a campaign targeting conf >= t "
+    "touches, what fraction of all positives it captures, and the "
+    "lift over random targeting — the curve every targeting / "
+    "routing / filtering decision is costed against (distinct from "
+    "calibration_bins: CUMULATIVE capture vs coverage, not per-bin "
+    "accuracy, and from auc_roc: actionable threshold economics, not "
+    "a rank scalar). All counts stay integers; three divisions per "
+    "output row, each rounded once. Scale shape: one scan-fused "
+    "10-group aggregate, then every window runs over the bounded "
+    "10-row bucket domain — flat at any prediction-set size.",
+)
+def q_eval_lift_gains_curve(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    conf = md5_hash64(
+        F.concat(F.lit("conf:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    out = md5_hash64(
+        F.concat(F.lit("outcome:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    p = table(spark, sf, "embeddings").select(
+        conf.cast("long").alias("conf_bp"),
+        (out < F.floor(conf * 9 / 10) + 500).cast("long").alias("correct"),
+    )
+    b = p.groupBy(
+        F.floor(F.col("conf_bp") / 1000).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("correct").cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = b.select(
+        "bucket",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+        F.sum("n").over(w_all).alias("n_total"),
+        F.sum("n_pos").over(w_all).alias("pos_total"),
+    )
+    return c.select(
+        (F.col("bucket") * 1000).cast("long").alias("threshold_bp"),
+        F.col("cum_n").cast("long").alias("n_targeted"),
+        F.col("cum_pos").cast("long").alias("n_captured"),
+        F.round(F.col("cum_n") * 1.0 / F.col("n_total"), 6).alias("coverage"),
+        F.round(F.col("cum_pos") * 1.0 / F.col("pos_total"), 6).alias(
+            "capture_rate"
+        ),
+        F.round(
+            (F.col("cum_pos") * 1.0 / F.col("cum_n"))
+            / (F.col("pos_total") * 1.0 / F.col("n_total")),
+            4,
+        ).alias("lift"),
+    )

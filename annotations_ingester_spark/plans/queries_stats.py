@@ -5892,3 +5892,94 @@ def q_stats_cochran_armitage(spark: SparkSession, sf: str):
         z.alias("z_stat"),
         (F.abs(z) > 1.96).alias("trend_detected"),
     )
+
+
+# --- round-11: Jarque-Bera normality test --------------------------------------
+
+_JB_CHI2_CRIT_2DF = 5.9915  # chi-square 0.95 quantile, 2 df
+
+
+@register(
+    "stats_jarque_bera",
+    f"""WITH c AS (
+         SELECT o_orderpriority AS grp,
+                round(o_totalprice)::BIGINT AS d
+         FROM orders),
+       m AS (SELECT grp, count(*)::BIGINT AS n,
+                    sum(d)::BIGINT AS s1,
+                    sum(d::DECIMAL(38,0) * d)::DECIMAL(38,0) AS s2,
+                    sum(d::DECIMAL(38,0) * d * d)::DECIMAL(38,0) AS s3,
+                    sum(d::DECIMAL(38,0) * d * d * d)::DECIMAL(38,0) AS s4
+             FROM c GROUP BY grp),
+       k AS (SELECT grp, n,
+                    s1 * 1.0 / n AS mu,
+                    CAST(s2 AS DOUBLE) / n AS r2,
+                    CAST(s3 AS DOUBLE) / n AS r3,
+                    CAST(s4 AS DOUBLE) / n AS r4
+             FROM m),
+       ct AS (SELECT grp, n,
+                     r2 - mu * mu AS m2,
+                     r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+                     r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                        - 3 * mu * mu * mu * mu AS m4
+              FROM k)
+       SELECT grp, n,
+              round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+              round(m4 / (m2 * m2) - 3.0, 6) AS ex_kurtosis,
+              round(n / 6.0 * ((m3 / (m2 * sqrt(m2)))
+                               * (m3 / (m2 * sqrt(m2)))
+                               + (m4 / (m2 * m2) - 3.0)
+                                 * (m4 / (m2 * m2) - 3.0) / 4.0), 4)
+                AS jb_stat,
+              n / 6.0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                         + (m4 / (m2 * m2) - 3.0)
+                           * (m4 / (m2 * m2) - 3.0) / 4.0)
+                >= {_JB_CHI2_CRIT_2DF!r} AS normal_rejected
+       FROM ct""",
+    doc="Jarque-Bera normality test per order-priority group: JB = "
+    "n/6*(skew^2 + ex_kurtosis^2/4) against the chi-square(2) 0.95 "
+    "critical value — the moment-based normality screen that should "
+    "run before any t-test/ANOVA whose small-sample validity leans on "
+    "normal residuals (stats_welch_ttest, stats_anova_oneway on these "
+    "same groups). Raw power sums S1..S4 accumulate as EXACT "
+    "DECIMAL(38,0) integers over whole-dollar values (order-free); "
+    "central moments come from the closed-form raw-to-central "
+    "conversion in one deterministic double expression per group, "
+    "rounded once per output. Scale shape: one scan-fused "
+    "map-side-combinable 5-group aggregate — no window, no join, no "
+    "shuffle beyond the 5-row exchange; flat at any order count.",
+)
+def q_stats_jarque_bera(spark: SparkSession, sf: str):
+    c = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice")).cast("long").alias("d"),
+    )
+    dd = F.col("d").cast("decimal(38,0)")
+    m = c.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(dd * F.col("d")).cast("decimal(38,0)").alias("s2"),
+        F.sum(dd * F.col("d") * F.col("d")).cast("decimal(38,0)").alias("s3"),
+        F.sum(dd * F.col("d") * F.col("d") * F.col("d"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") * 1.0 / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mu * mu
+    m3 = r3 - 3 * mu * r2 + 2 * mu * mu * mu
+    m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+    return m.select(
+        "grp",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("ex_kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        (jb >= F.lit(_JB_CHI2_CRIT_2DF)).alias("normal_rejected"),
+    )

@@ -225,6 +225,12 @@ CROSS_ALLOWED = {
     # 1-row grand-median broadcast over the scan + three 1-row report
     # assemblies (totals, dims, median)
     "stats_mood_median_test",
+    # 2-row group spine densifying the bounded (day x group) grid + the
+    # 1-row group-sizes broadcast onto the 1-row O/E/V aggregate
+    "survival_log_rank",
+    # 1-row global-totals broadcast onto the 10-row confidence-bin table
+    # (the reliability/resolution term assembly)
+    "eval_brier_decomposition",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -391,6 +397,13 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # at sf0.001), never users or events
     "survival_kaplan_meier": (200, """
         SELECT date_diff('day', min(ts), max(ts)) + 1 FROM events"""),
+    # Nelson-Aalen shares KM's shape exactly: risk-set / cumulative-hazard
+    # windows over the LIFETIME-DOMAIN table (days), never users or events
+    "survival_nelson_aalen": (200, """
+        SELECT date_diff('day', min(ts), max(ts)) + 1 FROM events"""),
+    # cumulative capture windows over the pinned 10-row score-bucket
+    # aggregate (structural)
+    "eval_lift_gains_curve": (10, "SELECT 10"),
     # rank cumulatives over the BOUNDED per-value count tables of the
     # date-domain daily rollup (Mann-Whitney rank discipline)
     "stats_spearman_corr": (200, _EVENTS_DAYS_PROBE),

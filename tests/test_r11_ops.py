@@ -1,0 +1,214 @@
+"""Round-11 independent recomputes: every operator added this round gets a
+from-raw-data Python check (the r9 lesson — parity alone cannot catch a
+shared-formula bug)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from annotations_ingester_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lifetimes():
+    """Per-user (lifetime, observed) from the events table, recomputed in
+    pure pandas — the shared input of the KM / Nelson-Aalen / log-rank
+    family."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+                   (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                   event_type, value
+            FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    first, last, conv = {}, {}, {}
+    for uid, day, et, val in rows:
+        first[uid] = min(first.get(uid, day), day)
+        last[uid] = max(last.get(uid, day), day)
+        if et == "purchase" and val >= 150:
+            conv[uid] = min(conv.get(uid, day), day)
+    out = []
+    for uid in first:
+        if uid in conv:
+            out.append((uid, conv[uid] - first[uid], 1))
+        else:
+            out.append((uid, last[uid] - first[uid], 0))
+    return out
+
+
+def test_nelson_aalen_matches_python(spark):
+    """H(t) recomputed with a plain Python loop over the risk-set table;
+    Breslow survival = exp(-H)."""
+    lts = _lifetimes()
+    times = sorted({t for _, t, obs in lts if obs == 1})
+    got = {
+        r.lifetime_days: r
+        for r in REGISTRY["survival_nelson_aalen"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(times)
+    h = 0.0
+    for t in times:
+        n_risk = sum(1 for _, lt, _ in lts if lt >= t)
+        d = sum(1 for _, lt, obs in lts if lt == t and obs == 1)
+        h += round(d / n_risk, 9)
+        r = got[t]
+        assert r.n_risk == n_risk and r.n_deaths == d
+        assert r.cum_hazard == pytest.approx(h, abs=2e-6)
+        assert r.breslow_survival == pytest.approx(math.exp(-h), abs=2e-6)
+
+
+def test_nelson_aalen_vs_kaplan_meier(spark):
+    """Cross-estimator check: Breslow survival upper-bounds KM (standard
+    inequality exp(-d/n) >= 1 - d/n) and tracks it closely while d << n."""
+    km = {
+        r.lifetime_days: r.survival
+        for r in REGISTRY["survival_kaplan_meier"].spark(spark, SF).collect()
+    }
+    na = {
+        r.lifetime_days: r.breslow_survival
+        for r in REGISTRY["survival_nelson_aalen"].spark(spark, SF).collect()
+    }
+    assert set(km) == set(na)
+    for t in km:
+        assert na[t] >= km[t] - 1e-9
+
+
+def test_log_rank_matches_python(spark):
+    """O/E/V recomputed with a plain Python loop over event times."""
+    lts = [(uid % 2, t, obs) for uid, t, obs in _lifetimes()]
+    times = sorted({t for _, t, obs in lts if obs == 1})
+    o1 = e1 = v = 0.0
+    for t in times:
+        n = sum(1 for _, lt, _ in lts if lt >= t)
+        n1 = sum(1 for g, lt, _ in lts if lt >= t and g == 1)
+        d = sum(1 for _, lt, obs in lts if lt == t and obs == 1)
+        d1 = sum(1 for g, lt, obs in lts if lt == t and obs == 1 and g == 1)
+        o1 += d1
+        e1 += round(d * n1 / n, 9)
+        if n > 1:
+            v += round(d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1), 9)
+    r = REGISTRY["survival_log_rank"].spark(spark, SF).collect()[0]
+    assert r.n_users_g0 == sum(1 for g, _, _ in lts if g == 0)
+    assert r.n_users_g1 == sum(1 for g, _, _ in lts if g == 1)
+    assert r.observed_g1 == o1
+    assert r.expected_g1 == pytest.approx(e1, abs=2e-6)
+    assert r.variance == pytest.approx(v, abs=2e-6)
+    assert r.logrank_chi2 == pytest.approx((o1 - e1) ** 2 / v, abs=2e-4)
+    assert r.curves_differ == ((o1 - e1) ** 2 / v >= 3.8415)
+
+
+def _md5_64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _pred_stream():
+    """The deterministic synthetic prediction stream (conf_bp, correct)
+    shared by the calibration family, recomputed from vec_ids directly."""
+    import duckdb
+
+    ids = duckdb.sql(
+        f"SELECT vec_id FROM '{SF}/embeddings.parquet'"
+    ).fetchnumpy()["vec_id"]
+    out = []
+    for vid in ids:
+        conf = _md5_64(f"conf:{vid}") % 10000
+        correct = 1 if (_md5_64(f"outcome:{vid}") % 10000) < (conf * 9) // 10 + 500 else 0
+        out.append((conf, correct))
+    return out
+
+
+def test_ece_mce_matches_python(spark):
+    p = _pred_stream()
+    bins = {}
+    for conf, corr in p:
+        b = conf // 1000
+        n, sc, nc = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, sc + conf, nc + corr)
+    n_total = sum(n for n, _, _ in bins.values())
+    ece = sum(abs(sc - 10000 * nc) for _, sc, nc in bins.values()) / n_total
+    mce = max(round(abs(sc / n - 10000.0 * nc / n), 4) for n, sc, nc in bins.values())
+    r = REGISTRY["eval_ece_mce"].spark(spark, SF).collect()[0]
+    assert r.n_total == n_total and r.n_bins == len(bins)
+    assert r.ece_bp == pytest.approx(ece, abs=1e-3)
+    assert r.mce_bp == pytest.approx(mce, abs=1e-3)
+    assert r.grossly_miscalibrated == (ece >= 500.0)
+
+
+def test_brier_decomposition_matches_python(spark):
+    p = _pred_stream()
+    n = len(p)
+    brier = sum((c / 10000 - y) ** 2 for c, y in p) / n
+    acc = sum(y for _, y in p) / n
+    bins = {}
+    for conf, corr in p:
+        b = conf // 1000
+        cnt, sc, nc = bins.get(b, (0, 0, 0))
+        bins[b] = (cnt + 1, sc + conf, nc + corr)
+    rel = sum(cnt * ((sc / cnt - 10000 * nc / cnt) / 10000) ** 2 for cnt, sc, nc in bins.values()) / n
+    res = sum(cnt * (nc / cnt - acc) ** 2 for cnt, _, nc in bins.values()) / n
+    r = REGISTRY["eval_brier_decomposition"].spark(spark, SF).collect()[0]
+    assert r.n_total == n
+    assert r.brier == pytest.approx(brier, abs=2e-6)
+    assert r.reliability == pytest.approx(rel, abs=2e-6)
+    assert r.resolution == pytest.approx(res, abs=2e-6)
+    assert r.uncertainty == pytest.approx(acc * (1 - acc), abs=2e-6)
+    # Murphy identity: residual = brier - (rel - res + unc) exactly
+    # (within-bin conf variance - 2*within-bin conf/outcome covariance)
+    assert r.decomp_residual == pytest.approx(brier - (rel - res + r.uncertainty), abs=5e-6)
+
+
+def test_lift_gains_matches_python(spark):
+    p = _pred_stream()
+    n_total = len(p)
+    pos_total = sum(y for _, y in p)
+    rows = {r.threshold_bp: r for r in REGISTRY["eval_lift_gains_curve"].spark(spark, SF).collect()}
+    assert len(rows) == 10
+    for b in range(10):
+        thr = b * 1000
+        cum_n = sum(1 for c, _ in p if c >= thr)
+        cum_pos = sum(y for c, y in p if c >= thr)
+        r = rows[thr]
+        assert r.n_targeted == cum_n and r.n_captured == cum_pos
+        assert r.coverage == pytest.approx(cum_n / n_total, abs=2e-6)
+        assert r.capture_rate == pytest.approx(cum_pos / pos_total, abs=2e-6)
+        assert r.lift == pytest.approx((cum_pos / cum_n) / (pos_total / n_total), abs=2e-4)
+    # top-scored rows must over-capture: lift at the 9000bp cutoff > 1
+    assert rows[9000].lift > 1.0
+    # threshold 0 targets everyone -> lift exactly 1
+    assert rows[0].lift == pytest.approx(1.0, abs=1e-9)
+
+
+def test_jarque_bera_matches_numpy(spark):
+    import duckdb
+    import numpy as np
+
+    data = duckdb.sql(
+        f"""SELECT o_orderpriority, round(o_totalprice)::BIGINT
+            FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+    groups = {}
+    for grp, d in data:
+        groups.setdefault(grp, []).append(int(d))
+    rows = {r.grp: r for r in REGISTRY["stats_jarque_bera"].spark(spark, SF).collect()}
+    assert set(rows) == set(groups)
+    for grp, xs in groups.items():
+        a = np.array(xs, dtype=np.float64)
+        n = len(a)
+        mu = a.mean()
+        m2 = ((a - mu) ** 2).mean()
+        m3 = ((a - mu) ** 3).mean()
+        m4 = ((a - mu) ** 4).mean()
+        skew = m3 / m2**1.5
+        exk = m4 / m2**2 - 3.0
+        jb = n / 6.0 * (skew**2 + exk**2 / 4.0)
+        r = rows[grp]
+        assert r.n == n
+        assert r.skewness == pytest.approx(skew, abs=1e-4)
+        assert r.ex_kurtosis == pytest.approx(exk, abs=1e-4)
+        assert r.jb_stat == pytest.approx(jb, rel=1e-3)
+        assert r.normal_rejected == (jb >= 5.9915)
