@@ -293,6 +293,12 @@ _ORDER_LAST_R11: set[str] = {
     "eval_brier_decomposition",
     "eval_lift_gains_curve",
     "stats_jarque_bera",
+    "text_yule_k",
+    "text_hapax_legomena",
+    "lm_bigram_cond_entropy",
+    "graph_adamic_adar",
+    "split_group_holdout",
+    "stats_hurst_rs",
 }
 
 

@@ -3717,3 +3717,112 @@ def q_survival_log_rank(spark: SparkSession, sf: str):
         F.round(chi2, 4).alias("logrank_chi2"),
         (chi2 >= F.lit(_LOGRANK_CHI2_CRIT_1DF)).alias("curves_differ"),
     )
+
+
+# --- round-11: Adamic-Adar link prediction ------------------------------------
+
+
+@register(
+    "graph_adamic_adar",
+    None,  # oracle assembled below (reuses the MinHash band-pair CTE)
+    doc="Adamic-Adar link prediction over the MinHash-LSH candidate "
+    "graph: for every NON-adjacent doc pair with >= 2 common "
+    "neighbors, AA = sum over shared neighbors of 1/ln(deg) — the "
+    "rare-neighbor-weighted refinement of graph_common_neighbor_"
+    "scores (a shared hub says little; a shared degree-2 node is "
+    "strong evidence the clusters are one entity). Same scale shape "
+    "as the CN query: edge list built ONCE (banded LSH candidates, "
+    "localCheckpoint'ed), wedges from one self-equi-join pivoting "
+    "only through degree<=16 endpoints (super-node exclusion — a "
+    "pivot of degree d else contributes d^2/2 wedges), adjacency "
+    "removed by broadcast-able anti-join. Every pivot has deg >= 2 "
+    "(a wedge needs two edges), so 1/ln(deg) is finite; terms round "
+    "to 9 dp and sum as DECIMAL(20,9) (order-free parity).",
+)
+def q_graph_adamic_adar(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    pairs = (
+        lsh_candidate_pairs(
+            lsh_band_keys(
+                minhash_signatures(table(spark, sf, "documents")),
+                rows_per_band=1,
+            )
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    und = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    low = deg.filter(F.col("deg") <= 16).select(
+        F.col("u").alias("w"), F.col("deg").alias("deg_w")
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("w")).join(low, "w")
+    e2 = und.select(F.col("u").alias("w"), F.col("v").alias("b")).join(
+        low.select("w"), "w"
+    )
+    wedges = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            F.sum(
+                F.round(1.0 / F.log(F.col("deg_w")), 9).cast("decimal(20,9)")
+            ).alias("aa"),
+        )
+        .filter(F.col("cn") >= 2)
+    )
+    cand = wedges.join(
+        pairs,
+        (wedges["a"] == pairs["doc_a"]) & (wedges["b"] == pairs["doc_b"]),
+        "left_anti",
+    )
+    return cand.select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        "cn",
+        F.round(F.col("aa").cast("double"), 6).alias("aa_score"),
+    )
+
+
+def _adamic_adar_oracle() -> str:
+    from annotations_ingester_spark.plans.queries_scale import SIG_CTE
+
+    return f"""WITH {SIG_CTE},
+       band AS (
+         SELECT doc_id, seed AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+       und AS (
+         SELECT doc_a AS u, doc_b AS v FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
+       deg AS (SELECT u, count(*)::BIGINT AS deg FROM und GROUP BY u),
+       low AS (SELECT u AS w, deg AS deg_w FROM deg WHERE deg <= 16),
+       wedges AS (
+         SELECT e1.u AS a, e2.v AS b, count(*)::BIGINT AS cn,
+                sum(round(1.0 / ln(l1.deg_w), 9)::DECIMAL(20,9)) AS aa
+         FROM und e1 JOIN low l1 ON l1.w = e1.v
+              JOIN und e2 ON e1.v = e2.u
+         WHERE e1.u < e2.v GROUP BY 1, 2
+         HAVING count(*) >= 2),
+       cand AS (
+         SELECT w.* FROM wedges w
+         WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                           WHERE p.doc_a = w.a AND p.doc_b = w.b))
+       SELECT a AS doc_a, b AS doc_b, cn,
+              round(CAST(aa AS DOUBLE), 6) AS aa_score
+       FROM cand"""
+
+
+_REG["graph_adamic_adar"].oracle = _adamic_adar_oracle()

@@ -1566,3 +1566,148 @@ def q_curation_waterfill(spark: SparkSession, sf: str):
         (F.col("saturated") == 1).alias("saturated"),
         F.round(alloc.cast("double") / F.col("tokens"), 6).alias("fill_frac"),
     )
+
+
+# --- round-11: leakage-safe group-holdout split --------------------------------
+
+_GSPLIT_HASH = md5_hash64_sql("'gsplit:' || gk")
+_NSPLIT_HASH = md5_hash64_sql("'nsplit:' || doc_id::VARCHAR")
+
+
+@register(
+    "split_group_holdout",
+    f"""WITH d AS (
+         SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(
+                  {tokens_sql("text")})), ' ')) AS gk
+         FROM documents
+         WHERE text IS NOT NULL),
+       lab AS (
+         SELECT doc_id, gk,
+                CASE WHEN ({_GSPLIT_HASH} % 100) < 80 THEN 'train'
+                     WHEN ({_GSPLIT_HASH} % 100) < 90 THEN 'val'
+                     ELSE 'test' END AS g_split,
+                CASE WHEN ({_NSPLIT_HASH} % 100) < 80 THEN 'train'
+                     WHEN ({_NSPLIT_HASH} % 100) < 90 THEN 'val'
+                     ELSE 'test' END AS n_split
+         FROM d),
+       grp AS (SELECT gk, g_split, count(*)::BIGINT AS n
+               FROM lab GROUP BY 1, 2),
+       nk AS (SELECT gk, n_split, count(*)::BIGINT AS k
+              FROM lab GROUP BY 1, 2),
+       nk2 AS (SELECT gk, sum(k * k)::BIGINT AS sk2_naive FROM nk GROUP BY gk),
+       gk2 AS (SELECT gk, sum(n * n)::BIGINT AS sk2_grouped
+               FROM (SELECT gk, g_split, count(*)::BIGINT AS n
+                     FROM lab GROUP BY 1, 2) GROUP BY gk),
+       per_g AS (
+         SELECT g.gk, g.g_split, g.n,
+                (g.n * g.n - n2.sk2_naive) // 2 AS leak_naive,
+                (g.n * g.n - g2.sk2_grouped) // 2 AS leak_grouped
+         FROM grp g JOIN nk2 n2 USING (gk) JOIN gk2 g2 USING (gk)),
+       tot AS (SELECT sum(leak_naive)::BIGINT AS leaky_pairs_naive,
+                      sum(leak_grouped)::BIGINT AS leaky_pairs_grouped
+               FROM per_g)
+       SELECT g_split AS split,
+              sum(n)::BIGINT AS n_docs,
+              count(*)::BIGINT AS n_clusters,
+              sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_docs,
+              max(t.leaky_pairs_grouped)::BIGINT AS leaky_pairs_grouped,
+              max(t.leaky_pairs_naive)::BIGINT AS leaky_pairs_naive
+       FROM per_g CROSS JOIN tot t
+       GROUP BY g_split""",
+    doc="Leakage-safe group-holdout split certification — the "
+    "train/val/test assignment every post-dedup pipeline needs: "
+    "duplicate CLUSTERS (dedup_bag_fingerprint's order-insensitive "
+    "bag-of-words content key, which unlike raw md5(text) also ties "
+    "word-reorder near-dups together) are "
+    "assigned to splits atomically via a seeded hash of the GROUP "
+    "key, so no verbatim duplicate can sit in train and test at once "
+    "(the contamination that inflates eval scores — see "
+    "eval_split_leakage_audit for the post-hoc detector; this is the "
+    "constructive fix). Output: per-split doc/cluster/dup-member "
+    "counts plus the certification pair-counts — cross-split "
+    "duplicate pairs under THIS assignment (structurally 0, computed "
+    "for real from per-(group, split) counts, not assumed) vs under "
+    "the naive per-doc hash split (nonzero — the measured leak being "
+    "prevented; pairs = (n^2 - sum k^2)/2 per group, exact "
+    "integers). Scale shape: two map-side-combinable rollups on the "
+    "group key plus one 1-row totals broadcast onto the 3-row split "
+    "report; group keys shard uniformly (md5), no window, no "
+    "all-pairs anything.",
+)
+def q_split_group_holdout(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
+            ).alias("gk"),
+        )
+    )
+
+    def bucket(h):
+        return (
+            F.when(h % 100 < 80, F.lit("train"))
+            .when(h % 100 < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    lab = d.select(
+        "doc_id",
+        "gk",
+        bucket(md5_hash64(F.concat(F.lit("gsplit:"), F.col("gk")))).alias(
+            "g_split"
+        ),
+        bucket(
+            md5_hash64(F.concat(F.lit("nsplit:"), F.col("doc_id").cast("string")))
+        ).alias("n_split"),
+    ).localCheckpoint(eager=True)  # narrow per-doc labels; feeds 3 rollups
+    grp = lab.groupBy("gk", "g_split").agg(F.count("*").cast("long").alias("n"))
+    nk2 = (
+        lab.groupBy("gk", "n_split")
+        .agg(F.count("*").cast("long").alias("k"))
+        .groupBy("gk")
+        .agg(F.sum(F.col("k") * F.col("k")).cast("long").alias("sk2_naive"))
+    )
+    gk2 = (
+        lab.groupBy("gk", "g_split")
+        .agg(F.count("*").cast("long").alias("n"))
+        .groupBy("gk")
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("sk2_grouped"))
+    )
+    per_g = (
+        grp.join(nk2, "gk")
+        .join(gk2, "gk")
+        .select(
+            "gk",
+            "g_split",
+            "n",
+            ((F.col("n") * F.col("n") - F.col("sk2_naive")) / 2)
+            .cast("long")
+            .alias("leak_naive"),
+            ((F.col("n") * F.col("n") - F.col("sk2_grouped")) / 2)
+            .cast("long")
+            .alias("leak_grouped"),
+        )
+    )
+    tot = per_g.agg(
+        F.sum("leak_naive").cast("long").alias("leaky_pairs_naive"),
+        F.sum("leak_grouped").cast("long").alias("leaky_pairs_grouped"),
+    )
+    return (
+        per_g.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("g_split").alias("split"))
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.max("leaky_pairs_grouped").cast("long").alias("leaky_pairs_grouped"),
+            F.max("leaky_pairs_naive").cast("long").alias("leaky_pairs_naive"),
+        )
+    )

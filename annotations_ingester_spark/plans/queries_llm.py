@@ -1977,3 +1977,202 @@ def q_text_mattr(spark: SparkSession, sf: str):
         F.col("n").alias("n_tokens"),
         F.when(F.col("n") < w, short).otherwise(long_).alias("mattr"),
     )
+
+
+# --- round-11: lexical-richness scalars (Yule's K, hapax profile) -----------
+
+
+@register(
+    "text_yule_k",
+    f"""WITH d AS (SELECT source, {TOKS} AS t FROM documents
+                 WHERE text IS NOT NULL),
+       tok AS (SELECT source, unnest(t) AS tok FROM d),
+       c AS (SELECT source, tok, count(*)::BIGINT AS c
+             FROM tok GROUP BY 1, 2),
+       s AS (SELECT source, sum(c)::BIGINT AS n,
+                    count(*)::BIGINT AS v,
+                    sum(c::DECIMAL(38,0) * c)::DECIMAL(38,0) AS s2
+             FROM c GROUP BY source)
+       SELECT source, n AS n_tokens, v AS n_types,
+              round(10000.0 * (CAST(s2 AS DOUBLE) - n) / (CAST(n AS DOUBLE) * n), 4)
+                AS yule_k
+       FROM s""",
+    doc="Yule's K lexical-richness characteristic per source: K = 1e4 * "
+    "(sum(c^2) - N) / N^2 over exact type frequencies — the classic "
+    "repetitiveness scalar that, unlike type/token ratio, is "
+    "(asymptotically) TEXT-LENGTH INVARIANT, so sources of different "
+    "volume are directly comparable (the cross-source companion to "
+    "text_mattr_diversity's windowed TTR and vocab_heaps_law's growth "
+    "fit). Frequency moments accumulate as exact BIGINT/DECIMAL(38,0); "
+    "one double division rounded once. Scale shape: explode -> two "
+    "map-side-combinable aggregates ((source, token) then source) — "
+    "the same shuffle budget as a word count; no window, no join.",
+)
+def q_text_yule_k(spark: SparkSession, sf: str):
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.explode(tx.tokens("text")).alias("tok"))
+    )
+    c = d.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
+    s = c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("v"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.round(
+            10000.0
+            * (F.col("s2").cast("double") - F.col("n"))
+            / (F.col("n").cast("double") * F.col("n")),
+            4,
+        ).alias("yule_k"),
+    )
+
+
+@register(
+    "text_hapax_legomena",
+    f"""WITH d AS (SELECT source, {TOKS} AS t FROM documents
+                 WHERE text IS NOT NULL),
+       tok AS (SELECT source, unnest(t) AS tok FROM d),
+       c AS (SELECT source, tok, count(*)::BIGINT AS c
+             FROM tok GROUP BY 1, 2),
+       s AS (SELECT source,
+                    count(*)::BIGINT AS v,
+                    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS v1,
+                    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS v2,
+                    sum(c)::BIGINT AS n
+             FROM c GROUP BY source)
+       SELECT source, n AS n_tokens, v AS n_types,
+              v1 AS n_hapax, v2 AS n_dis,
+              round(v1 * 1.0 / v, 6) AS hapax_ratio,
+              round(v2 * 1.0 / v, 6) AS sichel_s
+       FROM s""",
+    doc="Hapax-legomena profile per source: counts of once-occurring (V1) "
+    "and twice-occurring (V2) types, the hapax ratio V1/V (the "
+    "vocabulary-saturation signal — a corpus still discovering new "
+    "words has a high hapax share; boilerplate-heavy or deduplicated "
+    "text collapses it) and Sichel's S = V2/V (empirically stable "
+    "across text sizes — a drift check between crawl snapshots). "
+    "Exact integer counts; two rounded divisions per source row. "
+    "Scale shape: identical to text_yule_k — explode plus two "
+    "map-side-combinable aggregates, no window, no join.",
+)
+def q_text_hapax_legomena(spark: SparkSession, sf: str):
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.explode(tx.tokens("text")).alias("tok"))
+    )
+    c = d.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
+    s = c.groupBy("source").agg(
+        F.count("*").cast("long").alias("v"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("v1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("v2"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.col("v1").alias("n_hapax"),
+        F.col("v2").alias("n_dis"),
+        F.round(F.col("v1") * 1.0 / F.col("v"), 6).alias("hapax_ratio"),
+        F.round(F.col("v2") * 1.0 / F.col("v"), 6).alias("sichel_s"),
+    )
+
+
+# --- round-11: word-bigram conditional entropy -------------------------------
+
+_WBIGRAMS = (
+    "list_transform(range(1, greatest(len(t) - 1, 0) + 1),"
+    " i -> t[i] || ' ' || t[i+1])"
+)
+
+
+@register(
+    "lm_bigram_cond_entropy",
+    f"""WITH d AS (SELECT source, {TOKS} AS t FROM documents
+                 WHERE text IS NOT NULL),
+       bg AS (SELECT source, unnest({_WBIGRAMS}) AS b
+              FROM d WHERE len(t) >= 2),
+       cb AS (SELECT source, b, count(*)::BIGINT AS c
+              FROM bg GROUP BY 1, 2),
+       cf AS (SELECT source, split_part(b, ' ', 1) AS w1,
+                     sum(c)::BIGINT AS c
+              FROM cb GROUP BY 1, 2),
+       sb AS (SELECT source, sum(c)::BIGINT AS n,
+                     count(*)::BIGINT AS vb,
+                     sum(round(c * log2(c), 9)::DECIMAL(20,9)) AS tb
+              FROM cb GROUP BY source),
+       sf2 AS (SELECT source,
+                      sum(round(c * log2(c), 9)::DECIMAL(20,9)) AS tf
+               FROM cf GROUP BY source)
+       SELECT sb.source, sb.n AS n_bigrams, sb.vb AS n_distinct_bigrams,
+              round(log2(sb.n) - CAST(sb.tb AS DOUBLE) / sb.n, 6)
+                AS h_joint_bits,
+              round((CAST(sf2.tf AS DOUBLE) - CAST(sb.tb AS DOUBLE)) / sb.n, 6)
+                AS h_cond_bits,
+              round(pow(2.0, (CAST(sf2.tf AS DOUBLE)
+                              - CAST(sb.tb AS DOUBLE)) / sb.n), 4)
+                AS branching_factor
+       FROM sb JOIN sf2 USING (source)""",
+    doc="Word-bigram conditional entropy H(w2|w1) per source = H(w1,w2) - "
+    "H(w1), computed from exact bigram counts (the first-word marginal "
+    "telescopes from the bigram table, so H_cond = (sum cf*log2(cf) - "
+    "sum cb*log2(cb))/N without a second tokenize pass); 2^H_cond is "
+    "the effective next-word branching factor — the n-gram-level "
+    "'how predictable is this source' scalar that complements "
+    "lm_perplexity_scores (model-based) and text_char_entropy "
+    "(character-level). Each c*log2(c) term rounds to 9 dp and sums "
+    "as DECIMAL(20,9) (the r10-advice float discipline). Scale "
+    "shape: one explode, then three map-side-combinable aggregates "
+    "(bigram -> first-word rollup -> source) — word-count shuffle "
+    "budget, no window.",
+)
+def q_lm_bigram_cond_entropy(spark: SparkSession, sf: str):
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("t", tx.tokens("text"))
+        .filter(F.size("t") >= 2)
+    )
+    bg = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("b"),
+    )
+    cb = bg.groupBy("source", "b").agg(F.count("*").cast("long").alias("c"))
+    cf = cb.groupBy(
+        "source", F.substring_index(F.col("b"), " ", 1).alias("w1")
+    ).agg(F.sum("c").cast("long").alias("c"))
+    term = lambda: F.sum(  # noqa: E731
+        F.round(F.col("c") * F.log2(F.col("c")), 9).cast("decimal(20,9)")
+    )
+    sb = cb.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("vb"),
+        term().alias("tb"),
+    )
+    sf2 = cf.groupBy("source").agg(term().alias("tf"))
+    j = sb.join(sf2, "source")
+    hc = (F.col("tf").cast("double") - F.col("tb").cast("double")) / F.col("n")
+    return j.select(
+        "source",
+        F.col("n").alias("n_bigrams"),
+        F.col("vb").alias("n_distinct_bigrams"),
+        F.round(
+            F.log2(F.col("n")) - F.col("tb").cast("double") / F.col("n"), 6
+        ).alias("h_joint_bits"),
+        F.round(hc, 6).alias("h_cond_bits"),
+        F.round(F.pow(F.lit(2.0), hc), 4).alias("branching_factor"),
+    )

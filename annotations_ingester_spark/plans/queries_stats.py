@@ -5983,3 +5983,179 @@ def q_stats_jarque_bera(spark: SparkSession, sf: str):
         F.round(jb, 4).alias("jb_stat"),
         (jb >= F.lit(_JB_CHI2_CRIT_2DF)).alias("normal_rejected"),
     )
+
+
+# --- round-11: Hurst exponent via rescaled-range (R/S) analysis ---------------
+
+_HURST_WINDOWS = (4, 8, 16)  # block sizes (days) for the R/S ladder
+
+
+def _hurst_oracle() -> str:
+    arms = []
+    for w in _HURST_WINDOWS:
+        arms.append(f"""SELECT {w}::BIGINT AS w, blk,
+                avg(x) AS mu,
+                count(*)::BIGINT AS m,
+                sum(x)::BIGINT AS s1,
+                sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS s2
+         FROM (SELECT x, (t - 1) // {w} AS blk,
+                      count(*) OVER () AS tt
+               FROM o) WHERE (blk + 1) * {w} <= tt
+         GROUP BY blk""")
+    stats_union = "\n       UNION ALL\n       ".join(arms)
+    return f"""WITH {DAILY_CENTS_CTE},
+       o AS (SELECT day, x, row_number() OVER (ORDER BY day) AS t FROM d),
+       bs AS ({stats_union}),
+       cum AS (
+         SELECT b.w, b.blk,
+                sum(o.x - CAST(b.s1 AS DOUBLE) / b.m)
+                  OVER (PARTITION BY b.w, b.blk ORDER BY o.t
+                        ROWS UNBOUNDED PRECEDING) AS y
+         FROM o JOIN bs b
+           ON (o.t - 1) // b.w = b.blk AND b.m = b.w),
+       rg AS (SELECT w, blk, max(y) - min(y) AS r
+              FROM cum GROUP BY 1, 2),
+       sd AS (SELECT w, blk, m,
+                     sqrt(CAST(s2 AS DOUBLE) / m
+                          - (CAST(s1 AS DOUBLE) / m)
+                            * (CAST(s1 AS DOUBLE) / m)) AS s
+              FROM bs),
+       rs AS (SELECT r.w, count(*)::BIGINT AS n_blocks,
+                     sum(round(r.r / s.s, 9)::DECIMAL(20,9)) AS rs_sum
+              FROM rg r JOIN sd s ON r.w = s.w AND r.blk = s.blk
+              WHERE s.s > 0
+              GROUP BY r.w),
+       pts AS (SELECT w, n_blocks,
+                      round(CAST(rs_sum AS DOUBLE) / n_blocks, 6) AS mean_rs
+               FROM rs),
+       fit AS (SELECT count(*)::BIGINT AS k,
+                      sum(ln(w)) AS sx, sum(ln(mean_rs)) AS sy,
+                      sum(ln(w) * ln(w)) AS sxx,
+                      sum(ln(w) * ln(mean_rs)) AS sxy
+               FROM pts)
+       SELECT p.w AS window_days, p.n_blocks, p.mean_rs,
+              round((f.k * f.sxy - f.sx * f.sy)
+                    / (f.k * f.sxx - f.sx * f.sx), 6) AS hurst_exponent,
+              round((f.k * f.sxy - f.sx * f.sy)
+                    / (f.k * f.sxx - f.sx * f.sx), 6) > 0.65
+                AS strong_persistence
+       FROM pts p CROSS JOIN fit f"""
+
+
+@register(
+    "stats_hurst_rs",
+    None,  # assembled by _hurst_oracle below (shared block-arm template)
+    doc="Hurst exponent of the daily revenue series by rescaled-range "
+    "(R/S) analysis: for block sizes 4/8/16 days, each full block's "
+    "range of cumulative mean-deviations divided by its population "
+    "std, averaged per size; H is the log-log OLS slope of mean R/S "
+    "vs block size — H~0.5 random walk, H>0.65 flagged as strong "
+    "long-memory persistence (burstiness that AR-based diagnostics "
+    "like stats_ljung_box miss). Block moments are exact BIGINT/"
+    "DECIMAL(38,0) sums; per-block R/S rounds to 9 dp and sums as "
+    "DECIMAL; the 3-point fit is one deterministic double expression. "
+    "The persistence flag compares the ROUNDED exponent (engines can "
+    "never disagree with the printed value). Scale shape: one daily "
+    "rollup (map-side combinable over events), then every window and "
+    "join runs over the bounded DATE-DOMAIN table and its "
+    "(3 x blocks) ladder — flat in the event count.",
+)
+def q_stats_hurst_rs(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf)
+    o = d.select(
+        "day", "x", F.row_number().over(Window.orderBy("day")).alias("t")
+    ).localCheckpoint(eager=True)  # bounded day table; feeds all 3 arms
+    arms = []
+    for w in _HURST_WINDOWS:
+        tt = o.agg(F.count("*").alias("tt"))
+        blocks = (
+            o.crossJoin(F.broadcast(tt))
+            .select(
+                "day",
+                "x",
+                "t",
+                ((F.col("t") - 1) / w).cast("long").alias("blk"),
+                "tt",
+            )
+            .filter((F.col("blk") + 1) * w <= F.col("tt"))
+        )
+        bs = blocks.groupBy("blk").agg(
+            F.count("*").cast("long").alias("m"),
+            F.sum("x").cast("long").alias("s1"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+        wc = (
+            Window.partitionBy("blk")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            blocks.join(F.broadcast(bs), "blk")
+            .select(
+                "blk",
+                F.sum(
+                    F.col("x") - F.col("s1").cast("double") / F.col("m")
+                )
+                .over(wc)
+                .alias("y"),
+            )
+            .groupBy("blk")
+            .agg((F.max("y") - F.min("y")).alias("r"))
+        )
+        mu = F.col("s1").cast("double") / F.col("m")
+        sd = bs.select(
+            "blk",
+            F.sqrt(F.col("s2").cast("double") / F.col("m") - mu * mu).alias("s"),
+        )
+        arm = (
+            cum.join(sd, "blk")
+            .filter(F.col("s") > 0)
+            .agg(
+                F.lit(w).cast("long").alias("w"),
+                F.count("*").cast("long").alias("n_blocks"),
+                F.sum(
+                    F.round(F.col("r") / F.col("s"), 9).cast("decimal(20,9)")
+                ).alias("rs_sum"),
+            )
+        )
+        arms.append(arm)
+    pts = arms[0]
+    for a in arms[1:]:
+        pts = pts.unionByName(a)
+    pts = pts.select(
+        "w",
+        "n_blocks",
+        F.round(F.col("rs_sum").cast("double") / F.col("n_blocks"), 6).alias(
+            "mean_rs"
+        ),
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.log("w")).alias("sx"),
+        F.sum(F.log("mean_rs")).alias("sy"),
+        F.sum(F.log("w") * F.log("w")).alias("sxx"),
+        F.sum(F.log("w") * F.log("mean_rs")).alias("sxy"),
+    )
+    hurst = F.round(
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        F.col("w").alias("window_days"),
+        "n_blocks",
+        "mean_rs",
+        hurst.alias("hurst_exponent"),
+        (hurst > 0.65).alias("strong_persistence"),
+    )
+
+
+from annotations_ingester_spark.plans.catalog import REGISTRY as _REG_R11  # noqa: E402
+
+_REG_R11["stats_hurst_rs"].oracle = _hurst_oracle()

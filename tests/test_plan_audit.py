@@ -231,6 +231,11 @@ CROSS_ALLOWED = {
     # 1-row global-totals broadcast onto the 10-row confidence-bin table
     # (the reliability/resolution term assembly)
     "eval_brier_decomposition",
+    # 1-row leak-pair-totals broadcast onto the 3-row split report
+    "split_group_holdout",
+    # 1-row series-length broadcast onto the bounded day table (full-block
+    # filter) + the 1-row log-log fit broadcast onto the 3-row R/S ladder
+    "stats_hurst_rs",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -404,6 +409,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # cumulative capture windows over the pinned 10-row score-bucket
     # aggregate (structural)
     "eval_lift_gains_curve": (10, "SELECT 10"),
+    # R/S block index (row_number) over the DATE-DOMAIN daily rollup;
+    # the per-block cumulative windows are blk-partitioned
+    "stats_hurst_rs": (200, _EVENTS_DAYS_PROBE),
     # rank cumulatives over the BOUNDED per-value count tables of the
     # date-domain daily rollup (Mann-Whitney rank discipline)
     "stats_spearman_corr": (200, _EVENTS_DAYS_PROBE),

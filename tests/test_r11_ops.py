@@ -212,3 +212,181 @@ def test_jarque_bera_matches_numpy(spark):
         assert r.ex_kurtosis == pytest.approx(exk, abs=1e-4)
         assert r.jb_stat == pytest.approx(jb, rel=1e-3)
         assert r.normal_rejected == (jb >= 5.9915)
+
+
+def _token_re_counts(texts_by_source):
+    import re
+    from collections import Counter
+
+    counts = {}
+    for src, texts in texts_by_source.items():
+        c = Counter()
+        for t in texts:
+            c.update(x for x in re.split(r"[^a-z0-9]+", t.lower()) if x)
+        counts[src] = c
+    return counts
+
+
+def _docs_by_source():
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet' WHERE text IS NOT NULL"
+    ).fetchall()
+    by = {}
+    for src, t in rows:
+        by.setdefault(src, []).append(t)
+    return by
+
+
+def test_yule_k_matches_python(spark):
+    counts = _token_re_counts(_docs_by_source())
+    got = {r.source: r for r in REGISTRY["text_yule_k"].spark(spark, SF).collect()}
+    assert set(got) == set(counts)
+    for src, c in counts.items():
+        n = sum(c.values())
+        s2 = sum(v * v for v in c.values())
+        r = got[src]
+        assert r.n_tokens == n and r.n_types == len(c)
+        assert r.yule_k == pytest.approx(1e4 * (s2 - n) / (n * n), abs=1e-3)
+
+
+def test_hapax_matches_python(spark):
+    counts = _token_re_counts(_docs_by_source())
+    got = {
+        r.source: r for r in REGISTRY["text_hapax_legomena"].spark(spark, SF).collect()
+    }
+    for src, c in counts.items():
+        v1 = sum(1 for v in c.values() if v == 1)
+        v2 = sum(1 for v in c.values() if v == 2)
+        r = got[src]
+        assert (r.n_types, r.n_hapax, r.n_dis) == (len(c), v1, v2)
+        assert r.hapax_ratio == pytest.approx(v1 / len(c), abs=2e-6)
+        assert r.sichel_s == pytest.approx(v2 / len(c), abs=2e-6)
+
+
+def test_bigram_cond_entropy_matches_python(spark):
+    import re
+    from collections import Counter
+
+    by = _docs_by_source()
+    got = {
+        r.source: r
+        for r in REGISTRY["lm_bigram_cond_entropy"].spark(spark, SF).collect()
+    }
+    for src, texts in by.items():
+        cb, cf = Counter(), Counter()
+        for t in texts:
+            toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+            for a, b in zip(toks, toks[1:]):
+                cb[(a, b)] += 1
+                cf[a] += 1
+        n = sum(cb.values())
+        h_joint = math.log2(n) - sum(c * math.log2(c) for c in cb.values()) / n
+        h_first = math.log2(n) - sum(c * math.log2(c) for c in cf.values()) / n
+        r = got[src]
+        assert r.n_bigrams == n and r.n_distinct_bigrams == len(cb)
+        assert r.h_joint_bits == pytest.approx(h_joint, abs=2e-5)
+        assert r.h_cond_bits == pytest.approx(h_joint - h_first, abs=2e-5)
+        assert r.branching_factor == pytest.approx(2 ** (h_joint - h_first), abs=2e-3)
+
+
+def test_adamic_adar_consistent_with_common_neighbors(spark):
+    """AA runs on the identical wedge set as the CN scorer: same "
+    "(doc_a, doc_b, cn) triples, and each AA score is bounded by
+    cn/ln(16) <= aa <= cn/ln(2) (pivot degrees live in [2, 16])."""
+    cn_rows = {
+        (r.doc_a, r.doc_b): r.cn
+        for r in REGISTRY["graph_common_neighbor_scores"].spark(spark, SF).collect()
+    }
+    aa_rows = {
+        (r.doc_a, r.doc_b): r
+        for r in REGISTRY["graph_adamic_adar"].spark(spark, SF).collect()
+    }
+    assert set(cn_rows) == set(aa_rows)
+    for pair, r in aa_rows.items():
+        assert r.cn == cn_rows[pair]
+        assert r.cn / math.log(16) - 1e-6 <= r.aa_score <= r.cn / math.log(2) + 1e-6
+
+
+def test_group_holdout_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> ''))), ' '))
+            FROM '{SF}/documents.parquet'
+            WHERE text IS NOT NULL"""
+    ).fetchall()
+
+    def bucket(h):
+        m = h % 100
+        return "train" if m < 80 else ("val" if m < 90 else "test")
+
+    groups = {}
+    for doc_id, gk in rows:
+        g_split = bucket(_md5_64(f"gsplit:{gk}"))
+        n_split = bucket(_md5_64(f"nsplit:{doc_id}"))
+        groups.setdefault(gk, (g_split, []))[1].append(n_split)
+    leak_naive = 0
+    per_split = {}
+    for gk, (g_split, members) in groups.items():
+        n = len(members)
+        from collections import Counter
+
+        k2 = sum(v * v for v in Counter(members).values())
+        leak_naive += (n * n - k2) // 2
+        s = per_split.setdefault(g_split, [0, 0, 0])
+        s[0] += n
+        s[1] += 1
+        s[2] += n if n > 1 else 0
+    got = {r.split: r for r in REGISTRY["split_group_holdout"].spark(spark, SF).collect()}
+    assert set(got) == set(per_split)
+    for split, (n_docs, n_clusters, n_dup) in per_split.items():
+        r = got[split]
+        assert (r.n_docs, r.n_clusters, r.n_dup_docs) == (n_docs, n_clusters, n_dup)
+        assert r.leaky_pairs_grouped == 0  # the certification
+        assert r.leaky_pairs_naive == leak_naive
+    # the naive split must actually leak on this corpus (else the cert
+    # is vacuous): sf0.001 documents contain exact duplicates
+    assert leak_naive > 0
+
+
+def test_hurst_rs_matches_numpy(spark):
+    import duckdb
+    import numpy as np
+
+    xs = duckdb.sql(
+        f"""SELECT sum(round(value * 100)::BIGINT)::BIGINT AS x
+            FROM '{SF}/events.parquet'
+            GROUP BY (floor(epoch(ts))::BIGINT // 86400)
+            ORDER BY (floor(epoch(ts))::BIGINT // 86400)"""
+    ).fetchnumpy()["x"].astype(np.float64)
+    got = {r.window_days: r for r in REGISTRY["stats_hurst_rs"].spark(spark, SF).collect()}
+    pts = []
+    for w in (4, 8, 16):
+        nb = len(xs) // w
+        rs_vals = []
+        for b in range(nb):
+            blk = xs[b * w : (b + 1) * w]
+            dev = np.cumsum(blk - blk.mean())
+            r_ = dev.max() - dev.min()
+            s_ = blk.std()  # population
+            if s_ > 0:
+                rs_vals.append(round(r_ / s_, 9))
+        mean_rs = sum(rs_vals) / len(rs_vals)
+        r = got[w]
+        assert r.n_blocks == len(rs_vals)
+        assert r.mean_rs == pytest.approx(mean_rs, abs=2e-6)
+        pts.append((math.log(w), math.log(round(mean_rs, 6))))
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    hurst = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    for r in got.values():
+        assert r.hurst_exponent == pytest.approx(hurst, abs=2e-5)
+        assert r.strong_persistence == (round(hurst, 6) > 0.65)
