@@ -299,6 +299,12 @@ _ORDER_LAST_R11: set[str] = {
     "graph_adamic_adar",
     "split_group_holdout",
     "stats_hurst_rs",
+    "stats_ols_two_factor",
+    "stats_granger_lag1",
+    "stats_cronbach_alpha",
+    "sketch_ams_f2_cert",
+    "privacy_randomized_response_cert",
+    "events_peak_detection",
 }
 
 

@@ -3826,3 +3826,64 @@ def _adamic_adar_oracle() -> str:
 
 
 _REG["graph_adamic_adar"].oracle = _adamic_adar_oracle()
+
+
+# --- round-11: daily-series peak detection ------------------------------------
+
+_PEAK_REL_MIN = 1.15  # min height over the +-3-day local baseline
+
+
+@register(
+    "events_peak_detection",
+    f"""WITH {DAILY_CENTS_CTE},
+       w AS (SELECT day, x,
+                    lag(x) OVER (ORDER BY day) AS xl,
+                    lead(x) OVER (ORDER BY day) AS xr,
+                    avg(x) OVER (ORDER BY day
+                                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                      AS base
+             FROM d)
+       SELECT day, x AS revenue_cents,
+              round(x / base, 6) AS rel_height,
+              (x > xl AND x > xr
+               AND round(x / base, 6) >= {_PEAK_REL_MIN!r}) AS is_peak
+       FROM w WHERE xl IS NOT NULL AND xr IS NOT NULL""",
+    doc="Local-peak detection on the daily revenue series: a day is a "
+    "peak when it strictly exceeds both neighbors AND clears a "
+    "pinned 15% prominence over its +-3-day moving-average baseline "
+    "(the baseline test removes the noise-peak false positives a "
+    "bare local-max rule produces — the campaign-spike / "
+    "load-anomaly marker that events_anomaly_mad's global MAD "
+    "envelope misses when the series trends). The relative height "
+    "rounds once and the flag compares the ROUNDED value, so both "
+    "engines always agree with the printed number. Endpoint days "
+    "(no both-side neighbor) are excluded rather than padded. Scale "
+    "shape: one map-side-combinable daily rollup over events, then "
+    "all three windows run over the bounded DATE-DOMAIN table.",
+)
+def q_events_peak_detection(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf)
+    w = Window.orderBy("day")
+    wb = Window.orderBy("day").rowsBetween(-3, 3)
+    o = d.select(
+        "day",
+        "x",
+        F.lag("x").over(w).alias("xl"),
+        F.lead("x").over(w).alias("xr"),
+        F.avg("x").over(wb).alias("base"),
+    ).filter(F.col("xl").isNotNull() & F.col("xr").isNotNull())
+    rel = F.round(F.col("x") / F.col("base"), 6)
+    return o.select(
+        "day",
+        F.col("x").alias("revenue_cents"),
+        rel.alias("rel_height"),
+        (
+            (F.col("x") > F.col("xl"))
+            & (F.col("x") > F.col("xr"))
+            & (rel >= F.lit(_PEAK_REL_MIN))
+        ).alias("is_peak"),
+    )

@@ -1711,3 +1711,86 @@ def q_split_group_holdout(spark: SparkSession, sf: str):
             F.max("leaky_pairs_naive").cast("long").alias("leaky_pairs_naive"),
         )
     )
+
+
+# --- round-11: randomized-response (local DP) certification --------------------
+
+_RR_P_BP = 7500  # truth-telling probability, basis points (p = 0.75)
+_RR_EPSILON = 1.098612  # ln(p/(1-p)) = ln(3), the local-DP epsilon, pinned
+_RR_COIN = md5_hash64_sql("'rr:' || event_id::VARCHAR")
+
+
+@register(
+    "privacy_randomized_response_cert",
+    f"""WITH e AS (
+         SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t,
+                CASE WHEN ({_RR_COIN} % 10000) < {_RR_P_BP}
+                     THEN 1 ELSE 0 END AS honest
+         FROM events),
+       r AS (SELECT t,
+                    CASE WHEN honest = 1 THEN t ELSE 1 - t END AS reported
+             FROM e),
+       s AS (SELECT count(*)::BIGINT AS n,
+                    sum(t)::BIGINT AS n_true,
+                    sum(reported)::BIGINT AS n_reported
+             FROM r)
+       SELECT n, n_true, n_reported,
+              round(n_true * 1.0 / n, 6) AS true_frac,
+              round(n_reported * 1.0 / n, 6) AS observed_frac,
+              round((n_reported * 1.0 / n - 0.25) / 0.5, 6)
+                AS debiased_frac,
+              round(abs((n_reported * 1.0 / n - 0.25) / 0.5
+                        - n_true * 1.0 / n), 6) AS abs_error,
+              {_RR_EPSILON!r} AS epsilon
+       FROM s""",
+    doc="Warner randomized-response certification — the LOCAL "
+    "differential-privacy mechanism (each record randomizes before "
+    "aggregation; no trusted curator, unlike privacy_dp_noisy_counts_"
+    "cert's central-DP Laplace): every event reports its sensitive "
+    "bit (is-purchase) truthfully with p=0.75 via a seeded "
+    "deterministic coin, else flipped; the debiased estimator "
+    "(obs - (1-p))/(2p-1) is certified against the true fraction, "
+    "with the mechanism's epsilon = ln(p/(1-p)) = ln(3) pinned. "
+    "All counts exact integers; four rounded divisions in the 1-row "
+    "report. Scale shape: one scan-fused full aggregate over a "
+    "per-row deterministic projection — no window, no join, flat "
+    "at any event count.",
+)
+def q_privacy_randomized_response_cert(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+    from annotations_ingester_spark.plans.catalog import events_table
+
+    e = events_table(spark, sf).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("t"),
+        (
+            md5_hash64(
+                F.concat(F.lit("rr:"), F.col("event_id").cast("string"))
+            )
+            % 10000
+            < _RR_P_BP
+        ).alias("honest"),
+    )
+    r = e.select(
+        "t",
+        F.when(F.col("honest"), F.col("t")).otherwise(1 - F.col("t")).alias(
+            "reported"
+        ),
+    )
+    s = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("n_true"),
+        F.sum("reported").cast("long").alias("n_reported"),
+    )
+    tf = F.col("n_true") * 1.0 / F.col("n")
+    of = F.col("n_reported") * 1.0 / F.col("n")
+    db = (of - 0.25) / 0.5
+    return s.select(
+        "n",
+        "n_true",
+        "n_reported",
+        F.round(tf, 6).alias("true_frac"),
+        F.round(of, 6).alias("observed_frac"),
+        F.round(db, 6).alias("debiased_frac"),
+        F.round(F.abs(db - tf), 6).alias("abs_error"),
+        F.lit(_RR_EPSILON).alias("epsilon"),
+    )

@@ -6159,3 +6159,447 @@ def q_stats_hurst_rs(spark: SparkSession, sf: str):
 from annotations_ingester_spark.plans.catalog import REGISTRY as _REG_R11  # noqa: E402
 
 _REG_R11["stats_hurst_rs"].oracle = _hurst_oracle()
+
+
+# --- round-11: two-factor OLS via normal equations ----------------------------
+
+
+@register(
+    "stats_ols_two_factor",
+    """WITH c AS (
+         SELECT round(l_extendedprice * 100)::BIGINT AS y,
+                round(l_quantity)::BIGINT AS x1,
+                round(l_discount * 100)::BIGINT AS x2
+         FROM lineitem),
+       s AS (SELECT count(*)::BIGINT AS n,
+                    sum(y)::BIGINT AS sy, sum(x1)::BIGINT AS s1,
+                    sum(x2)::BIGINT AS s2,
+                    sum(x1::DECIMAL(38,0) * x1)::DECIMAL(38,0) AS s11,
+                    sum(x2::DECIMAL(38,0) * x2)::DECIMAL(38,0) AS s22,
+                    sum(x1::DECIMAL(38,0) * x2)::DECIMAL(38,0) AS s12,
+                    sum(x1::DECIMAL(38,0) * y)::DECIMAL(38,0) AS s1y,
+                    sum(x2::DECIMAL(38,0) * y)::DECIMAL(38,0) AS s2y,
+                    sum(y::DECIMAL(38,0) * y)::DECIMAL(38,0) AS syy
+             FROM c),
+       m AS (SELECT n,
+                    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS v11,
+                    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS v22,
+                    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS v12,
+                    CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS v1y,
+                    CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS v2y,
+                    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS vyy,
+                    CAST(sy AS DOUBLE) / n AS my,
+                    CAST(s1 AS DOUBLE) / n AS m1,
+                    CAST(s2 AS DOUBLE) / n AS m2
+             FROM s),
+       b AS (SELECT n, vyy, v1y, v2y, my, m1, m2,
+                    (v22 * v1y - v12 * v2y) / (v11 * v22 - v12 * v12) AS b1,
+                    (v11 * v2y - v12 * v1y) / (v11 * v22 - v12 * v12) AS b2
+             FROM m)
+       SELECT n,
+              round(my - b1 * m1 - b2 * m2, 4) AS intercept_cents,
+              round(b1, 6) AS beta_quantity,
+              round(b2, 6) AS beta_discount,
+              round((b1 * v1y + b2 * v2y) / vyy, 6) AS r_squared,
+              round(((b1 * v1y + b2 * v2y) / vyy)
+                    / (1.0 - (b1 * v1y + b2 * v2y) / vyy)
+                    * (n - 3) / 2.0, 4) AS f_stat
+       FROM b""",
+    doc="Two-regressor OLS by closed-form normal equations: "
+    "extendedprice ~ quantity + discount over lineitem, solved with "
+    "Cramer's rule on the centered covariance matrix — coefficients, "
+    "R^2 and the overall F(2, n-3) statistic, generalizing "
+    "timeseries_linear_trend's single-regressor fit to the smallest "
+    "genuinely multivariate case (where collinearity between "
+    "regressors first matters — v12 appears in every numerator). All "
+    "nine raw power sums accumulate as exact BIGINT/DECIMAL(38,0) "
+    "integers in ONE map-side-combinable aggregate; the solve is a "
+    "single deterministic double expression tree, one rounding per "
+    "output. Scale shape: one scan-fused full-table aggregate, no "
+    "window, no join — the cheapest possible distributed regression.",
+)
+def q_stats_ols_two_factor(spark: SparkSession, sf: str):
+    c = table(spark, sf, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_quantity")).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s = c.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(dec("x1") * F.col("x1")).cast("decimal(38,0)").alias("s11"),
+        F.sum(dec("x2") * F.col("x2")).cast("decimal(38,0)").alias("s22"),
+        F.sum(dec("x1") * F.col("x2")).cast("decimal(38,0)").alias("s12"),
+        F.sum(dec("x1") * F.col("y")).cast("decimal(38,0)").alias("s1y"),
+        F.sum(dec("x2") * F.col("y")).cast("decimal(38,0)").alias("s2y"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.col("n")
+    v11 = F.col("s11").cast("double") - F.col("s1").cast("double") * F.col("s1") / n
+    v22 = F.col("s22").cast("double") - F.col("s2").cast("double") * F.col("s2") / n
+    v12 = F.col("s12").cast("double") - F.col("s1").cast("double") * F.col("s2") / n
+    v1y = F.col("s1y").cast("double") - F.col("s1").cast("double") * F.col("sy") / n
+    v2y = F.col("s2y").cast("double") - F.col("s2").cast("double") * F.col("sy") / n
+    vyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n
+    det = v11 * v22 - v12 * v12
+    b1 = (v22 * v1y - v12 * v2y) / det
+    b2 = (v11 * v2y - v12 * v1y) / det
+    my = F.col("sy").cast("double") / n
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    r2 = (b1 * v1y + b2 * v2y) / vyy
+    return s.select(
+        "n",
+        F.round(my - b1 * m1 - b2 * m2, 4).alias("intercept_cents"),
+        F.round(b1, 6).alias("beta_quantity"),
+        F.round(b2, 6).alias("beta_discount"),
+        F.round(r2, 6).alias("r_squared"),
+        F.round(r2 / (1.0 - r2) * (n - 3) / 2.0, 4).alias("f_stat"),
+    )
+
+
+# --- round-11: Granger causality (lag-1, daily series) ------------------------
+
+_GRANGER_F_CRIT = 4.20  # F(1, ~27) 0.95 critical value, pinned
+
+
+@register(
+    "stats_granger_lag1",
+    f"""WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type, round(value * 100)::BIGINT AS cents
+         FROM events),
+       d AS (SELECT day,
+                    sum(CASE WHEN event_type = 'purchase'
+                             THEN cents ELSE 0 END)::BIGINT AS y,
+                    sum(CASE WHEN event_type <> 'purchase'
+                             THEN cents ELSE 0 END)::BIGINT AS x
+             FROM e GROUP BY day),
+       o AS (SELECT day, y, x,
+                    lag(y) OVER (ORDER BY day) AS yl,
+                    lag(x) OVER (ORDER BY day) AS xl
+             FROM d),
+       p AS (SELECT y, yl AS x1, xl AS x2 FROM o WHERE yl IS NOT NULL),
+       s AS (SELECT count(*)::BIGINT AS n,
+                    sum(y)::BIGINT AS sy, sum(x1)::BIGINT AS s1,
+                    sum(x2)::BIGINT AS s2,
+                    sum(x1::DECIMAL(38,0) * x1)::DECIMAL(38,0) AS s11,
+                    sum(x2::DECIMAL(38,0) * x2)::DECIMAL(38,0) AS s22,
+                    sum(x1::DECIMAL(38,0) * x2)::DECIMAL(38,0) AS s12,
+                    sum(x1::DECIMAL(38,0) * y)::DECIMAL(38,0) AS s1y,
+                    sum(x2::DECIMAL(38,0) * y)::DECIMAL(38,0) AS s2y,
+                    sum(y::DECIMAL(38,0) * y)::DECIMAL(38,0) AS syy
+             FROM p),
+       m AS (SELECT n,
+                    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS v11,
+                    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS v22,
+                    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS v12,
+                    CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS v1y,
+                    CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS v2y,
+                    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS vyy
+             FROM s),
+       f AS (SELECT n, v1y, v2y, vyy,
+                    (v22 * v1y - v12 * v2y) / (v11 * v22 - v12 * v12) AS b1,
+                    (v11 * v2y - v12 * v1y) / (v11 * v22 - v12 * v12) AS b2,
+                    vyy - v1y * v1y / v11 AS rss_r
+             FROM m)
+       SELECT n AS n_days_used,
+              round(b1, 6) AS beta_ylag,
+              round(b2, 6) AS beta_xlag,
+              round(rss_r - (vyy - b1 * v1y - b2 * v2y), 4) AS rss_drop,
+              round((rss_r - (vyy - b1 * v1y - b2 * v2y))
+                    / ((vyy - b1 * v1y - b2 * v2y) / (n - 3)), 4)
+                AS f_granger,
+              round((rss_r - (vyy - b1 * v1y - b2 * v2y))
+                    / ((vyy - b1 * v1y - b2 * v2y) / (n - 3)), 4)
+                >= {_GRANGER_F_CRIT!r} AS x_granger_causes_y
+       FROM f""",
+    doc="Granger causality (lag-1) between two daily revenue series: "
+    "does yesterday's NON-purchase activity (clicks/views) improve "
+    "today's purchase-revenue forecast beyond purchase's own lag? "
+    "Restricted AR(1) RSS vs the two-regressor (y_lag, x_lag) OLS "
+    "RSS — F = (RSS_r - RSS_u)/(RSS_u/(n-3)) with 1 restriction, "
+    "against a pinned F(1, n-3) 0.95 critical value; the flag "
+    "compares the ROUNDED F. Shares stats_ols_two_factor's exact-"
+    "integer normal-equation machinery (all power sums BIGINT/"
+    "DECIMAL(38,0)); RSS values come from the same closed forms "
+    "(RSS_u = Syy - b1*S1y - b2*S2y). Scale shape: one daily rollup "
+    "over events (map-side combinable), a lag window over the "
+    "bounded DATE DOMAIN, one full aggregate — flat in event count.",
+)
+def q_stats_granger_lag1(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = e.groupBy("day").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+        F.sum(
+            F.when(F.col("event_type") != "purchase", F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    w = Window.orderBy("day")
+    o = d.select(
+        "y",
+        F.lag("y").over(w).alias("x1"),
+        F.lag("x").over(w).alias("x2"),
+    ).filter(F.col("x1").isNotNull())
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s = o.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(dec("x1") * F.col("x1")).cast("decimal(38,0)").alias("s11"),
+        F.sum(dec("x2") * F.col("x2")).cast("decimal(38,0)").alias("s22"),
+        F.sum(dec("x1") * F.col("x2")).cast("decimal(38,0)").alias("s12"),
+        F.sum(dec("x1") * F.col("y")).cast("decimal(38,0)").alias("s1y"),
+        F.sum(dec("x2") * F.col("y")).cast("decimal(38,0)").alias("s2y"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.col("n")
+    v11 = F.col("s11").cast("double") - F.col("s1").cast("double") * F.col("s1") / n
+    v22 = F.col("s22").cast("double") - F.col("s2").cast("double") * F.col("s2") / n
+    v12 = F.col("s12").cast("double") - F.col("s1").cast("double") * F.col("s2") / n
+    v1y = F.col("s1y").cast("double") - F.col("s1").cast("double") * F.col("sy") / n
+    v2y = F.col("s2y").cast("double") - F.col("s2").cast("double") * F.col("sy") / n
+    vyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n
+    det = v11 * v22 - v12 * v12
+    b1 = (v22 * v1y - v12 * v2y) / det
+    b2 = (v11 * v2y - v12 * v1y) / det
+    rss_r = vyy - v1y * v1y / v11
+    rss_u = vyy - b1 * v1y - b2 * v2y
+    f_g = F.round((rss_r - rss_u) / (rss_u / (n - 3)), 4)
+    return s.select(
+        n.alias("n_days_used"),
+        F.round(b1, 6).alias("beta_ylag"),
+        F.round(b2, 6).alias("beta_xlag"),
+        F.round(rss_r - rss_u, 4).alias("rss_drop"),
+        f_g.alias("f_granger"),
+        (f_g >= F.lit(_GRANGER_F_CRIT)).alias("x_granger_causes_y"),
+    )
+
+
+# --- round-11: Cronbach's alpha reliability -----------------------------------
+
+
+@register(
+    "stats_cronbach_alpha",
+    """WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type, round(value * 100)::BIGINT AS cents
+         FROM events),
+       cell AS (SELECT day, event_type, sum(cents)::BIGINT AS x
+                FROM e GROUP BY 1, 2),
+       days AS (SELECT DISTINCT day FROM cell),
+       types AS (SELECT DISTINCT event_type FROM cell),
+       grid AS (SELECT d.day, t.event_type,
+                       coalesce(c.x, 0)::BIGINT AS x
+                FROM days d CROSS JOIN types t
+                LEFT JOIN cell c
+                  ON c.day = d.day AND c.event_type = t.event_type),
+       item AS (SELECT event_type,
+                       count(*)::BIGINT AS m,
+                       sum(x)::BIGINT AS s,
+                       sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS q
+                FROM grid GROUP BY event_type),
+       tot AS (SELECT day, sum(x)::BIGINT AS t FROM grid GROUP BY day),
+       ts AS (SELECT count(*)::BIGINT AS m, sum(t)::BIGINT AS s,
+                     sum(t::DECIMAL(38,0) * t)::DECIMAL(38,0) AS q
+              FROM tot),
+       iv AS (SELECT count(*)::BIGINT AS k,
+                     sum(round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / m)
+                               / m, 9)::DECIMAL(20,9)) AS sum_item_var
+              FROM item),
+       tv AS (SELECT (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / m) / m
+                       AS total_var,
+                     m
+              FROM ts)
+       SELECT iv.k AS n_items, tv.m AS n_days,
+              round(CAST(iv.sum_item_var AS DOUBLE), 4) AS sum_item_var,
+              round(tv.total_var, 4) AS total_var,
+              round(iv.k * 1.0 / (iv.k - 1)
+                    * (1.0 - CAST(iv.sum_item_var AS DOUBLE) / tv.total_var),
+                    6) AS cronbach_alpha
+       FROM iv CROSS JOIN tv""",
+    doc="Cronbach's alpha internal-consistency coefficient treating the "
+    "event types as k 'items' scored per day (the respondents): alpha "
+    "= k/(k-1) * (1 - sum(item variances)/variance(day totals)) — "
+    "the classic reliability scalar for ANY multi-signal quality "
+    "score (do the k signals move together enough to justify summing "
+    "them into one index? — directly applicable to "
+    "text_quality_scores' component signals). Population variances "
+    "from exact BIGINT/DECIMAL(38,0) power sums over the densified "
+    "(day x type) grid; per-item variances round to 9 dp and sum as "
+    "DECIMAL. Scale shape: one map-side-combinable (day, type) "
+    "rollup over events, then every aggregate runs on the bounded "
+    "(days x 5-type) grid; two 1-row broadcasts assemble the report.",
+)
+def q_stats_cronbach_alpha(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cell = e.groupBy("day", "event_type").agg(
+        F.sum("cents").cast("long").alias("x")
+    ).localCheckpoint(eager=True)  # bounded (day x type) grid source
+    days = cell.select("day").distinct()
+    types = cell.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(cell, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    dec = F.col("x").cast("decimal(38,0)")
+    item = grid.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(dec * F.col("x")).cast("decimal(38,0)").alias("q"),
+    )
+    tot = grid.groupBy("day").agg(F.sum("x").cast("long").alias("t"))
+    dect = F.col("t").cast("decimal(38,0)")
+    ts = tot.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("t").cast("long").alias("s"),
+        F.sum(dect * F.col("t")).cast("decimal(38,0)").alias("q"),
+    )
+    pvar = (
+        F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("m")
+    ) / F.col("m")
+    iv = item.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.round(pvar, 9).cast("decimal(20,9)")).alias("sum_item_var"),
+    )
+    tv = ts.select(pvar.alias("total_var"), "m")
+    siv = F.col("sum_item_var").cast("double")
+    return iv.crossJoin(F.broadcast(tv)).select(
+        F.col("k").alias("n_items"),
+        F.col("m").alias("n_days"),
+        F.round(siv, 4).alias("sum_item_var"),
+        F.round(F.col("total_var"), 4).alias("total_var"),
+        F.round(
+            F.col("k") * 1.0 / (F.col("k") - 1) * (1.0 - siv / F.col("total_var")),
+            6,
+        ).alias("cronbach_alpha"),
+    )
+
+
+# --- round-11: AMS (tug-of-war) F2 sketch certification -----------------------
+
+_AMS_ROWS = 16  # sketch rows (independent sign hashes)
+
+
+@register(
+    "sketch_ams_f2_cert",
+    f"""WITH ev AS (SELECT user_id FROM events),
+       sgn AS (
+         SELECT r.s,
+                sum(CASE WHEN ({md5_hash64_sql("'ams' || r.s::VARCHAR || ':' || ev.user_id::VARCHAR")}
+                           % 2) = 0 THEN 1 ELSE -1 END)::BIGINT AS z
+         FROM ev CROSS JOIN (SELECT unnest(range(0, {_AMS_ROWS})) AS s) r
+         GROUP BY r.s),
+       est AS (SELECT sum(z::DECIMAL(38,0) * z)::DECIMAL(38,0) AS zz
+               FROM sgn),
+       ex AS (SELECT sum(c::DECIMAL(38,0) * c)::DECIMAL(38,0) AS f2,
+                     count(*)::BIGINT AS n_users,
+                     sum(c)::BIGINT AS n_events
+              FROM (SELECT user_id, count(*)::BIGINT AS c
+                    FROM ev GROUP BY user_id))
+       SELECT ex.n_events, ex.n_users,
+              CAST(ex.f2 AS BIGINT) AS f2_exact,
+              round(CAST(est.zz AS DOUBLE) / {_AMS_ROWS}, 4) AS f2_estimate,
+              round(CAST(est.zz AS DOUBLE) / {_AMS_ROWS}
+                    / CAST(ex.f2 AS DOUBLE), 6) AS est_ratio,
+              round(CAST(est.zz AS DOUBLE) / {_AMS_ROWS}
+                    / CAST(ex.f2 AS DOUBLE), 6) BETWEEN 0.5 AND 2.0
+                AS within_2x
+       FROM est CROSS JOIN ex""",
+    doc="AMS (Alon-Matias-Szegedy 'tug-of-war') sketch for the second "
+    "frequency moment F2 of the per-user event counts, certified "
+    "against the exact value: 16 independent seeded sign hashes, "
+    "each sketch row is one counter Z_s = sum(sign_s(user)); "
+    "E[Z^2] = F2, estimator = mean of Z^2 — F2/self-join-size "
+    "estimation in ONE PASS with 16 integers of state, the "
+    "streaming-mergeable companion to sketch_count_min_certified "
+    "(point frequencies) and sketch_hll_intersection_cert "
+    "(cardinality). Everything is exact integer arithmetic (signs, "
+    "Z sums, Z^2, exact F2 as DECIMAL(38,0)) until the final "
+    "ratio; the certification flag compares the ROUNDED ratio to "
+    "the 2x envelope. Scale shape: a 16-way map fan over the "
+    "pruned user_id scan collapsing map-side to 16 rows, plus one "
+    "per-user rollup for the exact side; no window, no data join.",
+)
+def q_sketch_ams_f2_cert(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    ev = events_table(spark, sf).select("user_id")
+    seeds = ev.sparkSession.range(_AMS_ROWS).select(
+        F.col("id").cast("long").alias("s")
+    )
+    sgn = (
+        ev.crossJoin(F.broadcast(seeds))
+        .select(
+            "s",
+            F.when(
+                md5_hash64(
+                    F.concat(
+                        F.lit("ams"),
+                        F.col("s").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("sign"),
+        )
+        .groupBy("s")
+        .agg(F.sum("sign").cast("long").alias("z"))
+    )
+    est = sgn.agg(
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+        .cast("decimal(38,0)")
+        .alias("zz")
+    )
+    ex = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("f2"),
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("c").cast("long").alias("n_events"),
+        )
+    )
+    ratio = F.round(
+        F.col("zz").cast("double") / _AMS_ROWS / F.col("f2").cast("double"), 6
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        "n_events",
+        "n_users",
+        F.col("f2").cast("long").alias("f2_exact"),
+        F.round(F.col("zz").cast("double") / _AMS_ROWS, 4).alias("f2_estimate"),
+        ratio.alias("est_ratio"),
+        ratio.between(0.5, 2.0).alias("within_2x"),
+    )

@@ -233,6 +233,13 @@ CROSS_ALLOWED = {
     "eval_brier_decomposition",
     # 1-row leak-pair-totals broadcast onto the 3-row split report
     "split_group_holdout",
+    # pinned 16-row seed spine fanned over the pruned user_id scan (the
+    # permutation-test replicate-spine shape) + the 1-row exact-F2
+    # broadcast onto the 1-row estimate
+    "sketch_ams_f2_cert",
+    # 5-row type spine densifying the bounded (day x type) grid + two
+    # 1-row report broadcasts (item-variance sum, total variance)
+    "stats_cronbach_alpha",
     # 1-row series-length broadcast onto the bounded day table (full-block
     # filter) + the 1-row log-log fit broadcast onto the 3-row R/S ladder
     "stats_hurst_rs",
@@ -412,6 +419,10 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # R/S block index (row_number) over the DATE-DOMAIN daily rollup;
     # the per-block cumulative windows are blk-partitioned
     "stats_hurst_rs": (200, _EVENTS_DAYS_PROBE),
+    # lag window over the DATE-DOMAIN two-series daily rollup
+    "stats_granger_lag1": (200, _EVENTS_DAYS_PROBE),
+    # lag/lead/moving-baseline windows over the DATE-DOMAIN daily rollup
+    "events_peak_detection": (200, _EVENTS_DAYS_PROBE),
     # rank cumulatives over the BOUNDED per-value count tables of the
     # date-domain daily rollup (Mann-Whitney rank discipline)
     "stats_spearman_corr": (200, _EVENTS_DAYS_PROBE),

@@ -390,3 +390,165 @@ def test_hurst_rs_matches_numpy(spark):
     for r in got.values():
         assert r.hurst_exponent == pytest.approx(hurst, abs=2e-5)
         assert r.strong_persistence == (round(hurst, 6) > 0.65)
+
+
+def test_ols_two_factor_matches_numpy(spark):
+    import duckdb
+    import numpy as np
+
+    y, x1, x2 = duckdb.sql(
+        f"""SELECT round(l_extendedprice * 100)::BIGINT,
+                   round(l_quantity)::BIGINT,
+                   round(l_discount * 100)::BIGINT
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchnumpy().values()
+    y = y.astype(np.float64)
+    X = np.column_stack([np.ones(len(y)), x1, x2]).astype(np.float64)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    ss_res = ((y - pred) ** 2).sum()
+    ss_tot = ((y - y.mean()) ** 2).sum()
+    r2 = 1 - ss_res / ss_tot
+    n = len(y)
+    r = REGISTRY["stats_ols_two_factor"].spark(spark, SF).collect()[0]
+    assert r.n == n
+    assert r.intercept_cents == pytest.approx(beta[0], rel=1e-5)
+    assert r.beta_quantity == pytest.approx(beta[1], rel=1e-5)
+    assert r.beta_discount == pytest.approx(beta[2], rel=1e-4)
+    assert r.r_squared == pytest.approx(r2, abs=1e-5)
+    assert r.f_stat == pytest.approx(r2 / (1 - r2) * (n - 3) / 2, rel=1e-3)
+
+
+def _daily_two_series():
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN round(value * 100)::BIGINT ELSE 0 END),
+                   sum(CASE WHEN event_type <> 'purchase'
+                            THEN round(value * 100)::BIGINT ELSE 0 END)
+            FROM '{SF}/events.parquet' GROUP BY day ORDER BY day"""
+    ).fetchall()
+    return [(int(y), int(x)) for _, y, x in rows]
+
+
+def test_granger_lag1_matches_numpy(spark):
+    import numpy as np
+
+    series = _daily_two_series()
+    y = np.array([v[0] for v in series[1:]], dtype=np.float64)
+    yl = np.array([v[0] for v in series[:-1]], dtype=np.float64)
+    xl = np.array([v[1] for v in series[:-1]], dtype=np.float64)
+    n = len(y)
+    Xu = np.column_stack([np.ones(n), yl, xl])
+    Xr = np.column_stack([np.ones(n), yl])
+    bu, *_ = np.linalg.lstsq(Xu, y, rcond=None)
+    br, *_ = np.linalg.lstsq(Xr, y, rcond=None)
+    rss_u = ((y - Xu @ bu) ** 2).sum()
+    rss_r = ((y - Xr @ br) ** 2).sum()
+    f = (rss_r - rss_u) / (rss_u / (n - 3))
+    r = REGISTRY["stats_granger_lag1"].spark(spark, SF).collect()[0]
+    assert r.n_days_used == n
+    assert r.beta_ylag == pytest.approx(bu[1], abs=1e-4)
+    assert r.beta_xlag == pytest.approx(bu[2], abs=1e-4)
+    assert r.f_granger == pytest.approx(f, rel=1e-3)
+    assert r.x_granger_causes_y == (round(f, 4) >= 4.20)
+
+
+def test_cronbach_alpha_matches_numpy(spark):
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"""SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                   event_type, sum(round(value * 100)::BIGINT)::BIGINT
+            FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    days = sorted({r[0] for r in rows})
+    types = sorted({r[1] for r in rows})
+    cells = {(d, t): 0 for d in days for t in types}
+    for d, t, x in rows:
+        cells[(d, t)] = int(x)
+    M = np.array([[cells[(d, t)] for t in types] for d in days], dtype=np.float64)
+    k = len(types)
+    item_vars = M.var(axis=0)  # population
+    total_var = M.sum(axis=1).var()
+    alpha = k / (k - 1) * (1 - sum(round(v, 9) for v in item_vars) / total_var)
+    r = REGISTRY["stats_cronbach_alpha"].spark(spark, SF).collect()[0]
+    assert r.n_items == k and r.n_days == len(days)
+    assert r.total_var == pytest.approx(total_var, rel=1e-6)
+    assert r.cronbach_alpha == pytest.approx(alpha, abs=2e-5)
+
+
+def test_ams_f2_matches_python(spark):
+    import duckdb
+    from collections import Counter
+
+    uids = duckdb.sql(
+        f"SELECT user_id FROM '{SF}/events.parquet'"
+    ).fetchnumpy()["user_id"]
+    zs = []
+    for s in range(16):
+        z = sum(
+            1 if _md5_64(f"ams{s}:{u}") % 2 == 0 else -1 for u in uids
+        )
+        zs.append(z)
+    est = sum(z * z for z in zs) / 16
+    counts = Counter(int(u) for u in uids)
+    f2 = sum(c * c for c in counts.values())
+    r = REGISTRY["sketch_ams_f2_cert"].spark(spark, SF).collect()[0]
+    assert r.n_events == len(uids) and r.n_users == len(counts)
+    assert r.f2_exact == f2
+    assert r.f2_estimate == pytest.approx(est, abs=0.01)
+    assert r.est_ratio == pytest.approx(est / f2, abs=2e-6)
+    assert r.within_2x == (0.5 <= round(est / f2, 6) <= 2.0)
+
+
+def test_randomized_response_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT event_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall()
+    n = len(rows)
+    n_true = sum(1 for _, et in rows if et == "purchase")
+    n_rep = 0
+    for eid, et in rows:
+        t = 1 if et == "purchase" else 0
+        honest = _md5_64(f"rr:{eid}") % 10000 < 7500
+        n_rep += t if honest else 1 - t
+    r = REGISTRY["privacy_randomized_response_cert"].spark(spark, SF).collect()[0]
+    assert (r.n, r.n_true, r.n_reported) == (n, n_true, n_rep)
+    debiased = (n_rep / n - 0.25) / 0.5
+    assert r.debiased_frac == pytest.approx(debiased, abs=2e-6)
+    assert r.abs_error == pytest.approx(abs(debiased - n_true / n), abs=2e-6)
+    # the mechanism must actually flip some answers (else vacuous)
+    assert n_rep != n_true
+    assert r.epsilon == pytest.approx(math.log(3), abs=1e-6)
+
+
+def test_peak_detection_matches_python(spark):
+    import duckdb
+
+    xs = [
+        (int(d), int(x))
+        for d, x in duckdb.sql(
+            f"""SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                       sum(round(value * 100)::BIGINT)::BIGINT
+                FROM '{SF}/events.parquet' GROUP BY day ORDER BY day"""
+        ).fetchall()
+    ]
+    got = {r.day: r for r in REGISTRY["events_peak_detection"].spark(spark, SF).collect()}
+    assert set(got) == {d for d, _ in xs[1:-1]}
+    for i in range(1, len(xs) - 1):
+        day, x = xs[i]
+        lo, hi = max(0, i - 3), min(len(xs), i + 4)
+        base = sum(v for _, v in xs[lo:hi]) / (hi - lo)
+        rel = round(x / base, 6)
+        r = got[day]
+        assert r.revenue_cents == x
+        assert r.rel_height == pytest.approx(rel, abs=2e-6)
+        assert r.is_peak == (
+            x > xs[i - 1][1] and x > xs[i + 1][1] and rel >= 1.15
+        )
