@@ -305,6 +305,12 @@ _ORDER_LAST_R11: set[str] = {
     "sketch_ams_f2_cert",
     "privacy_randomized_response_cert",
     "events_peak_detection",
+    "stats_pettitt_test",
+    "stats_variance_ratio_test",
+    "eval_weighted_kappa",
+    "dedup_soft_weights",
+    "events_entropy_trend",
+    "streaming_ams_f2",
 }
 
 

@@ -3887,3 +3887,113 @@ def q_events_peak_detection(spark: SparkSession, sf: str):
             & (rel >= F.lit(_PEAK_REL_MIN))
         ).alias("is_peak"),
     )
+
+
+# --- round-11: event-mix entropy drift ----------------------------------------
+
+
+@register(
+    "events_entropy_trend",
+    """WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type
+         FROM events),
+       c AS (SELECT day, event_type, count(*)::BIGINT AS c
+             FROM e GROUP BY 1, 2),
+       n AS (SELECT day, sum(c)::BIGINT AS n FROM c GROUP BY day),
+       h AS (SELECT c.day, n.n,
+                    round(log2(n.n)
+                          - CAST(sum(round(c.c * log2(c.c), 9)
+                                     ::DECIMAL(20,9)) AS DOUBLE) / n.n, 6)
+                      AS h_bits
+             FROM c JOIN n ON c.day = n.day
+             GROUP BY c.day, n.n),
+       idx AS (SELECT day, n, h_bits,
+                      row_number() OVER (ORDER BY day) AS t
+               FROM h),
+       fit AS (SELECT count(*)::BIGINT AS m,
+                      sum(t)::BIGINT AS st,
+                      sum(t * t)::BIGINT AS stt,
+                      sum(round(h_bits, 6)::DECIMAL(20,9)) AS sh,
+                      sum(round(t * h_bits, 6)::DECIMAL(20,9)) AS sth
+               FROM idx)
+       SELECT idx.day, idx.n AS n_events, idx.h_bits,
+              round(1000.0 * (fit.m * CAST(fit.sth AS DOUBLE)
+                              - fit.st * CAST(fit.sh AS DOUBLE))
+                    / (fit.m * fit.stt - fit.st * fit.st), 6)
+                AS trend_mbits_per_day,
+              round(1000.0 * (fit.m * CAST(fit.sth AS DOUBLE)
+                              - fit.st * CAST(fit.sh AS DOUBLE))
+                    / (fit.m * fit.stt - fit.st * fit.st), 6) < 0
+                AS mix_concentrating
+       FROM idx CROSS JOIN fit""",
+    doc="Daily event-mix Shannon entropy with its linear trend: per day, "
+    "H over the event-type distribution (exact integer counts; "
+    "c*log2(c) terms 9-dp-rounded DECIMAL sums — the "
+    "text_char_entropy discipline) plus the OLS slope of H against "
+    "the day index in millibits/day; a falling trend means user "
+    "behavior is CONCENTRATING into fewer event types (engagement "
+    "funnel narrowing / bot traffic taking over) — the behavioral-"
+    "drift scalar that complements stats_psi_drift (which watches "
+    "one value distribution, not the type mix). The flag compares "
+    "the ROUNDED slope. Scale shape: one map-side-combinable "
+    "(day, type) rollup over events, then everything runs on the "
+    "bounded (days x 5-type) table; one 1-row fit broadcast.",
+)
+def q_events_entropy_trend(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"), "event_type"
+    )
+    # bounded (day x type) rollup, checkpointed: four downstream consumers
+    # (totals, entropy, fit, report) re-read ~150 rows, not the events scan
+    c = (
+        e.groupBy("day", "event_type")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n = c.groupBy("day").agg(F.sum("c").cast("long").alias("n"))
+    term = F.sum(
+        F.round(F.col("c") * F.log2(F.col("c")), 9).cast("decimal(20,9)")
+    )
+    h = (
+        c.join(n, "day")
+        .groupBy("day", "n")
+        .agg(
+            F.round(
+                F.log2(F.col("n")) - term.cast("double") / F.col("n"), 6
+            ).alias("h_bits")
+        )
+    )
+    idx = h.select(
+        "day",
+        "n",
+        "h_bits",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+    fit = idx.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.round(F.col("h_bits"), 6).cast("decimal(20,9)")).alias("sh"),
+        F.sum(F.round(F.col("t") * F.col("h_bits"), 6).cast("decimal(20,9)")).alias(
+            "sth"
+        ),
+    )
+    slope = F.round(
+        1000.0
+        * (
+            F.col("m") * F.col("sth").cast("double")
+            - F.col("st") * F.col("sh").cast("double")
+        )
+        / (F.col("m") * F.col("stt") - F.col("st") * F.col("st")),
+        6,
+    )
+    return idx.crossJoin(F.broadcast(fit)).select(
+        "day",
+        F.col("n").alias("n_events"),
+        "h_bits",
+        slope.alias("trend_mbits_per_day"),
+        (slope < 0).alias("mix_concentrating"),
+    )

@@ -2440,3 +2440,108 @@ def q_eval_lift_gains_curve(spark: SparkSession, sf: str):
             4,
         ).alias("lift"),
     )
+
+
+# --- round-11: quadratic-weighted kappa (ordinal raters) ----------------------
+
+_WK_NOISE_HASH = "('0x' || substr(md5('wk:' || vec_id::VARCHAR), 1, 15))::BIGINT"
+_WK_K = 5  # ordinal grades 0..4
+
+
+@register(
+    "eval_weighted_kappa",
+    f"""WITH p AS (
+         SELECT ({_CONF_HASH} % 10000) // 2000 AS a,
+                least(greatest(
+                  ({_CONF_HASH} % 10000) // 2000
+                  + CASE WHEN ({_WK_NOISE_HASH} % 10) < 6 THEN 0
+                         WHEN ({_WK_NOISE_HASH} % 10) < 8 THEN 1
+                         ELSE -1 END, 0), {_WK_K - 1}) AS b
+         FROM embeddings),
+       o AS (SELECT a, b, count(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+       ma AS (SELECT a, sum(n)::BIGINT AS na FROM o GROUP BY a),
+       mb AS (SELECT b, sum(n)::BIGINT AS nb FROM o GROUP BY b),
+       tot AS (SELECT sum(n)::BIGINT AS nt FROM o),
+       num AS (SELECT sum((a - b) * (a - b) * n)::BIGINT AS wo FROM o),
+       den AS (SELECT sum((ma.a - mb.b) * (ma.a - mb.b)
+                          * ma.na::DECIMAL(38,0) * mb.nb)::DECIMAL(38,0)
+                 AS we_scaled
+               FROM ma CROSS JOIN mb)
+       SELECT tot.nt AS n_items,
+              num.wo AS disagreement_weighted,
+              round(CAST(den.we_scaled AS DOUBLE) / tot.nt, 4)
+                AS expected_weighted,
+              round(1.0 - num.wo * CAST(tot.nt AS DOUBLE)
+                          / CAST(den.we_scaled AS DOUBLE), 6)
+                AS weighted_kappa
+       FROM tot CROSS JOIN num CROSS JOIN den""",
+    doc="Quadratic-weighted Cohen's kappa between two deterministic "
+    "synthetic ORDINAL raters (grades 0..4; rater B = rater A "
+    "hash-perturbed +-1 with pinned 60/20/20 odds, clamped): kappa_w "
+    "= 1 - sum(w_ij O_ij) / sum(w_ij E_ij) with w_ij = (i-j)^2 — the "
+    "partial-credit agreement scalar ordinal label audits need where "
+    "eval_cohens_kappa's 0/1 disagreement over-penalizes near-miss "
+    "grades. The (i-j)^2 weights keep BOTH sums exact integers "
+    "(observed directly; expected as the marginal outer product "
+    "scaled by n, divided once at the end) — zero per-cell floats. "
+    "Scale shape: one scan-fused 25-cell aggregate, marginals from "
+    "the cells, a 5x5 domain cross for the expected sum — flat at "
+    "any prediction-set size.",
+)
+def q_eval_weighted_kappa(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    conf = md5_hash64(
+        F.concat(F.lit("conf:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    noise = md5_hash64(
+        F.concat(F.lit("wk:"), F.col("vec_id").cast("string"))
+    ) % 10
+    a = F.floor(conf / 2000).cast("long")
+    shift = (
+        F.when(noise < 6, 0).when(noise < 8, 1).otherwise(-1)
+    )
+    p = table(spark, sf, "embeddings").select(
+        a.alias("a"),
+        F.least(
+            F.greatest(a + shift, F.lit(0)), F.lit(_WK_K - 1)
+        ).cast("long").alias("b"),
+    )
+    o = p.groupBy("a", "b").agg(F.count("*").cast("long").alias("n"))
+    o = o.localCheckpoint(eager=True)  # 25 cells; feeds marginals + sums
+    ma = o.groupBy("a").agg(F.sum("n").cast("long").alias("na"))
+    mb = o.groupBy("b").agg(F.sum("n").cast("long").alias("nb"))
+    tot = o.agg(F.sum("n").cast("long").alias("nt"))
+    num = o.agg(
+        F.sum((F.col("a") - F.col("b")) * (F.col("a") - F.col("b")) * F.col("n"))
+        .cast("long")
+        .alias("wo")
+    )
+    den = ma.crossJoin(F.broadcast(mb)).agg(
+        F.sum(
+            (F.col("a") - F.col("b"))
+            * (F.col("a") - F.col("b"))
+            * F.col("na").cast("decimal(38,0)")
+            * F.col("nb")
+        )
+        .cast("decimal(38,0)")
+        .alias("we_scaled")
+    )
+    return (
+        tot.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("nt").alias("n_items"),
+            F.col("wo").alias("disagreement_weighted"),
+            F.round(
+                F.col("we_scaled").cast("double") / F.col("nt"), 4
+            ).alias("expected_weighted"),
+            F.round(
+                1.0
+                - F.col("wo")
+                * F.col("nt").cast("double")
+                / F.col("we_scaled").cast("double"),
+                6,
+            ).alias("weighted_kappa"),
+        )
+    )

@@ -2532,3 +2532,70 @@ def q_substring_cross_split(spark: SparkSession, sf: str):
     )
 
     return cross_split_substring_contamination(table(spark, sf, "documents"))
+
+
+# --- round-11: soft deduplication (down-weighting instead of removal) ---------
+
+_SOFT_BAG_KEY = f"md5(array_to_string(list_sort(list_distinct({TOKS})), ' '))"
+
+
+@register(
+    "dedup_soft_weights",
+    f"""WITH d AS (
+         SELECT doc_id, source, {_SOFT_BAG_KEY} AS gk
+         FROM documents WHERE text IS NOT NULL),
+       cs AS (SELECT gk, count(*)::BIGINT AS sz FROM d GROUP BY gk),
+       w AS (SELECT d.source, cs.sz FROM d JOIN cs USING (gk))
+       SELECT source,
+              count(*)::BIGINT AS n_docs,
+              sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+              round(CAST(sum(round(1.0 / sz, 9)::DECIMAL(20,9)) AS DOUBLE),
+                    4) AS effective_docs,
+              round(count(*)
+                    / CAST(sum(round(1.0 / sz, 9)::DECIMAL(20,9)) AS DOUBLE),
+                    4) AS duplication_inflation
+       FROM w GROUP BY source""",
+    doc="Soft deduplication per source: instead of dropping duplicates "
+    "(dedup_corpus_survivors) each doc gets sampling weight "
+    "1/cluster_size over the bag-of-words content clusters, so every "
+    "cluster contributes exactly one effective document spread over "
+    "its members — the down-weighting strategy (SoftDeDup) that "
+    "preserves rare within-cluster variants a hard survivor pick "
+    "discards. Reports per-source effective corpus size (sum of "
+    "weights, 9-dp DECIMAL sum) and the duplication inflation factor "
+    "n/effective — the multiplier a loss-weighted trainer must "
+    "expect. Clusters span sources, so the per-source effective "
+    "mass is NOT simply its cluster count (the cross-source quote "
+    "case). Scale shape: one rollup on the content key, one "
+    "re-join of the tiny size table onto the doc list (broadcast-"
+    "able), one per-source aggregate — exact-dedup cost, no window.",
+)
+def q_dedup_soft_weights(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions import text as _tx
+
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.concat_ws(
+                    " ", F.array_sort(F.array_distinct(_tx.tokens("text")))
+                )
+            ).alias("gk"),
+        )
+    ).localCheckpoint(eager=True)  # narrow (id, source, key); feeds 2 uses
+    cs = d.groupBy("gk").agg(F.count("*").cast("long").alias("sz"))
+    w = d.join(cs, "gk").select("source", "sz")
+    eff = F.sum(F.round(1.0 / F.col("sz"), 9).cast("decimal(20,9)"))
+    return w.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.round(eff.cast("double"), 4).alias("effective_docs"),
+        F.round(F.count("*") / eff.cast("double"), 4).alias(
+            "duplication_inflation"
+        ),
+    )

@@ -6421,7 +6421,7 @@ def q_stats_granger_lag1(spark: SparkSession, sf: str):
               FROM tot),
        iv AS (SELECT count(*)::BIGINT AS k,
                      sum(round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / m)
-                               / m, 9)::DECIMAL(20,9)) AS sum_item_var
+                               / m, 9)::DECIMAL(30,9)) AS sum_item_var
               FROM item),
        tv AS (SELECT (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / m) / m
                        AS total_var,
@@ -6485,7 +6485,8 @@ def q_stats_cronbach_alpha(spark: SparkSession, sf: str):
     ) / F.col("m")
     iv = item.agg(
         F.count("*").cast("long").alias("k"),
-        F.sum(F.round(pvar, 9).cast("decimal(20,9)")).alias("sum_item_var"),
+        # DECIMAL(30,9): per-item variances reach ~2.4e12 cents^2 at sf1
+        F.sum(F.round(pvar, 9).cast("decimal(30,9)")).alias("sum_item_var"),
     )
     tv = ts.select(pvar.alias("total_var"), "m")
     siv = F.col("sum_item_var").cast("double")
@@ -6603,3 +6604,340 @@ def q_sketch_ams_f2_cert(spark: SparkSession, sf: str):
         ratio.alias("est_ratio"),
         ratio.between(0.5, 2.0).alias("within_2x"),
     )
+
+
+# --- round-11: Pettitt changepoint test ---------------------------------------
+
+_PETTITT_P_CRIT = 0.05
+
+
+@register(
+    "stats_pettitt_test",
+    f"""WITH {DAILY_CENTS_CTE},
+       tt AS (SELECT count(*)::BIGINT AS t_n FROM d),
+       rk AS (SELECT day, x,
+                     (2 * rank() OVER (ORDER BY x)
+                      + count(*) OVER (PARTITION BY x) - 1)::BIGINT AS r2
+              FROM d),
+       u AS (SELECT day,
+                    row_number() OVER (ORDER BY day) AS t,
+                    sum(r2) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                      ::BIGINT AS w2
+             FROM rk),
+       ut AS (SELECT day, t,
+                     (w2 - t * (tt.t_n + 1))::BIGINT AS u_t
+              FROM u CROSS JOIN tt
+              WHERE t < tt.t_n),
+       k AS (SELECT max(abs(u_t))::BIGINT AS k_stat FROM ut),
+       cp AS (SELECT min(day) AS changepoint_day
+              FROM ut, k WHERE abs(u_t) = k.k_stat)
+       SELECT tt.t_n AS n_days, k.k_stat, cp.changepoint_day,
+              round(2.0 * exp(-6.0 * k.k_stat * k.k_stat
+                              / (CAST(tt.t_n AS DOUBLE) * tt.t_n * tt.t_n
+                                 + CAST(tt.t_n AS DOUBLE) * tt.t_n)), 6)
+                AS p_approx,
+              round(2.0 * exp(-6.0 * k.k_stat * k.k_stat
+                              / (CAST(tt.t_n AS DOUBLE) * tt.t_n * tt.t_n
+                                 + CAST(tt.t_n AS DOUBLE) * tt.t_n)), 6)
+                < {_PETTITT_P_CRIT!r} AS shift_detected
+       FROM tt CROSS JOIN k CROSS JOIN cp""",
+    doc="Pettitt nonparametric changepoint test on the daily revenue "
+    "series: U_t telescopes to sum(doubled tie-averaged ranks of the "
+    "first t days) - t*(T+1) — the Mann-Whitney identity that turns "
+    "the textbook O(T^2) pair sum into one rank window plus one "
+    "cumulative sum, ALL INTEGER (doubled ranks absorb tie halves); "
+    "K = max|U_t| locates the most probable shift day (earliest on "
+    "ties), with the standard 2*exp(-6K^2/(T^3+T^2)) significance "
+    "approximation. The rank-based complement to events_changepoint_"
+    "cusum (mean CUSUM) — robust to the heavy-tailed revenue days "
+    "that drag a mean-based locator. The flag compares the ROUNDED "
+    "p. Scale shape: one map-side-combinable daily rollup, then "
+    "every window runs over the bounded DATE DOMAIN; three 1-row "
+    "broadcasts assemble the report.",
+)
+def q_stats_pettitt_test(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf).localCheckpoint(eager=True)
+    tt = d.agg(F.count("*").cast("long").alias("t_n"))
+    rk = d.select(
+        "day",
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count("*").over(Window.partitionBy("x"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    u = rk.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("r2").over(w_run).cast("long").alias("w2"),
+    )
+    ut = (
+        u.crossJoin(F.broadcast(tt))
+        .filter(F.col("t") < F.col("t_n"))
+        .select(
+            "day",
+            (F.col("w2") - F.col("t") * (F.col("t_n") + 1))
+            .cast("long")
+            .alias("u_t"),
+        )
+        .localCheckpoint(eager=True)  # bounded day table; feeds max + argmax
+    )
+    k = ut.agg(F.max(F.abs(F.col("u_t"))).cast("long").alias("k_stat"))
+    cp = (
+        ut.crossJoin(F.broadcast(k))
+        .filter(F.abs(F.col("u_t")) == F.col("k_stat"))
+        .agg(F.min("day").alias("changepoint_day"))
+    )
+    tn = F.col("t_n").cast("double")
+    p = F.round(
+        2.0
+        * F.exp(
+            -6.0
+            * F.col("k_stat")
+            * F.col("k_stat")
+            / (tn * F.col("t_n") * F.col("t_n") + tn * F.col("t_n"))
+        ),
+        6,
+    )
+    return (
+        tt.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(cp))
+        .select(
+            F.col("t_n").alias("n_days"),
+            "k_stat",
+            "changepoint_day",
+            p.alias("p_approx"),
+            (p < F.lit(_PETTITT_P_CRIT)).alias("shift_detected"),
+        )
+    )
+
+
+# --- round-11: two-sample variance-ratio F test -------------------------------
+
+_VR_F_CRIT = 1.90  # F(~27, ~27) 0.95 critical value, pinned
+
+
+@register(
+    "stats_variance_ratio_test",
+    """WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type, round(value * 100)::BIGINT AS cents
+         FROM events),
+       d AS (SELECT day,
+                    sum(CASE WHEN event_type = 'purchase'
+                             THEN cents ELSE 0 END)::BIGINT AS a,
+                    sum(CASE WHEN event_type <> 'purchase'
+                             THEN cents ELSE 0 END)::BIGINT AS b
+             FROM e GROUP BY day),
+       s AS (SELECT count(*)::BIGINT AS n,
+                    sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb,
+                    sum(a::DECIMAL(38,0) * a)::DECIMAL(38,0) AS qa,
+                    sum(b::DECIMAL(38,0) * b)::DECIMAL(38,0) AS qb
+             FROM d),
+       v AS (SELECT n,
+                    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n)
+                      / (n - 1) AS va,
+                    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n)
+                      / (n - 1) AS vb
+             FROM s)
+       SELECT n AS n_days,
+              round(sqrt(va), 4) AS sd_purchase_cents,
+              round(sqrt(vb), 4) AS sd_other_cents,
+              round(greatest(va, vb) / least(va, vb), 4) AS f_ratio,
+              round(greatest(va, vb) / least(va, vb), 4) >= 1.90
+                AS variances_differ
+       FROM v""",
+    doc="Two-sample variance-ratio F test between the daily purchase and "
+    "non-purchase revenue series (paired by day): F = larger sample "
+    "variance / smaller, against a pinned F(n-1, n-1) 0.95 critical "
+    "value — the dispersion counterpart of stats_welch_ttest (which "
+    "compares the means and must be told whether pooling is safe; "
+    "this test IS that check, and Brown-Forsythe covers the k-group "
+    "version on a different table). Sample variances from exact "
+    "BIGINT/DECIMAL(38,0) power sums in one aggregate; the flag "
+    "compares the ROUNDED ratio. Scale shape: one map-side-"
+    "combinable daily rollup over events, one aggregate over the "
+    "bounded day table — no window, no join, flat in event count.",
+)
+def q_stats_variance_ratio_test(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = e.groupBy("day").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("a"),
+        F.sum(
+            F.when(F.col("event_type") != "purchase", F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    s = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("a"))
+        .cast("decimal(38,0)")
+        .alias("qa"),
+        F.sum(F.col("b").cast("decimal(38,0)") * F.col("b"))
+        .cast("decimal(38,0)")
+        .alias("qb"),
+    )
+    n = F.col("n")
+    va = (F.col("qa").cast("double") - F.col("sa").cast("double") * F.col("sa") / n) / (
+        n - 1
+    )
+    vb = (F.col("qb").cast("double") - F.col("sb").cast("double") * F.col("sb") / n) / (
+        n - 1
+    )
+    fr = F.round(F.greatest(va, vb) / F.least(va, vb), 4)
+    return s.select(
+        n.alias("n_days"),
+        F.round(F.sqrt(va), 4).alias("sd_purchase_cents"),
+        F.round(F.sqrt(vb), 4).alias("sd_other_cents"),
+        fr.alias("f_ratio"),
+        (fr >= F.lit(_VR_F_CRIT)).alias("variances_differ"),
+    )
+
+
+# --- round-11: streaming twin of the AMS F2 sketch ----------------------------
+
+
+@register(
+    "streaming_ams_f2",
+    None,  # shares sketch_ams_f2_cert's oracle (assigned below)
+    doc="Streaming twin of sketch_ams_f2_cert, run for real: the events "
+    "stream (availableNow, several micro-batches) is reduced per "
+    "batch by foreachBatch to (a) the 16 per-seed sign-sum partials "
+    "and (b) per-user count partials, each landed at a batch-id-"
+    "keyed path (idempotent overwrite). Both states are commutative "
+    "monoids — Z_s sums add, per-user counts add — so the fold must "
+    "reproduce the batch query EXACTLY (shared oracle): this is the "
+    "textbook mergeability claim of the AMS sketch made operational, "
+    "the same per-window-partials discipline as streaming_psi_drift. "
+    "At 100 TB the 16-counter sketch state is O(1) per window while "
+    "the exact side keys on users (the verifiable small-scale "
+    "companion; production would keep only the sketch). Scale "
+    "shape: per batch one 16-row sign aggregate + one per-user "
+    "rollup; fold is O(batches x 16) + O(users).",
+)
+def q_streaming_ams_f2(spark: SparkSession, sf: str):
+    import os
+    import shutil
+    import tempfile
+
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+    from annotations_ingester_spark.plans.catalog import events_table
+
+    ev = events_table(spark, sf).select("event_id", "user_id")
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_ams_")
+    feed_dir = os.path.join(run_dir, "feed")
+    signs = os.path.join(run_dir, "signs")
+    counts = os.path.join(run_dir, "counts")
+    try:
+        ev.repartition(8).write.mode("overwrite").parquet(feed_dir)
+        seeds = spark.range(_AMS_ROWS).select(
+            F.col("id").cast("long").alias("s")
+        )
+
+        def partials(batch_df, batch_id):
+            sgn = (
+                batch_df.crossJoin(F.broadcast(seeds))
+                .select(
+                    "s",
+                    F.when(
+                        md5_hash64(
+                            F.concat(
+                                F.lit("ams"),
+                                F.col("s").cast("string"),
+                                F.lit(":"),
+                                F.col("user_id").cast("string"),
+                            )
+                        )
+                        % 2
+                        == 0,
+                        1,
+                    )
+                    .otherwise(-1)
+                    .alias("sign"),
+                )
+                .groupBy("s")
+                .agg(F.sum("sign").cast("long").alias("z"))
+            )
+            sgn.write.mode("overwrite").parquet(f"{signs}/batch={batch_id}")
+            (
+                batch_df.groupBy("user_id")
+                .agg(F.count("*").cast("long").alias("c"))
+                .write.mode("overwrite")
+                .parquet(f"{counts}/batch={batch_id}")
+            )
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(feed_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(partials)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        zf = (
+            spark.read.parquet(signs)
+            .groupBy("s")
+            .agg(F.sum("z").cast("long").alias("z"))
+        )
+        est = zf.agg(
+            F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+            .cast("decimal(38,0)")
+            .alias("zz")
+        )
+        ex = (
+            spark.read.parquet(counts)
+            .groupBy("user_id")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+                .cast("decimal(38,0)")
+                .alias("f2"),
+                F.count("*").cast("long").alias("n_users"),
+                F.sum("c").cast("long").alias("n_events"),
+            )
+        )
+        ratio = F.round(
+            F.col("zz").cast("double") / _AMS_ROWS / F.col("f2").cast("double"),
+            6,
+        )
+        out = (
+            est.crossJoin(F.broadcast(ex))
+            .select(
+                "n_events",
+                "n_users",
+                F.col("f2").cast("long").alias("f2_exact"),
+                F.round(F.col("zz").cast("double") / _AMS_ROWS, 4).alias(
+                    "f2_estimate"
+                ),
+                ratio.alias("est_ratio"),
+                ratio.between(0.5, 2.0).alias("within_2x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
+_REG_R11["streaming_ams_f2"].oracle = _REG_R11["sketch_ams_f2_cert"].oracle

@@ -240,6 +240,14 @@ CROSS_ALLOWED = {
     # 5-row type spine densifying the bounded (day x type) grid + two
     # 1-row report broadcasts (item-variance sum, total variance)
     "stats_cronbach_alpha",
+    # three 1-row broadcasts (series length, max|U|, argmax day) over the
+    # bounded day-domain U table
+    "stats_pettitt_test",
+    # 5x5 grade-domain marginal cross (the kappa expected-sum shape) +
+    # two 1-row report broadcasts
+    "eval_weighted_kappa",
+    # 1-row OLS-fit broadcast onto the bounded per-day entropy table
+    "events_entropy_trend",
     # 1-row series-length broadcast onto the bounded day table (full-block
     # filter) + the 1-row log-log fit broadcast onto the 3-row R/S ladder
     "stats_hurst_rs",
@@ -268,6 +276,7 @@ STREAMING = {
     "streaming_quality_gate",
     "streaming_heavy_hitters",
     "streaming_psi_drift",
+    "streaming_ams_f2",
     "layout_compaction_checksum",
     "layout_bucketed_join_cert",
     "layout_dpp_cert",
@@ -423,6 +432,11 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "stats_granger_lag1": (200, _EVENTS_DAYS_PROBE),
     # lag/lead/moving-baseline windows over the DATE-DOMAIN daily rollup
     "events_peak_detection": (200, _EVENTS_DAYS_PROBE),
+    # rank + cumulative-rank-sum windows over the DATE-DOMAIN daily rollup
+    # (the Mann-Whitney identity form of the pairwise U sum)
+    "stats_pettitt_test": (200, _EVENTS_DAYS_PROBE),
+    # day-index window over the bounded per-day entropy table
+    "events_entropy_trend": (200, _EVENTS_DAYS_PROBE),
     # rank cumulatives over the BOUNDED per-value count tables of the
     # date-domain daily rollup (Mann-Whitney rank discipline)
     "stats_spearman_corr": (200, _EVENTS_DAYS_PROBE),

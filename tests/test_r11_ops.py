@@ -552,3 +552,159 @@ def test_peak_detection_matches_python(spark):
         assert r.is_peak == (
             x > xs[i - 1][1] and x > xs[i + 1][1] and rel >= 1.15
         )
+
+
+def _daily_cents():
+    import duckdb
+
+    return [
+        (int(d), int(x))
+        for d, x in duckdb.sql(
+            f"""SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                       sum(round(value * 100)::BIGINT)::BIGINT
+                FROM '{SF}/events.parquet' GROUP BY day ORDER BY day"""
+        ).fetchall()
+    ]
+
+
+def test_pettitt_matches_python(spark):
+    """U_t recomputed from the DEFINITION (pairwise sign sum), not the
+    rank identity the implementation uses — a genuine cross-check."""
+    xs = [x for _, x in _daily_cents()]
+    days = [d for d, _ in _daily_cents()]
+    T = len(xs)
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    best_k, best_day = -1, None
+    for t in range(1, T):  # split after position t (1-indexed t days)
+        u = sum(sgn(xs[j] - xs[i]) for i in range(t) for j in range(t, T))
+        if abs(u) > best_k:
+            best_k, best_day = abs(u), days[t - 1]
+    p = 2 * math.exp(-6 * best_k**2 / (T**3 + T**2))
+    r = REGISTRY["stats_pettitt_test"].spark(spark, SF).collect()[0]
+    assert r.n_days == T
+    assert r.k_stat == best_k
+    assert r.changepoint_day == best_day
+    assert r.p_approx == pytest.approx(p, abs=2e-6)
+    assert r.shift_detected == (round(p, 6) < 0.05)
+
+
+def test_variance_ratio_matches_numpy(spark):
+    import numpy as np
+
+    series = _daily_two_series()
+    a = np.array([v[0] for v in series], dtype=np.float64)
+    b = np.array([v[1] for v in series], dtype=np.float64)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    f = max(va, vb) / min(va, vb)
+    r = REGISTRY["stats_variance_ratio_test"].spark(spark, SF).collect()[0]
+    assert r.n_days == len(series)
+    assert r.sd_purchase_cents == pytest.approx(math.sqrt(va), rel=1e-6)
+    assert r.sd_other_cents == pytest.approx(math.sqrt(vb), rel=1e-6)
+    assert r.f_ratio == pytest.approx(f, abs=2e-4)
+    assert r.variances_differ == (round(f, 4) >= 1.90)
+
+
+def test_weighted_kappa_matches_python(spark):
+    import duckdb
+    from collections import Counter
+
+    ids = duckdb.sql(
+        f"SELECT vec_id FROM '{SF}/embeddings.parquet'"
+    ).fetchnumpy()["vec_id"]
+    cells = Counter()
+    for vid in ids:
+        a = (_md5_64(f"conf:{vid}") % 10000) // 2000
+        nz = _md5_64(f"wk:{vid}") % 10
+        shift = 0 if nz < 6 else (1 if nz < 8 else -1)
+        b = min(max(a + shift, 0), 4)
+        cells[(a, b)] += 1
+    n = sum(cells.values())
+    wo = sum((a - b) ** 2 * c for (a, b), c in cells.items())
+    ma = Counter()
+    mb = Counter()
+    for (a, b), c in cells.items():
+        ma[a] += c
+        mb[b] += c
+    we = sum((a - b) ** 2 * ma[a] * mb[b] for a in ma for b in mb) / n
+    kappa = 1 - wo / we
+    r = REGISTRY["eval_weighted_kappa"].spark(spark, SF).collect()[0]
+    assert r.n_items == n and r.disagreement_weighted == wo
+    assert r.expected_weighted == pytest.approx(we, abs=1e-3)
+    assert r.weighted_kappa == pytest.approx(kappa, abs=2e-6)
+    # the perturbed rater must agree far better than chance
+    assert r.weighted_kappa > 0.5
+
+
+def test_soft_weights_matches_python(spark):
+    import duckdb
+    from collections import Counter
+
+    rows = duckdb.sql(
+        f"""SELECT source,
+                   md5(array_to_string(list_sort(list_distinct(
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> ''))), ' '))
+            FROM '{SF}/documents.parquet' WHERE text IS NOT NULL"""
+    ).fetchall()
+    sizes = Counter(gk for _, gk in rows)
+    per_src = {}
+    for src, gk in rows:
+        s = per_src.setdefault(src, [0, 0, 0.0])
+        s[0] += 1
+        s[1] += 1 if sizes[gk] > 1 else 0
+        s[2] += round(1.0 / sizes[gk], 9)
+    got = {r.source: r for r in REGISTRY["dedup_soft_weights"].spark(spark, SF).collect()}
+    assert set(got) == set(per_src)
+    for src, (n, nd, eff) in per_src.items():
+        r = got[src]
+        assert (r.n_docs, r.n_dup_docs) == (n, nd)
+        assert r.effective_docs == pytest.approx(eff, abs=1e-3)
+        assert r.duplication_inflation == pytest.approx(n / eff, abs=1e-3)
+    # at least one source must contain duplicates (else vacuous)
+    assert any(nd > 0 for _, nd, _ in per_src.values())
+
+
+def test_entropy_trend_matches_python(spark):
+    import duckdb
+    from collections import Counter
+
+    rows = duckdb.sql(
+        f"""SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT, event_type
+            FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    per_day = {}
+    for d, et in rows:
+        per_day.setdefault(int(d), Counter())[et] += 1
+    hs = []
+    for d in sorted(per_day):
+        c = per_day[d]
+        n = sum(c.values())
+        h = round(
+            math.log2(n) - sum(round(v * math.log2(v), 9) for v in c.values()) / n, 6
+        )
+        hs.append((d, n, h))
+    m = len(hs)
+    st = m * (m + 1) // 2
+    stt = sum(t * t for t in range(1, m + 1))
+    sh = sum(round(h, 6) for _, _, h in hs)
+    sth = sum(round((i + 1) * h, 6) for i, (_, _, h) in enumerate(hs))
+    slope = 1000.0 * (m * sth - st * sh) / (m * stt - st * st)
+    got = {r.day: r for r in REGISTRY["events_entropy_trend"].spark(spark, SF).collect()}
+    assert set(got) == {d for d, _, _ in hs}
+    for d, n, h in hs:
+        r = got[d]
+        assert r.n_events == n
+        assert r.h_bits == pytest.approx(h, abs=2e-6)
+        assert r.trend_mbits_per_day == pytest.approx(slope, abs=2e-4)
+        assert r.mix_concentrating == (round(slope, 6) < 0)
+
+
+def test_streaming_ams_fold_equals_batch(spark):
+    """Mergeability, run for real: the streaming fold must reproduce the
+    batch sketch EXACTLY (same Z sums, same exact F2)."""
+    batch = REGISTRY["sketch_ams_f2_cert"].spark(spark, SF).collect()[0]
+    stream = REGISTRY["streaming_ams_f2"].spark(spark, SF).collect()[0]
+    assert batch.asDict() == stream.asDict()
