@@ -311,6 +311,11 @@ _ORDER_LAST_R11: set[str] = {
     "dedup_soft_weights",
     "events_entropy_trend",
     "streaming_ams_f2",
+    "timeseries_holt_forecast",
+    "timeseries_pacf",
+    "media_audio_clipping",
+    "corpus_cross_source_overlap",
+    "ann_nprobe_sweep",
 }
 
 

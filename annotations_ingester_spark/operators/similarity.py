@@ -213,16 +213,26 @@ def multiprobe_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    n_probes: int | None = None,
 ) -> DataFrame:
     """Multi-probe bucketed ANN: each query searches its own sign bucket
-    PLUS the ``n_bits`` neighbor buckets at Hamming distance 1 (one sign
-    flipped) — the standard recall fix for LSH bucketing at the cost of
-    (n_bits + 1)× candidate reads, still ≪ brute force."""
+    PLUS neighbor buckets at Hamming distance 1 (one sign flipped) — the
+    standard recall fix for LSH bucketing at (n_probes)× candidate
+    reads, still ≪ brute force. ``n_probes`` counts probed buckets
+    INCLUDING the query's own (default ``n_bits + 1`` — all Hamming-1
+    neighbors); lower values trade recall for candidate volume (the
+    dial ann_nprobe_sweep measures)."""
+    if n_probes is None:
+        n_probes = n_bits + 1
     bucketed = embeddings.withColumn(
         "bucket", sign_bucket(vec_col, n_bits)
     ).withColumn("_nrm", l2_norm(vec_col))
     probes = F.array(
-        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(n_probes - 1)
+        ],
     )
     q = (
         bucketed.join(queries.select(id_col), on=id_col, how="left_semi")

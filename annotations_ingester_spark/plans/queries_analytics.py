@@ -3997,3 +3997,228 @@ def q_events_entropy_trend(spark: SparkSession, sf: str):
         slope.alias("trend_mbits_per_day"),
         (slope < 0).alias("mix_concentrating"),
     )
+
+
+# --- round-11: Holt double-exponential-smoothing forecast ---------------------
+
+_HOLT_ALPHA = 0.3  # level smoothing, pinned
+_HOLT_BETA = 0.1  # trend smoothing, pinned
+_HOLT_H = 7  # forecast horizon, days
+
+
+@register(
+    "timeseries_holt_forecast",
+    f"""WITH RECURSIVE {DAILY_CENTS_CTE},
+       o AS (SELECT x, row_number() OVER (ORDER BY day) AS t FROM d),
+       n AS (SELECT count(*)::BIGINT AS n_days FROM o),
+       rec AS (
+         SELECT 2 AS t,
+                round(0.3::DOUBLE * x2.x
+                      + (1 - 0.3)::DOUBLE * (x1.x + (x2.x - x1.x)), 9) AS l,
+                round(0.1::DOUBLE
+                      * (round(0.3::DOUBLE * x2.x
+                               + (1 - 0.3)::DOUBLE
+                                 * (x1.x + (x2.x - x1.x)), 9)
+                         - x1.x)
+                      + (1 - 0.1)::DOUBLE * (x2.x - x1.x), 9) AS b
+         FROM (SELECT x::DOUBLE AS x FROM o WHERE t = 1) x1,
+              (SELECT x::DOUBLE AS x FROM o WHERE t = 2) x2
+         UNION ALL
+         SELECT o.t,
+                round(0.3::DOUBLE * o.x
+                      + (1 - 0.3)::DOUBLE * (rec.l + rec.b), 9),
+                round(0.1::DOUBLE
+                      * (round(0.3::DOUBLE * o.x
+                               + (1 - 0.3)::DOUBLE * (rec.l + rec.b), 9)
+                         - rec.l)
+                      + (1 - 0.1)::DOUBLE * rec.b, 9)
+         FROM rec JOIN o ON o.t = rec.t + 1),
+       fin AS (SELECT rec.l, rec.b FROM rec, n WHERE rec.t = n.n_days)
+       SELECT h.h::BIGINT AS horizon_days, n.n_days,
+              round(fin.l, 4) AS level_cents,
+              round(fin.b, 4) AS trend_cents_per_day,
+              round(fin.l + h.h * fin.b, 4) AS forecast_cents
+       FROM fin CROSS JOIN n
+       CROSS JOIN (SELECT unnest(range(1, {_HOLT_H + 1})) AS h) h""",
+    doc="Holt double-exponential-smoothing (level + trend) forecast of "
+    "the daily revenue series with pinned alpha=0.3/beta=0.1: the "
+    "inherently SEQUENTIAL recursion l_t = a*x_t + (1-a)(l+b), b_t = "
+    "g*(l_t - l) + (1-g)*b runs as a Catalyst aggregate-fold over the "
+    "day-ordered array (the series is DATE-DOMAIN bounded, so the "
+    "fold state is one (level, trend) struct and the array is ~30 "
+    "elements at any sf — no driver collect, no UDF); the oracle is "
+    "a DuckDB recursive CTE computing the identical per-step "
+    "9-dp-rounded arithmetic, making the recursion itself the parity "
+    "surface. Init l_1=x_1, b_1=x_2-x_1 (standard), 7-day forecast "
+    "fan l_T + h*b_T. The EWMA query is the beta=0 special case; "
+    "Holt adds the trend state that level-only smoothing lags on "
+    "trending series. Scale shape: one map-side-combinable daily "
+    "rollup over events, one bounded-array fold, a 7-row horizon fan.",
+)
+def q_timeseries_holt_forecast(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf)
+    a, g = _HOLT_ALPHA, _HOLT_BETA
+    arr = d.agg(
+        F.expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)").alias(
+            "xs"
+        )
+    )
+    fold = arr.select(
+        F.size("xs").cast("long").alias("n_days"),
+        F.expr(
+            f"""aggregate(
+              slice(xs, 2, size(xs) - 1),
+              named_struct('l', CAST(xs[0] AS DOUBLE),
+                           'b', CAST(xs[1] - xs[0] AS DOUBLE)),
+              (acc, x) -> named_struct(
+                'l', round({a} * x + (1 - {a}) * (acc.l + acc.b), 9),
+                'b', round({g} * (round({a} * x
+                                        + (1 - {a}) * (acc.l + acc.b), 9)
+                                  - acc.l)
+                           + (1 - {g}) * acc.b, 9)))"""
+        ).alias("st"),
+    )
+    return fold.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_HOLT_H))).alias("horizon_days"),
+        "n_days",
+        F.col("st.l").alias("_l"),
+        F.col("st.b").alias("_b"),
+    ).select(
+        "horizon_days",
+        "n_days",
+        F.round(F.col("_l"), 4).alias("level_cents"),
+        F.round(F.col("_b"), 4).alias("trend_cents_per_day"),
+        F.round(F.col("_l") + F.col("horizon_days") * F.col("_b"), 4).alias(
+            "forecast_cents"
+        ),
+    )
+
+
+# --- round-11: partial autocorrelation (Durbin-Levinson, lags 1..3) -----------
+
+
+@register(
+    "timeseries_pacf",
+    f"""WITH {DAILY_CENTS_CTE},
+       g AS (SELECT count(*)::BIGINT AS t_n, avg(x) AS mu FROM d),
+       l AS (SELECT unnest(range(0, 4))::BIGINT AS lag),
+       p AS (SELECT l.lag, (a.x - g.mu) * (b.x - g.mu) AS dev
+             FROM d a CROSS JOIN l
+             JOIN d b ON b.day = a.day + l.lag
+             CROSS JOIN g),
+       c AS (SELECT p.lag,
+                    sum(round(p.dev, 4)::DECIMAL(30,4)) AS ck
+             FROM p GROUP BY p.lag),
+       r AS (SELECT max(CASE WHEN lag = 1 THEN CAST(ck AS DOUBLE) END)
+                      / max(CASE WHEN lag = 0 THEN CAST(ck AS DOUBLE) END)
+                      AS r1,
+                    max(CASE WHEN lag = 2 THEN CAST(ck AS DOUBLE) END)
+                      / max(CASE WHEN lag = 0 THEN CAST(ck AS DOUBLE) END)
+                      AS r2,
+                    max(CASE WHEN lag = 3 THEN CAST(ck AS DOUBLE) END)
+                      / max(CASE WHEN lag = 0 THEN CAST(ck AS DOUBLE) END)
+                      AS r3
+             FROM c),
+       f AS (SELECT r1, r2, r3,
+                    r1 AS p1,
+                    (r2 - r1 * r1) / (1 - r1 * r1) AS p2,
+                    (1 * (1 * r3 - r2 * r1) - r1 * (r1 * r3 - r2 * r2)
+                     + r1 * (r1 * r1 - 1 * r2))
+                    / (1 * (1 - r1 * r1) - r1 * (r1 - r1 * r2)
+                       + r2 * (r1 * r1 - r2)) AS p3
+             FROM r)
+       SELECT u.lag::BIGINT AS lag, g.t_n AS n_days,
+              round(CASE u.lag WHEN 1 THEN r1 WHEN 2 THEN r2 ELSE r3 END, 6)
+                AS acf_rk,
+              round(CASE u.lag WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6)
+                AS pacf
+       FROM f CROSS JOIN g
+       CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) u""",
+    doc="Partial autocorrelation of the daily revenue series at lags "
+    "1..3 via Durbin-Levinson / Yule-Walker closed forms: phi_11 = "
+    "r1, phi_22 = (r2 - r1^2)/(1 - r1^2), phi_33 by Cramer's rule on "
+    "the 3x3 Toeplitz system — THE AR-order-selection diagnostic "
+    "(an AR(p) series cuts off after lag p in PACF while ACF decays "
+    "slowly; complements timeseries_acf, which deliberately uses "
+    "per-lag Pearson — here r_k is the standard biased c_k/c_0 "
+    "estimator with the GLOBAL mean and common denominator that "
+    "Durbin-Levinson assumes, the statsmodels default). Deviation "
+    "products round to 4 dp and sum as DECIMAL(30,4) (order-free); "
+    "the solve is one deterministic double tree, rounded once per "
+    "output. Scale shape: one daily rollup, a 4-way lag self-join "
+    "on the bounded day table, a 1-row solve fanned to 3 rows.",
+)
+def q_timeseries_pacf(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf)
+    g = d.agg(
+        F.count("*").cast("long").alias("t_n"), F.avg("x").alias("mu")
+    )
+    a = d.crossJoin(F.broadcast(g)).withColumn(
+        "lag", F.explode(F.array(*[F.lit(k).cast("long") for k in range(0, 4)]))
+    ).select(
+        "lag",
+        "t_n",
+        (F.col("day") + F.col("lag")).alias("bday"),
+        (F.col("x") - F.col("mu")).alias("da"),
+    )
+    b = d.crossJoin(F.broadcast(g)).select(
+        F.col("day").alias("bday"), (F.col("x") - F.col("mu")).alias("db")
+    )
+    c = (
+        a.join(b, "bday")
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                F.round(F.col("da") * F.col("db"), 4).cast("decimal(30,4)")
+            ).alias("ck")
+        )
+    )
+    ck = lambda k: F.max(  # noqa: E731
+        F.when(F.col("lag") == k, F.col("ck").cast("double"))
+    )
+    r = c.agg(
+        (ck(1) / ck(0)).alias("r1"),
+        (ck(2) / ck(0)).alias("r2"),
+        (ck(3) / ck(0)).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p3 = (
+        1 * (1 * r3 - r2 * r1) - r1 * (r1 * r3 - r2 * r2) + r1 * (r1 * r1 - 1 * r2)
+    ) / (1 * (1 - r1 * r1) - r1 * (r1 - r1 * r2) + r2 * (r1 * r1 - r2))
+    f = r.select("r1", "r2", "r3", r1.alias("p1"), p2.alias("p2"), p3.alias("p3"))
+    lag = F.col("lag")
+    return (
+        f.crossJoin(F.broadcast(g.select("t_n")))
+        .select(
+            F.explode(
+                F.array(
+                    F.lit(1).cast("long"),
+                    F.lit(2).cast("long"),
+                    F.lit(3).cast("long"),
+                )
+            ).alias("lag"),
+            F.col("t_n").alias("n_days"),
+            "r1", "r2", "r3", "p1", "p2", "p3",
+        )
+        .select(
+            "lag",
+            "n_days",
+            F.round(
+                F.when(lag == 1, F.col("r1"))
+                .when(lag == 2, F.col("r2"))
+                .otherwise(F.col("r3")),
+                6,
+            ).alias("acf_rk"),
+            F.round(
+                F.when(lag == 1, F.col("p1"))
+                .when(lag == 2, F.col("p2"))
+                .otherwise(F.col("p3")),
+                6,
+            ).alias("pacf"),
+        )
+    )

@@ -1794,3 +1794,94 @@ def q_privacy_randomized_response_cert(spark: SparkSession, sf: str):
         F.round(F.abs(db - tf), 6).alias("abs_error"),
         F.lit(_RR_EPSILON).alias("epsilon"),
     )
+
+
+# --- round-11: cross-source duplicate-content overlap matrix -------------------
+
+_XS_BAG_KEY = (
+    "md5(array_to_string(list_sort(list_distinct("
+    + tokens_sql("text")
+    + ")), ' '))"
+)
+
+
+@register(
+    "corpus_cross_source_overlap",
+    f"""WITH d AS (
+         SELECT DISTINCT source, {_XS_BAG_KEY} AS gk
+         FROM documents WHERE text IS NOT NULL),
+       sz AS (SELECT source, count(*)::BIGINT AS n_keys
+              FROM d GROUP BY source),
+       pair AS (
+         SELECT a.source AS source_a, b.source AS source_b,
+                count(*)::BIGINT AS n_shared
+         FROM d a JOIN d b ON a.gk = b.gk AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT p.source_a, p.source_b, p.n_shared,
+              sa.n_keys AS n_keys_a, sb.n_keys AS n_keys_b,
+              round(p.n_shared * 1.0
+                    / (sa.n_keys + sb.n_keys - p.n_shared), 6)
+                AS key_jaccard
+       FROM pair p
+       JOIN sz sa ON sa.source = p.source_a
+       JOIN sz sb ON sb.source = p.source_b""",
+    doc="Cross-source duplicate-content overlap matrix: for every source "
+    "pair sharing at least one bag-of-words content fingerprint, the "
+    "shared-key count and the Jaccard of their fingerprint sets — the "
+    "PROVENANCE map (which crawls/feeds copy from which) that drives "
+    "mixture decisions (double-counted content inflates a source's "
+    "effective weight; see dedup_soft_weights for the per-doc fix and "
+    "split_group_holdout for the split-safety fix). The fingerprint "
+    "equi-join touches only keys present in BOTH sources — never an "
+    "all-pairs source product; per-key source lists are bounded by "
+    "the 20-source domain. Exact integer counts, one rounded "
+    "division. Scale shape: one distinct rollup on (source, key), a "
+    "self-equi-join on the key (skew-safe: md5 keys shard "
+    "uniformly), one 20x20-bounded pair aggregate plus two "
+    "broadcast-able size joins.",
+)
+def q_corpus_cross_source_overlap(spark: SparkSession, sf: str):
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.md5(
+                F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
+            ).alias("gk"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # (source, key) set; feeds sizes + join
+    )
+    sz = d.groupBy("source").agg(F.count("*").cast("long").alias("n_keys"))
+    a = d.select(F.col("source").alias("source_a"), "gk")
+    b = d.select(F.col("source").alias("source_b"), "gk")
+    pair = (
+        a.join(b, "gk")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        pair.join(
+            F.broadcast(sz.select(F.col("source").alias("source_a"), F.col("n_keys").alias("n_keys_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("source_b"), F.col("n_keys").alias("n_keys_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_keys_a",
+            "n_keys_b",
+            F.round(
+                F.col("n_shared")
+                * 1.0
+                / (F.col("n_keys_a") + F.col("n_keys_b") - F.col("n_shared")),
+                6,
+            ).alias("key_jaccard"),
+        )
+    )

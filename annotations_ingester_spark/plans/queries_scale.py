@@ -2599,3 +2599,176 @@ def q_dedup_soft_weights(spark: SparkSession, sf: str):
             "duplication_inflation"
         ),
     )
+
+
+# --- round-11: audio clipping audit -------------------------------------------
+
+_CLIP_THRESHOLD = 2000  # near-full-scale for the +-2048 synthetic dial
+_CLIP_RATIO_GATE = 0.02
+
+
+@register(
+    "media_audio_clipping",
+    f"""WITH s AS (
+         SELECT doc_id AS media_id, unnest(range(0, 256)) AS i
+         FROM documents),
+       v AS (
+         SELECT media_id,
+                ((media_id * 31 + i * 17) % 4096) - 2048 AS smp
+         FROM s),
+       a AS (SELECT media_id, count(*)::BIGINT AS n_samples,
+                    max(abs(smp))::BIGINT AS peak_amplitude,
+                    sum(CASE WHEN abs(smp) >= {_CLIP_THRESHOLD}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+             FROM v GROUP BY media_id)
+       SELECT media_id, n_samples, peak_amplitude, n_clipped,
+              round(n_clipped * 1.0 / n_samples, 6) AS clip_ratio,
+              round(n_clipped * 1.0 / n_samples, 6) >= {_CLIP_RATIO_GATE!r}
+                AS clipped
+       FROM a""",
+    doc="Audio clipping audit, run end-to-end on real bytes: every doc "
+    "becomes a genuine mono 16-bit PCM WAV (the synth_pcm_wav "
+    "arithmetic pseudo-signal), the decoder unpacks the PCM stream "
+    "in-partition (Arrow-batched mapInPandas — payload bytes never "
+    "shuffle) and counts samples at/above the pinned near-full-scale "
+    "threshold plus the peak amplitude; the flag gates on the "
+    "ROUNDED clip ratio. The oracle predicts every sample "
+    "arithmetically, so a hash match certifies synth -> RIFF parse "
+    "-> PCM unpack -> threshold count bit-for-bit — the "
+    "gain-staging companion to media_audio_frame_energy (loudness) "
+    "and media_audio_silence_segments (gaps). Scale shape: "
+    "embarrassingly parallel per blob, one integer row out each.",
+)
+def q_media_audio_clipping(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.multimodal.media import (
+        audio_clipping_stats,
+        synth_wav_images,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synth_wav_images(docs)
+    a = audio_clipping_stats(media, clip_threshold=_CLIP_THRESHOLD)
+    ratio = F.round(F.col("n_clipped") * 1.0 / F.col("n_samples"), 6)
+    return a.select(
+        "media_id",
+        "n_samples",
+        "peak_amplitude",
+        "n_clipped",
+        ratio.alias("clip_ratio"),
+        (ratio >= F.lit(_CLIP_RATIO_GATE)).alias("clipped"),
+    )
+
+
+# --- round-11: multi-probe recall sweep ---------------------------------------
+
+_SWEEP_NPROBES = (1, 5, 9)  # probed buckets incl. self, over the 8-bit code
+
+
+def _nprobe_sweep_oracle() -> str:
+    cos = COS.replace("ce", "c.e").replace("qe", "q.qe")
+    cos_p = COS.replace("ce", "c.e").replace("qe", "p.qe")
+    arms = []
+    for npb in _SWEEP_NPROBES:
+        flips = [0] + [1 << i for i in range(npb - 1)]
+        arms.append(f"""SELECT {npb}::BIGINT AS n_probes, nq.n_queries,
+              coalesce((
+                SELECT count(*) FROM (
+                  SELECT q_id, vec_id FROM (
+                    SELECT q_id, vec_id,
+                           row_number() OVER (PARTITION BY q_id
+                                              ORDER BY cos DESC, vec_id) AS rn
+                    FROM (
+                      SELECT DISTINCT p.q_id, c.vec_id,
+                             round({cos_p}, 6) AS cos
+                      FROM b c
+                      JOIN (SELECT q_id, qe, xor(bucket, f.flip) AS bucket
+                            FROM q0,
+                                 (SELECT unnest({flips!r}) AS flip) f) p
+                        ON c.bucket = p.bucket
+                      WHERE c.vec_id <> p.q_id))
+                  WHERE rn <= 3) pr
+                JOIN truth t USING (q_id, vec_id)), 0)::BIGINT AS n_hits
+       FROM nq""")
+    body = "\n       UNION ALL\n       ".join(arms)
+    return f"""WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e,
+                {sign_bucket_sql('embedding', 8)} AS bucket
+         FROM embeddings),
+       q0 AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b
+              WHERE vec_id % 101 = 0 AND vec_id < 2000),
+       nq AS (SELECT count(*)::BIGINT AS n_queries FROM q0),
+       sc AS (SELECT q.q_id, c.vec_id, round({cos}, 6) AS cos
+              FROM b c, q0 q WHERE c.vec_id <> q.q_id),
+       truth AS (
+         SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+           FROM sc) WHERE rn <= 3),
+       res AS ({body})
+       SELECT n_probes, n_queries, n_hits,
+              round(n_hits * 1.0 / (3 * n_queries), 6) AS recall_at_3
+       FROM res"""
+
+
+@register(
+    "ann_nprobe_sweep",
+    None,  # assembled below (shares the bucket/truth CTEs across arms)
+    doc="Multi-probe ANN tuning sweep — the artifact behind the pinned "
+    "probe count: recall@3 against exact brute-force truth for 1 / 5 "
+    "/ 9 probed buckets (self + Hamming-1 neighbors over the 8-bit "
+    "sign code). ann_multiprobe_topk certifies ONE config's result "
+    "set; this measures the whole recall-vs-cost dial (candidate "
+    "volume grows linearly with probes — the S-curve the serving "
+    "team prices), the ANN counterpart of dedup_lsh_banding_sweep. "
+    "Truth and all arms share one bucketed scan (localCheckpoint'ed) "
+    "and the ABSOLUTE-size query batch (vec_id%101, capped <2000 — a "
+    "job parameter, not a corpus fraction, the sf1-rehearsal lesson "
+    "from embedding_cosine_topk). Integer hit counts, one rounded "
+    "division per arm row.",
+)
+def q_ann_nprobe_sweep(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.similarity import (
+        brute_force_topk,
+        multiprobe_bucketed_topk,
+    )
+
+    emb = table(spark, sf, "embeddings").localCheckpoint(eager=True)
+    qs = emb.filter(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
+    ).localCheckpoint(eager=True)
+    nq = qs.agg(F.count("*").cast("long").alias("n_queries"))
+    truth = (
+        brute_force_topk(emb, qs, k=3)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    arms = []
+    for npb in _SWEEP_NPROBES:
+        pred = multiprobe_bucketed_topk(emb, qs, k=3, n_bits=8, n_probes=npb)
+        hits = pred.join(truth, ["q_id", "vec_id"]).agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        arms.append(
+            nq.crossJoin(F.broadcast(hits)).select(
+                F.lit(npb).cast("long").alias("n_probes"),
+                "n_queries",
+                "n_hits",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.select(
+        "n_probes",
+        "n_queries",
+        "n_hits",
+        F.round(F.col("n_hits") * 1.0 / (3 * F.col("n_queries")), 6).alias(
+            "recall_at_3"
+        ),
+    )
+
+
+_REG_SWEEP["ann_nprobe_sweep"].oracle = _nprobe_sweep_oracle()

@@ -248,6 +248,15 @@ CROSS_ALLOWED = {
     "eval_weighted_kappa",
     # 1-row OLS-fit broadcast onto the bounded per-day entropy table
     "events_entropy_trend",
+    # two 1-row mean/length broadcasts over the bounded day table + the
+    # 1-row Yule-Walker solve fanned to the 3-lag report
+    "timeseries_pacf",
+    # 7-row horizon fan off the 1-row Holt fold state
+    "timeseries_holt_forecast",
+    # brute-force truth tier: broadcast ABSOLUTE-size query batch over
+    # the corpus (the embedding_cosine_topk exactness-baseline shape)
+    # + per-arm 1-row hit-count broadcasts
+    "ann_nprobe_sweep",
     # 1-row series-length broadcast onto the bounded day table (full-block
     # filter) + the 1-row log-log fit broadcast onto the 3-row R/S ladder
     "stats_hurst_rs",

@@ -708,3 +708,134 @@ def test_streaming_ams_fold_equals_batch(spark):
     batch = REGISTRY["sketch_ams_f2_cert"].spark(spark, SF).collect()[0]
     stream = REGISTRY["streaming_ams_f2"].spark(spark, SF).collect()[0]
     assert batch.asDict() == stream.asDict()
+
+
+def test_holt_forecast_matches_python(spark):
+    xs = [x for _, x in _daily_cents()]
+    l, b = float(xs[0]), float(xs[1] - xs[0])
+    for x in xs[1:]:
+        l2 = round(0.3 * x + 0.7 * (l + b), 9)
+        b = round(0.1 * (l2 - l) + 0.9 * b, 9)
+        l = l2
+    rows = {r.horizon_days: r for r in REGISTRY["timeseries_holt_forecast"].spark(spark, SF).collect()}
+    assert set(rows) == set(range(1, 8))
+    for h, r in rows.items():
+        assert r.n_days == len(xs)
+        assert r.level_cents == pytest.approx(l, abs=1e-3)
+        assert r.trend_cents_per_day == pytest.approx(b, abs=1e-3)
+        assert r.forecast_cents == pytest.approx(l + h * b, abs=1e-3)
+
+
+def test_pacf_matches_numpy(spark):
+    import numpy as np
+
+    xs = np.array([x for _, x in _daily_cents()], dtype=np.float64)
+    mu = xs.mean()
+    dev = xs - mu
+    c = [float((dev[: len(xs) - k] * dev[k:]).sum()) for k in range(4)]
+    r1, r2, r3 = c[1] / c[0], c[2] / c[0], c[3] / c[0]
+    # Durbin-Levinson by direct Yule-Walker solve
+    p1 = r1
+    p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    R = np.array([[1, r1, r2], [r1, 1, r1], [r2, r1, 1]])
+    p3 = float(np.linalg.solve(R, np.array([r1, r2, r3]))[2])
+    got = {r.lag: r for r in REGISTRY["timeseries_pacf"].spark(spark, SF).collect()}
+    assert got[1].acf_rk == pytest.approx(r1, abs=1e-4)
+    assert got[2].acf_rk == pytest.approx(r2, abs=1e-4)
+    assert got[3].acf_rk == pytest.approx(r3, abs=1e-4)
+    assert got[1].pacf == pytest.approx(p1, abs=1e-4)
+    assert got[2].pacf == pytest.approx(p2, abs=1e-4)
+    assert got[3].pacf == pytest.approx(p3, abs=1e-4)
+
+
+def test_audio_clipping_matches_python_and_real_decode(spark):
+    """Recompute from the synth arithmetic AND re-decode one real WAV
+    payload with the stdlib wave module to pin the content path."""
+    import io
+    import struct
+    import wave
+
+    from annotations_ingester_spark.multimodal.media import synth_pcm_wav
+
+    got = {r.media_id: r for r in REGISTRY["media_audio_clipping"].spark(spark, SF).collect()}
+    import duckdb
+
+    ids = duckdb.sql(f"SELECT doc_id FROM '{SF}/documents.parquet'").fetchnumpy()["doc_id"]
+    assert set(got) == {int(i) for i in ids}
+    for mid in list(got)[:50]:
+        samples = [((mid * 31 + i * 17) % 4096) - 2048 for i in range(256)]
+        n_clip = sum(1 for s in samples if abs(s) >= 2000)
+        r = got[mid]
+        assert r.n_samples == 256
+        assert r.peak_amplitude == max(abs(s) for s in samples)
+        assert r.n_clipped == n_clip
+        assert r.clipped == (round(n_clip / 256, 6) >= 0.02)
+    # real container round-trip for one id
+    mid = int(ids[0])
+    with wave.open(io.BytesIO(synth_pcm_wav(mid))) as wf:
+        raw = wf.readframes(wf.getnframes())
+    decoded = struct.unpack(f"<{len(raw) // 2}h", raw)
+    assert list(decoded) == [((mid * 31 + i * 17) % 4096) - 2048 for i in range(256)]
+
+
+def test_cross_source_overlap_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT DISTINCT source,
+                   md5(array_to_string(list_sort(list_distinct(
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> ''))), ' '))
+            FROM '{SF}/documents.parquet' WHERE text IS NOT NULL"""
+    ).fetchall()
+    by_key = {}
+    sizes = {}
+    for src, gk in rows:
+        by_key.setdefault(gk, set()).add(src)
+        sizes[src] = sizes.get(src, 0) + 1
+    pairs = {}
+    for gk, srcs in by_key.items():
+        ss = sorted(srcs)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                pairs[(ss[i], ss[j])] = pairs.get((ss[i], ss[j]), 0) + 1
+    got = {
+        (r.source_a, r.source_b): r
+        for r in REGISTRY["corpus_cross_source_overlap"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(pairs)
+    for (a, b), n in pairs.items():
+        r = got[(a, b)]
+        assert r.n_shared == n
+        assert (r.n_keys_a, r.n_keys_b) == (sizes[a], sizes[b])
+        assert r.key_jaccard == pytest.approx(
+            n / (sizes[a] + sizes[b] - n), abs=2e-6
+        )
+    assert pairs  # the corpus must actually have cross-source duplicates
+
+
+def test_nprobe_sweep_monotone_and_consistent(spark):
+    """Recall@3 must be non-decreasing in the probe count (candidate-set
+    inclusion: any item displacing a truth member from a larger
+    candidate top-3 would itself be in the exact top-3), and the
+    9-probe arm must equal the certified full-multiprobe result."""
+    rows = {r.n_probes: r for r in REGISTRY["ann_nprobe_sweep"].spark(spark, SF).collect()}
+    assert set(rows) == {1, 5, 9}
+    nq = {r.n_queries for r in rows.values()}
+    assert len(nq) == 1 and nq.pop() > 0
+    assert rows[1].n_hits <= rows[5].n_hits <= rows[9].n_hits
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_3 <= 1.0
+        assert r.recall_at_3 == pytest.approx(r.n_hits / (3 * r.n_queries), abs=2e-6)
+    # cross-check the 9-probe arm against the independently certified
+    # queries: multiprobe top-3 vs brute-force top-3 overlap
+    truth = {
+        (r.q_id, r.vec_id)
+        for r in REGISTRY["embedding_cosine_topk"].spark(spark, SF).collect()
+        if r.rank <= 3
+    }
+    pred = {
+        (r.q_id, r.vec_id)
+        for r in REGISTRY["ann_multiprobe_topk"].spark(spark, SF).collect()
+    }
+    assert rows[9].n_hits == len(truth & pred)
