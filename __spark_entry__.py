@@ -316,6 +316,14 @@ _ORDER_LAST_R11: set[str] = {
     "media_audio_clipping",
     "corpus_cross_source_overlap",
     "ann_nprobe_sweep",
+    "stats_cramer_von_mises",
+    "stats_sign_test",
+    "lm_ngram_coverage_curve",
+    "timeseries_holt_winters",
+    "stats_esd_outliers",
+    "stats_page_trend_test",
+    "stats_wilson_ci",
+    "events_dau_wau_stickiness",
 }
 
 

@@ -4222,3 +4222,241 @@ def q_timeseries_pacf(spark: SparkSession, sf: str):
             ).alias("pacf"),
         )
     )
+
+
+# --- round-11: Holt-Winters additive seasonal forecast ------------------------
+
+_HW_ALPHA = 0.3
+_HW_BETA = 0.1
+_HW_GAMMA = 0.2
+_HW_PERIOD = 7
+
+
+def _hw_oracle() -> str:
+    a, g, c, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_PERIOD
+    return f"""WITH RECURSIVE {DAILY_CENTS_CTE},
+       o AS (SELECT x::DOUBLE AS x,
+                    row_number() OVER (ORDER BY day) AS t FROM d),
+       n AS (SELECT count(*)::BIGINT AS n_days FROM o),
+       init AS (
+         SELECT round(avg(CASE WHEN t <= {m} THEN x END), 9) AS l0,
+                round((avg(CASE WHEN t > {m} AND t <= {2 * m} THEN x END)
+                       - avg(CASE WHEN t <= {m} THEN x END)) / {m}, 9) AS b0
+         FROM o),
+       s0 AS (
+         SELECT list(round(o.x - init.l0, 9) ORDER BY o.t) AS s
+         FROM o, init WHERE o.t <= {m}),
+       rec AS (
+         SELECT {m + 1} AS t, init.l0 AS l, init.b0 AS b, s0.s AS s
+         FROM init, s0
+         UNION ALL
+         SELECT rec.t + 1,
+                round({a}::DOUBLE * (o.x - rec.s[((rec.t - 1) % {m}) + 1])
+                      + (1 - {a})::DOUBLE * (rec.l + rec.b), 9),
+                round({g}::DOUBLE
+                      * (round({a}::DOUBLE
+                               * (o.x - rec.s[((rec.t - 1) % {m}) + 1])
+                               + (1 - {a})::DOUBLE * (rec.l + rec.b), 9)
+                         - rec.l)
+                      + (1 - {g})::DOUBLE * rec.b, 9),
+                [CASE WHEN j = ((rec.t - 1) % {m}) + 1
+                      THEN round({c}::DOUBLE
+                                 * (o.x
+                                    - round({a}::DOUBLE
+                                            * (o.x - rec.s[j])
+                                            + (1 - {a})::DOUBLE
+                                              * (rec.l + rec.b), 9))
+                                 + (1 - {c})::DOUBLE * rec.s[j], 9)
+                      ELSE rec.s[j] END
+                 for j in range(1, {m + 1})]
+         FROM rec JOIN o ON o.t = rec.t),
+       fin AS (SELECT rec.l, rec.b, rec.s
+               FROM rec, n WHERE rec.t = n.n_days + 1)
+       SELECT h.h::BIGINT AS horizon_days, n.n_days,
+              round(fin.l, 4) AS level_cents,
+              round(fin.b, 4) AS trend_cents_per_day,
+              round(fin.s[((n.n_days + h.h - 1) % {m}) + 1], 4)
+                AS seasonal_cents,
+              round(fin.l + h.h * fin.b
+                    + fin.s[((n.n_days + h.h - 1) % {m}) + 1], 4)
+                AS forecast_cents
+       FROM fin CROSS JOIN n
+       CROSS JOIN (SELECT unnest(range(1, {m + 1})) AS h) h"""
+
+
+@register(
+    "timeseries_holt_winters",
+    None,  # assembled below (recursive CTE twin of the Catalyst fold)
+    doc="Holt-Winters ADDITIVE-SEASONAL forecast (alpha=0.3, beta=0.1, "
+    "gamma=0.2, period 7 days) of the daily revenue series: the "
+    "three-state recursion (level, trend, 7-slot seasonal array) "
+    "runs as ONE Catalyst aggregate-fold whose accumulator is a "
+    "struct carrying the seasonal ARRAY — updated functionally per "
+    "step via an indexed transform — over the day-ordered series "
+    "(bounded by the date domain; no driver collect, no UDF). "
+    "Standard init: l = mean of season 1, b = (mean season 2 - mean "
+    "season 1)/7, s_i = x_i - mean season 1. The oracle is a DuckDB "
+    "recursive CTE with a LIST-typed state column computing the "
+    "identical per-step 9-dp-rounded DOUBLE arithmetic — the "
+    "strongest recursion-parity surface in the catalog (28+ "
+    "coupled-state steps must agree bit-for-bit after rounding). "
+    "Extends timeseries_holt_forecast with the seasonal state that "
+    "flat level+trend smoothing aliases into its trend on weekly-"
+    "cycled series. Scale shape: one map-side-combinable daily "
+    "rollup over events, one bounded-array fold, a 7-row horizon fan.",
+)
+def q_timeseries_holt_winters(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    a, g, c, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_PERIOD
+    d = daily_cents(spark, sf)
+    arr = d.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, x)))," 
+            " s -> CAST(s.x AS DOUBLE))"
+        ).alias("xs")
+    )
+    init = arr.select(
+        "xs",
+        F.size("xs").cast("long").alias("n_days"),
+        F.expr(
+            f"round(aggregate(slice(xs, 1, {m}), 0.0D, (p, q) -> p + q)"
+            f" / {m}, 9)"
+        ).alias("l0"),
+        F.expr(
+            f"round((aggregate(slice(xs, {m + 1}, {m}), 0.0D, (p, q) -> p + q)"
+            f" / {m}"
+            f" - aggregate(slice(xs, 1, {m}), 0.0D, (p, q) -> p + q) / {m})"
+            f" / {m}, 9)"
+        ).alias("b0"),
+    ).selectExpr(
+        "xs",
+        "n_days",
+        "l0",
+        "b0",
+        f"transform(slice(xs, 1, {m}), v -> round(v - l0, 9)) AS s_init",
+    )
+    fold = init.select(
+        "n_days",
+        F.expr(
+            f"""aggregate(
+              slice(xs, {m + 1}, size(xs) - {m}),
+              named_struct('l', l0, 'b', b0, 's', s_init, 't', {m + 1}),
+              (acc, x) -> named_struct(
+                'l', round({a} * (x - element_at(acc.s, ((acc.t - 1) % {m}) + 1))
+                           + (1 - {a}) * (acc.l + acc.b), 9),
+                'b', round({g} * (round({a} * (x - element_at(acc.s,
+                                               ((acc.t - 1) % {m}) + 1))
+                                        + (1 - {a}) * (acc.l + acc.b), 9)
+                                  - acc.l)
+                           + (1 - {g}) * acc.b, 9),
+                's', transform(acc.s, (v, i) ->
+                       IF(i + 1 = ((acc.t - 1) % {m}) + 1,
+                          round({c} * (x - round({a} * (x - v)
+                                              + (1 - {a}) * (acc.l + acc.b), 9))
+                                + (1 - {c}) * v, 9),
+                          v)),
+                't', acc.t + 1))"""
+        ).alias("st"),
+    )
+    return fold.select(
+        F.explode(F.sequence(F.lit(1), F.lit(m))).alias("horizon_days"),
+        "n_days",
+        F.col("st.l").alias("_l"),
+        F.col("st.b").alias("_b"),
+        F.col("st.s").alias("_s"),
+    ).select(
+        "horizon_days",
+        "n_days",
+        F.round(F.col("_l"), 4).alias("level_cents"),
+        F.round(F.col("_b"), 4).alias("trend_cents_per_day"),
+        F.round(
+            F.element_at(
+                F.col("_s"),
+                (
+                    (F.col("n_days") + F.col("horizon_days") - 1) % m + 1
+                ).cast("int"),
+            ),
+            4,
+        ).alias("seasonal_cents"),
+        F.round(
+            F.col("_l")
+            + F.col("horizon_days") * F.col("_b")
+            + F.element_at(
+                F.col("_s"),
+                (
+                    (F.col("n_days") + F.col("horizon_days") - 1) % m + 1
+                ).cast("int"),
+            ),
+            4,
+        ).alias("forecast_cents"),
+    )
+
+
+_REG["timeseries_holt_winters"].oracle = _hw_oracle()
+
+
+# --- round-11: DAU / trailing-WAU stickiness -----------------------------------
+
+
+@register(
+    "events_dau_wau_stickiness",
+    """WITH ud AS (
+         SELECT DISTINCT user_id,
+                (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day
+         FROM events),
+       span AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+       dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+       fan AS (SELECT user_id, day + f.o AS target
+               FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) f),
+       wau AS (SELECT target AS day, count(DISTINCT user_id)::BIGINT AS wau
+               FROM fan, span
+               WHERE target BETWEEN span.lo AND span.hi
+               GROUP BY target)
+       SELECT w.day, coalesce(d.dau, 0)::BIGINT AS dau, w.wau,
+              round(coalesce(d.dau, 0) * 1.0 / w.wau, 6) AS stickiness
+       FROM wau w LEFT JOIN dau d ON d.day = w.day""",
+    doc="DAU / trailing-7-day-WAU stickiness per day — the product-"
+    "analytics engagement ratio (DAU/WAU ~ 'how many of this week's "
+    "users came back today'; flat DAU with rising WAU means a "
+    "broadening-but-disengaging base, invisible to either count "
+    "alone). Trailing distinct counts do NOT slide with a window "
+    "function (distinct is not subtractable), so each (user, day) "
+    "activity fact fans to the 7 calendar days it keeps the user "
+    "'weekly-active' for, then one count-distinct per day — the "
+    "standard scale-out for sliding-window distinct aggregation "
+    "(7x the user-day facts, linear, map-side deduplicable; never "
+    "a per-day rescan). Exact integers, one rounded division. "
+    "Scale shape: distinct (user, day) rollup, a pinned 7-row fan, "
+    "one count-distinct aggregate over the bounded day domain.",
+)
+def q_events_dau_wau_stickiness(spark: SparkSession, sf: str):
+    ud = (
+        events_table(spark, sf)
+        .select(
+            "user_id", F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # user-day facts; feeds span/dau/fan
+    )
+    span = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    fan = ud.crossJoin(
+        F.broadcast(
+            ud.sparkSession.range(7).select(F.col("id").cast("long").alias("o"))
+        )
+    ).select("user_id", (F.col("day") + F.col("o")).alias("target"))
+    wau = (
+        fan.crossJoin(F.broadcast(span))
+        .filter(F.col("target").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("target").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return wau.join(dau, "day", "left").select(
+        "day",
+        F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+        "wau",
+        F.round(
+            F.coalesce(F.col("dau"), F.lit(0)) * 1.0 / F.col("wau"), 6
+        ).alias("stickiness"),
+    )

@@ -2176,3 +2176,126 @@ def q_lm_bigram_cond_entropy(spark: SparkSession, sf: str):
         F.round(hc, 6).alias("h_cond_bits"),
         F.round(F.pow(F.lit(2.0), hc), 4).alias("branching_factor"),
     )
+
+
+# --- round-11: n-gram coverage curve (train -> test backoff rates) ------------
+
+from annotations_ingester_spark.functions.hashing import md5_hash64_sql as _mh64sql  # noqa: E402
+
+_NGC_SPLIT = _mh64sql("'split:' || doc_id::VARCHAR")
+
+
+def _ngc_gram_list(n: int) -> str:
+    """DuckDB n-gram string list over token array ``t``."""
+    if n == 1:
+        return "t"
+    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1),"
+        f" i -> {joined})"
+    )
+
+
+@register(
+    "lm_ngram_coverage_curve",
+    f"""WITH d AS (
+         SELECT doc_id, {TOKS} AS t,
+                ({_NGC_SPLIT} % 100 < 80) AS is_train
+         FROM documents WHERE text IS NOT NULL),
+       grams AS (
+         SELECT is_train, 1 AS n, unnest({_ngc_gram_list(1)}) AS g FROM d
+         UNION ALL
+         SELECT is_train, 2, unnest({_ngc_gram_list(2)}) FROM d
+           WHERE len(t) >= 2
+         UNION ALL
+         SELECT is_train, 3, unnest({_ngc_gram_list(3)}) FROM d
+           WHERE len(t) >= 3),
+       dist AS (SELECT DISTINCT is_train, n, g FROM grams),
+       test AS (SELECT n, g FROM dist WHERE NOT is_train),
+       train AS (SELECT n, g FROM dist WHERE is_train),
+       cov AS (
+         SELECT test.n, count(*)::BIGINT AS n_test_grams,
+                sum(CASE WHEN train.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_covered
+         FROM test LEFT JOIN train ON test.n = train.n AND test.g = train.g
+         GROUP BY test.n)
+       SELECT n::BIGINT AS ngram_order, n_test_grams, n_covered,
+              round(n_covered * 1.0 / n_test_grams, 6) AS coverage
+       FROM cov""",
+    doc="N-gram coverage curve from the hash-train split to the held-out "
+    "20%: for n = 1/2/3, the fraction of DISTINCT test n-grams that "
+    "appear anywhere in train — the backoff/OOV ladder every n-gram "
+    "LM and retrieval index is sized against (unigram coverage bounds "
+    "the OOV rate, trigram coverage predicts how often a backoff "
+    "model actually backs off; complements lm_oov_rate_by_vocab_size, "
+    "which sweeps vocab SIZE at fixed n=1). All three gram orders "
+    "come out of ONE scan (a tagged union of per-row gram lists — "
+    "no per-order re-tokenize) and reduce to distinct sets before "
+    "the train-probe join, so the join keys are vocabulary-bounded, "
+    "never token-stream-sized. Exact counts, one rounded division "
+    "per row. Scale shape: one explode + distinct rollup, one "
+    "equi-join on (n, gram) — word-count shuffle class.",
+)
+def q_lm_ngram_coverage_curve(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            tx.tokens("text").alias("t"),
+            (
+                md5_hash64(
+                    F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+                )
+                % 100
+                < 80
+            ).alias("is_train"),
+        )
+    )
+
+    def gram_expr(n: int) -> str:
+        if n == 1:
+            return f"transform(t, g -> named_struct('n', {n}L, 'g', g))"
+        parts = ", ".join(f"element_at(t, i + {j})" for j in range(n))
+        return (
+            f"CASE WHEN size(t) >= {n} THEN"
+            f" transform(sequence(1, size(t) - {n - 1}),"
+            f" i -> named_struct('n', {n}L, 'g', concat_ws(' ', {parts})))"
+            f" ELSE array() END"
+        )
+
+    grams = d.select(
+        "is_train",
+        F.explode(
+            F.expr(
+                f"concat({gram_expr(1)}, {gram_expr(2)}, {gram_expr(3)})"
+            )
+        ).alias("s"),
+    ).select("is_train", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    dist = grams.distinct()
+    test = dist.filter(~F.col("is_train")).select("n", "g")
+    train = dist.filter(F.col("is_train")).select(
+        "n", F.col("g").alias("g_t")
+    )
+    cov = (
+        test.join(
+            train, (test["n"] == train["n"]) & (test["g"] == train["g_t"]), "left"
+        )
+        .groupBy(test["n"].alias("ngram_order"))
+        .agg(
+            F.count("*").cast("long").alias("n_test_grams"),
+            F.sum(F.when(F.col("g_t").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return cov.select(
+        "ngram_order",
+        "n_test_grams",
+        "n_covered",
+        F.round(F.col("n_covered") * 1.0 / F.col("n_test_grams"), 6).alias(
+            "coverage"
+        ),
+    )

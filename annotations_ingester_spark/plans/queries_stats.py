@@ -6941,3 +6941,444 @@ def q_streaming_ams_f2(spark: SparkSession, sf: str):
 
 
 _REG_R11["streaming_ams_f2"].oracle = _REG_R11["sketch_ams_f2_cert"].oracle
+
+
+# --- round-11: Cramér-von Mises two-sample test -------------------------------
+
+_CVM_CRIT_5PCT = 0.461  # two-sample omega^2 0.95 critical value, pinned
+
+
+@register(
+    "stats_cramer_von_mises",
+    f"""WITH {_cdf_oracle_cte(_KS_SRC)},
+       t AS (SELECT max(c1) AS n1, max(c2) AS n2 FROM cdf),
+       cvm AS (SELECT t.n1, t.n2,
+                    sum((k1 + k2)
+                        * (c1 * t.n2 - c2 * t.n1)::DECIMAL(38,0)
+                        * (c1 * t.n2 - c2 * t.n1))::DECIMAL(38,0) AS num
+             FROM cdf, t GROUP BY t.n1, t.n2)
+       SELECT n1, n2,
+              round(CAST(num AS DOUBLE)
+                    / (n1 * 1.0 * n2 * (n1 + n2) * (n1 + n2)), 6) AS t_stat,
+              round(CAST(num AS DOUBLE)
+                    / (n1 * 1.0 * n2 * (n1 + n2) * (n1 + n2)), 6)
+                >= {_CVM_CRIT_5PCT!r} AS distributions_differ
+       FROM cvm""",
+    doc="Two-sample Cramér-von Mises test on the click-vs-purchase value "
+    "distributions: T = sum over pooled values of (k1+k2)*(F1-F2)^2 "
+    "scaled by nm/(n+m)^2 — the INTEGRATED-squared-gap companion to "
+    "stats_ks_test's single-supremum D (CvM weights the whole CDF "
+    "gap, catching spread/shape shifts a one-point supremum misses). "
+    "The numerator telescopes to exact DECIMAL(38,0) integers over "
+    "the SAME two-level bucketed CDF frame as KS/Mann-Whitney/AUC "
+    "(shared _two_sample_cdf machinery — one checkpointed per-value "
+    "table, windows over the bounded value domain); ONE double "
+    "division, flag on the ROUNDED statistic against the pinned 5% "
+    "critical value. Scale shape: identical to stats_ks_test.",
+)
+def q_stats_cramer_von_mises(spark: SparkSession, sf: str):
+    ev = events_table(spark, sf)
+    s = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    cdf = _two_sample_cdf(s)
+    t = cdf.agg(F.max("c1").alias("n1"), F.max("c2").alias("n2"))
+    gap = (F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).cast(
+        "decimal(38,0)"
+    )
+    srow = (
+        cdf.crossJoin(F.broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(
+            F.sum(
+                (F.col("k1") + F.col("k2"))
+                * gap
+                * (F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            )
+            .cast("decimal(38,0)")
+            .alias("num")
+        )
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    t_stat = F.round(
+        F.col("num").cast("double") / (n1 * 1.0 * n2 * (n1 + n2) * (n1 + n2)),
+        6,
+    )
+    return srow.select(
+        "n1",
+        "n2",
+        t_stat.alias("t_stat"),
+        (t_stat >= F.lit(_CVM_CRIT_5PCT)).alias("distributions_differ"),
+    )
+
+
+# --- round-11: paired sign test -----------------------------------------------
+
+
+@register(
+    "stats_sign_test",
+    """WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type, round(value * 100)::BIGINT AS cents
+         FROM events),
+       d AS (SELECT day,
+                    sum(CASE WHEN event_type = 'purchase'
+                             THEN cents ELSE 0 END)::BIGINT AS a,
+                    sum(CASE WHEN event_type <> 'purchase'
+                             THEN cents ELSE 0 END)::BIGINT AS b
+             FROM e GROUP BY day),
+       s AS (SELECT count(*)::BIGINT AS n_days,
+                    sum(CASE WHEN a > b THEN 1 ELSE 0 END)::BIGINT AS k,
+                    sum(CASE WHEN a <> b THEN 1 ELSE 0 END)::BIGINT AS n
+             FROM d)
+       SELECT n_days, n AS n_informative, k AS n_purchase_higher,
+              round((2.0 * k - n) / sqrt(n), 4) AS z_stat,
+              abs(round((2.0 * k - n) / sqrt(n), 4)) > 1.96
+                AS medians_differ
+       FROM s""",
+    doc="Paired sign test between the daily purchase and non-purchase "
+    "revenue series: counts only WHICH side won each day (ties "
+    "dropped), z = (2k - n)/sqrt(n) — the assumption-free floor of "
+    "the paired-test ladder (Wilcoxon signed-rank uses magnitudes "
+    "and assumes symmetric differences; the sign test needs nothing "
+    "but exchangeability, the right default for heavy-tailed revenue "
+    "days). Exact integer counts, one rounded z; the flag compares "
+    "the ROUNDED statistic. Scale shape: one map-side-combinable "
+    "daily rollup over events, one aggregate over the bounded day "
+    "table — no window, no join.",
+)
+def q_stats_sign_test(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = e.groupBy("day").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("a"),
+        F.sum(
+            F.when(F.col("event_type") != "purchase", F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    s = d.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.when(F.col("a") > F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+        F.sum(F.when(F.col("a") != F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n"),
+    )
+    z = F.round((2.0 * F.col("k") - F.col("n")) / F.sqrt(F.col("n")), 4)
+    return s.select(
+        "n_days",
+        F.col("n").alias("n_informative"),
+        F.col("k").alias("n_purchase_higher"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("medians_differ"),
+    )
+
+
+# --- round-11: generalized ESD multi-outlier test ------------------------------
+
+# Rosner lambda critical values, alpha=0.05 two-sided, pinned for the
+# rehearsal day-domain size (n ~ 30); like _GRANGER_F_CRIT these are
+# job parameters, not data-derived
+_ESD_LAMBDAS = (3.16, 3.14, 3.12)
+
+
+def _esd_oracle() -> str:
+    a, rounds = [], []
+    prev_excl = "SELECT NULL::BIGINT AS day WHERE FALSE"
+    for i, lam in enumerate(_ESD_LAMBDAS, start=1):
+        rounds.append(f"""ex{i} AS ({prev_excl}),
+       s{i} AS (SELECT count(*)::BIGINT AS n, avg(x::DOUBLE) AS mu,
+                       sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS q,
+                       sum(x)::BIGINT AS sx
+                FROM d WHERE day NOT IN (SELECT day FROM ex{i})),
+       v{i} AS (SELECT n, mu,
+                       sqrt((CAST(q AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * sx / n) / (n - 1)) AS sd
+                FROM s{i}),
+       p{i} AS (SELECT d.day, d.x,
+                       abs(d.x - v{i}.mu) / v{i}.sd AS r_stat
+                FROM d, v{i}
+                WHERE d.day NOT IN (SELECT day FROM ex{i})
+                ORDER BY abs(d.x - v{i}.mu) / v{i}.sd DESC, d.day
+                LIMIT 1)""")
+        a.append(
+            f"SELECT {i}::BIGINT AS round, day, x AS revenue_cents,"
+            f" round(r_stat, 4) AS r_stat, {lam!r} AS lambda_crit,"
+            f" round(r_stat, 4) > {lam!r} AS is_outlier FROM p{i}"
+        )
+        prev_excl = " UNION ALL ".join(
+            f"SELECT day FROM p{j}" for j in range(1, i + 1)
+        )
+    return (
+        f"WITH {DAILY_CENTS_CTE},\n       "
+        + ",\n       ".join(rounds)
+        + "\n       "
+        + "\n       UNION ALL\n       ".join(a)
+    )
+
+
+@register(
+    "stats_esd_outliers",
+    None,  # assembled below (three unrolled suspect rounds)
+    doc="Generalized ESD (Rosner) multi-outlier test on the daily revenue "
+    "series, three rounds: each round studentizes the remaining days "
+    "against their own mean/sd (sample, n-1), picks the maximal "
+    "suspect (total order: deviation desc, day asc) and removes it "
+    "before the next round — the masking-robust extension of "
+    "stats_grubbs_outlier (a second outlier inflates sd and hides "
+    "the first from single-pass Grubbs; ESD re-estimates after each "
+    "removal). Lambda critical values are pinned job parameters for "
+    "the rehearsal day-domain size; flags compare the ROUNDED "
+    "statistic. Moments from exact BIGINT/DECIMAL(38,0) power sums "
+    "per round. Scale shape: one daily rollup (checkpointed), then "
+    "three unrolled (1-row stats broadcast + bounded-day argmax) "
+    "rounds — everything after the rollup is day-domain work.",
+)
+def q_stats_esd_outliers(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf).localCheckpoint(eager=True)
+    excluded = None
+    arms = []
+    for i, lam in enumerate(_ESD_LAMBDAS, start=1):
+        cur = d if excluded is None else d.join(excluded, "day", "left_anti")
+        s = cur.agg(
+            F.count("*").cast("long").alias("n"),
+            F.avg(F.col("x").cast("double")).alias("mu"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+            .cast("decimal(38,0)")
+            .alias("q"),
+            F.sum("x").cast("long").alias("sx"),
+        )
+        v = s.select(
+            "mu",
+            F.sqrt(
+                (
+                    F.col("q").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias("sd"),
+        )
+        p = (
+            cur.crossJoin(F.broadcast(v))
+            .select(
+                "day",
+                "x",
+                (F.abs(F.col("x") - F.col("mu")) / F.col("sd")).alias("r_stat"),
+            )
+            .orderBy(F.desc("r_stat"), F.asc("day"))
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row; feeds arm + next exclusion
+        )
+        arms.append(
+            p.select(
+                F.lit(i).cast("long").alias("round"),
+                "day",
+                F.col("x").alias("revenue_cents"),
+                F.round(F.col("r_stat"), 4).alias("r_stat"),
+                F.lit(lam).alias("lambda_crit"),
+                (F.round(F.col("r_stat"), 4) > F.lit(lam)).alias("is_outlier"),
+            )
+        )
+        sel = p.select("day")
+        excluded = sel if excluded is None else excluded.unionByName(sel)
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out
+
+
+_REG_R11["stats_esd_outliers"].oracle = _esd_oracle()
+
+
+# --- round-11: Page trend test (ordered repeated measures) ---------------------
+
+
+@register(
+    "stats_page_trend_test",
+    """WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type, round(value * 100)::BIGINT AS cents
+         FROM events),
+       cell AS (SELECT day, event_type, sum(cents)::BIGINT AS x
+                FROM e GROUP BY 1, 2),
+       days AS (SELECT DISTINCT day FROM cell),
+       types AS (SELECT event_type,
+                        row_number() OVER (ORDER BY event_type)::BIGINT
+                          AS ord
+                 FROM (SELECT DISTINCT event_type FROM cell)),
+       grid AS (SELECT d.day, t.event_type, t.ord,
+                       coalesce(c.x, 0)::BIGINT AS x
+                FROM days d CROSS JOIN types t
+                LEFT JOIN cell c
+                  ON c.day = d.day AND c.event_type = t.event_type),
+       rk AS (SELECT day, event_type, ord,
+                     (2 * rank() OVER (PARTITION BY day ORDER BY x)
+                      + count(*) OVER (PARTITION BY day, x) - 1)::BIGINT
+                       AS r2
+              FROM grid),
+       rs AS (SELECT ord, sum(r2)::BIGINT AS r2j FROM rk GROUP BY ord),
+       dims AS (SELECT count(DISTINCT day)::BIGINT AS m,
+                       count(DISTINCT event_type)::BIGINT AS k
+                FROM grid),
+       l AS (SELECT sum(ord * r2j)::BIGINT AS l2 FROM rs)
+       SELECT dims.m AS n_days, dims.k AS n_types, l.l2 AS page_l_doubled,
+              round((l.l2 / 2.0
+                     - dims.m * dims.k * (dims.k + 1) * (dims.k + 1) / 4.0)
+                    / sqrt(dims.m * 1.0 * dims.k * dims.k
+                           * (dims.k + 1) * (dims.k + 1) * (dims.k - 1)
+                           / 144.0), 4) AS z_stat,
+              abs(round((l.l2 / 2.0
+                     - dims.m * dims.k * (dims.k + 1) * (dims.k + 1) / 4.0)
+                    / sqrt(dims.m * 1.0 * dims.k * dims.k
+                           * (dims.k + 1) * (dims.k + 1) * (dims.k - 1)
+                           / 144.0), 4)) > 1.96 AS ordered_trend
+       FROM dims CROSS JOIN l""",
+    doc="Page's L trend test for ordered repeated measures: days are the "
+    "blocks, event types the k ordered treatments (pinned "
+    "alphabetical hypothesis order), L = sum(ord_j * R_j) over "
+    "within-day rank sums — detects a MONOTONE revenue ordering "
+    "across treatments that Friedman's omnibus chi-square dilutes "
+    "(Friedman asks 'any difference?', Page asks 'THIS order?'; the "
+    "blocked companion to stats_jonckheere_terpstra's independent-"
+    "groups trend). Doubled tie-averaged ranks keep everything "
+    "integral through L; one rounded z against the normal "
+    "approximation, flag on the ROUNDED value. Scale shape: one "
+    "(day x type) rollup over events, then windows partitioned by "
+    "day over the bounded densified grid; two 1-row broadcasts.",
+)
+def q_stats_page_trend_test(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cell = (
+        e.groupBy("day", "event_type")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    days = cell.select("day").distinct()
+    types = (
+        cell.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.orderBy("event_type"))
+            .cast("long")
+            .alias("ord"),
+        )
+    )
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(cell, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "ord",
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    rk = grid.select(
+        "ord",
+        (
+            2 * F.rank().over(Window.partitionBy("day").orderBy("x"))
+            + F.count("*").over(Window.partitionBy("day", "x"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    rs = rk.groupBy("ord").agg(F.sum("r2").cast("long").alias("r2j"))
+    dims = grid.agg(
+        F.countDistinct("day").cast("long").alias("m"),
+        F.countDistinct("ord").cast("long").alias("k"),
+    )
+    l2 = rs.agg(F.sum(F.col("ord") * F.col("r2j")).cast("long").alias("l2"))
+    m, k = F.col("m"), F.col("k")
+    z = F.round(
+        (F.col("l2") / 2.0 - m * k * (k + 1) * (k + 1) / 4.0)
+        / F.sqrt(m * 1.0 * k * k * (k + 1) * (k + 1) * (k - 1) / 144.0),
+        4,
+    )
+    return dims.crossJoin(F.broadcast(l2)).select(
+        m.alias("n_days"),
+        k.alias("n_types"),
+        F.col("l2").alias("page_l_doubled"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("ordered_trend"),
+    )
+
+
+# --- round-11: Wilson score confidence intervals -------------------------------
+
+_WILSON_Z = 1.96
+
+
+@register(
+    "stats_wilson_ci",
+    f"""WITH s AS (
+         SELECT event_type,
+                count(*)::BIGINT AS n,
+                sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END)::BIGINT AS k
+         FROM events GROUP BY event_type),
+       w AS (SELECT event_type, n, k,
+                    k * 1.0 / n AS p,
+                    {_WILSON_Z} * {_WILSON_Z} AS z2
+             FROM s)
+       SELECT event_type, n, k,
+              round(p, 6) AS p_hat,
+              round((p + z2 / (2 * n)
+                     - {_WILSON_Z} * sqrt(p * (1 - p) / n
+                                          + z2 / (4.0 * n * n)))
+                    / (1 + z2 / n), 6) AS ci_lo,
+              round((p + z2 / (2 * n)
+                     + {_WILSON_Z} * sqrt(p * (1 - p) / n
+                                          + z2 / (4.0 * n * n)))
+                    / (1 + z2 / n), 6) AS ci_hi
+       FROM w""",
+    doc="Wilson score 95% confidence interval for the high-value rate "
+    "(value >= 150) per event type — the proportion CI that stays "
+    "inside [0,1] and behaves at small k where the Wald interval "
+    "collapses (the right error bar for every rate this catalog "
+    "reports: conversion, dedup, OOV, defect rates). Closed-form "
+    "from exact integer (n, k) per group in one scan-fused "
+    "aggregate; identical expression tree both engines, one "
+    "rounding per bound. Scale shape: one map-side-combinable "
+    "5-group aggregate — no window, no join, flat at any scale.",
+)
+def q_stats_wilson_ci(spark: SparkSession, sf: str):
+    ev = events_table(spark, sf)
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("value") >= 150, 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    z = _WILSON_Z
+    z2 = z * z
+    n = F.col("n")
+    half = z * F.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    return s.select(
+        "event_type",
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + z2 / (2 * n) - half) / (1 + z2 / n), 6).alias("ci_lo"),
+        F.round((p + z2 / (2 * n) + half) / (1 + z2 / n), 6).alias("ci_hi"),
+    )

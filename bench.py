@@ -361,6 +361,44 @@ HEADLINE = [
     "stats_cochran_armitage",
     "events_markov_entropy_rate",
     "text_mattr_diversity",
+    # round-11 session-2 additions
+    "survival_nelson_aalen",
+    "survival_log_rank",
+    "eval_ece_mce",
+    "eval_brier_decomposition",
+    "eval_lift_gains_curve",
+    "stats_jarque_bera",
+    "text_yule_k",
+    "text_hapax_legomena",
+    "lm_bigram_cond_entropy",
+    "graph_adamic_adar",
+    "split_group_holdout",
+    "stats_hurst_rs",
+    "stats_ols_two_factor",
+    "stats_granger_lag1",
+    "stats_cronbach_alpha",
+    "sketch_ams_f2_cert",
+    "privacy_randomized_response_cert",
+    "events_peak_detection",
+    "stats_pettitt_test",
+    "stats_variance_ratio_test",
+    "eval_weighted_kappa",
+    "dedup_soft_weights",
+    "events_entropy_trend",
+    "streaming_ams_f2",
+    "timeseries_holt_forecast",
+    "timeseries_pacf",
+    "media_audio_clipping",
+    "corpus_cross_source_overlap",
+    "ann_nprobe_sweep",
+    "stats_cramer_von_mises",
+    "stats_sign_test",
+    "lm_ngram_coverage_curve",
+    "timeseries_holt_winters",
+    "stats_esd_outliers",
+    "stats_page_trend_test",
+    "stats_wilson_ci",
+    "events_dau_wau_stickiness",
 ]
 
 

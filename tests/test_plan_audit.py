@@ -257,9 +257,23 @@ CROSS_ALLOWED = {
     # the corpus (the embedding_cosine_topk exactness-baseline shape)
     # + per-arm 1-row hit-count broadcasts
     "ann_nprobe_sweep",
+    # 1-row sample-sizes broadcast onto the bounded per-value CDF table
+    # (the KS totals shape; CvM's un-grouped integral sum keeps the
+    # nested-loop form in the executed plan where KS's grouped max
+    # folds it away)
+    "stats_cramer_von_mises",
     # 1-row series-length broadcast onto the bounded day table (full-block
     # filter) + the 1-row log-log fit broadcast onto the 3-row R/S ladder
     "stats_hurst_rs",
+    # three unrolled rounds, each a 1-row mean/sd broadcast over the
+    # bounded day table (the suspect-removal recursion, Grubbs shape)
+    "stats_esd_outliers",
+    # 5-row type spine densifying the (day x type) grid + two 1-row
+    # report broadcasts (dims, L sum)
+    "stats_page_trend_test",
+    # pinned 7-row window-offset fan over the (user, day) facts + the
+    # 1-row day-span broadcast (sliding-distinct scale-out shape)
+    "events_dau_wau_stickiness",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -444,6 +458,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # rank + cumulative-rank-sum windows over the DATE-DOMAIN daily rollup
     # (the Mann-Whitney identity form of the pairwise U sum)
     "stats_pettitt_test": (200, _EVENTS_DAYS_PROBE),
+    # hypothesis-order row_number over the pinned event-type domain
+    "stats_page_trend_test": (
+        8, "SELECT count(DISTINCT event_type) FROM events"),
     # day-index window over the bounded per-day entropy table
     "events_entropy_trend": (200, _EVENTS_DAYS_PROBE),
     # rank cumulatives over the BOUNDED per-value count tables of the

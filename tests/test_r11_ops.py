@@ -839,3 +839,204 @@ def test_nprobe_sweep_monotone_and_consistent(spark):
         for r in REGISTRY["ann_multiprobe_topk"].spark(spark, SF).collect()
     }
     assert rows[9].n_hits == len(truth & pred)
+
+
+def test_cramer_von_mises_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
+                   round(value * 100)::BIGINT
+            FROM '{SF}/events.parquet'
+            WHERE event_type IN ('click', 'purchase')"""
+    ).fetchall()
+    xs = sorted(v for a, v in rows if a == 1)
+    ys = sorted(v for a, v in rows if a == 0)
+    n, m2 = len(xs), len(ys)
+    import bisect
+
+    num = 0
+    for v in sorted(set(xs) | set(ys)):
+        k1 = bisect.bisect_right(xs, v) - bisect.bisect_left(xs, v)
+        k2 = bisect.bisect_right(ys, v) - bisect.bisect_left(ys, v)
+        c1 = bisect.bisect_right(xs, v)
+        c2 = bisect.bisect_right(ys, v)
+        num += (k1 + k2) * (c1 * m2 - c2 * n) ** 2
+    t = num / (n * m2 * (n + m2) ** 2)
+    r = REGISTRY["stats_cramer_von_mises"].spark(spark, SF).collect()[0]
+    assert (r.n1, r.n2) == (n, m2)
+    assert r.t_stat == pytest.approx(t, abs=2e-6)
+    assert r.distributions_differ == (round(t, 6) >= 0.461)
+
+
+def test_sign_test_matches_python(spark):
+    series = _daily_two_series()
+    k = sum(1 for a, b in series if a > b)
+    n = sum(1 for a, b in series if a != b)
+    z = (2 * k - n) / math.sqrt(n)
+    r = REGISTRY["stats_sign_test"].spark(spark, SF).collect()[0]
+    assert r.n_days == len(series)
+    assert (r.n_informative, r.n_purchase_higher) == (n, k)
+    assert r.z_stat == pytest.approx(z, abs=2e-4)
+    assert r.medians_differ == (abs(round(z, 4)) > 1.96)
+
+
+def test_ngram_coverage_matches_python(spark):
+    import duckdb
+    import re
+
+    rows = duckdb.sql(
+        f"""SELECT doc_id, text FROM '{SF}/documents.parquet'
+            WHERE text IS NOT NULL"""
+    ).fetchall()
+    grams = {1: ({}, {}), 2: ({}, {}), 3: ({}, {})}
+    train_sets = {1: set(), 2: set(), 3: set()}
+    test_sets = {1: set(), 2: set(), 3: set()}
+    for doc_id, text in rows:
+        is_train = _md5_64(f"split:{doc_id}") % 100 < 80
+        toks = [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]
+        for n in (1, 2, 3):
+            tgt = train_sets[n] if is_train else test_sets[n]
+            for i in range(len(toks) - n + 1):
+                tgt.add(" ".join(toks[i : i + n]))
+    got = {r.ngram_order: r for r in REGISTRY["lm_ngram_coverage_curve"].spark(spark, SF).collect()}
+    for n in (1, 2, 3):
+        covered = len(test_sets[n] & train_sets[n])
+        r = got[n]
+        assert r.n_test_grams == len(test_sets[n])
+        assert r.n_covered == covered
+        assert r.coverage == pytest.approx(covered / len(test_sets[n]), abs=2e-6)
+    # the curve must fall with n (higher orders are harder to cover)
+    assert got[1].coverage > got[2].coverage > got[3].coverage
+
+
+def test_holt_winters_matches_python(spark):
+    xs = [float(x) for _, x in _daily_cents()]
+    m = 7
+    a, g, c = 0.3, 0.1, 0.2
+    avg1 = round(sum(xs[:m]) / m, 9)
+    avg2 = sum(xs[m : 2 * m]) / m
+    l = avg1
+    b = round((avg2 - avg1) / m, 9)
+    s = [round(x - avg1, 9) for x in xs[:m]]
+    for t in range(m + 1, len(xs) + 1):
+        x = xs[t - 1]
+        slot = (t - 1) % m
+        si = s[slot]
+        l2 = round(a * (x - si) + (1 - a) * (l + b), 9)
+        b = round(g * (l2 - l) + (1 - g) * b, 9)
+        s[slot] = round(c * (x - l2) + (1 - c) * si, 9)
+        l = l2
+    rows = {r.horizon_days: r for r in REGISTRY["timeseries_holt_winters"].spark(spark, SF).collect()}
+    assert set(rows) == set(range(1, 8))
+    T = len(xs)
+    for h, r in rows.items():
+        assert r.n_days == T
+        assert r.level_cents == pytest.approx(l, abs=1e-3)
+        assert r.trend_cents_per_day == pytest.approx(b, abs=1e-3)
+        slot = (T + h - 1) % m
+        assert r.seasonal_cents == pytest.approx(s[slot], abs=1e-3)
+        assert r.forecast_cents == pytest.approx(l + h * b + s[slot], abs=1e-3)
+
+
+def test_esd_outliers_matches_python(spark):
+    xs = dict(_daily_cents())
+    remaining = dict(xs)
+    rows = {r.round: r for r in REGISTRY["stats_esd_outliers"].spark(spark, SF).collect()}
+    assert set(rows) == {1, 2, 3}
+    lambdas = {1: 3.16, 2: 3.14, 3: 3.12}
+    for rnd in (1, 2, 3):
+        vals = list(remaining.values())
+        n = len(vals)
+        mu = sum(vals) / n
+        sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / (n - 1))
+        best = max(
+            remaining.items(), key=lambda kv: (abs(kv[1] - mu) / sd, -kv[0])
+        )
+        r_stat = abs(best[1] - mu) / sd
+        r = rows[rnd]
+        assert r.day == best[0]
+        assert r.revenue_cents == best[1]
+        assert r.r_stat == pytest.approx(r_stat, abs=2e-4)
+        assert r.lambda_crit == pytest.approx(lambdas[rnd], abs=1e-9)
+        assert r.is_outlier == (round(r_stat, 4) > lambdas[rnd])
+        del remaining[best[0]]
+
+
+def test_page_trend_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT, event_type,
+                   sum(round(value * 100)::BIGINT)::BIGINT
+            FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    days = sorted({r[0] for r in rows})
+    types = sorted({r[1] for r in rows})
+    cells = {(d, t): 0 for d in days for t in types}
+    for d, t, x in rows:
+        cells[(d, t)] = int(x)
+    m, k = len(days), len(types)
+    l2 = 0
+    for d in days:
+        vals = [(cells[(d, t)], j + 1) for j, t in enumerate(types)]
+        for x, ord_j in vals:
+            less = sum(1 for v, _ in vals if v < x)
+            ties = sum(1 for v, _ in vals if v == x)
+            r2 = 2 * (less + 1) + ties - 1  # doubled tie-averaged rank
+            l2 += ord_j * r2
+    z = (l2 / 2 - m * k * (k + 1) ** 2 / 4) / math.sqrt(
+        m * k * k * (k + 1) ** 2 * (k - 1) / 144
+    )
+    r = REGISTRY["stats_page_trend_test"].spark(spark, SF).collect()[0]
+    assert (r.n_days, r.n_types) == (m, k)
+    assert r.page_l_doubled == l2
+    assert r.z_stat == pytest.approx(z, abs=2e-4)
+    assert r.ordered_trend == (abs(round(z, 4)) > 1.96)
+
+
+def test_wilson_ci_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, count(*),
+                   sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END)
+            FROM '{SF}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    got = {r.event_type: r for r in REGISTRY["stats_wilson_ci"].spark(spark, SF).collect()}
+    z = 1.96
+    for et, n, k in rows:
+        p = k / n
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        r = got[et]
+        assert (r.n, r.k) == (n, k)
+        assert r.ci_lo == pytest.approx((center - half) / denom, abs=2e-6)
+        assert r.ci_hi == pytest.approx((center + half) / denom, abs=2e-6)
+        assert r.ci_lo <= r.p_hat <= r.ci_hi
+        assert 0.0 <= r.ci_lo and r.ci_hi <= 1.0
+
+
+def test_dau_wau_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT DISTINCT user_id,
+                   (floor(epoch(ts))::BIGINT // 86400)::BIGINT
+            FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    by_day = {}
+    for uid, d in rows:
+        by_day.setdefault(int(d), set()).add(uid)
+    lo, hi = min(by_day), max(by_day)
+    got = {r.day: r for r in REGISTRY["events_dau_wau_stickiness"].spark(spark, SF).collect()}
+    assert set(got) == set(range(lo, hi + 1)) & {
+        d for d in got
+    }  # every covered day in range
+    for day, r in got.items():
+        dau = len(by_day.get(day, set()))
+        wau = len(set().union(*(by_day.get(d, set()) for d in range(day - 6, day + 1))))
+        assert (r.dau, r.wau) == (dau, wau)
+        assert r.stickiness == pytest.approx(dau / wau, abs=2e-6)
+        assert r.dau <= r.wau
