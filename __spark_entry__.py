@@ -277,11 +277,14 @@ _ORDER_LAST_R10: set[str] = {
 }
 
 
-# Round-11 head start: operators built late in round 10, AFTER the r10
-# gate window filled exactly (34 debt + 16 r10 = 50). They ride behind
-# every other uncovered name and front the r11 window once the r10 gate
-# certifies its 50. Verified today by tools/parity.py (sf0.01 sweep) and
-# per-op recompute tests — only the OFFICIAL row waits for r11.
+# Round-11 tier: operators built AFTER the r10 gate window filled
+# exactly (34 debt + 16 r10 = 50). They ride behind every other
+# uncovered name and front the r11 window once the r10 gate certifies
+# its 50. The tier holds EXACTLY 50 names — one full r11 gate window
+# (the 4 late-r10 head-start ops + 46 session-2 additions); any further
+# additions must open an _ORDER_LAST_R12 tier. Every name verified by
+# tools/parity.py (sf0.01) and per-op recompute tests — only the
+# OFFICIAL row waits for r11.
 _ORDER_LAST_R11: set[str] = {
     "dedup_substring_cross_split",
     "stats_cochran_armitage",
@@ -324,6 +327,11 @@ _ORDER_LAST_R11: set[str] = {
     "stats_page_trend_test",
     "stats_wilson_ci",
     "events_dau_wau_stickiness",
+    "stats_poisson_rate_ratio",
+    "events_bot_score",
+    "orders_backlog_aging",
+    "eval_ann_map",
+    "lm_js_divergence_sources",
 }
 
 

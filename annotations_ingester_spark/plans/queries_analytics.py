@@ -4460,3 +4460,169 @@ def q_events_dau_wau_stickiness(spark: SparkSession, sf: str):
             F.coalesce(F.col("dau"), F.lit(0)) * 1.0 / F.col("wau"), 6
         ).alias("stickiness"),
     )
+
+
+# --- round-11: composite bot-likelihood score ----------------------------------
+
+# pinned scoring weights (milli-units) — a job parameter, not fitted
+_BOT_W_REGULARITY = 500.0  # low interarrival CV -> machine-like timing
+_BOT_W_ENTROPY = 300.0  # low type entropy -> single-action loops
+_BOT_W_VOLUME = 200.0  # event share far above uniform -> flooding
+_BOT_SCORE_GATE = 400.0
+
+
+@register(
+    "events_bot_score",
+    f"""WITH e AS (
+         SELECT user_id, event_type,
+                floor(epoch(ts))::BIGINT AS ts_s
+         FROM events),
+       seq AS (SELECT user_id,
+                      ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts_s) AS gap
+               FROM e),
+       ia AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+                     sum(gap)::BIGINT AS s1,
+                     sum(gap::DECIMAL(38,0) * gap)::DECIMAL(38,0) AS s2
+              FROM seq WHERE gap IS NOT NULL GROUP BY user_id
+              HAVING count(*) >= 2),
+       cv AS (SELECT user_id, n_gaps,
+                     CASE WHEN s1 > 0 THEN
+                       sqrt(greatest(CAST(s2 AS DOUBLE) / n_gaps
+                             - (CAST(s1 AS DOUBLE) / n_gaps)
+                               * (CAST(s1 AS DOUBLE) / n_gaps), 0.0))
+                       / (CAST(s1 AS DOUBLE) / n_gaps)
+                     ELSE 0.0 END AS ia_cv
+              FROM ia),
+       tc AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+              FROM e GROUP BY 1, 2),
+       un AS (SELECT user_id, sum(c)::BIGINT AS n FROM tc GROUP BY user_id),
+       ent AS (SELECT tc.user_id,
+                      round(log2(un.n)
+                            - CAST(sum(round(tc.c * log2(tc.c), 9)
+                                       ::DECIMAL(20,9)) AS DOUBLE) / un.n, 6)
+                        AS h_bits
+               FROM tc JOIN un USING (user_id)
+               GROUP BY tc.user_id, un.n),
+       tot AS (SELECT sum(n)::BIGINT AS n_total,
+                      count(*)::BIGINT AS n_users FROM un),
+       sc AS (SELECT cv.user_id, cv.n_gaps, cv.ia_cv, ent.h_bits,
+                     un.n AS n_events,
+                     {_BOT_W_REGULARITY} * greatest(1.0 - cv.ia_cv, 0.0)
+                     + {_BOT_W_ENTROPY}
+                       * greatest(1.0 - ent.h_bits / 2.3219281, 0.0)
+                     + {_BOT_W_VOLUME}
+                       * least(un.n * 1.0 * tot.n_users / tot.n_total
+                               / 5.0, 1.0) AS score
+              FROM cv JOIN ent USING (user_id) JOIN un USING (user_id)
+              CROSS JOIN tot)
+       SELECT user_id, n_events, n_gaps,
+              round(ia_cv, 6) AS interarrival_cv,
+              h_bits AS type_entropy_bits,
+              round(score, 4) AS bot_score_milli,
+              round(score, 4) >= {_BOT_SCORE_GATE!r} AS flagged
+       FROM sc""",
+    doc="Composite per-user bot-likelihood score from three behavioral "
+    "signals with PINNED weights: timing regularity (1 - coefficient "
+    "of variation of interarrival gaps — humans are bursty, cron "
+    "jobs are metronomes), action diversity (1 - type entropy / "
+    "log2(5) — loops hammer one endpoint), and volume share vs the "
+    "uniform-user baseline (capped at 5x) — the triage score a "
+    "traffic-quality pipeline computes before any model, composing "
+    "signals this catalog certifies separately (events_interarrival_"
+    "stats, events_markov_entropy_rate, profile_key_skew). Exact "
+    "integer moment/count cores, per-term 9-dp entropy discipline, "
+    "flag on the ROUNDED score. Scale shape: one user-partitioned "
+    "lag window over events plus two map-side-combinable rollups on "
+    "the user key — no unpartitioned window, no data cross join.",
+)
+def q_events_bot_score(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select("user_id", "event_type", "ts_s")
+    seq = e.select(
+        "user_id",
+        (
+            F.col("ts_s")
+            - F.lag("ts_s").over(Window.partitionBy("user_id").orderBy("ts_s"))
+        ).alias("gap"),
+    )
+    ia = (
+        seq.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("s1"),
+            F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    cv = ia.select(
+        "user_id",
+        "n_gaps",
+        F.when(
+            F.col("s1") > 0,
+            F.sqrt(
+                F.greatest(
+                    F.col("s2").cast("double") / F.col("n_gaps") - mean * mean,
+                    F.lit(0.0),
+                )
+            )
+            / mean,
+        )
+        .otherwise(0.0)
+        .alias("ia_cv"),
+    )
+    # (user x type) rollup, checkpointed: totals, entropy, and the score
+    # assembly re-read the keyed aggregate, not the events scan (events
+    # scanned exactly twice: the lag-window pass + this rollup)
+    tc = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    un = tc.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
+    term = F.sum(
+        F.round(F.col("c") * F.log2(F.col("c")), 9).cast("decimal(20,9)")
+    )
+    ent = (
+        tc.join(un, "user_id")
+        .groupBy("user_id", "n")
+        .agg(
+            F.round(
+                F.log2(F.col("n")) - term.cast("double") / F.col("n"), 6
+            ).alias("h_bits")
+        )
+        .select("user_id", "h_bits")
+    )
+    tot = un.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_users"),
+    )
+    sc = (
+        cv.join(ent, "user_id")
+        .join(un, "user_id")
+        .crossJoin(F.broadcast(tot))
+    )
+    score = (
+        _BOT_W_REGULARITY * F.greatest(1.0 - F.col("ia_cv"), F.lit(0.0))
+        + _BOT_W_ENTROPY
+        * F.greatest(1.0 - F.col("h_bits") / 2.3219281, F.lit(0.0))
+        + _BOT_W_VOLUME
+        * F.least(
+            F.col("n") * 1.0 * F.col("n_users") / F.col("n_total") / 5.0,
+            F.lit(1.0),
+        )
+    )
+    return sc.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_gaps",
+        F.round(F.col("ia_cv"), 6).alias("interarrival_cv"),
+        F.col("h_bits").alias("type_entropy_bits"),
+        F.round(score, 4).alias("bot_score_milli"),
+        (F.round(score, 4) >= F.lit(_BOT_SCORE_GATE)).alias("flagged"),
+    )

@@ -2545,3 +2545,126 @@ def q_eval_weighted_kappa(spark: SparkSession, sf: str):
             ).alias("weighted_kappa"),
         )
     )
+
+
+# --- round-11: mean average precision of the bucketed ANN ----------------------
+
+
+@register(
+    "eval_ann_map",
+    f"""WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       q0 AS (SELECT vec_id AS q_id, e AS qe FROM b
+              WHERE vec_id % 101 = 0 AND vec_id < 2000),
+       sc AS (SELECT q.q_id, c.vec_id,
+                     round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                                * sqrt(list_dot_product(c.e, c.e)) > 0
+                           THEN list_dot_product(q.qe, c.e)
+                                / (sqrt(list_dot_product(q.qe, q.qe))
+                                   * sqrt(list_dot_product(c.e, c.e)))
+                           ELSE 0.0 END, 6) AS cos
+              FROM b c, q0 q WHERE c.vec_id <> q.q_id),
+       truth AS (SELECT q_id, vec_id FROM (
+                   SELECT q_id, vec_id,
+                          row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cos DESC, vec_id) AS rn
+                   FROM sc) WHERE rn <= 10),
+       bk AS (SELECT vec_id, e, {_SB} AS bucket FROM b),
+       qb AS (SELECT k.vec_id AS q_id, k.e AS qe, k.bucket FROM bk k
+              WHERE k.vec_id % 101 = 0 AND k.vec_id < 2000),
+       cand AS (SELECT q.q_id, c.vec_id,
+                       round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                                  * sqrt(list_dot_product(c.e, c.e)) > 0
+                             THEN list_dot_product(q.qe, c.e)
+                                  / (sqrt(list_dot_product(q.qe, q.qe))
+                                     * sqrt(list_dot_product(c.e, c.e)))
+                             ELSE 0.0 END, 6) AS cos
+                FROM bk c JOIN qb q ON c.bucket = q.bucket
+                WHERE c.vec_id <> q.q_id),
+       pred AS (SELECT q_id, vec_id, rn FROM (
+                  SELECT q_id, vec_id,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY cos DESC, vec_id) AS rn
+                  FROM cand) WHERE rn <= 10),
+       hits AS (SELECT p.q_id, p.rn,
+                       CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                         AS hit
+                FROM pred p LEFT JOIN truth t
+                  ON t.q_id = p.q_id AND t.vec_id = p.vec_id),
+       prec AS (SELECT q_id, rn, hit,
+                       sum(hit) OVER (PARTITION BY q_id ORDER BY rn
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                FROM hits),
+       ap AS (SELECT q_id,
+                     sum(round(CASE WHEN hit = 1
+                               THEN cum * 1.0 / rn ELSE 0 END, 9)
+                         ::DECIMAL(20,9)) / 10 AS ap
+              FROM prec GROUP BY q_id),
+       nq AS (SELECT count(*)::BIGINT AS n_queries FROM q0)
+       SELECT nq.n_queries,
+              round(CAST(sum(ap.ap) AS DOUBLE) / nq.n_queries, 6)
+                AS map_at_10
+       FROM ap CROSS JOIN nq GROUP BY nq.n_queries""",
+    doc="Mean Average Precision @10 of the bucketed ANN against exact "
+    "brute-force truth: AP rewards putting the hits EARLY in the "
+    "ranked list (precision-at-each-hit averaged over the 10 "
+    "relevant items), completing the retrieval-metric triad — "
+    "recall@k (set coverage), NDCG (graded position discount), MRR "
+    "(first hit only); MAP is the binary-relevance ranking summary "
+    "IR evaluations default to. Per-rank precision terms round to "
+    "9 dp and sum as DECIMAL per query, one rounded global mean. "
+    "Scale shape: the certified ANN shapes (ABSOLUTE-size query "
+    "batch; bucket equi-join candidate side), hit flags via one "
+    "left join, per-query rank windows partitioned by q_id.",
+)
+def q_eval_ann_map(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.operators.similarity import (
+        brute_force_topk,
+        bucketed_topk,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    qs = emb.filter(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
+    ).localCheckpoint(eager=True)
+    nq = qs.agg(F.count("*").cast("long").alias("n_queries"))
+    truth = brute_force_topk(emb, qs, k=10).select("q_id", "vec_id")
+    pred = bucketed_topk(emb, qs, k=10, n_bits=8).select(
+        "q_id", "vec_id", F.col("rank").alias("rn")
+    )
+    hits = pred.join(
+        truth.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left"
+    ).select("q_id", "rn", F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+    w = (
+        Window.partitionBy("q_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prec = hits.select(
+        "q_id", "rn", "hit", F.sum("hit").over(w).alias("cum")
+    )
+    ap = prec.groupBy("q_id").agg(
+        (
+            F.sum(
+                F.round(
+                    F.when(
+                        F.col("hit") == 1, F.col("cum") * 1.0 / F.col("rn")
+                    ).otherwise(0.0),
+                    9,
+                ).cast("decimal(20,9)")
+            )
+            / 10
+        ).alias("ap")
+    )
+    return (
+        ap.crossJoin(F.broadcast(nq))
+        .groupBy("n_queries")
+        .agg(
+            F.round(
+                F.sum("ap").cast("double") / F.col("n_queries"), 6
+            ).alias("map_at_10")
+        )
+        .select("n_queries", "map_at_10")
+    )

@@ -2299,3 +2299,125 @@ def q_lm_ngram_coverage_curve(spark: SparkSession, sf: str):
             "coverage"
         ),
     )
+
+
+# --- round-11: pairwise source Jensen-Shannon divergence -----------------------
+
+_JS_TOP = 200  # global top-K token domain (pinned job parameter)
+
+
+@register(
+    "lm_js_divergence_sources",
+    f"""WITH d AS (SELECT source, {TOKS} AS t FROM documents
+                 WHERE text IS NOT NULL),
+       tok AS (SELECT source, unnest(t) AS tok FROM d),
+       cs AS (SELECT source, tok, count(*)::BIGINT AS c
+              FROM tok GROUP BY 1, 2),
+       ns AS (SELECT source, sum(c)::BIGINT AS n FROM cs GROUP BY source),
+       topt AS (SELECT tok FROM (
+                  SELECT tok, sum(c)::BIGINT AS tc FROM cs GROUP BY tok
+                  ORDER BY tc DESC, tok LIMIT {_JS_TOP})),
+       grid AS (
+         SELECT ns.source, topt.tok,
+                coalesce(cs.c, 0) * 1.0 / ns.n AS p
+         FROM ns CROSS JOIN topt
+         LEFT JOIN cs ON cs.source = ns.source AND cs.tok = topt.tok
+         UNION ALL
+         SELECT ns.source, chr(2) || 'OOV',
+                (ns.n - coalesce(tt.s, 0)) * 1.0 / ns.n
+         FROM ns LEFT JOIN (
+           SELECT cs.source, sum(cs.c)::BIGINT AS s
+           FROM cs JOIN topt ON cs.tok = topt.tok
+           GROUP BY cs.source) tt ON tt.source = ns.source),
+       pair AS (
+         SELECT a.source AS source_a, b.source AS source_b,
+                a.p AS p, b.p AS q
+         FROM grid a JOIN grid b
+           ON a.tok = b.tok AND a.source < b.source),
+       js AS (
+         SELECT source_a, source_b,
+                sum(round(
+                  CASE WHEN p > 0
+                       THEN 0.5 * p * log2(p / ((p + q) / 2)) ELSE 0 END
+                  + CASE WHEN q > 0
+                         THEN 0.5 * q * log2(q / ((p + q) / 2)) ELSE 0 END,
+                  9)::DECIMAL(20,9)) AS js_sum
+         FROM pair GROUP BY 1, 2)
+       SELECT source_a, source_b,
+              round(CAST(js_sum AS DOUBLE), 6) AS js_bits,
+              round(sqrt(greatest(CAST(js_sum AS DOUBLE), 0.0)), 6)
+                AS js_distance
+       FROM js""",
+    doc="Pairwise Jensen-Shannon divergence between source unigram "
+    "distributions over the global top-200 token domain plus a "
+    "per-source OOV bucket (mass-complete, so the distributions sum "
+    "to 1 and JS is a true bounded [0,1]-bit divergence; its square "
+    "root is a METRIC — usable directly as a mixture-design distance "
+    "where lm_domain_kl_divergence's asymmetric KL and lm_vocab_"
+    "jaccard_sources' set overlap are not). Per-token terms round "
+    "to 9 dp and sum as DECIMAL; the token domain is PINNED at 200 "
+    "+ OOV so the pair table is (sources^2 x 201)-bounded however "
+    "large the corpus. Scale shape: one token rollup, a structural "
+    "top-200 pick (TakeOrdered — no global rank window), a "
+    "broadcast-able domain grid, one equi-join on token.",
+)
+def q_lm_js_divergence_sources(spark: SparkSession, sf: str):
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.explode(tx.tokens("text")).alias("tok"))
+    )
+    cs = d.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint(eager=True)  # (source, token) counts; feeds 4 uses
+    ns = cs.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    topt = (
+        cs.groupBy("tok")
+        .agg(F.sum("c").cast("long").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("tok"))
+        .limit(_JS_TOP)
+        .select("tok")
+    )
+    grid_top = (
+        ns.crossJoin(F.broadcast(topt))
+        .join(cs, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            (F.coalesce(F.col("c"), F.lit(0)) * 1.0 / F.col("n")).alias("p"),
+        )
+    )
+    tt = (
+        cs.join(F.broadcast(topt), "tok")
+        .groupBy("source")
+        .agg(F.sum("c").cast("long").alias("s"))
+    )
+    grid_oov = ns.join(tt, "source", "left").select(
+        "source",
+        F.concat(F.lit("\x02"), F.lit("OOV")).alias("tok"),
+        (
+            (F.col("n") - F.coalesce(F.col("s"), F.lit(0))) * 1.0 / F.col("n")
+        ).alias("p"),
+    )
+    grid = grid_top.unionByName(grid_oov)
+    a = grid.select(F.col("source").alias("source_a"), "tok", F.col("p").alias("p"))
+    b = grid.select(F.col("source").alias("source_b"), "tok", F.col("p").alias("q"))
+    pair = a.join(b, "tok").filter(F.col("source_a") < F.col("source_b"))
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.round(
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log2(F.col("p") / m)).otherwise(
+            0.0
+        )
+        + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log2(F.col("q") / m)).otherwise(
+            0.0
+        ),
+        9,
+    ).cast("decimal(20,9)")
+    js = pair.groupBy("source_a", "source_b").agg(F.sum(term).alias("js_sum"))
+    jd = F.col("js_sum").cast("double")
+    return js.select(
+        "source_a",
+        "source_b",
+        F.round(jd, 6).alias("js_bits"),
+        F.round(F.sqrt(F.greatest(jd, F.lit(0.0))), 6).alias("js_distance"),
+    )

@@ -7382,3 +7382,55 @@ def q_stats_wilson_ci(spark: SparkSession, sf: str):
         F.round((p + z2 / (2 * n) - half) / (1 + z2 / n), 6).alias("ci_lo"),
         F.round((p + z2 / (2 * n) + half) / (1 + z2 / n), 6).alias("ci_hi"),
     )
+
+
+# --- round-11: two-sample Poisson rate-ratio test ------------------------------
+
+
+@register(
+    "stats_poisson_rate_ratio",
+    """WITH s AS (
+         SELECT sum(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END)::BIGINT AS n1,
+                sum(CASE WHEN event_type = 'click'
+                         THEN 1 ELSE 0 END)::BIGINT AS n2
+         FROM events),
+       z AS (SELECT n1, n2,
+                    (n1 - (n1 + n2) * 0.5)
+                      / sqrt((n1 + n2) * 0.25) AS z_stat
+             FROM s)
+       SELECT n1 AS n_purchase, n2 AS n_click,
+              round(n1 * 1.0 / n2, 6) AS rate_ratio,
+              round(z_stat, 4) AS z_stat,
+              abs(round(z_stat, 4)) > 1.96 AS rates_differ
+       FROM z""",
+    doc="Two-sample Poisson rate-ratio test between purchase and click "
+    "event counts over the same exposure window: the CONDITIONAL "
+    "(binomial) test — given N = n1 + n2 total events, n1 ~ "
+    "Binomial(N, 1/2) under equal rates, z = (n1 - N/2)/sqrt(N/4) — "
+    "the exact-conditioning trick that removes the unknown baseline "
+    "rate entirely (no per-day variance estimate needed, unlike the "
+    "t-family on daily rollups; equal exposure is by construction "
+    "here since both series cover the identical window). Integer "
+    "counts, one z, flag on the ROUNDED statistic. Scale shape: one "
+    "scan-fused full aggregate — no window, no join, no rollup.",
+)
+def q_stats_poisson_rate_ratio(spark: SparkSession, sf: str):
+    ev = events_table(spark, sf)
+    s = ev.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    z = (n1 - (n1 + n2) * 0.5) / F.sqrt((n1 + n2) * 0.25)
+    return s.select(
+        n1.alias("n_purchase"),
+        n2.alias("n_click"),
+        F.round(n1 * 1.0 / n2, 6).alias("rate_ratio"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(F.round(z, 4)) > 1.96).alias("rates_differ"),
+    )

@@ -882,3 +882,67 @@ def q_media_shot_boundaries(spark: SparkSession, sf: str):
             F.round(F.sum("ham").cast("double") / F.count("ham"), 4), F.lit(0.0)
         ).alias("mean_hamming"),
     )
+
+
+# --- round-11: open-order backlog aging ----------------------------------------
+
+
+@register(
+    "orders_backlog_aging",
+    """WITH mx AS (SELECT max(o_orderdate) AS asof FROM orders),
+       open_o AS (
+         SELECT o_orderstatus AS status,
+                date_diff('day', o_orderdate, mx.asof)::BIGINT AS age_days,
+                round(o_totalprice * 100)::BIGINT AS cents
+         FROM orders, mx WHERE o_orderstatus <> 'F'),
+       b AS (SELECT status,
+                    CASE WHEN age_days <= 30 THEN '00-30'
+                         WHEN age_days <= 90 THEN '31-90'
+                         WHEN age_days <= 365 THEN '91-365'
+                         ELSE '365+' END AS age_bucket,
+                    cents
+             FROM open_o)
+       SELECT status, age_bucket,
+              count(*)::BIGINT AS n_orders,
+              sum(cents)::BIGINT AS backlog_cents,
+              round(avg(cents), 4) AS avg_order_cents
+       FROM b GROUP BY status, age_bucket""",
+    doc="Open-order backlog aging report: non-finalized orders bucketed "
+    "by days outstanding relative to the dataset as-of date (max "
+    "orderdate — deterministic, no wall clock), with counts and "
+    "exact-cents backlog value per (status, bucket) — the working-"
+    "capital / SLA triage view every order pipeline dashboards "
+    "(q4_order_priority_exists counts by priority; this prices HOW "
+    "LONG the open book has been open). Exact integers; one rounded "
+    "average. Scale shape: one 1-row as-of broadcast onto the "
+    "filtered scan (status predicate pushed down), one map-side-"
+    "combinable (status x 4-bucket) aggregate — no window, flat.",
+)
+def q_orders_backlog_aging(spark: SparkSession, sf: str):
+    orders = table(spark, sf, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("asof"))
+    open_o = (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.datediff(F.col("asof"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("age_days"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    b = open_o.select(
+        "status",
+        F.when(F.col("age_days") <= 30, "00-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+        .alias("age_bucket"),
+        "cents",
+    )
+    return b.groupBy("status", "age_bucket").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("backlog_cents"),
+        F.round(F.avg("cents"), 4).alias("avg_order_cents"),
+    )

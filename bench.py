@@ -399,6 +399,11 @@ HEADLINE = [
     "stats_page_trend_test",
     "stats_wilson_ci",
     "events_dau_wau_stickiness",
+    "stats_poisson_rate_ratio",
+    "events_bot_score",
+    "orders_backlog_aging",
+    "eval_ann_map",
+    "lm_js_divergence_sources",
 ]
 
 

@@ -274,6 +274,16 @@ CROSS_ALLOWED = {
     # pinned 7-row window-offset fan over the (user, day) facts + the
     # 1-row day-span broadcast (sliding-distinct scale-out shape)
     "events_dau_wau_stickiness",
+    # 1-row corpus-totals broadcast onto the per-user score assembly
+    "events_bot_score",
+    # 1-row as-of-date broadcast onto the filtered orders scan
+    "orders_backlog_aging",
+    # brute-force truth tier (broadcast ABSOLUTE-size query batch over
+    # the corpus) + the 1-row query-count broadcast
+    "eval_ann_map",
+    # pinned (source x top-200-token) domain grid + the top-200 / OOV
+    # broadcasts (the bounded distribution spine, never the token stream)
+    "lm_js_divergence_sources",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -677,6 +687,8 @@ SCAN_MULTIPLICITY_ALLOW = {
     "eval_ann_ndcg": 5,
     "eval_recall_at_k_curve": 3,   # exact + bucketed tiers each scan the
                                    # corpus once (query batch checkpointed)
+    "eval_ann_map": 3,             # same two-tier truth+pred shape as the
+                                   # recall curve (query batch checkpointed)
     "eval_ann_mrr": 3,             # same two-tier shape as the recall curve
     "ann_ivf_adc_topk": 3,         # bucket posting side + query batch + the
                                    # one-time code/table build (checkpointed

@@ -1040,3 +1040,141 @@ def test_dau_wau_matches_python(spark):
         assert (r.dau, r.wau) == (dau, wau)
         assert r.stickiness == pytest.approx(dau / wau, abs=2e-6)
         assert r.dau <= r.wau
+
+
+def test_poisson_rate_ratio_matches_python(spark):
+    import duckdb
+
+    n1, n2 = duckdb.sql(
+        f"""SELECT sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            FROM '{SF}/events.parquet'"""
+    ).fetchall()[0]
+    z = (n1 - (n1 + n2) * 0.5) / math.sqrt((n1 + n2) * 0.25)
+    r = REGISTRY["stats_poisson_rate_ratio"].spark(spark, SF).collect()[0]
+    assert (r.n_purchase, r.n_click) == (n1, n2)
+    assert r.rate_ratio == pytest.approx(n1 / n2, abs=2e-6)
+    assert r.z_stat == pytest.approx(z, abs=2e-4)
+    assert r.rates_differ == (abs(round(z, 4)) > 1.96)
+
+
+def test_bot_score_matches_python(spark):
+    import duckdb
+    from collections import Counter
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type, floor(epoch(ts))::BIGINT
+            FROM '{SF}/events.parquet' ORDER BY user_id, 3"""
+    ).fetchall()
+    by_user = {}
+    for uid, et, ts in rows:
+        by_user.setdefault(uid, []).append((ts, et))
+    n_total = len(rows)
+    n_users = len(by_user)
+    got = {r.user_id: r for r in REGISTRY["events_bot_score"].spark(spark, SF).collect()}
+    for uid, evs in by_user.items():
+        gaps = [b[0] - a[0] for a, b in zip(evs, evs[1:])]
+        if len(gaps) < 2:
+            assert uid not in got
+            continue
+        mean = sum(gaps) / len(gaps)
+        var = sum(g * g for g in gaps) / len(gaps) - mean * mean
+        cv = math.sqrt(max(var, 0.0)) / mean if sum(gaps) > 0 else 0.0
+        c = Counter(et for _, et in evs)
+        n = len(evs)
+        h = round(
+            math.log2(n) - sum(round(v * math.log2(v), 9) for v in c.values()) / n, 6
+        )
+        score = (
+            500.0 * max(1.0 - cv, 0.0)
+            + 300.0 * max(1.0 - h / 2.3219281, 0.0)
+            + 200.0 * min(n * n_users / n_total / 5.0, 1.0)
+        )
+        r = got[uid]
+        assert r.n_events == n and r.n_gaps == len(gaps)
+        assert r.interarrival_cv == pytest.approx(cv, abs=2e-6)
+        assert r.type_entropy_bits == pytest.approx(h, abs=2e-6)
+        assert r.bot_score_milli == pytest.approx(score, abs=2e-3)
+        assert r.flagged == (round(score, 4) >= 400.0)
+
+
+def test_backlog_aging_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT o_orderstatus, o_orderdate,
+                   round(o_totalprice * 100)::BIGINT
+            FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+    asof = max(d for _, d, _ in rows)
+    buckets = {}
+    for st, d, cents in rows:
+        if st == "F":
+            continue
+        age = (asof - d).days
+        b = "00-30" if age <= 30 else ("31-90" if age <= 90 else ("91-365" if age <= 365 else "365+"))
+        agg = buckets.setdefault((st, b), [0, 0])
+        agg[0] += 1
+        agg[1] += int(cents)
+    got = {
+        (r.status, r.age_bucket): r
+        for r in REGISTRY["orders_backlog_aging"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(buckets)
+    for key, (n, cents) in buckets.items():
+        r = got[key]
+        assert (r.n_orders, r.backlog_cents) == (n, cents)
+        assert r.avg_order_cents == pytest.approx(cents / n, abs=1e-3)
+
+
+def test_ann_map_bounded_by_recall(spark):
+    """AP@10 = sum(prec@hit)/10 <= hits/10 = recall@10 per query, so
+    MAP@10 <= recall@10 from the independently certified curve; and the
+    bucketed ANN must find SOMETHING (MAP > 0)."""
+    r = REGISTRY["eval_ann_map"].spark(spark, SF).collect()[0]
+    curve = {
+        c.k: c for c in REGISTRY["eval_recall_at_k_curve"].spark(spark, SF).collect()
+    }
+    assert r.n_queries == curve[10].n_queries
+    assert 0.0 < r.map_at_10 <= curve[10].recall_at_k + 1e-9
+    assert r.map_at_10 <= 1.0
+
+
+def test_js_divergence_matches_python(spark):
+    from collections import Counter
+
+    by = _docs_by_source()
+    counts = _token_re_counts(by)
+    totals = {s: sum(c.values()) for s, c in counts.items()}
+    glob = Counter()
+    for c in counts.values():
+        glob.update(c)
+    top = [t for t, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[:200]]
+    dists = {}
+    for s, c in counts.items():
+        n = totals[s]
+        p = {t: c.get(t, 0) / n for t in top}
+        p["\x02OOV"] = (n - sum(c.get(t, 0) for t in top)) / n
+        dists[s] = p
+    got = {
+        (r.source_a, r.source_b): r
+        for r in REGISTRY["lm_js_divergence_sources"].spark(spark, SF).collect()
+    }
+    srcs = sorted(dists)
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = srcs[i], srcs[j]
+            js = 0.0
+            for t in dists[a]:
+                p, q = dists[a][t], dists[b][t]
+                m = (p + q) / 2
+                term = 0.0
+                if p > 0:
+                    term += 0.5 * p * math.log2(p / m)
+                if q > 0:
+                    term += 0.5 * q * math.log2(q / m)
+                js += round(term, 9)
+            r = got[(a, b)]
+            assert r.js_bits == pytest.approx(js, abs=2e-6)
+            assert 0.0 <= r.js_bits <= 1.0 + 1e-9  # JS in bits is bounded by 1
+            assert r.js_distance == pytest.approx(math.sqrt(max(js, 0)), abs=2e-6)
