@@ -284,7 +284,8 @@ _ORDER_LAST_R10: set[str] = {
 # (the 4 late-r10 head-start ops + 46 session-2 additions); any further
 # additions must open an _ORDER_LAST_R12 tier. Every name verified by
 # tools/parity.py (sf0.01) and per-op recompute tests — only the
-# OFFICIAL row waits for r11.
+# OFFICIAL row waits for r11. (test_registry_complete pins the
+# tier-size-<=-window invariant.)
 _ORDER_LAST_R11: set[str] = {
     "dedup_substring_cross_split",
     "stats_cochran_armitage",
@@ -332,6 +333,10 @@ _ORDER_LAST_R11: set[str] = {
     "orders_backlog_aging",
     "eval_ann_map",
     "lm_js_divergence_sources",
+    "stats_quade_test",
+    "stats_exponentiality_test",
+    "media_image_entropy",
+    "lm_token_rank_typicality",
 }
 
 

@@ -922,3 +922,59 @@ def audio_clipping_stats(
         ]
     )
     return src.mapInPandas(run, schema)
+
+
+def image_gray_histogram_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """CONTENT-level image statistics: decode each PNG payload with the
+    vendored pure-stdlib decoder and report total pixels and the count
+    of bright pixels (gray >= 128) — the integer core a histogram-"
+    "entropy / near-blank audit derives from. Exact integers so the
+    oracle can assert them bit-for-bit.
+
+    Scale shape: mapInPandas inside the blob's own partition — pixel
+    bytes never shuffle; one ~24-byte row out per image. Corrupt or
+    unsupported payloads contribute no rows (the 100 TB degradation
+    rule)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            ns: list[int] = []
+            bright: list[int] = []
+            for mid, p in zip(pdf["_id"], pdf["_payload"]):
+                blob = b"" if p is None else bytes(p)
+                try:
+                    _w, _h, _mode, rows = png_decode_gray(blob)
+                except (ValueError, Exception):  # noqa: B014
+                    continue
+                n = sum(len(r) for r in rows)
+                if n == 0:
+                    continue
+                ids.append(int(mid))
+                ns.append(n)
+                bright.append(sum(1 for r in rows for px in r if px >= 128))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_pixels": pd.Series(ns, dtype="int64"),
+                    "n_bright": pd.Series(bright, dtype="int64"),
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_pixels", T.LongType(), False),
+            T.StructField("n_bright", T.LongType(), False),
+        ]
+    )
+    return src.mapInPandas(run, schema)

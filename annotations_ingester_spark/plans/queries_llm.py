@@ -2421,3 +2421,71 @@ def q_lm_js_divergence_sources(spark: SparkSession, sf: str):
         F.round(jd, 6).alias("js_bits"),
         F.round(F.sqrt(F.greatest(jd, F.lit(0.0))), 6).alias("js_distance"),
     )
+
+
+# --- round-11: rank-based token typicality -------------------------------------
+
+_TYP_ATYPICAL_BITS = 9.0  # mean log2(corpus rank) gate, pinned
+
+
+@register(
+    "lm_token_rank_typicality",
+    f"""WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents
+                 WHERE text IS NOT NULL),
+       tok AS (SELECT doc_id, unnest(t) AS tok FROM d),
+       cs AS (SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY tok),
+       rk AS (SELECT tok,
+                     row_number() OVER (ORDER BY c DESC, tok)::BIGINT AS r
+              FROM cs),
+       j AS (SELECT tok.doc_id, rk.r FROM tok JOIN rk USING (tok)),
+       agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                      sum(round(log2(r), 9)::DECIMAL(20,9)) AS lr
+               FROM j GROUP BY doc_id)
+       SELECT doc_id, n_tokens,
+              round(CAST(lr AS DOUBLE) / n_tokens, 6) AS mean_log2_rank,
+              round(CAST(lr AS DOUBLE) / n_tokens, 6)
+                > {_TYP_ATYPICAL_BITS!r} AS atypical
+       FROM agg""",
+    doc="Rank-based token typicality per document: the mean log2 of each "
+    "token's corpus-frequency rank (total order: count desc, token "
+    "asc) — the model-free cousin of lm_perplexity_scores' unigram "
+    "cross-entropy (log-rank ~ log inverse frequency under Zipf, "
+    "vocab_zipf_slope measures exactly that link) used as a cheap "
+    "data-filtering signal: documents living deep in the rank tail "
+    "are jargon/noise/other-language candidates. Per-token log terms "
+    "round to 9 dp and sum as DECIMAL per doc; flag on the ROUNDED "
+    "mean against a pinned gate. Scale shape: one token rollup, a "
+    "VOCABULARY-bounded global rank (the ssjoin prefix-order "
+    "discipline — never over the token stream), one equi-join of "
+    "tokens to ranks (AQE skew-split handles the hot head tokens), "
+    "one per-doc aggregate.",
+)
+def q_lm_token_rank_typicality(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+        .localCheckpoint(eager=True)  # token facts; feed counts + re-join
+    )
+    cs = d.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    rk = cs.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("tok")))
+        .cast("long")
+        .alias("r"),
+    )
+    j = d.join(rk, "tok").select("doc_id", "r")
+    agg = j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.round(F.log2("r"), 9).cast("decimal(20,9)")).alias("lr"),
+    )
+    mean = F.round(F.col("lr").cast("double") / F.col("n_tokens"), 6)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        mean.alias("mean_log2_rank"),
+        (mean > F.lit(_TYP_ATYPICAL_BITS)).alias("atypical"),
+    )

@@ -2772,3 +2772,64 @@ def q_ann_nprobe_sweep(spark: SparkSession, sf: str):
 
 
 _REG_SWEEP["ann_nprobe_sweep"].oracle = _nprobe_sweep_oracle()
+
+
+# --- round-11: image binary-histogram entropy ----------------------------------
+
+_IMG_ENTROPY_FLAT = 0.3  # bits; below = near-blank / near-solid image
+
+
+@register(
+    "media_image_entropy",
+    f"""WITH {_PHASH_PAT_CTE},
+       hist AS (
+         SELECT doc_id AS media_id, 64::BIGINT AS n_pixels,
+                bit_count(phash)::BIGINT AS n_bright
+         FROM pat),
+       h AS (SELECT media_id, n_pixels, n_bright,
+                    n_bright * 1.0 / n_pixels AS p
+             FROM hist)
+       SELECT media_id, n_pixels, n_bright,
+              round(CASE WHEN p = 0 OR p = 1 THEN 0.0
+                    ELSE -(p * log2(p) + (1 - p) * log2(1 - p)) END, 6)
+                AS entropy_bits,
+              round(CASE WHEN p = 0 OR p = 1 THEN 0.0
+                    ELSE -(p * log2(p) + (1 - p) * log2(1 - p)) END, 6)
+                < {_IMG_ENTROPY_FLAT!r} AS near_blank
+       FROM h""",
+    doc="Image gray-histogram entropy, run end-to-end on real bytes: "
+    "every doc becomes a genuine 8x8 grayscale PNG (the planted-"
+    "pattern synth of the phash pipeline), the vendored pure-stdlib "
+    "decoder recovers pixels in-partition, and the binary bright/"
+    "dark histogram yields per-image Shannon entropy — the near-"
+    "blank / near-solid screen every image ingest runs before "
+    "paying for feature extraction (a tracking pixel or letterboxed "
+    "frame carries ~0 bits; phash on it is noise). The oracle "
+    "predicts the bright count as bit_count of the planted pattern, "
+    "so a hash match certifies synth -> PNG decode -> histogram -> "
+    "entropy end to end. Flag on the ROUNDED entropy. Scale shape: "
+    "embarrassingly parallel per blob, one integer row out each.",
+)
+def q_media_image_entropy(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.multimodal.media import (
+        image_gray_histogram_stats,
+        synth_pattern_images,
+    )
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    media = synth_pattern_images(_phash_pattern_frame(docs))
+    hist = image_gray_histogram_stats(media)
+    p = F.col("n_bright") * 1.0 / F.col("n_pixels")
+    ent = F.round(
+        F.when((p == 0) | (p == 1), F.lit(0.0)).otherwise(
+            -(p * F.log2(p) + (1 - p) * F.log2(1 - p))
+        ),
+        6,
+    )
+    return hist.select(
+        "media_id",
+        "n_pixels",
+        "n_bright",
+        ent.alias("entropy_bits"),
+        (ent < F.lit(_IMG_ENTROPY_FLAT)).alias("near_blank"),
+    )

@@ -7434,3 +7434,243 @@ def q_stats_poisson_rate_ratio(spark: SparkSession, sf: str):
         F.round(z, 4).alias("z_stat"),
         (F.abs(F.round(z, 4)) > 1.96).alias("rates_differ"),
     )
+
+
+# --- round-11: Quade test (range-weighted blocked ranks) -----------------------
+
+
+@register(
+    "stats_quade_test",
+    """WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type, round(value * 100)::BIGINT AS cents
+         FROM events),
+       cell AS (SELECT day, event_type, sum(cents)::BIGINT AS x
+                FROM e GROUP BY 1, 2),
+       days AS (SELECT DISTINCT day FROM cell),
+       types AS (SELECT DISTINCT event_type FROM cell),
+       grid AS (SELECT d.day, t.event_type,
+                       coalesce(c.x, 0)::BIGINT AS x
+                FROM days d CROSS JOIN types t
+                LEFT JOIN cell c
+                  ON c.day = d.day AND c.event_type = t.event_type),
+       rk AS (SELECT day, event_type,
+                     (2 * rank() OVER (PARTITION BY day ORDER BY x)
+                      + count(*) OVER (PARTITION BY day, x) - 1)::BIGINT
+                       AS r2
+              FROM grid),
+       rng AS (SELECT day, max(x) - min(x) AS range_x FROM grid
+               GROUP BY day),
+       qr AS (SELECT day,
+                     (2 * rank() OVER (ORDER BY range_x)
+                      + count(*) OVER (PARTITION BY range_x) - 1)::BIGINT
+                       AS q2
+              FROM rng),
+       dims AS (SELECT count(DISTINCT day)::BIGINT AS m,
+                       count(DISTINCT event_type)::BIGINT AS k
+                FROM grid),
+       s AS (SELECT rk.event_type,
+                    sum(qr.q2 * (rk.r2 - (dims.k + 1)))::BIGINT AS s4j
+             FROM rk JOIN qr USING (day) CROSS JOIN dims
+             GROUP BY rk.event_type),
+       ab AS (SELECT sum((qr.q2 * (rk.r2 - (dims.k + 1)))::DECIMAL(38,0)
+                         * (qr.q2 * (rk.r2 - (dims.k + 1))))::DECIMAL(38,0)
+                       AS a16
+              FROM rk JOIN qr USING (day) CROSS JOIN dims),
+       b16 AS (SELECT sum(s4j::DECIMAL(38,0) * s4j)::DECIMAL(38,0) AS bnum
+               FROM s)
+       SELECT dims.m AS n_days, dims.k AS n_types,
+              round((dims.m - 1)
+                    * (CAST(b16.bnum AS DOUBLE) / dims.m)
+                    / (CAST(ab.a16 AS DOUBLE)
+                       - CAST(b16.bnum AS DOUBLE) / dims.m), 4) AS quade_f,
+              round((dims.m - 1)
+                    * (CAST(b16.bnum AS DOUBLE) / dims.m)
+                    / (CAST(ab.a16 AS DOUBLE)
+                       - CAST(b16.bnum AS DOUBLE) / dims.m), 4) >= 2.61
+                AS treatments_differ
+       FROM dims CROSS JOIN ab CROSS JOIN b16""",
+    doc="Quade test across event types blocked by day — the range-"
+    "weighted Friedman: each day's within-day treatment ranks are "
+    "weighted by the rank of that day's RANGE, so high-signal days "
+    "count more (Friedman treats a flat day and a wild day equally; "
+    "Quade dominates it at small k). Doubled tie-averaged ranks for "
+    "both rank layers keep S_ij = Q_i*(R_ij - (k+1)/2) integral at "
+    "4x scale (the 16x factor cancels in F = (m-1)B/(A-B)); exact "
+    "DECIMAL(38,0) squares; flag on the ROUNDED F against a pinned "
+    "F(k-1, (m-1)(k-1)) 0.95 value. Scale shape: one (day x type) "
+    "rollup over events, windows over the bounded densified grid "
+    "(day-partitioned ranks + a day-domain range rank), three "
+    "bounded aggregates.",
+)
+def q_stats_quade_test(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cell = (
+        e.groupBy("day", "event_type")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    days = cell.select("day").distinct()
+    types = cell.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(cell, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        )
+        .localCheckpoint(eager=True)  # bounded grid; feeds ranks + ranges
+    )
+    rk = grid.select(
+        "day",
+        "event_type",
+        (
+            2 * F.rank().over(Window.partitionBy("day").orderBy("x"))
+            + F.count("*").over(Window.partitionBy("day", "x"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    rng = grid.groupBy("day").agg((F.max("x") - F.min("x")).alias("range_x"))
+    qr = rng.select(
+        "day",
+        (
+            2 * F.rank().over(Window.orderBy("range_x"))
+            + F.count("*").over(Window.partitionBy("range_x"))
+            - 1
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    dims = grid.agg(
+        F.countDistinct("day").cast("long").alias("m"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+    )
+    sij = rk.join(qr, "day").crossJoin(F.broadcast(dims)).select(
+        "event_type",
+        (F.col("q2") * (F.col("r2") - (F.col("k") + 1))).alias("s4"),
+    ).localCheckpoint(eager=True)  # bounded (day x type); feeds A and S_j
+    s = sij.groupBy("event_type").agg(F.sum("s4").cast("long").alias("s4j"))
+    a16 = sij.agg(
+        F.sum(F.col("s4").cast("decimal(38,0)") * F.col("s4"))
+        .cast("decimal(38,0)")
+        .alias("a16")
+    )
+    bnum = s.agg(
+        F.sum(F.col("s4j").cast("decimal(38,0)") * F.col("s4j"))
+        .cast("decimal(38,0)")
+        .alias("bnum")
+    )
+    m = F.col("m")
+    bb = F.col("bnum").cast("double") / m
+    f_stat = F.round(
+        (m - 1) * bb / (F.col("a16").cast("double") - bb), 4
+    )
+    return (
+        dims.crossJoin(F.broadcast(a16))
+        .crossJoin(F.broadcast(bnum))
+        .select(
+            m.alias("n_days"),
+            F.col("k").alias("n_types"),
+            f_stat.alias("quade_f"),
+            (f_stat >= 2.61).alias("treatments_differ"),
+        )
+    )
+
+
+# --- round-11: exponentiality test for interarrival gaps -----------------------
+
+
+@register(
+    "stats_exponentiality_test",
+    """WITH e AS (
+         SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+       seq AS (SELECT ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts_s) AS gap
+               FROM e),
+       g AS (SELECT gap FROM seq WHERE gap IS NOT NULL AND gap > 0),
+       t AS (SELECT count(*)::BIGINT AS n, sum(gap)::BIGINT AS s FROM g),
+       pv AS (SELECT gap, count(*)::BIGINT AS k FROM g GROUP BY gap),
+       c AS (SELECT gap, k,
+                    sum(k) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING)
+                      ::BIGINT AS cum
+             FROM pv),
+       d AS (SELECT t.n, t.s,
+                    max(abs(c.cum * 1.0 / t.n
+                            - (1.0 - exp(-(t.n * 1.0 / t.s) * c.gap))))
+                      AS d_stat
+             FROM c, t GROUP BY t.n, t.s)
+       SELECT n AS n_gaps,
+              round(s * 1.0 / n, 4) AS mean_gap_s,
+              round(d_stat, 6) AS d_stat,
+              round(d_stat * sqrt(n), 4) AS d_scaled,
+              round(d_stat * sqrt(n), 4) > 1.08 AS not_exponential
+       FROM d""",
+    doc="Lilliefors-type exponentiality test of the per-user "
+    "interarrival gaps: KS distance between the pooled empirical gap "
+    "CDF and Exp(1/mean) with the rate ESTIMATED from the same data "
+    "(hence the Lilliefors critical value ~1.08/sqrt(n), pinned, not "
+    "the vanilla KS 1.36) — the formal version of the Poisson-"
+    "process assumption events_interarrival_stats eyeballs and the "
+    "bot-score's regularity signal implies: real human traffic is "
+    "over-dispersed, schedulers are under-dispersed, both reject. "
+    "The empirical CDF runs over the DISTINCT-gap value domain "
+    "(seconds, bounded by the time span); the analytic CDF is one "
+    "deterministic exp() per distinct value from broadcast (n, s). "
+    "Flag on the ROUNDED scaled statistic. Scale shape: one user-"
+    "partitioned lag window, a distinct-gap rollup, one bounded "
+    "cumulative window + aggregate.",
+)
+def q_stats_exponentiality_test(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select("user_id", "ts_s")
+    seq = e.select(
+        (
+            F.col("ts_s")
+            - F.lag("ts_s").over(Window.partitionBy("user_id").orderBy("ts_s"))
+        ).alias("gap")
+    )
+    g = seq.filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    pv = g.groupBy("gap").agg(F.count("*").cast("long").alias("k")).localCheckpoint(
+        eager=True
+    )  # distinct-gap value domain; feeds totals + CDF
+    t = pv.agg(
+        F.sum("k").cast("long").alias("n"),
+        F.sum(F.col("gap") * F.col("k")).cast("long").alias("s"),
+    )
+    w = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
+    c = pv.select("gap", F.sum("k").over(w).cast("long").alias("cum"))
+    d = (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n", "s")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum") * 1.0 / F.col("n")
+                    - (
+                        1.0
+                        - F.exp(
+                            -(F.col("n") * 1.0 / F.col("s")) * F.col("gap")
+                        )
+                    )
+                )
+            ).alias("d_stat")
+        )
+    )
+    ds = F.round(F.col("d_stat") * F.sqrt(F.col("n")), 4)
+    return d.select(
+        F.col("n").alias("n_gaps"),
+        F.round(F.col("s") * 1.0 / F.col("n"), 4).alias("mean_gap_s"),
+        F.round(F.col("d_stat"), 6).alias("d_stat"),
+        ds.alias("d_scaled"),
+        (ds > 1.08).alias("not_exponential"),
+    )

@@ -404,6 +404,10 @@ HEADLINE = [
     "orders_backlog_aging",
     "eval_ann_map",
     "lm_js_divergence_sources",
+    "stats_quade_test",
+    "stats_exponentiality_test",
+    "media_image_entropy",
+    "lm_token_rank_typicality",
 ]
 
 

@@ -284,6 +284,12 @@ CROSS_ALLOWED = {
     # pinned (source x top-200-token) domain grid + the top-200 / OOV
     # broadcasts (the bounded distribution spine, never the token stream)
     "lm_js_divergence_sources",
+    # 5-row type spine densifying the (day x type) grid + three 1-row
+    # report broadcasts (dims, A, B sums)
+    "stats_quade_test",
+    # 1-row (n, sum) totals broadcast onto the bounded distinct-gap CDF
+    # table (the analytic-CDF comparison shape)
+    "stats_exponentiality_test",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -471,6 +477,23 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # hypothesis-order row_number over the pinned event-type domain
     "stats_page_trend_test": (
         8, "SELECT count(DISTINCT event_type) FROM events"),
+    # global frequency rank over the VOCABULARY table (distinct tokens),
+    # never the token stream — the ssjoin prefix-order discipline;
+    # sf0.001 measures ~6k distinct tokens over 500 docs
+    "lm_token_rank_typicality": (50_000, """
+        SELECT count(DISTINCT tok) FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+            '[^a-z0-9]+'), x -> x <> '')) AS tok
+          FROM documents WHERE text IS NOT NULL)"""),
+    # empirical-CDF cumulative over the DISTINCT-GAP value domain
+    # (seconds within the event time span, bounded; sf0.001 ~2k values)
+    "stats_exponentiality_test": (100_000, """
+        SELECT count(DISTINCT gap) FROM (
+          SELECT ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts_s) AS gap
+          FROM (SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s
+                FROM events))
+        WHERE gap IS NOT NULL AND gap > 0"""),
     # day-index window over the bounded per-day entropy table
     "events_entropy_trend": (200, _EVENTS_DAYS_PROBE),
     # rank cumulatives over the BOUNDED per-value count tables of the

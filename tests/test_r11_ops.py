@@ -1178,3 +1178,137 @@ def test_js_divergence_matches_python(spark):
             assert r.js_bits == pytest.approx(js, abs=2e-6)
             assert 0.0 <= r.js_bits <= 1.0 + 1e-9  # JS in bits is bounded by 1
             assert r.js_distance == pytest.approx(math.sqrt(max(js, 0)), abs=2e-6)
+
+
+def test_quade_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT, event_type,
+                   sum(round(value * 100)::BIGINT)::BIGINT
+            FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    days = sorted({r[0] for r in rows})
+    types = sorted({r[1] for r in rows})
+    cells = {(d, t): 0 for d in days for t in types}
+    for d, t, x in rows:
+        cells[(d, t)] = int(x)
+    m, k = len(days), len(types)
+
+    def ranks(vals):
+        out = []
+        for v in vals:
+            less = sum(1 for u in vals if u < v)
+            ties = sum(1 for u in vals if u == v)
+            out.append(less + (ties + 1) / 2)
+        return out
+
+    ranges = [max(cells[(d, t)] for t in types) - min(cells[(d, t)] for t in types) for d in days]
+    q = ranks(ranges)
+    s_ij = {}
+    for i, d in enumerate(days):
+        r = ranks([cells[(d, t)] for t in types])
+        for j, t in enumerate(types):
+            s_ij[(d, t)] = q[i] * (r[j] - (k + 1) / 2)
+    a = sum(v * v for v in s_ij.values())
+    sj = {t: sum(s_ij[(d, t)] for d in days) for t in types}
+    b = sum(v * v for v in sj.values()) / m
+    f = (m - 1) * b / (a - b)
+    r = REGISTRY["stats_quade_test"].spark(spark, SF).collect()[0]
+    assert (r.n_days, r.n_types) == (m, k)
+    assert r.quade_f == pytest.approx(f, rel=1e-3)
+    assert r.treatments_differ == (round(f, 4) >= 2.61)
+
+
+def test_exponentiality_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, floor(epoch(ts))::BIGINT
+            FROM '{SF}/events.parquet' ORDER BY user_id, 2"""
+    ).fetchall()
+    by_user = {}
+    for uid, ts in rows:
+        by_user.setdefault(uid, []).append(ts)
+    gaps = []
+    for evs in by_user.values():
+        gaps.extend(b - a for a, b in zip(evs, evs[1:]) if b - a > 0)
+    n = len(gaps)
+    lam = n / sum(gaps)
+    gaps.sort()
+    import bisect
+
+    d = 0.0
+    for v in sorted(set(gaps)):
+        emp = bisect.bisect_right(gaps, v) / n
+        d = max(d, abs(emp - (1 - math.exp(-lam * v))))
+    r = REGISTRY["stats_exponentiality_test"].spark(spark, SF).collect()[0]
+    assert r.n_gaps == n
+    assert r.mean_gap_s == pytest.approx(sum(gaps) / n, abs=1e-3)
+    assert r.d_stat == pytest.approx(d, abs=2e-6)
+    assert r.not_exponential == (round(d * math.sqrt(n), 4) > 1.08)
+
+
+def test_image_entropy_matches_python_and_real_decode(spark):
+    """bit_count of the planted pattern must equal the decoded bright
+    count, and one payload is re-decoded here with the vendored decoder
+    to pin the content path."""
+    import hashlib as _h
+
+    got = {r.media_id: r for r in REGISTRY["media_image_entropy"].spark(spark, SF).collect()}
+
+    def pattern(doc_id):
+        g, mm = doc_id // 4, doc_id % 4
+        base = (int(_h.md5(f"phash:{g}".encode()).hexdigest()[:15], 16) | 1)
+        p = base
+        if mm in (1, 3):
+            p ^= 1 << (g % 59 + 1)
+        if mm in (2, 3):
+            p ^= 1 << ((g * 7 + 3) % 59 + 1)
+        return p & 0xFFFFFFFFFFFFFFFF
+
+    for mid in list(got)[:40]:
+        nb = bin(pattern(mid)).count("1")
+        r = got[mid]
+        assert r.n_pixels == 64 and r.n_bright == nb
+        p = nb / 64
+        ent = 0.0 if p in (0, 1) else -(p * math.log2(p) + (1 - p) * math.log2(1 - p))
+        assert r.entropy_bits == pytest.approx(ent, abs=2e-6)
+        assert r.near_blank == (round(ent, 6) < 0.3)
+    # real decode of one payload
+    from annotations_ingester_spark.multimodal.media import gray8_png, png_decode_gray
+
+    mid = sorted(got)[0]
+    _w, _h2, _mode, rows_px = png_decode_gray(gray8_png(pattern(mid)))
+    assert sum(1 for row in rows_px for px in row if px >= 128) == got[mid].n_bright
+
+
+def test_token_rank_typicality_matches_python(spark):
+    import duckdb
+    import re
+    from collections import Counter
+
+    rows = duckdb.sql(
+        f"""SELECT doc_id, text FROM '{SF}/documents.parquet'
+            WHERE text IS NOT NULL"""
+    ).fetchall()
+    corpus = Counter()
+    doc_toks = {}
+    for doc_id, text in rows:
+        toks = [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]
+        doc_toks[doc_id] = toks
+        corpus.update(toks)
+    rank = {
+        t: i + 1
+        for i, (t, _) in enumerate(sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0])))
+    }
+    got = {r.doc_id: r for r in REGISTRY["lm_token_rank_typicality"].spark(spark, SF).collect()}
+    for doc_id, toks in doc_toks.items():
+        if not toks:
+            assert doc_id not in got
+            continue
+        mean = sum(round(math.log2(rank[t]), 9) for t in toks) / len(toks)
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.mean_log2_rank == pytest.approx(mean, abs=2e-6)
+        assert r.atypical == (round(mean, 6) > 9.0)

@@ -91,6 +91,17 @@ def test_order_last_r11_names_exist_in_registry():
     assert not stranded, f"_ORDER_LAST_R11 names not in registry: {sorted(stranded)}"
 
 
+def test_order_last_r11_fits_one_gate_window():
+    """The r11 tier must certify in ONE 50-slot gate window (its header
+    comment claims exactly 50) — a 51st addition belongs in a new
+    _ORDER_LAST_R12 tier, not here."""
+    mod = _entry_module()
+    assert len(mod._ORDER_LAST_R11) == 50, (
+        f"r11 tier holds {len(mod._ORDER_LAST_R11)} names; the gate window "
+        "certifies 50/round — open an _ORDER_LAST_R12 tier for overflow"
+    )
+
+
 def test_gate_window_fronts_uncovered_debt_then_fresh():
     mod = _entry_module()
     covered = mod._covered_from_disk()
