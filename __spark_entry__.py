@@ -340,6 +340,19 @@ _ORDER_LAST_R11: set[str] = {
 }
 
 
+# Round-12 head start: operators built late in round 11's session, AFTER
+# the r11 tier filled its full 50-slot window. They ride behind every
+# other uncovered name and front the r12 window once the r11 gate
+# certifies its 50. Verified by tools/parity.py (sf0.01) and per-op
+# recompute tests — only the OFFICIAL row waits for r12.
+_ORDER_LAST_R12: set[str] = {
+    "graph_modularity_score",
+    "events_return_intervals",
+    "eval_sliced_calibration",
+    "stats_cusum_variance",
+}
+
+
 def _ordered():
     reg = _registry()
     covered_names = _covered_from_disk()
@@ -351,6 +364,7 @@ def _ordered():
         and n not in _ORDER_LAST
         and n not in _ORDER_LAST_R10
         and n not in _ORDER_LAST_R11
+        and n not in _ORDER_LAST_R12
     }
     fresh = {
         n: s
@@ -361,6 +375,7 @@ def _ordered():
         and n not in _ORDER_LAST
         and n not in _ORDER_LAST_R10
         and n not in _ORDER_LAST_R11
+        and n not in _ORDER_LAST_R12
     }
     deferred = {
         n: s
@@ -370,6 +385,7 @@ def _ordered():
         and n not in _ORDER_LAST
         and n not in _ORDER_LAST_R10
         and n not in _ORDER_LAST_R11
+        and n not in _ORDER_LAST_R12
     }
     last = {
         n: s
@@ -378,6 +394,7 @@ def _ordered():
         and n in _ORDER_LAST
         and n not in _ORDER_LAST_R10
         and n not in _ORDER_LAST_R11
+        and n not in _ORDER_LAST_R12
     }
     last10 = {
         n: s
@@ -385,12 +402,20 @@ def _ordered():
         if n not in covered_names
         and n in _ORDER_LAST_R10
         and n not in _ORDER_LAST_R11
+        and n not in _ORDER_LAST_R12
     }
     last11 = {
-        n: s for n, s in reg.items() if n not in covered_names and n in _ORDER_LAST_R11
+        n: s
+        for n, s in reg.items()
+        if n not in covered_names
+        and n in _ORDER_LAST_R11
+        and n not in _ORDER_LAST_R12
+    }
+    last12 = {
+        n: s for n, s in reg.items() if n not in covered_names and n in _ORDER_LAST_R12
     }
     covered = {n: s for n, s in reg.items() if n in covered_names}
-    return {**debt, **fresh, **deferred, **last, **last10, **last11, **covered}
+    return {**debt, **fresh, **deferred, **last, **last10, **last11, **last12, **covered}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -4626,3 +4626,210 @@ def q_events_bot_score(spark: SparkSession, sf: str):
         F.round(score, 4).alias("bot_score_milli"),
         (F.round(score, 4) >= F.lit(_BOT_SCORE_GATE)).alias("flagged"),
     )
+
+
+# --- round-12 head start: modularity of the LPA communities -------------------
+
+_LPA_L2_CTE = """e0 AS (
+         SELECT user_id, event_type, count(*)::BIGINT AS w
+         FROM events GROUP BY user_id, event_type),
+       e AS (
+         SELECT 'u:' || user_id::VARCHAR AS src, 't:' || event_type AS dst, w
+         FROM e0
+         UNION ALL
+         SELECT 't:' || event_type, 'u:' || user_id::VARCHAR, w FROM e0),
+       nodes AS (SELECT DISTINCT node FROM (
+         SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       l0 AS (SELECT node, node AS label FROM nodes),
+       s1 AS (
+         SELECT e.dst AS n2, l.label, sum(e.w)::BIGINT AS tw
+         FROM e JOIN l0 l ON l.node = e.src GROUP BY e.dst, l.label),
+       b1 AS (
+         SELECT n2 AS node, label FROM (
+           SELECT n2, label,
+                  row_number() OVER (PARTITION BY n2
+                                     ORDER BY tw DESC, label ASC) AS rn
+           FROM s1) WHERE rn = 1),
+       l1 AS (
+         SELECT n.node, coalesce(b1.label, n.node) AS label
+         FROM nodes n LEFT JOIN b1 ON b1.node = n.node),
+       s2 AS (
+         SELECT e.dst AS n2, l.label, sum(e.w)::BIGINT AS tw
+         FROM e JOIN l1 l ON l.node = e.src GROUP BY e.dst, l.label),
+       b2 AS (
+         SELECT n2 AS node, label FROM (
+           SELECT n2, label,
+                  row_number() OVER (PARTITION BY n2
+                                     ORDER BY tw DESC, label ASC) AS rn
+           FROM s2) WHERE rn = 1),
+       l2 AS (
+         SELECT n.node, coalesce(b2.label, n.node) AS label
+         FROM nodes n LEFT JOIN b2 ON b2.node = n.node)"""
+
+
+@register(
+    "graph_modularity_score",
+    f"""WITH {_LPA_L2_CTE},
+       wtot AS (SELECT sum(w)::BIGINT AS big_w FROM e),
+       lbl AS (
+         SELECT e.src, e.dst, e.w, ls.label AS src_label,
+                ld.label AS dst_label
+         FROM e JOIN l2 ls ON ls.node = e.src
+                JOIN l2 ld ON ld.node = e.dst),
+       internal AS (
+         SELECT src_label AS community, sum(w)::BIGINT AS w_in
+         FROM lbl WHERE src_label = dst_label GROUP BY src_label),
+       strength AS (
+         SELECT l2.label AS community, sum(s.d)::BIGINT AS d_c
+         FROM (SELECT src AS node, sum(w)::BIGINT AS d
+               FROM e GROUP BY src) s
+         JOIN l2 ON l2.node = s.node GROUP BY l2.label),
+       terms AS (
+         SELECT s.community,
+                coalesce(i.w_in, 0)::BIGINT AS w_in, s.d_c,
+                round(coalesce(i.w_in, 0) * 1.0 / wt.big_w
+                      - (s.d_c * 1.0 / wt.big_w)
+                        * (s.d_c * 1.0 / wt.big_w), 9)::DECIMAL(20,9)
+                  AS q_term
+         FROM strength s LEFT JOIN internal i USING (community)
+         CROSS JOIN wtot wt)
+       SELECT count(*)::BIGINT AS n_communities,
+              sum(w_in)::BIGINT AS internal_weight,
+              round(CAST(sum(q_term) AS DOUBLE), 6) AS modularity,
+              round(CAST(sum(q_term) AS DOUBLE), 6) > 0.3
+                AS well_partitioned
+       FROM terms""",
+    doc="Newman modularity of the 2-iteration LPA communities over the "
+    "weighted bipartite user<->event-type graph: Q = sum over "
+    "communities of (w_in/W - (d_c/W)^2) in the directed-both-ways "
+    "convention — the QUALITY score for the partition graph_label_"
+    "propagation reports but never grades (Q~0 means the communities "
+    "are no better than random strength-preserving rewiring; the "
+    "pinned 0.3 gate is the conventional 'real structure' bar). "
+    "Per-community terms round to 9 dp and sum as DECIMAL; exact "
+    "integer weight/strength cores. Scale shape: the LPA iterations "
+    "themselves (per iteration one labels-onto-edges join + "
+    "per-node arg-max over neighbor labels), then two keyed rollups "
+    "(internal weight, community strength) and a bounded "
+    "per-community aggregate — never an all-pairs anything.",
+)
+def q_graph_modularity_score(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.graph import (
+        label_propagation_iterations,
+    )
+
+    ev = events_table(spark, sf)
+    e0 = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    fwd = e0.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        "w",
+    )
+    e = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)  # edge list built once (blast-radius rule)
+    l2 = label_propagation_iterations(e, n_iters=2)
+    wtot = e.agg(F.sum("w").cast("long").alias("big_w"))
+    ls = l2.select(F.col("node").alias("src"), F.col("label").alias("src_label"))
+    ld = l2.select(F.col("node").alias("dst"), F.col("label").alias("dst_label"))
+    lbl = e.join(ls, "src").join(ld, "dst")
+    internal = (
+        lbl.filter(F.col("src_label") == F.col("dst_label"))
+        .groupBy(F.col("src_label").alias("community"))
+        .agg(F.sum("w").cast("long").alias("w_in"))
+    )
+    strength = (
+        e.groupBy("src")
+        .agg(F.sum("w").cast("long").alias("d"))
+        .join(l2.select(F.col("node").alias("src"), "label"), "src")
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    terms = (
+        strength.join(internal, "community", "left")
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            F.coalesce(F.col("w_in"), F.lit(0)).cast("long").alias("w_in"),
+            "d_c",
+            F.round(
+                F.coalesce(F.col("w_in"), F.lit(0)) * 1.0 / F.col("big_w")
+                - (F.col("d_c") * 1.0 / F.col("big_w"))
+                * (F.col("d_c") * 1.0 / F.col("big_w")),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("q_term"),
+        )
+    )
+    q = F.round(F.sum("q_term").cast("double"), 6)
+    return terms.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum("w_in").cast("long").alias("internal_weight"),
+        q.alias("modularity"),
+        (q > 0.3).alias("well_partitioned"),
+    )
+
+
+# --- round-12 head start: return-visit interval profile -----------------------
+
+
+@register(
+    "events_return_intervals",
+    """WITH ud AS (
+         SELECT DISTINCT user_id,
+                (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day
+         FROM events),
+       gaps AS (
+         SELECT user_id,
+                day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                  AS gap
+         FROM ud),
+       g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL)
+       SELECT gap AS gap_days,
+              count(*)::BIGINT AS n_returns,
+              round(count(*) * 1.0 / sum(count(*)) OVER (), 6)
+                AS return_share
+       FROM g GROUP BY gap""",
+    doc="Return-visit interval profile: the distribution of day gaps "
+    "between a user's consecutive ACTIVE DAYS (distinct, so multiple "
+    "same-day events collapse) — the retention-shape histogram "
+    "product teams read next to cohort_retention_matrix (which slices "
+    "by signup cohort; this pools the comeback cadence: a spike at 7 "
+    "means weekly habits, a fat tail means churn-and-resurrect) and "
+    "the day-granular complement of stats_exponentiality_test's "
+    "second-scale gaps. Exact integer counts; the share divides once "
+    "per row over the bounded gap domain. Scale shape: one distinct "
+    "(user, day) rollup, a user-partitioned lag window, one "
+    "aggregate over the BOUNDED day-gap domain (gaps <= date span).",
+)
+def q_events_return_intervals(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    ud = (
+        events_table(spark, sf)
+        .select(
+            "user_id", F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day")
+        )
+        .distinct()
+    )
+    gaps = ud.select(
+        (
+            F.col("day")
+            - F.lag("day").over(Window.partitionBy("user_id").orderBy("day"))
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    c = gaps.groupBy(F.col("gap").alias("gap_days")).agg(
+        F.count("*").cast("long").alias("n_returns")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return c.select(
+        "gap_days",
+        "n_returns",
+        F.round(F.col("n_returns") * 1.0 / F.sum("n_returns").over(w_all), 6).alias(
+            "return_share"
+        ),
+    )

@@ -2668,3 +2668,81 @@ def q_eval_ann_map(spark: SparkSession, sf: str):
         )
         .select("n_queries", "map_at_10")
     )
+
+
+# --- round-12 head start: sliced calibration audit -----------------------------
+
+
+@register(
+    "eval_sliced_calibration",
+    f"""WITH p AS (
+         SELECT label,
+                ({_CONF_HASH} % 10000)::BIGINT AS conf_bp,
+                CASE WHEN ({_OUT_HASH} % 10000) <
+                          (({_CONF_HASH} % 10000) * 9) // 10 + 500
+                     THEN 1 ELSE 0 END::BIGINT AS correct
+         FROM embeddings),
+       b AS (
+         SELECT label, conf_bp // 1000 AS bin,
+                count(*)::BIGINT AS n,
+                sum(conf_bp)::BIGINT AS sc,
+                sum(correct)::BIGINT AS nc
+         FROM p GROUP BY 1, 2),
+       s AS (
+         SELECT label, sum(n)::BIGINT AS n_total,
+                round(sum(abs(sc - 10000 * nc)) * 1.0 / sum(n), 4) AS ece_bp
+         FROM b GROUP BY label),
+       d AS (SELECT max(ece_bp) - min(ece_bp) AS disparity FROM s)
+       SELECT s.label::BIGINT AS label, s.n_total, s.ece_bp,
+              round(d.disparity, 4) AS ece_disparity_bp,
+              round(d.disparity, 4) > 100.0 AS disparate_slices
+       FROM s CROSS JOIN d""",
+    doc="Sliced calibration audit: ECE computed PER LABEL SLICE over the "
+    "deterministic synthetic prediction stream, plus the max-min "
+    "disparity across slices — the fairness-style evaluation "
+    "discipline (a model can be well-calibrated on average while "
+    "badly mis-calibrated on a subgroup; aggregate ECE hides exactly "
+    "this). Reuses eval_ece_mce's integer telescoping per slice "
+    "(n_b*|conf-acc| = |sum_conf - 10000*n_correct|, zero per-bin "
+    "divisions); the disparity gate compares the ROUNDED spread. "
+    "Scale shape: one scan-fused (label x 10-bin) aggregate, a "
+    "per-label rollup, one 1-row disparity broadcast — flat at any "
+    "prediction-set size.",
+)
+def q_eval_sliced_calibration(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    conf = md5_hash64(
+        F.concat(F.lit("conf:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    out = md5_hash64(
+        F.concat(F.lit("outcome:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    p = table(spark, sf, "embeddings").select(
+        "label",
+        conf.cast("long").alias("conf_bp"),
+        (out < F.floor(conf * 9 / 10) + 500).cast("long").alias("correct"),
+    )
+    b = p.groupBy(
+        "label", F.floor(F.col("conf_bp") / 1000).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conf_bp").cast("long").alias("sc"),
+        F.sum("correct").cast("long").alias("nc"),
+    )
+    s = b.groupBy("label").agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.round(
+            F.sum(F.abs(F.col("sc") - 10000 * F.col("nc"))) * 1.0 / F.sum("n"),
+            4,
+        ).alias("ece_bp"),
+    )
+    d = s.agg((F.max("ece_bp") - F.min("ece_bp")).alias("disparity"))
+    disp = F.round(F.col("disparity"), 4)
+    return s.crossJoin(F.broadcast(d)).select(
+        F.col("label").cast("long").alias("label"),
+        "n_total",
+        "ece_bp",
+        disp.alias("ece_disparity_bp"),
+        (disp > 100.0).alias("disparate_slices"),
+    )

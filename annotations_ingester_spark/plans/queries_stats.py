@@ -7674,3 +7674,108 @@ def q_stats_exponentiality_test(spark: SparkSession, sf: str):
         ds.alias("d_scaled"),
         (ds > 1.08).alias("not_exponential"),
     )
+
+
+# --- round-12 head start: variance-shift CUSUM --------------------------------
+
+
+@register(
+    "stats_cusum_variance",
+    f"""WITH {DAILY_CENTS_CTE},
+       g AS (SELECT count(*)::BIGINT AS n, avg(x::DOUBLE) AS mu,
+                    sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS q,
+                    sum(x)::BIGINT AS sx
+             FROM d),
+       v AS (SELECT n, mu,
+                    (CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n
+                      AS var0
+             FROM g),
+       t1 AS (SELECT d.day,
+                     round((d.x - v.mu) * (d.x - v.mu) / v.var0 - 1.0, 9)
+                       ::DECIMAL(20,9) AS term
+              FROM d, v),
+       m AS (SELECT day,
+                    sum(term) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                      AS st
+             FROM t1),
+       k AS (SELECT max(abs(CAST(st AS DOUBLE))) AS k_stat FROM m),
+       cp AS (SELECT min(day) AS shift_day FROM m, k
+              WHERE abs(CAST(st AS DOUBLE)) = k.k_stat)
+       SELECT g.n AS n_days,
+              round(k.k_stat, 4) AS k_stat,
+              cp.shift_day,
+              round(k.k_stat / sqrt(2.0 * g.n), 4) AS k_scaled,
+              round(k.k_stat / sqrt(2.0 * g.n), 4) > 1.36
+                AS variance_shift_detected
+       FROM g CROSS JOIN k CROSS JOIN cp""",
+    doc="Variance-shift CUSUM on the daily revenue series: cumulative "
+    "sum of the standardized squared deviations minus one "
+    "((x-mu)^2/var - 1 has mean 0 under constant variance), max "
+    "|S_t| locating the most likely VOLATILITY changepoint — the "
+    "second-moment companion to events_changepoint_cusum (mean "
+    "shifts) and stats_pettitt_test (location, rank-based): a "
+    "variance regime change (flash-sale turbulence, metering bug) "
+    "leaves the mean CUSUM flat and this one kinked. Terms round to "
+    "9 dp and cumulate as DECIMAL; scaled by sqrt(2n) (the "
+    "asymptotic sd of the chi-square(1)-increment walk) against a "
+    "pinned KS-style 1.36 bar on the ROUNDED value. Scale shape: "
+    "one daily rollup, a 1-row moment broadcast, windows over the "
+    "bounded DATE DOMAIN, two 1-row report broadcasts.",
+)
+def q_stats_cusum_variance(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf).localCheckpoint(eager=True)
+    g = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(F.col("x").cast("double")).alias("mu"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    v = g.select(
+        "n",
+        "mu",
+        (
+            (
+                F.col("q").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+            )
+            / F.col("n")
+        ).alias("var0"),
+    )
+    t1 = d.crossJoin(F.broadcast(v)).select(
+        "day",
+        F.round(
+            (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")) / F.col("var0")
+            - 1.0,
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("term"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    m = t1.select("day", F.sum("term").over(w).alias("st")).localCheckpoint(
+        eager=True
+    )  # bounded day table; feeds max + argmax
+    k = m.agg(F.max(F.abs(F.col("st").cast("double"))).alias("k_stat"))
+    cp = (
+        m.crossJoin(F.broadcast(k))
+        .filter(F.abs(F.col("st").cast("double")) == F.col("k_stat"))
+        .agg(F.min("day").alias("shift_day"))
+    )
+    ks = F.round(F.col("k_stat") / F.sqrt(2.0 * F.col("n")), 4)
+    return (
+        g.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(cp))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(F.col("k_stat"), 4).alias("k_stat"),
+            "shift_day",
+            ks.alias("k_scaled"),
+            (ks > 1.36).alias("variance_shift_detected"),
+        )
+    )

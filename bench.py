@@ -408,6 +408,11 @@ HEADLINE = [
     "stats_exponentiality_test",
     "media_image_entropy",
     "lm_token_rank_typicality",
+    # round-12 head start
+    "graph_modularity_score",
+    "events_return_intervals",
+    "eval_sliced_calibration",
+    "stats_cusum_variance",
 ]
 
 

@@ -290,6 +290,13 @@ CROSS_ALLOWED = {
     # 1-row (n, sum) totals broadcast onto the bounded distinct-gap CDF
     # table (the analytic-CDF comparison shape)
     "stats_exponentiality_test",
+    # 1-row total-weight broadcast onto the per-community term table
+    "graph_modularity_score",
+    # 1-row disparity broadcast onto the per-label slice report
+    "eval_sliced_calibration",
+    # 1-row moment broadcast over the bounded day table + two 1-row
+    # report broadcasts (max, argmax) — the CUSUM assembly shape
+    "stats_cusum_variance",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain

@@ -1,0 +1,154 @@
+"""Round-12 head-start independent recomputes (the r9 lesson: parity
+alone cannot catch a shared-formula bug)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from annotations_ingester_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md5_64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_modularity_matches_python(spark):
+    """Full recompute: 2-iteration synchronous LPA with (max weight, min
+    label) tie-break over the bipartite graph, then Newman Q."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type, count(*)::BIGINT
+            FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    edges = []
+    for uid, et, w in rows:
+        u, t = f"u:{uid}", f"t:{et}"
+        edges.append((u, t, int(w)))
+        edges.append((t, u, int(w)))
+    nodes = {n for e in edges for n in e[:2]}
+    label = {n: n for n in nodes}
+    for _ in range(2):
+        votes = {}
+        for s, d, w in edges:
+            votes.setdefault(d, {}).setdefault(label[s], 0)
+            votes[d][label[s]] += w
+        new = {}
+        for n in nodes:
+            if n in votes:
+                new[n] = min(
+                    votes[n], key=lambda lb: (-votes[n][lb], lb)
+                )
+            else:
+                new[n] = n
+        label = new
+    big_w = sum(w for _, _, w in edges)
+    w_in = {}
+    d_c = {}
+    for s, d, w in edges:
+        if label[s] == label[d]:
+            w_in[label[s]] = w_in.get(label[s], 0) + w
+        d_c[label[s]] = d_c.get(label[s], 0) + w
+    q = sum(
+        round(w_in.get(c, 0) / big_w - (d_c[c] / big_w) ** 2, 9) for c in d_c
+    )
+    r = REGISTRY["graph_modularity_score"].spark(spark, SF).collect()[0]
+    assert r.n_communities == len(d_c)
+    assert r.internal_weight == sum(w_in.values())
+    assert r.modularity == pytest.approx(q, abs=2e-6)
+    assert r.well_partitioned == (round(q, 6) > 0.3)
+
+
+def test_return_intervals_matches_python(spark):
+    import duckdb
+    from collections import Counter
+
+    rows = duckdb.sql(
+        f"""SELECT DISTINCT user_id,
+                   (floor(epoch(ts))::BIGINT // 86400)::BIGINT
+            FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    by_user = {}
+    for uid, d in rows:
+        by_user.setdefault(uid, []).append(int(d))
+    gaps = Counter()
+    for days in by_user.values():
+        days.sort()
+        for a, b in zip(days, days[1:]):
+            gaps[b - a] += 1
+    total = sum(gaps.values())
+    got = {r.gap_days: r for r in REGISTRY["events_return_intervals"].spark(spark, SF).collect()}
+    assert set(got) == set(gaps)
+    for g, n in gaps.items():
+        assert got[g].n_returns == n
+        assert got[g].return_share == pytest.approx(n / total, abs=2e-6)
+    # shares must sum to 1
+    assert sum(r.return_share for r in got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_sliced_calibration_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, label FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    slices = {}
+    for vid, lbl in rows:
+        conf = _md5_64(f"conf:{vid}") % 10000
+        correct = 1 if (_md5_64(f"outcome:{vid}") % 10000) < (conf * 9) // 10 + 500 else 0
+        b = conf // 1000
+        s = slices.setdefault(lbl, {})
+        n, sc, nc = s.get(b, (0, 0, 0))
+        s[b] = (n + 1, sc + conf, nc + correct)
+    eces = {}
+    for lbl, bins in slices.items():
+        n_total = sum(n for n, _, _ in bins.values())
+        ece = round(
+            sum(abs(sc - 10000 * nc) for _, sc, nc in bins.values()) / n_total, 4
+        )
+        eces[lbl] = (n_total, ece)
+    disparity = round(max(e for _, e in eces.values()) - min(e for _, e in eces.values()), 4)
+    got = {r.label: r for r in REGISTRY["eval_sliced_calibration"].spark(spark, SF).collect()}
+    assert set(got) == set(eces)
+    for lbl, (n_total, ece) in eces.items():
+        r = got[lbl]
+        assert r.n_total == n_total
+        assert r.ece_bp == pytest.approx(ece, abs=1e-3)
+        assert r.ece_disparity_bp == pytest.approx(disparity, abs=1e-3)
+        assert r.disparate_slices == (disparity > 100.0)
+
+
+def test_cusum_variance_matches_python(spark):
+    import duckdb
+
+    xs = [
+        (int(d), int(x))
+        for d, x in duckdb.sql(
+            f"""SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                       sum(round(value * 100)::BIGINT)::BIGINT
+                FROM '{SF}/events.parquet' GROUP BY day ORDER BY day"""
+        ).fetchall()
+    ]
+    vals = [x for _, x in xs]
+    n = len(vals)
+    mu = sum(vals) / n
+    var0 = sum((v - mu) ** 2 for v in vals) / n
+    s = 0.0
+    best_k, best_day = -1.0, None
+    for day, x in xs:
+        s += round((x - mu) ** 2 / var0 - 1.0, 9)
+        if abs(s) > best_k:
+            best_k, best_day = abs(s), day
+    r = REGISTRY["stats_cusum_variance"].spark(spark, SF).collect()[0]
+    assert r.n_days == n
+    assert r.k_stat == pytest.approx(best_k, abs=2e-4)
+    assert r.shift_day == best_day
+    assert r.k_scaled == pytest.approx(best_k / math.sqrt(2 * n), abs=2e-4)
+    assert r.variance_shift_detected == (
+        round(best_k / math.sqrt(2 * n), 4) > 1.36
+    )

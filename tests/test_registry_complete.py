@@ -91,6 +91,13 @@ def test_order_last_r11_names_exist_in_registry():
     assert not stranded, f"_ORDER_LAST_R11 names not in registry: {sorted(stranded)}"
 
 
+def test_order_last_r12_names_exist_and_fit_window():
+    mod = _entry_module()
+    stranded = mod._ORDER_LAST_R12 - set(REGISTRY)
+    assert not stranded, f"_ORDER_LAST_R12 names not in registry: {sorted(stranded)}"
+    assert len(mod._ORDER_LAST_R12) <= 50
+
+
 def test_order_last_r11_fits_one_gate_window():
     """The r11 tier must certify in ONE 50-slot gate window (its header
     comment claims exactly 50) — a 51st addition belongs in a new
@@ -107,11 +114,18 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
     covered = mod._covered_from_disk()
     ordered = list(mod.queries())
     uncovered = [n for n in REGISTRY if n not in covered]
-    last11 = [n for n in uncovered if n in mod._ORDER_LAST_R11]
+    last12 = [n for n in uncovered if n in mod._ORDER_LAST_R12]
+    last11 = [
+        n
+        for n in uncovered
+        if n in mod._ORDER_LAST_R11 and n not in mod._ORDER_LAST_R12
+    ]
     last10 = [
         n
         for n in uncovered
-        if n in mod._ORDER_LAST_R10 and n not in mod._ORDER_LAST_R11
+        if n in mod._ORDER_LAST_R10
+        and n not in mod._ORDER_LAST_R11
+        and n not in mod._ORDER_LAST_R12
     ]
     last = [
         n
@@ -119,6 +133,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         if n in mod._ORDER_LAST
         and n not in mod._ORDER_LAST_R10
         and n not in mod._ORDER_LAST_R11
+        and n not in mod._ORDER_LAST_R12
     ]
     debt = [
         n
@@ -127,6 +142,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         and n not in mod._ORDER_LAST
         and n not in mod._ORDER_LAST_R10
         and n not in mod._ORDER_LAST_R11
+        and n not in mod._ORDER_LAST_R12
     ]
     deferred = [
         n
@@ -136,6 +152,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         and n not in mod._ORDER_LAST
         and n not in mod._ORDER_LAST_R10
         and n not in mod._ORDER_LAST_R11
+        and n not in mod._ORDER_LAST_R12
     ]
     fresh = [
         n
@@ -145,6 +162,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         and n not in mod._ORDER_LAST
         and n not in mod._ORDER_LAST_R10
         and n not in mod._ORDER_LAST_R11
+        and n not in mod._ORDER_LAST_R12
     ]
     # debt first, then fresh additions, then past-window deferrals, then
     # the absolute-last tiers (r9 then r10), then covered — as sets per
@@ -158,16 +176,18 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
     assert set(ordered[n_def : n_def + len(last)]) == set(last)
     n_l = n_def + len(last)
     assert set(ordered[n_l : n_l + len(last10)]) == set(last10)
-    assert set(ordered[n_l + len(last10) : n_unc]) == set(last11)
+    n_l10 = n_l + len(last10)
+    assert set(ordered[n_l10 : n_l10 + len(last11)]) == set(last11)
+    assert set(ordered[n_l10 + len(last11) : n_unc]) == set(last12)
     assert set(ordered[n_unc:]) <= covered
     # everything except the r11 head-start tier (debt + r9 tier + r10
     # additions) must fit inside one certification window — the r9
     # verdict's item 1: all 34 older names certify this round, r10
     # additions are capped at the spare slots, and late r11-tier builds
     # ride BEHIND the window (they certify next round)
-    assert n_unc - len(last11) <= GATE_WINDOW, (
-        f"{n_unc - len(last11)} pre-r11 uncovered queries exceed the "
-        f"{GATE_WINDOW}-entry gate window"
+    assert n_unc - len(last11) - len(last12) <= GATE_WINDOW, (
+        f"{n_unc - len(last11) - len(last12)} pre-r11 uncovered queries "
+        f"exceed the {GATE_WINDOW}-entry gate window"
     )
     # every NON-DEFERRED uncovered name must fit inside the certification
     # window; overflow means deferring the newest additions (or waiting a
