@@ -350,6 +350,8 @@ _ORDER_LAST_R12: set[str] = {
     "events_return_intervals",
     "eval_sliced_calibration",
     "stats_cusum_variance",
+    "stats_seasonal_mann_kendall",
+    "events_hourly_seasonality",
 }
 
 

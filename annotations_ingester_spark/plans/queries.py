@@ -28,7 +28,7 @@ import annotations_ingester_spark.plans.queries_eval  # noqa: F401,E402  (last: 
 # REGISTRATION (a silently-failing group module), not certification, so it
 # rises with every batch of additions (no numeral in this comment on
 # purpose — hand-typed totals drift; the value below is the only copy).
-EXPECTED_MIN_QUERIES = 383
+EXPECTED_MIN_QUERIES = 385
 
 if len(REGISTRY) < EXPECTED_MIN_QUERIES:  # pragma: no cover - guard
     raise RuntimeError(

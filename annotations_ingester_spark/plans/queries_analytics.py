@@ -4833,3 +4833,193 @@ def q_events_return_intervals(spark: SparkSession, sf: str):
             "return_share"
         ),
     )
+
+
+# --- round-12 head start: seasonal Mann-Kendall --------------------------------
+
+
+@register(
+    "stats_seasonal_mann_kendall",
+    f"""WITH {DAILY_CENTS_CTE},
+       dd AS (SELECT day, x, (day % 7)::BIGINT AS season FROM d),
+       s AS (SELECT sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)::BIGINT
+                      AS s_stat
+             FROM dd a JOIN dd b
+               ON b.season = a.season AND b.day > a.day),
+       per AS (SELECT season, count(*)::BIGINT AS n FROM dd GROUP BY season),
+       ties AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT
+                  AS tie_term
+                FROM (SELECT season, x, count(*)::BIGINT AS t
+                      FROM dd GROUP BY season, x)
+                WHERE t > 1),
+       v AS (SELECT (sum(per.n * (per.n - 1) * (2 * per.n + 5))
+                     - max(ties.tie_term)) / 18.0 AS var_s,
+                    sum(per.n)::BIGINT AS n_points,
+                    count(*)::BIGINT AS n_seasons
+             FROM per CROSS JOIN ties)
+       SELECT v.n_seasons, v.n_points, s.s_stat,
+              round(v.var_s, 4) AS var_s,
+              round(CASE WHEN s.s_stat > 0
+                           THEN (s.s_stat - 1) / sqrt(v.var_s)
+                         WHEN s.s_stat < 0
+                           THEN (s.s_stat + 1) / sqrt(v.var_s)
+                         ELSE 0.0 END, 4) AS z_stat,
+              CASE WHEN s.s_stat > 0 THEN 'increasing'
+                   WHEN s.s_stat < 0 THEN 'decreasing'
+                   ELSE 'none' END AS trend
+       FROM s, v""",
+    doc="Seasonal (Hirsch-Slack) Mann-Kendall trend test on daily "
+    "revenue with weekday seasons: the pair statistic S and its "
+    "tie-corrected variance are computed WITHIN each day-of-week "
+    "sub-series and summed — so a strong weekly cycle (Monday always "
+    "beats Sunday) cannot masquerade as a monotone trend, which is "
+    "exactly how plain stats_mann_kendall (monthly, cycle-free) "
+    "breaks on sub-weekly data. Exact integer S over the "
+    "day-domain-bounded within-season pair joins; variance sums the "
+    "per-season [n(n-1)(2n+5)]/18 terms with the pooled tie "
+    "correction; continuity-corrected z. Scale shape: one daily "
+    "rollup (checkpointed), a season-keyed self-join over the "
+    "bounded day table, constant-size arithmetic after.",
+)
+def q_stats_seasonal_mann_kendall(spark: SparkSession, sf: str):
+    d = daily_cents(spark, sf).localCheckpoint(eager=True)
+    dd = d.select("day", "x", (F.col("day") % 7).cast("long").alias("season"))
+    a = dd.select(
+        F.col("season").alias("sa"), F.col("day").alias("da"), F.col("x").alias("xa")
+    )
+    b = dd.select(
+        F.col("season").alias("sb"), F.col("day").alias("db"), F.col("x").alias("xb")
+    )
+    s = (
+        a.join(b, (F.col("sb") == F.col("sa")) & (F.col("db") > F.col("da")))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    per = dd.groupBy("season").agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        dd.groupBy("season", "x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    v = per.crossJoin(F.broadcast(ties)).agg(
+        (
+            (
+                F.sum(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
+                - F.max("tie_term")
+            )
+            / 18.0
+        ).alias("var_s"),
+        F.sum("n").cast("long").alias("n_points"),
+        F.count("*").cast("long").alias("n_seasons"),
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(0.0)
+    )
+    return s.crossJoin(F.broadcast(v)).select(
+        "n_seasons",
+        "n_points",
+        "s_stat",
+        F.round(F.col("var_s"), 4).alias("var_s"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+# --- round-12 head start: hour-of-day seasonality profile ----------------------
+
+
+@register(
+    "events_hourly_seasonality",
+    """WITH e AS (
+         SELECT ((floor(epoch(ts))::BIGINT % 86400) // 3600)::BIGINT AS hr,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
+       h AS (SELECT hr, count(*)::BIGINT AS n_events,
+                    sum(cents)::BIGINT AS revenue_cents
+             FROM e GROUP BY hr),
+       t AS (SELECT sum(n_events)::BIGINT AS nt,
+                    sum(revenue_cents)::BIGINT AS rt
+             FROM h),
+       top3 AS (SELECT sum(n_events)::BIGINT AS n3 FROM (
+                  SELECT n_events FROM h
+                  ORDER BY n_events DESC, hr LIMIT 3))
+       SELECT h.hr AS hour_utc, h.n_events, h.revenue_cents,
+              round(h.n_events * 1.0 / t.nt, 6) AS event_share,
+              round(h.revenue_cents * 1.0 / t.rt, 6) AS revenue_share,
+              round(top3.n3 * 1.0 / t.nt, 6) AS top3_hour_concentration
+       FROM h CROSS JOIN t CROSS JOIN top3""",
+    doc="Hour-of-day (UTC) seasonality profile: event and revenue share "
+    "per hour plus the top-3-hour concentration scalar — the "
+    "intra-day load axis the catalog's daily rollups flatten away "
+    "(capacity planning reads the peak-hour share; a bot wave shows "
+    "as off-hours mass where humans sleep — the time-of-day "
+    "companion to events_bot_score's per-user signals). Exact "
+    "integer counts over the pinned 24-hour domain; the top-3 pick "
+    "is a structural TakeOrdered (count desc, hour asc — total "
+    "order), one rounded division per share. Scale shape: one "
+    "scan-fused map-side-combinable 24-group aggregate + two 1-row "
+    "broadcasts; flat at any event count.",
+)
+def q_events_hourly_seasonality(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        F.expr("CAST((ts_s % 86400) DIV 3600 AS BIGINT)").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    h = e.groupBy("hr").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    ).localCheckpoint(eager=True)  # 24 rows; feeds totals + top3 + report
+    t = h.agg(
+        F.sum("n_events").cast("long").alias("nt"),
+        F.sum("revenue_cents").cast("long").alias("rt"),
+    )
+    top3 = (
+        h.orderBy(F.desc("n_events"), F.asc("hr"))
+        .limit(3)
+        .agg(F.sum("n_events").cast("long").alias("n3"))
+    )
+    return (
+        h.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(top3))
+        .select(
+            F.col("hr").alias("hour_utc"),
+            "n_events",
+            "revenue_cents",
+            F.round(F.col("n_events") * 1.0 / F.col("nt"), 6).alias(
+                "event_share"
+            ),
+            F.round(F.col("revenue_cents") * 1.0 / F.col("rt"), 6).alias(
+                "revenue_share"
+            ),
+            F.round(F.col("n3") * 1.0 / F.col("nt"), 6).alias(
+                "top3_hour_concentration"
+            ),
+        )
+    )

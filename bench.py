@@ -413,6 +413,8 @@ HEADLINE = [
     "events_return_intervals",
     "eval_sliced_calibration",
     "stats_cusum_variance",
+    "stats_seasonal_mann_kendall",
+    "events_hourly_seasonality",
 ]
 
 

@@ -297,6 +297,12 @@ CROSS_ALLOWED = {
     # 1-row moment broadcast over the bounded day table + two 1-row
     # report broadcasts (max, argmax) — the CUSUM assembly shape
     "stats_cusum_variance",
+    # 1-row tie-term broadcast onto the bounded per-season size table +
+    # the 1-row variance broadcast onto the 1-row S aggregate
+    "stats_seasonal_mann_kendall",
+    # two 1-row broadcasts (totals, top-3 sum) onto the pinned 24-row
+    # hour table
+    "events_hourly_seasonality",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain

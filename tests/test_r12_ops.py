@@ -152,3 +152,73 @@ def test_cusum_variance_matches_python(spark):
     assert r.variance_shift_detected == (
         round(best_k / math.sqrt(2 * n), 4) > 1.36
     )
+
+
+def test_seasonal_mann_kendall_matches_python(spark):
+    import duckdb
+
+    xs = [
+        (int(d), int(x))
+        for d, x in duckdb.sql(
+            f"""SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                       sum(round(value * 100)::BIGINT)::BIGINT
+                FROM '{SF}/events.parquet' GROUP BY day ORDER BY day"""
+        ).fetchall()
+    ]
+    seasons = {}
+    for d, x in xs:
+        seasons.setdefault(d % 7, []).append((d, x))
+    s_stat = 0
+    var_s = 0.0
+    tie_term = 0
+    for sub in seasons.values():
+        n = len(sub)
+        var_s += n * (n - 1) * (2 * n + 5)
+        from collections import Counter
+
+        for t in Counter(x for _, x in sub).values():
+            if t > 1:
+                tie_term += t * (t - 1) * (2 * t + 5)
+        for i in range(n):
+            for j in range(i + 1, n):
+                diff = sub[j][1] - sub[i][1]
+                s_stat += (diff > 0) - (diff < 0)
+    var_s = (var_s - tie_term) / 18.0
+    z = (
+        (s_stat - 1) / math.sqrt(var_s)
+        if s_stat > 0
+        else ((s_stat + 1) / math.sqrt(var_s) if s_stat < 0 else 0.0)
+    )
+    r = REGISTRY["stats_seasonal_mann_kendall"].spark(spark, SF).collect()[0]
+    assert r.n_seasons == len(seasons)
+    assert r.n_points == len(xs)
+    assert r.s_stat == s_stat
+    assert r.var_s == pytest.approx(var_s, abs=1e-3)
+    assert r.z_stat == pytest.approx(z, abs=2e-4)
+    assert r.trend == ("increasing" if s_stat > 0 else "decreasing" if s_stat < 0 else "none")
+
+
+def test_hourly_seasonality_matches_python(spark):
+    import duckdb
+    from collections import Counter
+
+    rows = duckdb.sql(
+        f"""SELECT ((floor(epoch(ts))::BIGINT % 86400) // 3600)::BIGINT,
+                   round(value * 100)::BIGINT
+            FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    n_h, r_h = Counter(), Counter()
+    for hr, cents in rows:
+        n_h[int(hr)] += 1
+        r_h[int(hr)] += int(cents)
+    nt = sum(n_h.values())
+    rt = sum(r_h.values())
+    top3 = sum(n for _, n in sorted(n_h.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    got = {r.hour_utc: r for r in REGISTRY["events_hourly_seasonality"].spark(spark, SF).collect()}
+    assert set(got) == set(n_h)
+    for hr, r in got.items():
+        assert (r.n_events, r.revenue_cents) == (n_h[hr], r_h[hr])
+        assert r.event_share == pytest.approx(n_h[hr] / nt, abs=2e-6)
+        assert r.revenue_share == pytest.approx(r_h[hr] / rt, abs=2e-6)
+        assert r.top3_hour_concentration == pytest.approx(top3 / nt, abs=2e-6)
+    assert sum(r.event_share for r in got.values()) == pytest.approx(1.0, abs=1e-4)
