@@ -23,6 +23,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -158,8 +159,6 @@ def png_decode_gray(p: bytes) -> tuple[int, int, str, list[bytes]]:
     transparency). Raises ValueError on anything else; callers degrade to
     the digest-only row. Exists so the pixel path is hermetic — identical
     output with or without Pillow installed."""
-    import zlib
-
     if not p.startswith(PNG_SIG):
         raise ValueError("not a PNG")
     i, idat, plte = 8, b"", b""
@@ -682,9 +681,10 @@ def audio_frame_energy(
                         if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
                             continue
                         raw = wf.readframes(wf.getnframes())
-                except (wave.Error, EOFError):
+                    raw = raw[: (len(raw) // 2) * 2]
+                    samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+                except (wave.Error, EOFError, struct.error):
                     continue
-                samples = struct.unpack(f"<{len(raw) // 2}h", raw)
                 n_frames = len(samples) // frame_samples
                 for fi in range(n_frames):
                     seg = samples[fi * frame_samples : (fi + 1) * frame_samples]
@@ -888,9 +888,10 @@ def audio_clipping_stats(
                         if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
                             continue
                         raw = wf.readframes(wf.getnframes())
-                except (wave.Error, EOFError):
+                    raw = raw[: (len(raw) // 2) * 2]
+                    samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+                except (wave.Error, EOFError, struct.error):
                     continue
-                samples = struct.unpack(f"<{len(raw) // 2}h", raw)
                 if not samples:
                     continue
                 ids.append(int(mid))
@@ -931,8 +932,8 @@ def image_gray_histogram_stats(
 ) -> DataFrame:
     """CONTENT-level image statistics: decode each PNG payload with the
     vendored pure-stdlib decoder and report total pixels and the count
-    of bright pixels (gray >= 128) — the integer core a histogram-"
-    "entropy / near-blank audit derives from. Exact integers so the
+    of bright pixels (gray >= 128) — the integer core a
+    histogram-entropy / near-blank audit derives from. Exact integers so the
     oracle can assert them bit-for-bit.
 
     Scale shape: mapInPandas inside the blob's own partition — pixel
@@ -949,7 +950,7 @@ def image_gray_histogram_stats(
                 blob = b"" if p is None else bytes(p)
                 try:
                     _w, _h, _mode, rows = png_decode_gray(blob)
-                except (ValueError, Exception):  # noqa: B014
+                except (ValueError, struct.error, zlib.error):
                     continue
                 n = sum(len(r) for r in rows)
                 if n == 0:

@@ -224,6 +224,12 @@ def multiprobe_bucketed_topk(
     dial ann_nprobe_sweep measures)."""
     if n_probes is None:
         n_probes = n_bits + 1
+    if not 1 <= n_probes <= n_bits + 1:
+        raise ValueError(
+            f"n_probes must be in [1, n_bits + 1] = [1, {n_bits + 1}]; "
+            f"got {n_probes} (values above n_bits+1 would flip bits outside "
+            "the bucket code domain and silently match nothing)"
+        )
     bucketed = embeddings.withColumn(
         "bucket", sign_bucket(vec_col, n_bits)
     ).withColumn("_nrm", l2_norm(vec_col))

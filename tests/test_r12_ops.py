@@ -222,3 +222,55 @@ def test_hourly_seasonality_matches_python(spark):
         assert r.revenue_share == pytest.approx(r_h[hr] / rt, abs=2e-6)
         assert r.top3_hour_concentration == pytest.approx(top3 / nt, abs=2e-6)
     assert sum(r.event_share for r in got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_audio_clipping_odd_frame_buffer_degrades_not_raises(spark):
+    """ADVICE r10: a WAV that opens cleanly but yields an odd-length
+    frame buffer must degrade (no row) instead of raising struct.error
+    and failing the whole Spark task. Build such a blob by writing a
+    valid header and then truncating mid-sample."""
+    import pandas as pd
+
+    from annotations_ingester_spark.multimodal.media import (
+        audio_clipping_stats,
+        audio_frame_energy,
+        synth_pcm_wav,
+    )
+
+    good = synth_pcm_wav(7)
+    # Chop one byte off the data chunk: wave happily opens it (header
+    # still parses) but readframes returns an odd number of bytes once
+    # we also lie about nframes via direct truncation.
+    odd = good[:-1]
+    rows = [(1, bytearray(good)), (2, bytearray(odd)), (3, bytearray(b"RIFFxxxxWAVE"))]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"]),
+        schema="media_id long, payload binary",
+    )
+    out = audio_clipping_stats(df).collect()
+    ids = {r.media_id for r in out}
+    assert 1 in ids  # the intact blob still decodes
+    assert 3 not in ids  # garbage degrades silently
+    # And the frame-energy path shares the hardened unpack:
+    out2 = audio_frame_energy(df).collect()
+    assert {r.media_id for r in out2} <= {1, 2}
+
+
+def test_multiprobe_n_probes_validated(spark, sf_dir):
+    """ADVICE r10: n_probes outside [1, n_bits+1] must raise instead of
+    silently probing buckets outside the code domain."""
+    import pytest as _pytest
+
+    from annotations_ingester_spark.operators.similarity import (
+        multiprobe_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.select("vec_id").limit(2)
+    with _pytest.raises(ValueError, match="n_probes"):
+        multiprobe_bucketed_topk(emb, q, n_bits=8, n_probes=10)
+    with _pytest.raises(ValueError, match="n_probes"):
+        multiprobe_bucketed_topk(emb, q, n_bits=8, n_probes=0)
+    # the boundary values are legal
+    multiprobe_bucketed_topk(emb, q, n_bits=8, n_probes=9)
+    multiprobe_bucketed_topk(emb, q, n_bits=8, n_probes=1)
