@@ -95,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
                 max_retries=nlp.max_retries_on_failure,
                 application_params=nlp.application_params,
                 threads=cfg.threads,  # reference threads-count, per partition
+                max_in_flight=nlp.max_in_flight,
+                rate_limit_per_sec=nlp.rate_limit_per_sec,
             )
 
     pipe = AnnotationPipeline(

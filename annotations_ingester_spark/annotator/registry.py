@@ -28,6 +28,8 @@ def register_annotator(
     retries: int = 1,
     auth: tuple[str, str] | None = None,
     factory: Callable[[], Annotator] | None = None,
+    max_in_flight: int | None = None,
+    rate_limit_per_sec: float | None = None,
 ) -> None:
     """Register a named annotator. Pass either connection details (an
     HttpNlpClient is built per partition) or an explicit ``factory``."""
@@ -42,10 +44,12 @@ def register_annotator(
             def factory(  # type: ignore[misc]
                 _urls=list(urls or []), _mode=mode, _params=dict(params or {}),
                 _retries=retries, _auth=auth,
+                _mif=max_in_flight, _rate=rate_limit_per_sec,
             ):
                 return HttpNlpClient(
                     _urls, mode=_mode, application_params=_params,
                     max_retries=_retries, auth=_auth,
+                    max_in_flight=_mif, rate_limit_per_sec=_rate,
                 )
 
     _REGISTRY[name] = factory

@@ -215,6 +215,9 @@ class HttpNlpClient:
         threads: int = 8,
         timeout: float = 30.0,
         transport=None,
+        max_in_flight: int | None = None,
+        rate_limit_per_sec: float | None = None,
+        rate_limit_burst: float | None = None,
     ) -> None:
         self.endpoints = endpoints
         self.mode = "gate" if mode == "gate-nlp" else (mode or "medcat")
@@ -224,6 +227,23 @@ class HttpNlpClient:
         self.threads = threads
         self.timeout = timeout
         self._transport = transport or self._http_post
+        # Back-pressure (r10 verdict item 4): the gate is interned per
+        # Python worker PROCESS keyed by the endpoint set + knobs, so
+        # concurrent partitions on a reused worker share one in-flight
+        # cap / token bucket — the per-executor bound the reference gets
+        # implicitly from its single 128-thread node (config.yml:64).
+        from annotations_ingester_spark.annotator.backpressure import executor_gate
+
+        self._gate = (
+            executor_gate(
+                "|".join(sorted(endpoints)),
+                max_in_flight,
+                rate_limit_per_sec,
+                rate_limit_burst,
+            )
+            if (max_in_flight or rate_limit_per_sec)
+            else None
+        )
 
     def _http_post(self, url: str, text: str) -> dict[str, Any] | None:
         """POST one document (JSON envelope for MedCAT, text/plain for
@@ -262,7 +282,11 @@ class HttpNlpClient:
         for url in self.endpoints:
             envelope = None
             for _ in range(self.max_retries + 1):  # nlp_service.py:75-80
-                envelope = self._transport(url, text)
+                if self._gate is not None:
+                    with self._gate:  # each attempt is one request
+                        envelope = self._transport(url, text)
+                else:
+                    envelope = self._transport(url, text)
                 if envelope is not None:
                     break
             if self.mode == "gate":

@@ -53,6 +53,11 @@ class NlpServiceConfig:
     password: str | None = None
     max_retries_on_failure: int = 1  # config.yml:39
     application_params: dict[str, Any] = field(default_factory=dict)
+    # Back-pressure knobs (engine extension; the reference's implicit
+    # bound is one 128-thread node, config.yml:64 — a cluster needs it
+    # explicit). None = uncapped, the reference-parity default.
+    max_in_flight: int | None = None  # per-executor-process concurrent calls
+    rate_limit_per_sec: float | None = None  # per-executor-process req/s
 
 
 @dataclass
@@ -152,6 +157,16 @@ class PipelineConfig:
                 password=nlp_creds.get("password") or None,
                 max_retries_on_failure=int(nlp.get("max-retries-on-failure", 1)),
                 application_params=nlp.get("application-params", {}) or {},
+                max_in_flight=(
+                    int(nlp["max-in-flight"])
+                    if nlp.get("max-in-flight") is not None
+                    else None
+                ),
+                rate_limit_per_sec=(
+                    float(nlp["rate-limit-per-sec"])
+                    if nlp.get("rate-limit-per-sec") is not None
+                    else None
+                ),
             ),
             text_field=src_map.get("text-field", "document"),
             docid_field=src_map.get("docid-field", "_id"),

@@ -538,6 +538,9 @@ def main() -> None:
 
     # Calibrate IMMEDIATELY before each suite pass (r9 verdict item 2):
     # the pass-local machine speed is what normalizes that pass's timings.
+    load_before = (
+        round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
+    )
     cal_main = calibrate()
     timings = run_suite(sf_dir)
 
@@ -556,6 +559,14 @@ def main() -> None:
     # the superlinear flag list — is emitted FIRST in the object, before
     # the large per-query dict and scaling detail, so even a truncated
     # capture's first ~200 bytes carry the numbers that matter.
+    # Machine-state provenance (r10 verdict item 3): the committed
+    # isolated run and the driver's contended re-run share a filename, so
+    # every judge has burned an adjudication cycle separating machine
+    # state from plan quality. Stamp the run with the 1-minute load
+    # average sampled BEFORE the suite and a derived isolated flag
+    # (load < 2 on a 32-vCPU box means nothing else was competing), plus
+    # who ran it ($SPARK_GRAFT_BENCH_RUNNER, "builder" locally; absent →
+    # "inherited" for driver/judge re-runs).
     result = {
         "metric": "headline_query_wall_time_total",
         "value": round(sum(timings.values()), 3),
@@ -565,6 +576,9 @@ def main() -> None:
         # runs above) — certifies the fit stopped on tolerance, not exhaustion
         "kmeans_fit_iterations": getattr(_sim, "LAST_FIT_ITERATIONS", None),
         "calibration_sec": cal_main,
+        "load_avg_1m_before": load_before,
+        "isolated": load_before is not None and load_before < 2.0,
+        "runner": os.environ.get("SPARK_GRAFT_BENCH_RUNNER", "inherited"),
     }
 
     base_dir = os.environ.get("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.01")
@@ -642,6 +656,9 @@ def main() -> None:
         "sf": result["sf"],
         "calibration_sec": result["calibration_sec"],
         "flagged_superlinear": result.get("flagged_superlinear", []),
+        "load_avg_1m_before": result["load_avg_1m_before"],
+        "isolated": result["isolated"],
+        "runner": result["runner"],
     }
     print(json.dumps(summary))
 
