@@ -346,6 +346,7 @@ _ORDER_LAST_R11: set[str] = {
 # certifies its 50. Verified by tools/parity.py (sf0.01) and per-op
 # recompute tests — only the OFFICIAL row waits for r12.
 _ORDER_LAST_R12: set[str] = {
+    "dedup_substring_bpe_k50",
     "graph_modularity_score",
     "events_return_intervals",
     "eval_sliced_calibration",

@@ -23,7 +23,7 @@ functions/hashing.py) and all designed scale-first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from annotations_ingester_spark.functions.hashing import HASH_HEX_CHARS
@@ -607,6 +607,7 @@ def duplicate_ngram_spans(
     id_col: str = "doc_id",
     n: int = 5,
     min_count: int = 2,
+    tokens: Column | None = None,
 ) -> DataFrame:
     """Exact duplicated-span detection at token-n-gram granularity →
     (doc_id, pos, gram_hash, n_occurrences): every 0-based token position
@@ -623,12 +624,18 @@ def duplicate_ngram_spans(
     flagging is an equi-join back on the hash — AQE's skew split covers the
     hot keys (boilerplate/license headers repeat millions of times at
     corpus scale). No all-pairs shape anywhere.
+
+    ``tokens`` swaps the tokenizer: pass any Column producing
+    ``array<string>`` (e.g. :func:`~annotations_ingester_spark.functions
+    .bpe.bpe_tokens` for subword granularity); default is the
+    whitespace/punctuation split shared with the rest of the dedup
+    family. Position semantics are in the chosen token space.
     """
     _disable_infer_filters_from_generate(df)
     toks = _tokens_sql(text_col)
     parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(n))
     grams = (
-        df.withColumn("_tk", F.expr(toks))
+        df.withColumn("_tk", tokens if tokens is not None else F.expr(toks))
         .filter(F.size("_tk") >= n)
         .withColumn(
             "_sh",
@@ -705,6 +712,7 @@ def substring_removal_intervals(
     id_col: str = "doc_id",
     anchor_n: int = 5,
     min_len: int = 10,
+    tokens: Column | None = None,
 ) -> DataFrame:
     """Exact substring dedup at suffix granularity — the Lee-et-al
     "remove any >= k-token substring that appears twice in the corpus"
@@ -730,11 +738,46 @@ def substring_removal_intervals(
     the length filter is free. No all-pairs shape anywhere.
     """
     spans = duplicate_ngram_spans(
-        df, text_col=text_col, id_col=id_col, n=anchor_n, min_count=2
+        df, text_col=text_col, id_col=id_col, n=anchor_n, min_count=2, tokens=tokens
     )
     islands = duplicate_span_islands(spans, n=anchor_n, id_col=id_col)
     return islands.filter(F.col("span_len") >= min_len).select(
         id_col, "start_pos", "end_pos", "span_len"
+    )
+
+
+def substring_removal_intervals_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_n: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Lee et al.'s production setting for exact substring dedup:
+    "remove any substring of >= k tokens that appears more than once",
+    with k counted in **BPE tokens** over the learned-merge encoding
+    (the paper's k = 50 default) rather than whitespace words. Closes
+    the loop between the tokenizer family (:mod:`functions.bpe`) and
+    the substring-dedup family: removal intervals are positions in the
+    BPE token stream, so a span-cutting pass operates on exactly the
+    units the LM trains on — whitespace-word intervals over- or
+    under-cut once text is re-tokenized.
+
+    Same machinery as :func:`substring_removal_intervals` (duplicated
+    ``anchor_n``-gram anchors → gaps-and-islands → >= k-token islands),
+    just in subword space; inherits the hash-before-shuffle /
+    map-side-combine / one-doc-partitioned-window scale shape. The BPE
+    encode itself is pure Spark string expressions (JVM-side, no UDF).
+    """
+    from annotations_ingester_spark.functions.bpe import bpe_tokens
+
+    return substring_removal_intervals(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        anchor_n=anchor_n,
+        min_len=k,
+        tokens=bpe_tokens(text_col),
     )
 
 

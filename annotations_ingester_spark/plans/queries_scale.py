@@ -1012,6 +1012,68 @@ def q_substring_survivors(spark: SparkSession, sf: str):
     )
 
 
+# The BPE-token twin of _SUBSTRING_SPANS_CTE: tokens come from the pinned
+# BPE merge table (functions/bpe.py DuckDB twin) and the island threshold
+# is Lee et al.'s production k = 50 subword tokens.
+def _substring_spans_bpe_cte(k: int) -> str:
+    from annotations_ingester_spark.functions.bpe import bpe_tokens_sql
+
+    return f"""d AS (SELECT doc_id, {bpe_tokens_sql("text")} AS t
+            FROM documents WHERE text IS NOT NULL),
+       sh AS (SELECT doc_id, {_NGRAM5} AS s FROM d WHERE len(t) >= 5),
+       g AS (
+         SELECT doc_id, u.x.p::BIGINT AS pos,
+                {HASH.format(e="u.x.g")} AS gram_hash
+         FROM (SELECT doc_id,
+                      unnest(list_transform(range(len(s)),
+                                            i -> {{'p': i, 'g': s[i + 1]}})) AS x
+               FROM sh) u),
+       c AS (SELECT gram_hash FROM g GROUP BY gram_hash HAVING count(*) >= 2),
+       hits AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram_hash)),
+       lagd AS (
+         SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS new_i
+         FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       isl AS (
+         SELECT doc_id, pos,
+                sum(new_i) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS island_id
+         FROM lagd),
+       spans AS (
+         SELECT doc_id, min(pos)::BIGINT AS start_pos,
+                (max(pos) + 4)::BIGINT AS end_pos,
+                (max(pos) + 4 - min(pos) + 1)::BIGINT AS span_len
+         FROM isl GROUP BY doc_id, island_id
+         HAVING (max(pos) + 4 - min(pos) + 1) >= {k})"""
+
+
+@register(
+    "dedup_substring_bpe_k50",
+    f"""WITH {_substring_spans_bpe_cte(50)}
+       SELECT doc_id, start_pos, end_pos, span_len FROM spans""",
+    doc="Exact substring dedup at Lee et al.'s production setting: "
+    "remove any substring of >= k = 50 **BPE tokens** that appears "
+    "twice in the corpus. Same anchors->islands machinery as "
+    "dedup_substring_exact but in subword space over the pinned merge "
+    "table (functions/bpe.py), so removal intervals index exactly the "
+    "units the LM trains on — closing the loop between the tokenizer "
+    "family and the substring family (r10 verdict item 5). The BPE "
+    "encode is pure JVM string expressions; scale shape inherited: "
+    "hash-before-shuffle grams, map-side-combined counts, equi-join "
+    "flagging, one doc-partitioned window "
+    "(operators/dedup.py substring_removal_intervals_bpe).",
+)
+def q_substring_bpe_k50(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import (
+        substring_removal_intervals_bpe,
+    )
+
+    return substring_removal_intervals_bpe(
+        table(spark, sf, "documents"), anchor_n=5, k=50
+    )
+
+
 @register(
     "dedup_corpus_survivors",
     f"""WITH RECURSIVE {SIG_CTE},

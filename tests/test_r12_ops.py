@@ -274,3 +274,71 @@ def test_multiprobe_n_probes_validated(spark, sf_dir):
     # the boundary values are legal
     multiprobe_bucketed_topk(emb, q, n_bits=8, n_probes=9)
     multiprobe_bucketed_topk(emb, q, n_bits=8, n_probes=1)
+
+
+def test_substring_bpe_k50_matches_python(spark):
+    """Independent recompute of the BPE-token substring dedup (k=50):
+    re-derive the BPE token stream with a from-scratch Python merge
+    loop (not the Spark/DuckDB string-replace trick), then anchors →
+    islands → >= 50-token intervals."""
+    import re
+
+    import duckdb
+
+    from annotations_ingester_spark.functions.bpe import BPE_MERGES
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' WHERE text IS NOT NULL"
+    ).fetchall()
+
+    def bpe(text: str) -> list[str]:
+        norm = re.sub(r"[^a-z ]", "", text.lower())
+        toks = list(norm)
+        for a, b in BPE_MERGES:
+            out = []
+            i = 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return [t for t in toks if t not in ("", " ")]
+
+    n, k = 5, 50
+    grams: dict[int, list[tuple[int, str]]] = {}
+    counts: dict[str, int] = {}
+    for did, text in rows:
+        tk = bpe(text)
+        g = []
+        for p in range(len(tk) - n + 1):
+            s = " ".join(tk[p : p + n])
+            g.append((p, s))
+            counts[s] = counts.get(s, 0) + 1
+        grams[did] = g
+    expected = set()
+    for did, g in grams.items():
+        hits = sorted(p for p, s in g if counts[s] >= 2)
+        if not hits:
+            continue
+        start = prev = hits[0]
+        runs = []
+        for p in hits[1:]:
+            if p > prev + n:
+                runs.append((start, prev))
+                start = p
+            prev = p
+        runs.append((start, prev))
+        for s, e in runs:
+            span = e + n - 1 - s + 1
+            if span >= k:
+                expected.add((did, s, e + n - 1, span))
+
+    got = {
+        (r.doc_id, r.start_pos, r.end_pos, r.span_len)
+        for r in REGISTRY["dedup_substring_bpe_k50"].spark(spark, SF).collect()
+    }
+    assert got == expected
+    assert expected  # teeth: sf0.001 must actually contain >=50-token clones
