@@ -347,6 +347,15 @@ _ORDER_LAST_R11: set[str] = {
 # recompute tests — only the OFFICIAL row waits for r12.
 _ORDER_LAST_R12: set[str] = {
     "dedup_substring_bpe_k50",
+    "stats_g_test",
+    "stats_mantel_haenszel",
+    "stats_chow_test",
+    "eval_fleiss_kappa",
+    "eval_rank_biased_overlap",
+    "eval_forecast_mase",
+    "media_audio_snr",
+    "graph_jaccard_link_scores",
+    "text_sentence_stats",
     "graph_modularity_score",
     "events_return_intervals",
     "eval_sliced_calibration",

@@ -5023,3 +5023,120 @@ def q_events_hourly_seasonality(spark: SparkSession, sf: str):
             ),
         )
     )
+
+
+# --- round-11: neighbor-Jaccard link prediction ---------------------------------
+
+
+@register(
+    "graph_jaccard_link_scores",
+    None,  # oracle assembled below (reuses the MinHash band-pair CTE)
+    doc="Neighbor-Jaccard link prediction over the MinHash-LSH candidate "
+    "graph: for every NON-adjacent doc pair with >= 2 common "
+    "neighbors reached through degree<=16 pivots, J = cn / "
+    "(deg_a + deg_b − cn) — the normalized companion to "
+    "graph_common_neighbor_scores (raw counts favor high-degree "
+    "nodes; Jaccard asks what FRACTION of the union neighborhood is "
+    "shared) and graph_adamic_adar (which re-weights by pivot "
+    "rarity). Degrees are the FULL adjacency degrees (one groupBy); "
+    "only the wedge enumeration pivots through capped-degree nodes "
+    "(super-node exclusion — an uncapped pivot of degree d "
+    "contributes d²/2 wedges), the same documented relaxation as "
+    "the AA/CN queries. Scale shape identical: edge list built once "
+    "(banded LSH, localCheckpoint'ed), one self-equi-join through "
+    "low-degree pivots, adjacency removed by anti-join, degree "
+    "lookups via two broadcast-able joins on the bounded degree "
+    "table.",
+)
+def q_graph_jaccard_link_scores(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    pairs = (
+        lsh_candidate_pairs(
+            lsh_band_keys(
+                minhash_signatures(table(spark, sf, "documents")),
+                rows_per_band=1,
+            )
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    und = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    deg = deg.localCheckpoint(eager=True)  # bounded; feeds cap + 2 lookups
+    low = deg.filter(F.col("deg") <= 16).select(F.col("u").alias("w"))
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("w")).join(low, "w")
+    e2 = und.select(F.col("u").alias("w"), F.col("v").alias("b")).join(low, "w")
+    wedges = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    cand = wedges.join(
+        pairs,
+        (wedges["a"] == pairs["doc_a"]) & (wedges["b"] == pairs["doc_b"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("cn")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard_score"),
+        )
+    )
+
+
+def _jaccard_link_oracle() -> str:
+    from annotations_ingester_spark.plans.queries_scale import SIG_CTE
+
+    return f"""WITH {SIG_CTE},
+       band AS (
+         SELECT doc_id, seed AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+       und AS (
+         SELECT doc_a AS u, doc_b AS v FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
+       deg AS (SELECT u, count(*)::BIGINT AS deg FROM und GROUP BY u),
+       low AS (SELECT u AS w FROM deg WHERE deg <= 16),
+       wedges AS (
+         SELECT e1.u AS a, e2.v AS b, count(*)::BIGINT AS cn
+         FROM und e1 JOIN low l1 ON l1.w = e1.v
+              JOIN und e2 ON e1.v = e2.u
+         WHERE e1.u < e2.v GROUP BY 1, 2
+         HAVING count(*) >= 2),
+       cand AS (
+         SELECT w.* FROM wedges w
+         WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                           WHERE p.doc_a = w.a AND p.doc_b = w.b))
+       SELECT c.a AS doc_a, c.b AS doc_b, c.cn,
+              da.deg AS deg_a, db.deg AS deg_b,
+              round(c.cn / (da.deg + db.deg - c.cn)::DOUBLE, 6)
+                AS jaccard_score
+       FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b"""
+
+
+_REG["graph_jaccard_link_scores"].oracle = _jaccard_link_oracle()

@@ -1885,3 +1885,75 @@ def q_corpus_cross_source_overlap(spark: SparkSession, sf: str):
             ).alias("key_jaccard"),
         )
     )
+
+
+# --- round-11: sentence-length distribution -------------------------------------
+
+_SHORT_SENT_TOKENS = 4  # sentences below this are list/boilerplate suspects
+
+
+@register(
+    "text_sentence_stats",
+    f"""WITH d AS (
+         SELECT doc_id,
+                list_transform(
+                  list_filter(regexp_split_to_array(text, '[.!?]+'),
+                              s -> trim(s) <> ''),
+                  s -> len(list_filter(regexp_split_to_array(lower(s),
+                         '[^a-z0-9]+'), x -> x <> ''))::BIGINT) AS sl
+         FROM documents WHERE text IS NOT NULL),
+       f AS (SELECT doc_id, sl FROM d WHERE len(sl) >= 1)
+       SELECT doc_id, len(sl)::BIGINT AS n_sentences,
+              list_sum(sl)::BIGINT AS total_tokens,
+              round(list_sum(sl) * 1.0 / len(sl), 4) AS mean_sentence_tokens,
+              list_max(sl)::BIGINT AS max_sentence_tokens,
+              round(len(list_filter(sl, x -> x < {_SHORT_SENT_TOKENS}))
+                    * 1.0 / len(sl), 6) AS short_sentence_share
+       FROM f""",
+    doc="Per-document sentence-length distribution: split on terminal "
+    "punctuation (the text_readability_fk convention), tokenize each "
+    "sentence with the shared tokenizer, and report count, total/mean/"
+    "max tokens per sentence, and the share of sentences under 4 "
+    "tokens — the list/boilerplate/navigation-crumb detector that "
+    "complements FK readability (which only sees the MEAN rate) and "
+    "the Gopher flags (which see the doc, not its sentences): a "
+    "scraped nav page scores a high short-sentence share long before "
+    "its mean length looks wrong. Scale shape: a single narrow "
+    "scan-fused projection — sentence arrays never leave their row, "
+    "no explode, no shuffle at all.",
+)
+def q_text_sentence_stats(spark: SparkSession, sf: str):
+    sent_tokens = lambda s: F.size(  # noqa: E731
+        F.filter(
+            F.split(F.lower(s), "[^a-z0-9]+", -1), lambda x: x != F.lit("")
+        )
+    ).cast("long")
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.transform(
+                F.filter(
+                    F.split(F.col("text"), r"[.!?]+", -1),
+                    lambda s: F.trim(s) != F.lit(""),
+                ),
+                sent_tokens,
+            ).alias("sl"),
+        )
+        .filter(F.size("sl") >= 1)
+    )
+    total = F.aggregate(
+        "sl", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n_short = F.size(
+        F.filter("sl", lambda x: x < F.lit(_SHORT_SENT_TOKENS))
+    )
+    return d.select(
+        "doc_id",
+        F.size("sl").cast("long").alias("n_sentences"),
+        total.alias("total_tokens"),
+        F.round(total * 1.0 / F.size("sl"), 4).alias("mean_sentence_tokens"),
+        F.array_max("sl").cast("long").alias("max_sentence_tokens"),
+        F.round(n_short * 1.0 / F.size("sl"), 6).alias("short_sentence_share"),
+    )

@@ -2746,3 +2746,330 @@ def q_eval_sliced_calibration(spark: SparkSession, sf: str):
         disp.alias("ece_disparity_bp"),
         (disp > 100.0).alias("disparate_slices"),
     )
+
+
+# --- round-11 additions --------------------------------------------------------
+
+_FLEISS_RATERS = 3
+_FLEISS_CATS = 4
+
+
+@register(
+    "eval_fleiss_kappa",
+    f"""WITH r AS (SELECT unnest(range({_FLEISS_RATERS})) AS rater),
+       h AS (
+         SELECT d.doc_id, r.rater,
+                ('0x' || substr(md5(d.doc_id::VARCHAR || ':' ||
+                                    r.rater::VARCHAR), 1, 15))::BIGINT AS hv
+         FROM documents d CROSS JOIN r),
+       lab AS (
+         SELECT doc_id, rater,
+                CASE WHEN hv % 5 > 0 THEN doc_id % {_FLEISS_CATS}
+                     ELSE (hv // 5) % {_FLEISS_CATS} END AS cat
+         FROM h),
+       cell AS (SELECT doc_id, cat, count(*)::DOUBLE AS nij
+                FROM lab GROUP BY doc_id, cat),
+       pi AS (SELECT doc_id,
+                     (sum(nij * nij) - {_FLEISS_RATERS})
+                       / ({_FLEISS_RATERS} * ({_FLEISS_RATERS} - 1.0)) AS p_i
+              FROM cell GROUP BY doc_id),
+       pj AS (SELECT cat, sum(nij) AS nj FROM cell GROUP BY cat),
+       tot AS (SELECT count(*)::BIGINT AS n_items FROM pi),
+       pbar AS (SELECT avg(p_i) AS p_bar FROM pi),
+       pe AS (SELECT sum(pow(nj / (t.n_items * {_FLEISS_RATERS}.0), 2)) AS p_e
+              FROM pj CROSS JOIN tot t)
+       SELECT t.n_items, {_FLEISS_RATERS}::BIGINT AS n_raters,
+              round(pb.p_bar, 6) AS p_observed,
+              round(pe.p_e, 6) AS p_expected,
+              round((pb.p_bar - pe.p_e) / (1 - pe.p_e), 6) AS fleiss_kappa
+       FROM tot t CROSS JOIN pbar pb CROSS JOIN pe""",
+    doc="Fleiss' kappa for multi-rater categorical agreement — the "
+    "n-raters generalization completing the agreement triad with "
+    "eval_cohens_kappa (2 raters) and eval_weighted_kappa (ordinal "
+    "penalties): per-item agreement P_i = (Σ n_ij² − n)/(n(n−1)), "
+    "chance agreement P_e = Σ p_j², κ = (P̄−P_e)/(1−P_e). Three "
+    "deterministic synthetic raters label every document (md5-hash "
+    "ratings biased 80% toward the doc's own class, so agreement is "
+    "high but imperfect — the realistic annotation-QA regime). Scale "
+    "shape: the rater dimension is a constant-3 broadcast cross, "
+    "then two map-side-combinable groupBys (items×cats, cats) and "
+    "constant-size arithmetic; no window, no data-sized join.",
+)
+def q_eval_fleiss_kappa(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    raters = spark.range(_FLEISS_RATERS).select(F.col("id").alias("rater"))
+    lab = (
+        table(spark, sf, "documents")
+        .select("doc_id")
+        .crossJoin(F.broadcast(raters))
+        .select(
+            "doc_id",
+            "rater",
+            md5_hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("rater").cast("string"),
+                )
+            ).alias("hv"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("hv") % 5 > 0, F.col("doc_id") % _FLEISS_CATS
+            )
+            .otherwise(F.expr(f"(hv DIV 5) % {_FLEISS_CATS}"))
+            .alias("cat"),
+        )
+    )
+    cell = lab.groupBy("doc_id", "cat").agg(
+        F.count("*").cast("double").alias("nij")
+    )
+    pi = cell.groupBy("doc_id").agg(
+        (
+            (F.sum(F.col("nij") * F.col("nij")) - _FLEISS_RATERS)
+            / (_FLEISS_RATERS * (_FLEISS_RATERS - 1.0))
+        ).alias("p_i")
+    )
+    pi = pi.localCheckpoint(eager=True)  # feeds count + mean
+    pj = cell.groupBy("cat").agg(F.sum("nij").alias("nj"))
+    tot = pi.agg(F.count("*").cast("long").alias("n_items"))
+    pbar = pi.agg(F.avg("p_i").alias("p_bar"))
+    pe = pj.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.pow(F.col("nj") / (F.col("n_items") * float(_FLEISS_RATERS)), 2)
+        ).alias("p_e")
+    )
+    return (
+        tot.crossJoin(F.broadcast(pbar))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            "n_items",
+            F.lit(_FLEISS_RATERS).cast("long").alias("n_raters"),
+            F.round(F.col("p_bar"), 6).alias("p_observed"),
+            F.round(F.col("p_e"), 6).alias("p_expected"),
+            F.round(
+                (F.col("p_bar") - F.col("p_e")) / (1 - F.col("p_e")), 6
+            ).alias("fleiss_kappa"),
+        )
+    )
+
+
+_RBO_P = 0.9
+_RBO_K = 10
+
+
+@register(
+    "eval_rank_biased_overlap",
+    f"""WITH b AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       q0 AS (SELECT vec_id AS q_id, e AS qe FROM b
+              WHERE vec_id % 101 = 0 AND vec_id < 2000),
+       sc AS (SELECT q.q_id, c.vec_id,
+                     round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                                * sqrt(list_dot_product(c.e, c.e)) > 0
+                           THEN list_dot_product(q.qe, c.e)
+                                / (sqrt(list_dot_product(q.qe, q.qe))
+                                   * sqrt(list_dot_product(c.e, c.e)))
+                           ELSE 0.0 END, 6) AS cos
+              FROM b c, q0 q WHERE c.vec_id <> q.q_id),
+       truth AS (SELECT q_id, vec_id, rn FROM (
+                   SELECT q_id, vec_id,
+                          row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cos DESC, vec_id) AS rn
+                   FROM sc) WHERE rn <= {_RBO_K}),
+       bk AS (SELECT vec_id, e, {_SB} AS bucket FROM b),
+       qb AS (SELECT k.vec_id AS q_id, k.e AS qe, k.bucket FROM bk k
+              WHERE k.vec_id % 101 = 0 AND k.vec_id < 2000),
+       cand AS (SELECT q.q_id, c.vec_id,
+                       round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                                  * sqrt(list_dot_product(c.e, c.e)) > 0
+                             THEN list_dot_product(q.qe, c.e)
+                                  / (sqrt(list_dot_product(q.qe, q.qe))
+                                     * sqrt(list_dot_product(c.e, c.e)))
+                             ELSE 0.0 END, 6) AS cos
+                FROM bk c JOIN qb q ON c.bucket = q.bucket
+                WHERE c.vec_id <> q.q_id),
+       pred AS (SELECT q_id, vec_id, rn FROM (
+                  SELECT q_id, vec_id,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY cos DESC, vec_id) AS rn
+                  FROM cand) WHERE rn <= {_RBO_K}),
+       m AS (SELECT p.q_id, greatest(p.rn, t.rn) AS mr
+             FROM pred p JOIN truth t
+               ON t.q_id = p.q_id AND t.vec_id = p.vec_id),
+       depth AS (SELECT unnest(range(1, {_RBO_K} + 1)) AS d),
+       xd AS (SELECT q.q_id, depth.d,
+                     (SELECT count(*) FROM m
+                      WHERE m.q_id = q.q_id AND m.mr <= depth.d)::DOUBLE AS x
+              FROM q0 q CROSS JOIN depth),
+       rq AS (SELECT q_id,
+                     sum(round((1 - {_RBO_P}) * pow({_RBO_P}, d - 1) * x / d,
+                               9)::DECIMAL(20,9)) AS rbo_mass
+              FROM xd GROUP BY q_id),
+       nq AS (SELECT count(*)::BIGINT AS n_queries FROM q0)
+       SELECT nq.n_queries,
+              round(CAST(sum(rq.rbo_mass) AS DOUBLE) / nq.n_queries, 6)
+                AS mean_rbo_at_10
+       FROM rq CROSS JOIN nq GROUP BY nq.n_queries""",
+    doc="Rank-biased overlap (Webber et al.) between the exact "
+    "brute-force cosine ranking and the sign-bucketed ANN ranking, "
+    "truncated at k=10 with persistence p=0.9: RBO = (1−p)·Σ_d "
+    "p^(d−1)·|A_:d ∩ B_:d|/d — the top-weighted rank-similarity "
+    "metric that, unlike recall@k/MAP/NDCG (which score against a "
+    "relevance set), compares the two RANKINGS directly and "
+    "penalizes disagreement more the nearer it is to rank 1. "
+    "Per-depth overlap comes from matched pairs' max(rank_a, "
+    "rank_b) <= d, so no prefix materialization; per-depth terms "
+    "round to 9 dp and sum as DECIMAL. Scale shape: the certified "
+    "ANN shapes (ABSOLUTE-size query batch, bucket equi-join "
+    "candidates), one rank join, a constant 10-row depth dimension.",
+)
+def q_eval_rank_biased_overlap(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.similarity import (
+        brute_force_topk,
+        bucketed_topk,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    qs = emb.filter(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
+    ).localCheckpoint(eager=True)
+    nq = qs.agg(F.count("*").cast("long").alias("n_queries"))
+    truth = brute_force_topk(emb, qs, k=_RBO_K).select(
+        "q_id", "vec_id", F.col("rank").alias("rt")
+    )
+    pred = bucketed_topk(emb, qs, k=_RBO_K, n_bits=8).select(
+        "q_id", "vec_id", F.col("rank").alias("rp")
+    )
+    m = pred.join(truth, ["q_id", "vec_id"]).select(
+        "q_id", F.greatest("rp", "rt").alias("mr")
+    )
+    depth = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    xd = (
+        qs.select("vec_id")
+        .withColumnRenamed("vec_id", "q_id")
+        .crossJoin(F.broadcast(depth))
+        .join(m, "q_id", "left")
+        .groupBy("q_id", "d")
+        .agg(
+            F.sum(
+                F.when(F.col("mr").isNotNull() & (F.col("mr") <= F.col("d")), 1)
+                .otherwise(0)
+            )
+            .cast("double")
+            .alias("x")
+        )
+    )
+    rq = xd.groupBy("q_id").agg(
+        F.sum(
+            F.round(
+                (1 - _RBO_P)
+                * F.pow(F.lit(_RBO_P), F.col("d") - 1)
+                * F.col("x")
+                / F.col("d"),
+                9,
+            ).cast("decimal(20,9)")
+        ).alias("rbo_mass")
+    )
+    return (
+        rq.crossJoin(F.broadcast(nq))
+        .groupBy("n_queries")
+        .agg(
+            F.round(
+                F.sum("rbo_mass").cast("double") / F.col("n_queries"), 6
+            ).alias("mean_rbo_at_10")
+        )
+        .select("n_queries", "mean_rbo_at_10")
+    )
+
+
+_MASE_SEASON = 7
+_MASE_HORIZON = 7
+
+
+@register(
+    "eval_forecast_mase",
+    f"""WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
+       d AS (SELECT day, sum(cents)::BIGINT AS x FROM e GROUP BY day),
+       lagd AS (SELECT day, x,
+                       lag(x, {_MASE_SEASON}) OVER (ORDER BY day) AS xs
+                FROM d),
+       cut AS (SELECT max(day) - {_MASE_HORIZON} AS c FROM d),
+       tr AS (SELECT abs(x - xs)::DOUBLE AS ae FROM lagd CROSS JOIN cut
+              WHERE xs IS NOT NULL AND day <= c),
+       te AS (SELECT abs(x - xs)::DOUBLE AS ae,
+                     abs(x - xs)::DOUBLE
+                       / nullif((abs(x) + abs(xs)) / 2.0, 0) AS sm
+              FROM lagd CROSS JOIN cut
+              WHERE xs IS NOT NULL AND day > c),
+       s AS (SELECT (SELECT count(*) FROM tr)::BIGINT AS n_train,
+                    (SELECT count(*) FROM te)::BIGINT AS n_test,
+                    (SELECT avg(ae) FROM tr) AS mae_insample,
+                    (SELECT avg(ae) FROM te) AS mae_test,
+                    (SELECT avg(sm) FROM te) AS smape_frac)
+       SELECT n_train, n_test,
+              round(mae_insample, 4) AS mae_insample_naive,
+              round(mae_test, 4) AS mae_test,
+              round(mae_test / mae_insample, 6) AS mase,
+              round(100 * smape_frac, 4) AS smape_pct,
+              round(mae_test / mae_insample, 6) < 1.0
+                AS beats_naive_insample
+       FROM s""",
+    doc="Forecast-accuracy audit with MASE (Hyndman-Koehler) and sMAPE "
+    "for the seasonal-naive forecast (x̂_t = x_(t−7)) of daily "
+    "revenue: the last 7 days are the test horizon, MASE = test MAE "
+    "/ in-sample seasonal-naive MAE — the scale-free forecast metric "
+    "that (unlike MAPE) survives zero/near-zero days and compares "
+    "across series; eval_pinball_loss covers quantile forecasts, "
+    "this covers point forecasts. Scale shape: one map-side-"
+    "combinable rollup to the bounded day table, one lag window "
+    "over it, constant-size aggregates; no join touches raw events "
+    "twice.",
+)
+def q_eval_forecast_mase(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.plans.catalog import events_table
+
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = e.groupBy("day").agg(F.sum("cents").cast("long").alias("x"))
+    d = d.localCheckpoint(eager=True)  # bounded day table; feeds lag + max
+    w = Window.orderBy("day")
+    lagd = d.select(
+        "day", "x", F.lag("x", _MASE_SEASON).over(w).alias("xs")
+    )
+    cut = d.agg((F.max("day") - _MASE_HORIZON).alias("c"))
+    both = lagd.crossJoin(F.broadcast(cut)).filter(F.col("xs").isNotNull())
+    ae = F.abs(F.col("x") - F.col("xs")).cast("double")
+    tr = both.filter(F.col("day") <= F.col("c")).agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.avg(ae).alias("mae_insample"),
+    )
+    te = both.filter(F.col("day") > F.col("c")).agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.avg(ae).alias("mae_test"),
+        F.avg(
+            ae
+            / F.nullif(
+                (F.abs(F.col("x")) + F.abs(F.col("xs"))) / 2.0, F.lit(0.0)
+            )
+        ).alias("smape_frac"),
+    )
+    mase = F.round(F.col("mae_test") / F.col("mae_insample"), 6)
+    return tr.crossJoin(F.broadcast(te)).select(
+        "n_train",
+        "n_test",
+        F.round(F.col("mae_insample"), 4).alias("mae_insample_naive"),
+        F.round(F.col("mae_test"), 4).alias("mae_test"),
+        mase.alias("mase"),
+        F.round(100 * F.col("smape_frac"), 4).alias("smape_pct"),
+        (mase < 1.0).alias("beats_naive_insample"),
+    )

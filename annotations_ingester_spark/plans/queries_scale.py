@@ -2895,3 +2895,67 @@ def q_media_image_entropy(spark: SparkSession, sf: str):
         ent.alias("entropy_bits"),
         (ent < F.lit(_IMG_ENTROPY_FLAT)).alias("near_blank"),
     )
+
+
+@register(
+    "media_audio_snr",
+    """WITH s AS (
+         SELECT doc_id AS media_id, unnest(range(0, 256)) AS i
+         FROM documents),
+       v AS (
+         SELECT media_id, (i // 64)::BIGINT AS frame_idx,
+                ((media_id * 31 + i * 17) % 4096) - 2048 AS smp
+         FROM s),
+       fe AS (SELECT media_id, frame_idx,
+                     sum(smp * smp)::BIGINT AS energy
+              FROM v GROUP BY media_id, frame_idx),
+       agg AS (SELECT media_id, count(*)::BIGINT AS n_frames,
+                      max(energy)::BIGINT AS peak_energy,
+                      min(energy)::BIGINT AS floor_energy
+               FROM fe GROUP BY media_id)
+       SELECT media_id, n_frames, peak_energy, floor_energy,
+              CASE WHEN floor_energy > 0
+                   THEN round(10 * log10(peak_energy::DOUBLE / floor_energy),
+                              4) END AS snr_db
+       FROM agg""",
+    doc="CONTENT-level signal-to-noise estimate per audio blob: parse "
+    "the real WAV container, frame the PCM stream (64-sample frames), "
+    "and report peak vs floor frame energy plus the dynamic-range "
+    "proxy 10·log10(peak/floor) dB — the quick audio-quality gate a "
+    "speech-corpus ingest runs before expensive ASR (a near-zero "
+    "dynamic range means silence or tone; NULL snr for an all-zero "
+    "floor frame). Composes the certified audio_frame_energy content "
+    "path (stdlib wave parse inside the blob's partition, PCM bytes "
+    "never shuffle) with one map-side-combinable per-blob aggregate; "
+    "energies stay exact integers, only the final dB is rounded "
+    "(multimodal/media.py audio_frame_energy).",
+)
+def q_media_audio_snr(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.multimodal.media import (
+        audio_frame_energy,
+        synth_wav_images,
+    )
+
+    docs = table(spark, sf, "documents").select(F.col("doc_id").alias("media_id"))
+    fe = audio_frame_energy(synth_wav_images(docs), frame_samples=64)
+    agg = fe.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.max("energy").cast("long").alias("peak_energy"),
+        F.min("energy").cast("long").alias("floor_energy"),
+    )
+    return agg.select(
+        "media_id",
+        "n_frames",
+        "peak_energy",
+        "floor_energy",
+        F.when(
+            F.col("floor_energy") > 0,
+            F.round(
+                10
+                * F.log10(
+                    F.col("peak_energy").cast("double") / F.col("floor_energy")
+                ),
+                4,
+            ),
+        ).alias("snr_db"),
+    )

@@ -7779,3 +7779,299 @@ def q_stats_cusum_variance(spark: SparkSession, sf: str):
             (ks > 1.36).alias("variance_shift_detected"),
         )
     )
+
+
+# --- round-11 additions --------------------------------------------------------
+
+
+@register(
+    "stats_g_test",
+    """WITH e AS (
+         SELECT ((floor(epoch(ts))::BIGINT // 86400) % 7)::BIGINT AS dow,
+                event_type
+         FROM events),
+       obs AS (SELECT dow, event_type, count(*)::DOUBLE AS o
+               FROM e GROUP BY dow, event_type),
+       rt AS (SELECT dow, sum(o) AS rl FROM obs GROUP BY dow),
+       ct AS (SELECT event_type, sum(o) AS cl FROM obs GROUP BY event_type),
+       n AS (SELECT sum(o) AS n FROM obs),
+       cells AS (
+         SELECT round(2.0 * o * ln(o / (rl * cl / n.n)), 9)
+                  ::DECIMAL(20,9) AS term
+         FROM obs JOIN rt USING (dow) JOIN ct USING (event_type)
+              CROSS JOIN n),
+       dims AS (
+         SELECT (SELECT count(*) FROM rt) AS nr,
+                (SELECT count(*) FROM ct) AS nc)
+       SELECT round(CAST(sum(term) AS DOUBLE), 6) AS g_stat,
+              ((SELECT nr FROM dims) - 1) * ((SELECT nc FROM dims) - 1)
+                AS dof,
+              count(*)::BIGINT AS n_cells
+       FROM cells""",
+    doc="G-test (log-likelihood ratio) of independence over the "
+    "day-of-week × event_type contingency table: G = 2·Σ O·ln(O/E), "
+    "E = rl·cl/N — the information-theoretic twin of "
+    "stats_chi_square_independence (G is 2N·MI(nats) between the "
+    "margins, additive across partitions of the table, and "
+    "preferable when any O/E is far from 1 where Pearson's "
+    "quadratic approximation degrades). Observed cells only (O=0 "
+    "contributes 0 by the x·ln x limit); per-cell terms rounded to "
+    "9 dp and summed as DECIMAL(20,9) (order-free parity). Scale "
+    "shape: identical to the chi-square — one map-side-combinable "
+    "groupBy builds the 7×|types| table; everything after is "
+    "aggregates of a constant-size frame.",
+)
+def q_stats_g_test(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        F.expr("CAST((ts_s DIV 86400) % 7 AS BIGINT)").alias("dow"),
+        "event_type",
+    )
+    obs = e.groupBy("dow", "event_type").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    rt = obs.groupBy("dow").agg(F.sum("o").alias("rl"))
+    ct = obs.groupBy("event_type").agg(F.sum("o").alias("cl"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "dow")
+        .join(F.broadcast(ct), "event_type")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                2.0
+                * F.col("o")
+                * F.log(F.col("o") / (F.col("rl") * F.col("cl") / F.col("n"))),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("term")
+        )
+    )
+    dims = rt.agg(F.count("*").alias("nr")).crossJoin(
+        F.broadcast(ct.agg(F.count("*").alias("nc")))
+    )
+    return (
+        cells.agg(
+            F.round(F.sum("term").cast("double"), 6).alias("g_stat"),
+            F.count("*").cast("long").alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "g_stat",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            "n_cells",
+        )
+    )
+
+
+@register(
+    "stats_mantel_haenszel",
+    """WITH c AS (
+         SELECT n.n_regionkey AS stratum,
+                CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                  AS exposed,
+                CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END AS outcome
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+       cells AS (
+         SELECT stratum,
+                sum(CASE WHEN exposed = 1 AND outcome = 1 THEN 1 ELSE 0 END)
+                  ::DOUBLE AS a,
+                sum(CASE WHEN exposed = 1 AND outcome = 0 THEN 1 ELSE 0 END)
+                  ::DOUBLE AS b,
+                sum(CASE WHEN exposed = 0 AND outcome = 1 THEN 1 ELSE 0 END)
+                  ::DOUBLE AS cc,
+                sum(CASE WHEN exposed = 0 AND outcome = 0 THEN 1 ELSE 0 END)
+                  ::DOUBLE AS d
+         FROM c GROUP BY stratum),
+       t AS (SELECT stratum, a, b, cc, d, a + b + cc + d AS n,
+                    a + b AS r1, cc + d AS r2, a + cc AS c1, b + d AS c2
+             FROM cells),
+       s AS (SELECT sum(a * d / n) AS srn, sum(b * cc / n) AS ssn,
+                    sum(a) AS sa, sum(r1 * c1 / n) AS se,
+                    sum(r1 * r2 * c1 * c2 / (n * n * (n - 1))) AS sv,
+                    count(*)::BIGINT AS n_strata
+             FROM t)
+       SELECT n_strata,
+              round(srn / ssn, 6) AS mh_odds_ratio,
+              round(pow(abs(sa - se) - 0.5, 2) / sv, 6) AS cmh_stat,
+              round(pow(abs(sa - se) - 0.5, 2) / sv, 6) > 3.841
+                AS association_detected
+       FROM s""",
+    doc="Mantel-Haenszel stratified 2×2 analysis over customers: "
+    "stratum = region, exposure = BUILDING market segment, outcome = "
+    "positive account balance. Reports the MH common odds ratio "
+    "Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) and the continuity-corrected "
+    "Cochran-Mantel-Haenszel statistic (|Σa − ΣE|−½)²/ΣV with "
+    "hypergeometric variance — THE tool for 'is the association "
+    "real once a confounder is stratified out', which a flat "
+    "chi-square cannot answer (Simpson's paradox). Scale shape: one "
+    "broadcast join to nation, one map-side-combinable groupBy to a "
+    "5-row stratum table, then constant-size arithmetic — identical "
+    "at any sf.",
+)
+def q_stats_mantel_haenszel(spark: SparkSession, sf: str):
+    cust = table(spark, sf, "customer")
+    nat = table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    c = cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]).select(
+        F.col("n_regionkey").alias("stratum"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("exposed"),
+        F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("outcome"),
+    )
+    cells = c.groupBy("stratum").agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("cc"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("d"),
+    )
+    t = cells.select(
+        "stratum",
+        "a",
+        "b",
+        "cc",
+        "d",
+        (F.col("a") + F.col("b") + F.col("cc") + F.col("d")).alias("n"),
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("cc") + F.col("d")).alias("r2"),
+        (F.col("a") + F.col("cc")).alias("c1"),
+        (F.col("b") + F.col("d")).alias("c2"),
+    )
+    s = t.agg(
+        F.sum(F.col("a") * F.col("d") / F.col("n")).alias("srn"),
+        F.sum(F.col("b") * F.col("cc") / F.col("n")).alias("ssn"),
+        F.sum("a").alias("sa"),
+        F.sum(F.col("r1") * F.col("c1") / F.col("n")).alias("se"),
+        F.sum(
+            F.col("r1")
+            * F.col("r2")
+            * F.col("c1")
+            * F.col("c2")
+            / (F.col("n") * F.col("n") * (F.col("n") - 1))
+        ).alias("sv"),
+        F.count("*").cast("long").alias("n_strata"),
+    )
+    cmh = F.round(
+        F.pow(F.abs(F.col("sa") - F.col("se")) - 0.5, 2) / F.col("sv"), 6
+    )
+    return s.select(
+        "n_strata",
+        F.round(F.col("srn") / F.col("ssn"), 6).alias("mh_odds_ratio"),
+        cmh.alias("cmh_stat"),
+        (cmh > 3.841).alias("association_detected"),
+    )
+
+
+@register(
+    "stats_chow_test",
+    f"""WITH {DAILY_CENTS_CTE},
+       bounds AS (SELECT min(day) AS d0,
+                         (min(day) + (max(day) - min(day)) // 2) AS brk
+                  FROM d),
+       pts AS (SELECT (day - d0)::DOUBLE AS x, d.x::DOUBLE AS y,
+                      CASE WHEN day <= brk THEN 0 ELSE 1 END AS seg
+               FROM d CROSS JOIN bounds),
+       fit AS (
+         SELECT seg, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+         FROM pts GROUP BY seg),
+       ssr AS (
+         SELECT seg, n,
+                syy - sy * sy / n
+                  - pow(sxy - sx * sy / n, 2) / (sxx - sx * sx / n) AS rss
+         FROM fit),
+       pool AS (
+         SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+         FROM pts),
+       poolr AS (
+         SELECT n,
+                syy - sy * sy / n
+                  - pow(sxy - sx * sy / n, 2) / (sxx - sx * sx / n) AS rss
+         FROM pool),
+       agg AS (SELECT sum(rss) AS rss_u, sum(n) AS n_tot,
+                      count(*)::BIGINT AS n_segs
+               FROM ssr)
+       SELECT (SELECT brk FROM bounds)::BIGINT AS break_day,
+              n_tot::BIGINT AS n_days,
+              round((SELECT rss FROM poolr), 4) AS rss_pooled,
+              round(rss_u, 4) AS rss_unrestricted,
+              round(((SELECT rss FROM poolr) - rss_u) / 2
+                    / (rss_u / (n_tot - 4)), 6) AS f_stat,
+              round(((SELECT rss FROM poolr) - rss_u) / 2
+                    / (rss_u / (n_tot - 4)), 6) > 3.0
+                AS structural_break
+       FROM agg""",
+    doc="Chow structural-break test on the daily-revenue linear trend: "
+    "fit y = a + b·x separately on the two halves (break at the "
+    "midpoint day) and pooled, F = ((RSS_p − RSS₁ − RSS₂)/k) / "
+    "((RSS₁+RSS₂)/(n − 2k)) with k = 2 parameters — the standard "
+    "'did the regime change' audit for a pipeline's throughput/"
+    "revenue trend line. Closed-form OLS via sufficient statistics "
+    "(Σx, Σy, Σxx, Σxy, Σyy per segment), so the whole test is one "
+    "map-side-combinable rollup to days, one 2-row groupBy, and "
+    "constant-size arithmetic; no window, no join, no iteration.",
+)
+def q_stats_chow_test(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = e.groupBy("day").agg(F.sum("cents").cast("long").alias("x"))
+    bounds = d.agg(
+        F.min("day").alias("d0"),
+        (F.min("day") + ((F.max("day") - F.min("day")) / 2).cast("long")).alias(
+            "brk"
+        ),
+    )
+    pts = d.crossJoin(F.broadcast(bounds)).select(
+        (F.col("day") - F.col("d0")).cast("double").alias("x"),
+        d["x"].cast("double").alias("y"),  # d.x = daily revenue cents
+        F.when(F.col("day") <= F.col("brk"), 0).otherwise(1).alias("seg"),
+    )
+
+    def suff(gdf, keys):
+        return gdf.agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+
+    rss_expr = (
+        F.col("syy")
+        - F.col("sy") * F.col("sy") / F.col("n")
+        - F.pow(F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"), 2)
+        / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+    )
+    ssr = suff(pts.groupBy("seg"), ["seg"]).select("n", rss_expr.alias("rss"))
+    poolr = suff(pts.groupBy(), []).select(rss_expr.alias("rss"))
+    agg = ssr.agg(
+        F.sum("rss").alias("rss_u"), F.sum("n").alias("n_tot")
+    )
+    f_stat = F.round(
+        (F.col("rss_p") - F.col("rss_u"))
+        / 2
+        / (F.col("rss_u") / (F.col("n_tot") - 4)),
+        6,
+    )
+    return (
+        agg.crossJoin(F.broadcast(poolr.select(F.col("rss").alias("rss_p"))))
+        .crossJoin(F.broadcast(bounds.select(F.col("brk").alias("break_day"))))
+        .select(
+            F.col("break_day").cast("long"),
+            F.col("n_tot").cast("long").alias("n_days"),
+            F.round(F.col("rss_p"), 4).alias("rss_pooled"),
+            F.round(F.col("rss_u"), 4).alias("rss_unrestricted"),
+            f_stat.alias("f_stat"),
+            (f_stat > 3.0).alias("structural_break"),
+        )
+    )

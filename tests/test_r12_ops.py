@@ -342,3 +342,308 @@ def test_substring_bpe_k50_matches_python(spark):
     }
     assert got == expected
     assert expected  # teeth: sf0.001 must actually contain >=50-token clones
+
+
+def test_g_test_matches_python(spark):
+    import math
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT ((floor(epoch(ts))::BIGINT // 86400) % 7)::BIGINT,
+                   event_type, count(*)
+            FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    n = sum(c for _, _, c in rows)
+    rl: dict[int, int] = {}
+    cl: dict[str, int] = {}
+    for dow, et, c in rows:
+        rl[dow] = rl.get(dow, 0) + c
+        cl[et] = cl.get(et, 0) + c
+    from decimal import Decimal
+
+    g = sum(
+        Decimal(str(round(2.0 * c * math.log(c / (rl[dow] * cl[et] / n)), 9)))
+        for dow, et, c in rows
+    )
+    r = REGISTRY["stats_g_test"].spark(spark, SF).collect()[0]
+    assert r.g_stat == pytest.approx(float(g), abs=2e-6)
+    assert r.dof == (len(rl) - 1) * (len(cl) - 1)
+    assert r.n_cells == len(rows)
+
+
+def test_mantel_haenszel_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT n.n_regionkey,
+                   CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END,
+                   CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END, count(*)
+            FROM '{SF}/customer.parquet' c
+            JOIN '{SF}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2, 3"""
+    ).fetchall()
+    strata: dict[int, dict[tuple[int, int], float]] = {}
+    for s, e, o, c in rows:
+        strata.setdefault(s, {})[(e, o)] = float(c)
+    srn = ssn = sa = se = sv = 0.0
+    for cells in strata.values():
+        a = cells.get((1, 1), 0.0)
+        b = cells.get((1, 0), 0.0)
+        cc = cells.get((0, 1), 0.0)
+        d = cells.get((0, 0), 0.0)
+        n = a + b + cc + d
+        r1, r2, c1, c2 = a + b, cc + d, a + cc, b + d
+        srn += a * d / n
+        ssn += b * cc / n
+        sa += a
+        se += r1 * c1 / n
+        sv += r1 * r2 * c1 * c2 / (n * n * (n - 1))
+    cmh = (abs(sa - se) - 0.5) ** 2 / sv
+    r = REGISTRY["stats_mantel_haenszel"].spark(spark, SF).collect()[0]
+    assert r.n_strata == len(strata)
+    assert r.mh_odds_ratio == pytest.approx(srn / ssn, abs=2e-6)
+    assert r.cmh_stat == pytest.approx(cmh, abs=2e-6)
+    assert r.association_detected == (round(cmh, 6) > 3.841)
+
+
+def test_chow_test_matches_python(spark):
+    import duckdb
+
+    days = dict(
+        duckdb.sql(
+            f"""SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT,
+                       sum(round(value * 100)::BIGINT)
+                FROM '{SF}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    d0, dmax = min(days), max(days)
+    brk = d0 + (dmax - d0) // 2
+
+    def rss(pts):
+        n = float(len(pts))
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        syy = sum(y * y for _, y in pts)
+        return (syy - sy * sy / n) - (sxy - sx * sy / n) ** 2 / (sxx - sx * sx / n)
+
+    pts = [(float(day - d0), float(v)) for day, v in days.items()]
+    seg1 = [(x, y) for (x, y), day in zip(pts, days) if day <= brk]
+    seg2 = [(x, y) for (x, y), day in zip(pts, days) if day > brk]
+    rss_u = rss(seg1) + rss(seg2)
+    rss_p = rss(pts)
+    n_tot = len(pts)
+    f = (rss_p - rss_u) / 2 / (rss_u / (n_tot - 4))
+    r = REGISTRY["stats_chow_test"].spark(spark, SF).collect()[0]
+    assert (r.break_day, r.n_days) == (brk, n_tot)
+    assert r.f_stat == pytest.approx(f, abs=1e-4)
+    assert r.structural_break == (round(f, 6) > 3.0)
+
+
+def test_fleiss_kappa_matches_python(spark):
+    import duckdb
+
+    ids = [
+        int(i)
+        for (i,) in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    R, K = 3, 4
+
+    def rating(d: int, r: int) -> int:
+        hv = _md5_64(f"{d}:{r}")
+        return d % K if hv % 5 > 0 else (hv // 5) % K
+
+    cells = {}
+    for d in ids:
+        row = [0] * K
+        for r in range(R):
+            row[rating(d, r)] += 1
+        cells[d] = row
+    p_i = {
+        d: (sum(v * v for v in row) - R) / (R * (R - 1)) for d, row in cells.items()
+    }
+    p_bar = sum(p_i.values()) / len(ids)
+    nj = [sum(row[j] for row in cells.values()) for j in range(K)]
+    p_e = sum((x / (len(ids) * R)) ** 2 for x in nj)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    r = REGISTRY["eval_fleiss_kappa"].spark(spark, SF).collect()[0]
+    assert (r.n_items, r.n_raters) == (len(ids), R)
+    assert r.p_observed == pytest.approx(p_bar, abs=2e-6)
+    assert r.p_expected == pytest.approx(p_e, abs=2e-6)
+    assert r.fleiss_kappa == pytest.approx(kappa, abs=2e-6)
+    # teeth: raters agree more than chance but not perfectly
+    assert 0.3 < kappa < 0.99
+
+
+def test_rank_biased_overlap_matches_python(spark):
+    """Recompute truncated RBO@10 (p=0.9) from scratch: exact cosine
+    rankings vs sign-bucket ANN rankings, prefix overlaps by depth."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {int(i): np.array(e, dtype=np.float64) for i, e in rows}
+    qids = [i for i in vecs if i % 101 == 0 and i < 2000]
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return round(float(a @ b / (na * nb)), 6) if na * nb > 0 else 0.0
+
+    def topk(q, cand_ids, k=10):
+        scored = sorted(
+            ((cos(vecs[q], vecs[c]), c) for c in cand_ids if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        return [c for _, c in scored]
+
+    def bucket(v, bits=8):
+        return sum((1 << i) for i in range(bits) if v[i] >= 0)
+
+    by_bucket: dict[int, list[int]] = {}
+    for i, v in vecs.items():
+        by_bucket.setdefault(bucket(v), []).append(i)
+
+    p, K = 0.9, 10
+    from decimal import Decimal
+
+    total = Decimal(0)
+    for q in qids:
+        truth = topk(q, list(vecs))
+        pred = topk(q, by_bucket[bucket(vecs[q])])
+        rt = {c: r + 1 for r, c in enumerate(truth)}
+        rp = {c: r + 1 for r, c in enumerate(pred)}
+        mr = [max(rt[c], rp[c]) for c in rp if c in rt]
+        mass = Decimal(0)
+        for d in range(1, K + 1):
+            x = sum(1 for m in mr if m <= d)
+            mass += Decimal(str(round((1 - p) * p ** (d - 1) * x / d, 9)))
+        total += mass
+    expect = float(total) / len(qids)
+    r = REGISTRY["eval_rank_biased_overlap"].spark(spark, SF).collect()[0]
+    assert r.n_queries == len(qids)
+    assert r.mean_rbo_at_10 == pytest.approx(expect, abs=2e-6)
+    assert 0.0 < r.mean_rbo_at_10 <= 1.0
+
+
+def test_forecast_mase_matches_python(spark):
+    import duckdb
+
+    days = dict(
+        duckdb.sql(
+            f"""SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT,
+                       sum(round(value * 100)::BIGINT)
+                FROM '{SF}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    ordered = sorted(days)
+    cut = max(ordered) - 7
+    lagged = [
+        (d, days[d], days[ordered[i - 7]])
+        for i, d in enumerate(ordered)
+        if i >= 7
+    ]
+    tr = [abs(x - xs) for d, x, xs in lagged if d <= cut]
+    te = [abs(x - xs) for d, x, xs in lagged if d > cut]
+    sm = [
+        abs(x - xs) / ((abs(x) + abs(xs)) / 2)
+        for d, x, xs in lagged
+        if d > cut and (abs(x) + abs(xs)) > 0
+    ]
+    mase = (sum(te) / len(te)) / (sum(tr) / len(tr))
+    r = REGISTRY["eval_forecast_mase"].spark(spark, SF).collect()[0]
+    assert (r.n_train, r.n_test) == (len(tr), len(te))
+    assert r.mase == pytest.approx(mase, abs=1e-4)
+    assert r.smape_pct == pytest.approx(100 * sum(sm) / len(sm), abs=1e-2)
+
+
+def test_audio_snr_matches_python(spark):
+    import math
+
+    import duckdb
+
+    ids = [
+        int(i)
+        for (i,) in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    got = {r.media_id: r for r in REGISTRY["media_audio_snr"].spark(spark, SF).collect()}
+    assert set(got) == set(ids)
+    for mid in ids[:50]:
+        samples = [((mid * 31 + i * 17) % 4096) - 2048 for i in range(256)]
+        energies = [
+            sum(s * s for s in samples[f * 64 : (f + 1) * 64]) for f in range(4)
+        ]
+        r = got[mid]
+        assert r.n_frames == 4
+        assert r.peak_energy == max(energies)
+        assert r.floor_energy == min(energies)
+        if min(energies) > 0:
+            assert r.snr_db == pytest.approx(
+                round(10 * math.log10(max(energies) / min(energies)), 4), abs=1e-9
+            )
+        else:
+            assert r.snr_db is None
+
+
+def test_jaccard_link_scores_consistent_with_adamic_adar(spark):
+    """The J and AA queries share the candidate graph and wedge rule, so
+    their (pair, cn) sets must be IDENTICAL; J itself recomputed from
+    the degree table."""
+    aa = {
+        (r.doc_a, r.doc_b): r.cn
+        for r in REGISTRY["graph_adamic_adar"].spark(spark, SF).collect()
+    }
+    jj = {
+        (r.doc_a, r.doc_b): r
+        for r in REGISTRY["graph_jaccard_link_scores"].spark(spark, SF).collect()
+    }
+    assert {k: v for k, v in aa.items()} == {k: r.cn for k, r in jj.items()}
+    for (a, b), r in jj.items():
+        assert r.jaccard_score == pytest.approx(
+            round(r.cn / (r.deg_a + r.deg_b - r.cn), 6), abs=1e-9
+        )
+        assert 0 < r.jaccard_score <= 1.0
+        assert r.cn <= min(r.deg_a, r.deg_b)
+
+
+def test_sentence_stats_matches_python(spark):
+    import re
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' WHERE text IS NOT NULL"
+    ).fetchall()
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["text_sentence_stats"].spark(spark, SF).collect()
+    }
+    n_checked = 0
+    for did, text in rows:
+        sents = [s for s in re.split(r"[.!?]+", text) if s.strip() != ""]
+        sl = [
+            len([t for t in re.split(r"[^a-z0-9]+", s.lower()) if t != ""])
+            for s in sents
+        ]
+        if not sl:
+            assert did not in got
+            continue
+        r = got[did]
+        n_checked += 1
+        assert r.n_sentences == len(sl)
+        assert r.total_tokens == sum(sl)
+        assert r.mean_sentence_tokens == pytest.approx(
+            round(sum(sl) / len(sl), 4), abs=1e-9
+        )
+        assert r.max_sentence_tokens == max(sl)
+        assert r.short_sentence_share == pytest.approx(
+            round(sum(1 for x in sl if x < 4) / len(sl), 6), abs=1e-9
+        )
+    assert n_checked == len(got)
