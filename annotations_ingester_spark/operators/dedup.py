@@ -632,20 +632,28 @@ def duplicate_ngram_spans(
     family. Position semantics are in the chosen token space.
     """
     _disable_infer_filters_from_generate(df)
-    toks = _tokens_sql(text_col)
-    parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(n))
-    grams = (
-        df.withColumn("_tk", tokens if tokens is not None else F.expr(toks))
-        .filter(F.size("_tk") >= n)
-        .withColumn(
-            "_sh",
-            F.expr(
-                f"CASE WHEN size(_tk) >= {n} THEN"
-                f" transform(sequence(1, size(_tk) - {n - 1}),"
-                f" i -> concat_ws(' ', {parts}))"
-                f" ELSE cast(array() as array<string>) END"
+    tok_col = tokens if tokens is not None else F.expr(_tokens_sql(text_col))
+
+    # Bind the token array ONCE via the single-element-array transform
+    # barrier (functions/text.py word_shingles): referencing the raw
+    # tokenizer expression from inside the shingle lambda would let
+    # CollapseProject re-evaluate it per element_at — n evaluations per
+    # gram, O(tokens²) per row. Catastrophic for expensive tokenizers
+    # (the BPE encode's 16 chained replaces measured 21.6 s → 6.2 s at
+    # sf0.1 from this binding alone).
+    def mk(t: Column) -> Column:
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + F.lit(j)) for j in range(n)]
             ),
         )
+
+    grams = (
+        df.withColumn("_sh", F.element_at(F.transform(F.array(tok_col), mk), 1))
         .select(F.col(id_col), F.posexplode("_sh").alias("pos", "_gram"))
         .select(
             F.col(id_col),
