@@ -356,6 +356,9 @@ _ORDER_LAST_R12: set[str] = {
     "media_audio_snr",
     "graph_jaccard_link_scores",
     "text_sentence_stats",
+    "timeseries_theta_forecast",
+    "graph_hits_2iter",
+    "split_temporal_holdout",
     "graph_modularity_score",
     "events_return_intervals",
     "eval_sliced_calibration",

@@ -5140,3 +5140,278 @@ def _jaccard_link_oracle() -> str:
 
 
 _REG["graph_jaccard_link_scores"].oracle = _jaccard_link_oracle()
+
+
+# --- round-11 session-3: theta forecast, HITS, temporal holdout -----------------
+
+_THETA_ALPHA = 0.2
+_THETA_H = 7
+
+
+@register(
+    "timeseries_theta_forecast",
+    f"""WITH RECURSIVE {DAILY_CENTS_CTE},
+       o AS (SELECT x::DOUBLE AS x, row_number() OVER (ORDER BY day) AS t
+             FROM d),
+       fitg AS (SELECT count(*)::DOUBLE AS n, sum(t) AS st, sum(x) AS sx,
+                       sum(t * t) AS stt, sum(t * x) AS stx
+                FROM o),
+       ab AS (SELECT round((stx - st * sx / n) / (stt - st * st / n), 9)
+                       AS b,
+                     round((sx - round((stx - st * sx / n)
+                                       / (stt - st * st / n), 9) * st) / n,
+                           9) AS a,
+                     n::BIGINT AS n_days
+              FROM fitg),
+       z AS (SELECT o.t, round(2 * o.x - (ab.a + ab.b * o.t), 9) AS z
+             FROM o CROSS JOIN ab),
+       rec AS (
+         SELECT 1 AS t, z AS l FROM z WHERE t = 1
+         UNION ALL
+         SELECT z.t,
+                round({_THETA_ALPHA} * z.z
+                      + (1 - {_THETA_ALPHA}) * rec.l, 9)
+         FROM rec JOIN z ON z.t = rec.t + 1),
+       fin AS (SELECT rec.l FROM rec JOIN ab ON rec.t = ab.n_days)
+       SELECT h.h::BIGINT AS horizon_days, ab.n_days,
+              round(ab.b, 4) AS trend_cents_per_day,
+              round(fin.l, 4) AS ses_theta2_level,
+              round(0.5 * ((ab.a + ab.b * (ab.n_days + h.h)) + fin.l), 4)
+                AS forecast_cents
+       FROM fin CROSS JOIN ab
+       CROSS JOIN (SELECT unnest(range(1, {_THETA_H + 1})) AS h) h""",
+    doc="Theta-method forecast (Assimakopoulos-Nikolopoulos, the M3 "
+    "winner) of daily revenue: decompose into the theta=0 line (the "
+    "OLS linear trend — long-run direction) and the theta=2 line "
+    "(2x_t − trend — doubled local curvature), SES the theta=2 line "
+    "(alpha=0.2, l_1=z_1), and forecast the average of the "
+    "extrapolated trend and the flat SES level — consistently beats "
+    "both parents on M-competition data and complements Holt "
+    "(explicit trend state) and Holt-Winters (seasonality) in the "
+    "forecast family. OLS via sufficient statistics; the SES "
+    "recursion folds over the DATE-DOMAIN-bounded day array "
+    "(9-dp-rounded per step, the Holt parity pattern — the oracle's "
+    "recursive CTE computes identical arithmetic). Scale shape: one "
+    "map-side-combinable daily rollup, one bounded-array fold, a "
+    "7-row horizon fan.",
+)
+def q_timeseries_theta_forecast(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    a = _THETA_ALPHA
+    d = daily_cents(spark, sf)
+    fitg = d.select(
+        F.col("x").cast("double").alias("x"),
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("t"),
+    )
+    suff = fitg.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("x")).alias("stx"),
+    )
+    b_expr = F.round(
+        (F.col("stx") - F.col("st") * F.col("sx") / F.col("n"))
+        / (F.col("stt") - F.col("st") * F.col("st") / F.col("n")),
+        9,
+    )
+    ab = suff.select(
+        b_expr.alias("b"),
+        F.round((F.col("sx") - b_expr * F.col("st")) / F.col("n"), 9).alias("a"),
+        F.col("n").cast("long").alias("n_days"),
+    )
+    arr = d.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, x))),"
+            " s -> CAST(s.x AS DOUBLE))"
+        ).alias("xs")
+    )
+    zfold = arr.crossJoin(F.broadcast(ab)).select(
+        "n_days",
+        "a",
+        "b",
+        F.expr(
+            "transform(xs, (x, i) -> round(2 * x - (a + b * (i + 1)), 9))"
+        ).alias("zs"),
+    )
+    fold = zfold.select(
+        "n_days",
+        "a",
+        "b",
+        F.expr(
+            f"""aggregate(
+              slice(zs, 2, size(zs) - 1),
+              CAST(zs[0] AS DOUBLE),
+              (acc, z) -> round({a} * z + (1 - {a}) * acc, 9))"""
+        ).alias("l"),
+    )
+    return fold.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_THETA_H))).alias("horizon_days"),
+        "n_days",
+        "a",
+        "b",
+        "l",
+    ).select(
+        "horizon_days",
+        "n_days",
+        F.round(F.col("b"), 4).alias("trend_cents_per_day"),
+        F.round(F.col("l"), 4).alias("ses_theta2_level"),
+        F.round(
+            0.5
+            * (
+                (F.col("a") + F.col("b") * (F.col("n_days") + F.col("horizon_days")))
+                + F.col("l")
+            ),
+            4,
+        ).alias("forecast_cents"),
+    )
+
+
+@register(
+    "graph_hits_2iter",
+    """WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+       outd AS (SELECT user_id, count(*)::BIGINT AS od FROM e GROUP BY 1),
+       ind AS (SELECT event_type, count(*)::BIGINT AS id_ FROM e GROUP BY 1),
+       a2 AS (SELECT e.event_type, sum(outd.od)::BIGINT AS auth2
+              FROM e JOIN outd USING (user_id) GROUP BY e.event_type),
+       mx AS (SELECT max(auth2)::DOUBLE AS m FROM a2),
+       nu AS (SELECT count(*)::BIGINT AS n_users FROM outd)
+       SELECT a2.event_type, ind.id_ AS auth1_indegree, a2.auth2,
+              round(a2.auth2 / mx.m, 6) AS auth2_norm,
+              nu.n_users
+       FROM a2 JOIN ind USING (event_type) CROSS JOIN mx CROSS JOIN nu""",
+    doc="HITS hubs-and-authorities, two exact iterations over the "
+    "directed user -> event_type bipartite graph (unit edges, "
+    "distinct pairs): with h0 = a0 = 1, iteration 1 gives h1(u) = "
+    "outdeg(u) and a1(t) = indeg(t); iteration 2's authority a2(t) = "
+    "sum of h1 over t's in-neighbors = sum of user outdegrees — the "
+    "mutually-reinforcing refinement that separates 'popular with "
+    "engaged multi-type users' from raw indegree (pagerank_2iter's "
+    "same-budget companion; Kleinberg's alternative authority "
+    "notion). All scores are EXACT integers (sums of degree counts); "
+    "only the max-normalization is rounded. Scale shape: one "
+    "distinct on (user, type), two map-side-combinable degree "
+    "rollups, one equi-join back through the edge list, a 1-row "
+    "broadcast max — authorities are the bounded event-type domain.",
+)
+def q_graph_hits_2iter(spark: SparkSession, sf: str):
+    e = (
+        events_table(spark, sf)
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds both degree rollups + join
+    )
+    outd = e.groupBy("user_id").agg(F.count("*").cast("long").alias("od"))
+    ind = e.groupBy("event_type").agg(F.count("*").cast("long").alias("auth1_indegree"))
+    a2 = (
+        e.join(outd, "user_id")
+        .groupBy("event_type")
+        .agg(F.sum("od").cast("long").alias("auth2"))
+    )
+    mx = a2.agg(F.max("auth2").cast("double").alias("m"))
+    nu = outd.agg(F.count("*").cast("long").alias("n_users"))
+    return (
+        a2.join(F.broadcast(ind), "event_type")
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "event_type",
+            "auth1_indegree",
+            "auth2",
+            F.round(F.col("auth2") / F.col("m"), 6).alias("auth2_norm"),
+            "n_users",
+        )
+    )
+
+
+@register(
+    "split_temporal_holdout",
+    """WITH e AS (
+         SELECT user_id,
+                (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
+       b AS (SELECT min(day) AS d0,
+                    (min(day) + ((max(day) - min(day)) * 4) // 5) AS cut,
+                    max(day) AS d1
+             FROM e),
+       tagged AS (SELECT e.*, CASE WHEN e.day <= b.cut THEN 'train'
+                                   ELSE 'test' END AS split,
+                         b.d0, b.cut, b.d1
+                  FROM e CROSS JOIN b),
+       ov AS (SELECT count(*)::BIGINT AS n_overlap_users FROM (
+                SELECT user_id FROM tagged WHERE split = 'train'
+                INTERSECT
+                SELECT user_id FROM tagged WHERE split = 'test') q)
+       SELECT split,
+              min(CASE WHEN split = 'train' THEN d0 ELSE cut + 1 END)
+                ::BIGINT AS day_from,
+              min(CASE WHEN split = 'train' THEN cut ELSE d1 END)
+                ::BIGINT AS day_to,
+              count(*)::BIGINT AS n_events,
+              count(DISTINCT user_id)::BIGINT AS n_users,
+              sum(cents)::BIGINT AS revenue_cents,
+              min(ov.n_overlap_users)::BIGINT AS n_overlap_users
+       FROM tagged CROSS JOIN ov GROUP BY split""",
+    doc="Temporal holdout split — the fourth classic alongside "
+    "split_hash_assign (random), split_stratified_sample, and "
+    "split_group_holdout: the last fifth of the day span becomes the "
+    "test window, matching how a trained model actually meets data "
+    "(random splits leak future into past; eval_split_leakage_audit "
+    "checks hash splits, this one quantifies the UNAVOIDABLE entity "
+    "overlap of a temporal cut — n_overlap_users is the count of "
+    "users active on both sides, the number to report next to any "
+    "temporal-split metric). Scale shape: one broadcast 1-row bound "
+    "frame, one tagged pass with map-side-combinable per-split "
+    "aggregates, one distinct-intersect on user ids (keyed, "
+    "spillable); no window, no data-sized join.",
+)
+def q_split_temporal_holdout(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        "user_id",
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = e.agg(
+        F.min("day").alias("d0"),
+        (F.min("day") + ((F.max("day") - F.min("day")) * 4 / 5).cast("long")).alias(
+            "cut"
+        ),
+        F.max("day").alias("d1"),
+    )
+    tagged = e.crossJoin(F.broadcast(b)).withColumn(
+        "split", F.when(F.col("day") <= F.col("cut"), "train").otherwise("test")
+    )
+    tagged = tagged.localCheckpoint(eager=True)  # feeds overlap + aggregate
+    tr_u = tagged.filter(F.col("split") == "train").select("user_id").distinct()
+    te_u = tagged.filter(F.col("split") == "test").select("user_id").distinct()
+    ov = tr_u.intersect(te_u).agg(
+        F.count("*").cast("long").alias("n_overlap_users")
+    )
+    return (
+        tagged.crossJoin(F.broadcast(ov))
+        .groupBy("split")
+        .agg(
+            F.min(
+                F.when(F.col("split") == "train", F.col("d0")).otherwise(
+                    F.col("cut") + 1
+                )
+            )
+            .cast("long")
+            .alias("day_from"),
+            F.min(
+                F.when(F.col("split") == "train", F.col("cut")).otherwise(
+                    F.col("d1")
+                )
+            )
+            .cast("long")
+            .alias("day_to"),
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.min("n_overlap_users").cast("long").alias("n_overlap_users"),
+        )
+    )

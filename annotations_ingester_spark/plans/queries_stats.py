@@ -7829,6 +7829,7 @@ def q_stats_g_test(spark: SparkSession, sf: str):
     obs = e.groupBy("dow", "event_type").agg(
         F.count("*").cast("double").alias("o")
     )
+    obs = obs.localCheckpoint(eager=True)  # 7 x |types| cells; feeds 4 consumers
     rt = obs.groupBy("dow").agg(F.sum("o").alias("rl"))
     ct = obs.groupBy("event_type").agg(F.sum("o").alias("cl"))
     n = obs.agg(F.sum("o").alias("n"))
@@ -8024,6 +8025,7 @@ def q_stats_chow_test(spark: SparkSession, sf: str):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     d = e.groupBy("day").agg(F.sum("cents").cast("long").alias("x"))
+    d = d.localCheckpoint(eager=True)  # bounded day table; feeds bounds + pts
     bounds = d.agg(
         F.min("day").alias("d0"),
         (F.min("day") + ((F.max("day") - F.min("day")) / 2).cast("long")).alias(

@@ -415,6 +415,20 @@ HEADLINE = [
     "stats_cusum_variance",
     "stats_seasonal_mann_kendall",
     "events_hourly_seasonality",
+    # round-11 session-3 additions (r12 gate tier)
+    "dedup_substring_bpe_k50",
+    "stats_g_test",
+    "stats_mantel_haenszel",
+    "stats_chow_test",
+    "eval_fleiss_kappa",
+    "eval_rank_biased_overlap",
+    "eval_forecast_mase",
+    "media_audio_snr",
+    "graph_jaccard_link_scores",
+    "text_sentence_stats",
+    "timeseries_theta_forecast",
+    "graph_hits_2iter",
+    "split_temporal_holdout",
 ]
 
 

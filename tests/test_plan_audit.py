@@ -303,6 +303,28 @@ CROSS_ALLOWED = {
     # two 1-row broadcasts (totals, top-3 sum) onto the pinned 24-row
     # hour table
     "events_hourly_seasonality",
+    # r11 session 3:
+    # 1-row dims/totals broadcasts onto the 7 x |types| table (the
+    # chi-square shape)
+    "stats_g_test",
+    # 1-row day-bounds broadcast over the checkpointed day rollup + the
+    # pooled-RSS / report 1-row broadcasts
+    "stats_chow_test",
+    # constant-3 rater spine cross over doc ids + 1-row totals broadcasts
+    "eval_fleiss_kappa",
+    # brute-force truth tier (the eval_ann_map shape) + pinned 10-row
+    # depth spine + the 1-row query-count broadcast
+    "eval_rank_biased_overlap",
+    # 1-row 7-day-cutoff broadcast onto the bounded day table
+    "eval_forecast_mase",
+    # 1-row OLS-fit and fold-state broadcasts onto the bounded day array
+    "timeseries_theta_forecast",
+    # two 1-row broadcasts (max auth, user count) onto the 5-row
+    # authority table
+    "graph_hits_2iter",
+    # 1-row day-bounds broadcast over events (the CUPED pivot shape) +
+    # the 1-row overlap-count broadcast onto the 2-row split report
+    "split_temporal_holdout",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -570,6 +592,10 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "stats_page_hinkley": (200, _EVENTS_DAYS_PROBE),
     "stats_dickey_fuller": (200, _EVENTS_DAYS_PROBE),
     "stats_durbin_watson": (200, _EVENTS_DAYS_PROBE),
+    # r11 session 3: theta's OLS row-number + MASE's 7-day lag both run
+    # over the DAILY rollup (the holt/EWMA day-domain class)
+    "timeseries_theta_forecast": (200, _EVENTS_DAYS_PROBE),
+    "eval_forecast_mase": (200, _EVENTS_DAYS_PROBE),
     # cumulative offset over the order-value BUCKET-COUNT table (the
     # kruskal-wallis two-level prefix class, 5 parallel group columns)
     "stats_jonckheere_terpstra": (500, """
@@ -726,6 +752,8 @@ SCAN_MULTIPLICITY_ALLOW = {
     "eval_ann_map": 3,             # same two-tier truth+pred shape as the
                                    # recall curve (query batch checkpointed)
     "eval_ann_mrr": 3,             # same two-tier shape as the recall curve
+    "eval_rank_biased_overlap": 3,  # same two-tier truth+pred shape (query
+                                    # batch checkpointed)
     "ann_ivf_adc_topk": 3,         # bucket posting side + query batch + the
                                    # one-time code/table build (checkpointed
                                    # frames absorb the rest)
