@@ -359,6 +359,9 @@ _ORDER_LAST_R12: set[str] = {
     "timeseries_theta_forecast",
     "graph_hits_2iter",
     "split_temporal_holdout",
+    "corpus_dup_quality_association",
+    "stats_eb_shrinkage",
+    "stats_rayleigh_hour_uniformity",
     "graph_modularity_score",
     "events_return_intervals",
     "eval_sliced_calibration",

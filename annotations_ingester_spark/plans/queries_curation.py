@@ -1957,3 +1957,104 @@ def q_text_sentence_stats(spark: SparkSession, sf: str):
         F.array_max("sl").cast("long").alias("max_sentence_tokens"),
         F.round(n_short * 1.0 / F.size("sl"), 6).alias("short_sentence_share"),
     )
+
+
+# --- round-11 session 3: does duplication predict low quality? -------------------
+
+_DUPQ_THRESHOLD = 0.35  # fixed quality gate (the percentile-free audit twin)
+
+
+@register(
+    "corpus_dup_quality_association",
+    f"""WITH f AS (
+         SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> ''))), ' ')) AS fp,
+                {quality_score_sql("text")} AS q
+         FROM documents WHERE text IS NOT NULL),
+       g AS (SELECT fp, count(*) AS n FROM f GROUP BY fp),
+       t AS (SELECT CASE WHEN g.n > 1 THEN 1 ELSE 0 END AS is_dup,
+                    CASE WHEN f.q >= {_DUPQ_THRESHOLD} THEN 1 ELSE 0 END
+                      AS q_pass
+             FROM f JOIN g USING (fp)),
+       cells AS (
+         SELECT sum(CASE WHEN is_dup = 1 AND q_pass = 0 THEN 1 ELSE 0 END)
+                  ::DOUBLE AS a,
+                sum(CASE WHEN is_dup = 1 AND q_pass = 1 THEN 1 ELSE 0 END)
+                  ::DOUBLE AS b,
+                sum(CASE WHEN is_dup = 0 AND q_pass = 0 THEN 1 ELSE 0 END)
+                  ::DOUBLE AS c,
+                sum(CASE WHEN is_dup = 0 AND q_pass = 1 THEN 1 ELSE 0 END)
+                  ::DOUBLE AS d
+         FROM t)
+       SELECT a::BIGINT AS dup_lowq, b::BIGINT AS dup_highq,
+              c::BIGINT AS uniq_lowq, d::BIGINT AS uniq_highq,
+              round((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)), 6)
+                AS odds_ratio_haldane,
+              round((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)), 6) > 1.0
+                AS dups_skew_low_quality
+       FROM cells""",
+    doc="Cross-family audit joining the dedup and quality stacks: the "
+    "2x2 of (bag-fingerprint duplicate membership — the "
+    "dedup_bag_fingerprint key, which also catches word-reorder "
+    "clones) x (quality gate >= 0.35) with "
+    "the Haldane-Anscombe-corrected odds ratio — the published "
+    "dedup-paper observation that duplicated text skews low-quality, "
+    "measurable per corpus before deciding gate order (dedup-then-"
+    "quality vs quality-then-dedup changes cost if the overlap is "
+    "big; curation_gate_attrition shows the waterfall, this shows "
+    "the ASSOCIATION). Exact cell counts; the +0.5 correction keeps "
+    "the OR finite for empty cells. Scale shape: one fingerprint "
+    "groupBy (the dedup_exact_groups shuffle) + an equi-join back, "
+    "then a single 4-cell aggregate — no window, no second text scan "
+    "(quality is computed in the same projection as the hash).",
+)
+def q_corpus_dup_quality_association(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.text import (
+        bag_fingerprint,
+        quality_score,
+    )
+
+    f = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            bag_fingerprint("text").alias("fp"),
+            quality_score("text").alias("q"),
+        )
+    )
+    g = f.groupBy("fp").agg(F.count("*").alias("n"))
+    t = f.join(g, "fp").select(
+        F.when(F.col("n") > 1, 1).otherwise(0).alias("is_dup"),
+        F.when(F.col("q") >= _DUPQ_THRESHOLD, 1).otherwise(0).alias("q_pass"),
+    )
+    cells = t.agg(
+        F.sum(F.when((F.col("is_dup") == 1) & (F.col("q_pass") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("a"),
+        F.sum(F.when((F.col("is_dup") == 1) & (F.col("q_pass") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("b"),
+        F.sum(F.when((F.col("is_dup") == 0) & (F.col("q_pass") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("c"),
+        F.sum(F.when((F.col("is_dup") == 0) & (F.col("q_pass") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("d"),
+    )
+    orr = F.round(
+        (F.col("a") + 0.5)
+        * (F.col("d") + 0.5)
+        / ((F.col("b") + 0.5) * (F.col("c") + 0.5)),
+        6,
+    )
+    return cells.select(
+        F.col("a").cast("long").alias("dup_lowq"),
+        F.col("b").cast("long").alias("dup_highq"),
+        F.col("c").cast("long").alias("uniq_lowq"),
+        F.col("d").cast("long").alias("uniq_highq"),
+        orr.alias("odds_ratio_haldane"),
+        (orr > 1.0).alias("dups_skew_low_quality"),
+    )

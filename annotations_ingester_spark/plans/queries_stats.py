@@ -8077,3 +8077,146 @@ def q_stats_chow_test(spark: SparkSession, sf: str):
             (f_stat > 3.0).alias("structural_break"),
         )
     )
+
+
+_EB_BAL = 5000  # "high-balance" conversion definition
+
+
+@register(
+    "stats_eb_shrinkage",
+    f"""WITH c AS (
+         SELECT n.n_name AS nation,
+                count(*)::BIGINT AS n,
+                sum(CASE WHEN c.c_acctbal > {_EB_BAL} THEN 1 ELSE 0 END)
+                  ::BIGINT AS y
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name),
+       p AS (SELECT nation, n, y, y * 1.0 / n AS pr FROM c),
+       mom AS (SELECT avg(pr) AS pbar,
+                      round(avg(pr * pr) - avg(pr) * avg(pr), 9) AS s2
+               FROM p),
+       prior AS (SELECT pbar, s2,
+                        pbar * (1 - pbar) / s2 - 1 AS m
+                 FROM mom)
+       SELECT p.nation, p.n, p.y,
+              round(p.pr, 6) AS raw_rate,
+              round((p.y + prior.pbar * prior.m)
+                    / (p.n + prior.m), 6) AS shrunk_rate,
+              round(p.n / (p.n + prior.m), 6) AS shrink_weight
+       FROM p CROSS JOIN prior""",
+    doc="Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of "
+    "per-nation high-balance rates: fit the Beta prior from the "
+    "across-nation rate moments (M = p̄(1−p̄)/s² − 1 prior "
+    "pseudo-observations), then shrink each nation's raw rate toward "
+    "the grand mean by n/(n+M) — THE small-sample fix for ranking "
+    "segments by rate (a 3-customer nation at 100% must not outrank "
+    "a 3000-customer nation at 80%; the A/B family tests differences, "
+    "this produces usable per-segment ESTIMATES). Population variance "
+    "via avg(p²)−avg(p)², rounded once at 9 dp (the parity anchor); "
+    "per-row outputs rounded at 6. Scale shape: one broadcast join to "
+    "nation, one map-side-combinable rollup to the 25-row nation "
+    "table, a 1-row prior broadcast back over it.",
+)
+def q_stats_eb_shrinkage(spark: SparkSession, sf: str):
+    cust = table(spark, sf, "customer")
+    nat = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    c = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("c_acctbal") > _EB_BAL, 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    p = c.select("nation", "n", "y", (F.col("y") * 1.0 / F.col("n")).alias("pr"))
+    p = p.localCheckpoint(eager=True)  # 25-row nation table; feeds mom + report
+    mom = p.agg(
+        F.avg("pr").alias("pbar"),
+        F.round(F.avg(F.col("pr") * F.col("pr")) - F.avg("pr") * F.avg("pr"), 9).alias(
+            "s2"
+        ),
+    )
+    prior = mom.select(
+        "pbar", "s2", (F.col("pbar") * (1 - F.col("pbar")) / F.col("s2") - 1).alias("m")
+    )
+    return p.crossJoin(F.broadcast(prior)).select(
+        "nation",
+        "n",
+        "y",
+        F.round(F.col("pr"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("y") + F.col("pbar") * F.col("m")) / (F.col("n") + F.col("m")), 6
+        ).alias("shrunk_rate"),
+        F.round(F.col("n") / (F.col("n") + F.col("m")), 6).alias("shrink_weight"),
+    )
+
+
+@register(
+    "stats_rayleigh_hour_uniformity",
+    """WITH e AS (
+         SELECT ((floor(epoch(ts))::BIGINT % 86400) // 3600)::BIGINT AS hr
+         FROM events),
+       h AS (SELECT hr, count(*)::BIGINT AS n_h FROM e GROUP BY hr),
+       v AS (SELECT hr, n_h,
+                    round(cos(2 * pi() * hr / 24.0), 9) AS ch,
+                    round(sin(2 * pi() * hr / 24.0), 9) AS sh
+             FROM h),
+       s AS (SELECT sum(n_h)::BIGINT AS n,
+                    sum(n_h * ch) AS cc, sum(n_h * sh) AS ss
+             FROM v),
+       r AS (SELECT n, cc, ss,
+                    sqrt(cc * cc + ss * ss) / n AS rbar
+             FROM s)
+       SELECT n AS n_events,
+              round(rbar, 6) AS resultant_r,
+              round(((atan2(ss, cc) + 2 * pi()) % (2 * pi()))
+                    / (2 * pi()) * 24, 4) AS mean_hour_utc,
+              round(n * rbar * rbar, 4) AS rayleigh_z,
+              round(n * rbar * rbar, 4) > 3.0 AS hour_nonuniform
+       FROM r""",
+    doc="Circular statistics for event time-of-day: hours become angles "
+    "on the 24-hour circle, the resultant vector gives the circular "
+    "mean hour and concentration R̄, and the Rayleigh statistic "
+    "z = n·R̄² tests uniformity — the CORRECT treatment of cyclic "
+    "time (a linear mean of {{23h, 1h}} says noon; the circular mean "
+    "says midnight), complementing events_hourly_seasonality's "
+    "per-hour table with the one-number direction/concentration "
+    "summary. cos/sin are evaluated on the 24 integer hours only and "
+    "rounded to 9 dp before the weighted sum, so both engines fold "
+    "identical per-hour constants. Scale shape: one map-side-"
+    "combinable hour rollup (24 rows), then constant-size arithmetic.",
+)
+def q_stats_rayleigh_hour(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        F.expr("CAST((ts_s % 86400) DIV 3600 AS BIGINT)").alias("hr")
+    )
+    h = e.groupBy("hr").agg(F.count("*").cast("long").alias("n_h"))
+    v = h.select(
+        "n_h",
+        F.round(F.cos(2 * F.lit(3.141592653589793) * F.col("hr") / 24.0), 9).alias(
+            "ch"
+        ),
+        F.round(F.sin(2 * F.lit(3.141592653589793) * F.col("hr") / 24.0), 9).alias(
+            "sh"
+        ),
+    )
+    s = v.agg(
+        F.sum("n_h").cast("long").alias("n"),
+        F.sum(F.col("n_h") * F.col("ch")).alias("cc"),
+        F.sum(F.col("n_h") * F.col("sh")).alias("ss"),
+    )
+    rbar = F.sqrt(F.col("cc") * F.col("cc") + F.col("ss") * F.col("ss")) / F.col("n")
+    two_pi = 2 * 3.141592653589793
+    mean_hour = F.round(
+        ((F.atan2(F.col("ss"), F.col("cc")) + two_pi) % two_pi) / two_pi * 24, 4
+    )
+    z = F.round(F.col("n") * rbar * rbar, 4)
+    return s.select(
+        F.col("n").alias("n_events"),
+        F.round(rbar, 6).alias("resultant_r"),
+        mean_hour.alias("mean_hour_utc"),
+        z.alias("rayleigh_z"),
+        (z > 3.0).alias("hour_nonuniform"),
+    )

@@ -429,6 +429,9 @@ HEADLINE = [
     "timeseries_theta_forecast",
     "graph_hits_2iter",
     "split_temporal_holdout",
+    "corpus_dup_quality_association",
+    "stats_eb_shrinkage",
+    "stats_rayleigh_hour_uniformity",
 ]
 
 

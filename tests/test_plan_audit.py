@@ -325,6 +325,8 @@ CROSS_ALLOWED = {
     # 1-row day-bounds broadcast over events (the CUPED pivot shape) +
     # the 1-row overlap-count broadcast onto the 2-row split report
     "split_temporal_holdout",
+    # 1-row Beta-prior broadcast onto the checkpointed 25-row nation table
+    "stats_eb_shrinkage",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain

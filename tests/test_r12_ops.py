@@ -744,3 +744,87 @@ def test_temporal_holdout_matches_python(spark):
         assert got[s].revenue_cents == agg[s][2]
         assert got[s].n_overlap_users == overlap
     assert 0 < overlap <= min(len(agg["train"][1]), len(agg["test"][1]))
+
+
+def test_dup_quality_association_matches_python(spark):
+    import re
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' WHERE text IS NOT NULL"
+    ).fetchall()
+    STOP = {"the", "and", "of", "to", "a", "in", "is", "it"}
+    from collections import Counter
+    import hashlib
+
+    def bag_fp(t: str) -> str:
+        toks = sorted({x for x in re.split(r"[^a-z0-9]+", t.lower()) if x != ""})
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    fps = Counter(bag_fp(t) for _, t in rows)
+    cells = [0, 0, 0, 0]  # a=dup_lowq, b=dup_highq, c=uniq_lowq, d=uniq_highq
+    for _, t in rows:
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x != ""]
+        punct = len(re.sub(r"[\w\s]", "", t)) / max(len(t), 1)
+        stw = len([x for x in toks if x in STOP]) / max(len(toks), 1)
+        q = round(0.5 * min(len(t) / 400.0, 1.0) + 0.5 * stw - punct, 6)
+        is_dup = fps[bag_fp(t)] > 1
+        q_pass = q >= 0.35
+        idx = (0 if is_dup else 2) + (1 if q_pass else 0)
+        cells[idx] += 1
+    a, b, c, d = cells
+    orr = (a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5))
+    r = REGISTRY["corpus_dup_quality_association"].spark(spark, SF).collect()[0]
+    assert (r.dup_lowq, r.dup_highq, r.uniq_lowq, r.uniq_highq) == (a, b, c, d)
+    assert r.odds_ratio_haldane == pytest.approx(orr, abs=2e-6)
+    assert a + b + c + d == len(rows)
+    assert a + b > 0  # teeth: the corpus actually contains exact dups
+
+
+def test_eb_shrinkage_matches_python(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT n.n_name, count(*),
+                   sum(CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END)
+            FROM '{SF}/customer.parquet' c
+            JOIN '{SF}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1"""
+    ).fetchall()
+    prs = {nm: y / n for nm, n, y in rows}
+    pbar = sum(prs.values()) / len(prs)
+    s2 = round(sum(p * p for p in prs.values()) / len(prs) - pbar * pbar, 9)
+    m = pbar * (1 - pbar) / s2 - 1
+    got = {r.nation: r for r in REGISTRY["stats_eb_shrinkage"].spark(spark, SF).collect()}
+    assert set(got) == set(prs)
+    for nm, n, y in rows:
+        r = got[nm]
+        assert (r.n, r.y) == (n, y)
+        assert r.raw_rate == pytest.approx(round(y / n, 6), abs=1e-9)
+        assert r.shrunk_rate == pytest.approx((y + pbar * m) / (n + m), abs=2e-6)
+        assert r.shrink_weight == pytest.approx(n / (n + m), abs=2e-6)
+        # shrinkage moves every rate TOWARD the grand mean
+        assert abs(r.shrunk_rate - pbar) <= abs(r.raw_rate - pbar) + 1e-9
+
+
+def test_rayleigh_hour_matches_python(spark):
+    import math
+
+    import duckdb
+
+    hrs = duckdb.sql(
+        f"""SELECT ((floor(epoch(ts))::BIGINT % 86400) // 3600)::BIGINT, count(*)
+            FROM '{SF}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    n = sum(c for _, c in hrs)
+    cc = sum(c * round(math.cos(2 * math.pi * h / 24), 9) for h, c in hrs)
+    ss = sum(c * round(math.sin(2 * math.pi * h / 24), 9) for h, c in hrs)
+    rbar = math.sqrt(cc * cc + ss * ss) / n
+    mean_hour = ((math.atan2(ss, cc) + 2 * math.pi) % (2 * math.pi)) / (2 * math.pi) * 24
+    r = REGISTRY["stats_rayleigh_hour_uniformity"].spark(spark, SF).collect()[0]
+    assert r.n_events == n
+    assert r.resultant_r == pytest.approx(rbar, abs=2e-6)
+    assert r.mean_hour_utc == pytest.approx(mean_hour, abs=1e-3)
+    assert r.rayleigh_z == pytest.approx(n * rbar * rbar, abs=1e-3)
+    assert 0 <= r.mean_hour_utc < 24
