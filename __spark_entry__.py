@@ -362,6 +362,8 @@ _ORDER_LAST_R12: set[str] = {
     "corpus_dup_quality_association",
     "stats_eb_shrinkage",
     "stats_rayleigh_hour_uniformity",
+    "eval_auc_pr",
+    "stats_powerlaw_tail_fit",
     "graph_modularity_score",
     "events_return_intervals",
     "eval_sliced_calibration",

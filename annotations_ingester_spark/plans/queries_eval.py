@@ -3073,3 +3073,103 @@ def q_eval_forecast_mase(spark: SparkSession, sf: str):
         F.round(100 * F.col("smape_frac"), 4).alias("smape_pct"),
         (mase < 1.0).alias("beats_naive_insample"),
     )
+
+
+@register(
+    "eval_auc_pr",
+    """WITH s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a,
+                round(n_chars * 1000000.0 / len(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')))::BIGINT AS v
+         FROM documents
+         WHERE len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) >= 1),
+       pv AS (SELECT v, sum(is_a)::BIGINT AS k1, sum(1 - is_a)::BIGINT AS k2
+              FROM s GROUP BY v),
+       cdf AS (SELECT v, k1, k2,
+                      sum(k1) OVER w::BIGINT AS c1,
+                      sum(k2) OVER w::BIGINT AS c2
+               FROM pv WINDOW w AS (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)),
+       tot AS (SELECT max(c1)::BIGINT AS n_pos, max(c2)::BIGINT AS n_neg
+               FROM cdf),
+       ap AS (SELECT sum(round((c1 * 1.0 / (c1 + c2)) * (k1 * 1.0 / t.n_pos),
+                               9)::DECIMAL(20,9)) AS ap
+              FROM cdf CROSS JOIN tot t WHERE k1 > 0)
+       SELECT t.n_pos, t.n_neg,
+              round(CAST(ap.ap AS DOUBLE), 6) AS average_precision,
+              round(t.n_pos * 1.0 / (t.n_pos + t.n_neg), 6) AS prevalence,
+              round(CAST(ap.ap AS DOUBLE)
+                    / (t.n_pos * 1.0 / (t.n_pos + t.n_neg)), 4)
+                AS lift_over_random
+       FROM ap CROSS JOIN tot t""",
+    doc="Precision-recall AUC (average precision) of the chars-per-token "
+    "score as an English-detector — the imbalanced-class complement "
+    "of eval_auc_roc on the IDENTICAL score/label design: ROC-AUC "
+    "stays optimistic when negatives dominate because FPR divides by "
+    "n_neg; AP integrates precision over recall so every false "
+    "positive costs. Threshold-level step integration AP = "
+    "Σ_t P(t)·ΔR(t) over DISTINCT scores descending (tie-safe — no "
+    "per-row ordering is ever needed), per-threshold terms rounded "
+    "to 9 dp and decimal-summed; lift = AP/prevalence is the "
+    "random-classifier-normalized summary. Scale shape: the auc_roc "
+    "shape exactly — one map-side-combinable score rollup, one "
+    "cumulative window over the bounded distinct-score table, a "
+    "1-row totals broadcast.",
+)
+def q_eval_auc_pr(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.functions.text import token_count
+
+    s = (
+        table(spark, sf, "documents")
+        .filter(token_count("text") >= 1)
+        .select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_a"),
+            F.round(F.col("n_chars") * 1000000.0 / token_count("text"))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("k1"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("k2"),
+    )
+    w = Window.orderBy(F.desc("v")).rowsBetween(Window.unboundedPreceding, 0)
+    cdf = pv.select(
+        "v",
+        "k1",
+        "k2",
+        F.sum("k1").over(w).cast("long").alias("c1"),
+        F.sum("k2").over(w).cast("long").alias("c2"),
+    )
+    cdf = cdf.localCheckpoint(eager=True)  # bounded distinct-score table
+    tot = cdf.agg(
+        F.max("c1").cast("long").alias("n_pos"),
+        F.max("c2").cast("long").alias("n_neg"),
+    )
+    ap = (
+        cdf.filter(F.col("k1") > 0)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("c1") * 1.0 / (F.col("c1") + F.col("c2")))
+                    * (F.col("k1") * 1.0 / F.col("n_pos")),
+                    9,
+                ).cast("decimal(20,9)")
+            ).alias("ap")
+        )
+    )
+    prev = F.round(F.col("n_pos") * 1.0 / (F.col("n_pos") + F.col("n_neg")), 6)
+    return ap.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        "n_neg",
+        F.round(F.col("ap").cast("double"), 6).alias("average_precision"),
+        prev.alias("prevalence"),
+        F.round(
+            F.col("ap").cast("double")
+            / (F.col("n_pos") * 1.0 / (F.col("n_pos") + F.col("n_neg"))),
+            4,
+        ).alias("lift_over_random"),
+    )

@@ -8220,3 +8220,103 @@ def q_stats_rayleigh_hour(spark: SparkSession, sf: str):
         z.alias("rayleigh_z"),
         (z > 3.0).alias("hour_nonuniform"),
     )
+
+
+@register(
+    "stats_powerlaw_tail_fit",
+    """WITH c AS (SELECT user_id, count(*)::BIGINT AS deg
+             FROM events GROUP BY user_id),
+       xm AS (SELECT quantile_disc(deg, 0.5)::BIGINT AS xmin FROM c),
+       tail AS (SELECT c.deg, xm.xmin FROM c CROSS JOIN xm
+                WHERE c.deg >= xm.xmin),
+       hill AS (SELECT count(*)::BIGINT AS n_tail,
+                       min(xmin)::BIGINT AS xmin,
+                       sum(round(ln(deg * 1.0 / xmin), 9)::DECIMAL(20,9))
+                         AS slog
+                FROM tail),
+       dd AS (SELECT deg, count(*)::BIGINT AS k FROM tail GROUP BY deg),
+       ccdf AS (SELECT deg,
+                       (sum(k) OVER (ORDER BY deg DESC
+                                     ROWS UNBOUNDED PRECEDING))::BIGINT
+                         AS n_ge
+                FROM dd),
+       pts AS (SELECT round(ln(deg), 9) AS lx,
+                      round(ln(n_ge * 1.0
+                               / (SELECT n_tail FROM hill)), 9) AS ly
+               FROM ccdf),
+       fit AS (SELECT count(*)::DOUBLE AS n, sum(lx) AS sx, sum(ly) AS sy,
+                      sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+               FROM pts)
+       SELECT hill.n_tail, hill.xmin,
+              round(1.0 + hill.n_tail / CAST(hill.slog AS DOUBLE), 4)
+                AS hill_alpha,
+              round(-(fit.sxy - fit.sx * fit.sy / fit.n)
+                    / (fit.sxx - fit.sx * fit.sx / fit.n), 4)
+                AS ccdf_slope_alpha_minus_1,
+              round(1.0 + hill.n_tail / CAST(hill.slog AS DOUBLE), 4)
+                BETWEEN 1.5 AND 4.0 AS plausible_powerlaw
+       FROM hill CROSS JOIN fit""",
+    doc="Power-law tail diagnosis of the per-user activity distribution: "
+    "the Hill MLE alpha = 1 + n/Σ ln(x/xmin) over the tail above the "
+    "median, cross-checked by the log-log CCDF OLS slope (≈ alpha−1 "
+    "under a true power law; divergence between the two flags "
+    "lognormal/exponential look-alikes) — the number that decides "
+    "whether hot-key mitigations (salting, hub caps, AQE skew joins) "
+    "are load-bearing for this corpus or paranoia: alpha < 2 means "
+    "unbounded mean, a guaranteed straggler without them. Log terms "
+    "are 9-dp-rounded and decimal-summed (order-free); OLS via "
+    "sufficient statistics. Scale shape: one map-side-combinable "
+    "per-user rollup, exact median via quantile_disc on it, then all "
+    "windows/fits run over the bounded DISTINCT-degree table.",
+)
+def q_stats_powerlaw_tail_fit(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = (
+        events_table(spark, sf)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    c = c.localCheckpoint(eager=True)  # per-user rollup; feeds median + tail
+    xm = c.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY deg)")
+        .cast("long")
+        .alias("xmin")
+    )
+    tail = c.crossJoin(F.broadcast(xm)).filter(F.col("deg") >= F.col("xmin"))
+    tail = tail.localCheckpoint(eager=True)  # feeds hill + ccdf
+    hill = tail.agg(
+        F.count("*").cast("long").alias("n_tail"),
+        F.min("xmin").cast("long").alias("xmin"),
+        F.sum(
+            F.round(F.log(F.col("deg") * 1.0 / F.col("xmin")), 9).cast(
+                "decimal(20,9)"
+            )
+        ).alias("slog"),
+    )
+    dd = tail.groupBy("deg").agg(F.count("*").cast("long").alias("k"))
+    w = Window.orderBy(F.desc("deg")).rowsBetween(Window.unboundedPreceding, 0)
+    ccdf = dd.select("deg", F.sum("k").over(w).cast("long").alias("n_ge"))
+    pts = ccdf.crossJoin(F.broadcast(hill.select("n_tail"))).select(
+        F.round(F.log("deg"), 9).alias("lx"),
+        F.round(F.log(F.col("n_ge") * 1.0 / F.col("n_tail")), 9).alias("ly"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    alpha = F.round(1.0 + F.col("n_tail") / F.col("slog").cast("double"), 4)
+    return hill.crossJoin(F.broadcast(fit)).select(
+        "n_tail",
+        "xmin",
+        alpha.alias("hill_alpha"),
+        F.round(
+            -(F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+            4,
+        ).alias("ccdf_slope_alpha_minus_1"),
+        alpha.between(1.5, 4.0).alias("plausible_powerlaw"),
+    )

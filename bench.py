@@ -432,6 +432,8 @@ HEADLINE = [
     "corpus_dup_quality_association",
     "stats_eb_shrinkage",
     "stats_rayleigh_hour_uniformity",
+    "eval_auc_pr",
+    "stats_powerlaw_tail_fit",
 ]
 
 

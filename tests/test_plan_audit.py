@@ -327,6 +327,12 @@ CROSS_ALLOWED = {
     "split_temporal_holdout",
     # 1-row Beta-prior broadcast onto the checkpointed 25-row nation table
     "stats_eb_shrinkage",
+    # 1-row totals broadcast onto the checkpointed distinct-score CDF
+    # table (the auc_roc/KS shape)
+    "eval_auc_pr",
+    # 1-row exact-median broadcast onto the checkpointed per-user rollup
+    # + 1-row tail-size broadcast onto the distinct-degree CCDF
+    "stats_powerlaw_tail_fit",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -482,6 +488,22 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "stats_ks_test": (64, _EVENTS_CDF_BUCKETS_PROBE),
     "stats_mann_whitney": (64, _EVENTS_CDF_BUCKETS_PROBE),
     "eval_auc_roc": (64, _EVENTS_CDF_BUCKETS_PROBE),
+    # r11 session 3: PR-AUC cumulative window over the DISTINCT-score
+    # table (379 rows at sf0.001; grows sublinearly via collisions —
+    # the auc_roc CDF class; at true 100 TB the score would be bucketed
+    # before the window, same as the CDF-bucket queries)
+    "eval_auc_pr": (1000, """
+        SELECT count(DISTINCT round(n_chars * 1000000.0 /
+          len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+              x -> x <> ''))))
+        FROM documents
+        WHERE len(list_filter(regexp_split_to_array(lower(text),
+            '[^a-z0-9]+'), x -> x <> '')) >= 1"""),
+    # CCDF window over the DISTINCT per-user degree table (13 rows at
+    # sf0.001, 49 at sf0.1 — log-ish growth in the count domain)
+    "stats_powerlaw_tail_fit": (200, """
+        SELECT count(DISTINCT deg) FROM (
+          SELECT count(*) AS deg FROM events GROUP BY user_id)"""),
     # exact rank-median over the pairwise-slope set — bounded by the
     # DATE DOMAIN squared (months·(months-1)/2, 80 months → 3160 at
     # sf0.001), a constant independent of row count

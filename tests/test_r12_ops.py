@@ -828,3 +828,85 @@ def test_rayleigh_hour_matches_python(spark):
     assert r.mean_hour_utc == pytest.approx(mean_hour, abs=1e-3)
     assert r.rayleigh_z == pytest.approx(n * rbar * rbar, abs=1e-3)
     assert 0 <= r.mean_hour_utc < 24
+
+
+def test_auc_pr_matches_python(spark):
+    import re
+    from decimal import Decimal
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT lang, n_chars, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    pv: dict[int, list[int]] = {}
+    for lang, n_chars, text in rows:
+        toks = [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x != ""]
+        if not toks:
+            continue
+        v = round(n_chars * 1000000.0 / len(toks))
+        cell = pv.setdefault(v, [0, 0])
+        cell[0 if lang == "en" else 1] += 1
+    n_pos = sum(k1 for k1, _ in pv.values())
+    n_neg = sum(k2 for _, k2 in pv.values())
+    c1 = c2 = 0
+    ap = Decimal(0)
+    for v in sorted(pv, reverse=True):
+        k1, k2 = pv[v]
+        c1 += k1
+        c2 += k2
+        if k1 > 0:
+            ap += Decimal(str(round((c1 / (c1 + c2)) * (k1 / n_pos), 9)))
+    r = REGISTRY["eval_auc_pr"].spark(spark, SF).collect()[0]
+    assert (r.n_pos, r.n_neg) == (n_pos, n_neg)
+    assert r.average_precision == pytest.approx(float(ap), abs=2e-6)
+    assert r.prevalence == pytest.approx(n_pos / (n_pos + n_neg), abs=2e-6)
+    assert r.lift_over_random == pytest.approx(
+        float(ap) / (n_pos / (n_pos + n_neg)), abs=1e-3
+    )
+    # consistency teeth: AP in (0, 1], and the lift column must equal
+    # AP/prevalence (here lift < 1 — the chars-per-token score actually
+    # UNDERPERFORMS random under AP while ROC-AUC looks mild, which is
+    # precisely the imbalance blind spot the metric exists to expose)
+    assert 0.0 < r.average_precision <= 1.0
+    assert r.lift_over_random == pytest.approx(
+        r.average_precision / r.prevalence, abs=2e-3
+    )
+
+
+def test_powerlaw_tail_fit_matches_python(spark):
+    import math
+    from decimal import Decimal
+
+    import duckdb
+
+    degs = [
+        int(d)
+        for (d,) in duckdb.sql(
+            f"SELECT count(*) FROM '{SF}/events.parquet' GROUP BY user_id"
+        ).fetchall()
+    ]
+    sd = sorted(degs)
+    xmin = sd[math.ceil(0.5 * len(sd)) - 1]  # quantile_disc semantics
+    tail = [d for d in degs if d >= xmin]
+    slog = sum(Decimal(str(round(math.log(d / xmin), 9))) for d in tail)
+    alpha = 1.0 + len(tail) / float(slog)
+    from collections import Counter
+
+    dd = Counter(tail)
+    n_ge = 0
+    pts = []
+    for d in sorted(dd, reverse=True):
+        n_ge += dd[d]
+        pts.append((round(math.log(d), 9), round(math.log(n_ge / len(tail)), 9)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = -(sxy - sx * sy / n) / (sxx - sx * sx / n)
+    r = REGISTRY["stats_powerlaw_tail_fit"].spark(spark, SF).collect()[0]
+    assert (r.n_tail, r.xmin) == (len(tail), xmin)
+    assert r.hill_alpha == pytest.approx(alpha, abs=1e-3)
+    assert r.ccdf_slope_alpha_minus_1 == pytest.approx(slope, abs=1e-3)
+    assert r.plausible_powerlaw == (1.5 <= round(alpha, 4) <= 4.0)
