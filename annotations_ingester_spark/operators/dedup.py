@@ -754,6 +754,53 @@ def substring_removal_intervals(
     )
 
 
+def bpe_tokens_by_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dictionary-encoded BPE tokenization → ``(id_col, _tk)`` where
+    ``_tk`` is the document's BPE token array, identical to
+    ``bpe_tokens(text)`` but with the 16-replace encode evaluated once
+    per DISTINCT WORD instead of once per document: BPE merges never
+    cross a space (no merge rule contains one), so a document's token
+    stream is the concatenation of its words' encodings. The vocabulary
+    is a Heaps-law fraction of the word stream (31 distinct vs 270 k
+    occurrences at sf0.1 here; ~10⁷ vs ~10¹³ at 100 TB), so the encode
+    cost drops by the type/token ratio.
+
+    Scale shape: words explode with positions, the vocab dim comes from
+    one distinct + encode (tiny output), the lookup is an equi-join AQE
+    broadcasts while the vocab fits and sort-merges beyond that — never
+    a driver collect; reassembly is the survivors-query pattern
+    (per-doc collect_list + array_sort, state bounded by doc length)."""
+    from annotations_ingester_spark.functions.bpe import bpe_tokens, normalize
+
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.filter(F.split(normalize(text_col), " ", -1), lambda w: w != "")
+            ).alias("_wpos", "_w"),
+        )
+    )
+    vocab = (
+        words.select(F.col("_w"))
+        .distinct()
+        .select("_w", bpe_tokens("_w").alias("_wtoks"))
+    )
+    sub = words.join(vocab, "_w").select(
+        id_col, "_wpos", F.posexplode("_wtoks").alias("_spos", "_tok")
+    )
+    return sub.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_wpos", "_spos", "_tok"))),
+            lambda s: s["_tok"],
+        ).alias("_tk")
+    )
+
+
 def substring_removal_intervals_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -775,17 +822,19 @@ def substring_removal_intervals_bpe(
     ``anchor_n``-gram anchors → gaps-and-islands → >= k-token islands),
     just in subword space; inherits the hash-before-shuffle /
     map-side-combine / one-doc-partitioned-window scale shape. The BPE
-    encode itself is pure Spark string expressions (JVM-side, no UDF).
+    encode itself is pure Spark string expressions (JVM-side, no UDF),
+    evaluated per DISTINCT word via :func:`bpe_tokens_by_vocab` —
+    dictionary encoding cuts the dominant encode cost by the corpus
+    type/token ratio while producing the identical token stream.
     """
-    from annotations_ingester_spark.functions.bpe import bpe_tokens
-
+    toks = bpe_tokens_by_vocab(df, text_col=text_col, id_col=id_col)
     return substring_removal_intervals(
-        df,
-        text_col=text_col,
+        toks,
+        text_col="_tk",  # unused when tokens given; kept for signature
         id_col=id_col,
         anchor_n=anchor_n,
         min_len=k,
-        tokens=bpe_tokens(text_col),
+        tokens=F.col("_tk"),
     )
 
 
