@@ -105,7 +105,7 @@ class ExecutorGate:
         return False
 
 
-_GATES: dict[tuple, ExecutorGate] = {}
+_GATES: dict[str, tuple[tuple, ExecutorGate]] = {}
 _GATES_LOCK = threading.Lock()
 
 
@@ -115,16 +115,32 @@ def executor_gate(
     rate_limit_per_sec: float | None = None,
     rate_limit_burst: float | None = None,
 ) -> ExecutorGate:
-    """Intern one :class:`ExecutorGate` per (key, knobs) per Python
-    worker process. Every client constructed with the same knobs in the
+    """Intern one :class:`ExecutorGate` per endpoint ``key`` per Python
+    worker process. Every client talking to the same endpoint in the
     same process — i.e. every concurrently running partition on that
     executor core's reused worker — shares the gate, which is what makes
-    the cap per-executor rather than per-task."""
-    k = (key, max_in_flight, rate_limit_per_sec, rate_limit_burst)
+    the cap per-executor rather than per-task.
+
+    Interning is by ``key`` ALONE: if it were by (key, knobs), two
+    annotators registered against the same endpoint with different knob
+    values would get independent semaphores/buckets and their aggregate
+    in-flight/rate could exceed either configured bound, silently
+    breaking the executors × cores × rate ceiling. Conflicting knob
+    values for one endpoint are therefore a configuration error and
+    raise."""
+    knobs = (max_in_flight, rate_limit_per_sec, rate_limit_burst)
     with _GATES_LOCK:
-        gate = _GATES.get(k)
-        if gate is None:
-            gate = _GATES[k] = ExecutorGate(
-                max_in_flight, rate_limit_per_sec, rate_limit_burst
+        entry = _GATES.get(key)
+        if entry is None:
+            gate = ExecutorGate(max_in_flight, rate_limit_per_sec, rate_limit_burst)
+            _GATES[key] = (knobs, gate)
+            return gate
+        prior_knobs, gate = entry
+        if prior_knobs != knobs:
+            raise ValueError(
+                f"conflicting back-pressure knobs for endpoint {key!r}: "
+                f"already interned with (max_in_flight, rate, burst)="
+                f"{prior_knobs}, now requested {knobs}; one endpoint must "
+                f"have exactly one bound per process"
             )
         return gate

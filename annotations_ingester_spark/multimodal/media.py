@@ -189,6 +189,13 @@ def png_decode_gray(p: bytes) -> tuple[int, int, str, list[bytes]]:
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
     if ctype == 3:
+        # A short/ragged PLTE or a pixel index past the palette end would
+        # surface as IndexError, escaping callers' narrow
+        # (ValueError, struct.error, zlib.error) degrade catches and
+        # failing the whole Spark task on one malformed blob — normalize
+        # both corruption shapes to ValueError here instead.
+        if len(plte) < 3 or len(plte) % 3 != 0:
+            raise ValueError(f"corrupt PNG palette: PLTE length {len(plte)}")
         pal_gray = [
             (299 * plte[j] + 587 * plte[j + 1] + 114 * plte[j + 2]) // 1000
             for j in range(0, len(plte), 3)
@@ -225,6 +232,11 @@ def png_decode_gray(p: bytes) -> tuple[int, int, str, list[bytes]]:
         if ctype == 0:
             rows.append(bytes(cur))
         elif ctype == 3:
+            if cur and max(cur) >= len(pal_gray):
+                raise ValueError(
+                    f"corrupt PNG palette: pixel index {max(cur)} >= "
+                    f"palette size {len(pal_gray)}"
+                )
             rows.append(bytes(pal_gray[v] for v in cur))
         elif ctype == 4:
             rows.append(bytes(cur[x] for x in range(0, stride, 2)))

@@ -532,7 +532,15 @@ def main() -> None:
             return time.perf_counter() - t0
 
         one()  # discarded warm-up
-        return round(sorted(one() for _ in range(3))[1], 3)
+        # MIN-of-5, not median-of-3 (r11 verdict item 2): the committed
+        # r11 artifact shipped calibration_sec=3.355 on a machine whose
+        # true calibration is ~0.7 s — a GC/JIT hiccup polluted 2 of 3
+        # samples and the median passed it through, breaking exactly the
+        # cross-round normalization the number exists for. The
+        # calibration job is fixed-shape with no I/O, so its true value
+        # is its FASTEST observed run; min-of-5 rejects any transient
+        # stall instead of averaging it in.
+        return round(min(one() for _ in range(5)), 3)
 
     def time_query(name: str, at_dir: str) -> float:
         # One UNTIMED warm-up execution (fills codegen/broadcast/
@@ -548,7 +556,20 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.spark(spark, at_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        return round(sorted(runs)[1], 3)  # median-of-3
+        med = sorted(runs)[1]
+        # Sub-5 s queries flap 2-4x between committed artifacts on
+        # median-of-3 alone (r11 verdict item 3: events_top_paths,
+        # layout_compaction_checksum, timeseries_ewma...) — one stray GC
+        # pause is a large fraction of a short run. Two extra samples
+        # pin them; queries over ~5 s amortize noise already and keep
+        # the round-close suite affordable.
+        if med < 5.0:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.spark(spark, at_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            med = sorted(runs)[2]  # median-of-5
+        return round(med, 3)
 
     def run_suite(at_dir: str) -> dict[str, float]:
         # Isolation discipline (r3: a ~1.2x uniform drift from shared-JVM
@@ -596,7 +617,17 @@ def main() -> None:
         "kmeans_fit_iterations": getattr(_sim, "LAST_FIT_ITERATIONS", None),
         "calibration_sec": cal_main,
         "load_avg_1m_before": load_before,
-        "isolated": load_before is not None and load_before < 2.0,
+        # "isolated" means <6.25% of the machine's cores were busy when
+        # the suite started (2.0 on the 32-vCPU dev box). A hard-coded
+        # 2.0 would stamp a genuinely contended 2-core machine (load
+        # 1.8 = 90% busy) as isolated; scaling by cpu_count keeps the
+        # provenance meaningful wherever a judge re-runs, and the cpu
+        # count itself is recorded so the threshold is auditable.
+        "cpu_count": os.cpu_count(),
+        "isolated": (
+            load_before is not None
+            and load_before < 0.0625 * (os.cpu_count() or 1)
+        ),
         "runner": os.environ.get("SPARK_GRAFT_BENCH_RUNNER", "inherited"),
     }
 
@@ -676,6 +707,7 @@ def main() -> None:
         "calibration_sec": result["calibration_sec"],
         "flagged_superlinear": result.get("flagged_superlinear", []),
         "load_avg_1m_before": result["load_avg_1m_before"],
+        "cpu_count": result["cpu_count"],
         "isolated": result["isolated"],
         "runner": result["runner"],
     }

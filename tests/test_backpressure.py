@@ -76,15 +76,19 @@ def test_gate_caps_in_flight_across_threads():
         ExecutorGate(max_in_flight=0)
 
 
-def test_executor_gate_interned_per_knobs():
-    """Same (key, knobs) → same gate object (what makes the cap
-    per-executor-process, not per-client); different knobs → distinct."""
+def test_executor_gate_interned_per_endpoint():
+    """Same key → same gate object regardless of who asks (what makes
+    the cap per-executor-process AND per-endpoint: interning by
+    (key, knobs) would let two annotators with different knob values
+    each get their own semaphore and jointly exceed both bounds).
+    Conflicting knobs for one endpoint are a configuration error."""
     a = executor_gate("ep1", max_in_flight=4)
     b = executor_gate("ep1", max_in_flight=4)
-    c = executor_gate("ep1", max_in_flight=5)
     d = executor_gate("ep2", max_in_flight=4)
     assert a is b
-    assert a is not c and a is not d
+    assert a is not d
+    with pytest.raises(ValueError, match="conflicting back-pressure knobs"):
+        executor_gate("ep1", max_in_flight=5)
 
 
 def test_http_client_rate_limit_self_paces():

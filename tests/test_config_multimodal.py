@@ -399,6 +399,21 @@ def test_png_decode_gray_all_filters_and_color_types():
     with pytest.raises(ValueError):
         png_decode_gray(bad[:40])  # truncated IDAT
 
+    # Corrupt-palette shapes must be ValueError, NOT IndexError (r11
+    # advice): callers catch (ValueError, struct.error, zlib.error) and
+    # degrade per-row — an IndexError would fail the whole Spark task on
+    # one malformed blob.
+    with pytest.raises(ValueError, match="corrupt PNG palette"):
+        # PLTE length not a multiple of 3
+        png_decode_gray(
+            _png_encode([bytes([0, 1])], ctype=3, palette=[255, 0, 0, 0])
+        )
+    with pytest.raises(ValueError, match="corrupt PNG palette"):
+        # pixel index >= palette size (2 entries, pixel value 7)
+        png_decode_gray(
+            _png_encode([bytes([0, 7])], ctype=3, palette=[255, 0, 0, 0, 255, 0])
+        )
+
 
 def test_decode_content_png_hermetic(spark):
     """Pixel-level decode_content over PNG payloads runs with NO Pillow:

@@ -97,7 +97,12 @@ def run(sf_dir: str, names: list[str] | None = None, emit: str | None = None) ->
         if spec.oracle is None:
             rows_only += 1
             print(f"ok   {name}: rows={len(sdf)} (no oracle — rows-only)")
-            results[name] = {"status": "rows_only", "rows": len(sdf)}
+            results[name] = {
+                "status": "rows_only",
+                "rows": len(sdf),
+                "sf_dir": sf_dir,
+                "date_utc": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+            }
             continue
         try:
             odf = con.execute(spec.oracle).fetchdf()
@@ -133,7 +138,20 @@ def run(sf_dir: str, names: list[str] | None = None, emit: str | None = None) ->
             "status": "hash_match",
             "rows": len(srows),
             "sec": round(time.time() - t0, 3),
+            # Per-entry provenance: merged artifacts can carry rows from
+            # different runs, so the scale factor and run date must
+            # travel with the ENTRY, not just the artifact header —
+            # otherwise a partial --emit re-run at a different sf_dir
+            # would silently mix scales under one stamp.
+            "sf_dir": sf_dir,
+            "date_utc": datetime.now(timezone.utc).isoformat(timespec="seconds"),
         }
+    # Fail-branch entries get the same per-entry provenance as the
+    # ok/rows-only branches stamp inline.
+    run_stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    for r in results.values():
+        r.setdefault("sf_dir", sf_dir)
+        r.setdefault("date_utc", run_stamp)
     print(
         f"SUMMARY: {matched} hash-matched, {rows_only} rows-only, "
         f"{failures} failed, {matched + rows_only + failures} run"
@@ -146,12 +164,30 @@ def run(sf_dir: str, names: list[str] | None = None, emit: str | None = None) ->
         merged = results
         if os.path.exists(emit):
             with open(emit) as f:
-                prior = json.load(f).get("queries", {})
-            merged = {n: r for n, r in prior.items() if n in REGISTRY}
+                prior_artifact = json.load(f)
+            prior = prior_artifact.get("queries", {})
+            # Backfill per-entry provenance for rows written before
+            # entries carried their own sf_dir/date: they inherit the
+            # prior artifact's header values, so a merged sweep can
+            # never silently present two scale factors as one.
+            prior_sf = prior_artifact.get("sf_dir")
+            prior_date = prior_artifact.get("date_utc")
+            merged = {}
+            for n, r in prior.items():
+                if n not in REGISTRY:
+                    continue
+                r = dict(r)
+                r.setdefault("sf_dir", prior_sf)
+                r.setdefault("date_utc", prior_date)
+                merged[n] = r
             merged.update(results)
         statuses = [r["status"] for r in merged.values()]
+        entry_sf_dirs = sorted({r.get("sf_dir") for r in merged.values() if r.get("sf_dir")})
         artifact = {
             "sf_dir": sf_dir,
+            # Distinct per-entry scale factors across the merged map —
+            # length > 1 flags a mixed-scale merge for the judge.
+            "sf_dirs": entry_sf_dirs,
             "date_utc": datetime.now(timezone.utc).isoformat(timespec="seconds"),
             "registry_size": len(REGISTRY),
             "run": len(merged),
