@@ -199,3 +199,104 @@ def test_config_parses_backpressure_knobs():
         }
     )
     assert cfg2.nlp.max_in_flight is None and cfg2.nlp.rate_limit_per_sec is None
+
+
+def test_pipeline_w1_backpressure_knobs_from_yaml(spark, tmp_path):
+    """VERDICT r11 item 5: the back-pressure knobs travel the FULL config
+    path — YAML file → PipelineConfig → HttpNlpClient (constructed the
+    way __main__.py:91-100 constructs it) → executor_gate — inside a real
+    W1 flat pipeline run (valid_text_filter → annotate mapInPandas →
+    explode → meta./nlp. projection → dedup), and the gate is provably
+    ENGAGED: the injectable transport counts per-pid in-flight
+    concurrency and the observed peak must EQUAL the YAML cap (8 in-batch
+    threads would exceed it if the plumbing rotted anywhere)."""
+    import yaml
+
+    from annotations_ingester_spark.config import PipelineConfig
+    from annotations_ingester_spark.plans.pipeline import AnnotationPipeline
+
+    cfg_path = tmp_path / "w1_backpressure.yml"
+    cfg_path.write_text(
+        yaml.safe_dump(
+            {
+                "source": {"index-name": "src_docs", "text-field": "text",
+                           "docid-field": "doc_id"},
+                "sink": {"index-name": "ann_flat"},
+                "nlp-service": {
+                    "endpoints-url": ["http://nlp-e2e-bp:5000"],
+                    "protocol-mode": "medcat",
+                    "max-in-flight": 2,
+                    "rate-limit-per-sec": 10000,
+                },
+                "batch": {"threads": 8},
+                "mapping": {},
+            }
+        )
+    )
+    cfg = PipelineConfig.from_yaml(str(cfg_path))
+    assert cfg.nlp.max_in_flight == 2
+    assert cfg.nlp.rate_limit_per_sec == 10000.0
+
+    trace = str(tmp_path / "inflight_w1.log")
+    nlp = cfg.nlp
+
+    def annotator():  # mirrors __main__.py:90-100 minus the live socket
+        def transport(url, text):
+            pid = os.getpid()
+            fd = os.open(trace, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+            try:
+                os.write(fd, f"{pid} S {time.monotonic():.6f}\n".encode())
+                time.sleep(0.02)
+                os.write(fd, f"{pid} E {time.monotonic():.6f}\n".encode())
+            finally:
+                os.close(fd)
+            return {"result": {"annotations": {"entities": {
+                "0": {"id": 0, "cui": "C1", "start": 0, "end": 5,
+                      "pretty_name": "thing"}
+            }}}}
+
+        return HttpNlpClient(
+            nlp.endpoints,
+            mode=nlp.mode,
+            auth=(nlp.username, nlp.password) if nlp.username else None,
+            max_retries=nlp.max_retries_on_failure,
+            application_params=nlp.application_params,
+            threads=cfg.threads,
+            transport=transport,
+            max_in_flight=nlp.max_in_flight,
+            rate_limit_per_sec=nlp.rate_limit_per_sec,
+        )
+
+    pipe = AnnotationPipeline(
+        annotator,
+        text_field=cfg.text_field,
+        docid_field=cfg.docid_field,
+        persist_fields=cfg.persist_fields,
+        mode="gate" if cfg.nlp.mode == "gate-nlp" else "medcat",
+    )
+    docs = spark.createDataFrame(
+        [(f"d{i}", "a reasonably long document body") for i in range(48)],
+        f"{cfg.docid_field} string, {cfg.text_field} string",
+    ).repartition(8)
+    rows = pipe.flat(docs).collect()
+    assert len(rows) == 48  # one entity per doc survived explode+project
+
+    events: dict[int, list[tuple[float, int]]] = {}
+    with open(trace) as f:
+        for line in f:
+            pid_s, kind, ts = line.split()
+            events.setdefault(int(pid_s), []).append(
+                (float(ts), 1 if kind == "S" else -1)
+            )
+    assert sum(len(v) for v in events.values()) == 2 * 48
+    global_peak = 0
+    for pid, evs in events.items():
+        now = peak = 0
+        for _, delta in sorted(evs):
+            now += delta
+            peak = max(peak, now)
+        assert peak <= cfg.nlp.max_in_flight, (
+            f"pid {pid} reached {peak} in-flight > YAML cap {cfg.nlp.max_in_flight}"
+        )
+        global_peak = max(global_peak, peak)
+    assert global_peak == cfg.nlp.max_in_flight  # engaged, not just unviolated
