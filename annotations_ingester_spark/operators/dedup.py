@@ -93,6 +93,41 @@ def seed_constant(seed: int) -> int:
     return int(hashlib.md5(str(seed).encode()).hexdigest()[:HASH_HEX_CHARS], 16)
 
 
+def shingle_hash_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc word-``shingle_n``-gram hash rows → ``(id_col, _h)``:
+    tokenize + shingle per row (computed once), explode, md5-hash each
+    shingle to an 8-byte int BEFORE any shuffle — the shared front end
+    of the MinHash signature build and the exact set-overlap measures
+    (Jaccard/containment), so both families index the identical shingle
+    universe. Docs with < ``shingle_n`` tokens produce no rows."""
+    _disable_infer_filters_from_generate(df)
+    toks = _tokens_sql(text_col)
+    parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(shingle_n))
+    return (
+        df.withColumn("_tk", F.expr(toks))
+        .filter(F.size("_tk") >= shingle_n)
+        .withColumn(
+            "_sh",
+            # total expression: InferFiltersFromGenerate may evaluate it on
+            # not-yet-filtered rows, where sequence(1, size-2) would count
+            # DOWN (Spark infers step -1) and index out of bounds
+            F.expr(
+                f"CASE WHEN size(_tk) >= {shingle_n} THEN"
+                f" transform(sequence(1, size(_tk) - {shingle_n - 1}),"
+                f" i -> concat_ws(' ', {parts}))"
+                f" ELSE cast(array() as array<string>) END"
+            ),
+        )
+        .select(F.col(id_col), F.explode("_sh").alias("_shingle"))
+        .select(F.col(id_col), F.expr(_hash_sql("_shingle")).alias("_h"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -117,27 +152,7 @@ def minhash_signatures(
 
     Docs with < shingle_n tokens are dropped (no shingles).
     """
-    _disable_infer_filters_from_generate(df)
-    toks = _tokens_sql(text_col)
-    parts = " , ".join(f"element_at(_tk, i + {j})" for j in range(shingle_n))
-    ex = (
-        df.withColumn("_tk", F.expr(toks))
-        .filter(F.size("_tk") >= shingle_n)
-        .withColumn(
-            "_sh",
-            # total expression: InferFiltersFromGenerate may evaluate it on
-            # not-yet-filtered rows, where sequence(1, size-2) would count
-            # DOWN (Spark infers step -1) and index out of bounds
-            F.expr(
-                f"CASE WHEN size(_tk) >= {shingle_n} THEN"
-                f" transform(sequence(1, size(_tk) - {shingle_n - 1}),"
-                f" i -> concat_ws(' ', {parts}))"
-                f" ELSE cast(array() as array<string>) END"
-            ),
-        )
-        .select(F.col(id_col), F.explode("_sh").alias("_shingle"))
-        .select(F.col(id_col), F.expr(_hash_sql("_shingle")).alias("_h"))
-    )
+    ex = shingle_hash_rows(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
     aggs = [
         F.min(F.col("_h").bitwiseXOR(F.lit(seed_constant(s)))).alias(f"_m{s}")
         for s in range(num_hashes)
@@ -890,6 +905,74 @@ def substring_dedup_survivors(
     )
     return (
         d.select(id_col, F.size("_tk").cast("long").alias("total_tokens"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "total_tokens",
+            (
+                F.col("total_tokens") - F.coalesce(F.col("surviving_tokens"), F.lit(0))
+            )
+            .cast("long")
+            .alias("removed_tokens"),
+            F.coalesce(F.col("surviving_tokens"), F.lit(0))
+            .cast("long")
+            .alias("surviving_tokens"),
+            F.md5(F.coalesce(F.col("_joined"), F.lit(""))).alias("surviving_hash"),
+        )
+    )
+
+
+def substring_dedup_survivors_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_n: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Apply :func:`substring_removal_intervals_bpe` — the SURVIVING
+    corpus in **BPE-token space**: per document, ``(doc_id,
+    total_tokens, removed_tokens, surviving_tokens, surviving_hash)``
+    where counts and positions index the dictionary-encoded BPE token
+    stream (:func:`bpe_tokens_by_vocab`) and ``surviving_hash`` is the
+    md5 of the space-joined BPE tokens OUTSIDE every >= ``k``-token
+    removal interval (md5('') for fully-removed docs). This is the
+    applied twin the r11 verdict asked for: ``dedup_substring_bpe_k50``
+    emits intervals in the units the LM trains on; this cuts them from
+    the token stream and ships the remainder — the word-space
+    :func:`substring_dedup_survivors` over- or under-cuts once text is
+    re-tokenized with the learned merges.
+
+    Scale shape: the BPE token frame is built ONCE (its internal word
+    stream is checkpointed; re-deriving the token arrays from it is
+    cheaper than serializing them — measured at sf1 in
+    :func:`substring_removal_intervals_bpe`) and consumed by three
+    keyed legs: interval detection (hash-before-shuffle grams), the
+    (doc, pos) LEFT ANTI cut, and the totals projection. Reconstruction
+    is a per-doc collect_list + array_sort with state bounded by doc
+    token count. Never all-pairs, never a driver collect.
+    """
+    toks = bpe_tokens_by_vocab(df, text_col=text_col, id_col=id_col)
+    tok = toks.select(id_col, F.posexplode("_tk").alias("pos", "w"))
+    rem = substring_removal_intervals(
+        toks,
+        text_col="_tk",  # unused when tokens given; kept for signature
+        id_col=id_col,
+        anchor_n=anchor_n,
+        min_len=k,
+        tokens=F.col("_tk"),
+    ).select(id_col, F.explode(F.expr("sequence(start_pos, end_pos)")).alias("pos"))
+    surv = tok.join(rem, [id_col, "pos"], "left_anti")
+    agg = surv.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("surviving_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+        ).alias("_joined"),
+    )
+    return (
+        toks.select(id_col, F.size("_tk").cast("long").alias("total_tokens"))
         .join(agg, id_col, "left")
         .select(
             id_col,

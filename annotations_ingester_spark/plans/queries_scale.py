@@ -1075,6 +1075,58 @@ def q_substring_bpe_k50(spark: SparkSession, sf: str):
 
 
 @register(
+    "dedup_substring_bpe_survivors",
+    f"""WITH {_substring_spans_bpe_cte(50)},
+       rem AS (SELECT DISTINCT doc_id,
+                      unnest(range(start_pos, end_pos + 1)) AS pos
+               FROM spans),
+       tp AS (
+         SELECT doc_id, u.x.p::BIGINT AS pos, u.x.w AS w
+         FROM (SELECT doc_id,
+                      unnest(list_transform(range(len(t)),
+                                            i -> {{'p': i, 'w': t[i + 1]}})) AS x
+               FROM d) u),
+       surv AS (
+         SELECT tp.doc_id, tp.pos, tp.w FROM tp
+         WHERE NOT EXISTS (SELECT 1 FROM rem
+                           WHERE rem.doc_id = tp.doc_id AND rem.pos = tp.pos)),
+       agg AS (
+         SELECT doc_id, count(*)::BIGINT AS surviving_tokens,
+                string_agg(w, ' ' ORDER BY pos) AS s
+         FROM surv GROUP BY doc_id)
+       SELECT d.doc_id, len(d.t)::BIGINT AS total_tokens,
+              (len(d.t) - coalesce(agg.surviving_tokens, 0))::BIGINT
+                AS removed_tokens,
+              coalesce(agg.surviving_tokens, 0)::BIGINT AS surviving_tokens,
+              md5(coalesce(agg.s, '')) AS surviving_hash
+       FROM d LEFT JOIN agg USING (doc_id)""",
+    doc="The BPE k=50 substring dedup APPLIED — the surviving corpus in "
+    "the units the LM trains on: per document, BPE tokens outside "
+    "every >= 50-subword duplicated-substring removal interval, as "
+    "counts plus the md5 of the space-joined surviving token stream "
+    "(md5('') for fully-removed docs). Closes the last step of the "
+    "r11 BPE family: dedup_substring_bpe_k50 emits the intervals; "
+    "this cuts them and ships the remainder — the deliverable a "
+    "span-cutting pass trains on, which word-space survivors over- "
+    "or under-cut after re-tokenization. Scale shape: the "
+    "dictionary-encoded token frame (encode once per DISTINCT word, "
+    "checkpointed word stream) feeds three keyed legs — "
+    "hash-before-shuffle gram anchors, a (doc, pos) LEFT ANTI cut, "
+    "totals; per-doc collect_list+array_sort reconstruction bounded "
+    "by doc token count "
+    "(operators/dedup.py substring_dedup_survivors_bpe).",
+)
+def q_substring_bpe_survivors(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import (
+        substring_dedup_survivors_bpe,
+    )
+
+    return substring_dedup_survivors_bpe(
+        table(spark, sf, "documents"), anchor_n=5, k=50
+    )
+
+
+@register(
     "dedup_corpus_survivors",
     f"""WITH RECURSIVE {SIG_CTE},
        band AS (
@@ -2958,4 +3010,285 @@ def q_media_audio_snr(spark: SparkSession, sf: str):
                 4,
             ),
         ).alias("snr_db"),
+    )
+
+
+# --- round-12: applied-dedup observability + asymmetric overlap ----------------
+
+
+@register(
+    "dedup_minhash_containment",
+    f"""WITH {SIG_CTE},
+       band AS (
+         SELECT doc_id, seed // 2 AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, seed // 2),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+       s AS (SELECT DISTINCT doc_id, h FROM shx),
+       sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM s GROUP BY doc_id),
+       inter AS (
+         SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS n_inter
+         FROM pairs p
+         JOIN s sa ON sa.doc_id = p.doc_a
+         JOIN s sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
+         GROUP BY p.doc_a, p.doc_b)
+       SELECT i.doc_a, i.doc_b, i.n_inter,
+              za.n AS size_a, zb.n AS size_b,
+              round(i.n_inter * 1.0 / za.n, 6) AS containment_a,
+              round(i.n_inter * 1.0 / zb.n, 6) AS containment_b,
+              round(i.n_inter * 1.0 / (za.n + zb.n - i.n_inter), 6) AS jaccard
+       FROM inter i
+       JOIN sz za ON za.doc_id = i.doc_a
+       JOIN sz zb ON zb.doc_id = i.doc_b""",
+    doc="ASYMMETRIC near-dup overlap for LSH candidate pairs: exact "
+    "containment C(A->B) = |A∩B|/|A| and C(B->A) over the distinct "
+    "3-shingle sets, alongside Jaccard. Jaccard alone misses the "
+    "quote/subset case — a short doc fully embedded in a long one "
+    "scores low Jaccard but containment ~1.0, which is exactly the "
+    "'document is a fragment of another' signal a dedup policy treats "
+    "differently from a mutual near-copy. Candidates come from the "
+    "SAME MinHash banding as the dedup family (no new all-pairs "
+    "shape); the exact set overlap is an equi-join of the candidate "
+    "pairs onto the hash-before-shuffle distinct shingle rows — "
+    "bounded by candidate count x doc shingle count, keyed "
+    "throughout (operators/dedup.py shingle_hash_rows + "
+    "lsh_candidate_pairs). Pairs with zero shared shingles (band-key "
+    "hash collisions) drop out of the inner join identically in both "
+    "engines.",
+)
+def q_dedup_minhash_containment(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.operators.dedup import shingle_hash_rows
+
+    docs = table(spark, sf, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(lsh_band_keys(sig)).select("doc_a", "doc_b")
+    # narrow (doc_id, _h) rows feeding THREE legs (sizes + both sides of
+    # the intersection join) — checkpoint so the tokenize+shingle+hash
+    # scan runs once, not per leg
+    s = shingle_hash_rows(docs).distinct().localCheckpoint(eager=True)
+    sz = s.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    sb = s.withColumnRenamed("doc_id", "_db").withColumnRenamed("_h", "_hb")
+    inter = (
+        pairs.join(s.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_db")) & (F.col("_h") == F.col("_hb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    za = sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "size_a")
+    zb = sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "size_b")
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "size_a",
+            "size_b",
+            F.round(F.col("n_inter") * 1.0 / F.col("size_a"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_inter") * 1.0 / F.col("size_b"), 6).alias(
+                "containment_b"
+            ),
+            F.round(
+                F.col("n_inter")
+                * 1.0
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    """WITH g AS (
+         SELECT md5(text) AS fp, count(*)::BIGINT AS n
+         FROM documents GROUP BY fp)
+       SELECT n AS cluster_size,
+              count(*)::BIGINT AS n_clusters,
+              (n * count(*))::BIGINT AS n_docs,
+              ((n - 1) * count(*))::BIGINT AS dup_overhead_docs
+       FROM g GROUP BY n""",
+    doc="Duplicate-cluster SIZE DISTRIBUTION over exact content groups: "
+    "for each cluster size, how many clusters, how many documents they "
+    "hold, and the duplication overhead (docs beyond one survivor per "
+    "cluster) — the observability view a dedup run reports before "
+    "deleting anything (cluster-size distributions are heavy-tailed at "
+    "corpus scale; the overhead column IS the token savings estimate). "
+    "Complements dedup_exact_groups (which lists groups) with the "
+    "corpus-level shape. Scale shape: two map-side-combinable "
+    "aggregates — fingerprint rollup, then a rollup over cluster "
+    "sizes whose key cardinality is O(max cluster size); no join, no "
+    "window.",
+)
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf: str):
+    g = (
+        table(spark, sf, "documents")
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return g.groupBy(F.col("n").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count("*"))
+        .cast("long")
+        .alias("dup_overhead_docs"),
+    )
+
+
+_WRS_K = 100  # reservoir size
+_WRS_MOD = 2147483647  # 2^31 - 1 (prime): uniform-in-(0,1] denominator
+
+
+@register(
+    "sample_weighted_reservoir",
+    f"""WITH w AS (
+         SELECT o_orderkey,
+                round(o_totalprice * 100)::BIGINT AS weight_cents,
+                (('0x' || substr(md5('wrs:' || o_orderkey::VARCHAR), 1, 15))
+                  ::BIGINT % {_WRS_MOD} + 1) * 1.0 / {_WRS_MOD + 1} AS u
+         FROM orders),
+       keyed AS (
+         SELECT o_orderkey, weight_cents,
+                ln(u) / weight_cents AS k
+         FROM w)
+       SELECT o_orderkey, weight_cents,
+              round(k, 12) + 0.0 AS wrs_key  -- +0.0 folds IEEE -0.0 to +0.0
+       FROM keyed
+       ORDER BY k DESC, o_orderkey
+       LIMIT {_WRS_K}""",
+    doc="Weighted reservoir sampling (Efraimidis-Spirakis A-ES) made "
+    "DETERMINISTIC and distributed: each row gets key ln(u)/w with u a "
+    "hash-derived uniform in (0,1] (md5 of a salted id — any engine "
+    "recomputes it), and the weighted-without-replacement sample of "
+    "size k is exactly the top-k keys. This is the one-pass, "
+    "shuffle-light way to draw a totalprice-weighted order sample at "
+    "100 TB: no global sort, no sequential scan — TakeOrdered keeps a "
+    "k-row heap per partition and merges k x partitions rows on the "
+    "driver. Determinism makes the sample reproducible AND "
+    "certifiable (the oracle draws the identical sample), the "
+    "property audit pipelines need from sampling stages. Scale "
+    "shape: scan-fused key computation, TakeOrderedAndProject(k=100); "
+    "nothing else.",
+)
+def q_sample_weighted_reservoir(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    w = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("weight_cents"),
+        (
+            (
+                md5_hash64(F.concat(F.lit("wrs:"), F.col("o_orderkey").cast("string")))
+                % _WRS_MOD
+                + 1
+            )
+            * 1.0
+            / (_WRS_MOD + 1)
+        ).alias("u"),
+    )
+    keyed = w.select(
+        "o_orderkey",
+        "weight_cents",
+        (F.log(F.col("u")) / F.col("weight_cents")).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), "o_orderkey")
+        .limit(_WRS_K)
+        .select(
+            "o_orderkey",
+            "weight_cents",
+            (F.round("k", 12) + 0.0).alias("wrs_key"),  # fold -0.0 to +0.0
+        )
+    )
+
+
+_CHUNK_SENT_BUDGET = 48  # tokens per sentence-packed chunk
+
+
+@register(
+    "chunk_sentence_packed",
+    f"""WITH d AS (
+         SELECT doc_id,
+                list_transform(
+                  list_filter(regexp_split_to_array(text, '[.!?]+'),
+                              s -> trim(s) <> ''),
+                  s -> len(list_filter(regexp_split_to_array(lower(s),
+                         '[^a-z0-9]+'), x -> x <> ''))::BIGINT) AS sl
+         FROM documents WHERE text IS NOT NULL),
+       s AS (
+         SELECT doc_id, u.x.p::BIGINT AS sidx, u.x.t::BIGINT AS st
+         FROM (SELECT doc_id,
+                      unnest(list_transform(range(len(sl)),
+                                            i -> {{'p': i, 't': sl[i + 1]}})) AS x
+               FROM d WHERE len(sl) >= 1) u),
+       binned AS (
+         SELECT doc_id, sidx, st,
+                floor((sum(st) OVER (PARTITION BY doc_id ORDER BY sidx
+                       ROWS UNBOUNDED PRECEDING) - st)
+                      * 1.0 / {_CHUNK_SENT_BUDGET})::BIGINT AS chunk_id
+         FROM s)
+       SELECT doc_id, chunk_id,
+              count(*)::BIGINT AS n_sentences,
+              min(sidx)::BIGINT AS first_sentence,
+              max(sidx)::BIGINT AS last_sentence,
+              sum(st)::BIGINT AS chunk_tokens
+       FROM binned GROUP BY doc_id, chunk_id""",
+    doc="Sentence-boundary-aware chunking: sentences (terminal-"
+    "punctuation split, the text_sentence_stats convention) pack "
+    "sequentially into ~48-token chunks via an exclusive running "
+    "token sum — no sentence is ever cut mid-way, the property RAG "
+    "and long-context training chunkers want that the fixed-stride "
+    "token chunker (chunk_documents) cannot give. A sentence longer "
+    "than the budget gets its own chunk (floor-binning never splits "
+    "a unit). Scale shape: sentence token counts are computed inside "
+    "the row (no text explode), one doc_id-partitioned window for "
+    "the prefix sum, one (doc, chunk) rollup — integer-only "
+    "arithmetic end to end.",
+)
+def q_chunk_sentence_packed(spark: SparkSession, sf: str):
+    from pyspark.sql import Window as W
+
+    sent_tokens = lambda s: F.size(  # noqa: E731
+        F.filter(F.split(F.lower(s), "[^a-z0-9]+", -1), lambda x: x != F.lit(""))
+    ).cast("long")
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.transform(
+                F.filter(
+                    F.split(F.col("text"), r"[.!?]+", -1),
+                    lambda s: F.trim(s) != F.lit(""),
+                ),
+                sent_tokens,
+            ).alias("sl"),
+        )
+        .filter(F.size("sl") >= 1)
+    )
+    s = d.select("doc_id", F.posexplode("sl").alias("sidx", "st")).select(
+        "doc_id", F.col("sidx").cast("long").alias("sidx"), "st"
+    )
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("sidx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    binned = s.withColumn(
+        "chunk_id",
+        F.floor(
+            (F.sum("st").over(win) - F.col("st")) * 1.0 / _CHUNK_SENT_BUDGET
+        ).cast("long"),
+    )
+    return binned.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("long").alias("n_sentences"),
+        F.min("sidx").cast("long").alias("first_sentence"),
+        F.max("sidx").cast("long").alias("last_sentence"),
+        F.sum("st").cast("long").alias("chunk_tokens"),
     )

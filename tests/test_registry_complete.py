@@ -98,6 +98,33 @@ def test_order_last_r12_names_exist_and_fit_window():
     assert len(mod._ORDER_LAST_R12) <= 50
 
 
+def test_order_last_r13_names_exist_and_debt_fits_one_window():
+    """r11 verdict item 1: r12-session additions are capped so the 24-name
+    r12 tier PLUS everything new fits one 50-slot gate window — official
+    coverage reaches 100% at the r12 gate, with nothing stranded."""
+    mod = _entry_module()
+    stranded = mod._ORDER_LAST_R13 - set(REGISTRY)
+    assert not stranded, f"_ORDER_LAST_R13 names not in registry: {sorted(stranded)}"
+    assert len(mod._ORDER_LAST_R12 | mod._ORDER_LAST_R13) <= GATE_WINDOW, (
+        f"r12 debt ({len(mod._ORDER_LAST_R12)}) + r12-session additions "
+        f"({len(mod._ORDER_LAST_R13)}) exceed the {GATE_WINDOW}-slot window"
+    )
+
+
+def test_all_uncovered_fit_one_gate_window():
+    """The round-12 discipline: EVERY not-yet-officially-covered name must
+    fit one gate window, so the next CORRECTNESS file can close coverage
+    to 100%. Any session adding more names than the window's remainder
+    breaks this loudly instead of silently re-opening a multi-round tail."""
+    mod = _entry_module()
+    covered = mod._covered_from_disk()
+    uncovered = [n for n in REGISTRY if n not in covered]
+    assert len(uncovered) <= GATE_WINDOW, (
+        f"{len(uncovered)} uncovered queries exceed the {GATE_WINDOW}-slot "
+        f"gate window: {sorted(uncovered)[:10]}..."
+    )
+
+
 def test_order_last_r11_fits_one_gate_window():
     """The r11 tier must certify in ONE 50-slot gate window (its header
     comment claims exactly 50) — a 51st addition belongs in a new
@@ -114,11 +141,18 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
     covered = mod._covered_from_disk()
     ordered = list(mod.queries())
     uncovered = [n for n in REGISTRY if n not in covered]
-    last12 = [n for n in uncovered if n in mod._ORDER_LAST_R12]
+    last13 = [n for n in uncovered if n in mod._ORDER_LAST_R13]
+    last12 = [
+        n
+        for n in uncovered
+        if n in mod._ORDER_LAST_R12 and n not in mod._ORDER_LAST_R13
+    ]
     last11 = [
         n
         for n in uncovered
-        if n in mod._ORDER_LAST_R11 and n not in mod._ORDER_LAST_R12
+        if n in mod._ORDER_LAST_R11
+        and n not in mod._ORDER_LAST_R12
+        and n not in mod._ORDER_LAST_R13
     ]
     last10 = [
         n
@@ -126,6 +160,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         if n in mod._ORDER_LAST_R10
         and n not in mod._ORDER_LAST_R11
         and n not in mod._ORDER_LAST_R12
+        and n not in mod._ORDER_LAST_R13
     ]
     last = [
         n
@@ -134,6 +169,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         and n not in mod._ORDER_LAST_R10
         and n not in mod._ORDER_LAST_R11
         and n not in mod._ORDER_LAST_R12
+        and n not in mod._ORDER_LAST_R13
     ]
     debt = [
         n
@@ -143,6 +179,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         and n not in mod._ORDER_LAST_R10
         and n not in mod._ORDER_LAST_R11
         and n not in mod._ORDER_LAST_R12
+        and n not in mod._ORDER_LAST_R13
     ]
     deferred = [
         n
@@ -153,6 +190,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         and n not in mod._ORDER_LAST_R10
         and n not in mod._ORDER_LAST_R11
         and n not in mod._ORDER_LAST_R12
+        and n not in mod._ORDER_LAST_R13
     ]
     fresh = [
         n
@@ -163,6 +201,7 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
         and n not in mod._ORDER_LAST_R10
         and n not in mod._ORDER_LAST_R11
         and n not in mod._ORDER_LAST_R12
+        and n not in mod._ORDER_LAST_R13
     ]
     # debt first, then fresh additions, then past-window deferrals, then
     # the absolute-last tiers (r9 then r10), then covered — as sets per
@@ -178,16 +217,18 @@ def test_gate_window_fronts_uncovered_debt_then_fresh():
     assert set(ordered[n_l : n_l + len(last10)]) == set(last10)
     n_l10 = n_l + len(last10)
     assert set(ordered[n_l10 : n_l10 + len(last11)]) == set(last11)
-    assert set(ordered[n_l10 + len(last11) : n_unc]) == set(last12)
+    n_l11 = n_l10 + len(last11)
+    assert set(ordered[n_l11 : n_l11 + len(last12)]) == set(last12)
+    assert set(ordered[n_l11 + len(last12) : n_unc]) == set(last13)
     assert set(ordered[n_unc:]) <= covered
     # everything except the r11 head-start tier (debt + r9 tier + r10
     # additions) must fit inside one certification window — the r9
     # verdict's item 1: all 34 older names certify this round, r10
     # additions are capped at the spare slots, and late r11-tier builds
     # ride BEHIND the window (they certify next round)
-    assert n_unc - len(last11) - len(last12) <= GATE_WINDOW, (
-        f"{n_unc - len(last11) - len(last12)} pre-r11 uncovered queries "
-        f"exceed the {GATE_WINDOW}-entry gate window"
+    assert n_unc - len(last11) - len(last12) - len(last13) <= GATE_WINDOW, (
+        f"{n_unc - len(last11) - len(last12) - len(last13)} pre-r11 "
+        f"uncovered queries exceed the {GATE_WINDOW}-entry gate window"
     )
     # every NON-DEFERRED uncovered name must fit inside the certification
     # window; overflow means deferring the newest additions (or waiting a
