@@ -9,6 +9,8 @@ sums, rounded doubles, total orderings.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -5414,4 +5416,356 @@ def q_split_temporal_holdout(spark: SparkSession, sf: str):
             F.sum("cents").cast("long").alias("revenue_cents"),
             F.min("n_overlap_users").cast("long").alias("n_overlap_users"),
         )
+    )
+
+
+# --- round-12 session: frequency-domain seasonality, drawdowns, path
+#     trigrams, burstiness/memory ----------------------------------------------
+
+_SPECTRAL_MAX_PERIOD = 14
+
+
+@register(
+    "timeseries_spectral_peak",
+    f"""WITH {DAILY_CENTS_CTE},
+       m AS (SELECT min(day)::BIGINT AS d0, count(*)::BIGINT AS n,
+                    sum(x)::BIGINT AS s1,
+                    sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS s2
+             FROM d),
+       c AS (SELECT (d.day - m.d0)::BIGINT AS t,
+                    d.x - m.s1 * 1.0 / m.n AS xc,
+                    m.n, m.s1, m.s2
+             FROM d, m),
+       fan AS (SELECT p.p, c.t, c.xc, c.n, c.s1, c.s2
+               FROM c, (SELECT unnest(range(2, {_SPECTRAL_MAX_PERIOD + 1}))
+                          AS p) p),
+       pw AS (SELECT p, max(n) AS n,
+                     power(sum(xc * cos(2 * pi() * t / p)), 2)
+                     + power(sum(xc * sin(2 * pi() * t / p)), 2) AS pwr,
+                     CAST(max(s2) AS DOUBLE)
+                     - max(s1) * (max(s1) * 1.0 / max(n)) AS sst
+              FROM fan GROUP BY p),
+       nrm AS (SELECT p::BIGINT AS period,
+                      round(pwr / (n * sst), 6) AS power_frac
+               FROM pw),
+       mx AS (SELECT max(power_frac) AS top FROM nrm)
+       SELECT period, power_frac,
+              power_frac = mx.top AS is_peak
+       FROM nrm, mx""",
+    doc="Periodogram peak detection over the daily-revenue series: for "
+    "each candidate period p in 2..14 days, the Schuster intensity "
+    "(sum xc*cos(2pi t/p))^2 + (sum xc*sin)^2 of the mean-centered "
+    "series, NORMALIZED by n*SST so the statistic is the fraction-of-"
+    "variance scale (bounded O(1), where cross-engine cos/sin ulp "
+    "noise is 1e-15 relative — rounding-safe; raw power at cents "
+    "scale is ~1e12 where it would not be). The frequency-domain "
+    "evidence that complements events_hourly_seasonality / "
+    "timeseries_seasonal_strength in the time domain: whichever "
+    "period dominates carries the peak flag. t comes from day - "
+    "min(day) (gap-correct), never a row_number — no window "
+    "anywhere; SST from exact BIGINT/DECIMAL sums. Scale shape: one "
+    "daily rollup, a 13-way period fan over the ~30-row day table, "
+    "one 13-group aggregate, two 1-row broadcasts.",
+)
+def q_timeseries_spectral_peak(spark: SparkSession, sf: str):
+    d = daily_cents(spark, sf)
+    m = d.agg(
+        F.min("day").cast("long").alias("d0"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    c = d.crossJoin(F.broadcast(m)).select(
+        (F.col("day") - F.col("d0")).cast("long").alias("t"),
+        (F.col("x") - F.col("s1") * 1.0 / F.col("n")).alias("xc"),
+        "n",
+        "s1",
+        "s2",
+    )
+    fan = c.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(2), F.lit(_SPECTRAL_MAX_PERIOD))
+        ).alias("p"),
+    )
+    ang = 2 * F.lit(math.pi) * F.col("t") / F.col("p")
+    pw = fan.groupBy("p").agg(
+        F.max("n").alias("n"),
+        (
+            F.pow(F.sum(F.col("xc") * F.cos(ang)), 2)
+            + F.pow(F.sum(F.col("xc") * F.sin(ang)), 2)
+        ).alias("pwr"),
+        (
+            F.max("s2").cast("double")
+            - F.max("s1") * (F.max("s1") * 1.0 / F.max("n"))
+        ).alias("sst"),
+    )
+    nrm = pw.select(
+        F.col("p").cast("long").alias("period"),
+        F.round(F.col("pwr") / (F.col("n") * F.col("sst")), 6).alias(
+            "power_frac"
+        ),
+    )
+    mx = nrm.agg(F.max("power_frac").alias("top"))
+    return nrm.crossJoin(F.broadcast(mx)).select(
+        "period",
+        "power_frac",
+        (F.col("power_frac") == F.col("top")).alias("is_peak"),
+    )
+
+
+@register(
+    "timeseries_drawdown_stats",
+    f"""WITH {DAILY_CENTS_CTE},
+       rm AS (SELECT day, x,
+                     max(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                       AS peak,
+                     row_number() OVER (ORDER BY day) AS rn
+              FROM d),
+       dd AS (SELECT day, x, peak, rn,
+                     round((peak - x) * 1.0 / peak, 6) AS draw,
+                     CASE WHEN x < peak THEN 1 ELSE 0 END AS under
+              FROM rm),
+       isl AS (SELECT under,
+                      rn - row_number() OVER (PARTITION BY under
+                                              ORDER BY rn) AS grp
+               FROM dd),
+       runs AS (SELECT count(*)::BIGINT AS len FROM isl
+                WHERE under = 1 GROUP BY grp),
+       mx AS (SELECT max(draw) AS max_draw FROM dd)
+       SELECT (SELECT count(*) FROM dd)::BIGINT AS n_days,
+              mx.max_draw AS max_drawdown_frac,
+              (SELECT min(day) FROM dd, mx
+               WHERE dd.draw = mx.max_draw)::BIGINT AS max_drawdown_day,
+              coalesce((SELECT max(len) FROM runs), 0)::BIGINT
+                AS longest_underwater_days
+       FROM mx""",
+    doc="Drawdown audit of the daily-revenue series: running peak, "
+    "maximum peak-to-trough drawdown fraction (with the day it "
+    "bottomed — min day on ties, deterministic in both engines), and "
+    "the longest consecutive underwater run (days strictly below the "
+    "running peak, gaps-and-islands on the day-ordered frame). The "
+    "operational 'how bad did it get and for how long' summary that "
+    "complements point anomalies (timeseries_zscore_anomalies) and "
+    "level changes (events_changepoint_cusum) — a slow bleed trips "
+    "none of those but shows up here as a long underwater run. "
+    "Scale shape: windows run over the ~30-row date-domain rollup "
+    "(the holt/EWMA class), constant-size aggregates after.",
+)
+def q_timeseries_drawdown_stats(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    d = daily_cents(spark, sf)
+    w = Window.orderBy("day")
+    rm = d.select(
+        "day",
+        "x",
+        F.max("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("peak"),
+        F.row_number().over(w).alias("rn"),
+    )
+    dd = rm.select(
+        "day",
+        "x",
+        "rn",
+        F.round((F.col("peak") - F.col("x")) * 1.0 / F.col("peak"), 6).alias(
+            "draw"
+        ),
+        F.when(F.col("x") < F.col("peak"), 1).otherwise(0).alias("under"),
+    ).localCheckpoint(eager=True)  # ~30 rows; consumed by 4 scalar legs
+    isl = dd.select(
+        "under",
+        (
+            F.col("rn")
+            - F.row_number().over(Window.partitionBy("under").orderBy("rn"))
+        ).alias("grp"),
+    )
+    runs = (
+        isl.filter(F.col("under") == 1)
+        .groupBy("grp")
+        .agg(F.count("*").cast("long").alias("len"))
+    )
+    mx = dd.agg(F.max("draw").alias("max_draw"))
+    n_days = dd.agg(F.count("*").cast("long").alias("n_days"))
+    bottom = (
+        dd.crossJoin(F.broadcast(mx.select(F.col("max_draw").alias("_md"))))
+        .filter(F.col("draw") == F.col("_md"))
+        .agg(F.min("day").cast("long").alias("max_drawdown_day"))
+    )
+    longest = runs.agg(
+        F.coalesce(F.max("len"), F.lit(0)).cast("long").alias(
+            "longest_underwater_days"
+        )
+    )
+    return (
+        n_days.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(bottom))
+        .crossJoin(F.broadcast(longest))
+        .select(
+            "n_days",
+            F.col("max_draw").alias("max_drawdown_frac"),
+            "max_drawdown_day",
+            "longest_underwater_days",
+        )
+    )
+
+
+@register(
+    "events_path_trigrams",
+    """WITH e AS (
+         SELECT user_id, event_type,
+                floor(epoch(ts))::BIGINT AS ts_s, event_id
+         FROM events),
+       seq AS (
+         SELECT user_id, event_type AS t1,
+                lead(event_type, 1) OVER w AS t2,
+                lead(event_type, 2) OVER w AS t3
+         FROM e WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts_s, event_id)),
+       tri AS (SELECT user_id, t1, t2, t3 FROM seq
+               WHERE t2 IS NOT NULL AND t3 IS NOT NULL)
+       SELECT t1, t2, t3,
+              count(*)::BIGINT AS n_occurrences,
+              count(DISTINCT user_id)::BIGINT AS n_users
+       FROM tri GROUP BY t1, t2, t3""",
+    doc="Behavioral path mining one order above the Markov family: "
+    "every consecutive event-type TRIGRAM per user journey with "
+    "corpus frequency and user reach. events_markov_transitions "
+    "models memoryless hops; trigram counts expose second-order "
+    "structure (view->click->purchase vs view->click->error are "
+    "indistinguishable at bigram level) — the funnel-hypothesis "
+    "generator feeding funnel_conversion_steps. Ordering is pinned "
+    "(ts, event_id) so the sequence is deterministic under "
+    "same-second ties in any engine. Scale shape: one user-"
+    "partitioned two-lead window (the sessionization class), one "
+    "map-side-combinable rollup to the bounded type^3 key space "
+    "(<= 125 rows at any sf).",
+)
+def q_events_path_trigrams(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select(
+        "user_id", "event_type", F.col("ts_s"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    tri = seq.filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return tri.groupBy("t1", "t2", "t3").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@register(
+    "events_burstiness_memory",
+    """WITH e AS (
+         SELECT event_type, floor(epoch(ts))::BIGINT AS ts_s, event_id
+         FROM events),
+       g AS (
+         SELECT event_type,
+                ts_s - lag(ts_s) OVER w AS tau,
+                lead(ts_s) OVER w - ts_s AS tau_next
+         FROM e WINDOW w AS (PARTITION BY event_type
+                             ORDER BY ts_s, event_id)),
+       s AS (
+         SELECT event_type,
+                count(tau)::BIGINT AS n_gaps,
+                sum(tau)::BIGINT AS s1,
+                sum(tau::DECIMAL(38,0) * tau)::DECIMAL(38,0) AS s2
+         FROM g WHERE tau IS NOT NULL GROUP BY event_type),
+       pairs AS (
+         SELECT event_type,
+                count(*)::BIGINT AS np,
+                sum(tau)::BIGINT AS pa, sum(tau_next)::BIGINT AS pb,
+                sum(tau::DECIMAL(38,0) * tau)::DECIMAL(38,0) AS paa,
+                sum(tau_next::DECIMAL(38,0) * tau_next)::DECIMAL(38,0) AS pbb,
+                sum(tau::DECIMAL(38,0) * tau_next)::DECIMAL(38,0) AS pab
+         FROM g WHERE tau IS NOT NULL AND tau_next IS NOT NULL
+         GROUP BY event_type),
+       k AS (
+         SELECT s.event_type, s.n_gaps,
+                s.s1 * 1.0 / s.n_gaps AS mu,
+                sqrt((CAST(s.s2 AS DOUBLE)
+                      - s.s1 * (s.s1 * 1.0 / s.n_gaps)) / s.n_gaps) AS sd,
+                CAST(p.np * p.pab - p.pa::DECIMAL(38,0) * p.pb AS DOUBLE)
+                  / sqrt(CAST(p.np * p.paa - p.pa::DECIMAL(38,0) * p.pa
+                              AS DOUBLE)
+                         * CAST(p.np * p.pbb - p.pb::DECIMAL(38,0) * p.pb
+                                AS DOUBLE)) AS mem
+         FROM s JOIN pairs p USING (event_type))
+       SELECT event_type, n_gaps,
+              round((sd - mu) / (sd + mu), 6) AS burstiness,
+              round(mem, 6) AS memory_coef
+       FROM k""",
+    doc="Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) and the "
+    "memory coefficient M (Pearson correlation of consecutive "
+    "inter-arrival gaps) per event type: the two-parameter "
+    "fingerprint separating Poisson traffic (B~0, M~0) from bursty "
+    "human/bot activity — the distributional characterization behind "
+    "events_bot_score's per-user heuristic and the model-choice "
+    "gate for events_interarrival_stats' exponential assumption "
+    "(stats_exponentiality_test tests it; B/M say HOW it fails). "
+    "Gaps are exact integer seconds from a type-partitioned "
+    "lag/lead window ((ts, event_id)-ordered — the gap sequence is "
+    "tie-permutation invariant); both statistics come from exact "
+    "BIGINT/DECIMAL power sums, population sigma. Scale shape: one "
+    "partitioned window, two map-side-combinable per-type "
+    "aggregates, a 5-row join.",
+)
+def q_events_burstiness_memory(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf).select("event_type", "ts_s", "event_id")
+    w = Window.partitionBy("event_type").orderBy("ts_s", "event_id")
+    g = e.select(
+        "event_type",
+        (F.col("ts_s") - F.lag("ts_s").over(w)).alias("tau"),
+        (F.lead("ts_s").over(w) - F.col("ts_s")).alias("tau_next"),
+    ).localCheckpoint(eager=True)  # narrow 3-col gap frame; feeds 2 aggs
+    dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = (
+        g.filter(F.col("tau").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("tau").cast("long").alias("n_gaps"),
+            F.sum("tau").cast("long").alias("s1"),
+            F.sum(dd("tau") * F.col("tau")).cast("decimal(38,0)").alias("s2"),
+        )
+    )
+    p = (
+        g.filter(F.col("tau").isNotNull() & F.col("tau_next").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("np"),
+            F.sum("tau").cast("long").alias("pa"),
+            F.sum("tau_next").cast("long").alias("pb"),
+            F.sum(dd("tau") * F.col("tau")).cast("decimal(38,0)").alias("paa"),
+            F.sum(dd("tau_next") * F.col("tau_next"))
+            .cast("decimal(38,0)")
+            .alias("pbb"),
+            F.sum(dd("tau") * F.col("tau_next"))
+            .cast("decimal(38,0)")
+            .alias("pab"),
+        )
+    )
+    mu = F.col("s1") * 1.0 / F.col("n_gaps")
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1") * mu) / F.col("n_gaps")
+    )
+    np_ = F.col("np")
+    mem = (np_ * F.col("pab") - dd("pa") * F.col("pb")).cast("double") / F.sqrt(
+        (np_ * F.col("paa") - dd("pa") * F.col("pa")).cast("double")
+        * (np_ * F.col("pbb") - dd("pb") * F.col("pb")).cast("double")
+    )
+    return s.join(p, "event_type").select(
+        "event_type",
+        "n_gaps",
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+        F.round(mem, 6).alias("memory_coef"),
     )

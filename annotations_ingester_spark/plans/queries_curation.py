@@ -2058,3 +2058,116 @@ def q_corpus_dup_quality_association(spark: SparkSession, sf: str):
         orr.alias("odds_ratio_haldane"),
         (orr > 1.0).alias("dups_skew_low_quality"),
     )
+
+
+# --- round-12 session: k-fold assignment + quality/length skyline -------------
+
+_KFOLD_K = 5
+
+
+@register(
+    "split_kfold_assign",
+    f"""WITH a AS (
+         SELECT doc_id, source,
+                {md5_hash64_sql("'fold:' || doc_id::VARCHAR")} % {_KFOLD_K}
+                  AS fold,
+                len({tokens_sql("text")})::BIGINT AS n_tokens
+         FROM documents WHERE text IS NOT NULL)
+       SELECT fold::BIGINT AS fold,
+              count(*)::BIGINT AS n_docs,
+              sum(n_tokens)::BIGINT AS total_tokens,
+              count(DISTINCT source)::BIGINT AS n_sources
+       FROM a GROUP BY fold""",
+    doc="Deterministic k-fold cross-validation assignment (k = 5): fold "
+    "= portable-hash('fold:' || id) mod k, reported as per-fold doc/"
+    "token/source tallies — the balance certificate a CV pipeline "
+    "checks before training k models. Completes the split family "
+    "(split_hash_assign: one train/test cut; split_stratified_sample: "
+    "proportioned draw; split_group_holdout / split_temporal_holdout: "
+    "leakage-safe variants) with the resampling layout evaluation "
+    "actually uses; the hash makes every fold reproducible from ids "
+    "alone, with no global sort or shuffle beyond the k-row rollup. "
+    "Scale shape: one scan-fused projection, one k-group map-side-"
+    "combinable aggregate.",
+)
+def q_split_kfold_assign(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    a = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            (
+                md5_hash64(
+                    F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))
+                )
+                % _KFOLD_K
+            ).alias("fold"),
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+        )
+    )
+    return a.groupBy(F.col("fold").cast("long").alias("fold")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
+@register(
+    "curation_skyline_quality",
+    f"""WITH s AS (
+         SELECT doc_id, {quality_score_sql("text")} AS q,
+                n_chars::BIGINT AS n_chars
+         FROM documents WHERE text IS NOT NULL),
+       perq AS (SELECT q, max(n_chars)::BIGINT AS mq FROM s GROUP BY q),
+       run AS (SELECT q,
+                      max(mq) OVER (ORDER BY q DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS best_above
+               FROM perq)
+       SELECT s.doc_id, s.q AS quality, s.n_chars
+       FROM s JOIN run USING (q)
+       WHERE run.best_above IS NULL OR s.n_chars > run.best_above""",
+    doc="Pareto skyline of the (quality, length) plane: the documents no "
+    "other document STRICTLY dominates on both axes (higher quality "
+    "AND more characters) — the efficient frontier a curation budget "
+    "walks when trading document quality against context-filling "
+    "length, and the 2-D generalization of quality_percentile_filter's "
+    "single-axis cut. Computed with the classic sort-sweep: per "
+    "distinct quality the max length, then a strictly-above running "
+    "max (1-PRECEDING frame) over the quality-ordered frame — a doc "
+    "survives iff it is longer than everything strictly better. The "
+    "sweep window runs over the DISTINCT-QUALITY table (bounded by "
+    "the 6-dp score domain, the auc_pr distinct-score class), never "
+    "the corpus. Scale shape: one scan, one distinct-quality rollup, "
+    "one bounded window, one equi-join back.",
+)
+def q_curation_skyline_quality(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.functions.text import quality_score
+
+    s = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            quality_score("text").alias("q"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .localCheckpoint(eager=True)  # feeds the per-q rollup + the join back
+    )
+    perq = s.groupBy("q").agg(F.max("n_chars").cast("long").alias("mq"))
+    w = Window.orderBy(F.col("q").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = perq.select("q", F.max("mq").over(w).alias("best_above"))
+    return (
+        s.join(run, "q")
+        .filter(
+            F.col("best_above").isNull()
+            | (F.col("n_chars") > F.col("best_above"))
+        )
+        .select("doc_id", F.col("q").alias("quality"), "n_chars")
+    )

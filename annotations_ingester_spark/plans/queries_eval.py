@@ -3173,3 +3173,459 @@ def q_eval_auc_pr(spark: SparkSession, sf: str):
             4,
         ).alias("lift_over_random"),
     )
+
+
+# --- round-12 session: calibration regression / exact-z / agreement /
+#     forecast-ratio / label-noise additions ----------------------------------
+
+
+@register(
+    "eval_reliability_regression",
+    f"""WITH p AS (
+         SELECT ({_CONF_HASH} % 10000)::BIGINT AS x,
+                CASE WHEN ({_OUT_HASH} % 10000) <
+                          (({_CONF_HASH} % 10000) * 9) // 10 + 500
+                     THEN 1 ELSE 0 END::BIGINT AS y
+         FROM embeddings),
+       s AS (SELECT count(*)::BIGINT AS n,
+                    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                    sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS sxx,
+                    sum(x::DECIMAL(38,0) * y)::DECIMAL(38,0) AS sxy
+             FROM p),
+       k AS (SELECT n,
+                    10000.0 * CAST(n * sxy - sx::DECIMAL(38,0) * sy AS DOUBLE)
+                      / CAST(n * sxx - sx::DECIMAL(38,0) * sx AS DOUBLE)
+                      AS slope,
+                    sy * 1.0 / n
+                    - (10000.0 * CAST(n * sxy - sx::DECIMAL(38,0) * sy
+                                      AS DOUBLE)
+                       / CAST(n * sxx - sx::DECIMAL(38,0) * sx AS DOUBLE))
+                      * (sx * 1.0 / n / 10000.0) AS intercept
+             FROM s)
+       SELECT n,
+              round(slope, 6) AS calibration_slope,
+              round(intercept, 6) AS calibration_intercept,
+              (abs(round(slope, 6) - 1.0) < 0.08
+               AND abs(round(intercept, 6)) < 0.04) AS well_calibrated
+       FROM k""",
+    doc="Calibration REGRESSION (Cox 1958 recalibration line): OLS of "
+    "outcome on predicted probability over the eval_calibration_bins "
+    "prediction stream — slope and intercept in probability units. "
+    "Slope < 1 is overconfidence (predictions too extreme), intercept "
+    "> 0 is calibration-in-the-large bias; the pinned synthetic "
+    "stream (acc = 0.9*conf + 0.05) must measure slope ~0.9 / "
+    "intercept ~0.05 and fail the (|slope-1| < 0.08, |intercept| < "
+    "0.04) gate — the line summarizes what the 10-bin reliability "
+    "diagram shows pointwise, and is the standard 2-parameter "
+    "recalibration a serving stack fits. All sums are exact "
+    "BIGINT/DECIMAL(38,0); two rounded outputs. Scale shape: one "
+    "scan-fused 5-sum aggregate over the prediction stream; scalar "
+    "math on a 1-row frame.",
+)
+def q_eval_reliability_regression(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    conf = md5_hash64(
+        F.concat(F.lit("conf:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    out = md5_hash64(
+        F.concat(F.lit("outcome:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    p = table(spark, sf, "embeddings").select(
+        conf.cast("long").alias("x"),
+        (out < F.floor(conf * 9 / 10) + 500).cast("long").alias("y"),
+    )
+    dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(dd("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dd("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (
+        10000.0
+        * (n * F.col("sxy") - dd("sx") * F.col("sy")).cast("double")
+        / (n * F.col("sxx") - dd("sx") * F.col("sx")).cast("double")
+    )
+    intercept = F.col("sy") * 1.0 / n - slope * (F.col("sx") * 1.0 / n / 10000.0)
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("calibration_slope"),
+        F.round(intercept, 6).alias("calibration_intercept"),
+        (
+            (F.abs(F.round(slope, 6) - 1.0) < 0.08)
+            & (F.abs(F.round(intercept, 6)) < 0.04)
+        ).alias("well_calibrated"),
+    )
+
+
+@register(
+    "eval_spiegelhalter_z",
+    f"""WITH p AS (
+         SELECT ({_CONF_HASH} % 10000)::BIGINT AS x,
+                CASE WHEN ({_OUT_HASH} % 10000) <
+                          (({_CONF_HASH} % 10000) * 9) // 10 + 500
+                     THEN 1 ELSE 0 END::BIGINT AS y
+         FROM embeddings),
+       s AS (SELECT count(*)::BIGINT AS n,
+                    sum((10000 * y - x)::DECIMAL(38,0)
+                        * (10000 - 2 * x))::DECIMAL(38,0) AS num8,
+                    sum((10000 - 2*x)::DECIMAL(38,0) * (10000 - 2*x)
+                        * x * (10000 - x))::DECIMAL(38,0) AS den16
+             FROM p)
+       SELECT n,
+              round(CAST(num8 AS DOUBLE) / sqrt(CAST(den16 AS DOUBLE)), 4)
+                AS z_stat,
+              abs(round(CAST(num8 AS DOUBLE) / sqrt(CAST(den16 AS DOUBLE)),
+                        4)) >= 1.96 AS miscalibrated
+       FROM s""",
+    doc="Spiegelhalter's Z test of calibration: Z = sum((y-p)(1-2p)) / "
+    "sqrt(sum((1-2p)^2 p(1-p))) over the eval_calibration_bins "
+    "prediction stream — the hypothesis-test companion to ECE (which "
+    "measures but does not test) and the Brier decomposition (whose "
+    "reliability term this tests directly). In basis points both "
+    "sums are EXACT integers — numerator terms (10^4 y - x)(10^4 - "
+    "2x), denominator (10^4-2x)^2 x (10^4-x) as DECIMAL(38,0) — so "
+    "the statistic is one deterministic double division; the pinned "
+    "miscalibrated stream must reject at two-sided 5%. Scale shape: "
+    "one scan-fused 3-sum aggregate; no window, no join.",
+)
+def q_eval_spiegelhalter_z(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    conf = md5_hash64(
+        F.concat(F.lit("conf:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    out = md5_hash64(
+        F.concat(F.lit("outcome:"), F.col("vec_id").cast("string"))
+    ) % 10000
+    p = table(spark, sf, "embeddings").select(
+        conf.cast("long").alias("x"),
+        (out < F.floor(conf * 9 / 10) + 500).cast("long").alias("y"),
+    )
+    s = p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            (10000 * F.col("y") - F.col("x")).cast("decimal(38,0)")
+            * (10000 - 2 * F.col("x"))
+        )
+        .cast("decimal(38,0)")
+        .alias("num8"),
+        F.sum(
+            (10000 - 2 * F.col("x")).cast("decimal(38,0)")
+            * (10000 - 2 * F.col("x"))
+            * F.col("x")
+            * (10000 - F.col("x"))
+        )
+        .cast("decimal(38,0)")
+        .alias("den16"),
+    )
+    z = F.round(
+        F.col("num8").cast("double") / F.sqrt(F.col("den16").cast("double")), 4
+    )
+    return s.select(
+        "n", z.alias("z_stat"), (F.abs(z) >= 1.96).alias("miscalibrated")
+    )
+
+
+_KRIPP_RATERS = 3
+_KRIPP_CATS = 4
+_KRIPP_ACC_PCT = 80  # rater reads the true category 80% of the time
+
+
+def _kripp_label_sql(r: int) -> str:
+    h1 = f"(('0x' || substr(md5('kripp{r}:' || vec_id::VARCHAR), 1, 15))::BIGINT % 100)"
+    h2 = f"(('0x' || substr(md5('krippalt{r}:' || vec_id::VARCHAR), 1, 15))::BIGINT % {_KRIPP_CATS - 1})"
+    true_c = f"(label % {_KRIPP_CATS})"
+    return (
+        f"CASE WHEN {h1} < {_KRIPP_ACC_PCT} THEN {true_c}"
+        f" ELSE ({true_c} + 1 + {h2}) % {_KRIPP_CATS} END"
+    )
+
+
+@register(
+    "eval_krippendorff_alpha",
+    f"""WITH r AS (
+         {" UNION ALL ".join(f"SELECT vec_id, ({_kripp_label_sql(r)})::BIGINT AS cat FROM embeddings" for r in range(_KRIPP_RATERS))}),
+       uc AS (SELECT vec_id, cat, count(*)::BIGINT AS cnt
+              FROM r GROUP BY vec_id, cat),
+       peritem AS (SELECT vec_id, sum(cnt * cnt)::BIGINT AS sq
+                   FROM uc GROUP BY vec_id),
+       d_o AS (SELECT count(*)::BIGINT AS n_items,
+                      sum({_KRIPP_RATERS * _KRIPP_RATERS} - sq)::BIGINT
+                        AS do2
+               FROM peritem),
+       nc AS (SELECT cat, sum(cnt)::BIGINT AS n_c FROM uc GROUP BY cat),
+       d_e AS (SELECT sum(n_c)::BIGINT AS n_tot,
+                      sum(n_c * n_c)::BIGINT AS sq_c
+               FROM nc)
+       SELECT d_o.n_items,
+              d_e.n_tot AS n_ratings,
+              round(1.0 - (d_e.n_tot - 1.0) * d_o.do2
+                    / (2.0 * (d_e.n_tot::DECIMAL(38,0) * d_e.n_tot
+                              - d_e.sq_c)), 6) AS alpha,
+              round(1.0 - (d_e.n_tot - 1.0) * d_o.do2
+                    / (2.0 * (d_e.n_tot::DECIMAL(38,0) * d_e.n_tot
+                              - d_e.sq_c)), 6) >= 0.667 AS reliable
+       FROM d_o, d_e""",
+    doc="Krippendorff's alpha (nominal) over a deterministic 3-rater "
+    "annotation grid (raters read the true label-mod-4 category 80% "
+    "of the time, hash-derived disagreements otherwise): the "
+    "agreement coefficient that generalizes the kappa family "
+    "(eval_cohens_kappa: 2 raters; eval_fleiss_kappa: marginal-based "
+    "chance) by chance-correcting against the COINCIDENCE matrix — "
+    "the measure of record for annotation QA, defined for missing "
+    "data and any number of raters. With equal m=3 the observed "
+    "disagreement collapses to exact integers: per item "
+    "m^2 - sum_c n_uc^2 ordered disagreeing pairs (x2 scaling kept "
+    "integral), expected disagreement from category totals "
+    "n^2 - sum n_c^2; alpha = 1 - (n-1)*Do2 / (2*(n^2 - sum n_c^2)). "
+    "Flag at Krippendorff's customary 0.667 floor. Scale shape: one "
+    "3-way union scan, one (item, cat) rollup feeding two "
+    "map-side-combinable aggregates, a 1-row x 1-row combine.",
+)
+def q_eval_krippendorff_alpha(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.hashing import md5_hash64
+
+    emb = table(spark, sf, "embeddings")
+    cats = []
+    for r in range(_KRIPP_RATERS):
+        h1 = md5_hash64(
+            F.concat(F.lit(f"kripp{r}:"), F.col("vec_id").cast("string"))
+        ) % 100
+        h2 = md5_hash64(
+            F.concat(F.lit(f"krippalt{r}:"), F.col("vec_id").cast("string"))
+        ) % (_KRIPP_CATS - 1)
+        true_c = F.col("label") % _KRIPP_CATS
+        cats.append(
+            F.when(h1 < _KRIPP_ACC_PCT, true_c)
+            .otherwise((true_c + 1 + h2) % _KRIPP_CATS)
+            .cast("long")
+        )
+    # one scan: the 3 rater labels fan out as an array explode, not a
+    # 3-way union (a union re-reads the table per rater)
+    r_ = emb.select("vec_id", F.explode(F.array(*cats)).alias("cat"))
+    uc = (
+        r_.groupBy("vec_id", "cat")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # (item, cat) frame; feeds 2 rollups
+    )
+    peritem = uc.groupBy("vec_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sq")
+    )
+    d_o = peritem.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(_KRIPP_RATERS * _KRIPP_RATERS - F.col("sq"))
+        .cast("long")
+        .alias("do2"),
+    )
+    nc = uc.groupBy("cat").agg(F.sum("cnt").cast("long").alias("n_c"))
+    d_e = nc.agg(
+        F.sum("n_c").cast("long").alias("n_tot"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("long").alias("sq_c"),
+    )
+    alpha = F.round(
+        1.0
+        - (F.col("n_tot") - 1.0)
+        * F.col("do2")
+        / (
+            2.0
+            * (
+                F.col("n_tot").cast("decimal(38,0)") * F.col("n_tot")
+                - F.col("sq_c")
+            ).cast("double")
+        ),
+        6,
+    )
+    return d_o.crossJoin(F.broadcast(d_e)).select(
+        "n_items",
+        F.col("n_tot").alias("n_ratings"),
+        alpha.alias("alpha"),
+        (alpha >= 0.667).alias("reliable"),
+    )
+
+
+_THEIL_HORIZON = 7
+_THEIL_SEASON = 7
+
+
+@register(
+    "eval_forecast_theil_u",
+    f"""WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                round(value * 100)::BIGINT AS cents
+         FROM events),
+       d AS (SELECT day, sum(cents)::BIGINT AS x FROM e GROUP BY day),
+       lagd AS (SELECT day, x,
+                       lag(x, {_THEIL_SEASON}) OVER (ORDER BY day) AS xs,
+                       lag(x, 1) OVER (ORDER BY day) AS x1
+                FROM d),
+       cut AS (SELECT max(day) - {_THEIL_HORIZON} AS c FROM d),
+       te AS (SELECT (x - xs)::DECIMAL(38,0) * (x - xs) AS se_model,
+                     (x - x1)::DECIMAL(38,0) * (x - x1) AS se_naive
+              FROM lagd CROSS JOIN cut
+              WHERE xs IS NOT NULL AND x1 IS NOT NULL AND day > c),
+       s AS (SELECT count(*)::BIGINT AS n_test,
+                    sum(se_model)::DECIMAL(38,0) AS ssm,
+                    sum(se_naive)::DECIMAL(38,0) AS ssn
+             FROM te)
+       SELECT n_test,
+              round(sqrt(CAST(ssm AS DOUBLE) / n_test), 4) AS rmse_model,
+              round(sqrt(CAST(ssn AS DOUBLE) / n_test), 4) AS rmse_naive1,
+              round(sqrt(CAST(ssm AS DOUBLE) / CAST(ssn AS DOUBLE)), 6)
+                AS theil_u2,
+              round(sqrt(CAST(ssm AS DOUBLE) / CAST(ssn AS DOUBLE)), 6)
+                < 1.0 AS beats_naive1
+       FROM s""",
+    doc="Theil's U2 forecast-quality ratio on the last-7-day horizon of "
+    "daily revenue: RMSE of the seasonal-naive model (x̂_t = x_(t-7), "
+    "the eval_forecast_mase forecaster) over RMSE of the no-change "
+    "naive (x̂_t = x_(t-1)). U2 < 1 means the model genuinely beats "
+    "the cheapest possible forecast — the RMSE-based complement to "
+    "MASE's MAE scaling, and the classical 'is this forecaster worth "
+    "anything' gate. Squared errors accumulate as exact "
+    "DECIMAL(38,0) (cent-integer differences squared); two double "
+    "divisions at the end. Scale shape: one map-side-combinable "
+    "rollup to the bounded day table, one two-lag window over it, a "
+    "constant-size aggregate.",
+)
+def q_eval_forecast_theil_u(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from annotations_ingester_spark.plans.catalog import events_table
+
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = e.groupBy("day").agg(F.sum("cents").cast("long").alias("x"))
+    d = d.localCheckpoint(eager=True)  # bounded day table; feeds lag + max
+    w = Window.orderBy("day")
+    lagd = d.select(
+        "day",
+        "x",
+        F.lag("x", _THEIL_SEASON).over(w).alias("xs"),
+        F.lag("x", 1).over(w).alias("x1"),
+    )
+    cut = d.agg((F.max("day") - _THEIL_HORIZON).alias("c"))
+    te = (
+        lagd.crossJoin(F.broadcast(cut))
+        .filter(
+            F.col("xs").isNotNull()
+            & F.col("x1").isNotNull()
+            & (F.col("day") > F.col("c"))
+        )
+        .select(
+            ((F.col("x") - F.col("xs")).cast("decimal(38,0)")
+             * (F.col("x") - F.col("xs"))).alias("se_model"),
+            ((F.col("x") - F.col("x1")).cast("decimal(38,0)")
+             * (F.col("x") - F.col("x1"))).alias("se_naive"),
+        )
+    )
+    s = te.agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum("se_model").cast("decimal(38,0)").alias("ssm"),
+        F.sum("se_naive").cast("decimal(38,0)").alias("ssn"),
+    )
+    u2 = F.round(
+        F.sqrt(F.col("ssm").cast("double") / F.col("ssn").cast("double")), 6
+    )
+    return s.select(
+        "n_test",
+        F.round(F.sqrt(F.col("ssm").cast("double") / F.col("n_test")), 4).alias(
+            "rmse_model"
+        ),
+        F.round(F.sqrt(F.col("ssn").cast("double") / F.col("n_test")), 4).alias(
+            "rmse_naive1"
+        ),
+        u2.alias("theil_u2"),
+        (u2 < 1.0).alias("beats_naive1"),
+    )
+
+
+def _sign_bucket_sql_noise() -> str:
+    from annotations_ingester_spark.functions.vectors import sign_bucket_sql
+
+    return sign_bucket_sql("embedding", 8)
+
+
+def _cos_sql_noise(a: str, b: str) -> str:
+    from annotations_ingester_spark.functions.vectors import (
+        cosine_similarity_sql,
+    )
+
+    return cosine_similarity_sql(a, b)
+
+_NOISE_COS_THRESHOLD = 0.3  # the embedding_near_dup_pairs discovery bar
+
+
+@register(
+    "eval_label_noise_pairs",
+    f"""WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                 {_sign_bucket_sql_noise()} AS bucket
+          FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.label::BIGINT AS label_a, b.label::BIGINT AS label_b,
+               round({_cos_sql_noise("a.v", "b.v")}, 6) AS cos
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round({_cos_sql_noise("a.v", "b.v")}, 6)
+                >= {_NOISE_COS_THRESHOLD!r}
+          AND a.label <> b.label""",
+    doc="Label-noise candidates (the confident-learning screen): "
+    "embedding near-dup pairs (same sign-bucket self-join + cosine "
+    "threshold as embedding_near_dup_pairs) whose LABELS DISAGREE — "
+    "two points this close in representation space with different "
+    "labels mean at least one annotation is suspect. This is the "
+    "standard first pass of training-label QA: rank the conflicts, "
+    "send them to re-annotation, and the dedup family's discovery "
+    "machinery is reused verbatim so the screen costs nothing extra "
+    "at 100 TB (per-bucket keyed self-join, norms pre-folded, never "
+    "a corpus-wide cross). Scale shape: identical to "
+    "embedding_near_dup_pairs plus a scan-level label inequality.",
+)
+def q_eval_label_noise_pairs(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+        sign_bucket,
+    )
+
+    # labels ride WITH the vectors through one checkpointed scan (joining
+    # them back post-pairing would re-read the table twice more)
+    e = (
+        table(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.col("embedding").alias("v"),
+            sign_bucket("embedding", 8).alias("bucket"),
+            l2_norm("embedding").alias("_nrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("v").alias("_va"),
+        F.col("_nrm").alias("_na"),
+        "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine_from_norms("_va", "_vb", "_na", "_nb"), 6)
+    return (
+        pairs.select("id_a", "id_b", "label_a", "label_b", cos.alias("cos"))
+        .filter(
+            (F.col("cos") >= F.lit(_NOISE_COS_THRESHOLD))
+            & (F.col("label_a") != F.col("label_b"))
+        )
+    )

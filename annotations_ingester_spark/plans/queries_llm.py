@@ -2489,3 +2489,171 @@ def q_lm_token_rank_typicality(spark: SparkSession, sf: str):
         mean.alias("mean_log2_rank"),
         (mean > F.lit(_TYP_ATYPICAL_BITS)).alias("atypical"),
     )
+
+
+# --- round-12 session: unigram-surprisal quality + OCR-garbage screen ---------
+
+_SURPRISAL_HIGH_NATS = 8.0  # pinned 'unusual document' gate
+
+
+@register(
+    "lm_unigram_surprisal_quality",
+    f"""WITH d AS (
+         SELECT doc_id, {tx.tokens_sql("text")} AS t
+         FROM documents WHERE text IS NOT NULL),
+       tok AS (SELECT doc_id, unnest(t) AS w FROM d WHERE len(t) >= 1),
+       dt AS (SELECT doc_id, w, count(*)::BIGINT AS k
+              FROM tok GROUP BY doc_id, w),
+       voc AS (SELECT w, sum(k)::BIGINT AS c FROM dt GROUP BY w),
+       tot AS (SELECT sum(c)::BIGINT AS big_n FROM voc),
+       per AS (
+         SELECT dt.doc_id,
+                sum(dt.k)::BIGINT AS n_tokens,
+                sum(dt.k * -ln(voc.c * 1.0 / tot.big_n)) AS s
+         FROM dt JOIN voc USING (w), tot
+         GROUP BY dt.doc_id)
+       SELECT doc_id, n_tokens,
+              round(s / n_tokens, 6) AS mean_surprisal_nats,
+              round(s / n_tokens, 6) >= {_SURPRISAL_HIGH_NATS!r}
+                AS high_surprisal
+       FROM per""",
+    doc="Per-document mean unigram surprisal under the corpus's own "
+    "unigram model: -(1/n) sum ln(c_w/N) — the cheapest member of the "
+    "CCNet-style LM-quality-filter family (lm_perplexity_scores is "
+    "the bigram KN tier; this is the model-free tier that needs no "
+    "smoothing because every token is in-vocabulary by construction). "
+    "High surprisal = rare-token-dense documents (jargon, noise, "
+    "other languages); the pinned 8.0-nat gate flags them for the "
+    "quality ladder. Counts roll up exactly; each doc's surprisal "
+    "sums k_w * ln(c_w/N) over its DISTINCT words (bounded by doc "
+    "vocabulary). Scale shape: one token explode, one (doc, word) "
+    "rollup feeding the vocab rollup and the per-doc join (AQE "
+    "broadcasts the vocab side while it fits), one 1-row total "
+    "broadcast.",
+)
+def q_lm_unigram_surprisal(spark: SparkSession, sf: str):
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", tx.tokens("text").alias("t"))
+        .filter(F.size("t") >= 1)
+    )
+    tok = d.select("doc_id", F.explode("t").alias("w"))
+    dt = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("k"))
+        .localCheckpoint(eager=True)  # feeds the vocab rollup + the join
+    )
+    voc = dt.groupBy("w").agg(F.sum("k").cast("long").alias("c"))
+    tot = voc.agg(F.sum("c").cast("long").alias("big_n"))
+    per = (
+        dt.join(voc, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("k") * -F.log(F.col("c") * 1.0 / F.col("big_n"))
+            ).alias("s"),
+        )
+    )
+    mean_s = F.round(F.col("s") / F.col("n_tokens"), 6)
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        mean_s.alias("mean_surprisal_nats"),
+        (mean_s >= F.lit(_SURPRISAL_HIGH_NATS)).alias("high_surprisal"),
+    )
+
+
+_OCR_CONSONANT_RUN = "[bcdfghjklmnpqrstvwxz]{5,}"
+_OCR_MIXED_TOKEN = "^[a-z]+[0-9]+[a-z0-9]*$"
+_OCR_GARBAGE_GATE = 0.05
+
+
+@register(
+    "text_ocr_garbage_score",
+    f"""WITH d AS (
+         SELECT doc_id, text, lower(text) AS lt,
+                {tx.tokens_sql("text")} AS t
+         FROM documents WHERE text IS NOT NULL),
+       m AS (
+         SELECT doc_id,
+                length(text)::BIGINT AS n_chars,
+                len(t)::BIGINT AS n_tokens,
+                length(regexp_replace(text, '[a-zA-Z0-9[:space:]]', '', 'g'))
+                  ::BIGINT AS n_symbol_chars,
+                len(regexp_extract_all(lt, '{_OCR_CONSONANT_RUN}'))::BIGINT
+                  AS n_consonant_runs,
+                len(list_filter(t, x -> regexp_matches(x,
+                    '{_OCR_MIXED_TOKEN}')))::BIGINT AS n_mixed_tokens
+         FROM d WHERE len(t) >= 1)
+       SELECT doc_id, n_chars, n_tokens, n_symbol_chars,
+              n_consonant_runs, n_mixed_tokens,
+              round(n_symbol_chars * 1.0 / n_chars
+                    + n_consonant_runs * 1.0 / n_tokens
+                    + n_mixed_tokens * 1.0 / n_tokens, 6) AS garbage_score,
+              round(n_symbol_chars * 1.0 / n_chars
+                    + n_consonant_runs * 1.0 / n_tokens
+                    + n_mixed_tokens * 1.0 / n_tokens, 6)
+                >= {_OCR_GARBAGE_GATE!r} AS garbage_suspect
+       FROM m""",
+    doc="OCR/extraction-garbage screen: per document, the three classic "
+    "mojibake signals — symbol-character ratio (non-alphanumeric, "
+    "non-whitespace), 5+-consonant runs per token (OCR column-merge "
+    "artifacts like 'rnm' ligature soup), and mixed letter-digit "
+    "tokens per token ('l0rem', 'co1umn') — combined into one score "
+    "with a pinned suspicion gate. Catches the PDF/OCR junk that "
+    "passes text_quality_scores (length/stopwords look fine) and the "
+    "Gopher flags (word lengths look fine): the signals here are "
+    "CHARACTER-shape pathologies. Regexes use only character classes "
+    "and bounded quantifiers (Java-regex/RE2 identical). All counts "
+    "are exact integers from one scan-fused projection — no explode, "
+    "no shuffle, no join.",
+)
+def q_text_ocr_garbage(spark: SparkSession, sf: str):
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "text",
+            F.lower(F.col("text")).alias("lt"),
+            tx.tokens("text").alias("t"),
+        )
+        .filter(F.size("t") >= 1)
+    )
+    m = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+        .cast("long")
+        .alias("n_symbol_chars"),
+        F.size(F.regexp_extract_all("lt", F.lit(_OCR_CONSONANT_RUN)))
+        .cast("long")
+        .alias("n_consonant_runs"),
+        F.size(
+            F.filter(
+                "t", lambda x: x.rlike(_OCR_MIXED_TOKEN)
+            )
+        )
+        .cast("long")
+        .alias("n_mixed_tokens"),
+    )
+    score = F.round(
+        F.col("n_symbol_chars") * 1.0 / F.col("n_chars")
+        + F.col("n_consonant_runs") * 1.0 / F.col("n_tokens")
+        + F.col("n_mixed_tokens") * 1.0 / F.col("n_tokens"),
+        6,
+    )
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_symbol_chars",
+        "n_consonant_runs",
+        "n_mixed_tokens",
+        score.alias("garbage_score"),
+        (score >= F.lit(_OCR_GARBAGE_GATE)).alias("garbage_suspect"),
+    )

@@ -8320,3 +8320,1046 @@ def q_stats_powerlaw_tail_fit(spark: SparkSession, sf: str):
         ).alias("ccdf_slope_alpha_minus_1"),
         alpha.between(1.5, 4.0).alias("plausible_powerlaw"),
     )
+
+
+# --- round-12 session: classical-stats additions --------------------------------
+
+
+def _lf_sql(e: str) -> str:
+    """log-factorial LF(m) = ln(m!): exact CASE ladder for m <= 9, 3-term
+    Stirling tail for m >= 10 (|err| < 1e-12 — far inside the 6-dp output
+    rounding). Dialect-neutral: CASE/ln/power parse identically in Spark
+    SQL and DuckDB, so BOTH engines evaluate the very same arithmetic."""
+    stir = (
+        f"((({e}) + 0.5) * ln({e}) - ({e}) + 0.9189385332046727"
+        f" + 1.0/(12.0*({e})) - 1.0/(360.0*power(({e}), 3))"
+        f" + 1.0/(1260.0*power(({e}), 5)))"
+    )
+    facts = [1, 1, 2, 6, 24, 120, 720, 5040, 40320, 362880]
+    ladder = " ".join(f"WHEN ({e}) = {m} THEN ln({facts[m]}.0)" for m in range(10))
+    return f"(CASE {ladder} ELSE {stir} END)"
+
+
+def _fisher_lpmf(k: str) -> str:
+    """ln hypergeometric pmf at ``k`` given frame columns r1,r2,c1,c2,n."""
+    lf = _lf_sql
+    return (
+        f"({lf('r1')} + {lf('r2')} + {lf('c1')} + {lf('c2')} - {lf('n')}"
+        f" - {lf(k)} - {lf(f'(r1 - ({k}))')} - {lf(f'(c1 - ({k}))')}"
+        f" - {lf(f'(n - r1 - c1 + ({k}))')})"
+    )
+
+
+_FISHER_Q_GATE = 0.35  # quality threshold (corpus_dup_quality_association's)
+
+_FISHER_CELLS_SQL = f"""cells AS (
+         SELECT sum(CASE WHEN is_dup = 1 AND q_pass = 0 THEN 1 ELSE 0 END)
+                  ::BIGINT AS a,
+                sum(CASE WHEN is_dup = 1 AND q_pass = 1 THEN 1 ELSE 0 END)
+                  ::BIGINT AS b,
+                sum(CASE WHEN is_dup = 0 AND q_pass = 0 THEN 1 ELSE 0 END)
+                  ::BIGINT AS c,
+                sum(CASE WHEN is_dup = 0 AND q_pass = 1 THEN 1 ELSE 0 END)
+                  ::BIGINT AS d
+         FROM t),
+       m AS (SELECT a, b, c, d,
+                    a + b AS r1, c + d AS r2, a + c AS c1, b + d AS c2,
+                    a + b + c + d AS n,
+                    greatest(0, (a + b) + (a + c) - (a + b + c + d)) AS lo,
+                    least(a + b, a + c) AS hi
+             FROM cells)"""
+
+
+@register(
+    "stats_fisher_exact",
+    f"""WITH f AS (
+         SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> ''))), ' ')) AS fp,
+                {tx.quality_score_sql("text")} AS q
+         FROM documents WHERE text IS NOT NULL),
+       g AS (SELECT fp, count(*) AS nn FROM f GROUP BY fp),
+       t AS (SELECT CASE WHEN g.nn > 1 THEN 1 ELSE 0 END AS is_dup,
+                    CASE WHEN f.q >= {_FISHER_Q_GATE} THEN 1 ELSE 0 END
+                      AS q_pass
+             FROM f JOIN g USING (fp)),
+       {_FISHER_CELLS_SQL},
+       p AS (SELECT a, b, c, d,
+                    list_sum(list_transform(range(lo, hi + 1),
+                      kk -> CASE WHEN {_fisher_lpmf("kk")}
+                                      <= {_fisher_lpmf("a")} + 1e-7
+                                 THEN exp({_fisher_lpmf("kk")})
+                                 ELSE 0.0 END)) AS pv
+             FROM m)
+       SELECT a, b, c, d,
+              round((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)), 6)
+                AS odds_ratio,
+              round(pv, 6) AS p_two_sided,
+              round(pv, 6) < 0.05 AS significant
+       FROM p""",
+    doc="Fisher's EXACT test on the duplication x quality 2x2 table "
+    "(the corpus_dup_quality_association cells): two-sided p sums the "
+    "hypergeometric pmf over every table at least as extreme as the "
+    "observed one (pmf(k) <= pmf(a)*(1+1e-7), R's convention) — the "
+    "small-cell-safe companion to that query's chi-square-style "
+    "association, valid when a dedup slice leaves a near-empty cell "
+    "the asymptotic test cannot handle. ln-factorials come from an "
+    "exact <=9 ladder + 3-term Stirling tail evaluated as the SAME "
+    "dialect-neutral arithmetic in both engines; the support sweep is "
+    "a bounded sequential fold (support <= min(r1,c1)), not a window "
+    "or join. Odds ratio is Haldane-corrected (+0.5 cells). Scale "
+    "shape: one content-key rollup + re-join (the soft-dedup class), "
+    "one 4-counter aggregate, then O(support) scalar arithmetic on a "
+    "1-row frame.",
+)
+def q_stats_fisher_exact(spark: SparkSession, sf: str):
+    f = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ", F.array_sort(F.array_distinct(tx.tokens("text")))
+                )
+            ).alias("fp"),
+            tx.quality_score("text").alias("q"),
+        )
+    )
+    g = f.groupBy("fp").agg(F.count("*").alias("nn"))
+    t = f.join(g, "fp").select(
+        F.when(F.col("nn") > 1, 1).otherwise(0).alias("is_dup"),
+        F.when(F.col("q") >= _FISHER_Q_GATE, 1).otherwise(0).alias("q_pass"),
+    )
+    cells = t.agg(
+        F.sum(F.when((F.col("is_dup") == 1) & (F.col("q_pass") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("is_dup") == 1) & (F.col("q_pass") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("is_dup") == 0) & (F.col("q_pass") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("is_dup") == 0) & (F.col("q_pass") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    m = cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("c") + F.col("d")).alias("r2"),
+        (F.col("a") + F.col("c")).alias("c1"),
+        (F.col("b") + F.col("d")).alias("c2"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("a") + F.col("b") + F.col("a") + F.col("c")
+            - (F.col("a") + F.col("b") + F.col("c") + F.col("d")),
+        ).alias("lo"),
+        F.least(F.col("a") + F.col("b"), F.col("a") + F.col("c")).alias("hi"),
+    )
+    p = m.withColumn(
+        "pv",
+        F.expr(
+            f"""aggregate(sequence(lo, hi), cast(0.0 as double),
+              (acc, kk) -> acc + IF({_fisher_lpmf("kk")}
+                                      <= {_fisher_lpmf("a")} + 1e-7,
+                                    exp({_fisher_lpmf("kk")}),
+                                    cast(0.0 as double)))"""
+        ),
+    )
+    return p.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(
+            (F.col("a") + 0.5) * (F.col("d") + 0.5)
+            / ((F.col("b") + 0.5) * (F.col("c") + 0.5)),
+            6,
+        ).alias("odds_ratio"),
+        F.round("pv", 6).alias("p_two_sided"),
+        (F.round("pv", 6) < 0.05).alias("significant"),
+    )
+
+
+_TOST_MARGIN_CENTS = 500  # +-5.00 equivalence margin on the mean
+_Z_ONE_SIDED_05 = 1.6448536269514722
+
+
+@register(
+    "stats_tost_equivalence",
+    f"""WITH e AS (
+         SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+                round(value * 100)::BIGINT AS cents
+         FROM events WHERE event_type IN ('click', 'view')),
+       s AS (SELECT sum(is_a)::BIGINT AS n1,
+                    sum(1 - is_a)::BIGINT AS n2,
+                    sum(CASE WHEN is_a = 1 THEN cents ELSE 0 END)::BIGINT AS s1a,
+                    sum(CASE WHEN is_a = 0 THEN cents ELSE 0 END)::BIGINT AS s1b,
+                    sum(CASE WHEN is_a = 1
+                        THEN cents::DECIMAL(38,0) * cents ELSE 0 END)
+                      ::DECIMAL(38,0) AS s2a,
+                    sum(CASE WHEN is_a = 0
+                        THEN cents::DECIMAL(38,0) * cents ELSE 0 END)
+                      ::DECIMAL(38,0) AS s2b
+             FROM e),
+       k AS (SELECT n1, n2,
+                    s1a * 1.0 / n1 - s1b * 1.0 / n2 AS diff,
+                    sqrt((CAST(s2a AS DOUBLE) - s1a * (s1a * 1.0 / n1))
+                           / (n1 - 1) / n1
+                         + (CAST(s2b AS DOUBLE) - s1b * (s1b * 1.0 / n2))
+                           / (n2 - 1) / n2) AS se
+             FROM s)
+       SELECT n1, n2,
+              round(diff, 4) AS mean_diff_cents,
+              round(se, 4) AS se_cents,
+              round((diff + {_TOST_MARGIN_CENTS}) / se, 4) AS t_lower,
+              round(({_TOST_MARGIN_CENTS} - diff) / se, 4) AS t_upper,
+              least(round((diff + {_TOST_MARGIN_CENTS}) / se, 4),
+                    round(({_TOST_MARGIN_CENTS} - diff) / se, 4))
+                >= {_Z_ONE_SIDED_05!r} AS equivalent
+       FROM k""",
+    doc="TOST equivalence test (two one-sided tests) on click-vs-view "
+    "mean value: unlike stats_welch_ttest, which can only FAIL to find "
+    "a difference, TOST positively certifies |mu1 - mu2| < margin "
+    "(+-500 cents) — the test an A/B pipeline needs to declare 'no "
+    "meaningful change' (non-significance is not equivalence). Both "
+    "one-sided Welch statistics (diff +- margin over the Welch SE) "
+    "must clear the one-sided 5% normal critical value (z "
+    "approximation — df is in the thousands here, where t and z "
+    "coincide to 4 dp; documented). Moments accumulate as exact "
+    "BIGINT/DECIMAL(38,0) sums; the flag gates on the ROUNDED "
+    "statistics. Scale shape: one scan-fused 6-counter aggregate, "
+    "scalar arithmetic on a 1-row frame.",
+)
+def q_stats_tost_equivalence(spark: SparkSession, sf: str):
+    e = (
+        events_table(spark, sf)
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    dd = F.col("cents").cast("decimal(38,0)")
+    s = e.agg(
+        F.sum("is_a").cast("long").alias("n1"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1a"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1b"),
+        F.sum(F.when(F.col("is_a") == 1, dd * F.col("cents")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s2a"),
+        F.sum(F.when(F.col("is_a") == 0, dd * F.col("cents")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s2b"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    diff = F.col("s1a") * 1.0 / n1 - F.col("s1b") * 1.0 / n2
+    se = F.sqrt(
+        (F.col("s2a").cast("double") - F.col("s1a") * (F.col("s1a") * 1.0 / n1))
+        / (n1 - 1)
+        / n1
+        + (F.col("s2b").cast("double") - F.col("s1b") * (F.col("s1b") * 1.0 / n2))
+        / (n2 - 1)
+        / n2
+    )
+    t_lo = F.round((diff + _TOST_MARGIN_CENTS) / se, 4)
+    t_up = F.round((_TOST_MARGIN_CENTS - diff) / se, 4)
+    return s.select(
+        "n1",
+        "n2",
+        F.round(diff, 4).alias("mean_diff_cents"),
+        F.round(se, 4).alias("se_cents"),
+        t_lo.alias("t_lower"),
+        t_up.alias("t_upper"),
+        (F.least(t_lo, t_up) >= F.lit(_Z_ONE_SIDED_05)).alias("equivalent"),
+    )
+
+
+@register(
+    "stats_partial_correlation",
+    """WITH e AS (
+         SELECT (floor(epoch(ts))::BIGINT // 86400)::BIGINT AS day,
+                event_type, round(value * 100)::BIGINT AS cents
+         FROM events),
+       d AS (SELECT day,
+                    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      ::BIGINT AS x,
+                    sum(CASE WHEN event_type = 'purchase'
+                        THEN cents ELSE 0 END)::BIGINT AS y,
+                    count(*)::BIGINT AS z
+             FROM e GROUP BY day),
+       s AS (SELECT count(*)::BIGINT AS n,
+                    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                    sum(z)::BIGINT AS sz,
+                    sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS sxx,
+                    sum(y::DECIMAL(38,0) * y)::DECIMAL(38,0) AS syy,
+                    sum(z::DECIMAL(38,0) * z)::DECIMAL(38,0) AS szz,
+                    sum(x::DECIMAL(38,0) * y)::DECIMAL(38,0) AS sxy,
+                    sum(x::DECIMAL(38,0) * z)::DECIMAL(38,0) AS sxz,
+                    sum(y::DECIMAL(38,0) * z)::DECIMAL(38,0) AS syz
+             FROM d),
+       r AS (SELECT n,
+                    CAST(n * sxy - sx::DECIMAL(38,0) * sy AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx::DECIMAL(38,0) * sx AS DOUBLE)
+                             * CAST(n * syy - sy::DECIMAL(38,0) * sy AS DOUBLE))
+                      AS rxy,
+                    CAST(n * sxz - sx::DECIMAL(38,0) * sz AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx::DECIMAL(38,0) * sx AS DOUBLE)
+                             * CAST(n * szz - sz::DECIMAL(38,0) * sz AS DOUBLE))
+                      AS rxz,
+                    CAST(n * syz - sy::DECIMAL(38,0) * sz AS DOUBLE)
+                      / sqrt(CAST(n * syy - sy::DECIMAL(38,0) * sy AS DOUBLE)
+                             * CAST(n * szz - sz::DECIMAL(38,0) * sz AS DOUBLE))
+                      AS ryz
+             FROM s)
+       SELECT n AS n_days,
+              round(rxy, 6) AS r_xy,
+              round(rxz, 6) AS r_xz,
+              round(ryz, 6) AS r_yz,
+              round((rxy - rxz * ryz)
+                    / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+                AS partial_r_xy_given_z
+       FROM r""",
+    doc="First-order PARTIAL correlation of daily click count and daily "
+    "purchase revenue CONTROLLING for total daily traffic: r_xy.z = "
+    "(r_xy - r_xz*r_yz)/sqrt((1-r_xz^2)(1-r_yz^2)). The raw click-"
+    "revenue correlation is confounded by overall volume (busy days "
+    "have more of everything); partialling out z answers whether "
+    "clicks co-move with revenue BEYOND the shared traffic driver — "
+    "the spurious-correlation screen stats_spearman_corr (raw "
+    "monotone association) cannot provide. All three Pearson r's "
+    "come from one pass of exact BIGINT/DECIMAL(38,0) power sums "
+    "over the date-domain daily rollup; one rounded output each. "
+    "Scale shape: one map-side-combinable daily aggregate, one "
+    "9-sum aggregate over the ~30-row day frame, scalar math.",
+)
+def q_stats_partial_correlation(spark: SparkSession, sf: str):
+    e = events_table(spark, sf).select(
+        F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = e.groupBy("day").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("y"),
+        F.count("*").cast("long").alias("z"),
+    )
+
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    s = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(dec("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec("z") * F.col("z")).cast("decimal(38,0)").alias("szz"),
+        F.sum(dec("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("x") * F.col("z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(dec("y") * F.col("z")).cast("decimal(38,0)").alias("syz"),
+    )
+    n = F.col("n")
+
+    def pearson(spq, sp, sq, spp, sqq):
+        num = (n * F.col(spq) - dec(sp) * F.col(sq)).cast("double")
+        den = F.sqrt(
+            (n * F.col(spp) - dec(sp) * F.col(sp)).cast("double")
+            * (n * F.col(sqq) - dec(sq) * F.col(sq)).cast("double")
+        )
+        return num / den
+
+    r = s.select(
+        n.alias("n_days"),
+        pearson("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        pearson("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        pearson("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    return r.select(
+        "n_days",
+        F.round("rxy", 6).alias("r_xy"),
+        F.round("rxz", 6).alias("r_xz"),
+        F.round("ryz", 6).alias("r_yz"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (1 - F.col("rxz") * F.col("rxz"))
+                * (1 - F.col("ryz") * F.col("ryz"))
+            ),
+            6,
+        ).alias("partial_r_xy_given_z"),
+    )
+
+
+_BP_CHI2_CRIT_1DF = 3.8415  # chi-square(1) 0.95
+
+
+@register(
+    "stats_breusch_pagan",
+    f"""WITH {DAILY_CENTS_CTE},
+       s AS (SELECT count(*)::BIGINT AS n,
+                    sum(day)::BIGINT AS sx, sum(x)::BIGINT AS sy,
+                    sum(day::DECIMAL(38,0) * day)::DECIMAL(38,0) AS sxx,
+                    sum(day::DECIMAL(38,0) * x)::DECIMAL(38,0) AS sxy
+             FROM d),
+       fit AS (SELECT n, sx, sy, sxx,
+                      CAST(n * sxy - sx::DECIMAL(38,0) * sy AS DOUBLE)
+                        / CAST(n * sxx - sx::DECIMAL(38,0) * sx AS DOUBLE)
+                        AS beta
+               FROM s),
+       res AS (SELECT d.day, fit.n, fit.sx, fit.sxx,
+                      power(d.x - ((fit.sy - fit.beta * fit.sx) / fit.n
+                                   + fit.beta * d.day), 2) AS g
+               FROM d, fit),
+       aux AS (SELECT max(n) AS n,
+                      sum(day * g) AS sxg, sum(g) AS sg, sum(g * g) AS sgg,
+                      max(sx) AS sx, max(sxx) AS sxx
+               FROM res)
+       SELECT n AS n_days,
+              round(n * power(
+                  (n * sxg - sx * sg)
+                  / sqrt(CAST(n * sxx - sx::DECIMAL(38,0) * sx AS DOUBLE)
+                         * (n * sgg - sg * sg)), 2), 4) AS lm_stat,
+              round(n * power(
+                  (n * sxg - sx * sg)
+                  / sqrt(CAST(n * sxx - sx::DECIMAL(38,0) * sx AS DOUBLE)
+                         * (n * sgg - sg * sg)), 2), 4)
+                >= {_BP_CHI2_CRIT_1DF!r} AS heteroscedastic
+       FROM aux""",
+    doc="Breusch-Pagan heteroscedasticity test on the daily-revenue "
+    "trend regression (the timeseries_linear_trend fit): regress "
+    "squared residuals on the day regressor; LM = n * R-squared of "
+    "that auxiliary fit against chi-square(1). Heteroscedastic "
+    "residuals invalidate the OLS standard errors every trend/forecast "
+    "query quotes — this is the diagnostic that says whether those "
+    "intervals can be trusted, complementing stats_durbin_watson "
+    "(autocorrelation) on the same fit. beta comes from exact "
+    "DECIMAL(38,0) power sums; residuals are evaluated per day-row "
+    "from that closed form; the auxiliary sums run over the ~30-row "
+    "date-domain frame. Scale shape: one daily rollup, one 5-sum "
+    "aggregate, a broadcast 1-row fit joined back, one 5-sum "
+    "aggregate over days, scalar math.",
+)
+def q_stats_breusch_pagan(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf)
+    dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("day").cast("long").alias("sx"),
+        F.sum("x").cast("long").alias("sy"),
+        F.sum(dd("day") * F.col("day")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dd("day") * F.col("x")).cast("decimal(38,0)").alias("sxy"),
+    )
+    fit = s.select(
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        (
+            (F.col("n") * F.col("sxy") - dd("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - dd("sx") * F.col("sx")).cast("double")
+        ).alias("beta"),
+    )
+    res = d.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "n",
+        "sx",
+        "sxx",
+        F.pow(
+            F.col("x")
+            - (
+                (F.col("sy") - F.col("beta") * F.col("sx")) / F.col("n")
+                + F.col("beta") * F.col("day")
+            ),
+            2,
+        ).alias("g"),
+    )
+    aux = res.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("day") * F.col("g")).alias("sxg"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+        F.max("sx").alias("sx"),
+        F.max("sxx").alias("sxx"),
+    )
+    n = F.col("n")
+    r_aux = (n * F.col("sxg") - F.col("sx") * F.col("sg")) / F.sqrt(
+        (n * F.col("sxx") - dd("sx") * F.col("sx")).cast("double")
+        * (n * F.col("sgg") - F.col("sg") * F.col("sg"))
+    )
+    lm = F.round(n * F.pow(r_aux, 2), 4)
+    return aux.select(
+        n.alias("n_days"),
+        lm.alias("lm_stat"),
+        (lm >= F.lit(_BP_CHI2_CRIT_1DF)).alias("heteroscedastic"),
+    )
+
+
+def _norm_tail_sql(x: str) -> str:
+    """Upper-tail normal probability Q(x) = 1 - Phi(x) for x >= 0 via the
+    Abramowitz-Stegun 26.2.17 five-term polynomial (|err| < 7.5e-8),
+    written as dialect-neutral SQL so Spark and DuckDB evaluate the SAME
+    arithmetic. Always strictly positive — safe under ln() even deep in
+    the tail, unlike computing 1 - Phi(x) by subtraction."""
+    t = f"(1.0/(1.0 + 0.2316419*({x})))"
+    poly = (
+        f"({t}*(0.319381530 + {t}*(-0.356563782 + {t}*(1.781477937"
+        f" + {t}*(-1.821255978 + {t}*1.330274429)))))"
+    )
+    return f"(0.3989422804014327 * exp(-(({x})*({x}))/2.0) * {poly})"
+
+
+def _ln_phi_sql(z: str) -> str:
+    """ln Phi(z), tail-safe: the z<0 branch goes through the always-
+    positive Q(-z) rather than 1 - (1 - tiny)."""
+    return (
+        f"(CASE WHEN ({z}) >= 0 THEN ln(1.0 - {_norm_tail_sql(z)})"
+        f" ELSE ln({_norm_tail_sql(f'(-({z}))')}) END)"
+    )
+
+
+def _ln_phi_tail_sql(z: str) -> str:
+    """ln(1 - Phi(z)), tail-safe on the z>0 side."""
+    return (
+        f"(CASE WHEN ({z}) >= 0 THEN ln({_norm_tail_sql(z)})"
+        f" ELSE ln(1.0 - {_norm_tail_sql(f'(-({z}))')}) END)"
+    )
+
+
+_AD_CRIT_5PCT = 0.752  # case-3 (estimated mu, sigma) 5% critical value
+
+
+@register(
+    "stats_anderson_darling",
+    f"""WITH c AS (
+         SELECT o_orderpriority AS grp,
+                round(o_totalprice * 100)::BIGINT AS v
+         FROM orders),
+       pv AS (SELECT grp, v, count(*)::BIGINT AS k FROM c GROUP BY grp, v),
+       cum AS (SELECT grp, v, k,
+                      sum(k) OVER (PARTITION BY grp ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cc
+               FROM pv),
+       m AS (SELECT grp, count(*)::BIGINT AS n, sum(v)::BIGINT AS s1,
+                    sum(v::DECIMAL(38,0) * v)::DECIMAL(38,0) AS s2
+             FROM c GROUP BY grp),
+       zt AS (SELECT cum.grp, cum.k, cum.cc, m.n,
+                     (cum.v - m.s1 * 1.0 / m.n)
+                       / sqrt((CAST(m.s2 AS DOUBLE)
+                               - m.s1 * (m.s1 * 1.0 / m.n)) / (m.n - 1))
+                       AS z
+              FROM cum JOIN m USING (grp)),
+       terms AS (SELECT grp, n,
+                        (k * (2*(cc - k) + k)) * {_ln_phi_sql("z")}
+                        + (k * (2*n - 2*(cc - k) - k)) * {_ln_phi_tail_sql("z")}
+                          AS term
+                 FROM zt),
+       a2 AS (SELECT grp, max(n) AS n,
+                     -max(n) - sum(term) / max(n) AS a2
+              FROM terms GROUP BY grp)
+       SELECT grp, n,
+              round(a2, 4) AS a2_stat,
+              round(a2 * (1.0 + 0.75/n + 2.25/(n*n)), 4) AS a2_star,
+              round(a2 * (1.0 + 0.75/n + 2.25/(n*n)), 4)
+                >= {_AD_CRIT_5PCT!r} AS normal_rejected
+       FROM a2""",
+    doc="Anderson-Darling normality test per order-priority group: the "
+    "EDF-based A-squared statistic with estimated (mu, sigma) — the "
+    "tail-weighted companion to stats_jarque_bera's moment screen on "
+    "the same groups (AD detects tail departures JB's skew/kurtosis "
+    "summary can miss; flag vs the case-3 5% critical value 0.752 "
+    "after the small-sample factor). The (2i-1) rank weights collapse "
+    "per DISTINCT value with tie blocks: a block of k values after "
+    "cp predecessors contributes integer weights k(2cp+k) to "
+    "ln Phi(z) and k(2n-2cp-k) to ln(1-Phi(z)). Phi uses the A-S "
+    "26.2.17 tail polynomial evaluated as the SAME dialect-neutral "
+    "arithmetic in both engines, through the always-positive tail "
+    "form (ln-safe at z = +-6). Moments come from exact BIGINT/"
+    "DECIMAL(38,0) sums. Scale shape: per-group distinct-value frame "
+    "(value-domain bounded), GROUP-PARTITIONED cumulative window, one "
+    "5-group rollup; no unpartitioned window, no join bigger than the "
+    "5-row moment table.",
+)
+def q_stats_anderson_darling(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    pv = c.groupBy("grp", "v").agg(F.count("*").cast("long").alias("k"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pv.withColumn("cc", F.sum("k").over(w).cast("long"))
+    m = c.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    zt = cum.join(F.broadcast(m), "grp").select(
+        "grp",
+        "k",
+        "cc",
+        "n",
+        (
+            (F.col("v") - F.col("s1") * 1.0 / F.col("n"))
+            / F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1") * (F.col("s1") * 1.0 / F.col("n"))
+                )
+                / (F.col("n") - 1)
+            )
+        ).alias("z"),
+    )
+    terms = zt.select(
+        "grp",
+        "n",
+        (
+            (F.col("k") * (2 * (F.col("cc") - F.col("k")) + F.col("k")))
+            * F.expr(_ln_phi_sql("z"))
+            + (
+                F.col("k")
+                * (2 * F.col("n") - 2 * (F.col("cc") - F.col("k")) - F.col("k"))
+            )
+            * F.expr(_ln_phi_tail_sql("z"))
+        ).alias("term"),
+    )
+    a2f = terms.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        (-F.max("n") - F.sum("term") / F.max("n")).alias("a2"),
+    )
+    star = F.round(
+        F.col("a2")
+        * (1.0 + 0.75 / F.col("n") + 2.25 / (F.col("n") * F.col("n"))),
+        4,
+    )
+    return a2f.select(
+        "grp",
+        "n",
+        F.round("a2", 4).alias("a2_stat"),
+        star.alias("a2_star"),
+        (star >= F.lit(_AD_CRIT_5PCT)).alias("normal_rejected"),
+    )
+
+
+@register(
+    "stats_cooks_distance",
+    f"""WITH {DAILY_CENTS_CTE},
+       s AS (SELECT count(*)::BIGINT AS n,
+                    sum(day)::BIGINT AS sx, sum(x)::BIGINT AS sy,
+                    sum(day::DECIMAL(38,0) * day)::DECIMAL(38,0) AS sxx,
+                    sum(day::DECIMAL(38,0) * x)::DECIMAL(38,0) AS sxy,
+                    sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS syy
+             FROM d),
+       fit AS (SELECT n, sx, sy,
+                      CAST(n * sxx - sx::DECIMAL(38,0) * sx AS DOUBLE) AS sxx_n,
+                      CAST(n * sxy - sx::DECIMAL(38,0) * sy AS DOUBLE)
+                        / CAST(n * sxx - sx::DECIMAL(38,0) * sx AS DOUBLE)
+                        AS beta,
+                      (CAST(n * syy - sy::DECIMAL(38,0) * sy AS DOUBLE)
+                       - power(CAST(n * sxy - sx::DECIMAL(38,0) * sy
+                                    AS DOUBLE), 2)
+                         / CAST(n * sxx - sx::DECIMAL(38,0) * sx AS DOUBLE))
+                        / n AS sse
+               FROM s),
+       rows_ AS (SELECT d.day, fit.n,
+                        d.x - ((fit.sy - fit.beta * fit.sx) / fit.n
+                               + fit.beta * d.day) AS e,
+                        1.0 / fit.n
+                        + power(d.day - fit.sx * 1.0 / fit.n, 2)
+                          / (fit.sxx_n / fit.n) AS h,
+                        fit.sse / (fit.n - 2) AS s2
+                 FROM d, fit)
+       SELECT day,
+              round(e, 4) AS residual_cents,
+              round(h, 6) AS leverage,
+              round(e * e / (2.0 * s2) * h / power(1.0 - h, 2), 6) AS cooks_d,
+              round(e * e / (2.0 * s2) * h / power(1.0 - h, 2), 6)
+                > 4.0 / n AS influential
+       FROM rows_""",
+    doc="Cook's distance for every point of the daily-revenue trend "
+    "regression: D_i = e_i^2/(p*s^2) * h_i/(1-h_i)^2 with p = 2 and "
+    "leverage h_i = 1/n + (x_i - xbar)^2/Sxx — WHICH days single-"
+    "handedly steer the fitted trend (flag: D > 4/n). The per-point "
+    "influence diagnostic that complements stats_breusch_pagan "
+    "(variance shape) and stats_durbin_watson (autocorrelation) on "
+    "the same fit: a flagged day is a candidate data incident, not a "
+    "trend. beta/SSE come in closed form from exact DECIMAL(38,0) "
+    "power sums (SSE = (Syy - beta*Sxy)/n — no per-row residual "
+    "re-aggregation), so every output is one deterministic double "
+    "expression per day row. Scale shape: one daily rollup, one 6-sum "
+    "aggregate, a broadcast 1-row fit joined back over the ~30-row "
+    "date-domain frame.",
+)
+def q_stats_cooks_distance(spark: SparkSession, sf: str):
+    from annotations_ingester_spark.plans.catalog import daily_cents
+
+    d = daily_cents(spark, sf)
+    dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("day").cast("long").alias("sx"),
+        F.sum("x").cast("long").alias("sy"),
+        F.sum(dd("day") * F.col("day")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dd("day") * F.col("x")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dd("x") * F.col("x")).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.col("n")
+    sxx_n = (n * F.col("sxx") - dd("sx") * F.col("sx")).cast("double")
+    sxy_n = (n * F.col("sxy") - dd("sx") * F.col("sy")).cast("double")
+    syy_n = (n * F.col("syy") - dd("sy") * F.col("sy")).cast("double")
+    fit = s.select(
+        "n",
+        "sx",
+        "sy",
+        sxx_n.alias("sxx_n"),
+        (sxy_n / sxx_n).alias("beta"),
+        ((syy_n - F.pow(sxy_n, 2) / sxx_n) / n).alias("sse"),
+    )
+    rows = d.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "n",
+        (
+            F.col("x")
+            - (
+                (F.col("sy") - F.col("beta") * F.col("sx")) / F.col("n")
+                + F.col("beta") * F.col("day")
+            )
+        ).alias("e"),
+        (
+            1.0 / F.col("n")
+            + F.pow(F.col("day") - F.col("sx") * 1.0 / F.col("n"), 2)
+            / (F.col("sxx_n") / F.col("n"))
+        ).alias("h"),
+        (F.col("sse") / (F.col("n") - 2)).alias("s2"),
+    )
+    cooks = F.round(
+        F.col("e") * F.col("e") / (2.0 * F.col("s2"))
+        * F.col("h") / F.pow(1.0 - F.col("h"), 2),
+        6,
+    )
+    return rows.select(
+        "day",
+        F.round("e", 4).alias("residual_cents"),
+        F.round("h", 6).alias("leverage"),
+        cooks.alias("cooks_d"),
+        (cooks > 4.0 / F.col("n")).alias("influential"),
+    )
+
+
+_DUNN_GROUPS = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+_DUNN_Z_BONF = 2.807  # two-sided 0.05 Bonferroni-corrected over 10 pairs
+
+
+def _dunn_pv_sql() -> str:
+    ks = ",\n                    ".join(
+        f"sum(CASE WHEN grp = '{g}' THEN 1 ELSE 0 END)::BIGINT AS k{i + 1}"
+        for i, g in enumerate(_DUNN_GROUPS)
+    )
+    return f"""c AS (
+         SELECT o_orderpriority AS grp,
+                round(o_totalprice * 100)::BIGINT AS v
+         FROM orders),
+       pv AS (SELECT v, {ks},
+                    count(*)::BIGINT AS kt
+             FROM c GROUP BY v),
+       cum AS (SELECT v, k1, k2, k3, k4, k5, kt,
+                      sum(kt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        ::BIGINT - kt AS cp
+               FROM pv)"""
+
+
+@register(
+    "stats_dunn_posthoc",
+    f"""WITH {_dunn_pv_sql()},
+       agg AS (SELECT
+                 {", ".join(f"sum(k{i + 1})::BIGINT AS n{i + 1}, "
+                            f"sum(k{i + 1} * (2*cp + kt + 1))::BIGINT AS r{i + 1}"
+                            for i in range(5))},
+                 sum(kt)::BIGINT AS big_n,
+                 sum(kt * kt * kt - kt)::BIGINT AS ties
+               FROM cum),
+       g AS ({" UNION ALL ".join(
+                 f"SELECT '{g}' AS grp, n{i + 1} AS n, r{i + 1} AS r2, "
+                 f"big_n, ties FROM agg"
+                 for i, g in enumerate(_DUNN_GROUPS))}),
+       pairs AS (
+         SELECT a.grp AS group_a, b.grp AS group_b,
+                a.n AS n_a, b.n AS n_b,
+                a.r2 * 0.5 / a.n AS mr_a, b.r2 * 0.5 / b.n AS mr_b,
+                a.big_n AS big_n, a.ties AS ties
+         FROM g a JOIN g b ON a.grp < b.grp)
+       SELECT group_a, group_b, n_a, n_b,
+              round(mr_a, 4) AS mean_rank_a,
+              round(mr_b, 4) AS mean_rank_b,
+              round(abs(mr_a - mr_b)
+                    / sqrt((big_n * (big_n + 1.0) / 12.0
+                            - ties / (12.0 * (big_n - 1.0)))
+                           * (1.0/n_a + 1.0/n_b)), 4) AS z_stat,
+              round(abs(mr_a - mr_b)
+                    / sqrt((big_n * (big_n + 1.0) / 12.0
+                            - ties / (12.0 * (big_n - 1.0)))
+                           * (1.0/n_a + 1.0/n_b)), 4)
+                >= {_DUNN_Z_BONF!r} AS significant
+       FROM pairs""",
+    doc="Dunn's post-hoc test for every order-priority pair — the step "
+    "AFTER stats_kruskal_wallis rejects: WHICH groups differ. Pairwise "
+    "z on tie-corrected mean ranks, Bonferroni-gated at the 10-"
+    "comparison two-sided 5% critical value (2.807), using the pooled "
+    "KW variance N(N+1)/12 - sum(t^3-t)/(12(N-1)). Doubled rank sums "
+    "k_g*(2cp + kt + 1) stay exact BIGINTs over the distinct-value "
+    "frame (the kruskal/mood two-level prefix class: in-bucket "
+    "windows are bucket-partitioned; the only unpartitioned window "
+    "runs over the ~dozen-row bucket-count table). The 5x5 pair fan "
+    "is a broadcast of the FIVE-row per-group aggregate — never a "
+    "data-sized cross. Scale shape: one distinct-value rollup, one "
+    "bounded prefix sum, one 12-sum aggregate, a 10-row pair fan.",
+)
+def q_stats_dunn_posthoc(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    c = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    pv = (
+        c.groupBy("v")
+        .agg(
+            *[
+                F.sum(F.when(F.col("grp") == g, 1).otherwise(0))
+                .cast("long")
+                .alias(f"k{i + 1}")
+                for i, g in enumerate(_DUNN_GROUPS)
+            ],
+            F.count("*").cast("long").alias("kt"),
+        )
+        .withColumn("_bucket", F.floor(F.col("v") / 1048576).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = pv.withColumn("_ct", F.sum("kt").over(w_in))
+    counts = pv.groupBy("_bucket").agg(F.sum("kt").alias("_bt"))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bucket",
+        F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).cast("long").alias("_off"),
+    )
+    cum = ranked.join(F.broadcast(offsets), "_bucket").withColumn(
+        "cp", (F.col("_off") + F.col("_ct") - F.col("kt")).cast("long")
+    )
+    agg = cum.agg(
+        *[
+            x
+            for i in range(5)
+            for x in (
+                F.sum(f"k{i + 1}").cast("long").alias(f"n{i + 1}"),
+                F.sum(
+                    F.col(f"k{i + 1}")
+                    * (2 * F.col("cp") + F.col("kt") + 1)
+                )
+                .cast("long")
+                .alias(f"r{i + 1}"),
+            )
+        ],
+        F.sum("kt").cast("long").alias("big_n"),
+        F.sum(F.col("kt") * F.col("kt") * F.col("kt") - F.col("kt"))
+        .cast("long")
+        .alias("ties"),
+    )
+    stack_args = ", ".join(
+        f"'{g}', n{i + 1}, r{i + 1}" for i, g in enumerate(_DUNN_GROUPS)
+    )
+    g = agg.select(
+        "big_n",
+        "ties",
+        F.expr(f"stack(5, {stack_args}) AS (grp, n, r2)"),
+    )
+    a = g.select(
+        F.col("grp").alias("group_a"),
+        F.col("n").alias("n_a"),
+        (F.col("r2") * 0.5 / F.col("n")).alias("mr_a"),
+        "big_n",
+        "ties",
+    )
+    b = g.select(
+        F.col("grp").alias("group_b"),
+        F.col("n").alias("n_b"),
+        (F.col("r2") * 0.5 / F.col("n")).alias("mr_b"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("group_a") < F.col("group_b"))
+    z = F.round(
+        F.abs(F.col("mr_a") - F.col("mr_b"))
+        / F.sqrt(
+            (
+                F.col("big_n") * (F.col("big_n") + 1.0) / 12.0
+                - F.col("ties") / (12.0 * (F.col("big_n") - 1.0))
+            )
+            * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+        4,
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round("mr_a", 4).alias("mean_rank_a"),
+        F.round("mr_b", 4).alias("mean_rank_b"),
+        z.alias("z_stat"),
+        (z >= F.lit(_DUNN_Z_BONF)).alias("significant"),
+    )
+
+
+@register(
+    "stats_ansari_bradley",
+    f"""WITH {_cdf_oracle_cte(_KS_SRC)},
+       t AS (SELECT max(c1)::BIGINT AS n1, max(c2)::BIGINT AS n2 FROM cdf),
+       blocks AS (
+         SELECT k1, k2, (k1 + k2) AS kt,
+                (c1 + c2) - (k1 + k2) + 1 AS a,
+                (c1 + c2) AS b,
+                t.n1 + t.n2 AS big_n,
+                (t.n1 + t.n2 + 1) // 2 AS m1,
+                t.n1, t.n2
+         FROM cdf, t),
+       scored AS (
+         SELECT k1, k2, kt, n1, n2, big_n,
+                CASE WHEN b <= m1 THEN (a + b) * (b - a + 1)
+                     WHEN a > m1 THEN 2*(big_n + 1)*(b - a + 1)
+                                      - (a + b)*(b - a + 1)
+                     ELSE (a + m1)*(m1 - a + 1)
+                          + 2*(big_n + 1)*(b - m1) - (m1 + 1 + b)*(b - m1)
+                END AS s2x
+         FROM blocks),
+       stat AS (
+         SELECT max(n1) AS n1, max(n2) AS n2, max(big_n) AS big_n,
+                sum(k1 * s2x * 1.0 / kt) / 2.0 AS t1,
+                sum(s2x)::BIGINT AS s_tot2,
+                sum(s2x * 1.0 * s2x / kt) / 4.0 AS ssq
+         FROM scored)
+       SELECT n1, n2,
+              round(t1, 4) AS ab_statistic,
+              round((t1 - n1 * (s_tot2 * 0.5 / big_n))
+                    / sqrt(n1 * 1.0 * n2
+                           * (big_n * ssq - power(s_tot2 * 0.5, 2))
+                           / (big_n * 1.0 * big_n * (big_n - 1))), 4) AS z_stat,
+              abs(round((t1 - n1 * (s_tot2 * 0.5 / big_n))
+                    / sqrt(n1 * 1.0 * n2
+                           * (big_n * ssq - power(s_tot2 * 0.5, 2))
+                           / (big_n * 1.0 * big_n * (big_n - 1))), 4))
+                >= 1.96 AS scale_differs
+       FROM stat""",
+    doc="Ansari-Bradley scale test on click vs purchase values: ranks "
+    "fold from both ends (score = min(rank, N+1-rank)), so the "
+    "statistic is sensitive to DISPERSION differences with equal "
+    "medians — the rank companion to stats_brown_forsythe's "
+    "deviation-ANOVA. Tie-robust by construction: per tie block the "
+    "doubled score SUM has an exact integer closed form (the block "
+    "either sits below the fold, above it, or splits at m1 = "
+    "floor((N+1)/2)), and the null moments are the FINITE-POPULATION "
+    "moments of the actual midscore multiset — correct under heavy "
+    "cent-level ties where the textbook no-tie variance is wrong. "
+    "z-flag at two-sided 5%. Reuses the shared _two_sample_cdf "
+    "distinct-value frame (value-domain bounded, two-level prefix "
+    "sum). Scale shape: identical to stats_ks_test.",
+)
+def q_stats_ansari_bradley(spark: SparkSession, sf: str):
+    ev = events_table(spark, sf)
+    s = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    cdf = _two_sample_cdf(s)
+    t = cdf.agg(
+        F.max("c1").cast("long").alias("n1"), F.max("c2").cast("long").alias("n2")
+    )
+    blocks = cdf.crossJoin(F.broadcast(t)).select(
+        "k1",
+        "k2",
+        (F.col("k1") + F.col("k2")).alias("kt"),
+        (F.col("c1") + F.col("c2") - (F.col("k1") + F.col("k2")) + 1).alias("a"),
+        (F.col("c1") + F.col("c2")).alias("b"),
+        (F.col("n1") + F.col("n2")).alias("big_n"),
+        ((F.col("n1") + F.col("n2") + 1) / 2).cast("long").alias("m1"),
+        "n1",
+        "n2",
+    )
+    s2x = (
+        F.when(
+            F.col("b") <= F.col("m1"),
+            (F.col("a") + F.col("b")) * (F.col("b") - F.col("a") + 1),
+        )
+        .when(
+            F.col("a") > F.col("m1"),
+            2 * (F.col("big_n") + 1) * (F.col("b") - F.col("a") + 1)
+            - (F.col("a") + F.col("b")) * (F.col("b") - F.col("a") + 1),
+        )
+        .otherwise(
+            (F.col("a") + F.col("m1")) * (F.col("m1") - F.col("a") + 1)
+            + 2 * (F.col("big_n") + 1) * (F.col("b") - F.col("m1"))
+            - (F.col("m1") + 1 + F.col("b")) * (F.col("b") - F.col("m1"))
+        )
+    )
+    scored = blocks.select(
+        "k1", "k2", "kt", "n1", "n2", "big_n", s2x.alias("s2x")
+    )
+    stat = scored.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("big_n").alias("big_n"),
+        (F.sum(F.col("k1") * F.col("s2x") * 1.0 / F.col("kt")) / 2.0).alias("t1"),
+        F.sum("s2x").cast("long").alias("s_tot2"),
+        (F.sum(F.col("s2x") * 1.0 * F.col("s2x") / F.col("kt")) / 4.0).alias(
+            "ssq"
+        ),
+    )
+    n1, n2, big_n = F.col("n1"), F.col("n2"), F.col("big_n")
+    z = F.round(
+        (F.col("t1") - n1 * (F.col("s_tot2") * 0.5 / big_n))
+        / F.sqrt(
+            n1
+            * 1.0
+            * n2
+            * (big_n * F.col("ssq") - F.pow(F.col("s_tot2") * 0.5, 2))
+            / (big_n * 1.0 * big_n * (big_n - 1))
+        ),
+        4,
+    )
+    return stat.select(
+        "n1",
+        "n2",
+        F.round("t1", 4).alias("ab_statistic"),
+        z.alias("z_stat"),
+        (F.abs(z) >= 1.96).alias("scale_differs"),
+    )

@@ -434,6 +434,33 @@ HEADLINE = [
     "stats_rayleigh_hour_uniformity",
     "eval_auc_pr",
     "stats_powerlaw_tail_fit",
+    # round-12 session additions (r13 gate tier)
+    "dedup_substring_bpe_survivors",
+    "dedup_minhash_containment",
+    "dedup_cluster_size_histogram",
+    "sample_weighted_reservoir",
+    "chunk_sentence_packed",
+    "stats_fisher_exact",
+    "stats_anderson_darling",
+    "stats_tost_equivalence",
+    "stats_partial_correlation",
+    "stats_dunn_posthoc",
+    "stats_cooks_distance",
+    "stats_breusch_pagan",
+    "stats_ansari_bradley",
+    "eval_krippendorff_alpha",
+    "eval_reliability_regression",
+    "eval_spiegelhalter_z",
+    "eval_forecast_theil_u",
+    "eval_label_noise_pairs",
+    "timeseries_spectral_peak",
+    "timeseries_drawdown_stats",
+    "events_path_trigrams",
+    "events_burstiness_memory",
+    "lm_unigram_surprisal_quality",
+    "text_ocr_garbage_score",
+    "split_kfold_assign",
+    "curation_skyline_quality",
 ]
 
 

@@ -317,6 +317,20 @@ CROSS_ALLOWED = {
     "eval_rank_biased_overlap",
     # 1-row 7-day-cutoff broadcast onto the bounded day table
     "eval_forecast_mase",
+    # r12 session: 1-row 7-day-cutoff broadcast onto the bounded day
+    # table (the eval_forecast_mase shape)
+    "eval_forecast_theil_u",
+    # r12 session: 1-row moment broadcast onto the day table + 1-row
+    # max-power broadcast onto the 13-row period table
+    "timeseries_spectral_peak",
+    # r12 session: four 1-row scalar legs assembled into the report row
+    "timeseries_drawdown_stats",
+    # r12 session: 1-row corpus-token-total broadcast onto the per-doc
+    # surprisal rollup (the lm_perplexity_scores V-broadcast shape)
+    "lm_unigram_surprisal_quality",
+    # r12 session: 1-row observed-disagreement x 1-row expected-
+    # disagreement combine (coincidence-matrix scalars)
+    "eval_krippendorff_alpha",
     # 1-row OLS-fit and fold-state broadcasts onto the bounded day array
     "timeseries_theta_forecast",
     # two 1-row broadcasts (max auth, user count) onto the 5-row
@@ -333,6 +347,16 @@ CROSS_ALLOWED = {
     # 1-row exact-median broadcast onto the checkpointed per-user rollup
     # + 1-row tail-size broadcast onto the distinct-degree CCDF
     "stats_powerlaw_tail_fit",
+    # r12 session: 1-row OLS-fit broadcast back over the day-domain
+    # rollup (the Durbin-Watson residual shape)
+    "stats_breusch_pagan",
+    "stats_cooks_distance",
+    # r12 session: 1-row (n1, n2) totals broadcast over the bounded
+    # distinct-value CDF table (the stats_ks_test shape)
+    "stats_ansari_bradley",
+    # r12 session: 5-row per-group rank-sum table crossed with itself
+    # (10-pair fan) via the < inequality — never data-sized
+    "stats_dunn_posthoc",
 }
 
 # (orders_pareto_abc's bucket-offset broadcast joins on bkt — a plain
@@ -446,6 +470,14 @@ _REV_BUCKETS_PROBE = """
     SELECT count(DISTINCT bkt) FROM (
       SELECT (round(sum(o_totalprice) * 100) // 1048576)::BIGINT AS bkt
       FROM orders GROUP BY o_custkey)"""
+
+from annotations_ingester_spark.functions.text import quality_score_sql as _qss
+
+_SKYLINE_Q_PROBE = (
+    "SELECT count(DISTINCT q) FROM (SELECT "
+    + _qss("text")
+    + " AS q FROM documents WHERE text IS NOT NULL)"
+)
 
 UNPARTITIONED_WINDOW_ALLOWED = {
     # rank derived AFTER TakeOrderedAndProject limit(k) — window sees ≤k
@@ -620,6 +652,15 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # over the DAILY rollup (the holt/EWMA day-domain class)
     "timeseries_theta_forecast": (200, _EVENTS_DAYS_PROBE),
     "eval_forecast_mase": (200, _EVENTS_DAYS_PROBE),
+    # r12 session: two-lag window over the DAILY rollup (the mase class)
+    "eval_forecast_theil_u": (200, _EVENTS_DAYS_PROBE),
+    # r12 session: running-peak / row-number / islands windows over the
+    # DAILY rollup (the holt/EWMA day-domain class)
+    "timeseries_drawdown_stats": (200, _EVENTS_DAYS_PROBE),
+    # r12 session: strictly-above running max over the DISTINCT-QUALITY
+    # table (6-dp score domain — the eval_auc_pr distinct-score class);
+    # probe uses the engine's own quality_score_sql twin
+    "curation_skyline_quality": (1000, _SKYLINE_Q_PROBE),
     # cumulative offset over the order-value BUCKET-COUNT table (the
     # kruskal-wallis two-level prefix class, 5 parallel group columns)
     "stats_jonckheere_terpstra": (500, """
@@ -634,6 +675,14 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "stats_cochran_armitage": (500, """
         SELECT count(DISTINCT round(o_totalprice * 100)::BIGINT // 1048576)
         FROM orders"""),
+    # r12 session: cumulative offset over the order-value BUCKET-COUNT
+    # table (the kruskal/mood two-level prefix class — pooled midranks)
+    "stats_dunn_posthoc": (500, """
+        SELECT count(DISTINCT round(o_totalprice * 100)::BIGINT // 1048576)
+        FROM orders"""),
+    # r12 session: running offset over the CDF bucket-count aggregate
+    # (the stats_ks_test two-level prefix class)
+    "stats_ansari_bradley": (64, _EVENTS_CDF_BUCKETS_PROBE),
     # cumulative offset over the residual-BUCKET-COUNT table (2^20-
     # millicent buckets — the weighted-median two-level prefix class);
     # in-bucket cumulatives are bucket-partitioned
