@@ -529,6 +529,15 @@ def compute_superlinear_flags(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Sample the machine-state provenance BEFORE the Spark session exists:
+    # the JVM startup + 32-core warm-up job spike the 1-minute load
+    # average, so sampling after them (as r12's first artifact did —
+    # load 3.01 on a machine that read 0.42 seconds earlier) stamps a
+    # genuinely idle box as contended. What 'isolated' must answer is
+    # whether anything ELSE was running when the suite began.
+    load_before = (
+        round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
+    )
     from annotations_ingester_spark.plans.queries import REGISTRY
     from annotations_ingester_spark.session import get_spark
 
@@ -605,9 +614,6 @@ def main() -> None:
 
     # Calibrate IMMEDIATELY before each suite pass (r9 verdict item 2):
     # the pass-local machine speed is what normalizes that pass's timings.
-    load_before = (
-        round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
-    )
     cal_main = calibrate()
     timings = run_suite(sf_dir)
 
