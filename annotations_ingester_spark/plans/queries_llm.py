@@ -1610,24 +1610,28 @@ def q_text_char_entropy(spark: SparkSession, sf: str):
         ).alias("bg"),
     )
     c = b.groupBy("doc_id", "bg").agg(F.count("*").cast("long").alias("c"))
-    n = c.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
     # per-term 9-dp round + DECIMAL sum (deterministic regardless of
     # accumulation order), then a single double divide/subtract and ONE
-    # final rounding; the flag reads the rounded value
+    # final rounding; the flag reads the rounded value. n and the term
+    # sum fold in ONE doc-level aggregate — the former separate-total +
+    # join-back shape cost an extra exchange and a self-join for numbers
+    # the same rollup already sees (measured 2.9 -> 2.7 s median at
+    # sf0.1 — the bigram explode dominates locally; the join removal is
+    # the structural win at 100 TB, where the joined side is
+    # corpus-sized).
     term = F.round(F.col("c") * F.log2(F.col("c")), 9).cast("decimal(20,9)")
-    ent = F.round(
-        F.log2(F.col("n")) - F.sum(term).cast("double") / F.col("n"), 6
+    agg = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(term).alias("st"),
     )
-    return (
-        c.join(n, "doc_id")
-        .groupBy("doc_id", "n")
-        .agg(ent.alias("char_bigram_entropy"))
-        .select(
-            "doc_id",
-            F.col("n").alias("n_bigrams"),
-            "char_bigram_entropy",
-            (F.col("char_bigram_entropy") < 3.0).alias("low_entropy_flag"),
-        )
+    ent = F.round(
+        F.log2(F.col("n")) - F.col("st").cast("double") / F.col("n"), 6
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_bigrams"),
+        ent.alias("char_bigram_entropy"),
+        (ent < 3.0).alias("low_entropy_flag"),
     )
 
 
