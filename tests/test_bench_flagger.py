@@ -125,3 +125,36 @@ def test_without_arbiter_a_candidate_needs_both_ratios():
     main = dict(MAIN, q_quad=9.0)
     base = dict(BASE, q_quad=0.5)
     assert FLAG(main, base, 10.0, cal_main=0.84, cal_base=0.42) == []
+
+
+def test_headline_names_exist_in_registry():
+    """A typo'd or renamed HEADLINE entry would crash the round-close
+    bench 40 minutes in (run_suite KeyErrors on the first bad name);
+    catch it at test time instead."""
+    import bench
+    from annotations_ingester_spark.plans.queries import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate HEADLINE rows"
+
+
+def test_headline_covers_every_gate_tier_name():
+    """Every operator still awaiting official certification (the r12/r13
+    tiers) must be benchmarked from day one — a certification without a
+    timing row costs the judge an adjudication cycle."""
+    import importlib.util
+    from pathlib import Path
+
+    import bench
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        Path(__file__).resolve().parents[1] / "__spark_entry__.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    head = set(bench.HEADLINE)
+    for tier in (mod._ORDER_LAST_R12, mod._ORDER_LAST_R13):
+        missing = tier - head
+        assert not missing, f"gate-tier names missing from HEADLINE: {missing}"
