@@ -861,6 +861,73 @@ def substring_removal_intervals_bpe(
     )
 
 
+def _cut_interval_survivors(
+    toks: DataFrame, intervals: DataFrame, id_col: str
+) -> DataFrame:
+    """Cut sorted-disjoint removal ``intervals`` (``(id_col, start_pos,
+    end_pos)``, 0-based inclusive) out of per-doc token arrays (``toks``
+    = ``(id_col, _tk)``) → ``(id_col, total_tokens, removed_tokens,
+    surviving_tokens, surviving_hash)``.
+
+    The cut is a per-doc JVM-side fold, not a row-level anti-join: the
+    intervals collapse to ONE array per doc (gaps-and-islands emits
+    maximal islands separated by > 1-token gaps, so they are disjoint
+    and ``array_sort`` orders them by start), then ``aggregate()`` walks
+    the interval list carrying (next-uncut-position, accumulated
+    survivors) and emits ``slice()`` of each inter-interval gap plus the
+    tail. Versus the previous (doc, pos)-explode + LEFT ANTI +
+    collect_list/array_sort reassembly shape, this removes BOTH
+    token-volume shuffles (the exploded positions exchange and the
+    rebuild groupBy) — the only remaining exchanges are the
+    interval-per-doc rollup (rows = islands, bounded by docs) and one
+    doc-keyed join. Per-doc state stays bounded by token count, which
+    the tokenizer already imposes. Measured 4.3 → 3.0 s at sf0.1 on the
+    BPE variant (2.8 → 2.5 s word-space), with the win growing at scale:
+    the two removed exchanges carried token-volume rows.
+    """
+    iv = intervals.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("start_pos", "end_pos"))).alias("_ivs")
+    )
+    n = F.size("_tk").cast("long")
+    cut = F.aggregate(
+        "_ivs",
+        F.struct(
+            F.lit(0).cast("long").alias("prev"),
+            F.array().cast("array<string>").alias("acc"),
+        ),
+        lambda st, x: F.struct(
+            (x["end_pos"] + 1).cast("long").alias("prev"),
+            F.concat(
+                st["acc"],
+                F.slice(F.col("_tk"), st["prev"] + 1, x["start_pos"] - st["prev"]),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.slice(
+                F.col("_tk"), st["prev"] + 1, F.greatest(n - st["prev"], F.lit(0))
+            ),
+        ),
+    )
+    surv = F.when(F.col("_ivs").isNull(), F.col("_tk")).otherwise(cut)
+    # The fold is aliased in its own projection and consumed by name in a
+    # second one: higher-order functions are CodegenFallback, so inlining
+    # the fold into all three output columns (what a single select does)
+    # would run it interpreted 3x per row — measured 4.3 -> 18 s at
+    # sf0.1 on the BPE variant. CollapseProject keeps the split because
+    # the alias is non-trivial and referenced more than once.
+    cut_once = toks.join(iv, id_col, "left").select(
+        id_col, n.alias("total_tokens"), surv.alias("_sv")
+    )
+    return cut_once.select(
+        id_col,
+        "total_tokens",
+        (F.col("total_tokens") - F.size("_sv")).cast("long").alias("removed_tokens"),
+        F.size("_sv").cast("long").alias("surviving_tokens"),
+        F.md5(F.concat_ws(" ", "_sv")).alias("surviving_hash"),
+    )
+
+
 def substring_dedup_survivors(
     df: DataFrame,
     text_col: str = "text",
@@ -876,50 +943,28 @@ def substring_dedup_survivors(
     span-cutting pass ships to training — the doc-level dedup families
     drop whole documents; this keeps the unique remainder.
 
-    Scale shape: removal intervals explode to (doc, pos) rows — bounded
-    by interval length, i.e. by document length, never corpus-quadratic;
-    surviving tokens come from one broadcast-able LEFT ANTI equi-join on
-    (doc, pos); reconstruction is a per-doc collect_list + array_sort
-    (state bounded by per-doc token count, the same bound the tokenizer
-    already imposes). One doc_id shuffle serves the final aggregate.
+    Scale shape: the corpus is scanned and tokenized ONCE into a
+    checkpointed (doc_id, tokens) frame feeding both interval detection
+    (duplicate_ngram_spans via the ``tokens=`` hook — hash-before-shuffle,
+    map-side combine) and the cut, which is the
+    :func:`_cut_interval_survivors` per-doc slice fold — no token-volume
+    shuffle, no (doc, pos) explosion, one doc-keyed join.
     """
-    toks = _tokens_sql(text_col)
     d = (
         df.filter(F.col(text_col).isNotNull())
-        .select(id_col, F.expr(toks).alias("_tk"))
-        .localCheckpoint(eager=True)  # consumed by tok + totals
+        .select(id_col, F.expr(_tokens_sql(text_col)).alias("_tk"))
+        .localCheckpoint(eager=True)  # consumed by the gram dim, the
+        # flagging join and the cut — one text scan + tokenize, not three
     )
-    tok = d.select(id_col, F.posexplode("_tk").alias("pos", "w"))
     rem = substring_removal_intervals(
-        df, text_col=text_col, id_col=id_col, anchor_n=anchor_n, min_len=min_len
-    ).select(id_col, F.explode(F.expr("sequence(start_pos, end_pos)")).alias("pos"))
-    surv = tok.join(rem, [id_col, "pos"], "left_anti")
-    agg = surv.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("surviving_tokens"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
-            ),
-        ).alias("_joined"),
-    )
-    return (
-        d.select(id_col, F.size("_tk").cast("long").alias("total_tokens"))
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            "total_tokens",
-            (
-                F.col("total_tokens") - F.coalesce(F.col("surviving_tokens"), F.lit(0))
-            )
-            .cast("long")
-            .alias("removed_tokens"),
-            F.coalesce(F.col("surviving_tokens"), F.lit(0))
-            .cast("long")
-            .alias("surviving_tokens"),
-            F.md5(F.coalesce(F.col("_joined"), F.lit(""))).alias("surviving_hash"),
-        )
-    )
+        d,
+        text_col="_tk",  # unused when tokens given; kept for signature
+        id_col=id_col,
+        anchor_n=anchor_n,
+        min_len=min_len,
+        tokens=F.col("_tk"),
+    ).select(id_col, "start_pos", "end_pos")
+    return _cut_interval_survivors(d, rem, id_col)
 
 
 def substring_dedup_survivors_bpe(
@@ -945,14 +990,13 @@ def substring_dedup_survivors_bpe(
     Scale shape: the BPE token frame is built ONCE (its internal word
     stream is checkpointed; re-deriving the token arrays from it is
     cheaper than serializing them — measured at sf1 in
-    :func:`substring_removal_intervals_bpe`) and consumed by three
-    keyed legs: interval detection (hash-before-shuffle grams), the
-    (doc, pos) LEFT ANTI cut, and the totals projection. Reconstruction
-    is a per-doc collect_list + array_sort with state bounded by doc
-    token count. Never all-pairs, never a driver collect.
+    :func:`substring_removal_intervals_bpe`) and consumed by two keyed
+    legs: interval detection (hash-before-shuffle grams) and the
+    :func:`_cut_interval_survivors` slice fold — the cut is a per-doc
+    JVM-side fold over the island array, never a (doc, pos) row
+    explosion. Never all-pairs, never a driver collect.
     """
     toks = bpe_tokens_by_vocab(df, text_col=text_col, id_col=id_col)
-    tok = toks.select(id_col, F.posexplode("_tk").alias("pos", "w"))
     rem = substring_removal_intervals(
         toks,
         text_col="_tk",  # unused when tokens given; kept for signature
@@ -960,34 +1004,8 @@ def substring_dedup_survivors_bpe(
         anchor_n=anchor_n,
         min_len=k,
         tokens=F.col("_tk"),
-    ).select(id_col, F.explode(F.expr("sequence(start_pos, end_pos)")).alias("pos"))
-    surv = tok.join(rem, [id_col, "pos"], "left_anti")
-    agg = surv.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("surviving_tokens"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
-            ),
-        ).alias("_joined"),
-    )
-    return (
-        toks.select(id_col, F.size("_tk").cast("long").alias("total_tokens"))
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            "total_tokens",
-            (
-                F.col("total_tokens") - F.coalesce(F.col("surviving_tokens"), F.lit(0))
-            )
-            .cast("long")
-            .alias("removed_tokens"),
-            F.coalesce(F.col("surviving_tokens"), F.lit(0))
-            .cast("long")
-            .alias("surviving_tokens"),
-            F.md5(F.coalesce(F.col("_joined"), F.lit(""))).alias("surviving_hash"),
-        )
-    )
+    ).select(id_col, "start_pos", "end_pos")
+    return _cut_interval_survivors(toks, rem, id_col)
 
 
 def cross_split_substring_contamination(

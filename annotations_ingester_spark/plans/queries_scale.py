@@ -996,11 +996,11 @@ def q_substring_exact(spark: SparkSession, sf: str):
     "space-joined surviving text (md5('') for fully-removed docs). "
     "Doc-level dedup drops whole documents; this keeps each doc's "
     "unique remainder — the artifact a span-cutting pass actually "
-    "ships to training. Scale shape: intervals explode to (doc, pos) "
-    "rows bounded by document length; one LEFT ANTI equi-join on "
-    "(doc, pos); per-doc collect_list+array_sort reconstruction with "
-    "state bounded by doc token count "
-    "(operators/dedup.py substring_dedup_survivors).",
+    "ships to training. Scale shape: the disjoint islands roll up to "
+    "one interval array per doc, and the cut is a per-doc JVM-side "
+    "slice-fold over that array — no (doc, pos) row explosion, no "
+    "token-volume shuffle, one doc-keyed join "
+    "(operators/dedup.py _cut_interval_survivors).",
 )
 def q_substring_survivors(spark: SparkSession, sf: str):
     from annotations_ingester_spark.operators.dedup import (
@@ -1110,11 +1110,12 @@ def q_substring_bpe_k50(spark: SparkSession, sf: str):
     "span-cutting pass trains on, which word-space survivors over- "
     "or under-cut after re-tokenization. Scale shape: the "
     "dictionary-encoded token frame (encode once per DISTINCT word, "
-    "checkpointed word stream) feeds three keyed legs — "
-    "hash-before-shuffle gram anchors, a (doc, pos) LEFT ANTI cut, "
-    "totals; per-doc collect_list+array_sort reconstruction bounded "
-    "by doc token count "
-    "(operators/dedup.py substring_dedup_survivors_bpe).",
+    "checkpointed word stream) feeds two keyed legs — "
+    "hash-before-shuffle gram anchors, then a per-doc JVM-side "
+    "slice-fold over the disjoint island array (no (doc, pos) row "
+    "explosion, no token-volume shuffle; the fold is aliased into its "
+    "own projection because higher-order functions are CodegenFallback "
+    "— see operators/dedup.py _cut_interval_survivors).",
 )
 def q_substring_bpe_survivors(spark: SparkSession, sf: str):
     from annotations_ingester_spark.operators.dedup import (
