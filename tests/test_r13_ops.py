@@ -911,3 +911,55 @@ def test_skyline_matches_python(spark):
     assert 0 < len(skyline) < len(pts)
     for r in sdf:
         assert (r.quality, r.n_chars) in {(q, n) for _, q, n in pts}
+
+
+def test_cut_interval_survivors_edge_shapes(spark):
+    """Synthetic edge cases for the interval slice fold
+    (operators/dedup.py _cut_interval_survivors) that corpus data may
+    never exercise: interval starting at position 0, interval running to
+    the last token, a FULLY-removed doc (surviving_hash = md5('')),
+    adjacent-but-disjoint intervals arriving unsorted, and a doc with no
+    intervals at all."""
+    import hashlib
+
+    from pyspark.sql import functions as SF_  # noqa: N812
+
+    from annotations_ingester_spark.operators.dedup import (
+        _cut_interval_survivors,
+    )
+
+    toks = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d", "e"]),  # head cut [0,1]
+            (2, ["a", "b", "c", "d", "e"]),  # tail cut [3,4]
+            (3, ["a", "b", "c"]),  # fully removed [0,2]
+            (4, ["a", "b", "c", "d", "e", "f"]),  # two islands, unsorted
+            (5, ["x", "y"]),  # no intervals
+            (6, []),  # empty token array, no intervals
+        ],
+        "doc_id int, _tk array<string>",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 1),
+            (2, 3, 4),
+            (3, 0, 2),
+            (4, 4, 5),  # deliberately listed before the earlier island
+            (4, 0, 1),
+            (5, None, None),
+        ],
+        "doc_id int, start_pos long, end_pos long",
+    ).filter(SF_.col("start_pos").isNotNull())
+    out = {
+        r.doc_id: r
+        for r in _cut_interval_survivors(toks, iv, "doc_id").collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (out[1].surviving_tokens, out[1].surviving_hash) == (3, md5("c d e"))
+    assert (out[2].surviving_tokens, out[2].surviving_hash) == (3, md5("a b c"))
+    assert (out[3].removed_tokens, out[3].surviving_hash) == (3, md5(""))
+    assert (out[4].surviving_tokens, out[4].surviving_hash) == (2, md5("c d"))
+    assert (out[5].removed_tokens, out[5].surviving_hash) == (0, md5("x y"))
+    assert (out[6].total_tokens, out[6].surviving_hash) == (0, md5(""))
+    for r in out.values():
+        assert r.total_tokens == r.removed_tokens + r.surviving_tokens
