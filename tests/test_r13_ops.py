@@ -963,3 +963,54 @@ def test_cut_interval_survivors_edge_shapes(spark):
     assert (out[6].total_tokens, out[6].surviving_hash) == (0, md5(""))
     for r in out.values():
         assert r.total_tokens == r.removed_tokens + r.surviving_tokens
+
+
+def test_cut_interval_survivors_randomized(spark):
+    """Seeded-random recompute of the interval slice fold: 200 docs with
+    random token arrays and random DISJOINT sorted islands (the
+    gaps-and-islands output contract), compared against a pure-Python
+    cut. One Spark job for the whole batch."""
+    import hashlib
+    import random
+
+    from annotations_ingester_spark.operators.dedup import (
+        _cut_interval_survivors,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    docs, ivs, expect = [], [], {}
+    for did in range(200):
+        n = rng.randint(0, 40)
+        tk = [rng.choice("abcdefg") for _ in range(n)]
+        spans = []
+        pos = 0
+        while pos < n:
+            start = pos + rng.randint(0, 6)
+            end = start + rng.randint(0, 8)
+            if start >= n:
+                break
+            end = min(end, n - 1)
+            if rng.random() < 0.6:
+                spans.append((start, end))
+            pos = end + 2  # >= 1-token gap keeps islands disjoint
+        removed = {p for s, e in spans for p in range(s, e + 1)}
+        surv = [w for i, w in enumerate(tk) if i not in removed]
+        expect[did] = (
+            n,
+            len(removed),
+            len(surv),
+            hashlib.md5(" ".join(surv).encode()).hexdigest(),
+        )
+        docs.append((did, tk))
+        ivs.extend((did, s, e) for s, e in spans)
+    toks_df = spark.createDataFrame(docs, "doc_id int, _tk array<string>")
+    iv_df = spark.createDataFrame(ivs, "doc_id int, start_pos long, end_pos long")
+    out = _cut_interval_survivors(toks_df, iv_df, "doc_id").collect()
+    assert len(out) == 200
+    for r in out:
+        assert (
+            r.total_tokens,
+            r.removed_tokens,
+            r.surviving_tokens,
+            r.surviving_hash,
+        ) == expect[r.doc_id], f"doc {r.doc_id}"
