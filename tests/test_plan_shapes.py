@@ -215,3 +215,17 @@ def test_substring_dedup_flagging_join_broadcasts_dupes_dim(spark):
     assert "BroadcastHashJoin" in p, p[:800]
     # gaps-and-islands windows are doc-partitioned, never global
     assert "Window" in p
+
+
+def test_survivors_interval_fold_evaluated_once(spark):
+    """The survivors cut fold (operators/dedup.py _cut_interval_survivors)
+    must appear exactly ONCE in the physical plan: higher-order functions
+    are CodegenFallback, so if CollapseProject ever inlines the fold into
+    the three output columns that consume it, it runs interpreted 3x per
+    row (measured 4.3 -> 18 s at sf0.1 when it happened). The fold is
+    identifiable by its accumulator field over the island array."""
+    for name in ("dedup_substring_survivors", "dedup_substring_bpe_survivors"):
+        p = plan_of(spark, name)
+        assert p.count("aggregate(_ivs") == 1, (
+            f"{name}: fold inlined {p.count('aggregate(_ivs')}x"
+        )
