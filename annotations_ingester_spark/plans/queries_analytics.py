@@ -18,6 +18,7 @@ from annotations_ingester_spark.functions import text as tx
 from annotations_ingester_spark.plans.catalog import (
     DAILY_CENTS_CTE,
     DAILY_TYPE_COUNTS_CTE,
+    ckpt,
     daily_cents,
     daily_type_counts,
     events_table,
@@ -706,7 +707,7 @@ def q_recursive_blast(spark: SparkSession, sf: str):
             lsh_band_keys(minhash_signatures(table(spark, sf, "documents")))
         )
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     pairs.createOrReplaceTempView("_recursive_blast_edges_v")
     # registered under the bare table name on purpose: the recursive SQL
@@ -1363,7 +1364,7 @@ def q_stats_theil_sen(spark: SparkSession, sf: str):
             .alias("m")
         )
         .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("y"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     a = mo.select(F.col("m").alias("m1"), F.col("y").alias("y1"))
     b = mo.select(F.col("m").alias("m2"), F.col("y").alias("y2"))
@@ -1457,7 +1458,7 @@ def q_privacy_t_closeness(spark: SparkSession, sf: str):
             "lang",
         )
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     ct = cl.groupBy("source", "b").agg(F.sum("c").cast("long").alias("n_class"))
     g = cl.groupBy("lang").agg(F.sum("c").cast("long").alias("gl"))
@@ -1701,7 +1702,7 @@ def q_timeseries_seasonal(spark: SparkSession, sf: str):
     p = d.groupBy((F.col("day") % 7).cast("long").alias("dow")).agg(
         F.count("*").cast("long").alias("n_days"),
         F.sum("x").cast("long").alias("s"),
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     g = p.agg(
         F.sum("n_days").cast("long").alias("n"),
         F.sum("s").cast("long").alias("gs"),
@@ -1754,7 +1755,7 @@ def q_graph_common_neighbors(spark: SparkSession, sf: str):
             )
         )
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     und = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
@@ -2026,7 +2027,7 @@ def q_orders_pareto_abc(spark: SparkSession, sf: str):
         .groupBy("o_custkey")
         .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("rev"))
         .withColumn("bkt", F.expr("CAST(rev DIV 1048576 AS BIGINT)"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     w_in = (
         Window.partitionBy("bkt")
@@ -2458,7 +2459,7 @@ def q_events_concurrency(spark: SparkSession, sf: str):
     )
     db = bnd.select(
         "ts", "delta", F.expr("CAST(ts DIV 86400 AS BIGINT)").alias("day")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     daily = db.groupBy("day").agg(
         F.sum("delta").cast("long").alias("day_delta"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
@@ -2733,7 +2734,7 @@ def q_stats_mann_kendall(spark: SparkSession, sf: str):
             .alias("m")
         )
         .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("y"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     a = mo.select(F.col("m").alias("m1"), F.col("y").alias("y1"))
     b = mo.select(F.col("m").alias("m2"), F.col("y").alias("y2"))
@@ -2839,7 +2840,7 @@ def q_timeseries_seasonal_strength(spark: SparkSession, sf: str):
         .groupBy(F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"))
         .agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("y"))
         .withColumn("wd", F.expr("CAST(day % 7 AS BIGINT)"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     wm = d.groupBy("wd").agg(
         F.round(F.sum("y").cast("double") / F.count("*"), 6).alias("wmean")
@@ -3086,7 +3087,7 @@ def q_timeseries_ccf(spark: SparkSession, sf: str):
             .cast("long")
             .alias("y"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     a = dd.withColumn(
         "lag", F.explode(F.array(*[F.lit(k).cast("long") for k in range(0, 8)]))
@@ -3347,7 +3348,7 @@ def q_events_markov_entropy(spark: SparkSession, sf: str):
         seq.filter(F.col("prev").isNotNull())
         .groupBy(F.col("prev").alias("s"), F.col("state").alias("v"))
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)  # states^2 rows; feeds 3 branches
+        .transform(ckpt)  # states^2 rows; feeds 3 branches
     )
     fr = t.groupBy("s").agg(F.sum("c").cast("long").alias("cs"))
     tot = t.agg(F.sum("c").cast("long").alias("n"))
@@ -3633,7 +3634,7 @@ def q_survival_log_rank(spark: SparkSession, sf: str):
             F.count("*").cast("long").alias("n_at"),
             F.sum("obs").cast("long").alias("d"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     days = pt.select("t").distinct()
     grps = pt.sparkSession.range(2).select(F.col("id").cast("long").alias("grp"))
@@ -3756,7 +3757,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf: str):
             )
         )
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     und = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
@@ -3953,7 +3954,7 @@ def q_events_entropy_trend(spark: SparkSession, sf: str):
     c = (
         e.groupBy("day", "event_type")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     n = c.groupBy("day").agg(F.sum("c").cast("long").alias("n"))
     term = F.sum(
@@ -4439,7 +4440,7 @@ def q_events_dau_wau_stickiness(spark: SparkSession, sf: str):
             "user_id", F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day")
         )
         .distinct()
-        .localCheckpoint(eager=True)  # user-day facts; feeds span/dau/fan
+        .transform(ckpt)  # user-day facts; feeds span/dau/fan
     )
     span = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
@@ -4584,7 +4585,7 @@ def q_events_bot_score(spark: SparkSession, sf: str):
     tc = (
         e.groupBy("user_id", "event_type")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     un = tc.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
     term = F.sum(
@@ -4731,7 +4732,7 @@ def q_graph_modularity_score(spark: SparkSession, sf: str):
     )
     e = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).localCheckpoint(eager=True)  # edge list built once (blast-radius rule)
+    ).transform(ckpt)  # edge list built once (blast-radius rule)
     l2 = label_propagation_iterations(e, n_iters=2)
     wtot = e.agg(F.sum("w").cast("long").alias("big_w"))
     ls = l2.select(F.col("node").alias("src"), F.col("label").alias("src_label"))
@@ -4885,7 +4886,7 @@ def q_events_return_intervals(spark: SparkSession, sf: str):
     "bounded day table, constant-size arithmetic after.",
 )
 def q_stats_seasonal_mann_kendall(spark: SparkSession, sf: str):
-    d = daily_cents(spark, sf).localCheckpoint(eager=True)
+    d = daily_cents(spark, sf)
     dd = d.select("day", "x", (F.col("day") % 7).cast("long").alias("season"))
     a = dd.select(
         F.col("season").alias("sa"), F.col("day").alias("da"), F.col("x").alias("xa")
@@ -4997,7 +4998,7 @@ def q_events_hourly_seasonality(spark: SparkSession, sf: str):
     h = e.groupBy("hr").agg(
         F.count("*").cast("long").alias("n_events"),
         F.sum("cents").cast("long").alias("revenue_cents"),
-    ).localCheckpoint(eager=True)  # 24 rows; feeds totals + top3 + report
+    ).transform(ckpt)  # 24 rows; feeds totals + top3 + report
     t = h.agg(
         F.sum("n_events").cast("long").alias("nt"),
         F.sum("revenue_cents").cast("long").alias("rt"),
@@ -5065,13 +5066,13 @@ def q_graph_jaccard_link_scores(spark: SparkSession, sf: str):
             )
         )
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     und = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
     deg = und.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
-    deg = deg.localCheckpoint(eager=True)  # bounded; feeds cap + 2 lookups
+    deg = deg.transform(ckpt)  # bounded; feeds cap + 2 lookups
     low = deg.filter(F.col("deg") <= 16).select(F.col("u").alias("w"))
     e1 = und.select(F.col("u").alias("a"), F.col("v").alias("w")).join(low, "w")
     e2 = und.select(F.col("u").alias("w"), F.col("v").alias("b")).join(low, "w")
@@ -5304,7 +5305,7 @@ def q_graph_hits_2iter(spark: SparkSession, sf: str):
         events_table(spark, sf)
         .select("user_id", "event_type")
         .distinct()
-        .localCheckpoint(eager=True)  # feeds both degree rollups + join
+        .transform(ckpt)  # feeds both degree rollups + join
     )
     outd = e.groupBy("user_id").agg(F.count("*").cast("long").alias("od"))
     ind = e.groupBy("event_type").agg(F.count("*").cast("long").alias("auth1_indegree"))
@@ -5387,7 +5388,7 @@ def q_split_temporal_holdout(spark: SparkSession, sf: str):
     tagged = e.crossJoin(F.broadcast(b)).withColumn(
         "split", F.when(F.col("day") <= F.col("cut"), "train").otherwise("test")
     )
-    tagged = tagged.localCheckpoint(eager=True)  # feeds overlap + aggregate
+    tagged = tagged.transform(ckpt)  # feeds overlap + aggregate
     tr_u = tagged.filter(F.col("split") == "train").select("user_id").distinct()
     te_u = tagged.filter(F.col("split") == "test").select("user_id").distinct()
     ov = tr_u.intersect(te_u).agg(
@@ -5573,7 +5574,7 @@ def q_timeseries_drawdown_stats(spark: SparkSession, sf: str):
             "draw"
         ),
         F.when(F.col("x") < F.col("peak"), 1).otherwise(0).alias("under"),
-    ).localCheckpoint(eager=True)  # ~30 rows; consumed by 4 scalar legs
+    ).transform(ckpt)  # ~30 rows; consumed by 4 scalar legs
     isl = dd.select(
         "under",
         (
@@ -5727,7 +5728,7 @@ def q_events_burstiness_memory(spark: SparkSession, sf: str):
         "event_type",
         (F.col("ts_s") - F.lag("ts_s").over(w)).alias("tau"),
         (F.lead("ts_s").over(w) - F.col("ts_s")).alias("tau_next"),
-    ).localCheckpoint(eager=True)  # narrow 3-col gap frame; feeds 2 aggs
+    ).transform(ckpt)  # narrow 3-col gap frame; feeds 2 aggs
     dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = (
         g.filter(F.col("tau").isNotNull())

@@ -15,7 +15,7 @@ from annotations_ingester_spark.functions.vectors import (
     cosine_similarity_sql,
     sign_bucket_sql,
 )
-from annotations_ingester_spark.plans.catalog import events_ts_seconds, register, table
+from annotations_ingester_spark.plans.catalog import ckpt, events_ts_seconds, register, table
 
 _SPLIT_HASH = md5_hash64_sql("'split:' || doc_id::VARCHAR")
 _SAMPLE_HASH = md5_hash64_sql("'sample:' || doc_id::VARCHAR")
@@ -833,7 +833,7 @@ def q_mixture_temperature_sample(spark: SparkSession, sf: str):
         .select("doc_id", "lang")
         .withColumn("_rk", rk)
         .withColumn("_bucket", F.shiftright("_rk", 52))  # 256 hash ranges
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     bcounts = d.groupBy("lang", "_bucket").agg(F.count("*").alias("_n"))
     counts = bcounts.groupBy("lang").agg(F.sum("_n").cast("long").alias("n_d"))
@@ -1411,7 +1411,7 @@ def q_privacy_dp_quantile_release(spark: SparkSession, sf: str):
     w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
     cum = dense.select(
         "bkt", "cnt", F.sum("cnt").over(w).cast("long").alias("cw")
-    ).localCheckpoint(eager=True)  # 10 rows; feeds totals + scoring
+    ).transform(ckpt)  # 10 rows; feeds totals + scoring
     n = cum.agg(F.sum("cnt").cast("long").alias("n"))
     u = (
         md5_hash64(F.concat(F.lit("dpq:"), F.col("bkt").cast("string"))) + 0.5
@@ -1503,7 +1503,7 @@ def q_curation_waterfill(spark: SparkSession, sf: str):
         .select("source", F.size(tokens("text")).cast("long").alias("nt"))
         .groupBy("source")
         .agg(F.sum("nt").cast("long").alias("tokens"))
-        .localCheckpoint(eager=True)  # source-domain table; feeds 3 branches
+        .transform(ckpt)  # source-domain table; feeds 3 branches
     )
     tot = src.agg(
         F.count("*").cast("long").alias("n_src"),
@@ -1539,7 +1539,7 @@ def q_curation_waterfill(spark: SparkSession, sf: str):
         F.min("ok")
         .over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
         .alias("saturated"),
-    ).localCheckpoint(eager=True)  # feeds the level aggregate + final select
+    ).transform(ckpt)  # feeds the level aggregate + final select
     lvl = sat.agg(
         F.coalesce(
             F.sum(F.when(F.col("saturated") == 1, F.col("tokens"))), F.lit(0)
@@ -1665,7 +1665,7 @@ def q_split_group_holdout(spark: SparkSession, sf: str):
         bucket(
             md5_hash64(F.concat(F.lit("nsplit:"), F.col("doc_id").cast("string")))
         ).alias("n_split"),
-    ).localCheckpoint(eager=True)  # narrow per-doc labels; feeds 3 rollups
+    ).transform(ckpt)  # narrow per-doc labels; feeds 3 rollups
     grp = lab.groupBy("gk", "g_split").agg(F.count("*").cast("long").alias("n"))
     nk2 = (
         lab.groupBy("gk", "n_split")
@@ -1851,7 +1851,7 @@ def q_corpus_cross_source_overlap(spark: SparkSession, sf: str):
             ).alias("gk"),
         )
         .distinct()
-        .localCheckpoint(eager=True)  # (source, key) set; feeds sizes + join
+        .transform(ckpt)  # (source, key) set; feeds sizes + join
     )
     sz = d.groupBy("source").agg(F.count("*").cast("long").alias("n_keys"))
     a = d.select(F.col("source").alias("source_a"), "gk")
@@ -2156,7 +2156,7 @@ def q_curation_skyline_quality(spark: SparkSession, sf: str):
             quality_score("text").alias("q"),
             F.col("n_chars").cast("long").alias("n_chars"),
         )
-        .localCheckpoint(eager=True)  # feeds the per-q rollup + the join back
+        .transform(ckpt)  # feeds the per-q rollup + the join back
     )
     perq = s.groupBy("q").agg(F.max("n_chars").cast("long").alias("mq"))
     w = Window.orderBy(F.col("q").desc()).rowsBetween(

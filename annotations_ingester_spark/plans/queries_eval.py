@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from annotations_ingester_spark.functions.vectors import sign_bucket_sql
 from annotations_ingester_spark.plans.catalog import (
+    ckpt,
     REGISTRY,
     events_table,
     register,
@@ -143,12 +144,12 @@ def q_lsh_pr(spark: SparkSession, sf: str):
     truth = (
         REGISTRY["ssjoin_jaccard_prefix"].spark(spark, sf)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     pred = (
         REGISTRY["minhash_lsh_pairs"].spark(spark, sf)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     tp = truth.join(pred, ["doc_a", "doc_b"]).agg(
         F.count("*").cast("double").alias("n_tp")
@@ -643,7 +644,7 @@ def q_eval_recall_curve(spark: SparkSession, sf: str):
     # materialize the tiny frame once (scan-multiplicity discipline)
     qs = emb.filter(
         (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     nq = qs.agg(F.count("*").cast("long").alias("n_queries"))
     truth = brute_force_topk(emb, qs, k=10).select(
         "q_id", "vec_id", F.col("rank").alias("rank_t")
@@ -734,7 +735,7 @@ def q_eval_er_blocking(spark: SparkSession, sf: str):
             "c_nationkey",
             F.substring("c_name", 1, 15).alias("pref"),
         )
-        .localCheckpoint(eager=True)  # feeds truth/blocked/candidate tiers
+        .transform(ckpt)  # feeds truth/blocked/candidate tiers
     )
     a = s.select(
         F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"),
@@ -843,7 +844,7 @@ def q_eval_ann_mrr(spark: SparkSession, sf: str):
     emb = table(spark, sf, "embeddings")
     qs = emb.filter(
         (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     top1 = brute_force_topk(emb, qs, k=1).select("q_id", "vec_id")
     pred = bucketed_topk(emb, qs, k=10, n_bits=8).select(
         "q_id", "vec_id", F.col("rank").alias("rank_p")
@@ -1032,7 +1033,7 @@ def q_eval_matryoshka(spark: SparkSession, sf: str):
     full = (
         knn_at(emb.select("vec_id", "embedding"))
         .select(F.col("q_id").alias("f_q"), F.col("vec_id").alias("f_v"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     per_q = None
     for d in _MATRYOSHKA_DIMS:
@@ -1155,9 +1156,9 @@ def q_eval_davies_bouldin(spark: SparkSession, sf: str):
     cents = (
         emb.filter((F.col("vec_id") % 173 == 0) & (F.col("vec_id") < 2000))
         .select(F.col("vec_id").alias("centroid_id"), "embedding")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
-    asg = kmeans_assign(emb, cents).localCheckpoint(eager=True)
+    asg = kmeans_assign(emb, cents).transform(ckpt)
     d2_sql = (
         "aggregate("
         " zip_with(_v, _cv, (a, b) ->"
@@ -1187,7 +1188,7 @@ def q_eval_davies_bouldin(spark: SparkSession, sf: str):
             F.sum(F.col("dist").cast("decimal(25,6)")).cast("double") / F.count("*"),
             6,
         ).alias("s_intra"),
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     ci = cents.select(F.col("centroid_id").alias("ci"), F.col("embedding").alias("_v"))
     cj = cents.select(F.col("centroid_id").alias("cj"), F.col("embedding").alias("_cv"))
     m = (
@@ -1415,7 +1416,7 @@ def q_eval_split_leakage(spark: SparkSession, sf: str):
             ),
             "dst",
         )
-        .localCheckpoint(eager=True)  # feeds the totals and the doc rollup
+        .transform(ckpt)  # feeds the totals and the doc rollup
     )
     is_cross = (
         (F.col("split_a") == "train") & (F.col("split_b") != "train")
@@ -1583,7 +1584,7 @@ def q_eval_conformal_coverage(spark: SparkSession, sf: str):
             .cast("long")
             .alias("pm"),
         )
-        .localCheckpoint(eager=True)  # 5 rows; feeds join + n_train branches
+        .transform(ckpt)  # 5 rows; feeds join + n_train branches
     )
     resid = F.abs(F.col("cents") * 1000 - F.col("pm")).cast("long").alias("r")
     joined = e.join(F.broadcast(tm.select("event_type", "pm")), "event_type")
@@ -1595,7 +1596,7 @@ def q_eval_conformal_coverage(spark: SparkSession, sf: str):
         .agg(F.count("*").cast("long").alias("w"))
         .withColumn("bkt", F.expr(f"CAST(r DIV {_CONF_BKT} AS BIGINT)"))
         # value-domain-bounded rollup; feeds n_cal + in-bucket + bucket-count
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     nc = rv.agg(F.sum("w").cast("long").alias("n_cal"))
     from pyspark.sql import Window
@@ -1703,7 +1704,7 @@ def q_eval_label_centroid_sim(spark: SparkSession, sf: str):
     )
     cent = pd_.select(
         "label", "dim", F.round(F.col("s").cast("double") / F.col("n"), 12).alias("c")
-    ).localCheckpoint(eager=True)  # 640 rows; feeds norms + pair branches
+    ).transform(ckpt)  # 640 rows; feeds norms + pair branches
     nrm = cent.groupBy("label").agg(
         F.sum(F.round(F.col("c") * F.col("c"), 12).cast("decimal(25,12)")).alias("n2")
     )
@@ -1888,7 +1889,7 @@ def q_eval_cohens_kappa(spark: SparkSession, sf: str):
     cm = (
         pred.groupBy("labeled_lang", "predicted_lang")
         .agg(F.count("*").cast("long").alias("n"))
-        .localCheckpoint(eager=True)  # categories^2 rows; feeds 3 branches
+        .transform(ckpt)  # categories^2 rows; feeds 3 branches
     )
     tot = cm.agg(
         F.sum("n").cast("long").alias("n"),
@@ -2115,13 +2116,13 @@ def q_eval_capture_recapture(spark: SparkSession, sf: str):
         REGISTRY["minhash_lsh_pairs"]
         .spark(spark, sf)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     p2 = (
         REGISTRY["simhash_near_dup_pairs"]
         .spark(spark, sf)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     n1 = p1.agg(F.count("*").cast("long").alias("n1"))
     n2 = p2.agg(F.count("*").cast("long").alias("n2"))
@@ -2508,7 +2509,7 @@ def q_eval_weighted_kappa(spark: SparkSession, sf: str):
         ).cast("long").alias("b"),
     )
     o = p.groupBy("a", "b").agg(F.count("*").cast("long").alias("n"))
-    o = o.localCheckpoint(eager=True)  # 25 cells; feeds marginals + sums
+    o = o.transform(ckpt)  # 25 cells; feeds marginals + sums
     ma = o.groupBy("a").agg(F.sum("n").cast("long").alias("na"))
     mb = o.groupBy("b").agg(F.sum("n").cast("long").alias("nb"))
     tot = o.agg(F.sum("n").cast("long").alias("nt"))
@@ -2628,7 +2629,7 @@ def q_eval_ann_map(spark: SparkSession, sf: str):
     emb = table(spark, sf, "embeddings")
     qs = emb.filter(
         (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     nq = qs.agg(F.count("*").cast("long").alias("n_queries"))
     truth = brute_force_topk(emb, qs, k=10).select("q_id", "vec_id")
     pred = bucketed_topk(emb, qs, k=10, n_bits=8).select(
@@ -2832,7 +2833,7 @@ def q_eval_fleiss_kappa(spark: SparkSession, sf: str):
             / (_FLEISS_RATERS * (_FLEISS_RATERS - 1.0))
         ).alias("p_i")
     )
-    pi = pi.localCheckpoint(eager=True)  # feeds count + mean
+    pi = pi.transform(ckpt)  # feeds count + mean
     pj = cell.groupBy("cat").agg(F.sum("nij").alias("nj"))
     tot = pi.agg(F.count("*").cast("long").alias("n_items"))
     pbar = pi.agg(F.avg("p_i").alias("p_bar"))
@@ -2935,7 +2936,7 @@ def q_eval_rank_biased_overlap(spark: SparkSession, sf: str):
     emb = table(spark, sf, "embeddings")
     qs = emb.filter(
         (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     nq = qs.agg(F.count("*").cast("long").alias("n_queries"))
     truth = brute_force_topk(emb, qs, k=_RBO_K).select(
         "q_id", "vec_id", F.col("rank").alias("rt")
@@ -3041,7 +3042,7 @@ def q_eval_forecast_mase(spark: SparkSession, sf: str):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     d = e.groupBy("day").agg(F.sum("cents").cast("long").alias("x"))
-    d = d.localCheckpoint(eager=True)  # bounded day table; feeds lag + max
+    d = d.transform(ckpt)  # bounded day table; feeds lag + max
     w = Window.orderBy("day")
     lagd = d.select(
         "day", "x", F.lag("x", _MASE_SEASON).over(w).alias("xs")
@@ -3143,7 +3144,7 @@ def q_eval_auc_pr(spark: SparkSession, sf: str):
         F.sum("k1").over(w).cast("long").alias("c1"),
         F.sum("k2").over(w).cast("long").alias("c2"),
     )
-    cdf = cdf.localCheckpoint(eager=True)  # bounded distinct-score table
+    cdf = cdf.transform(ckpt)  # bounded distinct-score table
     tot = cdf.agg(
         F.max("c1").cast("long").alias("n_pos"),
         F.max("c2").cast("long").alias("n_neg"),
@@ -3410,7 +3411,7 @@ def q_eval_krippendorff_alpha(spark: SparkSession, sf: str):
     uc = (
         r_.groupBy("vec_id", "cat")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)  # (item, cat) frame; feeds 2 rollups
+        .transform(ckpt)  # (item, cat) frame; feeds 2 rollups
     )
     peritem = uc.groupBy("vec_id").agg(
         F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sq")
@@ -3501,7 +3502,7 @@ def q_eval_forecast_theil_u(spark: SparkSession, sf: str):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     d = e.groupBy("day").agg(F.sum("cents").cast("long").alias("x"))
-    d = d.localCheckpoint(eager=True)  # bounded day table; feeds lag + max
+    d = d.transform(ckpt)  # bounded day table; feeds lag + max
     w = Window.orderBy("day")
     lagd = d.select(
         "day",
@@ -3604,7 +3605,7 @@ def q_eval_label_noise_pairs(spark: SparkSession, sf: str):
             sign_bucket("embedding", 8).alias("bucket"),
             l2_norm("embedding").alias("_nrm"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     a = e.select(
         F.col("vec_id").alias("id_a"),

@@ -9,7 +9,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from annotations_ingester_spark.functions import text as tx
-from annotations_ingester_spark.plans.catalog import events_table, register, table, utc_label
+from annotations_ingester_spark.plans.catalog import ckpt, events_table, register, table, utc_label
 
 TOKS = tx.tokens_sql("text")
 HASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
@@ -262,7 +262,7 @@ def q_kmeans_two_rounds(spark: SparkSession, sf: str):
             "centroid_id",
             F.transform("_dm", lambda s: s["mean"]).alias("embedding"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     return kmeans_assign(emb, new_cents)
 
@@ -1090,7 +1090,7 @@ def q_funnel_time_to_convert(spark: SparkSession, sf: str):
         .filter(F.col("ts_s") >= F.col("t_view"))
         .groupBy("user_id", "t_view")
         .agg(F.min("ts_s").alias("t_click"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1098,7 +1098,7 @@ def q_funnel_time_to_convert(spark: SparkSession, sf: str):
         .filter(F.col("ts_s") >= F.col("t_click"))
         .groupBy("user_id", "t_view", "t_click")
         .agg(F.min("ts_s").alias("t_purchase"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     lat = c.select(
         F.lit("view_to_click").alias("transition"),
@@ -1236,7 +1236,7 @@ def q_ann_ivf_adc(spark: SparkSession, sf: str):
             F.posexplode(slices).alias("subspace", "_av"),
         )
         .withColumn("subspace", F.col("subspace").cast("long"))
-        .localCheckpoint(eager=True)  # 16 anchors x 8 subspaces, reused twice
+        .transform(ckpt)  # 16 anchors x 8 subspaces, reused twice
     )
     cd2 = (
         sub.join(F.broadcast(anchors), "subspace")
@@ -1246,7 +1246,7 @@ def q_ann_ivf_adc(spark: SparkSession, sf: str):
     # the (vec, subspace, anchor) distance frame feeds BOTH the code
     # assignment (all vectors) and the query distance tables — compute it
     # once; the assignment keeps argmin, the tables keep the query rows
-    cd2 = cd2.localCheckpoint(eager=True)
+    cd2 = cd2.transform(ckpt)
     codes = (
         cd2.withColumn("_rn", F.row_number().over(w_code))
         .filter(F.col("_rn") == 1)
@@ -1346,7 +1346,7 @@ def q_curation_gate_attrition(spark: SparkSession, sf: str):
     s1 = (
         docs.filter(F.col("text").isNotNull() & (F.length("text") >= 5))
         .select("doc_id", F.md5("text").alias("fp"), tx.quality_score("text").alias("q"))
-        .localCheckpoint(eager=True)  # feeds n0 count + the quality gate
+        .transform(ckpt)  # feeds n0 count + the quality gate
     )
     f1 = s1.filter(F.col("q") >= 0.2)
     w = Window.partitionBy("fp").orderBy("doc_id")
@@ -1354,7 +1354,7 @@ def q_curation_gate_attrition(spark: SparkSession, sf: str):
         f1.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id")
-        .localCheckpoint(eager=True)  # feeds n2 count + the classifier pass
+        .transform(ckpt)  # feeds n2 count + the classifier pass
     )
     f3 = (
         classifier_scores(docs.join(f2, "doc_id", "left_semi"))
@@ -1372,7 +1372,7 @@ def q_curation_gate_attrition(spark: SparkSession, sf: str):
         n0.crossJoin(F.broadcast(n1))
         .crossJoin(F.broadcast(n2))
         .crossJoin(F.broadcast(n3))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
 
     def gate(idx, name, kept, removed, frac):
@@ -1456,7 +1456,7 @@ def q_vocab_heaps(spark: SparkSession, sf: str):
             F.expr("CAST((10 * doc_id) DIV (mid + 1) AS BIGINT)"),
         ).alias("bkt"),
         tx.tokens("text").alias("t"),
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     tok = d.select("bkt", F.explode("t").alias("w"))
     per_bkt = tok.groupBy("bkt").agg(F.count("*").cast("long").alias("n_tokens"))
     first_b = tok.groupBy("w").agg(F.min("bkt").cast("long").alias("fb"))
@@ -1527,7 +1527,7 @@ def q_lm_domain_kl(spark: SparkSession, sf: str):
         "source", F.explode(tx.tokens("text")).alias("w")
     )
     sc = tok.groupBy("source", "w").agg(F.count("*").cast("long").alias("c"))
-    sc = sc.localCheckpoint(eager=True)
+    sc = sc.transform(ckpt)
     st = sc.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
     cc = sc.groupBy("w").agg(F.sum("c").cast("long").alias("cq"))
     ct = cc.agg(F.sum("cq").cast("long").alias("n_q"))
@@ -1698,7 +1698,7 @@ def q_lm_vocab_jaccard_sources(spark: SparkSession, sf: str):
         cnt.withColumn("rk", rk)
         .filter(F.col("rk") <= _VJ_TOP)
         .select("source", "w")
-        .localCheckpoint(eager=True)  # <=source x K rows; feeds 3 branches
+        .transform(ckpt)  # <=source x K rows; feeds 3 branches
     )
     sz = top.groupBy("source").agg(F.count("*").cast("long").alias("sz"))
     a = top.select(F.col("source").alias("source_a"), "w")
@@ -2373,7 +2373,7 @@ def q_lm_js_divergence_sources(spark: SparkSession, sf: str):
     )
     cs = d.groupBy("source", "tok").agg(
         F.count("*").cast("long").alias("c")
-    ).localCheckpoint(eager=True)  # (source, token) counts; feeds 4 uses
+    ).transform(ckpt)  # (source, token) counts; feeds 4 uses
     ns = cs.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     topt = (
         cs.groupBy("tok")
@@ -2471,7 +2471,7 @@ def q_lm_token_rank_typicality(spark: SparkSession, sf: str):
         table(spark, sf, "documents")
         .filter(F.col("text").isNotNull())
         .select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
-        .localCheckpoint(eager=True)  # token facts; feed counts + re-join
+        .transform(ckpt)  # token facts; feed counts + re-join
     )
     cs = d.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
     rk = cs.select(
@@ -2546,7 +2546,7 @@ def q_lm_unigram_surprisal(spark: SparkSession, sf: str):
     dt = (
         tok.groupBy("doc_id", "w")
         .agg(F.count("*").cast("long").alias("k"))
-        .localCheckpoint(eager=True)  # feeds the vocab rollup + the join
+        .transform(ckpt)  # feeds the vocab rollup + the join
     )
     voc = dt.groupBy("w").agg(F.sum("k").cast("long").alias("c"))
     tot = voc.agg(F.sum("c").cast("long").alias("big_n"))

@@ -24,7 +24,7 @@ from annotations_ingester_spark.operators.dedup import (
     simhash_signatures,
 )
 from annotations_ingester_spark.operators.similarity import brute_force_topk, bucketed_topk
-from annotations_ingester_spark.plans.catalog import register, table
+from annotations_ingester_spark.plans.catalog import ckpt, register, table
 
 # ---- shared DuckDB fragments ------------------------------------------------
 
@@ -2192,7 +2192,7 @@ def q_eval_minhash_estimator(spark: SparkSession, sf: str):
     )
 
     docs = table(spark, sf, "documents")
-    sig = minhash_signatures(docs).localCheckpoint(eager=True)  # bands + both
+    sig = minhash_signatures(docs).transform(ckpt)  # bands + both
     # agreement sides reuse the 8-row/doc signature frame
     # the candidate pair list feeds the agreement join AND the exact
     # tier's doc restriction — materialize the tiny frame once
@@ -2219,7 +2219,7 @@ def q_eval_minhash_estimator(spark: SparkSession, sf: str):
             )
             == 0
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
@@ -2310,7 +2310,7 @@ def q_tf_cosine_pairs(spark: SparkSession, sf: str):
     dfq = tf.groupBy("w").agg(F.count("*").alias("_df")).filter(
         F.col("_df").between(2, 100)
     ).select("w")
-    k = tf.join(dfq, "w").localCheckpoint(eager=True)
+    k = tf.join(dfq, "w").transform(ckpt)
     nrm = k.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
     )
@@ -2546,9 +2546,7 @@ def _banding_sweep_oracle() -> str:
     "bucketed self-join — never all-pairs; 3-row output.",
 )
 def q_lsh_banding_sweep(spark: SparkSession, sf: str):
-    sig = minhash_signatures(table(spark, sf, "documents")).localCheckpoint(
-        eager=True
-    )
+    sig = minhash_signatures(table(spark, sf, "documents")).transform(ckpt)
     arms = []
     for rpb in _SWEEP_RPB:
         pairs = lsh_candidate_pairs(lsh_band_keys(sig, rows_per_band=rpb)).select(
@@ -2700,7 +2698,7 @@ def q_dedup_soft_weights(spark: SparkSession, sf: str):
                 )
             ).alias("gk"),
         )
-    ).localCheckpoint(eager=True)  # narrow (id, source, key); feeds 2 uses
+    ).transform(ckpt)  # narrow (id, source, key); feeds 2 uses
     cs = d.groupBy("gk").agg(F.count("*").cast("long").alias("sz"))
     w = d.join(cs, "gk").select("source", "sz")
     eff = F.sum(F.round(1.0 / F.col("sz"), 9).cast("decimal(20,9)"))
@@ -2850,15 +2848,15 @@ def q_ann_nprobe_sweep(spark: SparkSession, sf: str):
         multiprobe_bucketed_topk,
     )
 
-    emb = table(spark, sf, "embeddings").localCheckpoint(eager=True)
+    emb = table(spark, sf, "embeddings").transform(ckpt)
     qs = emb.filter(
         (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     nq = qs.agg(F.count("*").cast("long").alias("n_queries"))
     truth = (
         brute_force_topk(emb, qs, k=3)
         .select("q_id", "vec_id")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     arms = []
     for npb in _SWEEP_NPROBES:
@@ -3069,7 +3067,7 @@ def q_dedup_minhash_containment(spark: SparkSession, sf: str):
     # narrow (doc_id, _h) rows feeding THREE legs (sizes + both sides of
     # the intersection join) — checkpoint so the tokenize+shingle+hash
     # scan runs once, not per leg
-    s = shingle_hash_rows(docs).distinct().localCheckpoint(eager=True)
+    s = shingle_hash_rows(docs).distinct().transform(ckpt)
     sz = s.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     sb = s.withColumnRenamed("doc_id", "_db").withColumnRenamed("_h", "_hb")
     inter = (

@@ -20,6 +20,7 @@ from annotations_ingester_spark.functions.hashing import md5_hash64
 from annotations_ingester_spark.plans.catalog import (
     DAILY_CENTS_CTE,
     DAILY_TYPE_COUNTS_CTE,
+    ckpt,
     daily_type_counts,
     events_table,
     register,
@@ -726,7 +727,7 @@ def q_lm_kneser_ney(spark: SparkSession, sf: str):
     c2 = (
         bg.groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("c2"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     c1 = c2.groupBy("w1").agg(
         F.sum("c2").cast("long").alias("c1"), F.count("*").cast("long").alias("nf")
@@ -844,7 +845,7 @@ def q_stats_bradley_terry(spark: SparkSession, sf: str):
             F.count("*").cast("long").alias("n_ij"),
             F.sum("win_i").cast("long").alias("wins_i"),
         )
-        .localCheckpoint(eager=True)  # model-sized; feeds 4 consumers
+        .transform(ckpt)  # model-sized; feeds 4 consumers
     )
     side_i = pairs.select(
         F.col("i").alias("item"), "n_ij", F.col("wins_i").alias("w")
@@ -932,7 +933,7 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf: str):
     exact = (
         s.groupBy("item")
         .agg(F.count("*").cast("long").alias("exact_n"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     n = exact.agg(F.sum("exact_n").cast("long").alias("n_total"))
     sketch = misra_gries_summaries(s, "item", k=32)
@@ -1221,7 +1222,7 @@ def q_bpe_learn_two_merges(spark: SparkSession, sf: str):
     )
     e0 = wf.select(
         "f", F.regexp_replace("w", "(.)", f"{SEP}$1{SEP}").alias("enc")
-    ).localCheckpoint(eager=True)  # feeds pair count 1 AND the re-encode
+    ).transform(ckpt)  # feeds pair count 1 AND the re-encode
 
     def pair_counts(e):
         # size(t) >= 2 guard (the q_lm_kneser_ney pattern): after merge #1
@@ -1317,7 +1318,7 @@ def _two_sample_cdf(df):
             F.sum(1 - F.col("is_a")).cast("long").alias("k2"),
         )
         .withColumn("_bucket", F.floor(F.col("v") / _CDF_BUCKET_WIDTH).cast("long"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     w_in = (
         Window.partitionBy("_bucket")
@@ -1350,7 +1351,7 @@ def _two_sample_cdf(df):
             (F.col("_o1") + F.col("_c1")).cast("long").alias("c1"),
             (F.col("_o2") + F.col("_c2")).cast("long").alias("c2"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
 
 
@@ -1537,7 +1538,7 @@ def q_lm_good_turing(spark: SparkSession, sf: str):
     coc = (
         c.groupBy(F.col("cnt").alias("r"))
         .agg(F.count("*").cast("long").alias("n_r"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     b = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_r1"))
     out = (
@@ -1755,7 +1756,7 @@ def q_stats_cuped(spark: SparkSession, sf: str):
             F.sum(x_d * F.col("x")).cast("decimal(38,0)").alias("sxx"),
             F.sum(x_d * F.col("y")).cast("decimal(38,0)").alias("sxy"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     g = pv.agg(
         F.sum("n").cast("long").alias("gn"),
@@ -1840,13 +1841,13 @@ def q_collocation_pmi(spark: SparkSession, sf: str):
         docs.select(F.explode(tx.tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     bgx = (
         docs.select(F.explode(word_shingles("text", 2)).alias("g"))
         .groupBy("g")
         .agg(F.count("*").cast("long").alias("c_ab"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     tot = uni.agg(F.sum("c").cast("long").alias("n")).crossJoin(
         bgx.agg(F.sum("c_ab").cast("long").alias("nb"))
@@ -1918,7 +1919,7 @@ def q_stats_benford(spark: SparkSession, sf: str):
         )
         .groupBy("digit")
         .agg(F.count("*").cast("long").alias("n_obs"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     t = o.agg(F.sum("n_obs").cast("long").alias("n"))
     j = o.crossJoin(F.broadcast(t))
@@ -2271,7 +2272,7 @@ def q_stats_gini(spark: SparkSession, sf: str):
         .groupBy("o_custkey")
         .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("rev"))
         .withColumn("bkt", F.expr("CAST(rev DIV 1048576 AS BIGINT)"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     w_in = Window.partitionBy("bkt").orderBy(F.asc("rev"), F.asc("o_custkey"))
     ranked = c.select("rev", "bkt", F.row_number().over(w_in).alias("rk_in"))
@@ -2458,7 +2459,7 @@ def q_stats_weighted_median(spark: SparkSession, sf: str):
         .groupBy("cents")
         .agg(F.sum("w").cast("long").alias("w"))
         .withColumn("bkt", F.expr("CAST(cents DIV 1048576 AS BIGINT)"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     w_in = Window.partitionBy("bkt").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -2894,7 +2895,7 @@ def q_sketch_count_min(spark: SparkSession, sf: str):
     d = table(spark, sf, "documents").select(tx.tokens("text").alias("t"))
     tok = d.select(
         F.explode("t").alias("w")
-    ).select("w", md5_hash64(F.col("w")).alias("h0")).localCheckpoint(eager=True)
+    ).select("w", md5_hash64(F.col("w")).alias("h0")).transform(ckpt)
     n = tok.agg(F.count("*").cast("long").alias("n_total"))
     seeds = F.explode(
         F.array(
@@ -3194,7 +3195,7 @@ def q_sketch_bloom_membership(spark: SparkSession, sf: str):
         table(spark, sf, "orders")
         .select(F.col("o_custkey").alias("key"))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds bits + ground-truth tiers
+        .transform(ckpt)  # feeds bits + ground-truth tiers
     )
     bits = (
         build.select(md5_hash64(F.col("key").cast("string")).alias("h0"), seeds)
@@ -3569,7 +3570,7 @@ def q_stats_psi_drift(spark: SparkSession, sf: str):
             F.coalesce(F.col("c1"), F.lit(0)).cast("long").alias("c1"),
             F.coalesce(F.col("c2"), F.lit(0)).cast("long").alias("c2"),
         )
-        .localCheckpoint(eager=True)  # tiny; feeds totals + terms branches
+        .transform(ckpt)  # tiny; feeds totals + terms branches
     )
     tot = dense.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
@@ -3649,7 +3650,7 @@ def q_stats_tukey_hsd(spark: SparkSession, sf: str):
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
         F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("q"),
-    ).localCheckpoint(eager=True)  # 5 rows; feeds MSW + both pair sides
+    ).transform(ckpt)  # 5 rows; feeds MSW + both pair sides
     a = m.agg(
         F.count("*").cast("long").alias("k"),
         F.sum("n").cast("long").alias("n_total"),
@@ -4110,7 +4111,7 @@ def q_stats_cramers_v(spark: SparkSession, sf: str):
         table(spark, sf, "documents")
         .groupBy("lang", "source")
         .agg(F.count("*").cast("double").alias("o"))
-        .localCheckpoint(eager=True)  # categories^2 rows; feeds 4 branches
+        .transform(ckpt)  # categories^2 rows; feeds 4 branches
     )
     rt = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
     ct = obs.groupBy("source").agg(F.sum("o").alias("cl"))
@@ -4292,7 +4293,7 @@ def q_stats_bh_fdr(spark: SparkSession, sf: str):
     d = (
         e.groupBy("day", "event_type")
         .agg(F.sum("cents").cast("long").alias("x"))
-        .localCheckpoint(eager=True)  # (date x type)-domain bounded
+        .transform(ckpt)  # (date x type)-domain bounded
     )
     arm_obs = (
         md5_hash64(F.concat(F.lit("fdr:"), F.col("day").cast("string"))) % 2
@@ -4361,7 +4362,7 @@ def q_stats_bh_fdr(spark: SparkSession, sf: str):
         "p_value",
         F.row_number().over(w).alias("rk"),
         F.count("*").over(Window.partitionBy()).alias("m"),
-    ).localCheckpoint(eager=True)  # 5 rows; feeds threshold + report
+    ).transform(ckpt)  # 5 rows; feeds threshold + report
     thr = ranked.agg(
         F.coalesce(
             F.max(
@@ -4527,7 +4528,7 @@ def q_stats_friedman_test(spark: SparkSession, sf: str):
         .select(F.expr("CAST(ts_s DIV 86400 AS BIGINT)").alias("day"), "event_type")
         .groupBy("day", "event_type")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)  # (date x type)-domain bounded
+        .transform(ckpt)  # (date x type)-domain bounded
     )
     days = c.select("day").distinct()
     types = c.select("event_type").distinct()
@@ -4539,7 +4540,7 @@ def q_stats_friedman_test(spark: SparkSession, sf: str):
             "event_type",
             F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     grp = dense.groupBy("day", "cnt").agg(F.count("*").cast("long").alias("k"))
     w = (
@@ -4554,7 +4555,7 @@ def q_stats_friedman_test(spark: SparkSession, sf: str):
         "day",
         "event_type",
         (2 * F.col("cb") + F.col("k") + 1).cast("long").alias("rr2"),
-    ).localCheckpoint(eager=True)  # feeds rank sums + A2
+    ).transform(ckpt)  # feeds rank sums + A2
     rj = r2.groupBy("event_type").agg(F.sum("rr2").cast("long").alias("rj2"))
     sum_rj2_sq = rj.agg(
         F.sum(F.col("rj2").cast("decimal(38,0)") * F.col("rj2"))
@@ -4665,13 +4666,13 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf: str):
     vg = (
         c.groupBy("cents", "grp")
         .agg(F.count("*").cast("long").alias("kj"))
-        .localCheckpoint(eager=True)  # value x group domain; feeds 2 branches
+        .transform(ckpt)  # value x group domain; feeds 2 branches
     )
     v = (
         vg.groupBy("cents")
         .agg(F.sum("kj").cast("long").alias("k"))
         .withColumn("bkt", F.expr("CAST(cents DIV 1048576 AS BIGINT)"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     w_in = (
         Window.partitionBy("bkt")
@@ -4900,7 +4901,7 @@ def q_stats_mood_median_test(spark: SparkSession, sf: str):
         c.groupBy("cents")
         .agg(F.count("*").cast("long").alias("k"))
         .withColumn("bkt", F.expr("CAST(cents DIV 1048576 AS BIGINT)"))
-        .localCheckpoint(eager=True)  # value-domain; feeds 3 branches
+        .transform(ckpt)  # value-domain; feeds 3 branches
     )
     w_in = (
         Window.partitionBy("bkt")
@@ -4937,7 +4938,7 @@ def q_stats_mood_median_test(spark: SparkSession, sf: str):
             .cast("long")
             .alias("above"),
         )
-        .localCheckpoint(eager=True)  # 5 rows; feeds totals + terms
+        .transform(ckpt)  # 5 rows; feeds totals + terms
     )
     g = cls.agg(
         F.sum("n_g").cast("long").alias("n"), F.sum("above").cast("long").alias("a")
@@ -5202,7 +5203,7 @@ def q_stats_durbin_watson(spark: SparkSession, sf: str):
     d = daily_cents(spark, sf)
     o = d.select(
         "day", "x", F.row_number().over(Window.orderBy("day")).alias("t")
-    ).localCheckpoint(eager=True)  # feeds fit + residuals
+    ).transform(ckpt)  # feeds fit + residuals
     s = o.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("t").cast("long").alias("st"),
@@ -5394,7 +5395,7 @@ _COCHRAN_MIN_DAYS = 12  # x=1 iff the user emitted the type on >= 12 days
     "total tables, 1-row arithmetic — no window, no join on data.",
 )
 def q_stats_cochran_q(spark: SparkSession, sf: str):
-    ev = events_table(spark, sf).localCheckpoint(eager=True)
+    ev = events_table(spark, sf).transform(ckpt)
     ud = (
         ev.groupBy("user_id", "event_type")
         .agg(
@@ -5402,7 +5403,7 @@ def q_stats_cochran_q(spark: SparkSession, sf: str):
         )
         .filter(F.col("nd") >= _COCHRAN_MIN_DAYS)
         .select("user_id", "event_type")
-        .localCheckpoint(eager=True)  # feeds row + column totals
+        .transform(ckpt)  # feeds row + column totals
     )
     nu = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     kk = ev.agg(F.countDistinct("event_type").cast("long").alias("k"))
@@ -5554,7 +5555,7 @@ def q_stats_jonckheere(spark: SparkSession, sf: str):
         vg.groupBy("cents")
         .agg(*ks)
         .withColumn("bkt", F.expr("CAST(cents DIV 1048576 AS BIGINT)"))
-        .localCheckpoint(eager=True)  # feeds in-bucket windows + bucket rollup
+        .transform(ckpt)  # feeds in-bucket windows + bucket rollup
     )
     w_in = (
         Window.partitionBy("bkt")
@@ -5830,7 +5831,7 @@ def q_stats_cochran_armitage(spark: SparkSession, sf: str):
         c.groupBy("cents")
         .agg(F.count("*").cast("long").alias("k"))
         .withColumn("bkt", F.expr("CAST(cents DIV 1048576 AS BIGINT)"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     w_in = (
         Window.partitionBy("bkt")
@@ -6068,7 +6069,7 @@ def q_stats_hurst_rs(spark: SparkSession, sf: str):
     d = daily_cents(spark, sf)
     o = d.select(
         "day", "x", F.row_number().over(Window.orderBy("day")).alias("t")
-    ).localCheckpoint(eager=True)  # bounded day table; feeds all 3 arms
+    ).transform(ckpt)  # bounded day table; feeds all 3 arms
     arms = []
     for w in _HURST_WINDOWS:
         tt = o.agg(F.count("*").alias("tt"))
@@ -6455,7 +6456,7 @@ def q_stats_cronbach_alpha(spark: SparkSession, sf: str):
     )
     cell = e.groupBy("day", "event_type").agg(
         F.sum("cents").cast("long").alias("x")
-    ).localCheckpoint(eager=True)  # bounded (day x type) grid source
+    ).transform(ckpt)  # bounded (day x type) grid source
     days = cell.select("day").distinct()
     types = cell.select("event_type").distinct()
     grid = (
@@ -6660,7 +6661,7 @@ def q_stats_pettitt_test(spark: SparkSession, sf: str):
 
     from annotations_ingester_spark.plans.catalog import daily_cents
 
-    d = daily_cents(spark, sf).localCheckpoint(eager=True)
+    d = daily_cents(spark, sf)
     tt = d.agg(F.count("*").cast("long").alias("t_n"))
     rk = d.select(
         "day",
@@ -6687,7 +6688,7 @@ def q_stats_pettitt_test(spark: SparkSession, sf: str):
             .cast("long")
             .alias("u_t"),
         )
-        .localCheckpoint(eager=True)  # bounded day table; feeds max + argmax
+        .transform(ckpt)  # bounded day table; feeds max + argmax
     )
     k = ut.agg(F.max(F.abs(F.col("u_t"))).cast("long").alias("k_stat"))
     cp = (
@@ -7148,7 +7149,7 @@ def _esd_oracle() -> str:
 def q_stats_esd_outliers(spark: SparkSession, sf: str):
     from annotations_ingester_spark.plans.catalog import daily_cents
 
-    d = daily_cents(spark, sf).localCheckpoint(eager=True)
+    d = daily_cents(spark, sf)
     excluded = None
     arms = []
     for i, lam in enumerate(_ESD_LAMBDAS, start=1):
@@ -7180,7 +7181,7 @@ def q_stats_esd_outliers(spark: SparkSession, sf: str):
             )
             .orderBy(F.desc("r_stat"), F.asc("day"))
             .limit(1)
-            .localCheckpoint(eager=True)  # 1 row; feeds arm + next exclusion
+            .transform(ckpt)  # 1 row; feeds arm + next exclusion
         )
         arms.append(
             p.select(
@@ -7270,7 +7271,7 @@ def q_stats_page_trend_test(spark: SparkSession, sf: str):
     cell = (
         e.groupBy("day", "event_type")
         .agg(F.sum("cents").cast("long").alias("x"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     days = cell.select("day").distinct()
     types = (
@@ -7514,7 +7515,7 @@ def q_stats_quade_test(spark: SparkSession, sf: str):
     cell = (
         e.groupBy("day", "event_type")
         .agg(F.sum("cents").cast("long").alias("x"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     days = cell.select("day").distinct()
     types = cell.select("event_type").distinct()
@@ -7526,7 +7527,7 @@ def q_stats_quade_test(spark: SparkSession, sf: str):
             "event_type",
             F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
         )
-        .localCheckpoint(eager=True)  # bounded grid; feeds ranks + ranges
+        .transform(ckpt)  # bounded grid; feeds ranks + ranges
     )
     rk = grid.select(
         "day",
@@ -7557,7 +7558,7 @@ def q_stats_quade_test(spark: SparkSession, sf: str):
     sij = rk.join(qr, "day").crossJoin(F.broadcast(dims)).select(
         "event_type",
         (F.col("q2") * (F.col("r2") - (F.col("k") + 1))).alias("s4"),
-    ).localCheckpoint(eager=True)  # bounded (day x type); feeds A and S_j
+    ).transform(ckpt)  # bounded (day x type); feeds A and S_j
     s = sij.groupBy("event_type").agg(F.sum("s4").cast("long").alias("s4j"))
     a16 = sij.agg(
         F.sum(F.col("s4").cast("decimal(38,0)") * F.col("s4"))
@@ -7640,9 +7641,7 @@ def q_stats_exponentiality_test(spark: SparkSession, sf: str):
         ).alias("gap")
     )
     g = seq.filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
-    pv = g.groupBy("gap").agg(F.count("*").cast("long").alias("k")).localCheckpoint(
-        eager=True
-    )  # distinct-gap value domain; feeds totals + CDF
+    pv = g.groupBy("gap").agg(F.count("*").cast("long").alias("k")).transform(ckpt)  # distinct-gap value domain; feeds totals + CDF
     t = pv.agg(
         F.sum("k").cast("long").alias("n"),
         F.sum(F.col("gap") * F.col("k")).cast("long").alias("s"),
@@ -7727,7 +7726,7 @@ def q_stats_cusum_variance(spark: SparkSession, sf: str):
 
     from annotations_ingester_spark.plans.catalog import daily_cents
 
-    d = daily_cents(spark, sf).localCheckpoint(eager=True)
+    d = daily_cents(spark, sf)
     g = d.agg(
         F.count("*").cast("long").alias("n"),
         F.avg(F.col("x").cast("double")).alias("mu"),
@@ -7758,9 +7757,7 @@ def q_stats_cusum_variance(spark: SparkSession, sf: str):
         .alias("term"),
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    m = t1.select("day", F.sum("term").over(w).alias("st")).localCheckpoint(
-        eager=True
-    )  # bounded day table; feeds max + argmax
+    m = t1.select("day", F.sum("term").over(w).alias("st")).transform(ckpt)  # bounded day table; feeds max + argmax
     k = m.agg(F.max(F.abs(F.col("st").cast("double"))).alias("k_stat"))
     cp = (
         m.crossJoin(F.broadcast(k))
@@ -7829,7 +7826,7 @@ def q_stats_g_test(spark: SparkSession, sf: str):
     obs = e.groupBy("dow", "event_type").agg(
         F.count("*").cast("double").alias("o")
     )
-    obs = obs.localCheckpoint(eager=True)  # 7 x |types| cells; feeds 4 consumers
+    obs = obs.transform(ckpt)  # 7 x |types| cells; feeds 4 consumers
     rt = obs.groupBy("dow").agg(F.sum("o").alias("rl"))
     ct = obs.groupBy("event_type").agg(F.sum("o").alias("cl"))
     n = obs.agg(F.sum("o").alias("n"))
@@ -8025,7 +8022,7 @@ def q_stats_chow_test(spark: SparkSession, sf: str):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     d = e.groupBy("day").agg(F.sum("cents").cast("long").alias("x"))
-    d = d.localCheckpoint(eager=True)  # bounded day table; feeds bounds + pts
+    d = d.transform(ckpt)  # bounded day table; feeds bounds + pts
     bounds = d.agg(
         F.min("day").alias("d0"),
         (F.min("day") + ((F.max("day") - F.min("day")) / 2).cast("long")).alias(
@@ -8131,7 +8128,7 @@ def q_stats_eb_shrinkage(spark: SparkSession, sf: str):
         )
     )
     p = c.select("nation", "n", "y", (F.col("y") * 1.0 / F.col("n")).alias("pr"))
-    p = p.localCheckpoint(eager=True)  # 25-row nation table; feeds mom + report
+    p = p.transform(ckpt)  # 25-row nation table; feeds mom + report
     mom = p.agg(
         F.avg("pr").alias("pbar"),
         F.round(F.avg(F.col("pr") * F.col("pr")) - F.avg("pr") * F.avg("pr"), 9).alias(
@@ -8277,14 +8274,14 @@ def q_stats_powerlaw_tail_fit(spark: SparkSession, sf: str):
         .groupBy("user_id")
         .agg(F.count("*").cast("long").alias("deg"))
     )
-    c = c.localCheckpoint(eager=True)  # per-user rollup; feeds median + tail
+    c = c.transform(ckpt)  # per-user rollup; feeds median + tail
     xm = c.agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY deg)")
         .cast("long")
         .alias("xmin")
     )
     tail = c.crossJoin(F.broadcast(xm)).filter(F.col("deg") >= F.col("xmin"))
-    tail = tail.localCheckpoint(eager=True)  # feeds hill + ccdf
+    tail = tail.transform(ckpt)  # feeds hill + ccdf
     hill = tail.agg(
         F.count("*").cast("long").alias("n_tail"),
         F.min("xmin").cast("long").alias("xmin"),
@@ -9161,7 +9158,7 @@ def q_stats_dunn_posthoc(spark: SparkSession, sf: str):
             F.count("*").cast("long").alias("kt"),
         )
         .withColumn("_bucket", F.floor(F.col("v") / 1048576).cast("long"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     w_in = (
         Window.partitionBy("_bucket")

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from annotations_ingester_spark.plans.catalog import events_table, register, table
+from annotations_ingester_spark.plans.catalog import ckpt, events_table, register, table
 
 _CENTS = "round(o_totalprice * 100)::BIGINT"
 
