@@ -115,7 +115,7 @@ def _topmost_barriers(df: DataFrame) -> set[str]:
     return found
 
 
-def ckpt(df: DataFrame) -> DataFrame:
+def ckpt(df: DataFrame, site_mode: str | None = None) -> DataFrame:
     """Materialization point for a subtree consumed by several branches of
     one query plan (``df.transform(ckpt)``). Behavior-preserving — a
     localCheckpoint never changes rows — the classification only decides
@@ -148,12 +148,17 @@ def ckpt(df: DataFrame) -> DataFrame:
     The verdict is cached per call site; set ``SPARK_GRAFT_CKPT_MODE`` to
     ``eager``/``lazy`` to pin globally, or ``none`` to drop the
     checkpoint entirely and rely on ReuseExchange (A/B harness hooks),
-    default ``auto``.
+    default ``auto``. ``site_mode`` pins one call site the same way
+    (used where a paired A/B showed a reproducible per-site win that the
+    shape classifier cannot see); the global env override still wins so
+    the A/B harness can sweep the whole catalog.
     """
     import os
     import sys
 
     mode = os.environ.get("SPARK_GRAFT_CKPT_MODE", "auto")
+    if mode == "auto" and site_mode is not None:
+        mode = site_mode
     if mode in ("eager", "lazy"):
         return df.localCheckpoint(eager=(mode == "eager"))
     if mode == "none":

@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 wraps every DataFrame API call to capture the Python
+        # call site for error context: getActiveSession + conf.get + a
+        # stack walk + a JVM PySparkCurrentOrigin.set/clear round trip per
+        # call, all paid at plan-build time (and every timed bench run
+        # includes one plan build). Disabling costs only error-message
+        # context, never results. Measured: 595 -> 449 ms per warm builder
+        # (-25% build time) over 8 representative queries.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
