@@ -340,28 +340,48 @@ _PRED_SQL = "CASE " + " ".join(
     "with alphabetical tie-break — a pure scan expression.",
 )
 def q_langid(spark: SparkSession, sf: str):
+    # Staged projections, mirroring the oracle's `h` CTE: tokenize once,
+    # count hits once per language, then argmax over COLUMN REFERENCES.
+    # The single-select form embedded the full size(filter(tokens))
+    # tree 45x (5 outputs + 5x4x2 chain comparisons), paying analysis
+    # and py4j cost per copy at every plan build; values are identical
+    # and CollapseProject keeps the stages apart (the hit expressions
+    # are non-cheap and multiply referenced). Measured (r12 opt): build
+    # 0.79 -> ~0.1 s here and proportionally in the four consumers that
+    # nest this builder (eval_langid_confusion, eval_cohens_kappa,
+    # eval_mcnemar_models, eval_mcc_langid).
     d = table(spark, sf, "documents")
-    toks = tx.tokens("text")
-    hits = {
-        lang: F.size(F.filter(toks, tx._isin_filter(tx.LANG_STOPWORDS[lang]))).cast("long")
-        for lang in _LANGS
-    }
-    pred = F.lit(None).cast("string")
-    # build the same alphabetical-priority CASE chain as the oracle
+    t = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        tx.tokens("text").alias("_toks"),
+    )
+    h = t.select(
+        "doc_id",
+        "labeled_lang",
+        *[
+            F.size(F.filter(F.col("_toks"), tx._isin_filter(tx.LANG_STOPWORDS[lang])))
+            .cast("long")
+            .alias(f"h_{lang}")
+            for lang in _LANGS
+        ],
+    )
+    # same alphabetical-priority CASE chain as the oracle, over h_ columns
     chain = None
     for a in _LANGS:
         cond = None
         for b in _LANGS:
             if b == a:
                 continue
-            c = hits[a] >= hits[b]
+            c = F.col(f"h_{a}") >= F.col(f"h_{b}")
             cond = c if cond is None else (cond & c)
         chain = F.when(cond, F.lit(a)) if chain is None else chain.when(cond, F.lit(a))
-    pred = chain
-    cols = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
-    cols += [hits[lang].alias(f"h_{lang}") for lang in _LANGS]
-    cols.append(pred.alias("predicted_lang"))
-    return d.select(*cols)
+    return h.select(
+        "doc_id",
+        "labeled_lang",
+        *[f"h_{lang}" for lang in _LANGS],
+        chain.alias("predicted_lang"),
+    )
 
 
 @register(
@@ -3065,9 +3085,12 @@ def q_dedup_minhash_containment(spark: SparkSession, sf: str):
     sig = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(lsh_band_keys(sig)).select("doc_a", "doc_b")
     # narrow (doc_id, _h) rows feeding THREE legs (sizes + both sides of
-    # the intersection join) — checkpoint so the tokenize+shingle+hash
-    # scan runs once, not per leg
-    s = shingle_hash_rows(docs).distinct().transform(ckpt)
+    # the intersection join). Site pinned to "none": the distinct's final
+    # aggregate sits directly above a reusable exchange, so ReuseExchange
+    # serves all three legs from one shuffle — cheaper than any
+    # checkpoint here (order-balanced paired A/B at sf0.1: none
+    # min 2.04/med 2.33 s vs auto 2.47/2.65 s vs eager 2.34/2.39 s).
+    s = ckpt(shingle_hash_rows(docs).distinct(), site_mode="none")
     sz = s.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     sb = s.withColumnRenamed("doc_id", "_db").withColumnRenamed("_h", "_hb")
     inter = (

@@ -806,6 +806,11 @@ SCAN_MULTIPLICITY_ALLOW = {
     "stats_brown_forsythe": 3,     # sized + ranked + median-centered pass
     "eval_pinball_loss": 3,        # sized + ranked train tiers + test scan
     "market_basket_pairs": 4,
+    "dedup_minhash_containment": 6,  # r12 opt: the shared distinct's ckpt
+    # site is pinned to "none" — the static plan repeats the subtree per
+    # leg, but the distinct's exchange is identical in every leg and AQE
+    # reuses it at runtime (final executed plan shows 3 ReusedExchange;
+    # order-balanced A/B: none 2.04 s vs auto 2.47 s vs eager 2.34 s).
     "lm_perplexity_scores": 4,     # unigram model + vocab stat + scoring side
     "dsir_importance_weights": 3,
     "stats_chi_square_independence": 6,  # observed + two marginals + total
