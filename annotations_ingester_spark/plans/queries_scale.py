@@ -2873,10 +2873,16 @@ def q_ann_nprobe_sweep(spark: SparkSession, sf: str):
         (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 2000)
     ).transform(ckpt)
     nq = qs.agg(F.count("*").cast("long").alias("n_queries"))
-    truth = (
-        brute_force_topk(emb, qs, k=3)
-        .select("q_id", "vec_id")
-        .transform(ckpt)
+    # Site pinned "none": truth's subtree ends in an exchange AQE reuses
+    # across the three probe arms (final executed plan: 6 ReusedExchange,
+    # zero extra scans — emb/qs checkpoints above still bound the scan
+    # count). Order-balanced A/B at sf0.1: min 2.07 s pinned vs 2.32 s
+    # auto. Dropping the emb/qs checkpoints too is faster still locally
+    # (1.81 s) but re-scans the un-prunable embeddings table per arm —
+    # wrong trade at 100 TB, deliberately not taken.
+    truth = ckpt(
+        brute_force_topk(emb, qs, k=3).select("q_id", "vec_id"),
+        site_mode="none",
     )
     arms = []
     for npb in _SWEEP_NPROBES:
