@@ -59,9 +59,18 @@ def blocked_levenshtein_pairs(
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("_na", "_nb").cast("long").alias("lev"),
+            # bounded edit distance (Spark 3.5+ threshold arg): the banded
+            # DP touches O(len·k) cells instead of O(len²) and
+            # short-circuits to -1 past the bound (including the free
+            # |len_a − len_b| > k case), so the verify step's cost tracks
+            # the threshold, not the name length. Exact inside the bound —
+            # kept rows and their lev values are identical to the
+            # unbounded form (pairs past the bound were filtered out
+            # before; they now surface as -1 and are filtered by the
+            # between()).
+            F.levenshtein("_na", "_nb", max_distance).cast("long").alias("lev"),
         )
-        .filter(F.col("lev") <= max_distance)
+        .filter(F.col("lev").between(0, max_distance))
     )
 
 

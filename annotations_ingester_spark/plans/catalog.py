@@ -60,6 +60,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def table_schema(spark: SparkSession, sf_dir: str, name: str):
+    """Cached StructType of a base table (same cache as :func:`table`) —
+    for ``readStream`` and other sites that need an explicit schema.
+    A fresh ``spark.read.parquet(path).schema`` costs a listing + footer
+    read (~0.15-0.5 s) on EVERY plan build; the streaming builders each
+    paid it once per timed bench rep. Metadata only — rows are never
+    cached, and the caller's session confs (``nanosAsLong``) still govern
+    the one inference that populates the entry."""
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    return schema
+
+
 #: Logical operators that compile to an exchange (or a materialization
 #: point Spark can reuse across consumers of one physical plan): below any
 #: of these, re-deriving the subtree from a second consumer re-reads

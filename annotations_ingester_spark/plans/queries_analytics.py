@@ -24,6 +24,7 @@ from annotations_ingester_spark.plans.catalog import (
     events_table,
     register,
     table,
+    table_schema,
     utc_label,
 )
 
@@ -487,7 +488,7 @@ def q_streaming_sessions(spark: SparkSession, sf: str):
     from annotations_ingester_spark.plans.catalog import events_ts_seconds
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")

@@ -15,7 +15,7 @@ from annotations_ingester_spark.functions.vectors import (
     cosine_similarity_sql,
     sign_bucket_sql,
 )
-from annotations_ingester_spark.plans.catalog import ckpt, events_ts_seconds, register, table
+from annotations_ingester_spark.plans.catalog import ckpt, events_ts_seconds, register, table, table_schema
 
 _SPLIT_HASH = md5_hash64_sql("'split:' || doc_id::VARCHAR")
 _SAMPLE_HASH = md5_hash64_sql("'sample:' || doc_id::VARCHAR")
@@ -295,7 +295,7 @@ def q_streaming_dedup(spark: SparkSession, sf: str):
     from annotations_ingester_spark.streaming.stateful import watermarked_dedup
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
 
     def one_stream():
         raw = (
@@ -337,7 +337,7 @@ def q_streaming_totals(spark: SparkSession, sf: str):
 
     ensure_worker_imports(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")

@@ -15,6 +15,7 @@ from annotations_ingester_spark.plans.catalog import (
     events_ts_seconds,
     register,
     table,
+    table_schema,
     utc_label,
 )
 from annotations_ingester_spark.plans.queries_pipeline import DOCS_CTE, ENTS_CTE, MEDCAT_FLAT_FIELDS
@@ -223,7 +224,7 @@ def q_streaming(spark: SparkSession, sf: str):
         stream_annotations,
     )
 
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    schema = table_schema(spark, sf, "documents")
     out = stream_annotations(
         spark,
         f"{sf}/documents.parquet",
@@ -393,7 +394,7 @@ def q_grouped_map(spark: SparkSession, sf: str):
 )
 def q_streaming_agg(spark: SparkSession, sf: str):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -445,7 +446,7 @@ def q_streaming_agg(spark: SparkSession, sf: str):
     "self-join oracle exactly.",
 )
 def q_streaming_join(spark: SparkSession, sf: str):
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
 
     def side(event_type: str, alias: str):
         raw = (
@@ -522,7 +523,7 @@ def q_streaming_join(spark: SparkSession, sf: str):
     "sink, availableNow, exact group-sum oracle.",
 )
 def q_streaming_static_join(spark: SparkSession, sf: str):
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")

@@ -9,7 +9,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from annotations_ingester_spark.functions import text as tx
-from annotations_ingester_spark.plans.catalog import ckpt, events_table, register, table, utc_label
+from annotations_ingester_spark.plans.catalog import ckpt, events_table, register, table, table_schema, utc_label
 
 TOKS = tx.tokens_sql("text")
 HASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
@@ -403,7 +403,7 @@ def q_streaming_funnel(spark: SparkSession, sf: str):
     from annotations_ingester_spark.plans.catalog import events_ts_seconds
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
