@@ -27,7 +27,7 @@ exact-Jaccard tiers of a production entity-resolution stack.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from annotations_ingester_spark.functions import text as tx
@@ -90,11 +90,11 @@ def jaccard_prefix_join(
     dedup (unigram vocabularies overlap heavily across any same-domain
     corpus; shingle sets only overlap under real near-duplication).
 
-    Plan: token-df table → global token rank (a window sort over the
-    VOCABULARY — bounded by vocab size, not corpus size) → per-doc sorted
-    token array → prefix explode → candidate equi-join on token →
-    pair-distinct → verify via ``array_intersect`` on the two full sorted
-    arrays (each doc's set rides along the join — no second lookup pass).
+    Plan: token-df table → per-doc token array sorted by ``(df, tok)``
+    (the rarest-first total order, no global rank window needed) →
+    prefix explode → candidate equi-join on token → pair-distinct →
+    verify via ``array_intersect`` on the two full sorted arrays (each
+    doc's set rides along the join — no second lookup pass).
     """
     from annotations_ingester_spark.operators.dedup import (
         _disable_infer_filters_from_generate,
@@ -113,21 +113,23 @@ def jaccard_prefix_join(
 
     tok = toks.select("doc_id", F.explode("_tset").alias("tok"))
     df_tab = tok.groupBy("tok").agg(F.count("*").alias("df"))
-    # global canonical order over the vocabulary (rarest first, token
-    # tie-break). Unpartitioned window — but over the vocab table only.
-    rank = df_tab.select(
-        "tok",
-        F.row_number()
-        .over(Window.orderBy(F.col("df").asc(), F.col("tok").asc()))
-        .alias("trank"),
+    # Global canonical order (rarest first, token tie-break) WITHOUT
+    # materializing a rank: row_number over (df asc, tok asc) is
+    # order-isomorphic to sorting by the (df, tok) pair itself — tok is
+    # unique in the vocab, so the pair is a total order and the per-doc
+    # array_sort below yields byte-identical stoks. This removes the
+    # unpartitioned vocabulary window (a single-task sort — the one piece
+    # of this plan that did NOT scale with the cluster) and its exchange;
+    # df rides the candidate join the tokens already needed.
+    joined_toks = tok.join(df_tab, "tok").select(
+        "doc_id", F.struct("df", "tok").alias("_st")
     )
 
     ranked = (
-        tok.join(rank, "tok")
-        .groupBy("doc_id")
+        joined_toks.groupBy("doc_id")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("trank", "tok"))),
+                F.array_sort(F.collect_list("_st")),
                 lambda s: s.tok,
             ).alias("stoks")
         )
