@@ -747,12 +747,15 @@ def q_eval_er_blocking(spark: SparkSession, sf: str):
     )
     truth = a.crossJoin(b).filter(
         (F.col("ka") < F.col("kb"))
-        & (F.levenshtein("na", "nb") <= 1)
+        # bounded levenshtein (threshold arg): identical kept rows, the
+        # banded DP short-circuits past distance 1 — the exactness-tier
+        # cartesian is where the per-pair DP cost actually concentrates
+        & (F.levenshtein("na", "nb", 1).between(0, 1))
     )
     blocked_cand = a.join(
         b, (F.col("nka") == F.col("nkb")) & (F.col("pa") == F.col("pb"))
     ).filter(F.col("ka") < F.col("kb"))
-    blocked = blocked_cand.filter(F.levenshtein("na", "nb") <= 1)
+    blocked = blocked_cand.filter(F.levenshtein("na", "nb", 1).between(0, 1))
     n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
     n_blocked = blocked.agg(F.count("*").cast("long").alias("n_blocked"))
     n_cand = blocked_cand.agg(F.count("*").cast("long").alias("n_candidates"))
