@@ -527,6 +527,48 @@ def compute_superlinear_flags(
     return flagged
 
 
+def per_query_chunks(
+    timings: dict[str, float], max_line_chars: int = 240
+) -> list[str]:
+    """Serialize the per-query map as SHORT self-contained JSON lines.
+
+    The driver's stdout capture keeps only the last ~2000 characters
+    (BENCH_r03-05 show the big result line's head truncated away and
+    ``parsed: null``), so the full 335-entry ``queries`` map on the first
+    output line physically cannot reach its parser, and r12's PERF shipped
+    an empty ``per_query``/null geomean (r12 verdict item 2). Re-emit the
+    map as chunk lines of at most ``max_line_chars`` each, sorted so the
+    SLOWEST queries land in the LAST chunks: whatever suffix of the output
+    survives a tail-keeping capture is a run of complete, parseable lines
+    carrying the heaviest per-query rows — the ones regression analysis
+    needs most. Every line repeats the metric name and its part index, so
+    a consumer can tell a partial capture from a full one.
+    """
+    items = sorted(timings.items(), key=lambda kv: (kv[1], kv[0]))
+    groups: list[dict[str, float]] = []
+    cur: dict[str, float] = {}
+    # worst-case fixed overhead of one line's envelope (3-digit part ids)
+    envelope = len(
+        json.dumps({"metric": "per_query", "part": 999, "parts": 999, "queries": {}})
+    )
+    used = envelope
+    for name, sec in items:
+        entry = len(json.dumps({name: sec})) + 2  # ", " separator slack
+        if cur and used + entry > max_line_chars:
+            groups.append(cur)
+            cur, used = {}, envelope
+        cur[name] = sec
+        used += entry
+    if cur:
+        groups.append(cur)
+    return [
+        json.dumps(
+            {"metric": "per_query", "part": i + 1, "parts": len(groups), "queries": g}
+        )
+        for i, g in enumerate(groups)
+    ]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Sample the machine-state provenance BEFORE the Spark session exists:
@@ -585,6 +627,25 @@ def main() -> None:
         # tax the next.
         spec = REGISTRY[name]
         spark.catalog.clearCache()
+        # r12 verdict item 5: localCheckpoint blocks from EARLIER queries
+        # are checkpoint RDDs, not CacheManager entries — clearCache never
+        # frees them, and they die only when driver GC collects the py4j
+        # refs. Across a 335-query session that accumulation is the prime
+        # suspect for the recorded 2.9-26 s session flappers (guide §5:
+        # storage pressure taxes later queries). Free them
+        # deterministically before each query: drop Python-side refs,
+        # then unpersist every leftover persistent RDD — nothing
+        # legitimate outlives its builder (every timed rep recomputes
+        # from the parquet inputs, so this cannot cache results across
+        # reps either; it only RELEASES memory).
+        import gc
+
+        gc.collect()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
         spark.sparkContext._jvm.System.gc()
         spec.spark(spark, at_dir).write.format("noop").mode("overwrite").save()
         runs = []
@@ -700,6 +761,14 @@ def main() -> None:
         result["scaling"] = scaling
 
     print(json.dumps(result))
+    # Driver-proof per-query re-emission (r12 verdict item 2): short chunk
+    # lines, slowest queries last — see per_query_chunks. Placed BEFORE the
+    # headline summary so the FINAL line stays the small totals object a
+    # last-line-only parser expects; a tail-keeping ~2 KB capture then
+    # holds the summary plus the heaviest ~40 queries' rows as complete
+    # parseable lines instead of one truncated 10 KB fragment.
+    for line in per_query_chunks(timings):
+        print(line)
     # Persist the COMPLETE per-query map as a committed artifact
     # (BENCH_FULL_r{N}.json). BENCH_r{N}.json keeps only the captured
     # stdout tail, so absolute per-query times survive a round only if a

@@ -127,6 +127,45 @@ def test_without_arbiter_a_candidate_needs_both_ratios():
     assert FLAG(main, base, 10.0, cal_main=0.84, cal_base=0.42) == []
 
 
+def test_per_query_chunks_roundtrip_and_ordering():
+    """r12 verdict item 2: the driver keeps only the last ~2 KB of bench
+    stdout, so the per-query map is re-emitted as short chunk lines with
+    the slowest queries LAST. Pin: (a) every line parses alone and stays
+    under the size cap, (b) merging all chunks reconstructs the map
+    exactly, (c) the final chunk holds the slowest query."""
+    import json
+
+    mod = _bench_module()
+    timings = {f"q_{i:03d}": round(0.05 * i, 3) for i in range(1, 336)}
+    lines = mod.per_query_chunks(timings)
+    merged: dict[str, float] = {}
+    for line in lines:
+        assert len(line) <= 240, f"chunk line over cap: {len(line)}"
+        obj = json.loads(line)
+        assert obj["metric"] == "per_query"
+        assert obj["parts"] == len(lines)
+        merged.update(obj["queries"])
+    assert merged == timings
+    last = json.loads(lines[-1])["queries"]
+    assert "q_335" in last  # slowest row rides the tail-surviving chunk
+
+
+def test_per_query_chunks_tail_window_is_parseable():
+    """The 2000-char tail window must land on complete lines for all but
+    at most one leading fragment — i.e. chunk lines must be short enough
+    that a tail cut loses at most one line."""
+    import json
+
+    mod = _bench_module()
+    timings = {f"very_long_query_name_{i:03d}_suffix": 1.0 + i for i in range(335)}
+    out = "\n".join(mod.per_query_chunks(timings))
+    tail = out[-1600:]  # summary line (~400 B) uses the rest of the window
+    whole_lines = tail.split("\n")[1:]  # drop the (possibly cut) first line
+    assert len(whole_lines) >= 4
+    for line in whole_lines:
+        json.loads(line)
+
+
 def test_headline_names_exist_in_registry():
     """A typo'd or renamed HEADLINE entry would crash the round-close
     bench 40 minutes in (run_suite KeyErrors on the first bad name);
