@@ -191,6 +191,32 @@ def ckpt(df: DataFrame, site_mode: str | None = None) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def run_concurrently(*thunks):
+    """Run independent Spark actions from one thread pool (guide §2.6 —
+    overlap independent jobs so the later job's tasks back-fill the
+    earlier one's straggler tail). Returns results in submission order.
+    ALL futures are awaited even when one fails, so a caller's cleanup
+    (``DROP TABLE`` / ``rmtree`` in a ``finally``) never races a
+    still-running write, and every failure is surfaced instead of only
+    the first future's (r12 advice)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        results: list = []
+        errors: list[Exception] = []
+        for fut in futures:
+            try:
+                results.append(fut.result())
+            except Exception as exc:  # await every future before raising
+                errors.append(exc)
+    if len(errors) == 1:
+        raise errors[0]
+    if errors:
+        raise ExceptionGroup("concurrent Spark actions failed", errors)
+    return results
+
+
 def utc_label(col, fmt: str = "yyyy-MM-dd HH:mm:ss"):
     """Render a timestamp instant as a UTC wall-clock string regardless of
     ``spark.sql.session.timeZone``: convert to TIMESTAMP_NTZ in UTC first

@@ -23,6 +23,7 @@ from annotations_ingester_spark.plans.catalog import (
     REGISTRY,
     events_table,
     register,
+    run_concurrently,
     table,
 )
 
@@ -142,22 +143,20 @@ def q_lsh_pr(spark: SparkSession, sf: str):
     # materialized frames are pair-id lists, tiny relative to their
     # lineage.
     # The two materializations are independent jobs (exact ssjoin vs LSH
-    # banding) — overlap them from a 2-thread pool (guide §2.6; same
+    # banding) — overlap them (guide §2.6, catalog.run_concurrently; same
     # pattern as eval_dup_capture_recapture, measured −15% there): the
     # lighter LSH pass back-fills the ssjoin's straggler tail. Rows are
     # identical to the sequential form.
-    from concurrent.futures import ThreadPoolExecutor
-
     truth_lazy = REGISTRY["ssjoin_jaccard_prefix"].spark(spark, sf).select(
         "doc_a", "doc_b"
     )
     pred_lazy = REGISTRY["minhash_lsh_pairs"].spark(spark, sf).select(
         "doc_a", "doc_b"
     )
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f1 = pool.submit(lambda: truth_lazy.transform(ckpt))
-        f2 = pool.submit(lambda: pred_lazy.transform(ckpt))
-        truth, pred = f1.result(), f2.result()
+    truth, pred = run_concurrently(
+        lambda: truth_lazy.transform(ckpt),
+        lambda: pred_lazy.transform(ckpt),
+    )
     tp = truth.join(pred, ["doc_a", "doc_b"]).agg(
         F.count("*").cast("double").alias("n_tp")
     )
@@ -2123,21 +2122,20 @@ def q_eval_capture_recapture(spark: SparkSession, sf: str):
     # each pair set feeds its own count AND the overlap join — checkpoint
     # once so the banded/bucketed tiers don't re-scan the corpus per use.
     # The two materializations are INDEPENDENT jobs (different detectors,
-    # different lineages): submit both from a 2-thread pool so the SimHash
-    # pass back-fills the LSH pass's straggler tail (guide §2.6) instead
-    # of waiting for it; rows are identical to the sequential form.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # different lineages): submit both concurrently so the SimHash pass
+    # back-fills the LSH pass's straggler tail (guide §2.6,
+    # catalog.run_concurrently) instead of waiting for it; rows are
+    # identical to the sequential form.
     p1_lazy = REGISTRY["minhash_lsh_pairs"].spark(spark, sf).select(
         "doc_a", "doc_b"
     )
     p2_lazy = REGISTRY["simhash_near_dup_pairs"].spark(spark, sf).select(
         "doc_a", "doc_b"
     )
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f1 = pool.submit(lambda: p1_lazy.transform(ckpt))
-        f2 = pool.submit(lambda: p2_lazy.transform(ckpt))
-        p1, p2 = f1.result(), f2.result()
+    p1, p2 = run_concurrently(
+        lambda: p1_lazy.transform(ckpt),
+        lambda: p2_lazy.transform(ckpt),
+    )
     n1 = p1.agg(F.count("*").cast("long").alias("n1"))
     n2 = p2.agg(F.count("*").cast("long").alias("n2"))
     m = p1.join(p2, ["doc_a", "doc_b"]).agg(F.count("*").cast("long").alias("m"))

@@ -446,6 +446,11 @@ def q_streaming_agg(spark: SparkSession, sf: str):
     "self-join oracle exactly.",
 )
 def q_streaming_join(spark: SparkSession, sf: str):
+    # events schema lookups must populate the shared cache under the same
+    # conf events_table uses (nanosAsLong=true): the first caller in a
+    # process governs the cached ts dtype, and this builder must not make
+    # that order-dependent (r12 advice).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = table_schema(spark, sf, "events")
 
     def side(event_type: str, alias: str):
@@ -523,6 +528,8 @@ def q_streaming_join(spark: SparkSession, sf: str):
     "sink, availableNow, exact group-sum oracle.",
 )
 def q_streaming_static_join(spark: SparkSession, sf: str):
+    # same cache-population conf as events_table — see q_streaming_join
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = table_schema(spark, sf, "events")
     stream = (
         spark.readStream.schema(schema)

@@ -24,7 +24,13 @@ from annotations_ingester_spark.operators.dedup import (
     simhash_signatures,
 )
 from annotations_ingester_spark.operators.similarity import brute_force_topk, bucketed_topk
-from annotations_ingester_spark.plans.catalog import ckpt, register, table, table_schema
+from annotations_ingester_spark.plans.catalog import (
+    ckpt,
+    register,
+    run_concurrently,
+    table,
+    table_schema,
+)
 
 # ---- shared DuckDB fragments ------------------------------------------------
 
@@ -1554,11 +1560,12 @@ def q_layout_bucketed_join_cert(spark: SparkSession, sf: str):
     li = table(spark, sf, "lineitem").select(
         "l_orderkey", F.round("l_quantity").cast("long").alias("qty")
     )
-    # the two bucketed writes are independent jobs — overlap them from a
-    # 2-thread pool (guide §2.6) so the lineitem write back-fills the
-    # orders write's tail; catalog entries and bytes are identical to the
-    # sequential form (distinct table names, distinct paths).
-    from concurrent.futures import ThreadPoolExecutor
+    # the two bucketed writes are independent jobs — overlap them
+    # (guide §2.6, catalog.run_concurrently) so the lineitem write
+    # back-fills the orders write's tail; catalog entries and bytes are
+    # identical to the sequential form (distinct table names, distinct
+    # paths). The writes run INSIDE the try so a failed write still drops
+    # the other thread's table and removes run_dir (r12 advice).
 
     def _write_orders():
         (
@@ -1574,10 +1581,8 @@ def q_layout_bucketed_join_cert(spark: SparkSession, sf: str):
             .mode("overwrite").format("parquet").saveAsTable(t_li)
         )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f1, f2 = pool.submit(_write_orders), pool.submit(_write_li)
-        f1.result(), f2.result()
     try:
+        run_concurrently(_write_orders, _write_li)
         o = spark.table(t_orders).hint("merge")  # force SMJ (no broadcast)
         l = spark.table(t_li)
         joined = o.join(l, o.o_orderkey == l.l_orderkey)
@@ -1968,19 +1973,14 @@ def q_layout_sort_compression(spark: SparkSession, sf: str):
             "l_returnflag", "l_linestatus", "l_shipdate", "l_partkey"
         )
         # the two layouts are INDEPENDENT jobs over the same scan — submit
-        # both from a 2-thread pool so the second write back-fills the
-        # first's straggler tail instead of waiting for it (guide §2.6);
-        # rows written are identical to the sequential form.
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f1 = pool.submit(
-                lambda: shuffled.write.mode("overwrite").parquet(f"{run_dir}/unsorted")
-            )
-            f2 = pool.submit(
-                lambda: srt.write.mode("overwrite").parquet(f"{run_dir}/sorted")
-            )
-            f1.result(), f2.result()
+        # both concurrently so the second write back-fills the first's
+        # straggler tail instead of waiting for it (guide §2.6,
+        # catalog.run_concurrently); rows written are identical to the
+        # sequential form.
+        run_concurrently(
+            lambda: shuffled.write.mode("overwrite").parquet(f"{run_dir}/unsorted"),
+            lambda: srt.write.mode("overwrite").parquet(f"{run_dir}/sorted"),
+        )
 
         def dir_bytes(p: str) -> int:
             import os
