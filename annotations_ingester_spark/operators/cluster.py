@@ -92,6 +92,8 @@ def connected_components(
     (singletons need no clustering; a degenerate self-loop ``u—u`` carries
     no clustering information and is likewise ignored — every caller here
     generates ``src < dst`` pairs, so none exist)."""
+    import os
+
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # cycler frees each round's checkpoint blocks once the next round is
     # materialized — ≤2 edge-set generations live instead of max_iterations
@@ -99,15 +101,57 @@ def connected_components(
     e = cycler.checkpoint(_canonical(raw))
     rounds = 0
     converged = False
+    # termination: the algorithm converges exactly to star forests
+    # (Kiveris et al., Thm 3) — detect the star directly (every source has
+    # one target and no target is itself a source) instead of paying a
+    # full extra contraction round to observe e_{n+1} == e_n.
+    fused = os.environ.get("SPARK_GRAFT_CC_PROBE", "fused") == "fused"
     for _ in range(max_iterations):
         rounds += 1
+        if fused:
+            # ONE job per round (r12 verdict item 3): the checkpoint is
+            # lazy and the star-forest flag is ONE full-pass aggregate
+            # over it — every e_new partition is computed (and persisted
+            # by the checkpoint) exactly once inside the flag job, so the
+            # separate eager-materialization job disappears. This is NOT
+            # the r12-negative "lazy ckpt + limit-1 probes" shape: those
+            # legs raced to compute the same partitions and left some
+            # uncached; a global aggregate touches all of them, once.
+            # Flag: a node breaks the star property iff it has >= 2
+            # outgoing edges (multi-target) or appears as both a source
+            # and a target (chain) — same condition as the two probes.
+            e_new = cycler.checkpoint(_small_star(_large_star(e)), eager=False)
+            roles = e_new.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("node"), F.lit(1).alias("s")),
+                        F.struct(F.col("v").alias("node"), F.lit(0).alias("s")),
+                    )
+                ).alias("r")
+            )
+            bad = (
+                roles.groupBy(F.col("r.node").alias("node"))
+                .agg(F.sum("r.s").alias("ns"), F.count(F.lit(1)).alias("nt"))
+                .agg(
+                    F.max(
+                        (F.col("ns") >= 2)
+                        | ((F.col("ns") >= 1) & (F.col("nt") > F.col("ns")))
+                    ).alias("bad")
+                )
+                .collect()[0]["bad"]
+            )
+            # e_new is fully materialized by the flag job; the old edge
+            # set has no remaining readers
+            cycler.retire_previous()
+            if not bad:  # None = empty edge set: trivially a star forest
+                converged = True
+                e = e_new
+                break
+            e = e_new
+            continue
         e_new = cycler.checkpoint(_small_star(_large_star(e)))
         # e_new is materialized and nothing reads the old edge set again
         cycler.retire_previous()
-        # termination: the algorithm converges exactly to star forests
-        # (Kiveris et al., Thm 3) — detect the star directly (every source
-        # has one target and no target is itself a source) instead of
-        # paying a full extra contraction round to observe e_{n+1} == e_n.
         # Both probes ride ONE action (limit-1 legs of a union) over the
         # already-materialized checkpoint — one scheduler round trip per
         # contraction round, not two (r12: the CC driver loop runs inside

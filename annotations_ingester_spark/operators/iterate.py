@@ -32,13 +32,23 @@ class CheckpointCycler:
     def _live_ids(self) -> set[int]:
         return {int(i) for i in self._jsc.getPersistentRDDs().keySet().toArray()}
 
-    def checkpoint(self, df: DataFrame) -> DataFrame:
-        """Eagerly localCheckpoint ``df`` and track the blocks it created.
+    def checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """localCheckpoint ``df`` and track the blocks it creates.
         Does NOT free older generations — the caller may still read them
         (e.g. old-vs-new centroid shift); call :meth:`retire_previous`
-        once every read of the older generations has executed."""
+        once every read of the older generations has executed.
+
+        ``eager=False`` registers the checkpoint RDD (persist happens at
+        the localCheckpoint call, so the id is tracked here) but defers
+        materialization to the caller's next FULL-pass action — the CC
+        loop fuses its convergence aggregate with the materialization
+        this way, one job per round instead of two. The caller owns the
+        obligation that its first action over the frame touches EVERY
+        partition (a global aggregate does; a limit/isEmpty probe does
+        not and leaves partitions uncached for later consumers to race
+        on — the measured r12 negative)."""
         before = self._live_ids()
-        out = df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=eager)
         self._gens.append(self._live_ids() - before)
         return out
 

@@ -271,6 +271,31 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     assert rounds <= 10, rounds  # 64-diameter chain in logarithmic rounds
 
 
+def test_connected_components_fused_probe_matches_legacy(spark, monkeypatch):
+    """r13: the fused convergence flag (one full-pass aggregate that also
+    materializes the lazy checkpoint — one job/round) must agree with the
+    legacy two-probe path on labels AND round count, including the
+    chain + multi-target + already-converged shapes."""
+    from annotations_ingester_spark.operators.cluster import connected_components
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (7, 9)],          # chain + separate pair
+        [(1, 2), (1, 3), (1, 4)],                   # already a star
+        [(i, i + 1) for i in range(32)],            # high-diameter chain
+        [(1, 2), (3, 4), (2, 3), (10, 11)],         # merge mid-stream
+    ]
+    for rows in cases:
+        edges = spark.createDataFrame(rows, "doc_a long, doc_b long")
+        monkeypatch.setenv("SPARK_GRAFT_CC_PROBE", "fused")
+        fused_labels, fused_rounds = connected_components(edges, return_rounds=True)
+        fused = {(r["node"], r["cluster_id"]) for r in fused_labels.collect()}
+        monkeypatch.setenv("SPARK_GRAFT_CC_PROBE", "probe")
+        legacy_labels, legacy_rounds = connected_components(edges, return_rounds=True)
+        legacy = {(r["node"], r["cluster_id"]) for r in legacy_labels.collect()}
+        assert fused == legacy, rows
+        assert fused_rounds == legacy_rounds, rows
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     import pytest
 
