@@ -141,27 +141,61 @@ def jaccard_prefix_join(
     )
 
     pref = ranked.select(
-        "doc_id", "stoks", "m", F.explode(F.slice("stoks", 1, F.col("plen"))).alias("tok")
+        "doc_id",
+        "stoks",
+        "m",
+        # 0-based position of each prefix token — feeds the PPJoin
+        # position filter below
+        F.posexplode(F.slice("stoks", 1, F.col("plen"))).alias("_p", "tok"),
     )
     a = pref.select(
-        F.col("doc_id").alias("doc_a"), F.col("stoks").alias("_sa"), F.col("m").alias("_ma"), "tok"
+        F.col("doc_id").alias("doc_a"),
+        F.col("stoks").alias("_sa"),
+        F.col("m").alias("_ma"),
+        F.col("_p").alias("_pa"),
+        "tok",
     )
     b = pref.select(
-        F.col("doc_id").alias("doc_b"), F.col("stoks").alias("_sb"), F.col("m").alias("_mb"), "tok"
+        F.col("doc_id").alias("doc_b"),
+        F.col("stoks").alias("_sb"),
+        F.col("m").alias("_mb"),
+        F.col("_p").alias("_pb"),
+        "tok",
     )
     # PPJoin length filter: J(a,b) ≥ τ forces max(m) ≤ min(m)/τ — prune
     # length-incompatible candidates before the pair-dedup shuffle. Safe:
     # fl(τ) ≤ τ only loosens the bound (never drops a true pair).
     tau = F.lit(float(threshold))
-    cand = (
-        a.join(b, "tok")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(
-            (F.col("_mb") <= F.col("_ma") / tau) & (F.col("_ma") <= F.col("_mb") / tau)
-        )
-        .select("doc_a", "doc_b", "_sa", "_sb", "_ma", "_mb")
-        .dropDuplicates(["doc_a", "doc_b"])
+    # PPJoin POSITION filter (Xiao et al., WWW'08): a shared prefix token
+    # at 0-based positions (pa, pb) bounds the overlap by
+    # 1 + min(m_a - pa - 1, m_b - pb - 1) — this token plus everything
+    # after it on the shorter remaining side. Jaccard ≥ τ needs overlap
+    # ≥ τ/(1+τ)·(m_a+m_b), so occurrences whose bound falls short cannot
+    # be the FIRST shared token of a qualifying pair. Safe per pair: the
+    # first shared token of any true pair lies inside both prefixes
+    # (prefix-filter theorem) and all shared tokens follow it in the
+    # canonical order on both sides, so that occurrence always passes and
+    # survives the dropDuplicates. The 1e-9 slack keeps a float rounding
+    # of τ/(1+τ)·(m) from ever tipping an exact integer boundary toward
+    # dropping (over-keeping is harmless — the exact verify below is the
+    # arbiter).
+    ubound = 1 + F.least(
+        F.col("_ma") - F.col("_pa") - 1, F.col("_mb") - F.col("_pb") - 1
     )
+    alpha = tau / (F.lit(1.0) + tau) * (F.col("_ma") + F.col("_mb"))
+    cand = a.join(b, "tok").filter(F.col("doc_a") < F.col("doc_b")).filter(
+        (F.col("_mb") <= F.col("_ma") / tau) & (F.col("_ma") <= F.col("_mb") / tau)
+    )
+    import os
+
+    # A/B hook (same pattern as catalog.ckpt's env pins): results are
+    # IDENTICAL either way — the position filter only prunes candidates
+    # the exact verify would reject.
+    if os.environ.get("SPARK_GRAFT_SSJOIN_POSFILTER", "on") != "off":
+        cand = cand.filter(ubound >= alpha - F.lit(1e-9))
+    cand = cand.select(
+        "doc_a", "doc_b", "_sa", "_sb", "_ma", "_mb"
+    ).dropDuplicates(["doc_a", "doc_b"])
     inter = F.size(F.array_intersect("_sa", "_sb"))
     jac = inter / (F.col("_ma") + F.col("_mb") - inter)
     return (
