@@ -48,6 +48,16 @@ def market_basket_pairs(
     sets = facts.groupBy(F.col(basket_col).alias("_b")).agg(
         F.array_sort(F.collect_set(F.col(item_col))).alias("its")
     )
+    # `sets` feeds three consumers (basket count, item counts, the pair
+    # explode); without a materialization point the runtime plan shows 0
+    # ReusedExchange and FOUR fact scans (column pruning differentiates
+    # the legs, so AQE never reuses). A lazy localCheckpoint pins the
+    # shuffle: one scan, consumers re-derive only the post-shuffle
+    # collect_set tail. Measured ABBA at sf0.1 (r13): lazy min 2.13 /
+    # med 2.47 vs none 2.21/2.67 vs eager 2.37/2.56 — lazy is the local
+    # optimum AND the 100 TB shape (4 corpus scans -> 1, no extra
+    # materialization pass).
+    sets = sets.localCheckpoint(eager=False)
     # Corpus stat as a broadcast 1-row aggregate, not a driver-side
     # .count() — plan construction must not trigger jobs.
     n_baskets = sets.agg(F.count("*").cast("double").alias("n_baskets"))

@@ -58,12 +58,20 @@ def bm25_rank(
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
+    # tf feeds dfreq AND the score join — without a materialization point
+    # the dfreq leg re-runs the full tokenize pass for a |terms|-row count
+    # (runtime plan before r13: 0 ReusedExchange, 4 corpus scans). The
+    # post-filter tf frame is <= docs x |query_terms| narrow rows, so a
+    # lazy localCheckpoint pins it for ~free (r13 variant ABBA: med 0.826
+    # vs 0.838 none; a dl checkpoint additionally measured strictly worse
+    # — 0.908 med — and stays out: its stats leg's re-tokenize is the
+    # honest remaining second pass).
     tf = (
         base.select(F.col(id_col), F.explode("_tk").alias("term"))
         .filter(F.col("term").isin(query_terms))
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("double").alias("tf"))
-    )
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     j = (
         tf.join(dl, id_col)
@@ -109,12 +117,19 @@ def tfidf_top_terms(
     back on term (equi-join shuffle — at corpus scale the vocabulary is
     zipfian, and AQE's skew handling covers the hot stopword keys)."""
     base = _doc_terms(df, text_col, id_col)
-    n_docs = base.agg(F.count("*").cast("double").alias("n_docs"))
     tf = (
         base.select(F.col(id_col), F.explode("_tk").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("double").alias("tf"))
+        # tf feeds dfreq AND the score join — lazy checkpoint so the
+        # tokenize+explode pass runs once (same re-derivation class and
+        # measured mode as bm25_rank above / dsir in the r13 log)
+        .localCheckpoint(eager=False)
     )
+    # every doc with >= 1 token owns >= 1 tf row, so N derives from the
+    # checkpointed tf — removes the third full tokenize pass the separate
+    # count scan paid (value identical by construction)
+    n_docs = tf.agg(F.count_distinct(F.col(id_col)).cast("double").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     scored = (
         tf.join(dfreq, "term")

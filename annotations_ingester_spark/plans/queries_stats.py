@@ -77,9 +77,17 @@ def q_lm_perplexity(spark: SparkSession, sf: str):
         .groupBy("doc_id", "bg")
         .agg(F.count("*").cast("long").alias("k"))
     )
+    # g feeds the bigram table AND the score join — same re-derivation
+    # class as dsir_importance_weights (runtime: 0 ReusedExchange, 4
+    # scans before this round): lazy-checkpoint it so the shingle stream
+    # reduces once. ABBA r13 at sf0.1 in the change log.
+    g = g.transform(ckpt)
     uni = docs.select(F.explode(tx.tokens("text")).alias("w"))
     c1 = uni.groupBy("w").agg(F.count("*").cast("double").alias("c1"))
-    v = uni.agg(F.count_distinct("w").cast("double").alias("v"))
+    # V = |distinct w| is exactly c1's row count — deriving it from c1
+    # removes a second full tokenize scan of the corpus (the count rides
+    # c1's exchange; AQE never reused it across the two legs).
+    v = c1.agg(F.count("*").cast("double").alias("v"))
     c2 = g.groupBy("bg").agg(F.sum("k").cast("double").alias("c2"))
     scored = (
         g.withColumn("w1", F.substring_index("bg", " ", 1))
@@ -155,6 +163,14 @@ def q_dsir_weights(spark: SparkSession, sf: str):
         "doc_id", "lang", (md5_hash64("bg") % F.lit(_DSIR_BUCKETS)).alias("b")
     )
     g = f.groupBy("doc_id", "lang", "b").agg(F.count("*").cast("long").alias("k"))
+    # g feeds the bucket table AND the score join; without a
+    # materialization point the runtime plan re-derives the shingle+md5
+    # stream per leg (0 ReusedExchange, 3 scans — pruning differentiates
+    # the subtrees). ckpt auto-classifies this aggregate root lazy: one
+    # scan into the shuffle, legs re-derive only the post-shuffle tail.
+    # ABBA r13 at sf0.1: lazy 1.73 min / 1.87 med vs none 2.46/2.53 vs
+    # eager 1.83/2.00.
+    g = g.transform(ckpt)
     bucket = g.groupBy("b").agg(
         F.sum("k").cast("double").alias("cr"),
         F.sum(F.when(F.col("lang") == "en", F.col("k")).otherwise(0))
